@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level scalar functions mirroring the reference's string helpers
+  * (SURVEY.md §2.9). All are compositions of built-in, codegen'd Spark
+  * functions — no UDFs — so they inline into whole-stage codegen and stay
+  * cheap at 100 TB scan width.
+  */
+object StringOps {
+  import Normalize.norm
+
+  /** Known extensions, longest-match-first (reference `Leyton_depot.py:140-145`). */
+  val KnownExts: Seq[String] =
+    Seq(".pdf", ".xlsx", ".xls", ".jpg", ".jpeg", ".png", ".doc", ".docx", ".zip")
+
+  /** F2 `_file_ext`: suffix match against the whitelist, else "". */
+  def fileExt(name: Column): Column = {
+    val lower0 = lower(name)
+    KnownExts.foldRight(lit("")) { (ext, acc) =>
+      when(lower0.endsWith(ext), lit(ext)).otherwise(acc)
+    }
+  }
+
+  /** Extension → MIME (reference `Leyton_depot.py:458-470`). */
+  val ExtToMime: Seq[(String, String)] = Seq(
+    ".pdf" -> "application/pdf",
+    ".xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    ".xls" -> "application/vnd.ms-excel",
+    ".jpg" -> "image/jpeg",
+    ".jpeg" -> "image/jpeg",
+    ".png" -> "image/png",
+    ".doc" -> "application/msword",
+    ".docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    ".zip" -> "application/zip")
+
+  /** F6 `_infer_mime_from_name_or_header`: coalesce(header, ext→mime, octet-stream). */
+  def inferMime(name: Column, contentType: Column): Column = {
+    val fromExt = ExtToMime.foldRight(lit(null).cast("string")) { case ((ext, mime), acc) =>
+      when(lower(name).endsWith(ext), lit(mime)).otherwise(acc)
+    }
+    coalesce(contentType, fromExt, lit("application/octet-stream"))
+  }
+
+  /** F5 `_ext_from_name_or_ctype`: ext from name, else MIME→ext, else ".bin". */
+  def extFromNameOrMime(name: Column, contentType: Column): Column = {
+    val fromName = when(fileExt(name) =!= "", fileExt(name))
+    val mimeToExt = ExtToMime.map(_.swap).distinctBy(_._1)
+    val fromMime = mimeToExt.foldRight(lit(null).cast("string")) { case ((mime, ext), acc) =>
+      when(contentType === mime, lit(ext)).otherwise(acc)
+    }
+    coalesce(fromName, fromMime, lit(".bin"))
+  }
+
+  /** F4 `_sanitize_drive_name`: trim, forbidden chars → '-', collapse whitespace. */
+  def sanitizeName(name: Column): Column =
+    trim(regexp_replace(regexp_replace(name, """[\\/:*?"<>|]""", "-"), """\s+""", " "))
+
+  /** F3 `make_signed_filename`: idempotent " SIGNÉ" suffix insert before ".pdf".
+    * If the suffix is already present (case/accent-insensitively) just
+    * ensure the ".pdf" extension; else insert before ".pdf" / append.
+    * (reference `fixed_signature_utils.py:116-124`)
+    */
+  def signedFilename(name: Column, suffix: String = " SIGNE"): Column = {
+    val normSuffix = NormalizeString.normalize(suffix)
+    val hasSuffix = norm(name).contains(lit(normSuffix))
+    val endsPdf = lower(name).endsWith(".pdf")
+    val base = substring(name, lit(1), length(name) - 4) // name minus ".pdf"
+    when(hasSuffix && endsPdf, name)
+      .when(hasSuffix, concat(name, lit(".pdf")))
+      .when(endsPdf, concat(base, lit(suffix), lit(".pdf")))
+      .otherwise(concat(name, lit(suffix), lit(".pdf")))
+  }
+
+  /** F7 name templating: `ACT_{id}_{NAME}` with NAME uppercased, spaces → '_'. */
+  def actFolderName(startId: Column, clientName: Column): Column =
+    concat(lit("ACT_"), startId.cast("string"), lit("_"),
+      regexp_replace(upper(trim(clientName)), """\s+""", "_"))
+
+  /** F7 lot name: `CLM_GE_{lot:02d}`. */
+  def lotName(lotNumber: Column): Column =
+    concat(lit("CLM_GE_"), lpad(lotNumber.cast("string"), 2, "0"))
+
+  /** F7 fallback item name: `ITEM_{id}` (reference `Leyton_depot.py:167`). */
+  def itemNameOr(name: Column, itemId: Column): Column =
+    coalesce(name, concat(lit("ITEM_"), itemId.cast("string")))
+
+  /** F10 regex-extract + null-safe cast: `^ACT_(\d+)_` → long. */
+  def actId(name: Column): Column = {
+    val m = regexp_extract(name, "^ACT_(\\d+)_", 1)
+    when(m =!= "", m.cast("long"))
+  }
+
+  /** A1 auto-increment: next id = max(extracted)+1, or 1 when none match. */
+  def nextActId(names: Column): Column = coalesce(max(actId(names)), lit(0L)) + lit(1L)
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.Normalize.norm
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's declarative file-matching engine (SURVEY.md §2.6 W1-W4,
+  * §2.3 P2-P3, §2.4 J3): per (item, column) pick the right file(s) from a
+  * candidate pool using prioritized rules with include/exclude keyword
+  * predicates (on unaccent-normalized names), extension whitelists and a
+  * latest/first/all-with-max pick mode; lower-priority fallback rules only
+  * apply when every higher-priority rule matched nothing
+  * (reference `Leyton_depot.py:259-339`).
+  *
+  * Distributed formulation — a *prioritized coalesce*, one pass, two
+  * shuffles (the rules join is broadcast; the two windows share one
+  * partitioning on (item_id, column_id)):
+  *
+  *   1. broadcast-join pool × rules on column_id (rules are config-sized);
+  *      columns with no rule get the `defaultRule` rows instead.
+  *   2. filter to rule matches (type/include/exclude predicates).
+  *   3. winning rule per (item, column) = min priority among matches
+  *      (`dense_rank() == 1`) — this is exactly "first non-empty rule
+  *      in fallback order wins".
+  *   4. apply the winning rule's pick mode with a row_number window.
+  *
+  * Fallback rows intentionally don't inherit the main rule's includes —
+  * the reference resets them (`Leyton_depot.py:314-321`); callers encode
+  * each fallback as its own row with its own (usually empty) includes.
+  *
+  * Note the reference's `pick="first"` actually returns the *latest*
+  * element (a 1-element list reversed, `Leyton_depot.py:296-297`); we
+  * implement the intended earliest-first semantics and document the
+  * divergence here.
+  *
+  * Expected schemas:
+  *   pool:  item_id, column_id, asset_id, name, created_at (long millis)
+  *   rules: column_id, priority (unique per column), include_any_of
+  *          array<string> (empty = match-all), exclude_any_of
+  *          array<string>, file_types array<string> ("any" wildcard),
+  *          pick ('latest'|'first'|'all'), max (int, null = unlimited)
+  */
+object RuleCascade {
+
+  /** Files whose normalized name passes a rule's predicates. */
+  private def matches = {
+    val nname = norm(col("name"))
+    val ext = graft.functions.StringOps.fileExt(col("name"))
+    val typeOk = array_contains(col("file_types"), "any") || array_contains(col("file_types"), ext)
+    val inclOk = size(col("include_any_of")) === 0 ||
+      exists(col("include_any_of"), k => nname.contains(norm(k)))
+    val exclOk = !exists(col("exclude_any_of"), k => nname.contains(norm(k)))
+    typeOk && inclOk && exclOk
+  }
+
+  def apply(pool: DataFrame, rules: DataFrame, defaultRule: DataFrame): DataFrame = {
+    // Columns present in the pool but with no configured rule fall back to
+    // the default rule (the reference's `MATCH_RULES.get(cid, DEFAULT)`).
+    val ruleCols = rules.select("column_id").distinct()
+    val defaulted = pool.select("column_id").distinct()
+      .join(ruleCols, Seq("column_id"), "left_anti")
+      .crossJoin(defaultRule.drop("column_id"))
+    val allRules = rules.unionByName(defaulted.select(rules.columns.map(col).toSeq: _*))
+
+    val candidates = pool
+      .join(broadcast(allRules), Seq("column_id"))
+      .filter(matches)
+
+    val grp = Window.partitionBy(col("item_id"), col("column_id"))
+    val byPriority = grp.orderBy(col("priority"))
+    // W2 intended semantics: 'first' = earliest createdAt; others = latest.
+    val orderKey = when(col("pick") === "first", col("created_at"))
+      .otherwise(-col("created_at"))
+    val withinRule = grp.orderBy(orderKey, col("asset_id"))
+
+    candidates
+      .withColumn("_prio_rank", dense_rank().over(byPriority))
+      .filter(col("_prio_rank") === 1)
+      .withColumn("_rn", row_number().over(withinRule))
+      .filter(
+        when(col("pick").isin("latest", "first"), col("_rn") === 1)
+          .otherwise(col("_rn") <= coalesce(col("max"), lit(Int.MaxValue))))
+      .drop("_prio_rank", "_rn")
+  }
+}

@@ -1,0 +1,356 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Normalize.norm
+import graft.functions.StringOps
+import graft.operators.Picks
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parity queries: each SURVEY.md §2 operator as a named query over the
+  * driver test tables, with an ANSI-SQL oracle for the DuckDB compare.
+  *
+  * Determinism rules (the driver hash-compares values):
+  *   - every window has a total order (unique tie-breaker column);
+  *   - no floating-point *aggregation*: double sums go through an exact
+  *     integer cents-scaling (`round(x*100)::bigint`) so Spark's
+  *     partition-order-dependent summation can't drift from DuckDB's;
+  *   - aggregate output columns are aliased identically on both sides.
+  */
+object ParityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- W1/W2/W3/W5
+  // Top-1-per-group "pick latest file" (reference Leyton_depot.py:291-295):
+  // latest lineitem per order by shipdate. One shuffle on l_orderkey; at
+  // 100 TB this is the grain of the data so groups stay tiny and AQE
+  // handles any skew.
+  val pickLatest: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    Picks.pickTop1(li, Seq(col("l_orderkey")), Seq(col("l_shipdate").desc, col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_shipdate")
+  }
+  val pickLatestSql: String =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_shipdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber, l_partkey, l_suppkey) AS rn
+      |      FROM lineitem) WHERE rn = 1""".stripMargin
+
+  val pickFirst: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    Picks.pickTop1(li, Seq(col("l_orderkey")), Seq(col("l_shipdate").asc, col("l_linenumber"), col("l_partkey"), col("l_suppkey")))
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_shipdate")
+  }
+  val pickFirstSql: String =
+    """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_shipdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate ASC, l_linenumber, l_partkey, l_suppkey) AS rn
+      |      FROM lineitem) WHERE rn = 1""".stripMargin
+
+  val pickAllMax: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    Picks.pickTopK(li, Seq(col("l_orderkey")), Seq(col("l_shipdate").desc, col("l_linenumber"), col("l_partkey"), col("l_suppkey")), 3)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+  }
+  val pickAllMaxSql: String =
+    """SELECT l_orderkey, l_linenumber, l_shipdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate DESC, l_linenumber, l_partkey, l_suppkey) AS rn
+      |      FROM lineitem) WHERE rn <= 3""".stripMargin
+
+  // W5 oldest-wins dedup (find_or_create race collapse, Leyton_depot.py:439-441)
+  val dedupOldest: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    Picks.pickTop1(o, Seq(col("o_custkey")), Seq(col("o_orderdate").asc, col("o_orderkey")))
+      .select("o_custkey", "o_orderkey", "o_orderdate")
+  }
+  val dedupOldestSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey) AS rn
+      |      FROM orders) WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------- S1-S3
+  // Point lookup with id pushdown + name fallback (Leyton_depot.py:156-167).
+  val pointLookup: Q = (s, d) =>
+    Tables.customer(s, d)
+      .filter(col("c_custkey").isin(1L, 5L, 10L, 42L, 999999L))
+      .select(col("c_custkey"),
+        StringOps.itemNameOr(col("c_name"), col("c_custkey")).as("display_name"),
+        col("c_mktsegment"))
+  val pointLookupSql: String =
+    """SELECT c_custkey,
+      |       coalesce(c_name, 'ITEM_' || CAST(c_custkey AS VARCHAR)) AS display_name,
+      |       c_mktsegment
+      |FROM customer WHERE c_custkey IN (1, 5, 10, 42, 999999)""".stripMargin
+
+  // S6/F5/F6 coalesce-fallback chain (formula display_value ?? text).
+  val coalesceFallback: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), upper(col("c_name"))).as("segment_or_name"))
+  val coalesceFallbackSql: String =
+    """SELECT c_custkey,
+      |       coalesce(nullif(c_mktsegment, 'BUILDING'), upper(c_name)) AS segment_or_name
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- P1/F9
+  // JSON payload decode (Leyton_depot.py:147-153): props is a JSON string.
+  val jsonExtract: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k").isNotNull && col("k") % 2 === 0)
+  val jsonExtractSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0""".stripMargin
+
+  // P1: explode a files[] payload, keep PDFs, rename (fixed_signature_utils.py:292-306).
+  val fileExplode: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), explode(array(
+      struct((col("doc_id") * 10 + 1).as("asset_id"), concat(col("source"), lit("_a.pdf")).as("name")),
+      struct((col("doc_id") * 10 + 2).as("asset_id"), concat(col("source"), lit("_b.jpg")).as("name")),
+      struct((col("doc_id") * 10 + 3).as("asset_id"), concat(col("source"), lit("_c.PDF")).as("name"))
+    )).as("f"))
+      .select(col("doc_id"), col("f.asset_id").as("asset_id"), col("f.name").as("name"))
+      .filter(lower(col("name")).endsWith(".pdf"))
+      .select(col("doc_id"), col("asset_id"), concat(col("name"), lit("_SCANNE")).as("out_name"))
+  }
+  val fileExplodeSql: String =
+    """SELECT doc_id, asset_id, name || '_SCANNE' AS out_name
+      |FROM (
+      |  SELECT doc_id, unnest([
+      |    {'asset_id': doc_id*10+1, 'name': source || '_a.pdf'},
+      |    {'asset_id': doc_id*10+2, 'name': source || '_b.jpg'},
+      |    {'asset_id': doc_id*10+3, 'name': source || '_c.PDF'}], recursive := true)
+      |  FROM documents)
+      |WHERE lower(name) LIKE '%.pdf'""".stripMargin
+
+  // ---------------------------------------------------------------- P2/F2
+  val extFilter: Q = (s, d) => {
+    val named = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("source"),
+        when(col("doc_id") % 3 === 0, ".pdf")
+          .when(col("doc_id") % 3 === 1, ".XLSX")
+          .otherwise(".txt")).as("name"))
+    named.select(col("doc_id"), col("name"), StringOps.fileExt(col("name")).as("ext"))
+      .filter(col("ext").isin(".pdf", ".xlsx"))
+  }
+  val extFilterSql: String =
+    """SELECT doc_id, name,
+      |       CASE WHEN lower(name) LIKE '%.pdf' THEN '.pdf'
+      |            WHEN lower(name) LIKE '%.xlsx' THEN '.xlsx' END AS ext
+      |FROM (SELECT doc_id, source || CASE CAST(doc_id % 3 AS INTEGER)
+      |        WHEN 0 THEN '.pdf' WHEN 1 THEN '.XLSX' ELSE '.txt' END AS name
+      |      FROM documents)
+      |WHERE lower(name) LIKE '%.pdf' OR lower(name) LIKE '%.xlsx'""".stripMargin
+
+  // ---------------------------------------------------------------- P3/F1
+  // include-any/exclude-any keyword predicate on normalized names
+  // (Leyton_depot.py:278-286 over _norm, :133-138).
+  val normKeywordFilter: Q = (s, d) => {
+    val includes = array(lit("widget"), lit("bolt"))
+    val excludes = array(lit("large"))
+    val n = norm(col("p_name"))
+    Tables.part(s, d)
+      .filter(exists(includes, k => n.contains(k)) && !exists(excludes, k => n.contains(k)))
+      .select("p_partkey", "p_name", "p_type")
+  }
+  val normKeywordFilterSql: String =
+    """SELECT p_partkey, p_name, p_type FROM part
+      |WHERE (trim(regexp_replace(lower(strip_accents(p_name)), '\s+', ' ', 'g')) LIKE '%widget%'
+      |   OR  trim(regexp_replace(lower(strip_accents(p_name)), '\s+', ' ', 'g')) LIKE '%bolt%')
+      |  AND trim(regexp_replace(lower(strip_accents(p_name)), '\s+', ' ', 'g')) NOT LIKE '%large%'""".stripMargin
+
+  // ---------------------------------------------------------------- J1-J5
+  // Lookup-join enrichment chain; small dims are broadcast (SURVEY §2.4 J1).
+  val lookupJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    o.join(c, col("o_custkey") === col("c_custkey"), "left")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("r_name"))
+  }
+  val lookupJoinSql: String =
+    """SELECT o_orderkey, c_name, n_name, r_name
+      |FROM orders
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |LEFT JOIN nation   ON c_nationkey = n_nationkey
+      |LEFT JOIN region   ON n_regionkey = r_regionkey
+      |WHERE o_totalprice > 100000.0""".stripMargin
+
+  // Anti join: customers that never ordered (SURVEY §2.4 "absent but exposed").
+  val antiJoin: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  val antiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  val semiJoin: Q = (s, d) =>
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 45),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+  val semiJoinSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 45)""".stripMargin
+
+  // ---------------------------------------------------------------- A1/F10
+  // max+1 auto-increment over ACT_{n}_ names (Leyton_depot.py:517-545).
+  val autoincrement: Q = (s, d) => {
+    val named = Tables.supplier(s, d).select(
+      when(col("s_suppkey") % 2 === 0,
+        concat(lit("ACT_"), (col("s_suppkey") * 3).cast("string"), lit("_X")))
+        .otherwise(col("s_name")).as("name"))
+    named.agg((coalesce(max(StringOps.actId(col("name"))), lit(0L)) + 1L).as("next_id"))
+  }
+  val autoincrementSql: String =
+    """SELECT CAST(coalesce(max(CAST(nullif(regexp_extract(name, '^ACT_(\d+)_', 1), '') AS BIGINT)), 0) + 1 AS BIGINT) AS next_id
+      |FROM (SELECT CASE WHEN s_suppkey % 2 = 0
+      |             THEN 'ACT_' || CAST(s_suppkey * 3 AS VARCHAR) || '_X'
+      |             ELSE s_name END AS name FROM supplier)""".stripMargin
+
+  // ---------------------------------------------------------------- A2-A4
+  // Conditional aggregation + existence gate (Leyton_depot.py:635-645, :688-694).
+  // Exact cents-scaled sum keeps double aggregation deterministic cross-engine.
+  val conditionalAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("event_type") === "error", 1)).as("n_error"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+      .filter(col("n_error") > 0)
+  val conditionalAggSql: String =
+    """SELECT user_id,
+      |       count(*) AS n_total,
+      |       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events GROUP BY user_id HAVING count(*) FILTER (WHERE event_type = 'error') > 0""".stripMargin
+
+  // ---------------------------------------------------------------- P7/F12
+  val thresholdCase: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      when(col("value") > 25.0, "RES010").otherwise("RES020").as("res_code"))
+  val thresholdCaseSql: String =
+    """SELECT event_id, CASE WHEN value > 25.0 THEN 'RES010' ELSE 'RES020' END AS res_code
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- F7/F4/F3
+  val nameTemplate: Q = (s, d) =>
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      StringOps.actFolderName(col("c_custkey"), col("c_name")).as("act_folder"),
+      StringOps.lotName(col("c_custkey") % 12 + 1).as("lot_name"),
+      StringOps.sanitizeName(concat(col("c_name"), lit(" a/b:c*d"))).as("sanitized"),
+      StringOps.signedFilename(concat(col("c_name"), lit(".pdf"))).as("signed_name"))
+  val nameTemplateSql: String =
+    """SELECT c_custkey,
+      |       'ACT_' || CAST(c_custkey AS VARCHAR) || '_' || regexp_replace(upper(trim(c_name)), '\s+', '_', 'g') AS act_folder,
+      |       'CLM_GE_' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') AS lot_name,
+      |       trim(regexp_replace(regexp_replace(c_name || ' a/b:c*d', '[\\/:*?"<>|]', '-', 'g'), '\s+', ' ', 'g')) AS sanitized,
+      |       c_name || ' SIGNE.pdf' AS signed_name
+      |FROM customer""".stripMargin
+
+  // ---------------------------------------------------------------- F5/F6
+  val mimeMap: Q = (s, d) => {
+    val named = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("source"), when(col("doc_id") % 4 === 0, ".pdf")
+        .when(col("doc_id") % 4 === 1, ".jpg")
+        .when(col("doc_id") % 4 === 2, ".xlsx")
+        .otherwise("")).as("name"),
+      when(col("doc_id") % 5 === 0, "image/png").otherwise(lit(null).cast("string")).as("content_type"))
+    named.select(col("doc_id"),
+      StringOps.inferMime(col("name"), col("content_type")).as("mime"),
+      StringOps.extFromNameOrMime(col("name"), col("content_type")).as("ext"))
+  }
+  val mimeMapSql: String =
+    """SELECT doc_id,
+      |  coalesce(content_type,
+      |           CASE WHEN lower(name) LIKE '%.pdf' THEN 'application/pdf'
+      |                WHEN lower(name) LIKE '%.jpg' THEN 'image/jpeg'
+      |                WHEN lower(name) LIKE '%.xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+      |           END,
+      |           'application/octet-stream') AS mime,
+      |  coalesce(CASE WHEN lower(name) LIKE '%.pdf' THEN '.pdf'
+      |                WHEN lower(name) LIKE '%.jpg' THEN '.jpg'
+      |                WHEN lower(name) LIKE '%.xlsx' THEN '.xlsx' END,
+      |           CASE WHEN content_type = 'image/png' THEN '.png' END,
+      |           '.bin') AS ext
+      |FROM (SELECT doc_id,
+      |        source || CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.xlsx' ELSE '' END AS name,
+      |        CASE WHEN doc_id % 5 = 0 THEN 'image/png' END AS content_type
+      |      FROM documents)""".stripMargin
+
+  // ---------------------------------------------------------------- D1/D2/S5
+  // distinct + chunked batching (Leyton_depot.py:344-350, :190-205).
+  val distinctBatch: Q = (s, d) =>
+    Picks.withChunkId(
+      Tables.lineitem(s, d).select(col("l_partkey")).distinct(),
+      Seq(col("l_partkey")), 50)
+  val distinctBatchSql: String =
+    """SELECT l_partkey, CAST((row_number() OVER (ORDER BY l_partkey) - 1) // 50 AS BIGINT) AS chunk_id
+      |FROM (SELECT DISTINCT l_partkey FROM lineitem)""".stripMargin
+
+  // ---------------------------------------------------------------- §2.11
+  // Tumbling-window event counts (batch analog of the streaming pipeline).
+  val windowEvents: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "5 minutes").getField("start").as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total_value"))
+  val windowEventsSql: String =
+    """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_pick_latest" -> pickLatest,
+    "q_pick_first" -> pickFirst,
+    "q_pick_all_max" -> pickAllMax,
+    "q_dedup_oldest" -> dedupOldest,
+    "q_point_lookup" -> pointLookup,
+    "q_coalesce_fallback" -> coalesceFallback,
+    "q_json_extract" -> jsonExtract,
+    "q_file_explode" -> fileExplode,
+    "q_ext_filter" -> extFilter,
+    "q_norm_keyword_filter" -> normKeywordFilter,
+    "q_lookup_join" -> lookupJoin,
+    "q_anti_join" -> antiJoin,
+    "q_semi_join" -> semiJoin,
+    "q_autoincrement" -> autoincrement,
+    "q_conditional_agg" -> conditionalAgg,
+    "q_threshold_case" -> thresholdCase,
+    "q_name_template" -> nameTemplate,
+    "q_mime_map" -> mimeMap,
+    "q_distinct_batch" -> distinctBatch,
+    "q_window_events" -> windowEvents)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pick_latest" -> pickLatestSql,
+    "q_pick_first" -> pickFirstSql,
+    "q_pick_all_max" -> pickAllMaxSql,
+    "q_dedup_oldest" -> dedupOldestSql,
+    "q_point_lookup" -> pointLookupSql,
+    "q_coalesce_fallback" -> coalesceFallbackSql,
+    "q_json_extract" -> jsonExtractSql,
+    "q_file_explode" -> fileExplodeSql,
+    "q_ext_filter" -> extFilterSql,
+    "q_norm_keyword_filter" -> normKeywordFilterSql,
+    "q_lookup_join" -> lookupJoinSql,
+    "q_anti_join" -> antiJoinSql,
+    "q_semi_join" -> semiJoinSql,
+    "q_autoincrement" -> autoincrementSql,
+    "q_conditional_agg" -> conditionalAggSql,
+    "q_threshold_case" -> thresholdCaseSql,
+    "q_name_template" -> nameTemplateSql,
+    "q_mime_map" -> mimeMapSql,
+    "q_distinct_batch" -> distinctBatchSql,
+    "q_window_events" -> windowEventsSql)
+}

@@ -1,0 +1,12 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry assembling every query family into the SparkEntry contract. */
+object Queries {
+  type Q = (SparkSession, String) => DataFrame
+
+  def all: Map[String, Q] = ParityQueries.queries
+
+  def oracles: Map[String, String] = ParityQueries.oracleSql
+}
