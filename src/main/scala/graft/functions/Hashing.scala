@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-stable hashing primitives for the dedup / similarity /
+  * fingerprinting operators.
+  *
+  * Everything here must produce IDENTICAL values in Spark and in the
+  * DuckDB oracle, so the primitive is md5 (same bytes everywhere) with
+  * the first 15 hex digits parsed as a 60-bit non-negative long —
+  * NOT Spark's murmur3 `hash()` (seed/implementation-specific) and NOT
+  * DuckDB's `hash()`. All fold orders are left-to-right so double
+  * arithmetic is bit-identical too.
+  *
+  * Each Column builder has a `*Sql` twin generating the equivalent DuckDB
+  * expression from the same constants; queries build both sides from one
+  * definition so they cannot drift.
+  */
+object Hashing {
+  /** Modulus for permutation hashing: 2^31 - 1 (Mersenne prime). */
+  val P: Long = 2147483647L
+
+  /** MinHash permutation count and LSH banding (16 = 4 bands × 4 rows).
+    * For ~0.5 Jaccard threshold: P(candidate) = 1-(1-s^4)^4, ≈0.88 at
+    * s=0.7, ≈0.24 at s=0.4 — candidates are exact-verified afterwards so
+    * band false positives only cost compute, never correctness.
+    */
+  val MinhashK = 16
+  val BandRows = 4
+  val NumBands: Int = MinhashK / BandRows
+
+  /** Deterministic permutation coefficients from a splitmix-style LCG —
+    * fixed literals shared by the Spark and SQL sides.
+    */
+  val perms: Seq[(Long, Long)] = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; math.abs(x) % (P - 1) + 1 }
+    Seq.fill(MinhashK)((next(), next()))
+  }
+
+  // ------------------------------------------------------------------ 60-bit md5 hash
+  /** Stable 60-bit hash of a string (first 15 hex digits of md5). */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  def stableHash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  // ------------------------------------------------------------------ word shingles
+  /** Whitespace words. */
+  def words(text: Column): Column = split(text, " ")
+  def wordsSql(e: String): String = s"string_split($e, ' ')"
+
+  /** Distinct word n-gram shingles (empty array when the doc is shorter
+    * than n words).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    array_distinct(when(size(w) >= n, grams).otherwise(array()))
+  }
+
+  def shinglesSql(e: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(1, len($e) - ${n - 2}), i -> $parts))"
+      .replace("w[", s"$e[")
+  }
+
+  // ------------------------------------------------------------------ minhash
+  /** 60-bit shingle hashes reduced mod P (array<long>, values in [0, P)). */
+  def shingleHashes(shingleArr: Column): Column =
+    transform(shingleArr, s => pmod(stableHash60(s), lit(P)))
+
+  /** MinHash signature (array of MinhashK longs) from reduced hashes.
+    * `a*h + b < 2^62` so the arithmetic never overflows a long.
+    */
+  def minhashSignature(hashes: Column): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(P))))
+    }: _*)
+
+  /** DuckDB twin: signature as a list expression over `hs` (list of reduced hashes). */
+  def minhashSignatureSql(hs: String): String =
+    perms.map { case (a, b) =>
+      s"list_aggregate(list_transform($hs, h -> (h * ${a}::BIGINT + ${b}::BIGINT) % ${P}::BIGINT), 'min')"
+    }.mkString("[", ", ", "]")
+
+  // ------------------------------------------------------------------ simhash
+  /** 48 bits: drawn from the raw 60-bit stable hash (NOT the mod-P reduced
+    * one, whose bits >= 31 are always zero).
+    */
+  val SimhashBits = 48
+
+  /** Per-word ±1 contribution of bit `b` given a reduced word hash column. */
+  def simBitContribution(wordHash: Column, b: Int): Column =
+    when(shiftright(wordHash, b).bitwiseAND(1) === 1, 1).otherwise(-1)
+
+  def simBitContributionSql(h: String, b: Int): String =
+    s"CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END"
+
+  /** Assemble the simhash long from 64 per-bit vote sums (bit set when the
+    * vote is >= 0; the >= makes the zero-tie deterministic).
+    */
+  def simhashFromVotes(votes: Seq[Column]): Column =
+    votes.zipWithIndex.map { case (v, b) =>
+      when(v >= 0, lit(1L) * (1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def simhashFromVotesSql(votes: Seq[String]): String =
+    votes.zipWithIndex.map { case (v, b) =>
+      s"CASE WHEN $v >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"
+    }.mkString(" + ")
+
+  // ------------------------------------------------------------------ embeddings
+  /** Left-fold dot product of two double arrays of length `dim` — the fold
+    * order is explicit so Spark and DuckDB produce bit-identical doubles.
+    */
+  def dotFold(a: Column, b: Column, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+
+  def dotFoldSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dotFold(a, b, dim) / (sqrt(dotFold(a, a, dim)) * sqrt(dotFold(b, b, dim)))
+
+  def cosineSql(a: String, b: String, dim: Int): String =
+    s"${dotFoldSql(a, b, dim)} / (sqrt(${dotFoldSql(a, a, dim)}) * sqrt(${dotFoldSql(b, b, dim)}))"
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]:
+    * derived from the stable hash of "hp_<plane>_<dim>".
+    */
+  def hyperplane(plane: Int, d: Int): Double = {
+    // Matches stableHash60Sql('hp_j_d') % 2001 — precomputed on the Scala
+    // side (the planes are constants, not data-dependent).
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hp_${plane}_$d".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    ((h % 2001L) - 1000L) / 1000.0
+  }
+
+  /** Sign-LSH bucket id (NumPlanes bits) of an embedding column. */
+  def signBucket(v: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { j =>
+      val dot = (1 to dim).map(d => element_at(v, d) * lit(hyperplane(j, d))).reduce(_ + _)
+      when(dot >= 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  def signBucketSql(v: String, dim: Int, numPlanes: Int): String =
+    (0 until numPlanes).map { j =>
+      val dot = (1 to dim).map(d => s"$v[$d] * (${hyperplane(j, d)})").mkString(" + ")
+      s"CASE WHEN $dot >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"
+    }.mkString(" + ")
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  * All pure column expressions (no UDFs) — they run inside whole-stage
+  * codegen and cost one map pass over the corpus.
+  */
+object TextAnalysis {
+  import Hashing._
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: the operator shape (N parallel
+    * marker-set scores + argmax) is what matters; real pipelines swap in
+    * bigger tables via the same structure.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "est"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "ein"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "he2"))
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "or", "to", "in", "is", "it", "on", "for")
+
+  /** Count of words (with multiplicity) that appear in `set`. */
+  def markerCount(wordsCol: Column, set: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isin(set.map(lit): _*)))
+
+  def markerCountSql(wordsExpr: String, set: Seq[String]): String = {
+    val lst = set.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"len(list_filter($wordsExpr, w -> list_contains($lst, w)))"
+  }
+
+  /** Whitespace token count, BPE-ish regex token count, char count. */
+  def withTokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      size(w).as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+        .as("n_re_tokens"),
+      length(col(textCol)).as("n_chars"))
+  }
+
+  /** Quality heuristics: word count, distinct-word ratio, mean word
+    * length, stopword ratio, and a blended score. All ratios are a single
+    * int/int division (bit-deterministic cross-engine).
+    */
+  def withQualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w)
+    val nDistinct = size(array_distinct(w))
+    val nStop = markerCount(w, EnStopwords)
+    val meanLen = (length(col(textCol)) - (nWords - 1)).cast("double") / nWords
+    docs.select(col(idCol).as("doc_id"),
+      nWords.as("n_words"),
+      (nDistinct.cast("double") / nWords).as("distinct_ratio"),
+      meanLen.as("mean_word_len"),
+      (nStop.cast("double") / nWords).as("stop_ratio"))
+      .withColumn("quality_score",
+        col("distinct_ratio") * 0.5 + col("stop_ratio") * 0.25
+          + when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 8.0, 0.25).otherwise(0.0))
+  }
+
+  /** Language-ID: argmax of marker counts; ties resolve to the first
+    * language in LangMarkers order, no markers at all → "und".
+    */
+  def withLangId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val scores = LangMarkers.map { case (lang, set) => lang -> markerCount(w, set) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain in LangMarkers order = first-match-wins on ties.
+    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), pred.as("pred_lang"))
+  }
+
+  /** Fingerprints: whole-text stable hash + min/max shingle hashes (the
+    * rolling-hash document signature).
+    */
+  def withFingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val hs = shingleHashes(shingles(col(textCol), n))
+    docs.select(col(idCol).as("doc_id"),
+      stableHash60(col(textCol)).as("text_hash"),
+      array_min(hs).as("min_shingle_hash"),
+      array_max(hs).as("max_shingle_hash"))
+  }
+}

@@ -1,0 +1,283 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.Hashing
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis)
+  * plus the W4 rule-fallback cascade. Every oracle below is GENERATED
+  * from the same constants as the Spark side (Hashing.*Sql twins), so the
+  * two engines compute literally the same arithmetic — including fold
+  * order for doubles.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+  import Hashing._
+
+  private val N = 5 // word-shingle width for dedup
+  private val Dim = 64 // embedding dimension (FIXTURES.md)
+
+  /** Shared oracle CTE prelude: distinct 5-gram shingles per doc. */
+  private def shingleCte: String =
+    s"""w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(${shinglesSql("w", N)}) AS shingle FROM w),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |exact AS (SELECT da AS doc_a, db AS doc_b, i / (sa.n_sh + sb.n_sh - i) AS jaccard
+       |          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------- exact dedup
+  val dedupExact: Q = (s, d) =>
+    Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- n-gram Jaccard
+  val dedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", N, 0.5)
+  val dedupNgramSql: String =
+    s"""WITH $shingleCte
+       |SELECT doc_a, doc_b, jaccard FROM exact WHERE jaccard >= 0.5""".stripMargin
+
+  // ---------------------------------------------------------------- minhash LSH
+  val dedupMinhash: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text", N, 0.5)
+  val dedupMinhashSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(sig[${b * BandRows + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $shingleCte,
+       |shl AS (SELECT doc_id, ${shinglesSql("w", N)} AS sh FROM w),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${stableHash60Sql("s")} % ${P}::BIGINT) AS hs,
+       |              len(sh) AS nsh FROM shl),
+       |sig AS (SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs WHERE nsh > 0),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM cand JOIN exact USING (doc_a, doc_b)
+       |WHERE jaccard >= 0.5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- simhash
+  private val SimMaxHamming = 5
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", SimMaxHamming)
+  val dedupSimhashSql: String = {
+    val voteCols = (0 until SimhashBits)
+      .map(b => s"sum(${simBitContributionSql("h", b)}) AS v$b").mkString(", ")
+    val simExpr = simhashFromVotesSql((0 until SimhashBits).map(b => s"v$b"))
+    s"""WITH wx AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
+       |h AS (SELECT doc_id, ${stableHash60Sql("word")} AS h FROM wx),
+       |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY 1),
+       |sim AS (SELECT doc_id, $simExpr AS simhash FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- text analysis
+  val tokenCount: Q = (s, d) =>
+    TextAnalysis.withTokenCounts(Tables.documents(s, d), "doc_id", "text")
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_re_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars
+      |FROM documents""".stripMargin
+
+  val qualityScore: Q = (s, d) =>
+    TextAnalysis.withQualityScore(Tables.documents(s, d), "doc_id", "text")
+  val qualityScoreSql: String = {
+    val stop = TextAnalysis.markerCountSql("w", TextAnalysis.EnStopwords)
+    s"""SELECT doc_id, n_words, distinct_ratio, mean_word_len, stop_ratio,
+       |       distinct_ratio * 0.5 + stop_ratio * 0.25 +
+       |         CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 8.0 THEN 0.25 ELSE 0.0 END AS quality_score
+       |FROM (SELECT doc_id,
+       |        CAST(len(w) AS INTEGER) AS n_words,
+       |        CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
+       |        CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS mean_word_len,
+       |        CAST($stop AS DOUBLE) / len(w) AS stop_ratio
+       |      FROM (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents))""".stripMargin
+  }
+
+  val langId: Q = (s, d) =>
+    TextAnalysis.withLangId(Tables.documents(s, d), "doc_id", "text")
+  val langIdSql: String = {
+    val scores = TextAnalysis.LangMarkers.map { case (lang, set) =>
+      s"${TextAnalysis.markerCountSql("w", set)} AS s_$lang"
+    }.mkString(", ")
+    val best = "greatest(" + TextAnalysis.LangMarkers.map(m => s"s_${m._1}").mkString(", ") + ")"
+    val pred = TextAnalysis.LangMarkers.foldRight("'und'") { case ((lang, _), acc) =>
+      s"CASE WHEN s_$lang = best AND best > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""SELECT doc_id, $pred AS pred_lang
+       |FROM (SELECT doc_id, $best AS best, * FROM
+       |  (SELECT doc_id, $scores FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents)))""".stripMargin
+  }
+
+  val docFingerprint: Q = (s, d) =>
+    TextAnalysis.withFingerprint(Tables.documents(s, d), "doc_id", "text", N)
+  val docFingerprintSql: String =
+    s"""SELECT doc_id, text_hash,
+       |       list_aggregate(hs, 'min') AS min_shingle_hash,
+       |       list_aggregate(hs, 'max') AS max_shingle_hash
+       |FROM (SELECT doc_id, ${stableHash60Sql("text")} AS text_hash,
+       |             list_transform(${shinglesSql("w", N)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT) AS hs
+       |      FROM (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents))""".stripMargin
+
+  // ---------------------------------------------------------------- embeddings
+  private val TopK = 5
+  val annTopK: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", Dim, TopK)
+  }
+  val annTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |             ${cosineSql("q.v", "c.v", Dim)} AS cosine
+       |      FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 8)
+       |SELECT query_id, nn_id, cosine, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM s)
+       |WHERE rk <= $TopK""".stripMargin
+
+  private val Planes = 8
+  val annLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", Dim, 3, Planes)
+  }
+  val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, ${signBucketSql("v", Dim, Planes)} AS bucket FROM e),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |             ${cosineSql("q.v", "c.v", Dim)} AS cosine
+       |      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+       |      WHERE q.vec_id < 8)
+       |SELECT query_id, nn_id, cosine, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM s)
+       |WHERE rk <= 3""".stripMargin
+
+  val embedNearDup: Q = (s, d) =>
+    Similarity.blockedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", Dim, 0.4)
+  val embedNearDupSql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a.v", "b.v", Dim)} AS cosine
+       |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.v", "b.v", Dim)} >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------- W4 rule cascade
+  /** Pool derived from lineitem: synthetic file names exercise accents,
+    * case, extensions and the latest/first/all pick modes.
+    */
+  private def rulePool(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    li.select(
+      col("l_orderkey").as("item_id"),
+      concat(lit("col"), pmod(col("l_partkey"), lit(3))).as("column_id"),
+      (col("l_linenumber").cast("long") * 1000000000000L +
+        col("l_partkey") * 1000000L + col("l_suppkey")).as("asset_id"),
+      concat(
+        when(col("l_returnflag") === "A", "Documento SCANNÉ ")
+          .when(col("l_returnflag") === "R", "Documento v2 final ")
+          .otherwise("Otro papel "),
+        col("l_linenumber"),
+        when(pmod(col("l_linenumber"), lit(3)) === 0, ".pdf")
+          .when(pmod(col("l_linenumber"), lit(3)) === 1, ".PDF")
+          .otherwise(".jpg")).as("name"),
+      unix_millis(col("l_shipdate").cast("timestamp")).as("created_at"))
+  }
+
+  val ruleFallback: Q = (s, d) => {
+    import s.implicits._
+    val rules = Seq(
+      ("col0", 1, Seq("scanne"), Seq("v2"), Seq(".pdf"), "latest", Option.empty[Int]),
+      ("col0", 2, Seq.empty[String], Seq.empty[String], Seq(".pdf"), "latest", Option.empty[Int]),
+      ("col1", 1, Seq("v2"), Seq.empty[String], Seq("any"), "all", Some(2))
+    ).toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    val default = Seq(
+      ("__default__", 1, Seq.empty[String], Seq.empty[String], Seq(".pdf"), "latest", Option.empty[Int])
+    ).toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    graft.operators.RuleCascade(rulePool(s, d), rules, default)
+      .select("item_id", "column_id", "asset_id", "name", "created_at")
+  }
+  val ruleFallbackSql: String = {
+    val normName = """trim(regexp_replace(lower(strip_accents(name)), '\s+', ' ', 'g'))"""
+    s"""WITH pool AS (
+       |  SELECT l_orderkey AS item_id,
+       |         'col' || CAST(l_partkey % 3 AS VARCHAR) AS column_id,
+       |         CAST(l_linenumber AS BIGINT) * 1000000000000 + l_partkey * 1000000 + l_suppkey AS asset_id,
+       |         (CASE WHEN l_returnflag = 'A' THEN 'Documento SCANNÉ '
+       |               WHEN l_returnflag = 'R' THEN 'Documento v2 final '
+       |               ELSE 'Otro papel ' END)
+       |           || CAST(l_linenumber AS VARCHAR)
+       |           || (CASE CAST(l_linenumber % 3 AS INTEGER) WHEN 0 THEN '.pdf' WHEN 1 THEN '.PDF' ELSE '.jpg' END) AS name,
+       |         epoch_ms(l_shipdate) AS created_at
+       |  FROM lineitem),
+       |rules(column_id, priority, include_any_of, exclude_any_of, file_types, pick, max_n) AS (VALUES
+       |  ('col0', 1, ['scanne'], ['v2'], ['.pdf'], 'latest', CAST(NULL AS INTEGER)),
+       |  ('col0', 2, []::VARCHAR[], []::VARCHAR[], ['.pdf'], 'latest', CAST(NULL AS INTEGER)),
+       |  ('col1', 1, ['v2'], []::VARCHAR[], ['any'], 'all', 2)),
+       |eff_rules AS (
+       |  SELECT * FROM rules
+       |  UNION ALL
+       |  SELECT column_id, 1, []::VARCHAR[], []::VARCHAR[], ['.pdf'], 'latest', CAST(NULL AS INTEGER)
+       |  FROM (SELECT DISTINCT column_id FROM pool)
+       |  WHERE column_id NOT IN (SELECT column_id FROM rules)),
+       |cand AS (
+       |  SELECT p.item_id, p.column_id, p.asset_id, p.name, p.created_at,
+       |         r.priority, r.pick, r.max_n
+       |  FROM pool p JOIN eff_rules r USING (column_id)
+       |  WHERE (list_contains(r.file_types, 'any') OR list_contains(r.file_types,
+       |           CASE WHEN lower(p.name) LIKE '%.pdf' THEN '.pdf'
+       |                WHEN lower(p.name) LIKE '%.jpg' THEN '.jpg' ELSE '' END))
+       |    AND (len(r.include_any_of) = 0 OR
+       |         len(list_filter(r.include_any_of, k -> $normName LIKE '%' || k || '%')) > 0)
+       |    AND len(list_filter(r.exclude_any_of, k -> $normName LIKE '%' || k || '%')) = 0),
+       |win AS (
+       |  SELECT * FROM (SELECT *, dense_rank() OVER (PARTITION BY item_id, column_id ORDER BY priority) AS pr
+       |                 FROM cand) WHERE pr = 1),
+       |picked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY item_id, column_id
+       |    ORDER BY CASE WHEN pick = 'first' THEN created_at ELSE -created_at END, asset_id) AS rn
+       |  FROM win)
+       |SELECT item_id, column_id, asset_id, name, created_at FROM picked
+       |WHERE CASE WHEN pick IN ('latest', 'first') THEN rn = 1 ELSE rn <= coalesce(max_n, 2147483647) END""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> dedupExact,
+    "q_dedup_ngram" -> dedupNgram,
+    "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_simhash" -> dedupSimhash,
+    "q_token_count" -> tokenCount,
+    "q_quality_score" -> qualityScore,
+    "q_lang_id" -> langId,
+    "q_doc_fingerprint" -> docFingerprint,
+    "q_ann_topk" -> annTopK,
+    "q_ann_lsh" -> annLsh,
+    "q_embed_neardup" -> embedNearDup,
+    "q_rule_fallback" -> ruleFallback)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_token_count" -> tokenCountSql,
+    "q_quality_score" -> qualityScoreSql,
+    "q_lang_id" -> langIdSql,
+    "q_doc_fingerprint" -> docFingerprintSql,
+    "q_ann_topk" -> annTopKSql,
+    "q_ann_lsh" -> annLshSql,
+    "q_embed_neardup" -> embedNearDupSql,
+    "q_rule_fallback" -> ruleFallbackSql)
+}
