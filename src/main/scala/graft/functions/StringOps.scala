@@ -9,31 +9,45 @@ import org.apache.spark.sql.functions._
   * cheap at 100 TB scan width.
   */
 object StringOps {
-  import Normalize.norm
 
-  /** Known extensions, longest-match-first (reference `Leyton_depot.py:140-145`). */
+  /** Known extensions, reference order (`Leyton_depot.py:140-145`): the
+    * suffixes are mutually exclusive so order only mirrors the source.
+    */
   val KnownExts: Seq[String] =
-    Seq(".pdf", ".xlsx", ".xls", ".jpg", ".jpeg", ".png", ".doc", ".docx", ".zip")
+    Seq(".pdf", ".jpg", ".jpeg", ".png", ".xlsx", ".xls", ".docx", ".doc", ".txt")
 
-  /** F2 `_file_ext`: suffix match against the whitelist, else "". */
+  /** F2 `_file_ext`: suffix match against the whitelist, returned
+    * WITHOUT the dot (`ext[1:]` in the reference), else "".
+    */
   def fileExt(name: Column): Column = {
     val lower0 = lower(name)
     KnownExts.foldRight(lit("")) { (ext, acc) =>
+      when(lower0.endsWith(ext), lit(ext.drop(1))).otherwise(acc)
+    }
+  }
+
+  /** Dotted extension from the same whitelist, null when unknown —
+    * the name-derived half of F5 (`Leyton_depot.py:497-503` keeps the
+    * dot, unlike F2).
+    */
+  def extWithDot(name: Column): Column = {
+    val lower0 = lower(name)
+    KnownExts.foldRight(lit(null).cast("string")) { (ext, acc) =>
       when(lower0.endsWith(ext), lit(ext)).otherwise(acc)
     }
   }
 
-  /** Extension → MIME (reference `Leyton_depot.py:458-470`). */
+  /** Extension → MIME (reference `Leyton_depot.py:458-470`, `:504-513`). */
   val ExtToMime: Seq[(String, String)] = Seq(
     ".pdf" -> "application/pdf",
-    ".xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
-    ".xls" -> "application/vnd.ms-excel",
     ".jpg" -> "image/jpeg",
     ".jpeg" -> "image/jpeg",
     ".png" -> "image/png",
-    ".doc" -> "application/msword",
+    ".xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    ".xls" -> "application/vnd.ms-excel",
     ".docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
-    ".zip" -> "application/zip")
+    ".doc" -> "application/msword",
+    ".txt" -> "text/plain")
 
   /** F6 `_infer_mime_from_name_or_header`: coalesce(header, ext→mime, octet-stream). */
   def inferMime(name: Column, contentType: Column): Column = {
@@ -43,34 +57,37 @@ object StringOps {
     coalesce(contentType, fromExt, lit("application/octet-stream"))
   }
 
-  /** F5 `_ext_from_name_or_ctype`: ext from name, else MIME→ext, else ".bin". */
+  /** F5 `_ext_from_name_or_ctype`: dotted ext from name, else MIME→ext, else ".bin". */
   def extFromNameOrMime(name: Column, contentType: Column): Column = {
-    val fromName = when(fileExt(name) =!= "", fileExt(name))
+    // Reverse map keeps the FIRST ext per MIME (image/jpeg → .jpg), like
+    // the reference's literal mapping at Leyton_depot.py:504-513.
     val mimeToExt = ExtToMime.map(_.swap).distinctBy(_._1)
     val fromMime = mimeToExt.foldRight(lit(null).cast("string")) { case ((mime, ext), acc) =>
-      when(contentType === mime, lit(ext)).otherwise(acc)
+      when(lower(contentType) === mime, lit(ext)).otherwise(acc)
     }
-    coalesce(fromName, fromMime, lit(".bin"))
+    coalesce(extWithDot(name), fromMime, lit(".bin"))
   }
 
   /** F4 `_sanitize_drive_name`: trim, forbidden chars → '-', collapse whitespace. */
   def sanitizeName(name: Column): Column =
     trim(regexp_replace(regexp_replace(name, """[\\/:*?"<>|]""", "-"), """\s+""", " "))
 
-  /** F3 `make_signed_filename`: idempotent " SIGNÉ" suffix insert before ".pdf".
-    * If the suffix is already present (case/accent-insensitively) just
-    * ensure the ".pdf" extension; else insert before ".pdf" / append.
-    * (reference `fixed_signature_utils.py:116-124`)
+  /** F3 `make_signed_filename`: idempotent " SIGNÉ" suffix insert before
+    * ".pdf" (reference `fixed_signature_utils.py:116-124`). The name is
+    * whitespace-stripped first; the already-has-suffix check is
+    * CASE-insensitive only (the reference does `suffix.lower() in
+    * name.lower()` — no accent folding), and when the suffix is present
+    * the name is returned as-is with just the ".pdf" extension ensured.
     */
-  def signedFilename(name: Column, suffix: String = " SIGNE"): Column = {
-    val normSuffix = NormalizeString.normalize(suffix)
-    val hasSuffix = norm(name).contains(lit(normSuffix))
-    val endsPdf = lower(name).endsWith(".pdf")
-    val base = substring(name, lit(1), length(name) - 4) // name minus ".pdf"
-    when(hasSuffix && endsPdf, name)
-      .when(hasSuffix, concat(name, lit(".pdf")))
+  def signedFilename(name: Column, suffix: String = " SIGNÉ"): Column = {
+    val t = regexp_replace(name, """^\s+|\s+$""", "")
+    val hasSuffix = lower(t).contains(lit(suffix.toLowerCase))
+    val endsPdf = lower(t).endsWith(".pdf")
+    val base = substring(t, lit(1), length(t) - 4) // name minus ".pdf"
+    when(hasSuffix && endsPdf, t)
+      .when(hasSuffix, concat(t, lit(".pdf")))
       .when(endsPdf, concat(base, lit(suffix), lit(".pdf")))
-      .otherwise(concat(name, lit(suffix), lit(".pdf")))
+      .otherwise(concat(t, lit(suffix), lit(".pdf")))
   }
 
   /** F7 name templating: `ACT_{id}_{NAME}` with NAME uppercased, spaces → '_'. */

@@ -12,22 +12,36 @@ import org.apache.spark.sql.functions._
   *     digest, no skew (digests are uniform).
   *   - n-gram Jaccard: shingle-explode → self-join on shingle → pair
   *     count. The join key is the shingle; stop-shingle skew (a shingle
-  *     shared by thousands of docs) explodes quadratically, so callers
-  *     can cap document frequency (`maxShingleDf`) — the standard
+  *     shared by thousands of docs) explodes quadratically, so a
+  *     document-frequency cap (`maxShingleDf`, on by default) drops
+  *     stop-shingles before the quadratic step — the standard
   *     suffix-array-free near-dup recipe (e.g. the "MinHashLSH +
   *     verification" pipeline of Lee et al., "Deduplicating Training Data
-  *     Makes Language Models Better", 2022).
+  *     Makes Language Models Better", 2022). Sizes and intersections are
+  *     both computed over the SAME pruned shingle universe so the Jaccard
+  *     ratio stays internally consistent.
   *   - MinHash LSH: fixed-width signature per doc (MinhashK mins), banded
   *     into NumBands buckets; candidates = docs sharing a band bucket.
-  *     Cost per doc is O(shingles × K) map-side; the only shuffle is the
-  *     band-bucket self-join whose buckets are tiny by construction.
-  *     Candidates are exact-verified so LSH tuning affects recall only.
+  *     The signature is ONE explode + ONE hash-aggregate (each
+  *     permutation is a plain `min` over the same reduced shingle hash),
+  *     so the shingle md5 is evaluated once per (doc, shingle) — never
+  *     once per permutation. Candidate pairs are exact-verified against
+  *     shingle sets restricted to candidate docs only: the quadratic
+  *     shingle self-join runs over the (tiny) candidate subset, never the
+  *     full corpus, which is the entire point of LSH at 100 TB.
   *   - SimHash: 48-bit fingerprint; candidate pairs via 6×8-bit chunk
   *     banding (pigeonhole: hamming <= 5 implies one equal chunk, so the
   *     banding loses nothing vs brute force).
   */
 object Dedup {
   import Hashing._
+
+  /** Default stop-shingle document-frequency cap for the quadratic
+    * n-gram path. A shingle shared by k docs yields O(k²) pairs; 128
+    * bounds the worst single-shingle contribution at ~8k pairs while
+    * leaving genuinely rare (discriminative) shingles untouched.
+    */
+  val DefaultMaxShingleDf = 128
 
   /** Exact dedup: one row per distinct text, with group size and the
     * canonical (minimum) doc id. `idCol`/`textCol` name the input columns.
@@ -40,60 +54,94 @@ object Dedup {
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
 
-  /** Exact n-gram Jaccard pairs >= threshold (doc_a < doc_b).
-    * Shingle-keyed self-join; optional document-frequency cap drops
-    * stop-shingles before the quadratic step.
+  /** (doc, shingle-hash) pairs: each distinct shingle reduced to its
+    * 60-bit stable hash mod P. All set arithmetic downstream (df caps,
+    * sizes, intersections) runs on the 8-byte hash instead of the
+    * ~n-word string — a much smaller shuffle and a cheaper join key.
+    * The oracle applies the identical hash, so even the (cosmically
+    * rare) collision is computed identically on both sides.
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double,
-                        maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n).cache()
-    val pruned = maxShingleDf match {
-      case Some(cap) =>
-        val keep = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shingle")
-        sh.join(keep, Seq("shingle"))
-      case None => sh
-    }
+  def docShingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(transform(shingles(col(textCol), n), s => pmod(stableHash60(s), lit(P)))).as("sh_h"))
+
+  /** Pairwise Jaccard over a (doc_id, sh_h) table: self-join on the
+    * shingle hash → intersection counts → inter/(n_a+n_b-inter). Sizes
+    * come from the SAME table as intersections, so a caller that
+    * pre-prunes shingles gets a consistent pruned-universe Jaccard.
+    */
+  private def jaccardPairs(sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = pruned.as("a").join(pruned.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    sh.as("a").join(sh.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+  }
+
+  /** Drop shingle hashes whose document frequency exceeds `cap`. */
+  private def pruneStopShingles(sh: DataFrame, cap: Int): DataFrame = {
+    val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh_h")
+    sh.join(keep, Seq("sh_h"))
+  }
+
+  /** Exact n-gram Jaccard pairs >= threshold (doc_a < doc_b).
+    * Shingle-keyed self-join; the document-frequency cap (on by default)
+    * drops stop-shingles before the quadratic step, and both sizes and
+    * intersections are computed over the pruned universe.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val sh = docShingleHashes(docs, idCol, textCol, n)
+    val pruned = maxShingleDf.fold(sh)(pruneStopShingles(sh, _))
+    jaccardPairs(pruned)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Per-doc MinHash signature column (array<long> of MinhashK). */
-  def withMinhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      minhashSignature(shingleHashes(shingles(col(textCol), n))).as("sig"))
+  /** Per-doc MinHash signature as MinhashK wide columns m0..m{K-1}.
+    * One explode + one hash-aggregate; docs shorter than n words produce
+    * no shingles and drop out (same as the reference treating an empty
+    * pool as no-match).
+    */
+  def withMinhashSignature(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val hashed = docShingleHashes(docs, idCol, textCol, n)
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("sh_h") * a + b, lit(P))).as(s"m$i")
+    }
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
 
-  /** MinHash-LSH candidate pairs, exact-verified at `threshold`.
-    * Empty-shingle docs (shorter than n words) produce empty signatures
-    * and are excluded — same as the reference treating empty pools as
-    * no-match.
+  /** MinHash-LSH candidate pairs, exact-verified at `threshold` against
+    * the candidate docs' shingle sets only (never the full corpus).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int, threshold: Double): DataFrame = {
     val sigs = withMinhashSignature(docs, idCol, textCol, n)
-      .filter(size(col("sig")) === MinhashK && !array_contains(transform(col("sig"), x => x.isNull), true))
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until NumBands).map { b =>
-        concat_ws("_", (0 until BandRows).map(r => element_at(col("sig"), b * BandRows + r + 1)): _*)
+        concat_ws("_", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
       }: _*)).as(Seq("band_idx", "band_key")))
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // Exact verification of the candidates only.
-    val exact = ngramJaccardPairs(docs, idCol, textCol, n, threshold)
-    cand.join(exact, Seq("doc_a", "doc_b"))
+    // Exact verification restricted to candidates: semi-join the shingle
+    // table down to docs that appear in some candidate pair, run the
+    // quadratic step on that subset, keep candidate pairs only.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val candSh = docShingleHashes(docs, idCol, textCol, n)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    jaccardPairs(candSh)
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Per-doc simhash (long, SimhashBits bits) from word unigram votes.

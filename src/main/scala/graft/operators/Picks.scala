@@ -28,11 +28,21 @@ object Picks {
   def pickTopK(df: DataFrame, partitionBy: Seq[Column], orderBy: Seq[Column], k: Int): DataFrame =
     ranked(df, partitionBy, orderBy).filter(col("_rn") <= k).drop("_rn")
 
-  /** Chunk rows into groups of `size` per partition key — the reference's
+  /** Chunk rows into groups of at most `size` — the reference's
     * `asset_ids[i:i+50]` batching (`Leyton_depot.py:194-199`) as a column.
+    *
+    * Distributed formulation: rows are first spread over `buckets`
+    * deterministic hash buckets (stable md5-based hash of `keyCol`, so an
+    * external oracle can mirror it), then numbered WITHIN each bucket —
+    * the window partitions by bucket, so no single task ever sees the
+    * whole table (a global `Window.orderBy` would). Chunk ids are unique
+    * across buckets via `bucket + buckets * local_chunk`; each chunk
+    * holds at most `size` rows, which is the only property batching
+    * needs (the reference never requires chunks to be dense/consecutive).
     */
-  def withChunkId(df: DataFrame, orderBy: Seq[Column], size: Int): DataFrame =
-    df.withColumn("_rn", row_number().over(Window.orderBy(orderBy: _*)))
-      .withColumn("chunk_id", floor((col("_rn") - 1) / size))
-      .drop("_rn")
+  def withChunkId(df: DataFrame, keyCol: Column, size: Int, buckets: Int = 32): DataFrame =
+    df.withColumn("_bkt", pmod(graft.functions.Hashing.stableHash60(keyCol.cast("string")), lit(buckets)))
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_bkt")).orderBy(keyCol)))
+      .withColumn("chunk_id", col("_bkt") + lit(buckets) * floor((col("_rn") - 1) / size))
+      .drop("_bkt", "_rn")
 }

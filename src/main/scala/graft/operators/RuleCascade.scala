@@ -29,16 +29,19 @@ import org.apache.spark.sql.functions._
   * the reference resets them (`Leyton_depot.py:314-321`); callers encode
   * each fallback as its own row with its own (usually empty) includes.
   *
-  * Note the reference's `pick="first"` actually returns the *latest*
-  * element (a 1-element list reversed, `Leyton_depot.py:296-297`); we
-  * implement the intended earliest-first semantics and document the
-  * divergence here.
+  * The reference's `pick="first"` actually returns the *latest* element
+  * (a 1-element slice of the desc-sorted list, reversed —
+  * `Leyton_depot.py:296-297`). `firstMeansLatest=true` (the default)
+  * reproduces that observed behavior; pass false for the evidently
+  * intended earliest-first semantics.
   *
   * Expected schemas:
   *   pool:  item_id, column_id, asset_id, name, created_at (long millis)
   *   rules: column_id, priority (unique per column), include_any_of
   *          array<string> (empty = match-all), exclude_any_of
-  *          array<string>, file_types array<string> ("any" wildcard),
+  *          array<string>, file_types array<string> of DOTLESS
+  *          extensions e.g. ["pdf"] ("any" wildcard) — the reference's
+  *          `_file_ext` format (`Leyton_depot.py:271-275`, `:140-145`),
   *          pick ('latest'|'first'|'all'), max (int, null = unlimited)
   */
 object RuleCascade {
@@ -54,7 +57,8 @@ object RuleCascade {
     typeOk && inclOk && exclOk
   }
 
-  def apply(pool: DataFrame, rules: DataFrame, defaultRule: DataFrame): DataFrame = {
+  def apply(pool: DataFrame, rules: DataFrame, defaultRule: DataFrame,
+            firstMeansLatest: Boolean = true): DataFrame = {
     // Columns present in the pool but with no configured rule fall back to
     // the default rule (the reference's `MATCH_RULES.get(cid, DEFAULT)`).
     val ruleCols = rules.select("column_id").distinct()
@@ -69,9 +73,11 @@ object RuleCascade {
 
     val grp = Window.partitionBy(col("item_id"), col("column_id"))
     val byPriority = grp.orderBy(col("priority"))
-    // W2 intended semantics: 'first' = earliest createdAt; others = latest.
-    val orderKey = when(col("pick") === "first", col("created_at"))
-      .otherwise(-col("created_at"))
+    // W2: with firstMeansLatest (reference-observed), every pick mode
+    // sorts latest-first; otherwise 'first' = earliest createdAt.
+    val orderKey =
+      if (firstMeansLatest) -col("created_at")
+      else when(col("pick") === "first", col("created_at")).otherwise(-col("created_at"))
     val withinRule = grp.orderBy(orderKey, col("asset_id"))
 
     candidates

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashing
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,36 +9,67 @@ import org.apache.spark.sql.functions._
   *
   * Two paths:
   *   - brute force: broadcast the (small) query set against the corpus,
-  *     exact cosine, window top-k. The corpus side streams — no shuffle
-  *     of the big table at all, so this scales to any corpus size as long
-  *     as the query set broadcasts (the 100 TB-corpus / 1k-query shape).
+  *     exact cosine, top-k. The corpus side streams — no shuffle of the
+  *     big table at all, so this scales to any corpus size as long as
+  *     the query set broadcasts (the 100 TB-corpus / 1k-query shape).
   *   - sign-LSH: bucket both sides by random-hyperplane sign bits and
   *     only score within a bucket; the bucket join keys the shuffle, so
   *     cost drops from |Q|×|C| to sum of bucket products. Recall is
   *     tunable via the plane count (here 8 planes → 256 buckets).
   *
-  * Embeddings are cast to array<double> once; cosine is a left-fold dot
-  * product (bit-deterministic, see Hashing.dotFold).
+  * Scale details:
+  *   - each row's L2 norm is computed ONCE before the pair join (a
+  *     per-pair `sqrt(dot(v,v))` would redo two dim-wide folds for every
+  *     candidate);
+  *   - top-k is two windows: a local one partitioned by
+  *     (query, hash-bucket of the neighbor id) that cuts each query's
+  *     candidate stream to `k` per bucket in parallel, then the global
+  *     per-query window over at most buckets×k survivors — so no single
+  *     task ever reduces a query's full candidate set.
+  *
+  * Embeddings are cast to array<double> once; dot products are left
+  * folds (bit-deterministic, see Hashing.dotFold) so the DuckDB oracle
+  * reproduces the doubles exactly.
   */
 object Similarity {
   import Hashing._
 
+  /** Hash buckets for the local top-k pre-reduction. */
+  val LocalTopKBuckets = 64
+
   def withDoubleVec(df: DataFrame, vecCol: String): DataFrame =
     df.withColumn("v", col(vecCol).cast("array<double>"))
+
+  /** Two-stage top-k: local per (query, neighbor-hash-bucket), then
+    * global per query. Output identical to a single global window (the
+    * global top-k is a subset of the union of local top-ks); the bucket
+    * hash never reaches the output so it needs no oracle mirror.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("cosine").desc, col("nn_id"))
+    val localW = Window
+      .partitionBy(col("query_id"), pmod(hash(col("nn_id")), lit(LocalTopKBuckets)))
+      .orderBy(order: _*)
+    val globalW = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_lrk", row_number().over(localW)).filter(col("_lrk") <= k).drop("_lrk")
+      .withColumn("rk", row_number().over(globalW)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("cosine"), col("rk"))
+  }
+
+  private def norm2(v: Column, dim: Int): Column = sqrt(dotFold(v, v, dim))
 
   /** Exact top-k neighbors for each query row (excluding self-matches). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, dim: Int, k: Int): DataFrame = {
-    val c = withDoubleVec(corpus, vecCol).select(col(idCol).as("nn_id"), col("v").as("cv"))
-    val q = withDoubleVec(queries, vecCol).select(col(idCol).as("query_id"), col("v").as("qv"))
+    val c = withDoubleVec(corpus, vecCol)
+      .select(col(idCol).as("nn_id"), col("v").as("cv"), norm2(col("v"), dim).as("cnrm"))
+    val q = withDoubleVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv"), dim))
-    scored.withColumn("rk",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("nn_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("nn_id"), col("cosine"), col("rk"))
+      .withColumn("cosine", dotFold(col("qv"), col("cv"), dim) / (col("qnrm") * col("cnrm")))
+    topK(scored, k)
   }
 
   /** Sign-LSH bucketed top-k: only candidates in the query's bucket are
@@ -49,18 +80,14 @@ object Similarity {
               vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
     val c = withDoubleVec(corpus, vecCol)
       .select(col(idCol).as("nn_id"), col("v").as("cv"),
-        signBucket(col("v"), dim, planes).as("bucket"))
+        norm2(col("v"), dim).as("cnrm"), signBucket(col("v"), dim, planes).as("bucket"))
     val q = withDoubleVec(queries, vecCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"),
-        signBucket(col("v"), dim, planes).as("bucket"))
+        norm2(col("v"), dim).as("qnrm"), signBucket(col("v"), dim, planes).as("bucket"))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("nn_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv"), dim))
-    scored.withColumn("rk",
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("nn_id"))))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("nn_id"), col("cosine"), col("rk"))
+      .withColumn("cosine", dotFold(col("qv"), col("cv"), dim) / (col("qnrm") * col("cnrm")))
+    topK(scored, k)
   }
 
   /** Embedding near-duplicate pairs within a blocking key (e.g. label):
@@ -70,9 +97,10 @@ object Similarity {
   def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                           blockCol: String, dim: Int, threshold: Double): DataFrame = {
     val e = withDoubleVec(df, vecCol)
-      .select(col(idCol).as("id"), col(blockCol).as("blk"), col("v"))
+      .select(col(idCol).as("id"), col(blockCol).as("blk"), col("v"),
+        norm2(col("v"), dim).as("nrm"))
     e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.v"), col("b.v"), dim))
+      .withColumn("cosine", dotFold(col("a.v"), col("b.v"), dim) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }

@@ -133,12 +133,12 @@ object ParityQueries {
           .when(col("doc_id") % 3 === 1, ".XLSX")
           .otherwise(".txt")).as("name"))
     named.select(col("doc_id"), col("name"), StringOps.fileExt(col("name")).as("ext"))
-      .filter(col("ext").isin(".pdf", ".xlsx"))
+      .filter(col("ext").isin("pdf", "xlsx"))
   }
   val extFilterSql: String =
     """SELECT doc_id, name,
-      |       CASE WHEN lower(name) LIKE '%.pdf' THEN '.pdf'
-      |            WHEN lower(name) LIKE '%.xlsx' THEN '.xlsx' END AS ext
+      |       CASE WHEN lower(name) LIKE '%.pdf' THEN 'pdf'
+      |            WHEN lower(name) LIKE '%.xlsx' THEN 'xlsx' END AS ext
       |FROM (SELECT doc_id, source || CASE CAST(doc_id % 3 AS INTEGER)
       |        WHEN 0 THEN '.pdf' WHEN 1 THEN '.XLSX' ELSE '.txt' END AS name
       |      FROM documents)
@@ -253,7 +253,7 @@ object ParityQueries {
       |       'ACT_' || CAST(c_custkey AS VARCHAR) || '_' || regexp_replace(upper(trim(c_name)), '\s+', '_', 'g') AS act_folder,
       |       'CLM_GE_' || lpad(CAST(c_custkey % 12 + 1 AS VARCHAR), 2, '0') AS lot_name,
       |       trim(regexp_replace(regexp_replace(c_name || ' a/b:c*d', '[\\/:*?"<>|]', '-', 'g'), '\s+', ' ', 'g')) AS sanitized,
-      |       c_name || ' SIGNE.pdf' AS signed_name
+      |       c_name || ' SIGNÉ.pdf' AS signed_name
       |FROM customer""".stripMargin
 
   // ---------------------------------------------------------------- F5/F6
@@ -292,10 +292,13 @@ object ParityQueries {
   val distinctBatch: Q = (s, d) =>
     Picks.withChunkId(
       Tables.lineitem(s, d).select(col("l_partkey")).distinct(),
-      Seq(col("l_partkey")), 50)
+      col("l_partkey"), 50)
   val distinctBatchSql: String =
-    """SELECT l_partkey, CAST((row_number() OVER (ORDER BY l_partkey) - 1) // 50 AS BIGINT) AS chunk_id
-      |FROM (SELECT DISTINCT l_partkey FROM lineitem)""".stripMargin
+    """SELECT l_partkey,
+      |       bkt + 32 * CAST((row_number() OVER (PARTITION BY bkt ORDER BY l_partkey) - 1) // 50 AS BIGINT) AS chunk_id
+      |FROM (SELECT l_partkey,
+      |             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS bkt
+      |      FROM (SELECT DISTINCT l_partkey FROM lineitem))""".stripMargin
 
   // ---------------------------------------------------------------- §2.11
   // Tumbling-window event counts (batch analog of the streaming pipeline).

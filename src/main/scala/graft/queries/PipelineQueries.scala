@@ -19,16 +19,33 @@ object PipelineQueries {
   private val N = 5 // word-shingle width for dedup
   private val Dim = 64 // embedding dimension (FIXTURES.md)
 
-  /** Shared oracle CTE prelude: distinct 5-gram shingles per doc. */
-  private def shingleCte: String =
+  /** Oracle CTE prelude: distinct 5-gram shingles per doc, reduced to
+    * their 60-bit stable hashes (mirroring `Dedup.docShingleHashes` —
+    * Spark joins on the 8-byte hash, so the oracle must hash with the
+    * SAME function to agree even on collisions) → pairwise Jaccard
+    * (`exact`). With `cap` set, stop-shingles above the document
+    * frequency cap are pruned BEFORE sizes/intersections — same pruned
+    * universe for both numerator and denominator.
+    */
+  private def shingleCte(cap: Option[Int] = None): String = {
+    val hashedList = s"list_transform(${shinglesSql("w", N)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    val poolCtes = cap match {
+      case Some(c) =>
+        s"""sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w),
+           |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= $c),
+           |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h))""".stripMargin
+      case None =>
+        s"sh AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w)"
+    }
     s"""w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
-       |sh AS (SELECT doc_id, unnest(${shinglesSql("w", N)}) AS shingle FROM w),
+       |$poolCtes,
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
        |inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
-       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
        |          GROUP BY 1, 2),
        |exact AS (SELECT da AS doc_a, db AS doc_b, i / (sa.n_sh + sb.n_sh - i) AS jaccard
        |          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)""".stripMargin
+  }
 
   // ---------------------------------------------------------------- exact dedup
   val dedupExact: Q = (s, d) =>
@@ -39,9 +56,10 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- n-gram Jaccard
   val dedupNgram: Q = (s, d) =>
-    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", N, 0.5)
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", N, 0.5,
+      maxShingleDf = Some(Dedup.DefaultMaxShingleDf))
   val dedupNgramSql: String =
-    s"""WITH $shingleCte
+    s"""WITH ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))}
        |SELECT doc_a, doc_b, jaccard FROM exact WHERE jaccard >= 0.5""".stripMargin
 
   // ---------------------------------------------------------------- minhash LSH
@@ -54,7 +72,7 @@ object PipelineQueries {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
     }.mkString("\n UNION ALL ")
-    s"""WITH $shingleCte,
+    s"""WITH ${shingleCte()},
        |shl AS (SELECT doc_id, ${shinglesSql("w", N)} AS sh FROM w),
        |hs AS (SELECT doc_id, list_transform(sh, s -> ${stableHash60Sql("s")} % ${P}::BIGINT) AS hs,
        |              len(sh) AS nsh FROM shl),
@@ -198,13 +216,16 @@ object PipelineQueries {
 
   val ruleFallback: Q = (s, d) => {
     import s.implicits._
+    // file_types use the reference's dotless `_file_ext` format; the
+    // default rule is the reference's `{"file_types": ["pdf"]}`
+    // (`Leyton_depot.py:318`, `:332`).
     val rules = Seq(
-      ("col0", 1, Seq("scanne"), Seq("v2"), Seq(".pdf"), "latest", Option.empty[Int]),
-      ("col0", 2, Seq.empty[String], Seq.empty[String], Seq(".pdf"), "latest", Option.empty[Int]),
+      ("col0", 1, Seq("scanne"), Seq("v2"), Seq("pdf"), "latest", Option.empty[Int]),
+      ("col0", 2, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]),
       ("col1", 1, Seq("v2"), Seq.empty[String], Seq("any"), "all", Some(2))
     ).toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
     val default = Seq(
-      ("__default__", 1, Seq.empty[String], Seq.empty[String], Seq(".pdf"), "latest", Option.empty[Int])
+      ("__default__", 1, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int])
     ).toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
     graft.operators.RuleCascade(rulePool(s, d), rules, default)
       .select("item_id", "column_id", "asset_id", "name", "created_at")
@@ -223,13 +244,13 @@ object PipelineQueries {
        |         epoch_ms(l_shipdate) AS created_at
        |  FROM lineitem),
        |rules(column_id, priority, include_any_of, exclude_any_of, file_types, pick, max_n) AS (VALUES
-       |  ('col0', 1, ['scanne'], ['v2'], ['.pdf'], 'latest', CAST(NULL AS INTEGER)),
-       |  ('col0', 2, []::VARCHAR[], []::VARCHAR[], ['.pdf'], 'latest', CAST(NULL AS INTEGER)),
+       |  ('col0', 1, ['scanne'], ['v2'], ['pdf'], 'latest', CAST(NULL AS INTEGER)),
+       |  ('col0', 2, []::VARCHAR[], []::VARCHAR[], ['pdf'], 'latest', CAST(NULL AS INTEGER)),
        |  ('col1', 1, ['v2'], []::VARCHAR[], ['any'], 'all', 2)),
        |eff_rules AS (
        |  SELECT * FROM rules
        |  UNION ALL
-       |  SELECT column_id, 1, []::VARCHAR[], []::VARCHAR[], ['.pdf'], 'latest', CAST(NULL AS INTEGER)
+       |  SELECT column_id, 1, []::VARCHAR[], []::VARCHAR[], ['pdf'], 'latest', CAST(NULL AS INTEGER)
        |  FROM (SELECT DISTINCT column_id FROM pool)
        |  WHERE column_id NOT IN (SELECT column_id FROM rules)),
        |cand AS (
@@ -237,8 +258,8 @@ object PipelineQueries {
        |         r.priority, r.pick, r.max_n
        |  FROM pool p JOIN eff_rules r USING (column_id)
        |  WHERE (list_contains(r.file_types, 'any') OR list_contains(r.file_types,
-       |           CASE WHEN lower(p.name) LIKE '%.pdf' THEN '.pdf'
-       |                WHEN lower(p.name) LIKE '%.jpg' THEN '.jpg' ELSE '' END))
+       |           CASE WHEN lower(p.name) LIKE '%.pdf' THEN 'pdf'
+       |                WHEN lower(p.name) LIKE '%.jpg' THEN 'jpg' ELSE '' END))
        |    AND (len(r.include_any_of) = 0 OR
        |         len(list_filter(r.include_any_of, k -> $normName LIKE '%' || k || '%')) > 0)
        |    AND len(list_filter(r.exclude_any_of, k -> $normName LIKE '%' || k || '%')) = 0),
