@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Dedup operator edge cases the DuckDB oracle can't see: empty shingle
+  * sets, the document-frequency cap's pruned-universe consistency,
+  * identical-document invariants across all four dedup families.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  private val wordsA = (1 to 20).map(i => s"w$i").mkString(" ")
+  private val wordsB = (1 to 20).map(i => s"w$i").mkString(" ") + " extra tail words here now"
+  private val other = (1 to 20).map(i => s"z$i").mkString(" ")
+
+  test("exactGroups groups identical texts and keeps the min doc id as canonical") {
+    val out = Dedup.exactGroups(docs((3L, "same"), (1L, "same"), (2L, "diff")), "doc_id", "text")
+      .select("n_docs", "canonical_id").as[(Long, Long)].collect().toSet
+    assert(out === Set((2L, 1L), (1L, 2L)))
+  }
+
+  test("docs shorter than n words produce no shingles, no signature rows, no pairs") {
+    val d = docs((1L, "too short"), (2L, "also tiny"))
+    assert(Dedup.docShingleHashes(d, "doc_id", "text", 5).count() === 0L)
+    assert(Dedup.withMinhashSignature(d, "doc_id", "text", 5).count() === 0L)
+    assert(Dedup.minhashLshPairs(d, "doc_id", "text", 5, 0.5).count() === 0L)
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.5).count() === 0L)
+  }
+
+  test("identical documents: jaccard 1.0 via ngram, minhash-LSH and hamming 0 via simhash") {
+    val d = docs((1L, wordsA), (2L, wordsA), (3L, other))
+    val ng = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(ng.toSeq === Seq((1L, 2L, 1.0)))
+    val mh = Dedup.minhashLshPairs(d, "doc_id", "text", 5, 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(mh.toSeq === Seq((1L, 2L, 1.0)))
+    val sh = Dedup.simhashPairs(d, "doc_id", "text", 5)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(sh.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("near-duplicates score below 1.0 but above the threshold") {
+    val d = docs((1L, wordsA), (2L, wordsB))
+    val ng = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.5)
+      .select("jaccard").as[Double].collect()
+    assert(ng.length === 1 && ng.head > 0.5 && ng.head < 1.0)
+  }
+
+  test("maxShingleDf prunes stop-shingles consistently: sizes use the pruned universe") {
+    // Both docs share every shingle (df=2 > cap=1): the pruned universe is
+    // empty, so NO pair survives — rather than an inconsistent 0-of-full-size
+    // jaccard. With the cap off they are exact dups (jaccard 1.0).
+    val d = docs((1L, wordsA), (2L, wordsA))
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.0, maxShingleDf = Some(1)).count() === 0L)
+    val unc = Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.0, maxShingleDf = None)
+      .select("jaccard").as[Double].collect()
+    assert(unc.toSeq === Seq(1.0))
+  }
+
+  test("minhash signature is one row of MinhashK mins per doc with content") {
+    val d = docs((1L, wordsA), (2L, other))
+    val sig = Dedup.withMinhashSignature(d, "doc_id", "text", 5)
+    assert(sig.columns.length === 1 + graft.functions.Hashing.MinhashK)
+    assert(sig.count() === 2L)
+  }
+
+  test("simhash pair search respects the pigeonhole precondition") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs((1L, wordsA)), "doc_id", "text", maxHamming = 6, chunks = 6)
+    }
+  }
+}
