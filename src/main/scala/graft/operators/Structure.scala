@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.functions.Normalize.norm
+import graft.functions.StringOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F7/K5/J4 — the regulatory folder-structure generator and its flatten
+  * into an upload-task plan (reference `generer_structure_lot`,
+  * `Leyton_depot.py:208-256`, consumed by
+  * `create_lot_on_drive_with_uploads`, `:548-591`).
+  *
+  * The reference builds a nested dict lot → clients[] → sections[] →
+  * file-slots[]; here the template is a literal nested array exploded
+  * twice over the client relation — the flattened DataFrame IS the
+  * upload plan, ready for a foreachPartition sink. Column ids are
+  * symbolic (config keys), not board-specific identifiers.
+  *
+  * Scale note: `auto_id` is a row_number over the client list — a
+  * global window, acceptable ONLY because a lot's client list is
+  * config-sized (the reference iterates it in memory); the big
+  * dimensions (files per slot) arrive via the later pool join, which
+  * shuffles on (item, column) grain.
+  */
+object Structure {
+
+  /** (section-name suffix, [(slot-name suffix, column id)]) — the
+    * per-client template; every name is prefixed `E{auto_id}-`.
+    */
+  val Template: Seq[(String, Seq[(String, String)])] = Seq(
+    "1-CONVENIO CAE" -> Seq(
+      "1-1 CONTRATO CESION AHORROS" -> "col_contrato"),
+    "2-DICTAMEN FAVORABLE E INFORME" -> Seq.empty,
+    "3-DOCUMENTOS JUSTIFICATIVOS" -> Seq(
+      "3-1 FICHA RES020 CUMPLIMENTADA" -> "col_ficha_res020",
+      "3-2 DECLARACION RESPONSABLE" -> "col_declaracion",
+      "3-3 FACTURA" -> "col_factura",
+      "3-4 INFORME FOTOGRÁFICO" -> "col_informe_foto",
+      "3-5 CERTIFICADO INSTALADOR" -> "col_certificado_inst",
+      "3-6-1 CEE FINAL" -> "col_cee_final",
+      "3-6-2 REGISTRO" -> "col_registro",
+      "3-6-3 PAGO" -> "col_pago"),
+    "4-OTROS DOCUMENTOS JUSTIFICATIVOS" -> Seq(
+      "4-DNI" -> "col_dni",
+      "4-EXCEL" -> "col_excel"))
+
+  /** Generate the flattened lot structure for a client relation
+    * (`id_monday`, `nomcomplet`). One row per (client, section, slot);
+    * sections with no slots keep a row with null slot columns (their
+    * folders are still created — K5 makes every section folder).
+    */
+  def lotStructure(clients: DataFrame, lotNumber: Int, startId: Long): DataFrame = {
+    val template = typedlit(Template.map { case (sec, slots) => (sec, slots) })
+    val autoId = lit(startId) + row_number().over(Window.orderBy(col("id_monday"))) - 1
+    clients
+      .withColumn("auto_id", autoId)
+      .withColumn("lot_name", lit(f"CLM_GE_$lotNumber%02d"))
+      .withColumn("dossier", StringOps.actFolderName(col("auto_id"), col("nomcomplet")))
+      .select(col("lot_name"), col("auto_id"), col("id_monday"), col("nomcomplet"),
+        col("dossier"), explode(template).as("sec"))
+      .withColumn("section_name", concat(lit("E"), col("auto_id"), lit("-"), col("sec._1")))
+      .select(col("lot_name"), col("auto_id"), col("id_monday"), col("dossier"),
+        col("section_name"), explode_outer(col("sec._2")).as("slot"))
+      .withColumn("slot_name",
+        when(col("slot").isNotNull, concat(lit("E"), col("auto_id"), lit("-"), col("slot._1"))))
+      .withColumn("column_id", col("slot._2"))
+      .drop("slot")
+  }
+
+  /** J4 + K5: join the slot plan to a per-(item, column) file pool and
+    * name each upload — multi-asset slots get a `_{idx}` suffix after
+    * the first (reference `Leyton_depot.py:581-582`), names are
+    * drive-sanitized, and the skip-Excel filter (P5,
+    * `Leyton_depot.py:33`, `:571-572`) drops slots whose normalized
+    * name contains "excel".
+    *
+    * pool schema: item_id, column_id, asset_id, name, created_at.
+    * Slots with no matching file keep one row with null asset columns
+    * (the reference records the empty slot, it just uploads nothing).
+    */
+  def uploadPlan(slots: DataFrame, pool: DataFrame, skipExcel: Boolean = true): DataFrame = {
+    val slotFiles = slots
+      .filter(col("slot_name").isNotNull)
+      .filter(if (skipExcel) !norm(col("slot_name")).contains("excel") else lit(true))
+      .join(pool,
+        slots("id_monday") === pool("item_id") && slots("column_id") === pool("column_id"),
+        "left")
+      .drop(pool("column_id")).drop(pool("item_id"))
+    val perSlot = Window.partitionBy(col("id_monday"), col("column_id"))
+      .orderBy(col("created_at").desc, col("asset_id"))
+    slotFiles
+      .withColumn("_idx", when(col("asset_id").isNotNull, row_number().over(perSlot) - 1))
+      .withColumn("upload_name",
+        when(col("asset_id").isNotNull, StringOps.sanitizeName(concat(
+          col("slot_name"),
+          when(col("_idx") > 0, concat(lit("_"), col("_idx"))).otherwise(lit("")),
+          StringOps.extFromNameOrMime(col("name"), lit(null).cast("string"))))))
+      .drop("_idx")
+  }
+}

@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Picks, Structure}
+import graft.sources.{FilesPayload, Multimodal}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-2 domain queries: the real F9 files[]-payload path, the
+  * binary/multimodal metadata surface, the F7 structure generator with
+  * its K5/J4 upload-plan flatten, and the S9 drive-folder listing.
+  * Every query has a DuckDB oracle built from the same constants.
+  */
+object DomainQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- F9 files payload
+  /** JSON payload fixture over documents: ~1/7 corrupt, ~1/11 null,
+    * ~1/13 valid-but-no-files, rest one or two file entries.
+    */
+  private def payloadCol = {
+    val d = col("doc_id")
+    when(d % 7 === 0, lit("{corrupt"))
+      .when(d % 11 === 0, lit(null).cast("string"))
+      .when(d % 13 === 0, lit("""{"other":1}"""))
+      .otherwise(concat(
+        lit("""{"files":[{"assetId":"""), d * 10 + 1,
+        lit(""","name":""""), col("source"), lit("""_a.pdf","createdAt":"""), d * 1000,
+        lit("}"),
+        when(d % 2 === 0,
+          concat(lit(""",{"assetId":"""), d * 10 + 2,
+            lit(""","name":""""), col("source"), lit("""_b.jpg","createdAt":"""), d * 1000 + 1,
+            lit("}"))).otherwise(lit("")),
+        lit("]}")))
+  }
+
+  val filesPayload: Q = (s, d) => {
+    val df = Tables.documents(s, d).select(col("doc_id"), payloadCol.as("value"))
+    FilesPayload.explodeFiles(df, "value")
+      .select("doc_id", "asset_id", "file_name", "created_at")
+  }
+  val filesPayloadSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '{corrupt'
+      |         WHEN doc_id % 11 = 0 THEN NULL
+      |         WHEN doc_id % 13 = 0 THEN '{"other":1}'
+      |         ELSE '{"files":[{"assetId":' || (doc_id*10+1) || ',"name":"' || source || '_a.pdf","createdAt":' || doc_id*1000 || '}'
+      |              || CASE WHEN doc_id % 2 = 0
+      |                 THEN ',{"assetId":' || (doc_id*10+2) || ',"name":"' || source || '_b.jpg","createdAt":' || (doc_id*1000+1) || '}'
+      |                 ELSE '' END
+      |              || ']}'
+      |    END AS value
+      |  FROM documents),
+      |v AS (SELECT doc_id, value FROM p
+      |      WHERE value IS NOT NULL AND json_valid(value)
+      |        AND json_extract(value, '$.files') IS NOT NULL),
+      |e AS (SELECT doc_id, unnest(CAST(json_extract(value, '$.files') AS JSON[])) AS f FROM v)
+      |SELECT doc_id,
+      |       CAST(json_extract_string(f, '$.assetId') AS BIGINT) AS asset_id,
+      |       json_extract_string(f, '$.name') AS file_name,
+      |       CAST(json_extract_string(f, '$.createdAt') AS BIGINT) AS created_at
+      |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- S7/B binary meta
+  val binaryMeta: Q = (s, d) => {
+    val withBin = Multimodal.withBinaryContent(Tables.documents(s, d), "text")
+    Multimodal.binaryMeta(withBin, "content")
+      .withColumn("effect_hex", hex(Multimodal.scanEffectStub(col("content"), ":42")))
+      .select("doc_id", "byte_len", "content_md5", "effect_hex")
+  }
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |       md5(text) AS content_md5,
+      |       upper(md5(hex(encode(text)) || ':42')) AS effect_hex
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- F7 structure lot
+  private val LotNumber = 7
+  private val StartId = 3L
+
+  private def clients(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") <= 5)
+      .select(col("c_custkey").as("id_monday"), col("c_name").as("nomcomplet"))
+
+  val structureLot: Q = (s, d) =>
+    Structure.lotStructure(clients(s, d), LotNumber, StartId)
+      .select("lot_name", "auto_id", "id_monday", "dossier",
+        "section_name", "slot_name", "column_id")
+
+  private def templateValuesSql: String =
+    Structure.Template.flatMap { case (sec, slots) =>
+      if (slots.isEmpty) Seq(s"('$sec', NULL, NULL)")
+      else slots.map { case (slot, cid) => s"('$sec', '$slot', '$cid')" }
+    }.mkString(",\n  ")
+
+  val structureLotSql: String =
+    s"""WITH clients AS (SELECT c_custkey AS id_monday, c_name AS nomcomplet
+       |                 FROM customer WHERE c_custkey <= 5),
+       |numbered AS (SELECT *, $StartId + row_number() OVER (ORDER BY id_monday) - 1 AS auto_id
+       |             FROM clients),
+       |t(sec_suffix, slot_suffix, column_id) AS (VALUES
+       |  $templateValuesSql)
+       |SELECT 'CLM_GE_0$LotNumber' AS lot_name, auto_id, id_monday,
+       |       'ACT_' || auto_id || '_' || regexp_replace(upper(trim(nomcomplet)), '\\s+', '_', 'g') AS dossier,
+       |       'E' || auto_id || '-' || sec_suffix AS section_name,
+       |       CASE WHEN slot_suffix IS NOT NULL THEN 'E' || auto_id || '-' || slot_suffix END AS slot_name,
+       |       column_id
+       |FROM numbered CROSS JOIN t""".stripMargin
+
+  // ---------------------------------------------------------------- J4/K5 upload plan
+  private val ColIds: Seq[String] = Structure.Template.flatMap(_._2.map(_._2))
+
+  private def pool(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_custkey") <= 5).select(
+      col("o_custkey").as("item_id"),
+      element_at(typedlit(ColIds), (pmod(col("o_orderkey"), lit(ColIds.size)) + 1).cast("int")).as("column_id"),
+      col("o_orderkey").as("asset_id"),
+      concat(lit("file_"), col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, ".pdf")
+          .when(col("o_orderkey") % 3 === 1, ".jpg")
+          .otherwise(".xlsx")).as("name"),
+      pmod(col("o_orderkey") * 37, lit(9973)).as("created_at"))
+
+  val uploadPlan: Q = (s, d) =>
+    Structure.uploadPlan(
+      Structure.lotStructure(clients(s, d), LotNumber, StartId),
+      pool(s, d))
+      .select("id_monday", "column_id", "section_name", "slot_name",
+        "asset_id", "name", "created_at", "upload_name")
+
+  val uploadPlanSql: String = {
+    val colList = ColIds.map(c => s"'$c'").mkString("[", ", ", "]")
+    val sanitize = (x: String) =>
+      s"""trim(regexp_replace(regexp_replace($x, '[\\\\/:*?"<>|]', '-', 'g'), '\\s+', ' ', 'g'))"""
+    s"""WITH clients AS (SELECT c_custkey AS id_monday, c_name AS nomcomplet
+       |                 FROM customer WHERE c_custkey <= 5),
+       |numbered AS (SELECT *, $StartId + row_number() OVER (ORDER BY id_monday) - 1 AS auto_id
+       |             FROM clients),
+       |t(sec_suffix, slot_suffix, column_id) AS (VALUES
+       |  $templateValuesSql),
+       |slots AS (
+       |  SELECT id_monday, 'E' || auto_id || '-' || sec_suffix AS section_name,
+       |         'E' || auto_id || '-' || slot_suffix AS slot_name, column_id
+       |  FROM numbered CROSS JOIN t
+       |  WHERE slot_suffix IS NOT NULL
+       |    AND trim(regexp_replace(lower(strip_accents('E' || auto_id || '-' || slot_suffix)), '\\s+', ' ', 'g'))
+       |        NOT LIKE '%excel%'),
+       |pool AS (
+       |  SELECT o_custkey AS item_id,
+       |         $colList[CAST(o_orderkey % ${ColIds.size} AS INTEGER) + 1] AS column_id,
+       |         o_orderkey AS asset_id,
+       |         'file_' || o_orderkey ||
+       |           (CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' ELSE '.xlsx' END) AS name,
+       |         (o_orderkey * 37) % 9973 AS created_at
+       |  FROM orders WHERE o_custkey <= 5),
+       |joined AS (
+       |  SELECT s.id_monday, s.column_id, s.section_name, s.slot_name,
+       |         p.asset_id, p.name, p.created_at
+       |  FROM slots s LEFT JOIN pool p
+       |    ON s.id_monday = p.item_id AND s.column_id = p.column_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY id_monday, column_id
+       |                               ORDER BY created_at DESC, asset_id) - 1 AS idx
+       |  FROM joined)
+       |SELECT id_monday, column_id, section_name, slot_name, asset_id, name, created_at,
+       |       CASE WHEN asset_id IS NOT NULL THEN ${sanitize(
+              """slot_name || (CASE WHEN idx > 0 THEN '_' || idx ELSE '' END) ||
+                |           (CASE WHEN lower(name) LIKE '%.pdf' THEN '.pdf'
+                |                 WHEN lower(name) LIKE '%.jpg' THEN '.jpg'
+                |                 WHEN lower(name) LIKE '%.xlsx' THEN '.xlsx' ELSE '.bin' END)""".stripMargin)}
+       |       END AS upload_name
+       |FROM ranked""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- S9/P6 folder listing
+  private def folders(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_suppkey").as("folder_id"),
+      concat(lit("ACT_"), pmod(col("s_suppkey"), lit(40)), lit("_D")).as("name"),
+      pmod(col("s_nationkey"), lit(5)).as("parent_id"),
+      when(col("s_suppkey") % 4 === 0, "application/vnd.google-apps.folder")
+        .otherwise("application/pdf").as("mime_type"),
+      (col("s_suppkey") % 7 === 0).as("trashed"),
+      pmod(col("s_suppkey") * 13, lit(10007)).as("created_time"))
+
+  /** S9/P6/W5: the drive listing predicate conjunction
+    * (`'p' in parents and mimeType=folder and trashed=false`,
+    * `Leyton_depot.py:424-430`) + K3's oldest-wins duplicate collapse.
+    */
+  val folderListing: Q = (s, d) =>
+    Picks.pickTop1(
+      folders(s, d).filter(
+        col("parent_id") === 2 &&
+          col("mime_type") === "application/vnd.google-apps.folder" &&
+          !col("trashed")),
+      Seq(col("parent_id"), col("name")),
+      Seq(col("created_time").asc, col("folder_id")))
+      .select("folder_id", "name", "parent_id", "created_time")
+  val folderListingSql: String =
+    """WITH folders AS (
+      |  SELECT s_suppkey AS folder_id,
+      |         'ACT_' || (s_suppkey % 40) || '_D' AS name,
+      |         s_nationkey % 5 AS parent_id,
+      |         CASE WHEN s_suppkey % 4 = 0 THEN 'application/vnd.google-apps.folder'
+      |              ELSE 'application/pdf' END AS mime_type,
+      |         s_suppkey % 7 = 0 AS trashed,
+      |         (s_suppkey * 13) % 10007 AS created_time
+      |  FROM supplier),
+      |listed AS (
+      |  SELECT * FROM folders
+      |  WHERE parent_id = 2 AND mime_type = 'application/vnd.google-apps.folder' AND NOT trashed)
+      |SELECT folder_id, name, parent_id, created_time
+      |FROM (SELECT *, row_number() OVER (PARTITION BY parent_id, name
+      |                                   ORDER BY created_time ASC, folder_id) AS rn
+      |      FROM listed)
+      |WHERE rn = 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q_files_payload" -> filesPayload,
+    "q_binary_meta" -> binaryMeta,
+    "q_structure_lot" -> structureLot,
+    "q_upload_plan" -> uploadPlan,
+    "q_folder_listing" -> folderListing)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_files_payload" -> filesPayloadSql,
+    "q_binary_meta" -> binaryMetaSql,
+    "q_structure_lot" -> structureLotSql,
+    "q_upload_plan" -> uploadPlanSql,
+    "q_folder_listing" -> folderListingSql)
+}

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** S7/B1-B7 — multimodal columns: media content as opaque `BinaryType`
+  * with typed metadata, per-document transforms, and frame chunking.
+  *
+  * The reference's binary operators (compress / sign / scan-effects,
+  * `fixed_signature_utils.py:38-110`, `:369-558`) need PDF/image
+  * libraries that are not in this container, so the DECODE step is a
+  * clearly-marked deterministic stub — but everything Spark-side is
+  * real and tested: the BinaryType schema, the `binaryFile` source, the
+  * expression-level transform plumbing (seeded, codegen'd — never a
+  * Python-style row UDF), frame chunking via binary `substring`, and
+  * the typed mapPartitions batch shape a JVM decoder would slot into.
+  *
+  * Scale notes: binary payloads ride the same columnar batches as
+  * everything else; transforms are per-row map work (no shuffle), and
+  * frame chunking explodes to (doc, frame) grain — partition counts
+  * should be sized on *bytes* (`spark.sql.files.maxPartitionBytes`),
+  * not row counts, when contents are large.
+  */
+object Multimodal {
+
+  /** Text → UTF-8 bytes as the stand-in media payload (a real pipeline
+    * reads `spark.read.format("binaryFile")` or fetches URLs).
+    */
+  def withBinaryContent(df: DataFrame, textCol: String, as: String = "content"): DataFrame =
+    df.withColumn(as, encode(col(textCol), "UTF-8"))
+
+  /** Typed metadata for a binary column: byte length + md5. */
+  def binaryMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("byte_len", length(col(binCol)).cast("long"))
+      .withColumn("content_md5", md5(col(binCol)))
+
+  /** B1/B4 stand-in: a deterministic, seeded BinaryType→BinaryType
+    * transform (16-byte digest of content + seed). A real scan-effect /
+    * compress implementation (PDFBox/ImageIO) replaces ONLY this
+    * expression; the surrounding plumbing is production-shaped.
+    */
+  def scanEffectStub(bin: Column, seed: String): Column =
+    unhex(md5(concat(hex(bin), lit(seed))))
+
+  /** Fixed-size frame slices of a binary column (video frame-sample /
+    * PDF page-split analog): array of ceil(len/frameSize) chunks.
+    */
+  def frames(bin: Column, frameSize: Int): Column =
+    transform(
+      sequence(lit(1), ceil(length(bin) / lit(frameSize.toDouble)).cast("long")),
+      i => substring(bin, ((i - 1) * frameSize + 1).cast("int"), lit(frameSize)))
+
+  /** Explode to (doc, frame_idx, frame) grain. */
+  def explodeFrames(df: DataFrame, binCol: String, frameSize: Int): DataFrame =
+    df.select(col("*"), posexplode(frames(col(binCol), frameSize)).as(Seq("frame_idx", "frame")))
+      .drop(binCol)
+
+  // ------------------------------------------------------------------
+  // Typed mapPartitions decode plumbing (the mapInPandas analog): one
+  // decoder instance per partition, batch-iterated rows, stubbed decode.
+  // ------------------------------------------------------------------
+
+  case class MediaDoc(doc_id: Long, mime: String, content: Array[Byte])
+  case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                           width: Int, height: Int, feature: Double)
+
+  /** STUB decode: deterministic fake dimensions/feature derived from the
+    * bytes. A real implementation would decode the image/audio here —
+    * same signature, same batch shape, one decoder per partition.
+    */
+  def decodeStub(d: MediaDoc): MediaFeatures = {
+    val n = d.content.length
+    val h = d.content.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
+    MediaFeatures(d.doc_id, d.mime, n,
+      width = (math.abs(h) % 1920).toInt + 1,
+      height = (math.abs(h / 1920) % 1080).toInt + 1,
+      feature = (math.abs(h) % 100000) / 100000.0)
+  }
+
+  /** Per-partition decode: the expensive-init resource (a decoder
+    * context) is created once per partition, not per row.
+    */
+  def decodeFeatures(spark: SparkSession, docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    docs.mapPartitions { it =>
+      // real code: val decoder = HeavyDecoder.open(); it.map(d => decoder.decode(d))
+      it.map(decodeStub)
+    }
+  }
+}
