@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.sinks.DriveStore
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** S8/§2.11 — the webhook event stream as Structured Streaming.
+  *
+  * The reference is event-at-a-time with effectively at-most-once
+  * delivery (failures swallowed, `app.py:101-102`); here the stream is
+  * at-least-once (replayable source + foreachBatch) and the SINK is
+  * idempotent — batch-local dropDuplicates plus a cross-batch
+  * putIfAbsent registry — so redelivery converges to exactly-once
+  * effects, strictly stronger than the reference.
+  *
+  * Scale notes: the windowed aggregate shuffles on (window, type) with
+  * watermark-bounded state; the idempotent sink works per partition
+  * with no driver round-trip. At production scale the Processed
+  * registry is the external system's own idempotency (K3's oldest-wins
+  * get-or-create, unique keys) — the in-memory registry here stands in
+  * for it offline, same contract.
+  */
+object EventPipeline {
+
+  /** Watermarked tumbling-window counts (batch analog: q_window_events). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).getField("start").as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Cross-batch processed-event registry (exactly-once effect dedup). */
+  object Processed {
+    private val stores =
+      new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]]()
+    private def get(name: String) =
+      stores.computeIfAbsent(name, _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]())
+    /** true when first applied; false on redelivery. */
+    def applyOnce(name: String, eventId: Long): Boolean = get(name).putIfAbsent(eventId, eventId) == null
+    def count(name: String): Int = get(name).size
+    def drop(name: String): Unit = stores.remove(name)
+  }
+
+  /** S8 + K3: one pipeline invocation per NEW event — here the §3.3
+    * per-item side effect is a get-or-create in the Drive stand-in.
+    * Requires columns `event_id` (dedup key) and `item_id`.
+    */
+  def startIdempotentPipeline(events: DataFrame, storeName: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.select("event_id", "item_id").dropDuplicates("event_id")
+          .foreachPartition { (it: Iterator[Row]) =>
+            val drive = DriveStore.get(storeName)
+            it.foreach { r =>
+              if (Processed.applyOnce(storeName, r.getLong(0))) {
+                drive.findOrCreateFolder(parentId = 0L, name = s"ITEM_${r.getLong(1)}")
+              }
+            }
+          }
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** S7/B multimodal plumbing: binaryFile source, BinaryType metadata,
+  * deterministic stub transforms, frame chunking, typed mapPartitions
+  * decode, and F9 payload parse edge cases.
+  */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("binaryFile source reads (path, length, content) with pushed path filters") {
+    val dir = Files.createTempDirectory("graft_bin").toFile
+    val f1 = new java.io.File(dir, "a.pdf"); Files.write(f1.toPath, "hello pdf".getBytes("UTF-8"))
+    val f2 = new java.io.File(dir, "b.jpg"); Files.write(f2.toPath, "jj".getBytes("UTF-8"))
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir.getAbsolutePath)
+    val rows = df.select("path", "length", "content").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("path").endsWith("a.pdf"))
+    assert(rows.head.getAs[Long]("length") === 9L)
+    assert(new String(rows.head.getAs[Array[Byte]]("content"), "UTF-8") === "hello pdf")
+  }
+
+  test("binaryMeta computes byte length and md5 of the content bytes") {
+    val df = Multimodal.withBinaryContent(Seq((1L, "abc")).toDF("doc_id", "text"), "text")
+    val r = Multimodal.binaryMeta(df, "content").select("byte_len", "content_md5").head
+    assert(r.getLong(0) === 3L)
+    assert(r.getString(1) === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+  }
+
+  test("scanEffectStub is deterministic, seed-sensitive and binary-typed") {
+    val df = Seq((1L, "content")).toDF("doc_id", "text")
+      .transform(Multimodal.withBinaryContent(_, "text"))
+    val out = df.select(
+      Multimodal.scanEffectStub(col("content"), ":1").as("a"),
+      Multimodal.scanEffectStub(col("content"), ":1").as("b"),
+      Multimodal.scanEffectStub(col("content"), ":2").as("c")).head
+    val (a, b, c) = (out.getAs[Array[Byte]](0), out.getAs[Array[Byte]](1), out.getAs[Array[Byte]](2))
+    assert(a.toSeq === b.toSeq)     // deterministic
+    assert(a.toSeq !== c.toSeq)     // seed changes output
+    assert(a.length === 16)         // md5-digest sized
+  }
+
+  test("frame chunking covers all bytes in order with ceil(len/size) frames") {
+    val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
+      .transform(Multimodal.withBinaryContent(_, "text"))
+    val frames = Multimodal.explodeFrames(df, "content", 4)
+      .orderBy("frame_idx")
+      .select("frame_idx", "frame")
+      .collect()
+      .map(r => (r.getInt(0), new String(r.getAs[Array[Byte]](1), "UTF-8")))
+    assert(frames.toSeq === Seq((0, "abcd"), (1, "efgh"), (2, "ij")))
+  }
+
+  test("typed mapPartitions decode produces one feature row per doc, deterministically") {
+    val docs = Seq(
+      Multimodal.MediaDoc(1L, "image/png", Array[Byte](1, 2, 3)),
+      Multimodal.MediaDoc(2L, "image/png", Array[Byte](9, 9))).toDS()
+    val out1 = Multimodal.decodeFeatures(spark, docs).collect().sortBy(_.doc_id)
+    val out2 = Multimodal.decodeFeatures(spark, docs).collect().sortBy(_.doc_id)
+    assert(out1.toSeq === out2.toSeq)
+    assert(out1.map(_.doc_id).toSeq === Seq(1L, 2L))
+    assert(out1.forall(f => f.n_bytes > 0 && f.width >= 1 && f.height >= 1))
+  }
+
+  test("FilesPayload: corrupt, null and files-less payloads yield empty lists, not errors") {
+    val df = Seq(
+      (1L, """{"files":[{"assetId":5,"name":"a.pdf","createdAt":9}]}"""),
+      (2L, "{corrupt"),
+      (3L, null.asInstanceOf[String]),
+      (4L, """{"other":1}"""),
+      (5L, """{"files":[]}""")).toDF("doc_id", "value")
+    val out = FilesPayload.explodeFiles(df, "value")
+      .select("doc_id", "asset_id", "file_name", "created_at")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.toSeq === Seq((1L, 5L, "a.pdf", 9L)))
+  }
+}

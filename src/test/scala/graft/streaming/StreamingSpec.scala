@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sinks.DriveStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+/** S8/§2.11 streaming semantics: MemoryStream replay through the
+  * idempotent foreachBatch pipeline (redelivery applies once) and
+  * watermarked windowed aggregation matching its batch analog.
+  */
+case class Ev(event_id: Long, item_id: Long, event_type: String, ts: Timestamp, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, item: Long, typ: String, minute: Int): Ev =
+    Ev(id, item, typ, Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00"), id * 1.5)
+
+  test("idempotent foreachBatch pipeline: redelivered events apply exactly once") {
+    EventPipeline.Processed.drop("st1")
+    DriveStore.drop("st1")
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.startIdempotentPipeline(mem.toDF(), "st1")
+    try {
+      mem.addData(ev(1, 100, "upload", 1), ev(2, 100, "upload", 2), ev(3, 200, "scan", 3))
+      q.processAllAvailable()
+      assert(EventPipeline.Processed.count("st1") === 3)
+      // at-least-once redelivery: 2 and 3 arrive again plus a new event 4
+      mem.addData(ev(2, 100, "upload", 2), ev(3, 200, "scan", 3), ev(4, 300, "sign", 4))
+      q.processAllAvailable()
+      assert(EventPipeline.Processed.count("st1") === 4)
+      // the per-event side effect ran once per distinct item (K3 get-or-create)
+      val store = DriveStore.get("st1")
+      assert(store.listFolders(0L, "ITEM_100").size === 1)
+      assert(store.listFolders(0L, "ITEM_200").size === 1)
+      assert(store.listFolders(0L, "ITEM_300").size === 1)
+    } finally q.stop()
+  }
+
+  test("streaming windowed counts equal the batch aggregation on the same data") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      ev(1, 1, "a", 1), ev(2, 1, "a", 2), ev(3, 1, "b", 4),
+      ev(4, 1, "a", 7), ev(5, 1, "b", 8), ev(6, 1, "b", 9))
+    val q = EventPipeline.windowedCounts(mem.toDF())
+      .writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wc")
+        .select("bucket_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = EventPipeline.windowedCounts(events.toDF())
+        .select("bucket_start", "event_type", "n")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.toSeq.map(_._3).sum === 6L)
+    } finally q.stop()
+  }
+}
