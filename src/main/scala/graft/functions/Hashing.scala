@@ -52,16 +52,23 @@ object Hashing {
   def words(text: Column): Column = split(text, " ")
   def wordsSql(e: String): String = s"string_split($e, ' ')"
 
-  /** Distinct word n-gram shingles (empty array when the doc is shorter
-    * than n words).
+  /** Distinct word n-gram shingles from a WORDS ARRAY column (empty
+    * array when the doc is shorter than n words).
+    *
+    * Callers should pass an attribute (pre-projected `words(text)`), not
+    * the `split` expression itself: higher-order-function lambdas are
+    * interpreted and re-evaluate every subtree they reference per
+    * element — an inline `split` would run n+1 times per shingle.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  def shinglesFromWords(w: Column, n: Int): Column = {
     val grams = transform(
       sequence(lit(0), size(w) - n),
       i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
     array_distinct(when(size(w) >= n, grams).otherwise(array()))
   }
+
+  /** Convenience wrapper — ONLY for cold paths; see shinglesFromWords. */
+  def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
   def shinglesSql(e: String, n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
@@ -117,6 +124,12 @@ object Hashing {
   // ------------------------------------------------------------------ embeddings
   /** Left-fold dot product of two double arrays of length `dim` — the fold
     * order is explicit so Spark and DuckDB produce bit-identical doubles.
+    *
+    * Deliberately the `aggregate` HOF: a flat 64-term expanded sum was
+    * measured 2× SLOWER (9.3s vs 4.6s for q_embed_neardup at sf0.1) —
+    * the generated code for 64 null-checked element_at terms blows past
+    * JIT-friendly method sizes, while the HOF's tight interpreted loop
+    * over the array is cache-friendly.
     */
   def dotFold(a: Column, b: Column, dim: Int): Column =
     aggregate(sequence(lit(1), lit(dim)), lit(0.0),

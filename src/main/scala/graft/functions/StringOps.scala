@@ -111,4 +111,18 @@ object StringOps {
 
   /** A1 auto-increment: next id = max(extracted)+1, or 1 when none match. */
   def nextActId(names: Column): Column = coalesce(max(actId(names)), lit(0L)) + lit(1L)
+
+  /** F8 `_escape_for_q`: escape single quotes for Drive query strings
+    * (reference `Leyton_depot.py:418-419`, `(s or '').replace("'", "\\'")`).
+    */
+  def escapeForQ(s: Column): Column = regexp_replace(s, "'", """\\'""")
+
+  /** F13 signature stamp text: the reference's
+    * `"Firmado por: %(signer)s\nFecha: %(ts)s"` template
+    * (`fixed_signature_utils.py:138`) with the timestamp formatted
+    * engine-side.
+    */
+  def stampText(signer: Column, ts: Column): Column =
+    concat(lit("Firmado por: "), signer, lit("\nFecha: "),
+      date_format(ts, "yyyy-MM-dd HH:mm:ss"))
 }

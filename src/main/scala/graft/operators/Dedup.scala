@@ -50,9 +50,14 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
 
-  /** Distinct (doc, shingle) pairs. */
+  /** Distinct (doc, shingle) pairs. The words array is projected first
+    * (HOF lambdas re-evaluate inline subtrees per element) and the
+    * explode happens before any per-shingle hashing so downstream
+    * hashing runs codegen'd per row, not interpreted inside a lambda.
+    */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(shinglesFromWords(col("_w"), n)).as("shingle"))
 
   /** (doc, shingle-hash) pairs: each distinct shingle reduced to its
     * 60-bit stable hash mod P. All set arithmetic downstream (df caps,
@@ -62,8 +67,8 @@ object Dedup {
     * rare) collision is computed identically on both sides.
     */
   def docShingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-      explode(transform(shingles(col(textCol), n), s => pmod(stableHash60(s), lit(P)))).as("sh_h"))
+    docShingles(docs, idCol, textCol, n)
+      .select(col("doc_id"), pmod(stableHash60(col("shingle")), lit(P)).as("sh_h"))
 
   /** Pairwise Jaccard over a (doc_id, sh_h) table: self-join on the
     * shingle hash → intersection counts → inter/(n_a+n_b-inter). Sizes

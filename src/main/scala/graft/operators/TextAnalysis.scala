@@ -51,16 +51,19 @@ object TextAnalysis {
     * int/int division (bit-deterministic cross-engine).
     */
   def withQualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
+    // Words array is projected once: `split` is expensive and every
+    // ratio below references it (CollapseProject keeps the boundary).
+    val w = col("_w")
     val nWords = size(w)
     val nDistinct = size(array_distinct(w))
     val nStop = markerCount(w, EnStopwords)
-    val meanLen = (length(col(textCol)) - (nWords - 1)).cast("double") / nWords
-    docs.select(col(idCol).as("doc_id"),
-      nWords.as("n_words"),
-      (nDistinct.cast("double") / nWords).as("distinct_ratio"),
-      meanLen.as("mean_word_len"),
-      (nStop.cast("double") / nWords).as("stop_ratio"))
+    val meanLen = (length(col("_t")) - (nWords - 1)).cast("double") / nWords
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"), words(col(textCol)).as("_w"))
+      .select(col("doc_id"),
+        nWords.as("n_words"),
+        (nDistinct.cast("double") / nWords).as("distinct_ratio"),
+        meanLen.as("mean_word_len"),
+        (nStop.cast("double") / nWords).as("stop_ratio"))
       .withColumn("quality_score",
         col("distinct_ratio") * 0.5 + col("stop_ratio") * 0.25
           + when(col("mean_word_len") >= 3.0 && col("mean_word_len") <= 8.0, 0.25).otherwise(0.0))
@@ -70,24 +73,31 @@ object TextAnalysis {
     * language in LangMarkers order, no markers at all → "und".
     */
   def withLangId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = words(col(textCol))
-    val scores = LangMarkers.map { case (lang, set) => lang -> markerCount(w, set) }
+    // Project words once, then score each marker set off the attribute.
+    val scores = LangMarkers.map { case (lang, set) => lang -> markerCount(col("_w"), set) }
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // when-chain in LangMarkers order = first-match-wins on ties.
-    val pred = scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    val pred = LangMarkers.map(_._1).foldRight(lit("und"): Column) { case (lang, acc) =>
+      when(col(s"_s_$lang") === col("_best") && col("_best") > 0, lit(lang)).otherwise(acc)
     }
-    docs.select(col(idCol).as("doc_id"), pred.as("pred_lang"))
+    docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
+      .select(col("doc_id") +: scores.map { case (lang, s) => s.as(s"_s_$lang") }: _*)
+      .withColumn("_best", LangMarkers.map(m => col(s"_s_${m._1}")).reduce((a, b) => greatest(a, b)))
+      .select(col("doc_id"), pred.as("pred_lang"))
   }
 
   /** Fingerprints: whole-text stable hash + min/max shingle hashes (the
     * rolling-hash document signature).
     */
-  def withFingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val hs = shingleHashes(shingles(col(textCol), n))
-    docs.select(col(idCol).as("doc_id"),
-      stableHash60(col(textCol)).as("text_hash"),
-      array_min(hs).as("min_shingle_hash"),
-      array_max(hs).as("max_shingle_hash"))
-  }
+  def withFingerprint(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    // Three materialization steps: words once, the hashed shingle array
+    // once, then min+max over the attribute — the md5-per-shingle lambda
+    // runs a single time instead of once per aggregate.
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("_t"), words(col(textCol)).as("_w"))
+      .select(col("doc_id"),
+        stableHash60(col("_t")).as("text_hash"),
+        shingleHashes(shinglesFromWords(col("_w"), n)).as("_hs"))
+      .select(col("doc_id"), col("text_hash"),
+        array_min(col("_hs")).as("min_shingle_hash"),
+        array_max(col("_hs")).as("max_shingle_hash"))
 }

@@ -217,17 +217,58 @@ object DomainQueries {
       |      FROM listed)
       |WHERE rn = 1""".stripMargin
 
+  // ---------------------------------------------------------------- S2 EAV lookup
+  /** S2 multi-column lookup against an EAV cell relation (the
+    * reference's `get_columns_values`, `Leyton_depot.py:169-188`):
+    * item-id pushdown + column-id pruning over (item, column, text).
+    */
+  val eavLookup: Q = (s, d) => {
+    val eav = Tables.customer(s, d).select(col("c_custkey").as("item_id"), explode(array(
+      struct(lit("name").as("column_id"), col("c_name").as("text")),
+      struct(lit("segment").as("column_id"), col("c_mktsegment").as("text")),
+      struct(lit("nation").as("column_id"), col("c_nationkey").cast("string").as("text"))
+    )).as("cv"))
+      .select(col("item_id"), col("cv.column_id").as("column_id"), col("cv.text").as("text"))
+    eav.filter(col("item_id").isin(1L, 2L, 3L, 42L) && col("column_id").isin("name", "segment"))
+  }
+  val eavLookupSql: String =
+    """SELECT item_id, column_id, text FROM (
+      |  SELECT c_custkey AS item_id, 'name' AS column_id, c_name AS text FROM customer
+      |  UNION ALL SELECT c_custkey, 'segment', c_mktsegment FROM customer
+      |  UNION ALL SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer)
+      |WHERE item_id IN (1, 2, 3, 42) AND column_id IN ('name', 'segment')""".stripMargin
+
+  // ---------------------------------------------------------------- F13/F8 stamp + escape
+  val stampFormat: Q = (s, d) =>
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      graft.functions.StringOps.stampText(
+        concat(lit("Signer "), col("o_custkey")),
+        col("o_orderdate").cast("timestamp")).as("stamp"),
+      graft.functions.StringOps.escapeForQ(
+        concat(lit("name's "), col("o_orderpriority"))).as("escaped"))
+  val stampFormatSql: String =
+    """SELECT o_orderkey,
+      |       'Firmado por: Signer ' || o_custkey || chr(10) || 'Fecha: ' ||
+      |         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS stamp,
+      |       replace('name''s ' || o_orderpriority, '''', '\''') AS escaped
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
     "q_structure_lot" -> structureLot,
     "q_upload_plan" -> uploadPlan,
-    "q_folder_listing" -> folderListing)
+    "q_folder_listing" -> folderListing,
+    "q_eav_lookup" -> eavLookup,
+    "q_stamp_format" -> stampFormat)
 
   val oracleSql: Map[String, String] = Map(
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_structure_lot" -> structureLotSql,
     "q_upload_plan" -> uploadPlanSql,
-    "q_folder_listing" -> folderListingSql)
+    "q_folder_listing" -> folderListingSql,
+    "q_eav_lookup" -> eavLookupSql,
+    "q_stamp_format" -> stampFormatSql)
 }

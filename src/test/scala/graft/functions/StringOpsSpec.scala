@@ -110,6 +110,19 @@ class StringOpsSpec extends SparkSpec {
     assert(some === 10L)
   }
 
+  test("escapeForQ escapes single quotes with a backslash (F8)") {
+    assert(evalStr(Seq("it's a 'test'", "plain"))(escapeForQ) ===
+      Seq("""it\'s a \'test\'""", "plain"))
+  }
+
+  test("stampText formats the signer + timestamp template (F13)") {
+    import spark.implicits._
+    val r = Seq(("Ana", java.sql.Timestamp.valueOf("2026-02-03 10:11:12")))
+      .toDF("signer", "ts")
+      .select(stampText(col("signer"), col("ts")).as("r")).head.getString(0)
+    assert(r === "Firmado por: Ana\nFecha: 2026-02-03 10:11:12")
+  }
+
   test("itemNameOr falls back to ITEM_{id}") {
     import spark.implicits._
     val r = Seq((Option.empty[String], 5L), (Some("n"), 6L)).toDF("name", "id")
