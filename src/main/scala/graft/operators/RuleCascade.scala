@@ -46,14 +46,19 @@ import org.apache.spark.sql.functions._
   */
 object RuleCascade {
 
-  /** Files whose normalized name passes a rule's predicates. */
+  /** Files whose normalized name passes a rule's predicates. Operates on
+    * PRE-NORMALIZED attributes (`_nname`, `_ext`, `include_norm`,
+    * `exclude_norm`): `exists` lambdas are interpreted and re-evaluate
+    * inline subtrees per element, so norm/fileExt must be computed once
+    * per row (pool side) / once per rule (broadcast side), never inside
+    * the lambda.
+    */
   private def matches = {
-    val nname = norm(col("name"))
-    val ext = graft.functions.StringOps.fileExt(col("name"))
-    val typeOk = array_contains(col("file_types"), "any") || array_contains(col("file_types"), ext)
-    val inclOk = size(col("include_any_of")) === 0 ||
-      exists(col("include_any_of"), k => nname.contains(norm(k)))
-    val exclOk = !exists(col("exclude_any_of"), k => nname.contains(norm(k)))
+    val typeOk = array_contains(col("file_types"), "any") ||
+      array_contains(col("file_types"), col("_ext"))
+    val inclOk = size(col("include_norm")) === 0 ||
+      exists(col("include_norm"), k => col("_nname").contains(k))
+    val exclOk = !exists(col("exclude_norm"), k => col("_nname").contains(k))
     typeOk && inclOk && exclOk
   }
 
@@ -66,10 +71,16 @@ object RuleCascade {
       .join(ruleCols, Seq("column_id"), "left_anti")
       .crossJoin(defaultRule.drop("column_id"))
     val allRules = rules.unionByName(defaulted.select(rules.columns.map(col).toSeq: _*))
+      // Keyword lists normalized once per rule, on the (tiny) broadcast side.
+      .withColumn("include_norm", transform(col("include_any_of"), k => norm(k)))
+      .withColumn("exclude_norm", transform(col("exclude_any_of"), k => norm(k)))
 
     val candidates = pool
+      .withColumn("_nname", norm(col("name")))
+      .withColumn("_ext", graft.functions.StringOps.fileExt(col("name")))
       .join(broadcast(allRules), Seq("column_id"))
       .filter(matches)
+      .drop("_nname", "_ext", "include_norm", "exclude_norm")
 
     val grp = Window.partitionBy(col("item_id"), col("column_id"))
     val byPriority = grp.orderBy(col("priority"))

@@ -99,9 +99,27 @@ object Similarity {
     val e = withDoubleVec(df, vecCol)
       .select(col(idCol).as("id"), col(blockCol).as("blk"), col("v"),
         norm2(col("v"), dim).as("nrm"))
+    pairsWithinBlocks(e, dim, threshold)
+  }
+
+  /** The scale path for embedding near-dup: the block is a sign-LSH
+    * bucket derived from the data itself — no label needed. High-cosine
+    * pairs agree on most hyperplane signs, so they usually share the
+    * bucket; recall is tuned via `planes` (fewer planes → bigger
+    * buckets → higher recall and cost). Shuffle is keyed by the bucket:
+    * quadratic only within buckets, never across the corpus.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, threshold: Double, planes: Int = 8): DataFrame = {
+    val e = withDoubleVec(df, vecCol)
+      .select(col(idCol).as("id"), signBucket(col("v"), dim, planes).as("blk"),
+        col("v"), norm2(col("v"), dim).as("nrm"))
+    pairsWithinBlocks(e, dim, threshold)
+  }
+
+  private def pairsWithinBlocks(e: DataFrame, dim: Int, threshold: Double): DataFrame =
     e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("cosine", dotFold(col("a.v"), col("b.v"), dim) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
-  }
 }

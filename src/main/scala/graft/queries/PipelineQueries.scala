@@ -192,6 +192,16 @@ object PipelineQueries {
        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.v", "b.v", Dim)} >= 0.4""".stripMargin
 
+  /** The label-free scale path: blocks are sign-LSH buckets. */
+  val embedNearDupLsh: Q = (s, d) =>
+    Similarity.lshNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", Dim, 0.4, Planes)
+  val embedNearDupLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |bk AS (SELECT vec_id, v, ${signBucketSql("v", Dim, Planes)} AS blk FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosineSql("a.v", "b.v", Dim)} AS cosine
+       |FROM bk a JOIN bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
+       |WHERE ${cosineSql("a.v", "b.v", Dim)} >= 0.4""".stripMargin
+
   // ---------------------------------------------------------------- W4 rule cascade
   /** Pool derived from lineitem: synthetic file names exercise accents,
     * case, extensions and the latest/first/all pick modes.
@@ -286,6 +296,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_embed_neardup" -> embedNearDup,
+    "q_embed_neardup_lsh" -> embedNearDupLsh,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -300,5 +311,6 @@ object PipelineQueries {
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_embed_neardup" -> embedNearDupSql,
+    "q_embed_neardup_lsh" -> embedNearDupLshSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }
