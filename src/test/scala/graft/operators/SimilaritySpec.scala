@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ANN and near-dup invariants on tiny hand-built embeddings. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), "a"),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), "a"),   // near 1
+    (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), "a"),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f), "b")   // opposite of 1
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by exact cosine, excludes self, respects k") {
+    val out = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" === 1L),
+        "vec_id", "embedding", dim = 4, k = 2)
+      .select("nn_id", "rk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((2L, 1), (3L, 2))) // 2 closest, then orthogonal; self and opposite excluded/below
+  }
+
+  test("two-stage top-k equals a single global ranking") {
+    val corpus = (1 to 200).map(i => (i.toLong, Array(i.toFloat, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 4, 5)
+      .select("nn_id", "rk").as[(Long, Int)].collect().sortBy(_._2)
+    // cosine grows with i for this family: top-5 are the 5 largest ids
+    assert(topk.map(_._1).toSeq === Seq(200L, 199L, 198L, 197L, 196L))
+  }
+
+  test("blockedNearDupPairs only pairs within a block and applies the threshold") {
+    val out = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", "label", 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 2L))) // 3 is orthogonal (cos 0); 4 in another block
+  }
+
+  test("lshNearDupPairs finds the same high-cosine pair label-free") {
+    val out = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 4, 0.5, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.contains((1L, 2L))) // near-identical vectors share all sign bits
+    assert(!out.contains((1L, 4L))) // opposite vectors land in different buckets
+  }
+}

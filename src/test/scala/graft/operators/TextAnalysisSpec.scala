@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Text-analysis operator semantics on hand-checkable inputs. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts: whitespace, regex-token and char counts") {
+    val out = TextAnalysis.withTokenCounts(
+      Seq((1L, "ab cd, ef 12")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_ws_tokens", "n_re_tokens", "n_chars").head
+    // regex tokens: ab, cd, ",", ef, 12
+    assert((out.getInt(0), out.getInt(1), out.getInt(2)) === ((4, 5, 12)))
+  }
+
+  test("quality score: distinct ratio, stopword ratio, mean length blend") {
+    val text = "the cat sat on the mat" // 6 words, 5 distinct, 3 stopwords (the/on/the)
+    val r = TextAnalysis.withQualityScore(Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_words", "distinct_ratio", "stop_ratio", "mean_word_len", "quality_score").head
+    assert(r.getInt(0) === 6)
+    assert(r.getDouble(1) === 5.0 / 6.0)
+    assert(r.getDouble(2) === 3.0 / 6.0)
+    assert(r.getDouble(3) === (22.0 - 5.0) / 6.0)
+    val expected = (5.0 / 6.0) * 0.5 + (3.0 / 6.0) * 0.25 // mean len 2.83 < 3.0 -> no bonus
+    assert(math.abs(r.getDouble(4) - expected) < 1e-12)
+  }
+
+  test("language id picks the dominant marker set; und when none match") {
+    val out = TextAnalysis.withLangId(Seq(
+      (1L, "the house of the king and a dog"),
+      (2L, "el perro de la casa y los gatos"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+  }
+
+  test("fingerprint: null min/max for docs shorter than n words, stable text hash") {
+    val out = TextAnalysis.withFingerprint(Seq(
+      (1L, "one two three four five six"),
+      (2L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(!out(0).isNullAt(2) && !out(0).isNullAt(3))
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3)) // no 5-gram shingles
+    assert(out(0).getLong(1) !== out(1).getLong(1))
+  }
+}
