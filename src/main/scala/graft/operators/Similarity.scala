@@ -122,4 +122,56 @@ object Similarity {
       .withColumn("cosine", dotFold(col("a.v"), col("b.v"), dim) / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+
+  // ------------------------------------------------------------------ IVF
+  /** Deterministic IVF list assignment: `centroids` are fixed vectors
+    * (in production: k-means output; here any deterministic pick — the
+    * structure, not the training, is the operator). Each row gets the
+    * arg-max-cosine centroid id; ties break to the lower id.
+    */
+  def withIvfList(df: DataFrame, vecCol: String, dim: Int,
+                  centroids: Seq[Seq[Double]]): DataFrame = {
+    val e = withDoubleVec(df, vecCol).withColumn("_nrm", norm2(col("v"), dim))
+    val sims = centroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      (dotFold(col("v"), typedlit(c), dim) / (col("_nrm") * lit(cn))).as(s"_c$i")
+    }
+    // argmax = first index reaching the max (tie → lowest id)
+    val mx = centroids.indices.map(i => col(s"_c$i")).reduce(greatest(_, _))
+    val best = centroids.indices.foldRight(lit(-1)) { (i, acc) =>
+      when(col(s"_c$i") === col("_mx"), lit(i)).otherwise(acc)
+    }
+    e.select(col("*") +: sims: _*)
+      .withColumn("_mx", mx)
+      .withColumn("ivf_list", best)
+      .drop("_mx")
+      .drop(centroids.indices.map(i => s"_c$i"): _*)
+  }
+
+  /** IVF top-k: corpus rows are searched only in the query's `nProbe`
+    * closest lists. The coarse quantizer bounds the shuffle exactly like
+    * the LSH bucket join; recall is tuned via nProbe.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              dim: Int, k: Int, centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    val c = withIvfList(corpus, vecCol, dim, centroids)
+      .select(col(idCol).as("nn_id"), col("v").as("cv"), col("_nrm").as("cnrm"),
+        col("ivf_list").as("list_id"))
+    // Queries probe their nProbe closest lists: rank centroid cosines.
+    val qSims = withDoubleVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
+    val probes = centroids.zipWithIndex.map { case (cvec, i) =>
+      val cn = math.sqrt(cvec.map(x => x * x).sum)
+      struct((dotFold(col("qv"), typedlit(cvec), dim) / (col("qnrm") * lit(cn))).as("sim"),
+        lit(i).as("list_id"))
+    }
+    val q = qSims.withColumn("_probe",
+        slice(reverse(array_sort(array(probes: _*))), 1, nProbe))
+      .select(col("query_id"), col("qv"), col("qnrm"),
+        explode(col("_probe.list_id")).as("list_id"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("qv"), col("cv"), dim) / (col("qnrm") * col("cnrm")))
+    topK(scored, k)
+  }
 }

@@ -184,6 +184,52 @@ object PipelineQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM s)
        |WHERE rk <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- IVF ANN
+  private val IvfK = 8
+  private val IvfProbe = 2
+  private val IvfTopN = 3
+  /** Deterministic pseudo-centroids from the shared md5 hyperplane
+    * generator — fixed constants on both engines (in production these
+    * come from k-means; the operator structure is what's under test).
+    */
+  private val IvfCentroids: Seq[Seq[Double]] =
+    (0 until IvfK).map(i => (1 to Dim).map(d => hyperplane(100 + i, d)).toSeq)
+
+  val annIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Dim, IvfTopN, IvfCentroids, IvfProbe)
+  }
+  val annIvfSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val simExprs = IvfCentroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"${dotFoldSql("v", lit64(c), Dim)} / (nrm * $cn) AS c$i"
+    }.mkString(",\n       ")
+    val gmax = (0 until IvfK).map(i => s"c$i").mkString("greatest(", ", ", ")")
+    val argmax = (0 until IvfK).map(i => s"WHEN c$i = m THEN $i").mkString("CASE ", " ", " END")
+    val probeStructs = (0 until IvfK).map(i => s"{'sim': c$i, 'list_id': $i}").mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |s AS (SELECT vec_id, v, nrm,
+       |       $simExprs
+       |      FROM n),
+       |a AS (SELECT vec_id, v, nrm, $argmax AS list_id
+       |      FROM (SELECT *, $gmax AS m FROM s)),
+       |qp AS (SELECT query_id, qv, qnrm, list_id FROM (
+       |        SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, sim, list_id,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) AS pr
+       |        FROM (SELECT vec_id, v, nrm, unnest($probeStructs, recursive := true)
+       |              FROM s WHERE vec_id < 8))
+       |       WHERE pr <= $IvfProbe),
+       |sc AS (SELECT qp.query_id, a.vec_id AS nn_id,
+       |              ${dotFoldSql("qp.qv", "a.v", Dim)} / (qp.qnrm * a.nrm) AS cosine
+       |       FROM a JOIN qp ON a.list_id = qp.list_id AND a.vec_id != qp.query_id)
+       |SELECT query_id, nn_id, cosine, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM sc)
+       |WHERE rk <= $IvfTopN""".stripMargin
+  }
+
   val embedNearDup: Q = (s, d) =>
     Similarity.blockedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", Dim, 0.4)
   val embedNearDupSql: String =
@@ -295,6 +341,7 @@ object PipelineQueries {
     "q_doc_fingerprint" -> docFingerprint,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
+    "q_ann_ivf" -> annIvf,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
     "q_rule_fallback" -> ruleFallback)
@@ -310,6 +357,7 @@ object PipelineQueries {
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
+    "q_ann_ivf" -> annIvfSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
     "q_rule_fallback" -> ruleFallbackSql)

@@ -43,6 +43,32 @@ object EventPipeline {
     def drop(name: String): Unit = stores.remove(name)
   }
 
+  /** S8 + §3.3 end-to-end: each micro-batch's NEW events (cross-batch
+    * deduped by event_id) trigger the full deposit pipeline for their
+    * items against static cells/rules. Only the tiny (event_id,
+    * item_id) key set is collected to consult the idempotency registry
+    * — in production that registry is the external service's own
+    * idempotence and the collect disappears.
+    */
+  def startDepositStream(events: DataFrame, clients: DataFrame, cells: DataFrame,
+                         rules: DataFrame, defaultRule: DataFrame, storeName: String,
+                         lotNumber: Int = 1): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val fresh = batch.select("event_id", "item_id").distinct().collect()
+          .filter(r => Processed.applyOnce(storeName, r.getLong(0)))
+          .map(_.getLong(1)).distinct.toSeq
+        if (fresh.nonEmpty) {
+          val batchClients = clients.filter(col("id_monday").isin(fresh: _*))
+          val plan = graft.pipelines.DepositPipeline.uploadTasks(
+            batchClients, cells, rules, defaultRule, lotNumber, startId = 1)
+          graft.pipelines.DepositPipeline.run(batch.sparkSession, plan, storeName, sleep = _ => ())
+        }
+        ()
+      }
+      .start()
+
   /** S8 + K3: one pipeline invocation per NEW event — here the §3.3
     * per-item side effect is a get-or-create in the Drive stand-in.
     * Requires columns `event_id` (dedup key) and `item_id`.

@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming deposit pipeline: new events trigger uploads, redelivery does not") {
+    EventPipeline.Processed.drop("st3")
+    DriveStore.drop("st3")
+    implicit val ctx = spark.sqlContext
+    val clients = Seq((100L, "Ana"), (200L, "Bob")).toDF("id_monday", "nomcomplet")
+    val cells = Seq(
+      (100L, "col_factura", """{"files":[{"assetId":11,"name":"factura.pdf","createdAt":100}]}"""),
+      (200L, "col_factura", """{"files":[{"assetId":21,"name":"factura.pdf","createdAt":100}]}"""))
+      .toDF("item_id", "column_id", "value")
+    val rules = Seq(("col_factura", 1, Seq("factura"), Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
+      .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    val default = Seq(("__default__", 1, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
+      .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st3")
+    try {
+      mem.addData(ev(1, 100, "depot", 1))
+      q.processAllAvailable()
+      val store = DriveStore.get("st3")
+      assert(store.fileCount === 1)
+      assert(store.status(100L) === Some("Livré"))
+      // redelivered event: no new upload; new event for item 200: one more
+      mem.addData(ev(1, 100, "depot", 1), ev(2, 200, "depot", 2))
+      q.processAllAvailable()
+      assert(store.fileCount === 2)
+      assert(store.status(200L) === Some("Livré"))
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch aggregation on the same data") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Ev]
