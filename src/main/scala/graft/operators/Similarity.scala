@@ -59,6 +59,33 @@ object Similarity {
 
   private def norm2(v: Column, dim: Int): Column = sqrt(dotFold(v, v, dim))
 
+  /** Top-k via the bounded [[graft.functions.TopKAgg]] aggregate
+    * instead of windows: the k-element buffer partial-aggregates
+    * map-side, so a query's candidates never co-locate unreduced.
+    * Output identical to [[topK]] (same ordering and tie-breaks).
+    */
+  def topKViaAgg(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("cosine"), col("nn_id")).as("_topk"))
+      .select(col("query_id"), posexplode(col("_topk")).as(Seq("_i", "_x")))
+      .select(col("query_id"), col("_x.id").as("nn_id"), col("_x.score").as("cosine"),
+        (col("_i") + 1).cast("int").as("rk"))
+  }
+
+  /** bruteForceTopK with the aggregate-based reduction. */
+  def bruteForceTopKAgg(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, k: Int): DataFrame = {
+    val c = withDoubleVec(corpus, vecCol)
+      .select(col(idCol).as("nn_id"), col("v").as("cv"), norm2(col("v"), dim).as("cnrm"))
+    val q = withDoubleVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("cosine", dotFold(col("qv"), col("cv"), dim) / (col("qnrm") * col("cnrm")))
+    topKViaAgg(scored, k)
+  }
+
   /** Exact top-k neighbors for each query row (excluding self-matches). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, dim: Int, k: Int): DataFrame = {

@@ -184,6 +184,15 @@ object PipelineQueries {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM s)
        |WHERE rk <= 3""".stripMargin
 
+  /** Same result as q_ann_topk, computed through the bounded TopKAgg
+    * aggregate (map-side partial top-k) instead of windows — shares the
+    * q_ann_topk oracle because output is identical by construction.
+    */
+  val annTopKAgg: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopKAgg(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", Dim, TopK)
+  }
+
   // ---------------------------------------------------------------- IVF ANN
   private val IvfK = 8
   private val IvfProbe = 2
@@ -342,6 +351,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
     "q_rule_fallback" -> ruleFallback)
@@ -358,6 +368,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
     "q_rule_fallback" -> ruleFallbackSql)

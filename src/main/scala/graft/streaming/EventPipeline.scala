@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.sinks.DriveStore
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -22,6 +22,22 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * for it offline, same contract.
   */
 object EventPipeline {
+
+  /** File-source replay of a driver events table: `readStream` over the
+    * parquet directory with the batch loader's schema — the offline
+    * analog of the webhook source (S8). The nanosecond `ts` arrives as
+    * a raw long (see [[graft.Tables.events]]) and is converted
+    * identically here.
+    */
+  def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = graft.Tables.table(spark, sfDir, "events").schema
+    // The file source wants a DIRECTORY; select just the events file.
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (raw.schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
 
   /** Watermarked tumbling-window counts (batch analog: q_window_events). */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",

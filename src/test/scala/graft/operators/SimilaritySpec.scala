@@ -29,6 +29,16 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.map(_._1).toSeq === Seq(200L, 199L, 198L, 197L, 196L))
   }
 
+  test("aggregate-based top-k equals the window-based top-k exactly") {
+    val corpus = (1 to 300).map(i => (i.toLong, Array(i.toFloat, 7.0f, 3.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = (301 to 305).map(i => (i.toLong, Array(1.0f, i.toFloat, 0.5f, 0.0f))).toDF("vec_id", "embedding")
+    val win = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", 4, 7)
+      .select("query_id", "nn_id", "cosine", "rk").collect().map(_.toSeq).toSet
+    val agg = Similarity.bruteForceTopKAgg(corpus, q, "vec_id", "embedding", 4, 7)
+      .select("query_id", "nn_id", "cosine", "rk").collect().map(_.toSeq).toSet
+    assert(agg === win)
+  }
+
   test("blockedNearDupPairs only pairs within a block and applies the threshold") {
     val out = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", "label", 4, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()

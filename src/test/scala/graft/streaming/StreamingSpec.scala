@@ -68,6 +68,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source replay of events.parquet matches the batch windowed aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventPipeline.readEventStream(spark, dir)
+    val q = EventPipeline.windowedCounts(stream)
+      .writeStream.outputMode("complete").format("memory").queryName("replay").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay")
+        .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+      val batchTotal = graft.Tables.events(spark, dir).count()
+      assert(streamed === batchTotal)
+      val batchBuckets = EventPipeline.windowedCounts(graft.Tables.events(spark, dir)).count()
+      assert(spark.table("replay").count() === batchBuckets)
+    } finally q.stop()
+  }
+
   test("streaming windowed counts equal the batch aggregation on the same data") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[Ev]
