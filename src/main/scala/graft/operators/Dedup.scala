@@ -86,11 +86,17 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("n_a") + col("n_b") - col("inter")))
   }
 
-  /** Drop shingle hashes whose document frequency exceeds `cap`. */
+  /** Drop shingle hashes whose document frequency exceeds `cap`.
+    * A count-over-window partitioned by the shingle hash: one exchange
+    * on sh_h that the downstream pair self-join (also keyed on sh_h)
+    * reuses, instead of a groupBy+join that re-evaluates the shingle
+    * pipeline for the frequency table.
+    */
   private def pruneStopShingles(sh: DataFrame, cap: Int): DataFrame = {
-    val keep = sh.groupBy("sh_h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= cap).select("sh_h")
-    sh.join(keep, Seq("sh_h"))
+    import org.apache.spark.sql.expressions.Window
+    sh.withColumn("_df", count(lit(1)).over(Window.partitionBy("sh_h")))
+      .filter(col("_df") <= cap)
+      .drop("_df")
   }
 
   /** Exact n-gram Jaccard pairs >= threshold (doc_a < doc_b).
