@@ -3,7 +3,14 @@ package graft.streaming
 import graft.sinks.DriveStore
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Typed event row for the stateful operators. */
+case class StreamEvent(event_id: Long, item_id: Long, event_type: String,
+                       ts: java.sql.Timestamp, value: Double)
+
+/** Running per-item state (A2/A3 as streaming state). */
+case class ItemCounter(item_id: Long, n_events: Long, n_errors: Long, total_value: Double)
 
 /** S8/§2.11 — the webhook event stream as Structured Streaming.
   *
@@ -46,6 +53,47 @@ object EventPipeline {
       .groupBy(window(col("ts"), windowLen).getField("start").as("bucket_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+
+  /** Custom streaming state via mapGroupsWithState: cumulative per-item
+    * event/error counts and value totals across micro-batches — the
+    * reference's per-item accounting (A2/A3) as managed, checkpointed
+    * state instead of an external store. Use with OutputMode.Update.
+    */
+  def statefulItemCounters(events: Dataset[StreamEvent]): Dataset[ItemCounter] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.item_id)
+      .mapGroupsWithState[ItemCounter, ItemCounter](GroupStateTimeout.NoTimeout) {
+        (id: Long, evs: Iterator[StreamEvent], state: GroupState[ItemCounter]) =>
+          val next = evs.foldLeft(state.getOption.getOrElse(ItemCounter(id, 0L, 0L, 0.0))) {
+            (acc, e) =>
+              ItemCounter(id, acc.n_events + 1,
+                acc.n_errors + (if (e.event_type == "error") 1 else 0),
+                acc.total_value + e.value)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Exactly-once WITHIN the engine: event-id dedup as managed state
+    * (flatMapGroupsWithState) — redelivered ids produce no output, so
+    * downstream sinks see each event once without any external
+    * registry. State is per event-id; at scale give it a timeout
+    * matched to the source's redelivery horizon.
+    */
+  def statefulDedup(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id)
+      .flatMapGroupsWithState[Boolean, StreamEvent](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[StreamEvent], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            evs.take(1)
+          }
+      }
+  }
 
   /** Cross-batch processed-event registry (exactly-once effect dedup). */
   object Processed {

@@ -68,6 +68,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState accumulates per-item counters across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val typed = mem.toDF().as[StreamEvent]
+    val q = EventPipeline.statefulItemCounters(typed)
+      .writeStream.outputMode("update").format("memory").queryName("counters").start()
+    try {
+      mem.addData(Ev(1, 100, "upload", ts(1), 2.0), Ev(2, 100, "error", ts(2), 3.0),
+        Ev(3, 200, "upload", ts(3), 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev(4, 100, "upload", ts(4), 10.0))
+      q.processAllAvailable()
+      // latest state per item (update mode appends each revision; take the max-n row)
+      val last = spark.table("counters")
+        .groupBy("item_id")
+        .agg(org.apache.spark.sql.functions.max(
+          org.apache.spark.sql.functions.struct("n_events", "n_errors", "total_value")).as("s"))
+        .select("item_id", "s.n_events", "s.n_errors", "s.total_value")
+        .as[(Long, Long, Long, Double)].collect()
+        .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+      assert(last(100L) === ((3L, 1L, 15.0)))
+      assert(last(200L) === ((1L, 0L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState dedups redelivered event ids inside the engine") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.statefulDedup(mem.toDF().as[StreamEvent])
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      mem.addData(Ev(1, 100, "a", ts(1), 1.0), Ev(2, 100, "a", ts(2), 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, 100, "a", ts(2), 1.0), Ev(3, 200, "a", ts(3), 1.0)) // 2 redelivered
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
