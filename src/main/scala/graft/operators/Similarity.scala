@@ -144,11 +144,30 @@ object Similarity {
     pairsWithinBlocks(e, dim, threshold)
   }
 
-  private def pairsWithinBlocks(e: DataFrame, dim: Int, threshold: Double): DataFrame =
-    e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("cosine", dotFold(col("a.v"), col("b.v"), dim) / (col("a.nrm") * col("b.nrm")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  /** Pair scoring runs as a typed mapPartitions (the deliberate
+    * "last resort"): at pair grain the dot product dominates and the
+    * `aggregate` HOF is interpreted per element — the compiled
+    * while-loop below performs the IDENTICAL left-to-right 0.0-seeded
+    * fold, so doubles are bit-equal to the expression form (and the
+    * DuckDB oracle), just ~2× faster end-to-end.
+    */
+  private def pairsWithinBlocks(e: DataFrame, dim: Int, threshold: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val pairs = e.as("a").join(e.as("b"), col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"), col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .as[(Long, Long, Array[Double], Array[Double], Double, Double)]
+    pairs.mapPartitions { it =>
+      it.flatMap { case (ia, ib, va, vb, na, nb) =>
+        var dot = 0.0
+        var i = 0
+        while (i < dim) { dot += va(i) * vb(i); i += 1 }
+        val cos = dot / (na * nb)
+        if (cos >= threshold) Iterator.single((ia, ib, cos)) else Iterator.empty
+      }
+    }.toDF("id_a", "id_b", "cosine")
+  }
 
   // ------------------------------------------------------------------ IVF
   /** Deterministic IVF list assignment: `centroids` are fixed vectors
