@@ -20,7 +20,7 @@ object Bench {
       try {
         val df = fn(spark, sfDir)
         // double sum: a long sum of 64-bit hashes overflows under ANSI.
-        df.select(xxhash64(df.columns.map(col): _*).cast("double").as("_h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("double").as("_h"))
           .agg(sum("_h")).collect()
       } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9

@@ -27,7 +27,7 @@ object Skew {
     require(salt > 0)
     // Hash of the full row: deterministic (safe under task retry),
     // spreads a hot key's rows across salts unless rows are identical.
-    val bigS = big.withColumn("_salt", pmod(hash(big.columns.map(col): _*), lit(salt)))
+    val bigS = big.withColumn("_salt", pmod(hash(big.columns.toIndexedSeq.map(col): _*), lit(salt)))
     val smallS = small.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
     bigS.join(smallS, keys :+ "_salt", joinType).drop("_salt")
   }
@@ -35,7 +35,7 @@ object Skew {
   /** Skew-safe count+sum per key (decomposable aggregates only). */
   def saltedAgg(df: DataFrame, keys: Seq[String], valueCol: String, salt: Int): DataFrame = {
     require(salt > 0)
-    df.withColumn("_salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
+    df.withColumn("_salt", pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt)))
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(count(lit(1)).as("_n"), sum(col(valueCol)).as("_s"))
       .groupBy(keys.map(col): _*)
