@@ -155,6 +155,46 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair
+    * relation (doc_a < doc_b), labeled by the MINIMUM doc id of each
+    * component — every doc in `docs` appears, singletons labeling
+    * themselves. This is the step a real dedup pipeline runs after
+    * pair finding: keep one canonical doc per cluster.
+    *
+    * Iterative min-label propagation (what GraphX/GraphFrames CC does
+    * under the hood): each round every node takes the min of its own
+    * and its neighbors' labels; rounds needed = component diameter
+    * (near-dup clusters are shallow — a handful of rounds). Each
+    * iteration localCheckpoints: iterative plans MUST cut lineage or
+    * the DAG grows exponentially. The driver loop carries only a
+    * convergence flag, never data.
+    */
+  def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .localCheckpoint(true)
+    var comp = docs.select(col(idCol).as("doc_id"))
+      .withColumn("component_id", col("doc_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = comp.join(edges, comp("doc_id") === edges("src"))
+        .groupBy(col("dst").as("doc_id")).agg(min(col("component_id")).as("n_min"))
+      val next = comp.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component_id"), coalesce(col("n_min"), col("component_id"))).as("component_id"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(comp.as("c"), Seq("doc_id"))
+        .filter(col("n.component_id") =!= col("c.component_id"))
+        .isEmpty
+      comp = next
+      iter += 1
+    }
+    comp
+  }
+
   /** Per-doc simhash (long, SimhashBits bits) from word unigram votes.
     * One explode + one hash-aggregate; the 48 per-bit sums are a single
     * aggregation pass (columnar, codegen'd).

@@ -85,6 +85,29 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dup clusters
+  /** Connected components over the n-gram near-dup pairs; oracle is a
+    * recursive-CTE transitive closure taking the min reachable id.
+    */
+  val dupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.duplicateClusters(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
+        maxShingleDf = Some(Dedup.DefaultMaxShingleDf)))
+  }
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
+       |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY 1)
+       |SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   private val SimMaxHamming = 5
   val dedupSimhash: Q = (s, d) =>
@@ -344,6 +367,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_dup_clusters" -> dupClusters,
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
@@ -361,6 +385,7 @@ object PipelineQueries {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,

@@ -68,6 +68,23 @@ class DedupSpec extends SparkSpec {
     assert(sig.count() === 2L)
   }
 
+  test("duplicateClusters: chains collapse to min-id components, singletons label themselves") {
+    val docsDf = docs((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (6L, "f"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.duplicateClusters(docsDf, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("duplicateClusters converges on a long chain (diameter > 2)") {
+    val n = 12L
+    val docsDf = docs((1L to n).map(i => (i, s"t$i")): _*)
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.duplicateClusters(docsDf, "doc_id", pairs)
+      .as[(Long, Long)].collect()
+    assert(comp.forall(_._2 == 1L))
+  }
+
   test("simhash pair search respects the pigeonhole precondition") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs((1L, wordsA)), "doc_id", "text", maxHamming = 6, chunks = 6)
