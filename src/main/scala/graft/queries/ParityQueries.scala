@@ -300,6 +300,36 @@ object ParityQueries {
       |             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) % 32 AS bkt
       |      FROM (SELECT DISTINCT l_partkey FROM lineitem))""".stripMargin
 
+  // ---------------------------------------------------------------- rollup/quantiles
+  // SURVEY §2.5 marks grouping sets/cube/rollup and quantiles ABSENT in
+  // the reference but covered by Spark built-ins — these two queries
+  // prove the claim against the oracle.
+  val rollupAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("sum_qty"))
+  val rollupAggSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  val quantiles: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        min(col("value")).as("v_min"),
+        max(col("value")).as("v_max"))
+  val quantilesSql: String =
+    """SELECT event_type,
+      |       quantile_cont(value, 0.5) AS p50,
+      |       quantile_cont(value, 0.95) AS p95,
+      |       min(value) AS v_min,
+      |       max(value) AS v_max
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- §2.11
   // Tumbling-window event counts (batch analog of the streaming pipeline).
   val windowEvents: Q = (s, d) =>
@@ -333,6 +363,8 @@ object ParityQueries {
     "q_name_template" -> nameTemplate,
     "q_mime_map" -> mimeMap,
     "q_distinct_batch" -> distinctBatch,
+    "q_rollup_agg" -> rollupAgg,
+    "q_quantiles" -> quantiles,
     "q_window_events" -> windowEvents)
 
   val oracleSql: Map[String, String] = Map(
@@ -355,5 +387,7 @@ object ParityQueries {
     "q_name_template" -> nameTemplateSql,
     "q_mime_map" -> mimeMapSql,
     "q_distinct_batch" -> distinctBatchSql,
+    "q_rollup_agg" -> rollupAggSql,
+    "q_quantiles" -> quantilesSql,
     "q_window_events" -> windowEventsSql)
 }
