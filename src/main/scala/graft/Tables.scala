@@ -31,13 +31,15 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
     * raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
     * [[GraftSession]]); convert to a microsecond timestamp here so every
-    * query sees a normal timestamp column. The test data is
-    * second-granular, so the nanos→micros floor is lossless.
+    * query sees a normal timestamp column. NOTE: `div` (integer
+    * division) is load-bearing — `/` on longs is DOUBLE division and
+    * epoch nanos exceed a double's 53-bit mantissa, silently shifting
+    * timestamps by ±1µs.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
     if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")

@@ -254,6 +254,33 @@ object DomainQueries {
       |       replace('name''s ' || o_orderpriority, '''', '\''') AS escaped
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- as-of join
+  /** Point-in-time enrichment: each event picks the user's latest order
+    * at-or-before the event time. The right side is deduped to one row
+    * per (key, ts) first — both engines' tie choice would otherwise be
+    * arbitrary. Oracle uses DuckDB's native ASOF LEFT JOIN.
+    */
+  val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    val o = graft.operators.Picks.pickTop1(Tables.orders(s, d),
+        Seq(col("o_custkey"), col("o_orderdate")), Seq(col("o_orderkey").desc))
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast("timestamp").as("odate"),
+        col("o_orderkey"), col("o_totalprice"))
+    graft.operators.AsOf.join(ev, o, "user_id", "ts", "odate",
+      Seq("o_orderkey", "o_totalprice"))
+  }
+  val asofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, ts FROM events),
+      |o1 AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS odate,
+      |              o_orderkey, o_totalprice
+      |       FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                                          ORDER BY o_orderkey DESC) AS rn
+      |             FROM orders) WHERE rn = 1)
+      |SELECT ev.event_id, ev.user_id, CAST(ev.ts AS TIMESTAMP) AS ts,
+      |       o1.o_orderkey, o1.o_totalprice
+      |FROM ev ASOF LEFT JOIN o1 ON ev.user_id = o1.user_id AND ev.ts >= o1.odate""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
@@ -261,7 +288,8 @@ object DomainQueries {
     "q_upload_plan" -> uploadPlan,
     "q_folder_listing" -> folderListing,
     "q_eav_lookup" -> eavLookup,
-    "q_stamp_format" -> stampFormat)
+    "q_stamp_format" -> stampFormat,
+    "q_asof_join" -> asofJoin)
 
   val oracleSql: Map[String, String] = Map(
     "q_files_payload" -> filesPayloadSql,
@@ -270,5 +298,6 @@ object DomainQueries {
     "q_upload_plan" -> uploadPlanSql,
     "q_folder_listing" -> folderListingSql,
     "q_eav_lookup" -> eavLookupSql,
-    "q_stamp_format" -> stampFormatSql)
+    "q_stamp_format" -> stampFormatSql,
+    "q_asof_join" -> asofJoinSql)
 }

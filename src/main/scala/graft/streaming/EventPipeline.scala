@@ -41,8 +41,9 @@ object EventPipeline {
     // The file source wants a DIRECTORY; select just the events file.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    // integer `div`: double division loses nanos-scale precision
     if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 
