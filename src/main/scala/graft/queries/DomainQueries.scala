@@ -281,6 +281,63 @@ object DomainQueries {
       |       o1.o_orderkey, o1.o_totalprice
       |FROM ev ASOF LEFT JOIN o1 ON ev.user_id = o1.user_id AND ev.ts >= o1.odate""".stripMargin
 
+  // ---------------------------------------------------------------- range join
+  private val WeekUs = 604800000000L
+  /** Events landing inside the 7-day window after each of the user's
+    * orders — the bucketed range join (no cross product; see
+    * [[graft.operators.RangeJoin]]).
+    */
+  val rangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(WeekUs))
+    graft.operators.RangeJoin.pointInInterval(ev, o, "user_id", "ts_us", "start_us", "end_us", WeekUs)
+      .select("event_id", "user_id", "ts_us", "o_orderkey", "start_us")
+  }
+  val rangeJoinSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |o AS (SELECT o_custkey AS user_id, o_orderkey,
+       |             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS start_us FROM orders)
+       |SELECT ev.event_id, ev.user_id, ev.ts_us, o.o_orderkey, o.start_us
+       |FROM ev JOIN o ON ev.user_id = o.user_id
+       |WHERE ev.ts_us >= o.start_us AND ev.ts_us <= o.start_us + $WeekUs""".stripMargin
+
+  // ---------------------------------------------------------------- sessionize
+  private val SessionGapUs = 1800000000L // 30 minutes
+  /** Gap-based sessionization: a new session starts when the user's
+    * inter-event gap exceeds 30 minutes; one lag + one running sum over
+    * the same (user, ts) window, then a per-session rollup — the batch
+    * analog of streaming session windows.
+    */
+  val sessionize: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("_prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("ts_us") - col("_prev") > SessionGapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start"), max("ts_us").as("session_end"))
+  }
+  val sessionizeSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+       |g AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+       |                       OR ts_us - lag(ts_us) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS new_s
+       |      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |se AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |       FROM g)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |       min(ts_us) AS session_start, max(ts_us) AS session_end
+       |FROM se GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
@@ -289,7 +346,9 @@ object DomainQueries {
     "q_folder_listing" -> folderListing,
     "q_eav_lookup" -> eavLookup,
     "q_stamp_format" -> stampFormat,
-    "q_asof_join" -> asofJoin)
+    "q_asof_join" -> asofJoin,
+    "q_range_join" -> rangeJoin,
+    "q_sessionize" -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
     "q_files_payload" -> filesPayloadSql,
@@ -299,5 +358,7 @@ object DomainQueries {
     "q_folder_listing" -> folderListingSql,
     "q_eav_lookup" -> eavLookupSql,
     "q_stamp_format" -> stampFormatSql,
-    "q_asof_join" -> asofJoinSql)
+    "q_asof_join" -> asofJoinSql,
+    "q_range_join" -> rangeJoinSql,
+    "q_sessionize" -> sessionizeSql)
 }
