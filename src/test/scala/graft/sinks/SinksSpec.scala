@@ -94,6 +94,20 @@ class SinksSpec extends SparkSpec {
     assert(ids.forall(id => store.listFolders(7L, "ACT_1_X").map(_.id).contains(id)))
   }
 
+  // ------------------------------------------------------------- IdempotentBatchSink
+  test("idempotent batch sink: redelivered batch ids are skipped, readers see committed data once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+    assert(IdempotentBatchSink.writeBatch(b0, dir, 0L) === true)
+    assert(IdempotentBatchSink.writeBatch(b1, dir, 1L) === true)
+    // failure-replay of batch 0 must be a no-op
+    assert(IdempotentBatchSink.writeBatch(b0, dir, 0L) === false)
+    val back = IdempotentBatchSink.readCommitted(spark, dir)
+      .select("id").as[Long].collect().sorted
+    assert(back.toSeq === Seq(1L, 2L, 3L))
+  }
+
   // ------------------------------------------------------------- StatusSink (K4/A4)
   test("status updates gated by the A4 existence condition reach only qualifying items") {
     DriveStore.drop("s4")
