@@ -42,6 +42,20 @@ object Multimodal {
   def scanEffectStub(bin: Column, seed: String): Column =
     unhex(md5(concat(hex(bin), lit(seed))))
 
+  /** Resize stand-in (B1's dpi/zoom geometry, `fixed_signature_utils
+    * .py:68`, `:91-92`): deterministic derived payload + real geometry
+    * metadata columns. A real implementation swaps the payload
+    * expression for an image-library call; the metadata math
+    * (`zoom = dpi/72`, pt-size scaling) is the actual reference logic.
+    */
+  def resizeStub(df: DataFrame, binCol: String, dpi: Int): DataFrame = {
+    val zoom = dpi / 72.0
+    df.withColumn("render_zoom", lit(zoom))
+      .withColumn("out_width_px", ceil(lit(595) * zoom).cast("int")) // A4 pt width
+      .withColumn("out_height_px", ceil(lit(842) * zoom).cast("int"))
+      .withColumn("resized", unhex(md5(concat(hex(col(binCol)), lit(s":resize:$dpi")))))
+  }
+
   /** Fixed-size frame slices of a binary column (video frame-sample /
     * PDF page-split analog): array of ceil(len/frameSize) chunks.
     */

@@ -45,6 +45,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L))) // 3 is orthogonal (cos 0); 4 in another block
   }
 
+  test("LSH top-1 recall is perfect on clustered data (perturbation can't flip sign buckets)") {
+    // corpus: 100 distinct ±1-valued vectors; queries: 8 of them nudged
+    // by 0.1 — every dim keeps its sign, so query and base share the
+    // LSH bucket by construction and the base must rank first.
+    def baseVec(i: Int): Array[Float] =
+      Array.tabulate(16)(d => if (((i >> (d % 7)) & 1) == 1) 1.0f else -1.0f)
+    val corpus = (0 until 100).map(i => (i.toLong, baseVec(i))).toDF("vec_id", "embedding")
+    val queries = (0 until 8).map(i => (1000L + i,
+      baseVec(i).map(x => x + 0.1f * math.signum(x)))).toDF("vec_id", "embedding")
+    val top1 = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 16, 1, planes = 8)
+      .select("query_id", "nn_id").as[(Long, Long)].collect().toMap
+    (0 until 8).foreach { i =>
+      assert(top1(1000L + i) === i.toLong, s"query $i")
+    }
+  }
+
   test("lshNearDupPairs finds the same high-cosine pair label-free") {
     val out = Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 4, 0.5, planes = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -45,6 +45,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.length === 16)         // md5-digest sized
   }
 
+  test("resizeStub computes the reference's dpi/zoom geometry with a deterministic payload") {
+    val df = Seq((1L, "pdfbytes")).toDF("doc_id", "text")
+      .transform(Multimodal.withBinaryContent(_, "text"))
+    val r = Multimodal.resizeStub(df, "content", dpi = 144)
+      .select("render_zoom", "out_width_px", "out_height_px", "resized").head
+    assert(r.getDouble(0) === 2.0)       // 144/72
+    assert(r.getInt(1) === 1190)         // ceil(595*2)
+    assert(r.getInt(2) === 1684)         // ceil(842*2)
+    assert(r.getAs[Array[Byte]](3).length === 16)
+    val again = Multimodal.resizeStub(df, "content", dpi = 144).select("resized").head.getAs[Array[Byte]](0)
+    assert(r.getAs[Array[Byte]](3).toSeq === again.toSeq)
+  }
+
   test("frame chunking covers all bytes in order with ceil(len/size) frames") {
     val df = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 10 bytes
       .transform(Multimodal.withBinaryContent(_, "text"))
