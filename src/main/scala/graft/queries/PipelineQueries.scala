@@ -54,6 +54,19 @@ object PipelineQueries {
     """SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS canonical_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Exact dedup after unaccent/case/whitespace normalization — the
+    * F1 expression doing corpus-scale work (near-exact dup detection
+    * that survives trivial reformatting).
+    */
+  val dedupNormExact: Q = (s, d) =>
+    Dedup.exactGroups(
+      Tables.documents(s, d).withColumn("text", graft.functions.Normalize.norm(col("text"))),
+      "doc_id", "text")
+  val dedupNormExactSql: String =
+    """SELECT md5(trim(regexp_replace(lower(strip_accents(text)), '\s+', ' ', 'g'))) AS text_hash,
+      |       count(*) AS n_docs, min(doc_id) AS canonical_id
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- n-gram Jaccard
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", N, 0.5,
@@ -364,6 +377,7 @@ object PipelineQueries {
 
   val queries: Map[String, Q] = Map(
     "q_dedup_exact" -> dedupExact,
+    "q_dedup_norm_exact" -> dedupNormExact,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
@@ -382,6 +396,7 @@ object PipelineQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_norm_exact" -> dedupNormExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
