@@ -12,7 +12,12 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Ordering: score descending, id ascending on ties — identical to the
   * `orderBy(cosine.desc, nn_id)` window formulation, so results are
-  * deterministic and oracle-comparable.
+  * deterministic and oracle-comparable. NaN scores (e.g. cosine of a
+  * zero-norm vector) are DROPPED here — Spark's desc sort would rank
+  * NaN first in the window formulation, so callers wanting window
+  * parity on NaN-bearing data must filter NaN before the window too
+  * (the Similarity queries never produce NaN: norms are strictly
+  * positive for the non-empty embeddings they score).
   */
 case class ScoredId(score: Double, id: Long)
 
@@ -22,8 +27,11 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]]
 
   override def zero: Seq[ScoredId] = Seq.empty
   override def reduce(buf: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    // NaN never enters the buffer (comparisons below are false for NaN
+    // only by accident of ordering — make the drop explicit).
+    if (a.score.isNaN) buf
     // cheap guard: only re-sort when the candidate can enter the top-k
-    if (buf.length < k || a.score > buf.last.score ||
+    else if (buf.length < k || a.score > buf.last.score ||
         (a.score == buf.last.score && a.id < buf.last.id)) truncate(buf :+ a)
     else buf
   override def merge(b1: Seq[ScoredId], b2: Seq[ScoredId]): Seq[ScoredId] =

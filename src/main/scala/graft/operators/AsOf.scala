@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * the same key (left rows with no prior right row keep nulls).
   *
   * Composed from built-ins per the preference order (no custom
-  * LogicalPlan needed): tag both sides, union on (key, ts), and run ONE
-  * window per right payload column — `last(_, ignoreNulls)` over rows
-  * unbounded-preceding..current with right rows ordered BEFORE left
-  * rows at equal timestamps. One shuffle on the key, one sort — the
-  * same cost profile as a native as-of merge; no range cross-product
-  * ever materializes.
+  * LogicalPlan needed): tag both sides, union on (key, ts), and fill
+  * ONE struct of all right payload columns with a single
+  * `last(_, ignoreNulls)` over rows unbounded-preceding..current, with
+  * right rows ordered BEFORE left rows at equal timestamps. The struct
+  * is non-null exactly on right rows, so every output row takes its
+  * whole payload from ONE right row — a per-column fill would backfill
+  * a genuinely-NULL payload value from an older right row and mix
+  * rows. One shuffle on the key, one sort — the same cost profile as a
+  * native as-of merge; no range cross-product ever materializes.
   *
   * Right-side (key, ts) ties must be resolved by the caller (e.g.
   * latest-by-unique-id via Picks.pickTop1) — both engines' tie choice
@@ -39,9 +42,10 @@ object AsOf {
     val w = Window.partitionBy(col("_k"))
       .orderBy(col("_ts"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("_side") === 1).drop("_k", "_ts", "_side")
+    val filled = l.unionByName(r)
+      .withColumn("_rp", when(col("_side") === 0, struct(rightPayload.map(col): _*)))
+      .withColumn("_rp", last(col("_rp"), ignoreNulls = true).over(w))
+    rightPayload.foldLeft(filled) { (df, c) => df.withColumn(c, col("_rp").getField(c)) }
+      .filter(col("_side") === 1).drop("_k", "_ts", "_side", "_rp")
   }
 }

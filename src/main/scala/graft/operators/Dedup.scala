@@ -192,6 +192,12 @@ object Dedup {
       comp = next
       iter += 1
     }
+    // Partial labels are WRONG labels: a component whose diameter
+    // exceeds maxIter would silently split into several clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within maxIter=$maxIter rounds; " +
+          "a component's diameter exceeds the iteration budget — raise maxIter")
     comp
   }
 

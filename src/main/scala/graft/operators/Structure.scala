@@ -17,11 +17,14 @@ import org.apache.spark.sql.functions._
   * upload plan, ready for a foreachPartition sink. Column ids are
   * symbolic (config keys), not board-specific identifiers.
   *
-  * Scale note: `auto_id` is a row_number over the client list — a
-  * global window, acceptable ONLY because a lot's client list is
-  * config-sized (the reference iterates it in memory); the big
-  * dimensions (files per slot) arrive via the later pool join, which
-  * shuffles on (item, column) grain.
+  * Scale note: `auto_id` is a GLOBAL sequential id by `id_monday`
+  * order, but it is NOT computed with a global window (which would
+  * funnel every row through one task): rows bucket by a monotone
+  * function of the order key, number within buckets in parallel, and
+  * add the broadcast cumulative offset of earlier buckets — the
+  * standard distributed zipWithIndex. The big dimensions (files per
+  * slot) arrive via the later pool join, which shuffles on
+  * (item, column) grain.
   */
 object Structure {
 
@@ -45,6 +48,34 @@ object Structure {
       "4-DNI" -> "col_dni",
       "4-EXCEL" -> "col_excel"))
 
+  /** Global sequential ids (`startId`, `startId+1`, …) in `orderCol`
+    * order WITHOUT a global window: bucket by a monotone function of
+    * the key (`orderCol div bucketWidth` — order-preserving across
+    * buckets), `row_number` within each bucket in parallel, then add
+    * the cumulative row count of earlier buckets via a broadcast join
+    * of the bucket-count-sized offsets table. Identical output to
+    * `row_number().over(Window.orderBy(orderCol))` for unique keys;
+    * no task ever sees more than one bucket.
+    */
+  def withSeqId(df: DataFrame, orderCol: String, as: String, startId: Long,
+                bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val bucketed = df.withColumn("_b", expr(s"cast($orderCol as long) div $bucketWidth"))
+    val counts = bucketed.groupBy("_b").agg(count(lit(1)).as("_n"))
+    // One row per NON-EMPTY bucket — tiny. The cumulative offset is a
+    // triangle self-join (sum of strictly-earlier buckets), deliberately
+    // NOT a window: even a constant-keyed window would funnel through
+    // WindowExec, and O(B²) on bucket counts is nothing.
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._b") < col("a._b"), "left")
+      .groupBy(col("a._b").as("_b")).agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
+    bucketed
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("_b")).orderBy(col(orderCol))))
+      .join(broadcast(offsets), "_b")
+      .withColumn(as, lit(startId) + col("_off") + col("_rn") - 1)
+      .drop("_b", "_rn", "_off")
+  }
+
   /** Generate the flattened lot structure for a client relation
     * (`id_monday`, `nomcomplet`). One row per (client, section, slot);
     * sections with no slots keep a row with null slot columns (their
@@ -52,9 +83,7 @@ object Structure {
     */
   def lotStructure(clients: DataFrame, lotNumber: Int, startId: Long): DataFrame = {
     val template = typedlit(Template.map { case (sec, slots) => (sec, slots) })
-    val autoId = lit(startId) + row_number().over(Window.orderBy(col("id_monday"))) - 1
-    clients
-      .withColumn("auto_id", autoId)
+    withSeqId(clients, "id_monday", "auto_id", startId)
       .withColumn("lot_name", lit(f"CLM_GE_$lotNumber%02d"))
       .withColumn("dossier", StringOps.actFolderName(col("auto_id"), col("nomcomplet")))
       .select(col("lot_name"), col("auto_id"), col("id_monday"), col("nomcomplet"),

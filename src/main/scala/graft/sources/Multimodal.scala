@@ -58,11 +58,18 @@ object Multimodal {
 
   /** Fixed-size frame slices of a binary column (video frame-sample /
     * PDF page-split analog): array of ceil(len/frameSize) chunks.
+    * Empty binary → empty array (an unguarded `sequence(1, 0)` would
+    * use Spark's default step -1 and yield TWO empty frames); null
+    * binary → null.
     */
-  def frames(bin: Column, frameSize: Int): Column =
-    transform(
-      sequence(lit(1), ceil(length(bin) / lit(frameSize.toDouble)).cast("long")),
-      i => substring(bin, ((i - 1) * frameSize + 1).cast("int"), lit(frameSize)))
+  def frames(bin: Column, frameSize: Int): Column = {
+    val nFrames = ceil(length(bin) / lit(frameSize.toDouble)).cast("long")
+    when(length(bin) > 0,
+      transform(
+        sequence(lit(1L), nFrames),
+        i => substring(bin, ((i - 1) * frameSize + 1).cast("int"), lit(frameSize))))
+      .when(length(bin) === 0, array().cast("array<binary>"))
+  }
 
   /** Explode to (doc, frame_idx, frame) grain. */
   def explodeFrames(df: DataFrame, binCol: String, frameSize: Int): DataFrame =

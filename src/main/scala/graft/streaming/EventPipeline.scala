@@ -16,10 +16,11 @@ case class ItemCounter(item_id: Long, n_events: Long, n_errors: Long, total_valu
   *
   * The reference is event-at-a-time with effectively at-most-once
   * delivery (failures swallowed, `app.py:101-102`); here the stream is
-  * at-least-once (replayable source + foreachBatch) and the SINK is
-  * idempotent — batch-local dropDuplicates plus a cross-batch
-  * putIfAbsent registry — so redelivery converges to exactly-once
-  * effects, strictly stronger than the reference.
+  * at-least-once (replayable source + foreachBatch), effects are
+  * idempotent, and the processed-registry marker is recorded only
+  * AFTER an effect succeeds — so redelivery re-applies, never skips,
+  * and the result converges to exactly-once effects, strictly
+  * stronger than the reference.
   *
   * Scale notes: the windowed aggregate shuffles on (window, type) with
   * watermark-bounded state; the idempotent sink works per partition
@@ -96,14 +97,24 @@ object EventPipeline {
       }
   }
 
-  /** Cross-batch processed-event registry (exactly-once effect dedup). */
+  /** Cross-batch processed-event registry (effect dedup).
+    *
+    * Contract: callers check [[seen]] BEFORE running the (idempotent)
+    * side effect and record with [[markDone]] only AFTER it succeeds.
+    * A failure between the two leaves the event unmarked, so the
+    * streaming retry re-applies it — at-least-once application against
+    * idempotent effects, i.e. effectively-once. Marking first would be
+    * at-most-once: a crash after the mark skips the event forever.
+    */
   object Processed {
     private val stores =
       new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]]()
     private def get(name: String) =
       stores.computeIfAbsent(name, _ => new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]())
-    /** true when first applied; false on redelivery. */
-    def applyOnce(name: String, eventId: Long): Boolean = get(name).putIfAbsent(eventId, eventId) == null
+    /** true when the event's effect has already been recorded as applied. */
+    def seen(name: String, eventId: Long): Boolean = get(name).containsKey(eventId)
+    /** Record a successfully-applied effect; true when newly recorded. */
+    def markDone(name: String, eventId: Long): Boolean = get(name).putIfAbsent(eventId, eventId) == null
     def count(name: String): Int = get(name).size
     def drop(name: String): Unit = stores.remove(name)
   }
@@ -121,14 +132,19 @@ object EventPipeline {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val fresh = batch.select("event_id", "item_id").distinct().collect()
-          .filter(r => Processed.applyOnce(storeName, r.getLong(0)))
-          .map(_.getLong(1)).distinct.toSeq
-        if (fresh.nonEmpty) {
+        val freshPairs = batch.select("event_id", "item_id").distinct().collect()
+          .filter(r => !Processed.seen(storeName, r.getLong(0)))
+        if (freshPairs.nonEmpty) {
+          val fresh = freshPairs.map(_.getLong(1)).distinct.toSeq
           val batchClients = clients.filter(col("id_monday").isin(fresh: _*))
           val plan = graft.pipelines.DepositPipeline.uploadTasks(
             batchClients, cells, rules, defaultRule, lotNumber, startId = 1)
           graft.pipelines.DepositPipeline.run(batch.sparkSession, plan, storeName, sleep = _ => ())
+          // Mark ONLY after the pipeline's effects succeeded: a failure
+          // above leaves the ids unmarked and the streaming retry
+          // re-runs them against the idempotent store (oldest-wins
+          // folders, digest-keyed uploads) — effectively-once.
+          freshPairs.foreach(r => Processed.markDone(storeName, r.getLong(0)))
         }
         ()
       }
@@ -146,8 +162,12 @@ object EventPipeline {
           .foreachPartition { (it: Iterator[Row]) =>
             val drive = DriveStore.get(storeName)
             it.foreach { r =>
-              if (Processed.applyOnce(storeName, r.getLong(0))) {
+              if (!Processed.seen(storeName, r.getLong(0))) {
+                // Effect first (itself idempotent: K3 oldest-wins
+                // get-or-create), mark after — a crash between the two
+                // re-runs the effect on retry, never skips it.
                 drive.findOrCreateFolder(parentId = 0L, name = s"ITEM_${r.getLong(1)}")
+                Processed.markDone(storeName, r.getLong(0))
               }
             }
           }

@@ -31,4 +31,18 @@ class PushdownSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"))
   }
+
+  test("no query plans a window without a partition spec (single-task funnel)") {
+    // the optimized LOGICAL plan is audited (AQE wraps the physical one);
+    // a foldable partition key is as global as an empty one.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val bad = fn(spark, d).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty ||
+          w.partitionSpec.forall(_.foldable) => w
+      }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"global windows in: ${offenders.mkString(", ")}")
+  }
 }

@@ -33,4 +33,18 @@ class AsOfSpec extends SparkSpec {
     assert(out.count() === 4L)
     assert(out.columns.toSeq === Seq("event_id", "k", "ts", "payload"))
   }
+
+  test("a null payload value on the matched right row stays null — no backfill from older rows") {
+    // right@300 is the as-of match for left@305 and carries p2 = null;
+    // a per-column fill would resurrect p2 = "b200" from right@200,
+    // mixing two right rows into one output row.
+    val l = Seq((1L, 10L, 305L)).toDF("event_id", "k", "ts")
+    val r = Seq(
+      (10L, 200L, Option("a200"), Option("b200")),
+      (10L, 300L, Option("a300"), Option.empty[String])
+    ).toDF("k", "rts", "p1", "p2")
+    val out = AsOf.join(l, r, "k", "ts", "rts", Seq("p1", "p2"))
+      .select("p1", "p2").as[(Option[String], Option[String])].head()
+    assert(out === (Some("a300"), None))
+  }
 }

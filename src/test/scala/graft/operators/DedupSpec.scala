@@ -85,6 +85,19 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_._2 == 1L))
   }
 
+  test("duplicateClusters refuses to return partial labels when maxIter is too small") {
+    // a 12-node chain has diameter 11; 2 rounds cannot converge, and
+    // silently returning the intermediate labels would split the
+    // component — the operator must throw instead.
+    val n = 12L
+    val docsDf = docs((1L to n).map(i => (i, s"t$i")): _*)
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(docsDf, "doc_id", pairs, maxIter = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("simhash pair search respects the pigeonhole precondition") {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(docs((1L, wordsA)), "doc_id", "text", maxHamming = 6, chunks = 6)

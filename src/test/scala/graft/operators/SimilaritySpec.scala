@@ -39,6 +39,15 @@ class SimilaritySpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("topKViaAgg drops NaN scores instead of ranking them first") {
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.5)
+    ).toDF("query_id", "nn_id", "cosine")
+    val out = Similarity.topKViaAgg(scored, 2)
+      .select("nn_id", "rk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.toSeq === Seq((10L, 1), (12L, 2))) // NaN candidate never enters the buffer
+  }
+
   test("blockedNearDupPairs only pairs within a block and applies the threshold") {
     val out = Similarity.blockedNearDupPairs(emb, "vec_id", "embedding", "label", 4, 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect()

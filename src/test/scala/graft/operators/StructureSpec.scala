@@ -28,6 +28,21 @@ class StructureSpec extends SparkSpec {
     assert(bob.select("dossier").distinct().as[String].head === "ACT_4_BOB")
   }
 
+  test("withSeqId equals a global row_number for sparse keys spanning many buckets") {
+    import org.apache.spark.sql.expressions.Window
+    // ids straddle several 1024-wide buckets, including an empty middle
+    // bucket and two ids inside the same bucket
+    val ids = Seq(5L, 900L, 1030L, 1031L, 5000L, 99999L)
+    val df = scala.util.Random.shuffle(ids).map(i => (i, s"n$i")).toDF("id_monday", "nomcomplet")
+    val got = Structure.withSeqId(df, "id_monday", "auto_id", startId = 10)
+      .select("id_monday", "auto_id").as[(Long, Long)].collect().toMap
+    val want = df
+      .withColumn("auto_id", lit(10L) + row_number().over(Window.orderBy($"id_monday")) - 1)
+      .select("id_monday", "auto_id").as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(got(5L) === 10L && got(99999L) === 15L)
+  }
+
   test("uploadPlan: skip-excel filter, _idx suffix for multi-asset slots, empty slots kept") {
     val slots = Structure.lotStructure(clients, 7, 3)
     val pool = Seq(

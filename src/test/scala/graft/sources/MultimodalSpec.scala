@@ -69,6 +69,15 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.toSeq === Seq((0, "abcd"), (1, "efgh"), (2, "ij")))
   }
 
+  test("frames of an empty binary is an empty array, and of a null binary is null") {
+    val df = Seq((1L, Some("")), (2L, None)).toDF("doc_id", "text")
+      .withColumn("content", when($"text".isNotNull, encode($"text", "UTF-8")))
+    val out = df.select($"doc_id", Multimodal.frames($"content", 4).as("fr"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[scala.collection.Seq[_]].length)))
+      .toMap
+    assert(out === Map(1L -> Some(0), 2L -> None)) // not Seq [ "", "" ]
+  }
+
   test("typed mapPartitions decode produces one feature row per doc, deterministically") {
     val docs = Seq(
       Multimodal.MediaDoc(1L, "image/png", Array[Byte](1, 2, 3)),
