@@ -51,24 +51,38 @@ object Structure {
   /** Global sequential ids (`startId`, `startId+1`, …) in `orderCol`
     * order WITHOUT a global window: bucket by a monotone function of
     * the key (`orderCol div bucketWidth` — order-preserving across
-    * buckets), `row_number` within each bucket in parallel, then add
+    * buckets, ≤ bucketWidth unique keys per bucket so no skew is
+    * possible), `row_number` within each bucket in parallel, then add
     * the cumulative row count of earlier buckets via a broadcast join
-    * of the bucket-count-sized offsets table. Identical output to
+    * of the offsets table. Identical output to
     * `row_number().over(Window.orderBy(orderCol))` for unique keys;
-    * no task ever sees more than one bucket.
+    * no task ever sees more than one bucket of data.
+    *
+    * The offsets cumsum is itself computed WITHOUT a global window or
+    * an O(B²) self-join over all B buckets: buckets group into coarse
+    * blocks of `bucketWidth` buckets each; a window partitioned by the
+    * coarse block (≤ bucketWidth rows per partition) does the
+    * within-block cumsum, and only the B/bucketWidth coarse TOTALS go
+    * through the triangle self-join — bounded at (B/width)² on
+    * count-rows, i.e. ~10^6 cheap comparisons even for 10^9 input
+    * rows. A third level would lift that ceiling again; two levels
+    * cover any realistic id space.
     */
   def withSeqId(df: DataFrame, orderCol: String, as: String, startId: Long,
                 bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val bucketed = df.withColumn("_b", expr(s"cast($orderCol as long) div $bucketWidth"))
     val counts = bucketed.groupBy("_b").agg(count(lit(1)).as("_n"))
-    // One row per NON-EMPTY bucket — tiny. The cumulative offset is a
-    // triangle self-join (sum of strictly-earlier buckets), deliberately
-    // NOT a window: even a constant-keyed window would funnel through
-    // WindowExec, and O(B²) on bucket counts is nothing.
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._b") < col("a._b"), "left")
-      .groupBy(col("a._b").as("_b")).agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
+      .withColumn("_cb", expr(s"_b div $bucketWidth"))
+    val coarseTotals = counts.groupBy("_cb").agg(sum(col("_n")).as("_cn"))
+    val coarseOff = coarseTotals.as("a")
+      .join(coarseTotals.as("b"), col("b._cb") < col("a._cb"), "left")
+      .groupBy(col("a._cb").as("_cb")).agg(coalesce(sum(col("b._cn")), lit(0L)).as("_coff"))
+    val offsets = counts
+      .withColumn("_within",
+        sum(col("_n")).over(Window.partitionBy(col("_cb")).orderBy(col("_b"))) - col("_n"))
+      .join(broadcast(coarseOff), "_cb")
+      .select(col("_b"), (col("_coff") + col("_within")).as("_off"))
     bucketed
       .withColumn("_rn", row_number().over(Window.partitionBy(col("_b")).orderBy(col(orderCol))))
       .join(broadcast(offsets), "_b")

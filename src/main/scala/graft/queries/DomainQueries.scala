@@ -76,6 +76,48 @@ object DomainQueries {
       |       upper(md5(hex(encode(text)) || ':42')) AS effect_hex
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- B6 frame chunking
+  private val FrameSize = 64
+
+  /** B6/B7 page-loop analog: binary content exploded to fixed-size
+    * frames at (doc, frame) grain — pure per-row map work, no shuffle.
+    * The oracle slices the VARCHAR: documents text is pure ASCII (both
+    * SFs verified), so char slicing equals byte slicing of the UTF-8
+    * payload and the md5s agree byte-for-byte.
+    */
+  val frames: Q = (s, d) => {
+    val withBin = Multimodal.withBinaryContent(Tables.documents(s, d), "text")
+    Multimodal.explodeFrames(withBin, "content", FrameSize)
+      .select(col("doc_id"), col("frame_idx"),
+        md5(col("frame")).as("frame_md5"),
+        length(col("frame")).cast("long").as("frame_len"))
+  }
+  val framesSql: String =
+    s"""WITH fr AS (
+       |  SELECT doc_id, gs.i AS frame_idx,
+       |         substring(text, CAST(gs.i*$FrameSize+1 AS BIGINT), $FrameSize) AS frame
+       |  FROM documents,
+       |       LATERAL (SELECT unnest(generate_series(0,
+       |         CAST(ceil(length(text)/$FrameSize.0) AS BIGINT)-1)) AS i) gs)
+       |SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+       |       CAST(length(frame) AS BIGINT) AS frame_len
+       |FROM fr""".stripMargin
+
+  /** B decode plumbing through the driver gate: the typed mapPartitions
+    * decode (stubbed decoder, one instance per partition). The feature
+    * hash is an imperative fold — not SQL-expressible — so this query
+    * is registered WITHOUT an oracle and the driver records the weaker
+    * rows-only check; exact values are unit-tested in MultimodalSpec.
+    */
+  val decodeFeatures: Q = (s, d) => {
+    import s.implicits._
+    val withBin = Multimodal.withBinaryContent(Tables.documents(s, d), "text")
+    val docs = withBin
+      .select(col("doc_id"), lit("text/plain").as("mime"), col("content"))
+      .as[Multimodal.MediaDoc]
+    Multimodal.decodeFeatures(s, docs).toDF()
+  }
+
   // ---------------------------------------------------------------- F7 structure lot
   private val LotNumber = 7
   private val StartId = 3L
@@ -341,6 +383,8 @@ object DomainQueries {
   val queries: Map[String, Q] = Map(
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
+    "q_frames" -> frames,
+    "q_decode_features" -> decodeFeatures,
     "q_structure_lot" -> structureLot,
     "q_upload_plan" -> uploadPlan,
     "q_folder_listing" -> folderListing,
@@ -353,6 +397,7 @@ object DomainQueries {
   val oracleSql: Map[String, String] = Map(
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
+    "q_frames" -> framesSql,
     "q_structure_lot" -> structureLotSql,
     "q_upload_plan" -> uploadPlanSql,
     "q_folder_listing" -> folderListingSql,

@@ -31,8 +31,9 @@ class StructureSpec extends SparkSpec {
   test("withSeqId equals a global row_number for sparse keys spanning many buckets") {
     import org.apache.spark.sql.expressions.Window
     // ids straddle several 1024-wide buckets, including an empty middle
-    // bucket and two ids inside the same bucket
-    val ids = Seq(5L, 900L, 1030L, 1031L, 5000L, 99999L)
+    // bucket, two ids inside the same bucket, and ids in distinct
+    // COARSE (1024²-wide) blocks to exercise the two-level cumsum
+    val ids = Seq(5L, 900L, 1030L, 1031L, 5000L, 99999L, 5000000L, 2000000000L)
     val df = scala.util.Random.shuffle(ids).map(i => (i, s"n$i")).toDF("id_monday", "nomcomplet")
     val got = Structure.withSeqId(df, "id_monday", "auto_id", startId = 10)
       .select("id_monday", "auto_id").as[(Long, Long)].collect().toMap
@@ -40,7 +41,7 @@ class StructureSpec extends SparkSpec {
       .withColumn("auto_id", lit(10L) + row_number().over(Window.orderBy($"id_monday")) - 1)
       .select("id_monday", "auto_id").as[(Long, Long)].collect().toMap
     assert(got === want)
-    assert(got(5L) === 10L && got(99999L) === 15L)
+    assert(got(5L) === 10L && got(2000000000L) === 17L)
   }
 
   test("uploadPlan: skip-excel filter, _idx suffix for multi-asset slots, empty slots kept") {
