@@ -12,6 +12,13 @@ case class StreamEvent(event_id: Long, item_id: Long, event_type: String,
 /** Running per-item state (A2/A3 as streaming state). */
 case class ItemCounter(item_id: Long, n_events: Long, n_errors: Long, total_value: Double)
 
+/** Typed input/state/output rows for streaming sessionization (top-level:
+  * nested case classes break ExpressionEncoder derivation).
+  */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+case class SessState(start_us: Long, end_us: Long, n: Long)
+case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
+
 /** S8/§2.11 — the webhook event stream as Structured Streaming.
   *
   * The reference is event-at-a-time with effectively at-most-once
@@ -93,6 +100,55 @@ object EventPipeline {
           else {
             state.update(true)
             evs.take(1)
+          }
+      }
+  }
+
+  /** Gap-based sessionization as managed streaming state — the
+    * incremental twin of the batch `q_sessionize` window query: a
+    * session CLOSES when `gap` passes with no event, enforced by an
+    * event-time timeout against the watermark (never wall-clock, so
+    * replays are deterministic). Emits one row per closed session with
+    * the same (user, start, end, count) values the batch query
+    * computes; sessions still open at watermark stay in state.
+    *
+    * Scale notes: state is one small struct per ACTIVE user (closed
+    * sessions leave state immediately), keyed shuffles partition by
+    * user, and in-batch events are folded in timestamp order so a
+    * single batch carrying a whole session emits it without ever
+    * holding more than the open-session struct.
+    */
+  def streamingSessionize(events: Dataset[SessEvent], gapUs: Long,
+                          watermark: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.start_us, s.end_us, s.n))
+          } else {
+            val times = evs.map(e => e.ts.getTime * 1000L).toArray.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (t <- times) cur match {
+              case Some(s) if t - s.end_us <= gapUs =>
+                cur = Some(SessState(s.start_us, math.max(s.end_us, t), s.n + 1))
+              case Some(s) =>
+                closed ::= SessionOut(uid, s.start_us, s.end_us, s.n)
+                cur = Some(SessState(t, t, 1))
+              case None =>
+                cur = Some(SessState(t, t, 1))
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the WATERMARK (not the clock) passes end+gap
+              state.setTimeoutTimestamp(s.end_us / 1000L + gapUs / 1000L)
+            }
+            closed.reverseIterator
           }
       }
   }

@@ -27,6 +27,27 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(7) === "ITEM_7")
   }
 
+  test("spark.sql.extensions injects the scalar surface into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force shared-session init before clearing defaults
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, new session built THROUGH the extensions
+      // hook (the builder's withExtensions and the string config
+      // spark.sql.extensions=graft.functions.GraftExtensions share one
+      // injection path) — no imperative register() call anywhere here
+      val s2 = SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne prev)
+      val r = s2.sql("SELECT norm('  Café  NOËL ') AS n, file_ext('A.PDF') AS e").head
+      assert(r.getString(0) === "cafe noel")
+      assert(r.getString(1) === "pdf")
+    } finally {
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("stable_hash60 in SQL equals the DuckDB twin formula") {
     GraftFunctions.register(spark)
     val h = spark.sql("SELECT stable_hash60('abc') AS h").head.getLong(0)

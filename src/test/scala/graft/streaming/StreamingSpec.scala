@@ -110,6 +110,32 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("streaming sessionization closes sessions by event-time gap, never wall-clock") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val gapUs = 5L * 60 * 1000000 // 5 min, as in the batch q_sessionize shape
+    val q = EventPipeline.streamingSessionize(mem.toDS(), gapUs, watermark = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    def us(minute: Int) = ts(minute).getTime * 1000L
+    try {
+      // user 1: gap inside one batch splits immediately; a later open tail stays
+      mem.addData(SessEvent(1, ts(0)), SessEvent(1, ts(2)), SessEvent(1, ts(20)), SessEvent(2, ts(1)))
+      q.processAllAvailable()
+      // watermark is now 10:20 → user 2's 10:01 session times out next batch
+      mem.addData(SessEvent(3, ts(40)))
+      q.processAllAvailable()
+      // watermark 10:40 → user 1's 10:20 tail times out in one more batch
+      mem.addData(SessEvent(3, ts(41)))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[SessionOut].collect().toSet
+      assert(got.contains(SessionOut(1L, us(0), us(2), 2)))   // split by in-batch gap
+      assert(got.contains(SessionOut(2L, us(1), us(1), 1)))   // closed by watermark timeout
+      assert(got.contains(SessionOut(1L, us(20), us(20), 1))) // tail closed two batches later
+      // user 3's session is still open: nothing emitted for it
+      assert(!got.exists(_.user_id == 3L))
+    } finally { q.stop(); spark.catalog.dropTempView("sess_out") }
+  }
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
