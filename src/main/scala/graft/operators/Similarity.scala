@@ -194,6 +194,44 @@ object Similarity {
       .drop(centroids.indices.map(i => s"_c$i"): _*)
   }
 
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =
+    * the k lowest-id vectors, then `iters` rounds of
+    * assign-via-argmax-cosine + per-list mean. Each round is ONE
+    * hash-aggregate over the corpus (the 64 per-dimension sums run as
+    * columnar aggregates); only the k×dim centroid matrix — model
+    * state, not data — ever reaches the driver, exactly like Spark
+    * MLlib's own k-means. Empty lists keep their previous centroid.
+    * Output feeds [[withIvfList]]/[[ivfTopK]] unchanged.
+    *
+    * Determinism note: double addition is reassociated across
+    * partitions, so centroid bits may differ across cluster layouts —
+    * fine for an index (assignment ties are broken by list id), which
+    * is why the ORACLE-checked q_ann_ivf uses fixed centroids while
+    * training is exercised by recall tests.
+    */
+  def trainIvfCentroids(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        k: Int, iters: Int): Seq[Seq[Double]] = {
+    val e = withDoubleVec(df, vecCol).select(col(idCol).as("id"), col("v"))
+    var cents: Seq[Seq[Double]] = e.orderBy("id").limit(k)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("_n") +:
+        (0 until dim).map(i => sum(col("v")(i)).as(s"_s$i"))
+      val sums = withIvfList(e, "v", dim, cents)
+        .groupBy("ivf_list")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), (0 until dim).map(i => r.getDouble(2 + i))))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        sums.get(i).filter(_._1 > 0)
+          .map { case (n, s) => s.map(_ / n).toSeq }
+          .getOrElse(old)
+      }
+    }
+    cents
+  }
+
   /** IVF top-k: corpus rows are searched only in the query's `nProbe`
     * closest lists. The coarse quantizer bounds the shuffle exactly like
     * the LSH bucket join; recall is tuned via nProbe.

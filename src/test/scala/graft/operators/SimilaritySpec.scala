@@ -39,6 +39,26 @@ class SimilaritySpec extends SparkSpec {
     assert(agg === win)
   }
 
+  test("trained IVF centroids separate clustered data into pure lists") {
+    // three direction families in 4-dim with deterministic per-vector
+    // noise; ids interleave clusters so the lowest-id init spans them
+    val rows = (0 until 90).map { i =>
+      val c = i % 3
+      val n = 0.05f * ((i / 3) % 5)
+      val base = Array(0f, 0f, 0f, 0f); base(c) = 1f; base((c + 1) % 3) += n
+      (i.toLong, base)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.trainIvfCentroids(df, "vec_id", "embedding", dim = 4, k = 3, iters = 3)
+    assert(cents.length === 3)
+    val assigned = Similarity.withIvfList(df, "embedding", 4, cents)
+      .select($"vec_id", $"ivf_list").as[(Long, Int)].collect()
+    val byCluster = assigned.groupBy(_._1 % 3).view.mapValues(_.map(_._2).distinct.toSeq).toMap
+    // each true cluster lands in exactly one list, and lists are distinct
+    assert(byCluster.values.forall(_.size === 1), byCluster.toString)
+    assert(byCluster.values.flatten.toSet.size === 3)
+  }
+
   test("topKViaAgg drops NaN scores instead of ranking them first") {
     val scored = Seq(
       (1L, 10L, 0.9), (1L, 11L, Double.NaN), (1L, 12L, 0.5)
