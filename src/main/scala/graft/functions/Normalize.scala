@@ -38,9 +38,22 @@ object NormalizeString {
     n == 0 || !Character.isWhitespace(s.charAt(n - 1))
   }
 
+  private def hasNonAscii(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) >= 128) return true
+      i += 1
+    }
+    false
+  }
+
   def normalize(s: String): String = {
     if (isCanonical(s)) return s
-    val decomposed = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    // ASCII is NFD-invariant: skip the (expensive) decomposition unless
+    // the string actually contains non-ASCII chars.
+    val decomposed =
+      if (hasNonAscii(s)) java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      else s
     val sb = new java.lang.StringBuilder(decomposed.length)
     var i = 0
     var pendingSpace = false
@@ -58,9 +71,33 @@ object NormalizeString {
     sb.toString
   }
 
+  /** Byte-level canonical check: already-normalized ASCII needs NO
+    * String round-trip at all — the UTF8String passes through untouched
+    * (zero allocations on the common path).
+    */
+  private def isCanonicalUtf8(s: UTF8String): Boolean = {
+    val n = s.numBytes
+    var prevSpace = true // leading space is non-canonical
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b < 0) return false // non-ASCII → slow path
+      val c = b.toChar
+      if (c >= 'A' && c <= 'Z') return false
+      if (c == ' ') {
+        if (prevSpace) return false
+        prevSpace = true
+      } else if (Character.isWhitespace(c)) return false // tab/CR/LF etc.
+      else prevSpace = false
+      i += 1
+    }
+    n == 0 || s.getByte(n - 1) != ' '.toByte
+  }
+
   /** Entry point the generated code calls (UTF8String in/out, no boxing). */
   def normalizeUtf8(s: UTF8String): UTF8String =
-    UTF8String.fromString(normalize(s.toString))
+    if (isCanonicalUtf8(s)) s
+    else UTF8String.fromString(normalize(s.toString))
 }
 
 case class NormalizeStringExpr(child: Expression) extends UnaryExpression {
