@@ -48,10 +48,12 @@ object GraftFunctions {
   * imperative `register()` call in user code.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.scalar.foreach { case (name, f) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         GraftFunctions.builder(f)))
     }
+    ext.injectOptimizerRule(_ => NormIdempotence)
+  }
 }

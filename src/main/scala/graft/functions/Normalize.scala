@@ -114,3 +114,20 @@ object Normalize {
   /** Column-level normalize: `norm($"p_name")`. */
   def norm(c: Column): Column = GraftExpr.toColumn(NormalizeStringExpr(GraftExpr.toExpr(c)))
 }
+
+/** Optimizer rule: `norm` is idempotent, so nested applications collapse
+  * to one — composed pipelines (e.g. pre-normalized rule keywords fed
+  * back through RuleCascade's broadcast-side `transform(norm)`) pay for
+  * the normalization once. Injected via [[GraftExtensions]]
+  * (`injectOptimizerRule`); literals need no rule — the expression is
+  * foldable, so ConstantFolding already evaluates them at plan time.
+  */
+object NormIdempotence
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case NormalizeStringExpr(inner @ NormalizeStringExpr(_)) => inner
+    }
+}

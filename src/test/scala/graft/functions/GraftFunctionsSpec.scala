@@ -42,6 +42,15 @@ class GraftFunctionsSpec extends SparkSpec {
       val r = s2.sql("SELECT norm('  Café  NOËL ') AS n, file_ext('A.PDF') AS e").head
       assert(r.getString(0) === "cafe noel")
       assert(r.getString(1) === "pdf")
+      // injected optimizer rule: nested norm collapses to one application
+      // (a parquet scan keeps the expression alive — a literal would be
+      // constant-folded away entirely, which is also correct but tests
+      // ConstantFolding, not our rule)
+      val nested = s2.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        .select(Normalize.norm(Normalize.norm(
+          org.apache.spark.sql.functions.col("c_name"))).as("n"))
+      val optimized = nested.queryExecution.optimizedPlan.toString
+      assert(optimized.split("norm_str").length - 1 === 1, optimized)
     } finally {
       SparkSession.setDefaultSession(prev)
       SparkSession.setActiveSession(prev)

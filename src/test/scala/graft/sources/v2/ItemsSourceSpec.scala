@@ -1,0 +1,57 @@
+package graft.sources.v2
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DSv2 connector semantics: by-id pushdown reaches the source, columns
+  * prune, and partitions are the reference's 50-id API pages.
+  */
+class ItemsSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def load(store: String) =
+    spark.read.format(ItemsSource.ShortName).option("store", store).load()
+
+  test("full scan returns every stored cell with the declared schema") {
+    ItemsStore.put("s_full", Seq(
+      ItemsStore.Cell(1L, "c1", "a", 10L),
+      ItemsStore.Cell(1L, "c2", null, 20L),
+      ItemsStore.Cell(2L, "c1", "b", 30L)))
+    val df = load("s_full")
+    assert(df.schema === ItemsSource.schema)
+    val got = df.as[(Long, String, Option[String], Long)].collect().toSet
+    assert(got === Set((1L, "c1", Some("a"), 10L), (1L, "c2", None, 20L), (2L, "c1", Some("b"), 30L)))
+    ItemsStore.drop("s_full")
+  }
+
+  test("item_id and column_id predicates push into the scan, others stay in Spark") {
+    ItemsStore.put("s_push", (1L to 10L).map(i =>
+      ItemsStore.Cell(i, if (i % 2 == 0) "c_even" else "c_odd", s"t$i", i * 100)))
+    val df = load("s_push")
+      .filter($"item_id".isin(2L, 3L, 4L) && $"column_id" === "c_even" && $"created_at" > 250L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed=[") && plan.contains("item_id") && plan.contains("column_id"), plan)
+    assert(df.select("item_id").as[Long].collect().sorted.toSeq === Seq(4L))
+    ItemsStore.drop("s_push")
+  }
+
+  test("column pruning reaches the reader (GraphQL field-selection analog)") {
+    ItemsStore.put("s_prune", Seq(ItemsStore.Cell(7L, "c1", "x", 1L)))
+    val df = load("s_prune").select("text")
+    val plan = df.queryExecution.executedPlan.toString
+    // the BatchScan's output column list IS the pruned schema
+    assert(plan.contains("BatchScan graft_items(s_prune)[text#"), plan)
+    assert(!plan.contains("item_id#"), plan)
+    assert(df.as[String].collect().toSeq === Seq("x"))
+    ItemsStore.drop("s_prune")
+  }
+
+  test("partitions are 50-id API pages and pushdown shrinks the page set") {
+    ItemsStore.put("s_pages", (1L to 120L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    assert(load("s_pages").rdd.getNumPartitions === 3) // ceil(120/50)
+    val filtered = load("s_pages").filter($"item_id".isin(1L to 60L map (identity): _*))
+    assert(filtered.rdd.getNumPartitions === 2) // pushdown replans to 2 pages
+    assert(filtered.count() === 60L)
+    ItemsStore.drop("s_pages")
+  }
+}
