@@ -118,6 +118,37 @@ object DomainQueries {
     Multimodal.decodeFeatures(s, docs).toDF()
   }
 
+  // ---------------------------------------------------------------- S1/S5 DSv2 connector
+  /** The `graft-items` DataSource V2 connector under the oracle gate:
+    * a deterministic customer-derived cell set is loaded into the
+    * in-JVM store (the collect is the harness stand-in for the external
+    * API's own data; production reads hit the API from executors), then
+    * read back THROUGH the connector with by-id + column predicates —
+    * which push into the scan (plan-asserted in ItemsSourceSpec) rather
+    * than filtering after a full read.
+    */
+  val itemsConnector: Q = (s, d) => {
+    import graft.sources.v2.{ItemsSource, ItemsStore}
+    val cells = Tables.customer(s, d).filter(col("c_custkey") <= 500)
+      .select(col("c_custkey").as("item_id"),
+        concat(lit("col"), pmod(col("c_custkey"), lit(3))).as("column_id"),
+        col("c_name").as("text"),
+        (col("c_custkey") * 100).as("created_at"))
+    val store = ("q_items_" + d).replaceAll("[^a-zA-Z0-9]", "_")
+    ItemsStore.put(store, cells.collect().map(r =>
+      ItemsStore.Cell(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+    s.read.format(ItemsSource.ShortName).option("store", store).load()
+      .filter(col("item_id").isin((1L to 40L).map(java.lang.Long.valueOf): _*) &&
+        col("column_id") === "col1")
+  }
+  val itemsConnectorSql: String =
+    """SELECT c_custkey AS item_id,
+      |       'col' || CAST(c_custkey % 3 AS VARCHAR) AS column_id,
+      |       c_name AS text,
+      |       c_custkey * 100 AS created_at
+      |FROM customer
+      |WHERE c_custkey <= 500 AND c_custkey BETWEEN 1 AND 40 AND c_custkey % 3 = 1""".stripMargin
+
   // ---------------------------------------------------------------- F7 structure lot
   private val LotNumber = 7
   private val StartId = 3L
@@ -385,6 +416,7 @@ object DomainQueries {
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
     "q_decode_features" -> decodeFeatures,
+    "q_items_connector" -> itemsConnector,
     "q_structure_lot" -> structureLot,
     "q_upload_plan" -> uploadPlan,
     "q_folder_listing" -> folderListing,
@@ -398,6 +430,7 @@ object DomainQueries {
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
+    "q_items_connector" -> itemsConnectorSql,
     "q_structure_lot" -> structureLotSql,
     "q_upload_plan" -> uploadPlanSql,
     "q_folder_listing" -> folderListingSql,
