@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: resampling the same
+  * data on a different cluster layout (or after a repartition) selects
+  * DIFFERENT rows, which breaks experiment reproducibility and makes
+  * train/eval splits impossible to audit. These operators decide row
+  * membership from a stable hash of a KEY instead — the same row is
+  * kept everywhere, any engine can reproduce the subset from the
+  * formula (the DuckDB oracle does), and splits are disjoint by
+  * construction. Pure column expressions: no shuffle, no RNG state,
+  * fully pushdown-friendly.
+  */
+object Sampling {
+  /** Membership denominator: rates quantize to 1/10000. */
+  val Den = 10000L
+
+  private def slot(keyCol: Column): Column =
+    pmod(Hashing.stableHash60(keyCol.cast("string")), lit(Den))
+
+  /** Keep rows whose hash slot falls below rate·Den. */
+  def bernoulli(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+    df.filter(slot(keyCol) < math.round(rate * Den))
+
+  /** Per-stratum rates (e.g. language rebalancing: downsample the head
+    * language, keep the tail): unlisted strata use `defaultRate`.
+    */
+  def stratified(df: DataFrame, keyCol: Column, stratumCol: Column,
+                 rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(math.round(defaultRate * Den))) {
+      case (acc, (k, v)) => when(stratumCol === k, lit(math.round(v * Den))).otherwise(acc)
+    }
+    df.filter(slot(keyCol) < rateCol)
+  }
+
+  /** Disjoint train/eval/test split by hash range: fractions of Den,
+    * in order, must sum to <= Den. Every row lands in exactly one split
+    * (the remainder slot gets the last label) — auditable and stable
+    * under any repartitioning.
+    */
+  def split(df: DataFrame, keyCol: Column, bounds: Seq[(String, Double)]): DataFrame = {
+    require(bounds.nonEmpty && bounds.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val cum = bounds.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * Den) }.tail
+    val s = slot(keyCol)
+    val labeled = bounds.zip(cum).foldRight(lit(bounds.last._1): Column) {
+      case (((label, _), bound), acc) => when(s < bound, lit(label)).otherwise(acc)
+    }
+    df.withColumn("split", labeled)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -375,7 +375,38 @@ object PipelineQueries {
        |WHERE CASE WHEN pick IN ('latest', 'first') THEN rn = 1 ELSE rn <= coalesce(max_n, 2147483647) END""".stripMargin
   }
 
+  // -------------------------------------------------------- deterministic sampling
+  /** Language-rebalancing stratified sample: downsample the head
+    * language (en), keep more of the tail — membership from the stable
+    * doc-id hash, so the subset is identical on any cluster layout and
+    * the oracle reproduces it from the formula.
+    */
+  val sampleStratified: Q = (s, d) =>
+    Sampling.stratified(Tables.documents(s, d), col("doc_id"), col("lang"),
+        Map("en" -> 0.25), defaultRate = 0.6)
+      .select("doc_id", "lang", "source")
+  val sampleStratifiedSql: String =
+    s"""SELECT doc_id, lang, source FROM documents
+       |WHERE ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 <
+       |      CASE WHEN lang = 'en' THEN 2500 ELSE 6000 END""".stripMargin
+
+  /** Disjoint 80/10/10 train/eval/test split by hash range. */
+  val trainSplit: Q = (s, d) =>
+    Sampling.split(Tables.documents(s, d), col("doc_id"),
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+  val trainSplitSql: String =
+    s"""SELECT doc_id,
+       |       CASE WHEN slot < 8000 THEN 'train'
+       |            WHEN slot < 9000 THEN 'eval'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |             ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS slot
+       |      FROM documents)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sample_stratified" -> sampleStratified,
+    "q_train_split" -> trainSplit,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_norm_exact" -> dedupNormExact,
     "q_dedup_ngram" -> dedupNgram,
@@ -395,6 +426,8 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_train_split" -> trainSplitSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_norm_exact" -> dedupNormExactSql,
     "q_dedup_ngram" -> dedupNgramSql,

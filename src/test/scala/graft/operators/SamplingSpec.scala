@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling invariants: layout-independence, split
+  * disjointness/coverage, stratified rate behavior.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (1L to 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("id", "lang")
+
+  test("bernoulli membership is identical across partition layouts") {
+    val a = Sampling.bernoulli(docs, $"id", 0.3).select("id").as[Long].collect().toSet
+    val b = Sampling.bernoulli(docs.repartition(17), $"id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // rate lands near 30% (hash uniformity; wide tolerance, no flakes)
+    assert(a.size > 450 && a.size < 750, a.size)
+  }
+
+  test("a smaller rate selects a SUBSET of a larger rate (nested samples)") {
+    val small = Sampling.bernoulli(docs, $"id", 0.1).select("id").as[Long].collect().toSet
+    val large = Sampling.bernoulli(docs, $"id", 0.5).select("id").as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("split assigns every row exactly one label with disjoint hash ranges") {
+    val out = Sampling.split(docs, $"id", Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+    assert(out.count() === 2000L)
+    val byLabel = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet === Set("train", "eval", "test"))
+    assert(byLabel("train") > 1500L && byLabel("eval") < 300L && byLabel("test") < 300L)
+    // re-running on shuffled data gives the identical assignment
+    val again = Sampling.split(docs.repartition(7), $"id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+    assert(out.as[(Long, String, String)].collect().toSet ===
+      again.as[(Long, String, String)].collect().toSet)
+  }
+
+  test("stratified applies per-stratum rates and the default elsewhere") {
+    val out = Sampling.stratified(docs, $"id", $"lang", Map("en" -> 0.0), defaultRate = 1.0)
+    val langs = out.select("lang").distinct().as[String].collect().toSeq
+    assert(langs === Seq("de")) // en rate 0 drops the whole stratum
+    assert(out.count() === 1500L) // default 1.0 keeps every de row
+  }
+}
