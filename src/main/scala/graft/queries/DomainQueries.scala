@@ -118,6 +118,23 @@ object DomainQueries {
     Multimodal.decodeFeatures(s, docs).toDF()
   }
 
+  // ---------------------------------------------------------------- table profiling
+  /** One-pass profile of the orders table (columns restricted to types
+    * whose string rendering agrees across engines: longs and strings —
+    * double/timestamp formatting diverges and belongs to unit tests).
+    */
+  private val ProfileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+  val profileTable: Q = (s, d) =>
+    graft.operators.Profile.profile(Tables.orders(s, d), ProfileCols)
+  val profileTableSql: String = ProfileCols.map { c =>
+    s"""SELECT '$c' AS column_name,
+       |       count(*) FILTER (WHERE $c IS NULL) AS n_nulls,
+       |       count(DISTINCT $c) AS n_distinct,
+       |       CAST(min($c) AS VARCHAR) AS min_value,
+       |       CAST(max($c) AS VARCHAR) AS max_value
+       |FROM orders""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   // ---------------------------------------------------------------- S1/S5 DSv2 connector
   /** The `graft-items` DataSource V2 connector under the oracle gate:
     * a deterministic customer-derived cell set is loaded into the
@@ -417,6 +434,7 @@ object DomainQueries {
     "q_frames" -> frames,
     "q_decode_features" -> decodeFeatures,
     "q_items_connector" -> itemsConnector,
+    "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
     "q_upload_plan" -> uploadPlan,
     "q_folder_listing" -> folderListing,
@@ -431,6 +449,7 @@ object DomainQueries {
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
     "q_items_connector" -> itemsConnectorSql,
+    "q_profile" -> profileTableSql,
     "q_structure_lot" -> structureLotSql,
     "q_upload_plan" -> uploadPlanSql,
     "q_folder_listing" -> folderListingSql,
