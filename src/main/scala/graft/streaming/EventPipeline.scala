@@ -104,6 +104,29 @@ object EventPipeline {
       }
   }
 
+  /** Watermarked stream-stream join: correlate two live event streams
+    * per item within a bounded event-time window (e.g. every upload
+    * with the scans that follow it within `joinWindow`). The time-range
+    * condition plus watermarks make the join state FINITE — Spark drops
+    * buffered rows once the watermark passes their join horizon — so
+    * state stays bounded no matter how long the streams run; an
+    * unbounded-condition stream join would accumulate forever.
+    * Both inputs need (item_id, event_id, ts).
+    */
+  def correlatedEvents(left: DataFrame, right: DataFrame,
+                       joinWindow: String = "10 minutes",
+                       watermark: String = "20 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("item_id"), col("event_id").as("left_event"), col("ts").as("left_ts"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("item_id").as("_rid"), col("event_id").as("right_event"), col("ts").as("right_ts"))
+    l.join(r,
+      col("item_id") === col("_rid") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") <= col("left_ts") + expr(s"INTERVAL $joinWindow"))
+      .drop("_rid")
+  }
+
   /** Gap-based sessionization as managed streaming state — the
     * incremental twin of the batch `q_sessionize` window query: a
     * session CLOSES when `gap` passes with no event, enforced by an

@@ -110,6 +110,25 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("stream-stream join correlates events within the time window only") {
+    implicit val ctx = spark.sqlContext
+    val uploads = MemoryStream[Ev]
+    val scans = MemoryStream[Ev]
+    val q = EventPipeline.correlatedEvents(uploads.toDF(), scans.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("corr").start()
+    try {
+      uploads.addData(ev(1, 100, "upload", 1), ev(2, 200, "upload", 2))
+      scans.addData(
+        ev(10, 100, "scan", 5),  // within 10 min of upload@1   -> joins
+        ev(11, 100, "scan", 30), // 29 min later                -> outside window
+        ev(12, 300, "scan", 3))  // other item                  -> no match
+      q.processAllAvailable()
+      val got = spark.table("corr").select("item_id", "left_event", "right_event")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((100L, 1L, 10L)))
+    } finally { q.stop(); spark.catalog.dropTempView("corr") }
+  }
+
   test("streaming sessionization closes sessions by event-time gap, never wall-clock") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[SessEvent]
