@@ -17,14 +17,12 @@ object StringOps {
     Seq(".pdf", ".jpg", ".jpeg", ".png", ".xlsx", ".xls", ".docx", ".doc", ".txt")
 
   /** F2 `_file_ext`: suffix match against the whitelist, returned
-    * WITHOUT the dot (`ext[1:]` in the reference), else "".
+    * WITHOUT the dot (`ext[1:]` in the reference), else "". Native
+    * single-pass expression ([[FileExtExpr]]); the coalesce preserves
+    * the reference's `(name or '') -> ''` null behavior.
     */
-  def fileExt(name: Column): Column = {
-    val lower0 = lower(name)
-    KnownExts.foldRight(lit("")) { (ext, acc) =>
-      when(lower0.endsWith(ext), lit(ext.drop(1))).otherwise(acc)
-    }
-  }
+  def fileExt(name: Column): Column =
+    coalesce(GraftExpr.toColumn(FileExtExpr(GraftExpr.toExpr(name))), lit(""))
 
   /** Dotted extension from the same whitelist, null when unknown —
     * the name-derived half of F5 (`Leyton_depot.py:497-503` keeps the
