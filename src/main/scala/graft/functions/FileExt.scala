@@ -28,6 +28,16 @@ object FileExt {
 
   def eval(name: UTF8String): UTF8String = {
     val n = name.numBytes
+    // Unicode edge: a few non-ASCII chars LOWERCASE to ASCII (ſ→s,
+    // K→k), so byte-folding would miss e.g. "a.xlſ" where
+    // lower().endsWith(".xls") matches. Any non-ASCII byte near the
+    // suffix (longest ext = 5 chars; 2 bytes each is enough) routes to
+    // the exact Unicode slow path.
+    var j = math.max(0, n - 10)
+    while (j < n) {
+      if (name.getByte(j) < 0) return evalUnicode(name)
+      j += 1
+    }
     var e = 0
     while (e < exts.length) {
       val ext = exts(e)
@@ -42,6 +52,16 @@ object FileExt {
         }
         if (ok) return outs(e)
       }
+      e += 1
+    }
+    empty
+  }
+
+  private def evalUnicode(name: UTF8String): UTF8String = {
+    val lower = name.toString.toLowerCase
+    var e = 0
+    while (e < exts.length) {
+      if (lower.endsWith(StringOps.KnownExts(e))) return outs(e)
       e += 1
     }
     empty

@@ -61,4 +61,19 @@ object StringProps extends Properties("graft.strings") {
       val allowed = StringOps.KnownExts.map(_.drop(1)).toSet + ""
       out.forall(allowed.contains)
     }
+
+  // suffix fragments that stress the byte fast path: plain, uppercase,
+  // and the Unicode chars that LOWERCASE into ASCII (ſ→s, K→k)
+  private val extStress: Gen[String] = for {
+    base <- anyStr
+    tail <- Gen.oneOf(".pdf", ".PDF", ".xls", ".xlſ", ".txt", ".TXT", ".xlsx",
+      "K.pdf", ".jpeg", ".JPeG", ".zip", "", ".pdſ", ".doc", ".docx")
+  } yield base + tail
+
+  property("native fileExt equals the lower().endsWith() model, incl. Unicode folds") =
+    Prop.forAll(extStress) { s =>
+      val model = StringOps.KnownExts.find(e => s.toLowerCase.endsWith(e))
+        .map(_.drop(1)).getOrElse("")
+      FileExt.eval(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString == model
+    }
 }
