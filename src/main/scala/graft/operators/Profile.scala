@@ -22,6 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
   def profile(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val aggs = cols.flatMap { c =>
       val distinct =
         if (approx) approx_count_distinct(col(c)) else count_distinct(col(c))

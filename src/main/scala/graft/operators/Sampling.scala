@@ -46,6 +46,7 @@ object Sampling {
   def split(df: DataFrame, keyCol: Column, bounds: Seq[(String, Double)]): DataFrame = {
     require(bounds.nonEmpty && bounds.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must sum to <= 1")
+    require(bounds.map(_._1).distinct.size == bounds.size, "split labels must be distinct")
     val cum = bounds.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * Den) }.tail
     val s = slot(keyCol)
     val labeled = bounds.zip(cum).foldRight(lit(bounds.last._1): Column) {
