@@ -104,6 +104,19 @@ object EventPipeline {
       }
   }
 
+  /** Bounded-state streaming dedup: like [[statefulDedup]] but state is
+    * EVICTED once the watermark passes an event's time plus `horizon` —
+    * the built-in `dropDuplicatesWithinWatermark`, which is the right
+    * tool whenever the source's redelivery window is known (always, in
+    * practice). [[statefulDedup]] demonstrates the hand-rolled
+    * flatMapGroupsWithState shape; THIS is what a 100 TB deployment
+    * runs, because its state size is bounded by horizon × event rate
+    * instead of growing with the stream's lifetime.
+    */
+  def statefulDedupBounded(events: Dataset[StreamEvent], horizon: String = "30 minutes"): Dataset[StreamEvent] =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked stream-stream join: correlate two live event streams
     * per item within a bounded event-time window (e.g. every upload
     * with the scans that follow it within `joinWindow`). The time-range

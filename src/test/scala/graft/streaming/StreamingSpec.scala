@@ -110,6 +110,21 @@ class StreamingSpec extends SparkSpec {
 
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
+  test("bounded-state dedup drops redeliveries within the watermark horizon") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.statefulDedupBounded(mem.toDF().as[StreamEvent], "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("bdedup").start()
+    try {
+      mem.addData(Ev(1, 100, "a", ts(1), 1.0), Ev(2, 100, "a", ts(2), 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, 100, "a", ts(2), 1.0), Ev(3, 200, "a", ts(3), 1.0)) // 2 redelivered
+      q.processAllAvailable()
+      val ids = spark.table("bdedup").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally { q.stop(); spark.catalog.dropTempView("bdedup") }
+  }
+
   test("stream-stream join correlates events within the time window only") {
     implicit val ctx = spark.sqlContext
     val uploads = MemoryStream[Ev]
