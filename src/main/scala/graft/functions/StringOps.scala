@@ -66,9 +66,12 @@ object StringOps {
     coalesce(extWithDot(name), fromMime, lit(".bin"))
   }
 
-  /** F4 `_sanitize_drive_name`: trim, forbidden chars → '-', collapse whitespace. */
+  /** F4 `_sanitize_drive_name`: trim, forbidden chars → '-', collapse
+    * whitespace — one native pass (see [[SanitizeNameExpr]]) instead of
+    * two regex engines per row.
+    */
   def sanitizeName(name: Column): Column =
-    trim(regexp_replace(regexp_replace(name, """[\\/:*?"<>|]""", "-"), """\s+""", " "))
+    GraftExpr.toColumn(SanitizeNameExpr(GraftExpr.toExpr(name)))
 
   /** F3 `make_signed_filename`: idempotent " SIGNÉ" suffix insert before
     * ".pdf" (reference `fixed_signature_utils.py:116-124`). The name is

@@ -70,6 +70,14 @@ object StringProps extends Properties("graft.strings") {
       "K.pdf", ".jpeg", ".JPeG", ".zip", "", ".pdſ", ".doc", ".docx")
   } yield base + tail
 
+  property("native sanitizeName equals the two-regex model") =
+    Prop.forAll(Gen.listOfN(30, anyStr)) { in =>
+      val model = evalBatch(in)(n =>
+        trim(regexp_replace(regexp_replace(n, """[\\/:*?"<>|]""", "-"), """\s+""", " ")))
+      val native = in.map(SanitizeName.sanitize)
+      model == native
+    }
+
   property("native fileExt equals the lower().endsWith() model, incl. Unicode folds") =
     Prop.forAll(extStress) { s =>
       val model = StringOps.KnownExts.find(e => s.toLowerCase.endsWith(e))
