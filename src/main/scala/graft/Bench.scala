@@ -23,26 +23,40 @@ object Bench {
     // on whichever query happens to run first (~6 s of noise).
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
       .agg(sum(xxhash64(col("l_orderkey")).cast("double")).as("h")).collect()
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A query that throws must NEVER masquerade as a fast one: `once`
+    // returns the error alongside the elapsed time, the JSON carries an
+    // `errors` map, and the process exits non-zero if anything failed.
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try {
+      val err = try {
         val df = fn(spark, sfDir)
         // double sum: a long sum of 64-bit hashes overflows under ANSI.
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("double").as("_h"))
           .agg(sum("_h")).collect()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        None
+      } catch {
+        case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val cold = once(fn)
-      val warm = once(fn)
-      name -> ((math.min(cold, warm), cold))
+      val (cold, coldErr) = once(fn)
+      val (warm, warmErr) = once(fn)
+      name -> ((math.min(cold, warm), cold, coldErr.orElse(warmErr)))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
+    }
+    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, (_, _, Some(e))) => s"\"" + k + "\":\"" + esc(e) + "\"" }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val coldTotal = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.values.count(_._3.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (ok != results.size) sys.exit(1)
   }
 }

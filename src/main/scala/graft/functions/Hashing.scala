@@ -96,10 +96,29 @@ object Hashing {
     }.mkString("[", ", ", "]")
 
   // ------------------------------------------------------------------ simhash
-  /** 48 bits: drawn from the raw 60-bit stable hash (NOT the mod-P reduced
-    * one, whose bits >= 31 are always zero).
+  /** 96-bit fingerprint, stored as TWO 48-bit longs (`sim_lo`, `sim_hi`).
+    *
+    * Width is a scale decision, not cosmetics: candidate blocking buckets
+    * on equal fingerprint chunks, and bucket population ~ |corpus| / 2^w
+    * for chunk width w. The previous 48-bit / 6×8-bit design put
+    * ~|corpus|/256 docs in each bucket — ~4M docs per bucket at 10⁹ docs,
+    * quadratic within bucket. 96 bits banded 8×12 keeps pigeonhole
+    * losslessness up to hamming 7 while cutting bucket population 16×
+    * (~|corpus|/4096).
     */
-  val SimhashBits = 48
+  val SimhashBits = 96
+  /** Bits per fingerprint word (each word fills the low 48 bits of a long). */
+  val SimhashWordBits = 48
+
+  /** 48-bit stable hash from a DISJOINT 12-hex-digit slice of the md5
+    * (slice 0 = digits 1-12, slice 1 = digits 13-24) — two independent
+    * hash words from one md5 evaluation per word.
+    */
+  def stableHash48(c: Column, slice: Int): Column =
+    conv(substring(md5(c), 1 + slice * 12, 12), 16, 10).cast("long")
+
+  def stableHash48Sql(e: String, slice: Int): String =
+    s"CAST('0x' || substr(md5($e), ${1 + slice * 12}, 12) AS BIGINT)"
 
   /** Per-word ±1 contribution of bit `b` given a reduced word hash column. */
   def simBitContribution(wordHash: Column, b: Int): Column =
@@ -108,8 +127,8 @@ object Hashing {
   def simBitContributionSql(h: String, b: Int): String =
     s"CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END"
 
-  /** Assemble the simhash long from 64 per-bit vote sums (bit set when the
-    * vote is >= 0; the >= makes the zero-tie deterministic).
+  /** Assemble one simhash word from its per-bit vote sums (bit set when
+    * the vote is >= 0; the >= makes the zero-tie deterministic).
     */
   def simhashFromVotes(votes: Seq[Column]): Column =
     votes.zipWithIndex.map { case (v, b) =>

@@ -201,41 +201,64 @@ object Dedup {
     comp
   }
 
-  /** Per-doc simhash (long, SimhashBits bits) from word unigram votes.
-    * One explode + one hash-aggregate; the 48 per-bit sums are a single
-    * aggregation pass (columnar, codegen'd).
+  /** Per-doc 96-bit simhash as two 48-bit words (`sim_lo`, `sim_hi`)
+    * from word unigram votes. One explode + one hash-aggregate; the 96
+    * per-bit sums are a single aggregation pass (columnar, codegen'd),
+    * and both hash words come from ONE md5 evaluation per (doc, word).
     */
   def withSimhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val wordsDf = docs.select(col(idCol).as("doc_id"),
       explode(words(col(textCol))).as("w"))
-      .withColumn("h", stableHash60(col("w")))
-    val votes = (0 until SimhashBits).map(b => sum(simBitContribution(col("h"), b)).as(s"v$b"))
+      .withColumn("h0", stableHash48(col("w"), 0))
+      .withColumn("h1", stableHash48(col("w"), 1))
+    val votes = (0 until SimhashWordBits).flatMap(b => Seq(
+      sum(simBitContribution(col("h0"), b)).as(s"a$b"),
+      sum(simBitContribution(col("h1"), b)).as(s"b$b")))
     wordsDf.groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), simhashFromVotes((0 until SimhashBits).map(b => col(s"v$b"))).as("simhash"))
+      .select(col("doc_id"),
+        simhashFromVotes((0 until SimhashWordBits).map(b => col(s"a$b"))).as("sim_lo"),
+        simhashFromVotes((0 until SimhashWordBits).map(b => col(s"b$b"))).as("sim_hi"))
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming.
-    * Candidates via chunk banding: with `chunks` equal-width chunks,
-    * hamming <= chunks-1 implies at least one identical chunk
-    * (pigeonhole), so banding is lossless for maxHamming <= chunks-1.
+  /** (doc_id, chunk_idx, chunk_val, sim_lo, sim_hi) banding table: the
+    * 96-bit fingerprint cut into `chunks` equal-width pieces, half drawn
+    * from each word. Factored out of [[simhashPairs]] so bucket-population
+    * properties are directly testable.
+    */
+  def simhashBands(sims: DataFrame, chunks: Int): DataFrame = {
+    require(chunks % 2 == 0 && SimhashWordBits % (chunks / 2) == 0,
+      s"chunks must be even and divide 2*$SimhashWordBits evenly")
+    val perWord = chunks / 2
+    val width = SimhashWordBits / perWord
+    val mask = (1L << width) - 1
+    sims.select(col("doc_id"), col("sim_lo"), col("sim_hi"), posexplode(
+      array((0 until chunks).map { c =>
+        val word = if (c < perWord) col("sim_lo") else col("sim_hi")
+        shiftright(word, (c % perWord) * width).bitwiseAND(mask)
+      }: _*)).as(Seq("chunk_idx", "chunk_val")))
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming over the
+    * 96-bit fingerprint. Candidates via chunk banding: with `chunks`
+    * equal-width chunks, hamming <= chunks-1 implies at least one
+    * identical chunk (pigeonhole), so banding is lossless for
+    * maxHamming <= chunks-1. Default 8 chunks × 12 bits: 4096 bucket
+    * values per chunk index, so bucket population stays ~|corpus|/4096 —
+    * the knob that keeps the within-bucket quadratic bounded at 100×.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int, chunks: Int = 6): DataFrame = {
+                   maxHamming: Int, chunks: Int = 8): DataFrame = {
     require(maxHamming < chunks, "pigeonhole banding needs maxHamming < chunks")
-    val width = SimhashBits / chunks
-    val mask = (1L << width) - 1
-    val sims = withSimhash(docs, idCol, textCol)
-    val banded = sims.select(col("doc_id"), col("simhash"), posexplode(
-      array((0 until chunks).map(c =>
-        shiftright(col("simhash"), c * width).bitwiseAND(mask)): _*)).as(Seq("chunk_idx", "chunk_val")))
+    val banded = simhashBands(withSimhash(docs, idCol, textCol), chunks)
     banded.as("a").join(banded.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        col("a.sim_lo").as("lo_a"), col("a.sim_hi").as("hi_a"),
+        col("b.sim_lo").as("lo_b"), col("b.sim_hi").as("hi_b"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)"))
+      .withColumn("hamming", expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"))
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }

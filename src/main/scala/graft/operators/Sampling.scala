@@ -23,15 +23,22 @@ object Sampling {
   private def slot(keyCol: Column): Column =
     pmod(Hashing.stableHash60(keyCol.cast("string")), lit(Den))
 
+  private def requireRate(r: Double, what: String): Unit =
+    require(r >= 0.0 && r <= 1.0, s"$what must be in [0, 1], got $r")
+
   /** Keep rows whose hash slot falls below rate·Den. */
-  def bernoulli(df: DataFrame, keyCol: Column, rate: Double): DataFrame =
+  def bernoulli(df: DataFrame, keyCol: Column, rate: Double): DataFrame = {
+    requireRate(rate, "rate")
     df.filter(slot(keyCol) < math.round(rate * Den))
+  }
 
   /** Per-stratum rates (e.g. language rebalancing: downsample the head
     * language, keep the tail): unlisted strata use `defaultRate`.
     */
   def stratified(df: DataFrame, keyCol: Column, stratumCol: Column,
                  rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    requireRate(defaultRate, "defaultRate")
+    rates.foreach { case (k, v) => requireRate(v, s"rate for stratum '$k'") }
     val rateCol = rates.foldLeft(lit(math.round(defaultRate * Den))) {
       case (acc, (k, v)) => when(stratumCol === k, lit(math.round(v * Den))).otherwise(acc)
     }
@@ -46,6 +53,9 @@ object Sampling {
   def split(df: DataFrame, keyCol: Column, bounds: Seq[(String, Double)]): DataFrame = {
     require(bounds.nonEmpty && bounds.map(_._2).sum <= 1.0 + 1e-9,
       "split fractions must sum to <= 1")
+    // a negative fraction would pass the sum check but produce
+    // non-monotone cumulative bounds and silently mislabel rows
+    bounds.foreach { case (label, f) => requireRate(f, s"fraction for split '$label'") }
     require(bounds.map(_._1).distinct.size == bounds.size, "split labels must be distinct")
     val cum = bounds.scanLeft(0L) { case (acc, (_, f)) => acc + math.round(f * Den) }.tail
     val s = slot(keyCol)

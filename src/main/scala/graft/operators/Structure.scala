@@ -71,7 +71,13 @@ object Structure {
   def withSeqId(df: DataFrame, orderCol: String, as: String, startId: Long,
                 bucketWidth: Long = 1024L): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val bucketed = df.withColumn("_b", expr(s"cast($orderCol as long) div $bucketWidth"))
+    // Null order keys coalesce into a sentinel FIRST bucket instead of a
+    // null `_b` (which the inner equi-joins below would silently drop):
+    // every input row gets an id, and nulls sort first — the same
+    // nulls-first placement the plain global-window row_number gives.
+    val bucketed = df.withColumn("_b",
+      when(col(orderCol).isNull, lit(Long.MinValue))
+        .otherwise(expr(s"cast($orderCol as long) div $bucketWidth")))
     val counts = bucketed.groupBy("_b").agg(count(lit(1)).as("_n"))
       .withColumn("_cb", expr(s"_b div $bucketWidth"))
     val coarseTotals = counts.groupBy("_cb").agg(sum(col("_n")).as("_cn"))

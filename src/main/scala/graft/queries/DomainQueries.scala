@@ -104,10 +104,13 @@ object DomainQueries {
        |FROM fr""".stripMargin
 
   /** B decode plumbing through the driver gate: the typed mapPartitions
-    * decode (stubbed decoder, one instance per partition). The feature
-    * hash is an imperative fold — not SQL-expressible — so this query
-    * is registered WITHOUT an oracle and the driver records the weaker
-    * rows-only check; exact values are unit-tested in MultimodalSpec.
+    * decode (stubbed decoder, one instance per partition). The stub's
+    * polynomial byte-fold IS oracle-checkable: documents text is pure
+    * ASCII at every SF (byte == char), so the DuckDB twin folds
+    * `ascii(substr(text,i,1))` in HUGEINT mod-2^64 arithmetic,
+    * reproducing Java's wrapping long multiply-add, truncated division
+    * and `math.abs` (including the abs(Long.MinValue) < 0 edge) bit for
+    * bit.
     */
   val decodeFeatures: Q = (s, d) => {
     import s.implicits._
@@ -117,6 +120,29 @@ object DomainQueries {
       .as[Multimodal.MediaDoc]
     Multimodal.decodeFeatures(s, docs).toDF()
   }
+  val decodeFeaturesSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |    list_reduce(
+      |      list_prepend(1125899906842597::HUGEINT,
+      |        list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::HUGEINT)),
+      |      (acc, b) -> (acc * 31 + b) % 18446744073709551616::HUGEINT) AS hu
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS hs
+      |  FROM h),
+      |a AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN hs = -9223372036854775808::HUGEINT THEN hs ELSE abs(hs) END AS habs,
+      |    abs(hs // 1920::HUGEINT) AS hdivabs
+      |  FROM s)
+      |SELECT doc_id, 'text/plain' AS mime, CAST(length(text) AS INTEGER) AS n_bytes,
+      |       CAST(habs % 1920 + 1 AS INTEGER) AS width,
+      |       CAST(hdivabs % 1080 + 1 AS INTEGER) AS height,
+      |       CAST(habs % 100000 AS DOUBLE) / 100000.0 AS feature
+      |FROM a""".stripMargin
 
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
@@ -372,28 +398,36 @@ object DomainQueries {
       |FROM ev ASOF LEFT JOIN o1 ON ev.user_id = o1.user_id AND ev.ts >= o1.odate""".stripMargin
 
   // ---------------------------------------------------------------- range join
-  private val WeekUs = 604800000000L
-  /** Events landing inside the 7-day window after each of the user's
-    * orders — the bucketed range join (no cross product; see
-    * [[graft.operators.RangeJoin]]).
+  private val HourUs = 3600000000L
+  /** Events landing inside the 1-hour window after each of the user's
+    * PURCHASE events — the bucketed range join (no cross product; see
+    * [[graft.operators.RangeJoin]]). Anchors and points both come from
+    * the events table so the windows genuinely overlap the point stream
+    * (the previous orders-anchored variant returned the empty set at
+    * every SF — orders are 1995-2001, events 2024 — and an oracle match
+    * on zero rows proves nothing about join semantics). Strict `>` on
+    * the start keeps the anchor out of its own window.
     */
   val rangeJoin: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    val o = Tables.orders(s, d)
-      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
-      .withColumn("end_us", col("start_us") + lit(WeekUs))
-    graft.operators.RangeJoin.pointInInterval(ev, o, "user_id", "ts_us", "start_us", "end_us", WeekUs)
-      .select("event_id", "user_id", "ts_us", "o_orderkey", "start_us")
+    val p = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id"),
+        unix_micros(col("ts")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(HourUs))
+    graft.operators.RangeJoin.pointInInterval(ev, p, "user_id", "ts_us", "start_us", "end_us", HourUs)
+      .filter(col("ts_us") > col("start_us"))
+      .select("event_id", "user_id", "ts_us", "anchor_id", "start_us")
   }
   val rangeJoinSql: String =
     s"""WITH ev AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
-       |o AS (SELECT o_custkey AS user_id, o_orderkey,
-       |             epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS start_us FROM orders)
-       |SELECT ev.event_id, ev.user_id, ev.ts_us, o.o_orderkey, o.start_us
-       |FROM ev JOIN o ON ev.user_id = o.user_id
-       |WHERE ev.ts_us >= o.start_us AND ev.ts_us <= o.start_us + $WeekUs""".stripMargin
+       |p AS (SELECT event_id AS anchor_id, user_id,
+       |             epoch_us(CAST(ts AS TIMESTAMP)) AS start_us FROM events
+       |      WHERE event_type = 'purchase')
+       |SELECT ev.event_id, ev.user_id, ev.ts_us, p.anchor_id, p.start_us
+       |FROM ev JOIN p ON ev.user_id = p.user_id
+       |WHERE ev.ts_us > p.start_us AND ev.ts_us <= p.start_us + $HourUs""".stripMargin
 
   // ---------------------------------------------------------------- sessionize
   private val SessionGapUs = 1800000000L // 30 minutes
@@ -445,6 +479,7 @@ object DomainQueries {
     "q_sessionize" -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_decode_features" -> decodeFeaturesSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,

@@ -181,14 +181,22 @@ object ParityQueries {
       |LEFT JOIN region   ON n_regionkey = r_regionkey
       |WHERE o_totalprice > 100000.0""".stripMargin
 
-  // Anti join: customers that never ordered (SURVEY §2.4 "absent but exposed").
+  // Anti join: customers with no HIGH-VALUE order (SURVEY §2.4 "absent but
+  // exposed"). The filter on the right side matters twice over: it makes the
+  // result non-vacuous (every sf customer has *some* order, so the unfiltered
+  // anti join is the empty set and proves nothing), and it is the shape the
+  // reference's existence gates take — "no attachment matching the rule" is an
+  // anti join against a *filtered* pool, never the raw table.
+  private val HighValue = 300000.0
   val antiJoin: Q = (s, d) =>
     Tables.customer(s, d)
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > HighValue),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
   val antiJoinSql: String =
-    """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+    s"""SELECT c_custkey, c_name FROM customer
+       |WHERE NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey AND o_totalprice > $HighValue)""".stripMargin
 
   val semiJoin: Q = (s, d) =>
     Tables.supplier(s, d)

@@ -122,21 +122,31 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- simhash
-  private val SimMaxHamming = 5
+  // 7 = chunks-1, the losslessness ceiling for the 8×12 banding; on the
+  // 96-bit fingerprint this is comparable tolerance to the old 5-of-48.
+  private val SimMaxHamming = 7
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", SimMaxHamming)
+  /** Brute-force O(n²) oracle over the SAME 96-bit two-word fingerprint
+    * (sim_lo from md5 hex 1-12, sim_hi from 13-24) — the banding is a
+    * candidate filter, provably lossless for maxHamming < chunks, so the
+    * banded Spark plan and the unbanded oracle must agree exactly.
+    */
   val dedupSimhashSql: String = {
-    val voteCols = (0 until SimhashBits)
-      .map(b => s"sum(${simBitContributionSql("h", b)}) AS v$b").mkString(", ")
-    val simExpr = simhashFromVotesSql((0 until SimhashBits).map(b => s"v$b"))
+    val voteCols = (0 until SimhashWordBits).flatMap(b => Seq(
+      s"sum(${simBitContributionSql("h0", b)}) AS a$b",
+      s"sum(${simBitContributionSql("h1", b)}) AS b$b")).mkString(", ")
+    val loExpr = simhashFromVotesSql((0 until SimhashWordBits).map(b => s"a$b"))
+    val hiExpr = simhashFromVotesSql((0 until SimhashWordBits).map(b => s"b$b"))
     s"""WITH wx AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
-       |h AS (SELECT doc_id, ${stableHash60Sql("word")} AS h FROM wx),
+       |h AS (SELECT doc_id, ${stableHash48Sql("word", 0)} AS h0,
+       |             ${stableHash48Sql("word", 1)} AS h1 FROM wx),
        |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY 1),
-       |sim AS (SELECT doc_id, $simExpr AS simhash FROM votes)
+       |sim AS (SELECT doc_id, $loExpr AS sim_lo, $hiExpr AS sim_hi FROM votes)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimMaxHamming""".stripMargin
+       |WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= $SimMaxHamming""".stripMargin
   }
 
   // ---------------------------------------------------------------- text analysis

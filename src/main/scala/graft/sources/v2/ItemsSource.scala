@@ -95,11 +95,14 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType)
   override def description(): String =
     s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")}"
 
+  // The DSv2 Filter contract allows null values inside In (and EqualTo):
+  // `IN (..., NULL)` matches nothing for the null element — it must not
+  // NPE partition planning.
   private def keep(c: ItemsStore.Cell): Boolean = pushed.forall {
-    case EqualTo("item_id", v) => c.itemId == v.asInstanceOf[Number].longValue()
-    case In("item_id", vs) => vs.exists(v => c.itemId == v.asInstanceOf[Number].longValue())
-    case EqualTo("column_id", v) => c.columnId == v
-    case In("column_id", vs) => vs.contains(c.columnId)
+    case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
+    case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
+    case EqualTo("column_id", v) => v != null && c.columnId == v
+    case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
     case _ => true
   }
 
@@ -135,8 +138,8 @@ class ItemsPageReader(page: ItemsPage, required: StructType)
   private val it = ItemsStore.get(page.store).iterator
     .filter(c => ids.contains(c.itemId))
     .filter(c => page.pushed.forall {
-      case EqualTo("column_id", v) => c.columnId == v
-      case In("column_id", vs) => vs.contains(c.columnId)
+      case EqualTo("column_id", v) => v != null && c.columnId == v
+      case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
       case _ => true
     })
   private var current: ItemsStore.Cell = _

@@ -148,6 +148,15 @@ object EventPipeline {
     * the same (user, start, end, count) values the batch query
     * computes; sessions still open at watermark stay in state.
     *
+    * Batch parity holds for IN-ORDER arrival (per user). A late event
+    * still inside the watermark merges into the open session —
+    * extending `start_us` backwards when it predates the session start
+    * — but a session already EMITTED (closed mid-batch or by timeout)
+    * can never be reopened in append mode, so heavily out-of-order
+    * streams can emit a split where the batch query sees one session.
+    * That is the standard append-mode late-data caveat, not a state
+    * bug; widen the watermark to push it out.
+    *
     * Scale notes: state is one small struct per ACTIVE user (closed
     * sessions leave state immediately), keyed shuffles partition by
     * user, and in-batch events are folded in timestamp order so a
@@ -172,7 +181,10 @@ object EventPipeline {
             var cur = state.getOption
             for (t <- times) cur match {
               case Some(s) if t - s.end_us <= gapUs =>
-                cur = Some(SessState(s.start_us, math.max(s.end_us, t), s.n + 1))
+                // min on start: a late (within-watermark) event older
+                // than the open session must extend it BACKWARDS, not
+                // silently inherit the newer start
+                cur = Some(SessState(math.min(s.start_us, t), math.max(s.end_us, t), s.n + 1))
               case Some(s) =>
                 closed ::= SessionOut(uid, s.start_us, s.end_us, s.n)
                 cur = Some(SessState(t, t, 1))
@@ -213,10 +225,13 @@ object EventPipeline {
 
   /** S8 + §3.3 end-to-end: each micro-batch's NEW events (cross-batch
     * deduped by event_id) trigger the full deposit pipeline for their
-    * items against static cells/rules. Only the tiny (event_id,
-    * item_id) key set is collected to consult the idempotency registry
-    * — in production that registry is the external service's own
-    * idempotence and the collect disappears.
+    * items against static cells/rules. NO driver round-trip: the
+    * registry check runs as an executor-side predicate, the clients
+    * table is restricted via a semi-join against the fresh item ids,
+    * and the after-effect marking is a foreachPartition — the driver
+    * only orchestrates. In production the registry predicate becomes an
+    * anti-join against the external system's processed-ids table; the
+    * shape of the plan does not change.
     */
   def startDepositStream(events: DataFrame, clients: DataFrame, cells: DataFrame,
                          rules: DataFrame, defaultRule: DataFrame, storeName: String,
@@ -224,11 +239,17 @@ object EventPipeline {
     events.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val freshPairs = batch.select("event_id", "item_id").distinct().collect()
-          .filter(r => !Processed.seen(storeName, r.getLong(0)))
-        if (freshPairs.nonEmpty) {
-          val fresh = freshPairs.map(_.getLong(1)).distinct.toSeq
-          val batchClients = clients.filter(col("id_monday").isin(fresh: _*))
+        // Registry reads mutable state: nondeterministic, and the eager
+        // localCheckpoint pins ONE evaluation so the later mark pass and
+        // the pipeline input see the identical fresh set.
+        val notSeen = udf((id: Long) => !Processed.seen(storeName, id)).asNondeterministic()
+        val freshPairs = batch.select("event_id", "item_id").distinct()
+          .filter(notSeen(col("event_id")))
+          .localCheckpoint(true)
+        if (!freshPairs.isEmpty) {
+          val batchClients = clients.join(
+            freshPairs.select(col("item_id").as("id_monday")).distinct(),
+            Seq("id_monday"), "left_semi")
           val plan = graft.pipelines.DepositPipeline.uploadTasks(
             batchClients, cells, rules, defaultRule, lotNumber, startId = 1)
           graft.pipelines.DepositPipeline.run(batch.sparkSession, plan, storeName, sleep = _ => ())
@@ -236,7 +257,9 @@ object EventPipeline {
           // above leaves the ids unmarked and the streaming retry
           // re-runs them against the idempotent store (oldest-wins
           // folders, digest-keyed uploads) — effectively-once.
-          freshPairs.foreach(r => Processed.markDone(storeName, r.getLong(0)))
+          freshPairs.select("event_id").foreachPartition { (it: Iterator[Row]) =>
+            it.foreach(r => Processed.markDone(storeName, r.getLong(0)))
+          }
         }
         ()
       }

@@ -103,4 +103,43 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs((1L, wordsA)), "doc_id", "text", maxHamming = 6, chunks = 6)
     }
   }
+
+  // A few hundred distinct docs: enough to distinguish 12-bit banding
+  // (4096 bucket values) from the old 8-bit one (256) without slowing
+  // the suite down.
+  private lazy val corpus: DataFrame =
+    docs((1L to 600L).map(i => (i, (1 to 30).map(j => s"d${i}_w$j").mkString(" "))): _*)
+
+  test("simhash banding is lossless vs brute-force hamming at maxHamming = chunks-1") {
+    import org.apache.spark.sql.functions._
+    val d = docs((1L, wordsA), (2L, wordsA), (3L, wordsB), (4L, other),
+      (5L, wordsA + " x"), (6L, other + " y"))
+    val banded = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 7)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    val sims = Dedup.withSimhash(d, "doc_id", "text")
+    val brute = sims.as("a").join(sims.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("bit_count(a.sim_lo ^ b.sim_lo) + bit_count(a.sim_hi ^ b.sim_hi)").as("h"))
+      .filter(col("h") <= 7).as[(Long, Long, Int)].collect().toSet
+    assert(banded === brute)
+    assert(brute.nonEmpty) // the fixture must actually exercise the path
+  }
+
+  test("12-bit chunk banding bounds bucket population (the 100x-scale knob)") {
+    import org.apache.spark.sql.functions._
+    val bands = Dedup.simhashBands(Dedup.withSimhash(corpus, "doc_id", "text"), chunks = 8)
+    val buckets = bands.groupBy("chunk_idx", "chunk_val").count()
+    // 600 docs over 4096 bucket values: the largest bucket stays tiny.
+    // Under the old 8-bit banding (256 values) buckets averaged 2.3 with
+    // a much fatter tail; 16 is a loose ceiling that 8-bit banding of a
+    // corpus this size would still be unlikely to breach — the sharp
+    // evidence of width is the distinct-value count below.
+    val maxBucket = buckets.agg(max("count")).as[Long].head()
+    assert(maxBucket <= 16L, s"largest band bucket holds $maxBucket docs")
+    // >256 distinct chunk values observed for a single chunk index is
+    // impossible with 8-bit chunks: proves the banding really is 12-bit.
+    val maxDistinct = bands.groupBy("chunk_idx")
+      .agg(countDistinct("chunk_val").as("n")).agg(max("n")).as[Long].head()
+    assert(maxDistinct > 256L, s"only $maxDistinct distinct chunk values — banding narrower than expected")
+  }
 }
