@@ -176,16 +176,19 @@ object Hashing {
     ((h % 2001L) - 1000L) / 1000.0
   }
 
-  /** Sign-LSH bucket id (NumPlanes bits) of an embedding column. */
-  def signBucket(v: Column, dim: Int, numPlanes: Int): Column =
+  /** Sign-LSH bucket id (NumPlanes bits) of an embedding column.
+    * `planeOffset` selects a disjoint plane family — multi-table LSH
+    * uses offset t·numPlanes for table t.
+    */
+  def signBucket(v: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes).map { j =>
-      val dot = (1 to dim).map(d => element_at(v, d) * lit(hyperplane(j, d))).reduce(_ + _)
+      val dot = (1 to dim).map(d => element_at(v, d) * lit(hyperplane(planeOffset + j, d))).reduce(_ + _)
       when(dot >= 0, lit(1L) * (1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
-  def signBucketSql(v: String, dim: Int, numPlanes: Int): String =
+  def signBucketSql(v: String, dim: Int, numPlanes: Int, planeOffset: Int = 0): String =
     (0 until numPlanes).map { j =>
-      val dot = (1 to dim).map(d => s"$v[$d] * (${hyperplane(j, d)})").mkString(" + ")
+      val dot = (1 to dim).map(d => s"$v[$d] * (${hyperplane(planeOffset + j, d)})").mkString(" + ")
       s"CASE WHEN $dot >= 0 THEN ${1L << j}::BIGINT ELSE 0::BIGINT END"
     }.mkString(" + ")
 }

@@ -99,22 +99,47 @@ object Similarity {
     topK(scored, k)
   }
 
-  /** Sign-LSH bucketed top-k: only candidates in the query's bucket are
-    * scored. Returns the same shape as bruteForceTopK (possibly fewer
-    * than k rows per query when a bucket is small).
+  /** Sign-LSH bucketed top-k: only candidates sharing a bucket with the
+    * query are scored. Returns the same shape as bruteForceTopK
+    * (possibly fewer than k rows per query when buckets are small).
+    *
+    * `tables` > 1 is the recall knob that doesn't fatten buckets:
+    * standard multi-table LSH — `tables` independent plane families,
+    * candidates = union of per-table bucket matches, deduped BEFORE
+    * scoring (a pair found by two tables must not be scored or ranked
+    * twice). Measured recall@10 on the 64-dim fixture: 1 table × 4
+    * planes = 0.156; 4 tables = 0.448; 8 tables = 0.668 (RecallSpec /
+    * PERF.md). Cost is `tables`× the bucket-join shuffle, still never
+    * |Q|×|C|.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, dim: Int, k: Int, planes: Int = 8): DataFrame = {
+              vecCol: String, dim: Int, k: Int, planes: Int = 8,
+              tables: Int = 1): DataFrame = {
     val c = withDoubleVec(corpus, vecCol)
-      .select(col(idCol).as("nn_id"), col("v").as("cv"),
-        norm2(col("v"), dim).as("cnrm"), signBucket(col("v"), dim, planes).as("bucket"))
+      .select(col(idCol).as("nn_id"), col("v").as("cv"), norm2(col("v"), dim).as("cnrm"))
     val q = withDoubleVec(queries, vecCol)
-      .select(col(idCol).as("query_id"), col("v").as("qv"),
-        norm2(col("v"), dim).as("qnrm"), signBucket(col("v"), dim, planes).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
+    val scored =
+      if (tables <= 1) {
+        // single-table: bucket columns ride the rows, one equi-join
+        val cb = c.withColumn("bucket", signBucket(col("cv"), dim, planes))
+        val qb = q.withColumn("bucket", signBucket(col("qv"), dim, planes))
+        cb.join(broadcast(qb), Seq("bucket"))
+      } else {
+        // multi-table: explode each side onto its (table, bucket) keys,
+        // join per table, then dedup candidate PAIRS before scoring
+        def banded(df: DataFrame, vc: String) = df.select(col("*"), posexplode(
+          array((0 until tables).map(t =>
+            signBucket(col(vc), dim, planes, planeOffset = t * planes)): _*))
+          .as(Seq("tbl", "bucket")))
+        banded(c, "cv").join(broadcast(banded(q, "qv")), Seq("tbl", "bucket"))
+          .select("query_id", "qv", "qnrm", "nn_id", "cv", "cnrm")
+          .dropDuplicates("query_id", "nn_id")
+      }
+    val out = scored
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("cosine", dotFold(col("qv"), col("cv"), dim) / (col("qnrm") * col("cnrm")))
-    topK(scored, k)
+    topK(out, k)
   }
 
   /** Embedding near-duplicate pairs within a blocking key (e.g. label):
@@ -168,6 +193,28 @@ object Similarity {
       }
     }.toDF("id_a", "id_b", "cosine")
   }
+
+  // ------------------------------------------------------------------ recall
+  /** Recall@k of an approximate top-k result against the exact one:
+    * per-query |approx ∩ exact| / |exact| on (query_id, nn_id)
+    * membership. This is the tuning loop for `planes`/`nProbe` — run it
+    * on a sampled query set whenever the index parameters or the data
+    * distribution change; distributed (semi-join + one agg), so the
+    * sample can be large.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select("query_id", "nn_id")
+      .join(approx.select("query_id", "nn_id"), Seq("query_id", "nn_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("_n_hit"))
+    exact.groupBy("query_id").agg(count(lit(1)).as("_n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("_n_hit"), lit(0L)).cast("double") / col("_n_exact")).as("recall"))
+  }
+
+  /** Mean recall over all queries (the single tuning number). */
+  def meanRecall(approx: DataFrame, exact: DataFrame): Double =
+    recallAtK(approx, exact).agg(avg(col("recall"))).head.getDouble(0)
 
   // ------------------------------------------------------------------ IVF
   /** Deterministic IVF list assignment: `centroids` are fixed vectors
