@@ -70,6 +70,22 @@ object Hashing {
   /** Convenience wrapper — ONLY for cold paths; see shinglesFromWords. */
   def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
 
+  /** Word n-grams WITH multiplicity (no array_distinct) — repetition
+    * statistics need the counts that shingling deliberately collapses.
+    */
+  def ngramsFromWords(w: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(w) - n),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))
+    when(size(w) >= n, grams).otherwise(array())
+  }
+
+  def ngramsSql(e: String, n: Int): String = {
+    val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($e) - ${n - 2}), i -> $parts)"
+      .replace("w[", s"$e[")
+  }
+
   def shinglesSql(e: String, n: Int): String = {
     val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
     s"list_distinct(list_transform(range(1, len($e) - ${n - 2}), i -> $parts))"

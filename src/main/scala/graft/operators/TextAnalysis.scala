@@ -86,6 +86,37 @@ object TextAnalysis {
       .select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  /** Gopher-style repetition/boilerplate signals (Rae et al. 2021 §A1.1:
+    * repetitious documents are low-quality training data): per doc the
+    * duplicate-word ratio and, for each n in `ns`, the fraction of
+    * n-gram occurrences taken by the single most common n-gram.
+    *
+    * Deliberately AGGREGATION-shaped, not per-row array lambdas: the
+    * mode of an array via HOFs is O(len²) interpreted per document —
+    * fatal on 10k-word docs. Exploding to (doc, gram) and hash-
+    * aggregating is one map-side-combined shuffle per n, keyed by
+    * (doc_id, gram) — uniform keys, no skew, linear in corpus size.
+    * Docs shorter than n words get a null ratio (left join), mirroring
+    * "no n-grams" rather than a fake 0.
+    */
+  def withRepetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                            ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("_w"))
+    val wordStats = base.select(col("doc_id"), explode(col("_w")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("w")).as("_n_distinct"))
+      .withColumn("dup_word_ratio",
+        lit(1.0) - col("_n_distinct").cast("double") / col("n_words").cast("double"))
+      .drop("_n_distinct")
+    val gramRatios = ns.map { n =>
+      base.select(col("doc_id"), explode(ngramsFromWords(col("_w"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double")).as(s"top${n}gram_ratio"))
+    }
+    gramRatios.foldLeft(wordStats)((acc, df) => acc.join(df, Seq("doc_id"), "left"))
+  }
+
   /** Fingerprints: whole-text stable hash + min/max shingle hashes (the
     * rolling-hash document signature).
     */

@@ -189,6 +189,29 @@ object PipelineQueries {
        |  (SELECT doc_id, $scores FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents)))""".stripMargin
   }
 
+  /** Gopher-style repetition signals; null top-n-gram ratios for docs
+    * shorter than n words on BOTH engines (left joins).
+    */
+  val repetition: Q = (s, d) =>
+    TextAnalysis.withRepetitionSignals(Tables.documents(s, d), "doc_id", "text")
+  val repetitionSql: String =
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |ws AS (SELECT doc_id, unnest(w) AS word FROM w),
+       |wstat AS (SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+       |          FROM ws GROUP BY 1),
+       |g2 AS (SELECT doc_id, unnest(${ngramsSql("w", 2)}) AS g FROM w),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+       |r2 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top2gram_ratio
+       |       FROM c2 GROUP BY 1),
+       |g3 AS (SELECT doc_id, unnest(${ngramsSql("w", 3)}) AS g FROM w),
+       |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+       |r3 AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top3gram_ratio
+       |       FROM c3 GROUP BY 1)
+       |SELECT wstat.doc_id, n_words,
+       |       1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_ratio,
+       |       top2gram_ratio, top3gram_ratio
+       |FROM wstat LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)""".stripMargin
+
   val docFingerprint: Q = (s, d) =>
     TextAnalysis.withFingerprint(Tables.documents(s, d), "doc_id", "text", N)
   val docFingerprintSql: String =
@@ -426,6 +449,7 @@ object PipelineQueries {
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
+    "q_repetition" -> repetition,
     "q_doc_fingerprint" -> docFingerprint,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
@@ -447,6 +471,7 @@ object PipelineQueries {
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
+    "q_repetition" -> repetitionSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,

@@ -46,4 +46,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).isNullAt(2) && out(1).isNullAt(3)) // no 5-gram shingles
     assert(out(0).getLong(1) !== out(1).getLong(1))
   }
+
+  test("repetition signals: known ratios on a hand-built doc, nulls below n words") {
+    // "a b a b a b": 6 words, 2 distinct -> dup 2/3; bigrams
+    // [a b, b a, a b, b a, a b] -> top "a b" 3/5; trigrams
+    // [a b a, b a b, a b a, b a b] -> top 2/4
+    val out = TextAnalysis.withRepetitionSignals(Seq(
+      (1L, "a b a b a b"),
+      (2L, "all words here are different ones"),
+      (3L, "solo")).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 6L)
+    assert(math.abs(out(0).getDouble(2) - (1.0 - 2.0 / 6.0)) < 1e-15)
+    assert(out(0).getDouble(3) === 3.0 / 5.0)
+    assert(out(0).getDouble(4) === 2.0 / 4.0)
+    // fully distinct doc: dup ratio 0, every bigram unique -> 1/5
+    assert(out(1).getDouble(2) === 0.0)
+    assert(out(1).getDouble(3) === 1.0 / 5.0)
+    // one word: no bigrams/trigrams -> null ratios, dup 0
+    assert(out(2).getLong(1) === 1L)
+    assert(out(2).getDouble(2) === 0.0)
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
 }
