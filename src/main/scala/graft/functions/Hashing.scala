@@ -136,24 +136,30 @@ object Hashing {
   def stableHash48Sql(e: String, slice: Int): String =
     s"CAST('0x' || substr(md5($e), ${1 + slice * 12}, 12) AS BIGINT)"
 
-  /** Per-word ±1 contribution of bit `b` given a reduced word hash column. */
-  def simBitContribution(wordHash: Column, b: Int): Column =
-    when(shiftright(wordHash, b).bitwiseAND(1) === 1, 1).otherwise(-1)
-
-  def simBitContributionSql(h: String, b: Int): String =
-    s"CASE WHEN ($h >> $b) & 1 = 1 THEN 1 ELSE -1 END"
-
-  /** Assemble one simhash word from its per-bit vote sums (bit set when
-    * the vote is >= 0; the >= makes the zero-tie deterministic).
+  /** Per-word 0/1 value of bit `b` — branch-free, so the 96 per-bit
+    * aggregates are pure shift-and-mask sums. The classic ±1 vote is
+    * recovered as `2·sum_b - n` (n = word count), and the "vote >= 0"
+    * bit rule becomes `2·sum_b >= n` — same ties, half the per-row work
+    * of a CASE WHEN ±1 contribution.
     */
-  def simhashFromVotes(votes: Seq[Column]): Column =
-    votes.zipWithIndex.map { case (v, b) =>
-      when(v >= 0, lit(1L) * (1L << b)).otherwise(0L)
+  def simBitValue(wordHash: Column, b: Int): Column =
+    shiftright(wordHash, b).bitwiseAND(1)
+
+  def simBitValueSql(h: String, b: Int): String =
+    s"(($h >> $b) & 1)"
+
+  /** Assemble one simhash word from per-bit 1-counts plus the total word
+    * count (bit set when 2·sum >= n ⟺ vote sum >= 0; the >= makes the
+    * zero-tie deterministic).
+    */
+  def simhashFromBitSums(sums: Seq[Column], n: Column): Column =
+    sums.zipWithIndex.map { case (s, b) =>
+      when(s * 2 >= n, lit(1L) * (1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
-  def simhashFromVotesSql(votes: Seq[String]): String =
-    votes.zipWithIndex.map { case (v, b) =>
-      s"CASE WHEN $v >= 0 THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"
+  def simhashFromBitSumsSql(sums: Seq[String], n: String): String =
+    sums.zipWithIndex.map { case (s, b) =>
+      s"CASE WHEN $s * 2 >= $n THEN ${1L << b}::BIGINT ELSE 0::BIGINT END"
     }.mkString(" + ")
 
   // ------------------------------------------------------------------ embeddings

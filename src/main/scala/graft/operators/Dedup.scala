@@ -211,14 +211,14 @@ object Dedup {
       explode(words(col(textCol))).as("w"))
       .withColumn("h0", stableHash48(col("w"), 0))
       .withColumn("h1", stableHash48(col("w"), 1))
-    val votes = (0 until SimhashWordBits).flatMap(b => Seq(
-      sum(simBitContribution(col("h0"), b)).as(s"a$b"),
-      sum(simBitContribution(col("h1"), b)).as(s"b$b")))
+    val aggs = count(lit(1)).as("n") +: (0 until SimhashWordBits).flatMap(b => Seq(
+      sum(simBitValue(col("h0"), b)).as(s"a$b"),
+      sum(simBitValue(col("h1"), b)).as(s"b$b")))
     wordsDf.groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"),
-        simhashFromVotes((0 until SimhashWordBits).map(b => col(s"a$b"))).as("sim_lo"),
-        simhashFromVotes((0 until SimhashWordBits).map(b => col(s"b$b"))).as("sim_hi"))
+        simhashFromBitSums((0 until SimhashWordBits).map(b => col(s"a$b")), col("n")).as("sim_lo"),
+        simhashFromBitSums((0 until SimhashWordBits).map(b => col(s"b$b")), col("n")).as("sim_hi"))
   }
 
   /** (doc_id, chunk_idx, chunk_val, sim_lo, sim_hi) banding table: the

@@ -133,15 +133,15 @@ object PipelineQueries {
     * banded Spark plan and the unbanded oracle must agree exactly.
     */
   val dedupSimhashSql: String = {
-    val voteCols = (0 until SimhashWordBits).flatMap(b => Seq(
-      s"sum(${simBitContributionSql("h0", b)}) AS a$b",
-      s"sum(${simBitContributionSql("h1", b)}) AS b$b")).mkString(", ")
-    val loExpr = simhashFromVotesSql((0 until SimhashWordBits).map(b => s"a$b"))
-    val hiExpr = simhashFromVotesSql((0 until SimhashWordBits).map(b => s"b$b"))
+    val sumCols = ("count(*) AS n" +: (0 until SimhashWordBits).flatMap(b => Seq(
+      s"sum(${simBitValueSql("h0", b)}) AS a$b",
+      s"sum(${simBitValueSql("h1", b)}) AS b$b"))).mkString(", ")
+    val loExpr = simhashFromBitSumsSql((0 until SimhashWordBits).map(b => s"a$b"), "n")
+    val hiExpr = simhashFromBitSumsSql((0 until SimhashWordBits).map(b => s"b$b"), "n")
     s"""WITH wx AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
        |h AS (SELECT doc_id, ${stableHash48Sql("word", 0)} AS h0,
        |             ${stableHash48Sql("word", 1)} AS h1 FROM wx),
-       |votes AS (SELECT doc_id, $voteCols FROM h GROUP BY 1),
+       |votes AS (SELECT doc_id, $sumCols FROM h GROUP BY 1),
        |sim AS (SELECT doc_id, $loExpr AS sim_lo, $hiExpr AS sim_hi FROM votes)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
