@@ -155,6 +155,32 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Train/test decontamination sweep (the n-gram overlap check run
+    * before training — Brown et al. 2020 App. C removes training docs
+    * sharing 13-grams with benchmark data): for every (corpus doc,
+    * probe doc) pair sharing at least one word n-gram, the count of
+    * shared distinct n-grams. Emitting the pair+count (not just a flag)
+    * lets callers pick their own contamination threshold.
+    *
+    * Scale shape: both sides reduce to (id, shingle-hash) and equi-join
+    * on the 8-byte hash — the shuffle is keyed by shingle, never a
+    * cross product; the df cap (on by default, corpus side) removes
+    * stop-shingles whose fan-out would dominate the join. Probe sets
+    * (benchmarks) are tiny in practice, so the probe side broadcasts
+    * under AQE.
+    */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeIdCol: String, probeTextCol: String,
+                         n: Int,
+                         maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val ds = docShingleHashes(docs, idCol, textCol, n)
+    val pruned = maxShingleDf.fold(ds)(pruneStopShingles(ds, _))
+    val ps = docShingleHashes(probes, probeIdCol, probeTextCol, n)
+      .withColumnRenamed("doc_id", "probe_id")
+    pruned.join(ps, Seq("sh_h"))
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair
     * relation (doc_a < doc_b), labeled by the MINIMUM doc id of each
     * component — every doc in `docs` appears, singletons labeling

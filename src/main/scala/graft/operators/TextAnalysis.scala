@@ -86,6 +86,34 @@ object TextAnalysis {
       .select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  // ------------------------------------------------------------------ PII scrub
+  /** Redaction patterns shared by the Spark expression and the DuckDB
+    * oracle — restricted to syntax both Java regex and RE2 interpret
+    * identically (no backrefs, no lookaround).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?\\(?[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** PII scrubbing for training corpora: emails, IPv4s and phone-shaped
+    * digit runs replaced with typed placeholders. Order matters and is
+    * part of the contract: emails first (their local parts contain
+    * digits a phone pattern could nibble), IPs before phones (dots keep
+    * IPs out of the phone charset, but only until a phone-like prefix
+    * overlaps). Pure `regexp_replace` chain — codegen'd, one map pass,
+    * no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  def redactPiiSql(e: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($e, '$EmailRe', '<EMAIL>', 'g'), " +
+      s"'$Ipv4Re', '<IP>', 'g'), '$PhoneRe', '<PHONE>', 'g')"
+
   /** Gopher-style repetition/boilerplate signals (Rae et al. 2021 §A1.1:
     * repetitious documents are low-quality training data): per doc the
     * duplicate-word ratio and, for each n in `ns`, the fraction of

@@ -98,6 +98,61 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- decontamination
+  // 4-grams: on this corpus 3-grams are too generic (every doc matches
+  // every probe) and 5-grams nearly never overlap — 4 discriminates.
+  private val DecontamN = 4
+  /** Corpus docs sharing >= 1 word 4-gram with a held-out probe set
+    * (doc_id % 10 == 0 — 10% of docs), with the shared-distinct-n-gram
+    * count per (doc, probe) pair.
+    */
+  val decontaminate: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Dedup.contaminationPairs(
+      doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", DecontamN)
+  }
+  val decontaminateSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
+       |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
+       |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
+       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0)
+       |SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
+       |FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- PII redaction
+  /** Synthetic contact lines built from customer (the fixture corpus
+    * contains no PII-shaped strings, and a redaction oracle over text
+    * that never matches would prove nothing): every third row gets an
+    * email / phone / IPv4 respectively, built IDENTICALLY on both
+    * engines, then scrubbed with the shared pattern chain.
+    */
+  val redact: Q = (s, d) => {
+    val contact = concat(col("c_name"), lit(" can be reached at "),
+      when(col("c_custkey") % 3 === 0,
+        concat(lit("user"), col("c_custkey").cast("string"), lit("@example.com")))
+        .when(col("c_custkey") % 3 === 1,
+          concat(lit("+1 555-"), lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+        .otherwise(concat(lit("10."), (col("c_custkey") % 256).cast("string"),
+          lit("."), (col("c_nationkey") % 256).cast("string"), lit(".7"))))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), contact.as("contact"))
+      .withColumn("redacted", TextAnalysis.redactPii(col("contact")))
+  }
+  val redactSql: String =
+    s"""SELECT c_custkey, contact, ${TextAnalysis.redactPiiSql("contact")} AS redacted
+       |FROM (SELECT c_custkey,
+       |        c_name || ' can be reached at ' ||
+       |        CASE WHEN c_custkey % 3 = 0 THEN 'user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+       |             WHEN c_custkey % 3 = 1 THEN '+1 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |             ELSE '10.' || CAST(c_custkey % 256 AS VARCHAR) || '.' ||
+       |                  CAST(c_nationkey % 256 AS VARCHAR) || '.7' END AS contact
+       |      FROM customer)""".stripMargin
+
   // ---------------------------------------------------------------- dup clusters
   /** Connected components over the n-gram near-dup pairs; oracle is a
     * recursive-CTE transitive closure taking the min reachable id.
@@ -450,6 +505,8 @@ object PipelineQueries {
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
     "q_repetition" -> repetition,
+    "q_decontaminate" -> decontaminate,
+    "q_redact" -> redact,
     "q_doc_fingerprint" -> docFingerprint,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
@@ -472,6 +529,8 @@ object PipelineQueries {
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,
     "q_repetition" -> repetitionSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_redact" -> redactSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,

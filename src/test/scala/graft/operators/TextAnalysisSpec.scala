@@ -47,6 +47,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(1) !== out(1).getLong(1))
   }
 
+  test("redactPii scrubs emails, IPv4s and phone runs; leaves clean text alone") {
+    val out = evalStr(Seq(
+      "write to john.doe+spam@mail.example.org today",
+      "call +1 555-0199 or (415) 555-2671 now",
+      "server at 192.168.0.1 responded",
+      "mixed: a@b.co and 10.0.0.1 and +33 1 23 45 67 89",
+      "no pii here, just 42 words"))(TextAnalysis.redactPii)
+    assert(out(0) === "write to <EMAIL> today")
+    assert(out(1) === "call <PHONE> or (415) 555-2671 now".replace("(415) 555-2671", "<PHONE>"))
+    assert(out(2) === "server at <IP> responded")
+    assert(out(3) === "mixed: <EMAIL> and <IP> and <PHONE>")
+    assert(out(4) === "no pii here, just 42 words")
+  }
+
+  test("contaminationPairs counts shared distinct n-grams, disjoint sets stay empty") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words in this doc here")).toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "alpha beta gamma delta other tail")).toDF("doc_id", "text")
+    val out = Dedup.contaminationPairs(corpus, "doc_id", "text", probes, "doc_id", "text", 4)
+      .as[(Long, Long, Long)].collect()
+    // doc 1 shares exactly one distinct 4-gram ("alpha beta gamma delta")
+    assert(out.toSeq === Seq((1L, 100L, 1L)))
+  }
+
   test("repetition signals: known ratios on a hand-built doc, nulls below n words") {
     // "a b a b a b": 6 words, 2 distinct -> dup 2/3; bigrams
     // [a b, b a, a b, b a, a b] -> top "a b" 3/5; trigrams
