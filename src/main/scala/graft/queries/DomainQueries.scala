@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Picks, Structure}
-import graft.sources.{FilesPayload, Multimodal}
+import graft.sources.{FilesPayload, Multimodal, UrlFetch}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -143,6 +143,46 @@ object DomainQueries {
       |       CAST(hdivabs % 1080 + 1 AS INTEGER) AS height,
       |       CAST(habs % 100000 AS DOUBLE) / 100000.0 AS feature
       |FROM a""".stripMargin
+
+  // ---------------------------------------------------------------- url fetch
+  /** S7's URL fetch through the oracle gate: urls synthesized from
+    * customer keys (every 11th null — reference empty-url semantics;
+    * every 7th a dead link — per-row error capture), fetched with the
+    * deterministic echo transport whose result is derivable from the
+    * url alone, so DuckDB reproduces content md5/length, content type
+    * and the exact error string without any network.
+    */
+  val urlFetch: Q = (s, d) => {
+    import s.implicits._
+    val base = "https://cdn.example/asset/"
+    val rows = Tables.customer(s, d).select(col("c_custkey").as("id"),
+      when(col("c_custkey") % 11 === 0, lit(null).cast("string"))
+        .when(col("c_custkey") % 7 === 0,
+          concat(lit(base), col("c_custkey").cast("string"), lit("/dead")))
+        .otherwise(concat(lit(base), col("c_custkey").cast("string"))).as("url"))
+      .as[UrlFetch.UrlRow]
+    UrlFetch.fetchAll(rows, "echo")
+      .select(col("id"), col("url"), col("content_type"), col("fetch_error"),
+        md5(col("content")).as("content_md5"),
+        length(col("content")).cast("long").as("n_bytes"))
+  }
+  val urlFetchSql: String =
+    """SELECT c_custkey AS id, url,
+      |  CASE WHEN url IS NULL OR url LIKE '%/dead' THEN NULL
+      |       ELSE 'application/octet-stream' END AS content_type,
+      |  CASE WHEN url LIKE '%/dead' THEN 'IOException: refused ' || url END AS fetch_error,
+      |  CASE WHEN url IS NULL THEN md5('')
+      |       WHEN url LIKE '%/dead' THEN NULL
+      |       ELSE md5('payload:' || url) END AS content_md5,
+      |  CAST(CASE WHEN url IS NULL THEN 0
+      |            WHEN url LIKE '%/dead' THEN NULL
+      |            ELSE 8 + length(url) END AS BIGINT) AS n_bytes
+      |FROM (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 11 = 0 THEN NULL
+      |             WHEN c_custkey % 7 = 0
+      |               THEN 'https://cdn.example/asset/' || CAST(c_custkey AS VARCHAR) || '/dead'
+      |             ELSE 'https://cdn.example/asset/' || CAST(c_custkey AS VARCHAR) END AS url
+      |      FROM customer)""".stripMargin
 
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
@@ -467,6 +507,7 @@ object DomainQueries {
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
     "q_decode_features" -> decodeFeatures,
+    "q_url_fetch" -> urlFetch,
     "q_items_connector" -> itemsConnector,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
@@ -480,6 +521,7 @@ object DomainQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_decode_features" -> decodeFeaturesSql,
+    "q_url_fetch" -> urlFetchSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,

@@ -46,8 +46,23 @@ object UrlFetch {
       require(f != null, s"no transport registered under '$name'")
       f()
     }
-    // The real transport is always available under "http".
+    // The real transport is always available under "http"; "echo" is the
+    // deterministic offline stand-in (payload derived from the url).
     register("http", () => new HttpTransport)
+    register("echo", () => EchoTransport)
+  }
+
+  /** Deterministic offline transport: content = "payload:<url>" bytes,
+    * constant content type, and any url ending in "/dead" fails — a
+    * fetch result both engines can derive from the url alone, which is
+    * what lets the fetch stage sit behind the DuckDB oracle gate
+    * (`q_url_fetch`). Stateless, hence an object.
+    */
+  object EchoTransport extends Transport {
+    override def get(url: String): (Array[Byte], Option[String]) = {
+      if (url.endsWith("/dead")) throw new java.io.IOException(s"refused $url")
+      (s"payload:$url".getBytes("UTF-8"), Some("application/octet-stream"))
+    }
   }
 
   /** Production transport: JDK HttpClient, redirects followed, 60 s
