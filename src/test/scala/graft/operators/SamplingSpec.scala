@@ -39,6 +39,20 @@ class SamplingSpec extends SparkSpec {
       again.as[(Long, String, String)].collect().toSet)
   }
 
+  test("rates and fractions outside [0,1] are rejected, not silently mislabeled") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a")).toDF("id", "s")
+    intercept[IllegalArgumentException] { Sampling.bernoulli(df, col("id"), -0.1) }
+    intercept[IllegalArgumentException] { Sampling.bernoulli(df, col("id"), 1.5) }
+    intercept[IllegalArgumentException] {
+      Sampling.stratified(df, col("id"), col("s"), Map("a" -> 2.0), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      // sums to <= 1 but a negative fraction would corrupt the bounds
+      Sampling.split(df, col("id"), Seq("train" -> 0.9, "bad" -> -0.2, "test" -> 0.3))
+    }
+  }
+
   test("stratified applies per-stratum rates and the default elsewhere") {
     val out = Sampling.stratified(docs, $"id", $"lang", Map("en" -> 0.0), defaultRate = 1.0)
     val langs = out.select("lang").distinct().as[String].collect().toSeq

@@ -44,6 +44,20 @@ class StructureSpec extends SparkSpec {
     assert(got(5L) === 10L && got(2000000000L) === 17L)
   }
 
+  test("withSeqId never drops rows with null order keys — they sort first") {
+    // regression: a null key used to produce a null bucket that the
+    // inner offset equi-joins silently eliminated
+    val df = Seq(
+      (java.lang.Long.valueOf(7L), "seven"),
+      (null.asInstanceOf[java.lang.Long], "nokey"),
+      (java.lang.Long.valueOf(3L), "three")).toDF("id_monday", "nomcomplet")
+    val got = Structure.withSeqId(df, "id_monday", "auto_id", startId = 1)
+      .select("nomcomplet", "auto_id").as[(String, Long)].collect().toMap
+    assert(got.size === 3)
+    assert(got("nokey") === 1L) // nulls first, like the global-window form
+    assert(got("three") === 2L && got("seven") === 3L)
+  }
+
   test("uploadPlan: skip-excel filter, _idx suffix for multi-asset slots, empty slots kept") {
     val slots = Structure.lotStructure(clients, 7, 3)
     val pool = Seq(

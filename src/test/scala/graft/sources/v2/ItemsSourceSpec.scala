@@ -46,6 +46,20 @@ class ItemsSourceSpec extends SparkSpec {
     ItemsStore.drop("s_prune")
   }
 
+  test("IN lists containing NULL plan and evaluate without NPE (null matches nothing)") {
+    // regression: a pushed sources.In may carry null values; partition
+    // planning used to NPE on v.asInstanceOf[Number]
+    ItemsStore.put("s_nullin", (1L to 4L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    val viaDf = load("s_nullin").filter($"item_id".isin(2L, null))
+    assert(viaDf.select("item_id").as[Long].collect().toSeq === Seq(2L))
+    load("s_nullin").createOrReplaceTempView("v_nullin")
+    val viaSql = spark.sql("SELECT item_id FROM v_nullin WHERE item_id IN (3, NULL)")
+    assert(viaSql.as[Long].collect().toSeq === Seq(3L))
+    val viaCol = spark.sql("SELECT item_id FROM v_nullin WHERE column_id IN ('c1', NULL)")
+    assert(viaCol.as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    ItemsStore.drop("s_nullin")
+  }
+
   test("partitions are 50-id API pages and pushdown shrinks the page set") {
     ItemsStore.put("s_pages", (1L to 120L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
     assert(load("s_pages").rdd.getNumPartitions === 3) // ceil(120/50)

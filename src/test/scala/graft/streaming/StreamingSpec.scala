@@ -170,6 +170,29 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("sess_out") }
   }
 
+  test("sessionization merges a late within-watermark event BACKWARDS (start extends)") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val gapUs = 5L * 60 * 1000000
+    val q = EventPipeline.streamingSessionize(mem.toDS(), gapUs, watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_late").start()
+    def us(minute: Int) = ts(minute).getTime * 1000L
+    try {
+      mem.addData(SessEvent(1, ts(10)))
+      q.processAllAvailable()
+      // ts(8) is LATE (older than the open session) but inside the
+      // 30-min watermark: it must extend the session's start backwards,
+      // not vanish into a start=10 session. ts(50) drags the watermark
+      // past end+gap so the session can time out.
+      mem.addData(SessEvent(1, ts(8)), SessEvent(9, ts(50)))
+      q.processAllAvailable()
+      mem.addData(SessEvent(9, ts(51))) // timeout fires the batch after the watermark moves
+      q.processAllAvailable()
+      val got = spark.table("sess_late").as[SessionOut].filter(_.user_id == 1L).collect().toSet
+      assert(got === Set(SessionOut(1L, us(8), us(10), 2)))
+    } finally { q.stop(); spark.catalog.dropTempView("sess_late") }
+  }
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
