@@ -86,6 +86,18 @@ object TextAnalysis {
       .select(col("doc_id"), pred.as("pred_lang"))
   }
 
+  /** Corpus vocabulary top-k: the k most frequent words with counts.
+    * One map-side-combined hash agg keyed by word, then orderBy+limit —
+    * Spark plans TakeOrderedAndProject (per-partition bounded top-k
+    * merged at the driver, O(k) memory), NOT a global window sort, so
+    * this is the safe global-top-k shape at any corpus size.
+    */
+  def topWords(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
   // ------------------------------------------------------------------ PII scrub
   /** Redaction patterns shared by the Spark expression and the DuckDB
     * oracle — restricted to syntax both Java regex and RE2 interpret

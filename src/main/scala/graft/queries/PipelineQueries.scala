@@ -98,6 +98,18 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5""".stripMargin
   }
 
+  // ---------------------------------------------------------------- vocabulary
+  /** Top-25 corpus words. The oracle's ORDER BY mirrors the exact
+    * (n desc, word) tiebreak so the LIMIT boundary is deterministic on
+    * both engines.
+    */
+  val vocabTopK: Q = (s, d) =>
+    TextAnalysis.topWords(Tables.documents(s, d), "text", 25)
+  val vocabTopKSql: String =
+    s"""SELECT word, count(*) AS n
+       |FROM (SELECT unnest(${wordsSql("text")}) AS word FROM documents)
+       |GROUP BY 1 ORDER BY n DESC, word LIMIT 25""".stripMargin
+
   // ---------------------------------------------------------------- decontamination
   // 4-grams: on this corpus 3-grams are too generic (every doc matches
   // every probe) and 5-grams nearly never overlap — 4 discriminates.
@@ -507,6 +519,7 @@ object PipelineQueries {
     "q_repetition" -> repetition,
     "q_decontaminate" -> decontaminate,
     "q_redact" -> redact,
+    "q_vocab_topk" -> vocabTopK,
     "q_doc_fingerprint" -> docFingerprint,
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
@@ -531,6 +544,7 @@ object PipelineQueries {
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_redact" -> redactSql,
+    "q_vocab_topk" -> vocabTopKSql,
     "q_doc_fingerprint" -> docFingerprintSql,
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,

@@ -47,6 +47,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0).getLong(1) !== out(1).getLong(1))
   }
 
+  test("topWords: exact counts, deterministic tiebreak, TakeOrderedAndProject plan") {
+    val df = TextAnalysis.topWords(Seq(
+      (1L, "b a b c b a"), (2L, "a c d")).toDF("doc_id", "text"), "text", 3)
+    assert(df.as[(String, Long)].collect().toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+    // global top-k must be the bounded per-partition merge, never a full sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("redactPii scrubs emails, IPv4s and phone runs; leaves clean text alone") {
     val out = evalStr(Seq(
       "write to john.doe+spam@mail.example.org today",
