@@ -184,6 +184,20 @@ object DomainQueries {
       |             ELSE 'https://cdn.example/asset/' || CAST(c_custkey AS VARCHAR) END AS url
       |      FROM customer)""".stripMargin
 
+  // ---------------------------------------------------------------- z-order
+  /** The morton value driving [[graft.sources.Layout.zOrdered]] over the
+    * natural (user, day-of-month) skipping dimensions of events; the
+    * layout property itself (per-file span shrinkage) is asserted in
+    * LayoutSpec — the oracle checks the bit arithmetic.
+    */
+  val zorder: Q = (s, d) =>
+    Tables.events(s, d).select(col("event_id"),
+      graft.sources.Layout.zValue(col("user_id"), dayofmonth(col("ts")), 8).as("z"))
+  val zorderSql: String =
+    s"""SELECT event_id,
+       |       ${graft.sources.Layout.zValueSql("user_id", "day(CAST(ts AS TIMESTAMP))", 8)} AS z
+       |FROM events""".stripMargin
+
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
     * whose string rendering agrees across engines: longs and strings —
@@ -508,6 +522,7 @@ object DomainQueries {
     "q_frames" -> frames,
     "q_decode_features" -> decodeFeatures,
     "q_url_fetch" -> urlFetch,
+    "q_zorder" -> zorder,
     "q_items_connector" -> itemsConnector,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
@@ -522,6 +537,7 @@ object DomainQueries {
   val oracleSql: Map[String, String] = Map(
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
+    "q_zorder" -> zorderSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
