@@ -392,21 +392,45 @@ object DomainQueries {
     * reference's `get_columns_values`, `Leyton_depot.py:169-188`):
     * item-id pushdown + column-id pruning over (item, column, text).
     */
-  val eavLookup: Q = (s, d) => {
-    val eav = Tables.customer(s, d).select(col("c_custkey").as("item_id"), explode(array(
+  private def eavCells(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").as("item_id"), explode(array(
       struct(lit("name").as("column_id"), col("c_name").as("text")),
       struct(lit("segment").as("column_id"), col("c_mktsegment").as("text")),
       struct(lit("nation").as("column_id"), col("c_nationkey").cast("string").as("text"))
     )).as("cv"))
       .select(col("item_id"), col("cv.column_id").as("column_id"), col("cv.text").as("text"))
-    eav.filter(col("item_id").isin(1L, 2L, 3L, 42L) && col("column_id").isin("name", "segment"))
-  }
+
+  val eavLookup: Q = (s, d) =>
+    eavCells(s, d)
+      .filter(col("item_id").isin(1L, 2L, 3L, 42L) && col("column_id").isin("name", "segment"))
   val eavLookupSql: String =
     """SELECT item_id, column_id, text FROM (
       |  SELECT c_custkey AS item_id, 'name' AS column_id, c_name AS text FROM customer
       |  UNION ALL SELECT c_custkey, 'segment', c_mktsegment FROM customer
       |  UNION ALL SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer)
       |WHERE item_id IN (1, 2, 3, 42) AND column_id IN ('name', 'segment')""".stripMargin
+
+  /** EAV → wide materialization (the reference's "item with all its
+    * column values" JSON shape): Spark `pivot` with an EXPLICIT value
+    * list — never the value-discovering overload, which runs an extra
+    * distinct job and breaks when a new column id appears between plan
+    * and execute — and a `max` aggregate (deterministic under multiple
+    * cells per (item, column), unlike `first`).
+    */
+  val eavPivot: Q = (s, d) =>
+    eavCells(s, d).groupBy("item_id")
+      .pivot("column_id", Seq("name", "segment", "nation"))
+      .agg(max(col("text")))
+  val eavPivotSql: String =
+    """WITH eav AS (
+      |  SELECT c_custkey AS item_id, 'name' AS column_id, c_name AS text FROM customer
+      |  UNION ALL SELECT c_custkey, 'segment', c_mktsegment FROM customer
+      |  UNION ALL SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer)
+      |SELECT item_id,
+      |       max(CASE WHEN column_id = 'name' THEN text END) AS name,
+      |       max(CASE WHEN column_id = 'segment' THEN text END) AS segment,
+      |       max(CASE WHEN column_id = 'nation' THEN text END) AS nation
+      |FROM eav GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- F13/F8 stamp + escape
   val stampFormat: Q = (s, d) =>
@@ -529,6 +553,7 @@ object DomainQueries {
     "q_upload_plan" -> uploadPlan,
     "q_folder_listing" -> folderListing,
     "q_eav_lookup" -> eavLookup,
+    "q_eav_pivot" -> eavPivot,
     "q_stamp_format" -> stampFormat,
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
@@ -547,6 +572,7 @@ object DomainQueries {
     "q_upload_plan" -> uploadPlanSql,
     "q_folder_listing" -> folderListingSql,
     "q_eav_lookup" -> eavLookupSql,
+    "q_eav_pivot" -> eavPivotSql,
     "q_stamp_format" -> stampFormatSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
