@@ -19,8 +19,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
-    // Untimed warmup: JIT/codegen + parquet reader init otherwise land
-    // on whichever query happens to run first (~6 s of noise).
+    // Untimed warmup: JIT/codegen + parquet reader/footer init otherwise
+    // land on whichever query happens to read a table first (~6 s of
+    // noise that migrated between queries whenever the registry
+    // changed). Touch EVERY fixture table, not just lineitem.
+    Tables.names.foreach { t =>
+      Tables.table(spark, sfDir, t).foreach((_: org.apache.spark.sql.Row) => ())
+    }
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
       .agg(sum(xxhash64(col("l_orderkey")).cast("double")).as("h")).collect()
     // A query that throws must NEVER masquerade as a fast one: `once`
@@ -40,22 +45,30 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted-name order: queries run in a stable sequence across rounds,
+    // so any residual first-touch cost stays on the same query instead
+    // of reshuffling whenever the registry grows. Both run times are
+    // recorded per query (`runs`) so a driver-box outlier is visible in
+    // the artifact — min-of-2 alone couldn't distinguish noise (one
+    // inflated run) from regression (both inflated).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (cold, coldErr) = once(fn)
       val (warm, warmErr) = once(fn)
-      name -> ((math.min(cold, warm), cold, coldErr.orElse(warmErr)))
+      name -> ((math.min(cold, warm), cold, warm, coldErr.orElse(warmErr)))
     }
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
     }
-    val qs = results.map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, _, Some(e))) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+    val runs = results.map { case (k, (_, c, w, _)) => s"\"" + k + s"\":[$c,$w]" }
       .mkString("{", ",", "}")
-    val total = results.values.map(_._1).sum
-    val coldTotal = results.values.map(_._2).sum
-    val ok = results.values.count(_._3.isEmpty)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, _, _, Some(e))) => s"\"" + k + "\":\"" + esc(e) + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2._1).sum
+    val coldTotal = results.map(_._2._2).sum
+    val ok = results.count(_._2._4.isEmpty)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
     if (ok != results.size) sys.exit(1)
   }

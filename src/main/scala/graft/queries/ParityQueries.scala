@@ -4,8 +4,9 @@ import graft.Tables
 import graft.functions.Normalize.norm
 import graft.functions.StringOps
 import graft.operators.Picks
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parity queries: each SURVEY.md §2 operator as a named query over the
   * driver test tables, with an ANSI-SQL oracle for the DuckDB compare.
@@ -92,9 +93,20 @@ object ParityQueries {
 
   // ---------------------------------------------------------------- P1/F9
   // JSON payload decode (Leyton_depot.py:147-153): props is a JSON string.
+  //
+  // The JSON must be parsed ONCE per row. A plain select+filter on the
+  // alias does not guarantee that: PushPredicateThroughNonJoin
+  // substitutes the alias into the pushed condition, leaving
+  // `get_json_object` evaluated in the null check, the parity check AND
+  // the projection (three parses per row — the round-4 bench outlier).
+  // `explode` of a 1-element array is a Generate the filter CANNOT push
+  // through (the predicate references the generator's output), so the
+  // parse is materialized exactly once and the whole plan stays in
+  // whole-stage codegen. PushdownSpec asserts the single evaluation.
   val jsonExtract: Q = (s, d) =>
     Tables.events(s, d)
-      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_id"),
+        explode(array(get_json_object(col("props"), "$.k").cast("long"))).as("k"))
       .filter(col("k").isNotNull && col("k") % 2 === 0)
   val jsonExtractSql: String =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -322,14 +334,59 @@ object ParityQueries {
       |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  val quantiles: Q = (s, d) =>
-    Tables.events(s, d)
+  /** Exact grouped quantiles, DISTRIBUTED. Spark's built-in `percentile`
+    * is a TypedImperativeAggregate that buffers every (value, count) of
+    * a group in ONE in-memory map — with a 5-value group key each final
+    * task holds its group's whole column, the textbook plan that cannot
+    * survive a 100× scale-up. This formulation gets the identical
+    * doubles through rank windows instead: row_number + count per group
+    * (one per-group sort that SPILLS via the external sorter instead of
+    * OOMing), keep only the ≤6 rows straddling a quantile position (plus
+    * rank 1/n for min/max), then one tiny hash-agg. The interpolation
+    * reproduces percentile's exact fold —
+    * `(higher-pos)*lo + (pos-lower)*hi` on `pos = p*(n-1)` — so the
+    * result is bit-identical (QuantilesSpec asserts it) and the DuckDB
+    * `quantile_cont` oracle is unchanged. Nulls: the fixture column has
+    * none; a null-valued row would be dropped here where `percentile`
+    * skips it inside the buffer — same result for any group with at
+    * least one non-null value.
+    */
+  val quantiles: Q = (s, d) => quantilesOver(Tables.events(s, d))
+
+  /** The rank-window formulation over any (event_type, value) frame —
+    * split out so tests can drive it with edge-case groups.
+    */
+  def quantilesOver(events: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    // 0-based fractional position of quantile p in a sorted n-row group
+    def pos(p: Double) = lit(p) * (col("n") - lit(1)).cast("double")
+    def lo(p: Double) = floor(pos(p)) + lit(1L) // 1-based straddling ranks
+    def hi(p: Double) = ceil(pos(p)) + lit(1L)
+    // exactly one row per group satisfies rn === rank, so max() picks it
+    def pick(rank: Column) = max(when(col("rn") === rank, col("value")))
+    def interp(p: Double, l: Column, h: Column) = {
+      val x = pos(p)
+      when(ceil(x) === floor(x), l)
+        .otherwise((ceil(x) - x) * l + (x - floor(x)) * h)
+    }
+    events
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("rn", row_number().over(byType.orderBy(col("value"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === 1 || col("rn") === col("n") ||
+        col("rn") === lo(0.5) || col("rn") === hi(0.5) ||
+        col("rn") === lo(0.95) || col("rn") === hi(0.95))
       .groupBy(col("event_type"))
-      .agg(
-        expr("percentile(value, 0.5)").as("p50"),
-        expr("percentile(value, 0.95)").as("p95"),
-        min(col("value")).as("v_min"),
-        max(col("value")).as("v_max"))
+      .agg(max(col("n")).as("n"),
+        pick(lo(0.5)).as("_l50"), pick(hi(0.5)).as("_h50"),
+        pick(lo(0.95)).as("_l95"), pick(hi(0.95)).as("_h95"),
+        pick(lit(1)).as("v_min"), pick(col("n")).as("v_max"))
+      .select(col("event_type"),
+        interp(0.5, col("_l50"), col("_h50")).as("p50"),
+        interp(0.95, col("_l95"), col("_h95")).as("p95"),
+        col("v_min"), col("v_max"))
+  }
   val quantilesSql: String =
     """SELECT event_type,
       |       quantile_cont(value, 0.5) AS p50,

@@ -150,11 +150,7 @@ object UrlFetch {
       if (!rows.hasNext) Iterator.empty
       else {
         val t = Transports.open(transportName)
-        // the iterator is lazy: close on task completion (covers both
-        // normal exhaustion and task failure), never before consumption
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => t.close()))
-        rows.map { r =>
+        def fetchOne(r: UrlRow): FetchedRow =
           if (r.url == null || r.url.isEmpty)
             FetchedRow(r.id, r.url, Array.emptyByteArray, null, null)
           else try {
@@ -165,6 +161,24 @@ object UrlFetch {
               FetchedRow(r.id, r.url, null, null,
                 s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")
           }
+        org.apache.spark.TaskContext.get() match {
+          case ctx if ctx != null =>
+            // the iterator is lazy: close on task completion (covers both
+            // normal exhaustion and task failure), never before consumption
+            ctx.addTaskCompletionListener[Unit](_ => t.close())
+            rows.map(fetchOne)
+          case _ =>
+            // no task context (driver-side/local evaluation): close once
+            // the iterator drains so the transport never leaks
+            new Iterator[FetchedRow] {
+              private var closed = false
+              def hasNext: Boolean = {
+                val h = rows.hasNext
+                if (!h && !closed) { closed = true; t.close() }
+                h
+              }
+              def next(): FetchedRow = fetchOne(rows.next())
+            }
         }
       }
     }

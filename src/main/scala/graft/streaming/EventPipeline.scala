@@ -180,11 +180,21 @@ object EventPipeline {
             var closed = List.empty[SessionOut]
             var cur = state.getOption
             for (t <- times) cur match {
-              case Some(s) if t - s.end_us <= gapUs =>
+              case Some(s) if t - s.end_us <= gapUs && s.start_us - t <= gapUs =>
                 // min on start: a late (within-watermark) event older
                 // than the open session must extend it BACKWARDS, not
-                // silently inherit the newer start
+                // silently inherit the newer start. The second guard
+                // keeps "older" honest: `t - s.end_us` is NEGATIVE for
+                // any pre-session event, so without it an event MORE
+                // than `gap` before the session start would false-merge
+                // and inflate the span.
                 cur = Some(SessState(math.min(s.start_us, t), math.max(s.end_us, t), s.n + 1))
+              case Some(s) if s.start_us - t > gapUs =>
+                // Within-watermark event that predates the open session
+                // by more than the gap: in event-time order it belongs
+                // to an earlier, already-gone session — emit it as its
+                // own closed singleton and leave the open session alone.
+                closed ::= SessionOut(uid, t, t, 1)
               case Some(s) =>
                 closed ::= SessionOut(uid, s.start_us, s.end_us, s.n)
                 cur = Some(SessState(t, t, 1))
@@ -209,6 +219,15 @@ object EventPipeline {
     * streaming retry re-applies it — at-least-once application against
     * idempotent effects, i.e. effectively-once. Marking first would be
     * at-most-once: a crash after the mark skips the event forever.
+    *
+    * SINGLE-JVM STAND-IN: this is an in-process ConcurrentHashMap, so
+    * the seen-check and the mark only observe each other when every
+    * executor shares the JVM (local[*], as here). On a real cluster
+    * each executor would hold its own map and the guarantee silently
+    * degrades to at-least-once — which the idempotent effects absorb,
+    * but the registry itself must then be the EXTERNAL system's
+    * processed-ids table (an anti-join, as the startDepositStream
+    * scaladoc describes), not this object.
     */
   object Processed {
     private val stores =

@@ -32,6 +32,20 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("q_json_extract parses the JSON exactly once (generator barrier holds)") {
+    import org.apache.spark.sql.catalyst.expressions.GetJsonObject
+    val plan = queries.ParityQueries.jsonExtract(spark, d).queryExecution.optimizedPlan
+    val parses = plan.flatMap(_.expressions.flatMap(_.collect { case g: GetJsonObject => g }))
+    assert(parses.size === 1,
+      s"expected ONE get_json_object in the optimized plan, found ${parses.size}:\n$plan")
+  }
+
+  test("q_quantiles plans no single-buffer percentile aggregate") {
+    val plan = queries.ParityQueries.quantiles(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan.take(800))
+  }
+
   test("no query plans a window without a partition spec (single-task funnel)") {
     // the optimized LOGICAL plan is audited (AQE wraps the physical one);
     // a foldable partition key is as global as an empty one.

@@ -193,6 +193,30 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("sess_late") }
   }
 
+  test("sessionization does NOT false-merge an event more than gap before the session") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val gapUs = 5L * 60 * 1000000
+    val q = EventPipeline.streamingSessionize(mem.toDS(), gapUs, watermark = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("sess_old").start()
+    def us(minute: Int) = ts(minute).getTime * 1000L
+    try {
+      mem.addData(SessEvent(1, ts(20)))
+      q.processAllAvailable()
+      // ts(5) is within the watermark but 15 min BEFORE the open
+      // session's start — more than the 5-min gap. `t - end <= gap` is
+      // trivially true for any pre-session event, so the false-merge
+      // regression produced ONE inflated [5, 20] session here; correct
+      // behavior is a closed singleton plus the untouched open session.
+      mem.addData(SessEvent(1, ts(5)), SessEvent(9, ts(60)))
+      q.processAllAvailable()
+      mem.addData(SessEvent(9, ts(61))) // advance watermark → session [20,20] times out
+      q.processAllAvailable()
+      val got = spark.table("sess_old").as[SessionOut].filter(_.user_id == 1L).collect().toSet
+      assert(got === Set(SessionOut(1L, us(5), us(5), 1), SessionOut(1L, us(20), us(20), 1)))
+    } finally { q.stop(); spark.catalog.dropTempView("sess_old") }
+  }
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
