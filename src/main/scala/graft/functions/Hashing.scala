@@ -201,11 +201,22 @@ object Hashing {
   /** Sign-LSH bucket id (NumPlanes bits) of an embedding column.
     * `planeOffset` selects a disjoint plane family — multi-table LSH
     * uses offset t·numPlanes for table t.
+    *
+    * Each plane's dot product is a [[dotFold]] against a typedlit plane
+    * vector, NOT an expanded dim-term sum: the expanded form inlines
+    * dim×numPlanes multiply-adds into the generated Java (4096 terms
+    * for 8-table banding), which blows janino's 64 KB method limit and
+    * silently drops the whole stage to interpreted execution. The fold
+    * is a compact CodegenFallback call, so plane count never multiplies
+    * generated-code size (CodegenSpec compiles these strict). Values
+    * are unchanged: the 0.0-seeded left fold adds the same terms in the
+    * same order as the flat chain (a leading `-0.0` can flip to `+0.0`,
+    * which the `>= 0` sign test cannot observe).
     */
   def signBucket(v: Column, dim: Int, numPlanes: Int, planeOffset: Int = 0): Column =
     (0 until numPlanes).map { j =>
-      val dot = (1 to dim).map(d => element_at(v, d) * lit(hyperplane(planeOffset + j, d))).reduce(_ + _)
-      when(dot >= 0, lit(1L) * (1L << j)).otherwise(0L)
+      val plane = typedlit((1 to dim).map(d => hyperplane(planeOffset + j, d)))
+      when(dotFold(v, plane, dim) >= 0, lit(1L) * (1L << j)).otherwise(0L)
     }.reduce(_ + _)
 
   def signBucketSql(v: String, dim: Int, numPlanes: Int, planeOffset: Int = 0): String =

@@ -217,28 +217,41 @@ object Similarity {
     recallAtK(approx, exact).agg(avg(col("recall"))).head.getDouble(0)
 
   // ------------------------------------------------------------------ IVF
+  /** The centroid set as ONE literal column:
+    * `array<struct<id:int, cv:array<double>, cn:double>>` (cn = L2 norm,
+    * precomputed driver-side). All centroid scoring folds over this
+    * single array value, so the centroid COUNT scales the literal's
+    * data, never the generated code — the previous per-centroid inlined
+    * fold columns made k a plan-size multiplier and (together with the
+    * expanded signBucket) blew janino's 64 KB method limit, silently
+    * dropping the ANN probe stage to interpreted execution.
+    */
+  private def centroidLit(centroids: Seq[Seq[Double]]): Column =
+    typedlit(centroids.zipWithIndex.map { case (c, i) =>
+      (i, c, math.sqrt(c.map(x => x * x).sum))
+    })
+
   /** Deterministic IVF list assignment: `centroids` are fixed vectors
     * (in production: k-means output; here any deterministic pick — the
     * structure, not the training, is the operator). Each row gets the
-    * arg-max-cosine centroid id; ties break to the lower id.
+    * arg-max-cosine centroid id; ties break to the lower id (the fold
+    * keeps the FIRST maximum: strictly-greater replaces, equal keeps —
+    * same winner as the old greatest+CASE chain; a NaN cosine, which
+    * the fixture's non-zero norms cannot produce, would lose here where
+    * `greatest` propagated it). No shuffle: assignment is one
+    * row-local fold over the centroid literal.
     */
   def withIvfList(df: DataFrame, vecCol: String, dim: Int,
                   centroids: Seq[Seq[Double]]): DataFrame = {
     val e = withDoubleVec(df, vecCol).withColumn("_nrm", norm2(col("v"), dim))
-    val sims = centroids.zipWithIndex.map { case (c, i) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      (dotFold(col("v"), typedlit(c), dim) / (col("_nrm") * lit(cn))).as(s"_c$i")
-    }
-    // argmax = first index reaching the max (tie → lowest id)
-    val mx = centroids.indices.map(i => col(s"_c$i")).reduce(greatest(_, _))
-    val best = centroids.indices.foldRight(lit(-1)) { (i, acc) =>
-      when(col(s"_c$i") === col("_mx"), lit(i)).otherwise(acc)
-    }
-    e.select(col("*") +: sims: _*)
-      .withColumn("_mx", mx)
-      .withColumn("ivf_list", best)
-      .drop("_mx")
-      .drop(centroids.indices.map(i => s"_c$i"): _*)
+    val best = aggregate(centroidLit(centroids),
+      struct(lit(Double.NegativeInfinity).as("sim"), lit(-1).as("id")),
+      (acc, c) => {
+        val sim = dotFold(col("v"), c.getField("_2"), dim) / (col("_nrm") * c.getField("_3"))
+        when(sim > acc.getField("sim"),
+          struct(sim.as("sim"), c.getField("_1").as("id"))).otherwise(acc)
+      })
+    e.withColumn("ivf_list", best.getField("id"))
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =
@@ -289,15 +302,16 @@ object Similarity {
       .select(col(idCol).as("nn_id"), col("v").as("cv"), col("_nrm").as("cnrm"),
         col("ivf_list").as("list_id"))
     // Queries probe their nProbe closest lists: rank centroid cosines.
+    // One `transform` over the centroid literal (not k inlined structs):
+    // struct order (sim, list_id) makes array_sort+reverse rank by
+    // cosine desc then list_id desc, exactly as before.
     val qSims = withDoubleVec(queries, vecCol)
       .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
-    val probes = centroids.zipWithIndex.map { case (cvec, i) =>
-      val cn = math.sqrt(cvec.map(x => x * x).sum)
-      struct((dotFold(col("qv"), typedlit(cvec), dim) / (col("qnrm") * lit(cn))).as("sim"),
-        lit(i).as("list_id"))
-    }
+    val probes = transform(centroidLit(centroids), c => struct(
+      (dotFold(col("qv"), c.getField("_2"), dim) / (col("qnrm") * c.getField("_3"))).as("sim"),
+      c.getField("_1").as("list_id")))
     val q = qSims.withColumn("_probe",
-        slice(reverse(array_sort(array(probes: _*))), 1, nProbe))
+        slice(reverse(array_sort(probes)), 1, nProbe))
       .select(col("query_id"), col("qv"), col("qnrm"),
         explode(col("_probe.list_id")).as("list_id"))
     val scored = c.join(broadcast(q), Seq("list_id"))

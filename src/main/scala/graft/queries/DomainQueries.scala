@@ -226,14 +226,20 @@ object DomainQueries {
     */
   val itemsConnector: Q = (s, d) => {
     import graft.sources.v2.{ItemsSource, ItemsStore}
-    val cells = Tables.customer(s, d).filter(col("c_custkey") <= 500)
-      .select(col("c_custkey").as("item_id"),
-        concat(lit("col"), pmod(col("c_custkey"), lit(3))).as("column_id"),
-        col("c_name").as("text"),
-        (col("c_custkey") * 100).as("created_at"))
     val store = ("q_items_" + d).replaceAll("[^a-zA-Z0-9]", "_")
-    ItemsStore.put(store, cells.collect().map(r =>
-      ItemsStore.Cell(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+    // Seed-once, keyed by store name: the collect is the harness
+    // stand-in for the external system's own data and runs at most once
+    // per JVM — the query body itself is a pure read-through-connector
+    // (Bench/Verify re-invocations hit the already-seeded store).
+    ItemsStore.seedOnce(store) {
+      Tables.customer(s, d).filter(col("c_custkey") <= 500)
+        .select(col("c_custkey").as("item_id"),
+          concat(lit("col"), pmod(col("c_custkey"), lit(3))).as("column_id"),
+          col("c_name").as("text"),
+          (col("c_custkey") * 100).as("created_at"))
+        .collect().map(r =>
+          ItemsStore.Cell(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
     s.read.format(ItemsSource.ShortName).option("store", store).load()
       .filter(col("item_id").isin((1L to 40L).map(java.lang.Long.valueOf): _*) &&
         col("column_id") === "col1")

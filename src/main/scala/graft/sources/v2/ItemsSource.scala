@@ -45,6 +45,13 @@ object ItemsStore {
   final case class Cell(itemId: Long, columnId: String, text: String, createdAt: Long)
   private val stores = new java.util.concurrent.ConcurrentHashMap[String, Seq[Cell]]()
   def put(name: String, cells: Seq[Cell]): Unit = stores.put(name, cells)
+  /** Seed-once guard: evaluates `cells` and stores them only when the
+    * store does not exist yet — so a QUERY that needs fixture data in
+    * the stand-in store can reference it without re-collecting on every
+    * invocation (Bench runs each query twice; Verify again).
+    */
+  def seedOnce(name: String)(cells: => Seq[Cell]): Unit =
+    stores.computeIfAbsent(name, _ => cells)
   def get(name: String): Seq[Cell] = Option(stores.get(name)).getOrElse(Seq.empty)
   def drop(name: String): Unit = stores.remove(name)
 }

@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-stage-codegen health of the ANN stages. Round 4's expanded
+  * per-plane / per-centroid scoring inlined up to 4096 multiply-adds
+  * into one generated method, blowing janino's 64 KB limit — Spark then
+  * logged `ERROR CodeGenerator` and SILENTLY ran the stage interpreted.
+  * `spark.sql.codegen.fallback=false` turns exactly that fallback into
+  * a hard error, so these tests fail if any plan stops compiling again.
+  */
+class CodegenSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private val dim = 64
+
+  private lazy val corpus: DataFrame = Tables.embeddings(spark, d)
+  private lazy val queries: DataFrame = corpus.filter(col("vec_id") < 8)
+  private lazy val cents: Seq[Seq[Double]] =
+    (0 until 8).map(i => (1 to dim).map(dd => graft.functions.Hashing.hyperplane(100 + i, dd)).toSeq)
+
+  private def strictCodegen[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
+  test("multi-table LSH probe stage compiles (8 tables x 4 planes)") {
+    strictCodegen {
+      assert(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", dim, 10,
+        planes = 4, tables = 8).count() > 0)
+    }
+  }
+
+  test("single-table LSH and IVF probe/assign stages compile") {
+    strictCodegen {
+      assert(Similarity.lshTopK(corpus, queries, "vec_id", "embedding", dim, 3,
+        planes = 8).count() > 0)
+      assert(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", dim, 3,
+        cents, nProbe = 2).count() > 0)
+      assert(Similarity.withIvfList(corpus, "embedding", dim, cents)
+        .groupBy("ivf_list").count().count() > 0)
+    }
+  }
+
+  test("centroid count scales the literal, not the generated code (k=64 compiles)") {
+    val many = (0 until 64).map(i => (1 to dim).map(dd => graft.functions.Hashing.hyperplane(200 + i, dd)).toSeq)
+    strictCodegen {
+      assert(Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", dim, 3,
+        many, nProbe = 4).count() > 0)
+    }
+  }
+}
