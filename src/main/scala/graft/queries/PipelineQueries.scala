@@ -375,6 +375,65 @@ object PipelineQueries {
        |WHERE rk <= $IvfTopN""".stripMargin
   }
 
+  /** One Lloyd round of the IVF k-means trainer under the hash gate:
+    * assign every vector to its argmax-cosine centroid (fixed seed
+    * centroids), recompute centroids as per-list MEANS, reassign, and
+    * output (vec_id, list0, list1). The mean is where cross-engine
+    * double summation normally diverges (partition-order
+    * reassociation), so the sums are INTEGER-scaled — each component is
+    * `sum(round(v[i]*1e6)::bigint) div n / 1e6`: exact integers in any
+    * order, identical truncating division, identical doubles on both
+    * engines. Empty lists keep their seed centroid, exactly like
+    * [[graft.operators.Similarity.trainIvfCentroids]] (whose loop body
+    * this mirrors; the k×dim collect is model state, same as there).
+    */
+  val ivfAssign: Q = (s, d) => {
+    val e0 = Similarity.withIvfList(Tables.embeddings(s, d), "embedding", Dim, IvfCentroids)
+      .select(col("vec_id"), col("v"), col("ivf_list").as("list0"))
+    val aggs = count(lit(1)).as("_n") +: (0 until Dim).map(i =>
+      sum(round(col("v")(i) * 1e6).cast("long")).as(s"_s$i"))
+    val sums = e0.groupBy(col("list0")).agg(aggs.head, aggs.tail: _*).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), (0 until Dim).map(i => r.getLong(2 + i)))))
+      .toMap
+    val cents1 = IvfCentroids.zipWithIndex.map { case (old, i) =>
+      sums.get(i).filter(_._1 > 0)
+        .map { case (n, ss) => ss.map(x => (x / n).toDouble / 1e6).toSeq }
+        .getOrElse(old)
+    }
+    Similarity.withIvfList(e0, "v", Dim, cents1)
+      .select(col("vec_id"), col("list0"), col("ivf_list").as("list1"))
+  }
+  val ivfAssignSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val c0Rows = IvfCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${lit64(c)})" }.mkString(",\n  ")
+    val sumCols = (0 until Dim)
+      .map(i => s"sum(CAST(round(v[${i + 1}] * 1000000.0) AS BIGINT)) AS s$i").mkString(", ")
+    val meanList = (0 until Dim).map(i => s"(s.s$i // s.n) / 1000000.0").mkString("[", ", ", "]")
+    // argmax = row_number over (sim DESC, list_id): lowest id wins exact
+    // ties, matching withIvfList's first-strict-maximum fold.
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |c0(list_id, cv) AS (VALUES
+       |  $c0Rows),
+       |a0 AS (SELECT n.vec_id, n.v, n.nrm, c0.list_id,
+       |              ${dotFoldSql("n.v", "c0.cv", Dim)} / (n.nrm * sqrt(${dotFoldSql("c0.cv", "c0.cv", Dim)})) AS sim
+       |       FROM n CROSS JOIN c0),
+       |l0 AS (SELECT vec_id, v, nrm, list_id AS list0
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn FROM a0)
+       |       WHERE rn = 1),
+       |s AS (SELECT list0, count(*) AS n, $sumCols FROM l0 GROUP BY list0),
+       |c1 AS (SELECT c0.list_id,
+       |              CASE WHEN s.n IS NULL OR s.n = 0 THEN c0.cv ELSE $meanList END AS cv
+       |       FROM c0 LEFT JOIN s ON s.list0 = c0.list_id),
+       |a1 AS (SELECT l0.vec_id, l0.list0, c1.list_id,
+       |              ${dotFoldSql("l0.v", "c1.cv", Dim)} / (l0.nrm * sqrt(${dotFoldSql("c1.cv", "c1.cv", Dim)})) AS sim
+       |       FROM l0 CROSS JOIN c1)
+       |SELECT vec_id, list0, list_id AS list1
+       |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn FROM a1)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val embedNearDup: Q = (s, d) =>
     Similarity.blockedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", Dim, 0.4)
   val embedNearDupSql: String =
@@ -524,6 +583,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopK,
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
+    "q_ivf_assign" -> ivfAssign,
     "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
@@ -549,6 +609,7 @@ object PipelineQueries {
     "q_ann_topk" -> annTopKSql,
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
+    "q_ivf_assign" -> ivfAssignSql,
     "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
