@@ -257,15 +257,21 @@ object EventPipeline {
                          lotNumber: Int = 1): StreamingQuery =
     events.writeStream
       .outputMode("append")
+      .queryName(StreamMetrics.queryName(storeName))
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val metrics = StreamMetrics.countersFor(batch.sparkSession, storeName)
         // Registry reads mutable state: nondeterministic, and the eager
         // localCheckpoint pins ONE evaluation so the later mark pass and
         // the pipeline input see the identical fresh set.
         val notSeen = udf((id: Long) => !Processed.seen(storeName, id)).asNondeterministic()
-        val freshPairs = batch.select("event_id", "item_id").distinct()
-          .filter(notSeen(col("event_id")))
+        val pairs = batch.select("event_id", "item_id").distinct().localCheckpoint(true)
+        val freshPairs = pairs.filter(notSeen(col("event_id")))
           .localCheckpoint(true)
-        if (!freshPairs.isEmpty) {
+        // both counts run on checkpointed data — no recomputation
+        val nFresh = freshPairs.count()
+        metrics.applied.add(nFresh)
+        metrics.deduped.add(pairs.count() - nFresh)
+        if (nFresh > 0) {
           val batchClients = clients.join(
             freshPairs.select(col("item_id").as("id_monday")).distinct(),
             Seq("id_monday"), "left_semi")
@@ -291,7 +297,12 @@ object EventPipeline {
   def startIdempotentPipeline(events: DataFrame, storeName: String): StreamingQuery =
     events.writeStream
       .outputMode("append")
+      .queryName(StreamMetrics.queryName(storeName))
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val metrics = StreamMetrics.countersFor(batch.sparkSession, storeName)
+        // capture bare accumulators: the closure ships to executors
+        val appliedAcc = metrics.applied
+        val dedupedAcc = metrics.deduped
         batch.select("event_id", "item_id").dropDuplicates("event_id")
           .foreachPartition { (it: Iterator[Row]) =>
             val drive = DriveStore.get(storeName)
@@ -302,7 +313,8 @@ object EventPipeline {
                 // re-runs the effect on retry, never skips it.
                 drive.findOrCreateFolder(parentId = 0L, name = s"ITEM_${r.getLong(1)}")
                 Processed.markDone(storeName, r.getLong(0))
-              }
+                appliedAcc.add(1)
+              } else dedupedAcc.add(1)
             }
           }
         ()

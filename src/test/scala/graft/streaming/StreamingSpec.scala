@@ -39,6 +39,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sink metrics: listener snapshots per-batch applied/deduped counters") {
+    EventPipeline.Processed.drop("st_m")
+    DriveStore.drop("st_m")
+    StreamMetrics.drop("st_m")
+    implicit val ctx = spark.sqlContext
+    val listener = new GraftQueryListener
+    spark.streams.addListener(listener)
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.startIdempotentPipeline(mem.toDF(), "st_m")
+    // listener events are ASYNC: poll until the expected snapshot lands
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond)
+    }
+    try {
+      mem.addData(ev(1, 100, "upload", 1), ev(2, 100, "upload", 2))
+      q.processAllAvailable()
+      await(listener.latest("st_m").exists(s => s.applied == 2 && s.deduped == 0))
+      // redelivery of 1 and 2 plus a new event 3: one applied, two deduped
+      mem.addData(ev(1, 100, "upload", 1), ev(2, 100, "upload", 2), ev(3, 200, "scan", 3))
+      q.processAllAvailable()
+      await(listener.latest("st_m").exists(s => s.applied == 3 && s.deduped == 2))
+      val snap = listener.latest("st_m").get
+      assert(snap.inputRows === 3)         // engine-side rows of the last batch
+      assert(snap.queryName === StreamMetrics.queryName("st_m"))
+    } finally { q.stop(); spark.streams.removeListener(listener) }
+  }
+
+  test("deposit stream records applied/deduped through the same metrics surface") {
+    EventPipeline.Processed.drop("st_dm")
+    DriveStore.drop("st_dm")
+    StreamMetrics.drop("st_dm")
+    implicit val ctx = spark.sqlContext
+    val clients = Seq((100L, "Ana")).toDF("id_monday", "nomcomplet")
+    val cells = Seq(
+      (100L, "col_factura", """{"files":[{"assetId":11,"name":"factura.pdf","createdAt":100}]}"""))
+      .toDF("item_id", "column_id", "value")
+    val rules = Seq(("col_factura", 1, Seq("factura"), Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
+      .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    val default = Seq(("__default__", 1, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
+      .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st_dm")
+    try {
+      mem.addData(ev(1, 100, "depot", 1))
+      q.processAllAvailable()
+      mem.addData(ev(1, 100, "depot", 1)) // pure redelivery batch
+      q.processAllAvailable()
+      val c = StreamMetrics.countersFor(spark, "st_dm")
+      assert(c.applied.value === 1 && c.deduped.value === 1)
+    } finally q.stop()
+  }
+
   test("streaming deposit pipeline: new events trigger uploads, redelivery does not") {
     EventPipeline.Processed.drop("st3")
     DriveStore.drop("st3")
