@@ -98,6 +98,44 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Per-document characteristic terms by tf/df — tf-idf with the
+    * log-free inverse-frequency weight `1/df`. Deliberately log-free:
+    * `ln` is not correctly-rounded by IEEE, so Java's `Math.log` and an
+    * oracle engine's `std::log` can disagree in the last ulp, which a
+    * hash gate cannot tolerate; `tf/df` is a single exact double
+    * division with the identical ranking direction (rarer term → bigger
+    * weight).
+    *
+    * Shape for scale: ONE explode pass; tf is a map-side-combined hash
+    * agg keyed (doc, word); df REUSES the tf aggregate (count of
+    * doc-word rows per word — no second corpus pass); the join back is
+    * keyed by word (vocabulary-sized right side, Zipf-skew absorbed by
+    * AQE); per-doc top-k is a row_number window that WindowGroupLimit
+    * cuts map-side.
+    */
+  def topTermsByTfDf(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    val tf = docs.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("word"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("doc_id", "word", "tf", "df", "score", "rk")
+  }
+
+  def topTermsByTfDfSql(k: Int): String =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY doc_id, word),
+       |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       |s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df, CAST(tf.tf AS DOUBLE) / df.df AS score
+       |      FROM tf JOIN df USING (word))
+       |SELECT doc_id, word, tf, df, score, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
+       |WHERE rk <= $k""".stripMargin
+
   // ------------------------------------------------------------------ PII scrub
   /** Redaction patterns shared by the Spark expression and the DuckDB
     * oracle — restricted to syntax both Java regex and RE2 interpret

@@ -289,6 +289,18 @@ object PipelineQueries {
        |             list_transform(${shinglesSql("w", N)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT) AS hs
        |      FROM (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- tf/df + packing
+  private val TfDfK = 3
+  val tfdfTopk: Q = (s, d) =>
+    TextAnalysis.topTermsByTfDf(Tables.documents(s, d), "doc_id", "text", TfDfK)
+  val tfdfTopkSql: String = TextAnalysis.topTermsByTfDfSql(TfDfK)
+
+  private val PackShards = 8
+  private val PackBudget = 2048
+  val seqPack: Q = (s, d) =>
+    graft.operators.Packing.packSequences(Tables.documents(s, d), "doc_id", "text", PackShards, PackBudget)
+  val seqPackSql: String = graft.operators.Packing.packSequencesSql(PackShards, PackBudget)
+
   // ---------------------------------------------------------------- embeddings
   private val TopK = 5
   val annTopK: Q = (s, d) => {
@@ -584,6 +596,8 @@ object PipelineQueries {
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
     "q_ivf_assign" -> ivfAssign,
+    "q_tfidf_topk" -> tfdfTopk,
+    "q_seq_pack" -> seqPack,
     "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
@@ -610,6 +624,8 @@ object PipelineQueries {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ivf_assign" -> ivfAssignSql,
+    "q_tfidf_topk" -> tfdfTopkSql,
+    "q_seq_pack" -> seqPackSql,
     "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,

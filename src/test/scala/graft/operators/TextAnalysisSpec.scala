@@ -103,4 +103,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2).getDouble(2) === 0.0)
     assert(out(2).isNullAt(3) && out(2).isNullAt(4))
   }
+
+  test("tf/df top terms: corpus-wide words rank below document-specific ones") {
+    // "common" appears in every doc (df=3); each doc has a private word
+    // repeated twice (tf=2, df=1) that must rank first by tf/df.
+    val docs = Seq(
+      (1L, "common alpha alpha common"),
+      (2L, "common beta beta"),
+      (3L, "common gamma gamma gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTermsByTfDf(docs, "doc_id", "text", 1)
+      .select("doc_id", "word", "tf", "df", "score", "rk")
+      .as[(Long, String, Long, Long, Double, Int)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq(
+      (1L, "alpha", 2L, 1L, 2.0, 1),
+      (2L, "beta", 2L, 1L, 2.0, 1),
+      (3L, "gamma", 3L, 1L, 3.0, 1)))
+    // with k=2 the shared word appears with df = corpus size
+    val second = TextAnalysis.topTermsByTfDf(docs, "doc_id", "text", 2)
+      .filter($"rk" === 2).select("word", "df").as[(String, Long)].collect().toSet
+    assert(second === Set(("common", 3L)))
+  }
 }
