@@ -45,6 +45,42 @@ object Sampling {
     df.filter(slot(keyCol) < rateCol)
   }
 
+  /** Rebalance a corpus to TARGET source proportions (the pretraining
+    * "data mixture" op: e.g. 50% web / 25% books / 25% code) by
+    * deterministic downsampling — never upsampling, so the output is
+    * the largest subset achieving the mix: the BINDING source s* (the
+    * one with the smallest n_s/w_s) is kept whole and every other
+    * source keeps `w_s·n_{s*} / (w_{s*}·n_s)` of its rows.
+    *
+    * Two-phase and scale-shaped: one count aggregate (map-side
+    * combined), a k-row collect (model state, like a centroid table),
+    * then a pure hash-membership filter — no shuffle of the data, no
+    * RNG, reproducible on any engine. Sources without a weight drop
+    * (weight 0). Thresholds are INTEGER floor divisions of Den so both
+    * engines quantize identically; the binding argmin compares n/w as
+    * doubles, safe because IEEE division is correctly rounded (unlike
+    * ln — see TextAnalysis.topTermsByTfDf). Overflow bound:
+    * Den·w·n must fit a long — fine below ~10^12 rows per source at
+    * weight scale 1000.
+    */
+  def balanceToMix(df: DataFrame, keyCol: Column, sourceCol: Column,
+                   weights: Map[String, Int]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val counts = df.groupBy(sourceCol.as("_src")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty, "no weighted source present in the data")
+    val (bindSrc, bindW) = present.minBy { case (s, w) => (counts(s).toDouble / w, s) }
+    val bindN = counts(bindSrc)
+    val threshes = present.toSeq.sortBy(_._1).map { case (s, w) =>
+      s -> (Den * w * bindN) / (bindW.toLong * counts(s))
+    }
+    val threshCol = threshes.foldLeft(lit(-1L): Column) { case (acc, (s, t)) =>
+      when(sourceCol === s, lit(t)).otherwise(acc)
+    }
+    df.filter(slot(keyCol) < threshCol)
+  }
+
   /** Disjoint train/eval/test split by hash range: fractions of Den,
     * in order, must sum to <= Den. Every row lands in exactly one split
     * (the remainder slot gets the last label) — auditable and stable

@@ -234,24 +234,34 @@ object Similarity {
   /** Deterministic IVF list assignment: `centroids` are fixed vectors
     * (in production: k-means output; here any deterministic pick — the
     * structure, not the training, is the operator). Each row gets the
-    * arg-max-cosine centroid id; ties break to the lower id (the fold
-    * keeps the FIRST maximum: strictly-greater replaces, equal keeps —
-    * same winner as the old greatest+CASE chain; a NaN cosine, which
-    * the fixture's non-zero norms cannot produce, would lose here where
-    * `greatest` propagated it). No shuffle: assignment is one
-    * row-local fold over the centroid literal.
+    * arg-max-cosine centroid id; ties break to the lower id.
+    *
+    * Shape: ONE `transform` over the centroid literal scores every
+    * centroid exactly once, then `array_max` on (sim, -id) structs
+    * picks the winner — struct ordering is (sim, then -id), so equal
+    * sims resolve to the LOWEST id, matching the oracle's
+    * `ORDER BY sim DESC, list_id` row_number. An `aggregate`-fold
+    * argmax was measured 4× slower: its `when(sim > acc.sim,
+    * struct(sim, ..))` re-evaluates the dim-wide sim fold on every
+    * improving step (visible as two aggregate() copies in the plan).
+    * No shuffle: assignment is row-local.
     */
   def withIvfList(df: DataFrame, vecCol: String, dim: Int,
                   centroids: Seq[Seq[Double]]): DataFrame = {
     val e = withDoubleVec(df, vecCol).withColumn("_nrm", norm2(col("v"), dim))
-    val best = aggregate(centroidLit(centroids),
-      struct(lit(Double.NegativeInfinity).as("sim"), lit(-1).as("id")),
-      (acc, c) => {
-        val sim = dotFold(col("v"), c.getField("_2"), dim) / (col("_nrm") * c.getField("_3"))
-        when(sim > acc.getField("sim"),
-          struct(sim.as("sim"), c.getField("_1").as("id"))).otherwise(acc)
-      })
-    e.withColumn("ivf_list", best.getField("id"))
+    val best = array_max(transform(centroidLit(centroids), c => struct(
+      (dotFold(col("v"), c.getField("_2"), dim) / (col("_nrm") * c.getField("_3"))).as("sim"),
+      (-c.getField("_1")).as("nid"))))
+    // coalesce is load-bearing, not defensive: array_max is NULLABLE (it
+    // can't see the literal is non-empty), so joining on ivf_list makes
+    // InferFiltersFromConstraints add isnotnull(ivf_list) — which
+    // pushdown substitutes into a pre-projection Filter that re-runs
+    // the whole k×dim assignment (with the norm fold re-inlined PER
+    // CENTROID) on every corpus row. Non-nullable coalesce lets
+    // NullPropagation fold that inferred filter away (measured: the
+    // filter was 2.5 s of q_ann_ivf's 4 s at sf0.1; plan-asserted in
+    // CodegenSpec).
+    e.withColumn("ivf_list", coalesce(-best.getField("nid"), lit(-1)))
   }
 
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =

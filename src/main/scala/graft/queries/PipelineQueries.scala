@@ -575,9 +575,33 @@ object PipelineQueries {
        |             ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 AS slot
        |      FROM documents)""".stripMargin
 
+  /** Pretraining-mixture rebalance: target shares 50/25/12.5/12.5 over
+    * four sources, every other source dropped. The thresholds are
+    * DATA-DEPENDENT (computed from per-source counts, binding source
+    * kept whole), so the oracle recomputes the same two-phase plan.
+    */
+  private val MixWeights = Seq("src0" -> 500, "src1" -> 250, "src2" -> 125, "src3" -> 125)
+  val mixBalance: Q = (s, d) =>
+    Sampling.balanceToMix(Tables.documents(s, d), col("doc_id"), col("source"),
+        MixWeights.toMap)
+      .select("doc_id", "source")
+  val mixBalanceSql: String = {
+    val wRows = MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $wRows),
+       |counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+       |j AS (SELECT w.source, w.wt, counts.n FROM w JOIN counts USING (source)),
+       |bind AS (SELECT wt, n FROM j ORDER BY CAST(n AS DOUBLE) / wt, source LIMIT 1),
+       |th AS (SELECT j.source, (10000 * j.wt * bind.n) // (bind.wt * j.n) AS thresh
+       |       FROM j CROSS JOIN bind)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN th ON d.source = th.source
+       |WHERE ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < th.thresh""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_train_split" -> trainSplit,
+    "q_mix_balance" -> mixBalance,
     "q_dedup_exact" -> dedupExact,
     "q_dedup_norm_exact" -> dedupNormExact,
     "q_dedup_ngram" -> dedupNgram,
@@ -606,6 +630,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_train_split" -> trainSplitSql,
+    "q_mix_balance" -> mixBalanceSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_norm_exact" -> dedupNormExactSql,
     "q_dedup_ngram" -> dedupNgramSql,

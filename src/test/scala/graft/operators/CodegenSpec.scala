@@ -43,6 +43,18 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("IVF assignment is evaluated once (no inferred null-filter duplicate)") {
+    // joining on a NULLABLE join key makes InferFiltersFromConstraints
+    // add isnotnull(key), which pushdown substitutes into a Filter that
+    // re-runs the whole k×dim assignment per corpus row (measured 2.5 s
+    // of 4 s at sf0.1). withIvfList's non-nullable coalesce folds that
+    // filter away — exactly one array_max must survive optimization.
+    val full = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", dim, 3, cents, 2)
+    val plan = full.queryExecution.optimizedPlan.toString
+    assert("array_max".r.findAllIn(plan).size === 1,
+      "IVF assignment expression appears more than once in the optimized plan")
+  }
+
   test("centroid count scales the literal, not the generated code (k=64 compiles)") {
     val many = (0 until 64).map(i => (1 to dim).map(dd => graft.functions.Hashing.hyperplane(200 + i, dd)).toSeq)
     strictCodegen {

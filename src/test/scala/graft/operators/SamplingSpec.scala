@@ -59,4 +59,25 @@ class SamplingSpec extends SparkSpec {
     assert(langs === Seq("de")) // en rate 0 drops the whole stratum
     assert(out.count() === 1500L) // default 1.0 keeps every de row
   }
+
+  test("balanceToMix keeps the binding source whole and downsamples toward targets") {
+    // 1000 "web" rows, 100 "code" rows; targets 50/50 → code binds
+    // (100/500 < 1000/500), kept whole; web keeps ~100 of 1000.
+    val df = ((1L to 1000L).map(i => (i, "web")) ++ (2001L to 2100L).map(i => (i, "code")))
+      .toDF("id", "src")
+    val out = Sampling.balanceToMix(df, $"id", $"src", Map("web" -> 500, "code" -> 500))
+    val counts = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(counts("code") === 100L) // binding source: threshold = Den, all kept
+    // hash membership at rate 1000/10000 is approximately 100 rows
+    assert(counts("web") > 60L && counts("web") < 140L, counts.toString)
+    // unweighted sources drop entirely
+    val extra = df.union(Seq((9999L, "junk")).toDF("id", "src"))
+    val out2 = Sampling.balanceToMix(extra, $"id", $"src", Map("web" -> 500, "code" -> 500))
+    assert(out2.filter($"src" === "junk").isEmpty)
+    // determinism: membership survives an arbitrary repartition
+    val again = Sampling.balanceToMix(df.repartition(7), $"id", $"src",
+      Map("web" -> 500, "code" -> 500))
+    assert(again.select("id").as[Long].collect().sorted.toSeq ===
+      out.select("id").as[Long].collect().sorted.toSeq)
+  }
 }
