@@ -546,7 +546,21 @@ object DomainQueries {
        |       min(ts_us) AS session_start, max(ts_us) AS session_end
        |FROM se GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- funnel/cohort
+  private val FunnelStages = Seq("view", "click", "purchase")
+  /** Ordered view→click→purchase conversion funnel over the event log. */
+  val funnel: Q = (s, d) =>
+    graft.operators.Funnel.funnel(Tables.events(s, d), "user_id", "event_type", "ts", FunnelStages)
+  val funnelSql: String = graft.operators.Funnel.funnelSql(FunnelStages)
+
+  /** Weekly cohort retention (first-event epoch-week × activity week). */
+  val cohort: Q = (s, d) =>
+    graft.operators.Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")
+  val cohortSql: String = graft.operators.Funnel.cohortRetentionSql
+
   val queries: Map[String, Q] = Map(
+    "q_funnel" -> funnel,
+    "q_cohort" -> cohort,
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
@@ -566,6 +580,8 @@ object DomainQueries {
     "q_sessionize" -> sessionize)
 
   val oracleSql: Map[String, String] = Map(
+    "q_funnel" -> funnelSql,
+    "q_cohort" -> cohortSql,
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
