@@ -166,15 +166,20 @@ object Hashing {
   /** Left-fold dot product of two double arrays of length `dim` — the fold
     * order is explicit so Spark and DuckDB produce bit-identical doubles.
     *
-    * Deliberately the `aggregate` HOF: a flat 64-term expanded sum was
-    * measured 2× SLOWER (9.3s vs 4.6s for q_embed_neardup at sf0.1) —
-    * the generated code for 64 null-checked element_at terms blows past
-    * JIT-friendly method sizes, while the HOF's tight interpreted loop
-    * over the array is cache-friendly.
+    * Three implementations were measured; this is the third:
+    *   1. flat 64-term expanded sum — 2× slower than the HOF (9.3 s vs
+    *      4.6 s q_embed_neardup at sf0.1): 64 inlined null-checked
+    *      element_at terms per dot blow generated method sizes;
+    *   2. `aggregate` HOF — interpreted per ELEMENT, and when nested
+    *      inside another HOF lambda (centroid scoring) the per-term
+    *      virtual-eval overhead multiplies;
+    *   3. [[graft.functions.DotProductExpr]] (current) — one
+    *      JIT-compiled while loop per CALL, a single static call in
+    *      generated code, the identical 0.0-seeded left fold (so every
+    *      oracle twin built from [[dotFoldSql]] still hash-matches).
     */
   def dotFold(a: Column, b: Column, dim: Int): Column =
-    aggregate(sequence(lit(1), lit(dim)), lit(0.0),
-      (acc, i) => acc + element_at(a, i) * element_at(b, i))
+    DotProductCol.dot(a, b, dim)
 
   def dotFoldSql(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)"
