@@ -29,7 +29,19 @@ object GraftFunctions {
     "infer_mime" -> (a => StringOps.inferMime(a.head, a(1))),
     "ext_from_name_or_mime" -> (a => StringOps.extFromNameOrMime(a.head, a(1))),
     "stamp_text" -> (a => StringOps.stampText(a.head, a(1))),
-    "item_name_or" -> (a => StringOps.itemNameOr(a.head, a(1))))
+    "item_name_or" -> (a => StringOps.itemNameOr(a.head, a(1))),
+    // dot_fold(a, b, dim): dim must be an integer literal — it sizes
+    // the compiled loop at plan time, exactly like the Column API.
+    "dot_fold" -> (a => {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      val dim = GraftExpr.toExpr(a(2)) match {
+        case Literal(v: Int, _) => v
+        case Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"dot_fold dim must be a literal integer, got $other")
+      }
+      DotProductCol.dot(a.head, a(1), dim)
+    }))
 
   private[functions] def builder(f: Seq[Column] => Column): Seq[Expression] => Expression =
     exprs => GraftExpr.toExpr(f(exprs.map(GraftExpr.toColumn)))

@@ -63,4 +63,15 @@ class GraftFunctionsSpec extends SparkSpec {
     // first 15 hex digits of md5('abc') = 900150983cd24fb parsed base-16
     assert(h === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
+
+  test("dot_fold in SQL: literal dim required, value matches the Column API") {
+    GraftFunctions.register(spark)
+    val d = spark.sql("SELECT dot_fold(array(1.0d, 2.0d), array(3.0d, 4.0d), 2) AS d")
+      .head.getDouble(0)
+    assert(d === 11.0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT dot_fold(array(1.0d), array(1.0d), CAST(rand()*2 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
 }
