@@ -438,6 +438,40 @@ object DomainQueries {
       |       max(CASE WHEN column_id = 'nation' THEN text END) AS nation
       |FROM eav GROUP BY 1""".stripMargin
 
+  /** The inverse direction (wide → EAV): `Dataset.unpivot` (Spark's
+    * native melt — one Expand node, no union-of-selects re-scanning the
+    * table per attribute). Attribute names are the source column names
+    * on both engines.
+    */
+  val unpivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_orderstatus"), col("o_orderpriority")), "attr", "val")
+  val unpivotSql: String =
+    """SELECT o_orderkey, attr, val
+      |FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders)
+      |UNPIVOT (val FOR attr IN (o_orderstatus, o_orderpriority))""".stripMargin
+
+  /** Rolling per-customer spend over the last 4 orders (ROWS frame
+    * moving aggregate). The frame sum runs on exact integer cents, so
+    * partial-order differences between engines cannot drift the double.
+    */
+  val rolling: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      (sum(round(col("o_totalprice") * 100).cast("long")).over(w) / 100.0).as("rolling_spend"))
+  }
+  val rollingSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS rolling_spend
+      |FROM orders""".stripMargin
+
   // ---------------------------------------------------------------- F13/F8 stamp + escape
   val stampFormat: Q = (s, d) =>
     Tables.orders(s, d).select(
@@ -574,6 +608,8 @@ object DomainQueries {
     "q_folder_listing" -> folderListing,
     "q_eav_lookup" -> eavLookup,
     "q_eav_pivot" -> eavPivot,
+    "q_unpivot" -> unpivot,
+    "q_rolling" -> rolling,
     "q_stamp_format" -> stampFormat,
     "q_asof_join" -> asofJoin,
     "q_range_join" -> rangeJoin,
@@ -595,6 +631,8 @@ object DomainQueries {
     "q_folder_listing" -> folderListingSql,
     "q_eav_lookup" -> eavLookupSql,
     "q_eav_pivot" -> eavPivotSql,
+    "q_unpivot" -> unpivotSql,
+    "q_rolling" -> rollingSql,
     "q_stamp_format" -> stampFormatSql,
     "q_asof_join" -> asofJoinSql,
     "q_range_join" -> rangeJoinSql,
