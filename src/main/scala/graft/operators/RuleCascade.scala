@@ -48,17 +48,20 @@ object RuleCascade {
 
   /** Files whose normalized name passes a rule's predicates. Operates on
     * PRE-NORMALIZED attributes (`_nname`, `_ext`, `include_norm`,
-    * `exclude_norm`): `exists` lambdas are interpreted and re-evaluate
-    * inline subtrees per element, so norm/fileExt must be computed once
-    * per row (pool side) / once per rule (broadcast side), never inside
-    * the lambda.
+    * `exclude_norm`) — norm/fileExt computed once per row (pool side) /
+    * once per rule (broadcast side). Keyword scans run through the
+    * native [[graft.functions.ContainsAnyExpr]] (identical three-valued
+    * `exists` semantics, spec-asserted) instead of an `exists` HOF,
+    * whose interpreted per-needle lambda ran twice per
+    * (pool row × rule) candidate.
     */
   private def matches = {
+    import graft.functions.ContainsAnyCol.containsAny
     val typeOk = array_contains(col("file_types"), "any") ||
       array_contains(col("file_types"), col("_ext"))
     val inclOk = size(col("include_norm")) === 0 ||
-      exists(col("include_norm"), k => col("_nname").contains(k))
-    val exclOk = !exists(col("exclude_norm"), k => col("_nname").contains(k))
+      containsAny(col("_nname"), col("include_norm"))
+    val exclOk = !containsAny(col("_nname"), col("exclude_norm"))
     typeOk && inclOk && exclOk
   }
 
