@@ -30,6 +30,7 @@ object GraftFunctions {
     "ext_from_name_or_mime" -> (a => StringOps.extFromNameOrMime(a.head, a(1))),
     "stamp_text" -> (a => StringOps.stampText(a.head, a(1))),
     "item_name_or" -> (a => StringOps.itemNameOr(a.head, a(1))),
+    "contains_any" -> (a => ContainsAnyCol.containsAny(a.head, a(1))),
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {

@@ -64,6 +64,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(h === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
+  test("contains_any in SQL matches the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT contains_any('abc def', array('zz', 'de')) AS a, contains_any('abc', array('zz')) AS b").head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+
   test("dot_fold in SQL: literal dim required, value matches the Column API") {
     GraftFunctions.register(spark)
     val d = spark.sql("SELECT dot_fold(array(1.0d, 2.0d), array(3.0d, 4.0d), 2) AS d")
