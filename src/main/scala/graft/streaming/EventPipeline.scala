@@ -19,6 +19,11 @@ case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 case class SessState(start_us: Long, end_us: Long, n: Long)
 case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
+/** Typed rows for the streaming funnel. */
+case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+case class FunnelState(times_us: Seq[Long])
+case class FunnelProgress(user_id: Long, stage_reached: Int, stage_times_us: Seq[Long])
+
 /** S8/§2.11 — the webhook event stream as Structured Streaming.
   *
   * The reference is event-at-a-time with effectively at-most-once
@@ -208,6 +213,46 @@ object EventPipeline {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** The incremental twin of the batch ordered funnel
+    * (`Funnel.funnel`): per-user state is the vector of reached-stage
+    * timestamps, an event advances the funnel only when it matches the
+    * NEXT stage strictly after the previous stage's time, and a row is
+    * emitted (Update mode) whenever a user progresses. State is
+    * O(stages) per user and never grows with the stream.
+    *
+    * Batch parity holds for per-user in-order arrival, same caveat
+    * family as [[streamingSessionize]]: a late stage-k event that
+    * predates an already-recorded stage-k time cannot retroactively
+    * improve the funnel (the batch query would have used the earlier
+    * time, possibly unlocking a different stage-k+1 event). Widen the
+    * source's ordering guarantees — or replay in batch — where that
+    * matters.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times_us).getOrElse(Seq.empty)
+          val before = times.length
+          // fold the batch in event-time order so one batch carrying a
+          // whole conversion advances all its stages
+          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_type))
+          for (e <- sorted if times.length < stages.length) {
+            val k = times.length
+            val tUs = e.ts.getTime * 1000L
+            if (e.event_type == stages(k) && (k == 0 || tUs > times(k - 1)))
+              times = times :+ tUs
+          }
+          if (times.length != before) {
+            state.update(FunnelState(times))
+            Iterator.single(FunnelProgress(uid, times.length, times))
+          } else Iterator.empty
       }
   }
 

@@ -271,6 +271,40 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("sess_old") }
   }
 
+  test("streaming funnel advances stages in order and matches the batch funnel") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val stages = Seq("view", "click", "purchase")
+    val q = EventPipeline.streamingFunnel(mem.toDS(), stages)
+      .writeStream.outputMode("update").format("memory").queryName("funnel_out").start()
+    def us(minute: Int) = ts(minute).getTime * 1000L
+    try {
+      // user 1: view+click in one batch (two stages in one fold);
+      // user 2: purchase BEFORE any view -> no progress
+      mem.addData(
+        FunnelEvent(1, "view", ts(1)), FunnelEvent(1, "click", ts(3)),
+        FunnelEvent(2, "purchase", ts(2)))
+      q.processAllAvailable()
+      // user 1 purchases next batch; a duplicate click must not re-emit
+      mem.addData(FunnelEvent(1, "purchase", ts(9)), FunnelEvent(1, "click", ts(4)))
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").as[FunnelProgress].collect().toSeq
+      val byBatch = got.filter(_.user_id == 1L).sortBy(_.stage_reached)
+      assert(byBatch.map(_.stage_reached) === Seq(2, 3))
+      assert(byBatch.last.stage_times_us === Seq(us(1), us(3), us(9)))
+      assert(!got.exists(_.user_id == 2L))
+      // parity with the batch operator on the same (in-order) events
+      val batch = graft.operators.Funnel.funnel(
+        Seq((1L, "view", ts(1)), (1L, "click", ts(3)), (1L, "click", ts(4)),
+          (1L, "purchase", ts(9)), (2L, "purchase", ts(2)))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", stages)
+      val b1 = batch.filter($"user_id" === 1L).head
+      assert(b1.getAs[Int]("stage_reached") === 3)
+      assert(Seq(b1.getLong(1), b1.getLong(2), b1.getLong(3)) === Seq(us(1), us(3), us(9)))
+    } finally { q.stop(); spark.catalog.dropTempView("funnel_out") }
+  }
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
