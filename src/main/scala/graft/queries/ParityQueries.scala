@@ -395,6 +395,22 @@ object ParityQueries {
       |       max(value) AS v_max
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** The sketch-shaped scale path next to the exact rank-window
+    * quantiles: one hash aggregate over a fixed 50-bin grid, no
+    * per-group sort — see [[graft.operators.HistogramQuantiles]].
+    * Deterministic, so even the "approximate" operator hash-gates.
+    */
+  private val HistLo = 0.0
+  private val HistHi = 500.0
+  private val HistBins = 50
+  private val HistPs = Seq("p50_est" -> 0.5, "p95_est" -> 0.95, "p99_est" -> 0.99)
+  val quantileHist: Q = (s, d) =>
+    graft.operators.HistogramQuantiles.quantiles(
+      Tables.events(s, d), "event_type", "value", HistLo, HistHi, HistBins, HistPs)
+  val quantileHistSql: String =
+    graft.operators.HistogramQuantiles.quantilesSql(
+      "events", "event_type", "value", HistLo, HistHi, HistBins, HistPs)
+
   // ---------------------------------------------------------------- §2.11
   // Tumbling-window event counts (batch analog of the streaming pipeline).
   val windowEvents: Q = (s, d) =>
@@ -430,6 +446,7 @@ object ParityQueries {
     "q_distinct_batch" -> distinctBatch,
     "q_rollup_agg" -> rollupAgg,
     "q_quantiles" -> quantiles,
+    "q_quantile_hist" -> quantileHist,
     "q_window_events" -> windowEvents)
 
   val oracleSql: Map[String, String] = Map(
@@ -454,5 +471,6 @@ object ParityQueries {
     "q_distinct_batch" -> distinctBatchSql,
     "q_rollup_agg" -> rollupAggSql,
     "q_quantiles" -> quantilesSql,
+    "q_quantile_hist" -> quantileHistSql,
     "q_window_events" -> windowEventsSql)
 }
