@@ -136,6 +136,30 @@ object TextAnalysis {
        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
        |WHERE rk <= $k""".stripMargin
 
+  /** Typo-tolerant keyword matching: corpus words within edit distance
+    * `maxDist` of a dictionary term (the OCR-cleanup / fuzzy-keyword
+    * shape — the reference's scanned-document domain produces exactly
+    * this noise). Scale shape: match against the DISTINCT vocabulary
+    * (one hash agg; Heaps' law keeps it tiny vs the corpus), then
+    * cross the vocab with the broadcast dictionary — `levenshtein` is
+    * integer DP, identical on any engine, so the oracle hash-gates it.
+    * Output per dictionary term: match count and total corpus
+    * occurrences absorbed.
+    */
+  def fuzzyKeywordMatches(docs: DataFrame, textCol: String,
+                          dictionary: Seq[String], maxDist: Int): DataFrame = {
+    require(dictionary.nonEmpty && maxDist >= 0, "need a dictionary and maxDist >= 0")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("occ"))
+    vocab.join(broadcast(dictionary.toDF("dict_word")),
+        levenshtein(col("word"), col("dict_word")) <= maxDist)
+      .groupBy("dict_word")
+      .agg(count(lit(1)).as("n_variants"), sum(col("occ")).as("n_occurrences"),
+        min(col("word")).as("first_variant"))
+  }
+
   // ------------------------------------------------------------------ PII scrub
   /** Redaction patterns shared by the Spark expression and the DuckDB
     * oracle — restricted to syntax both Java regex and RE2 interpret

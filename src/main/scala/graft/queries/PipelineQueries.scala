@@ -301,6 +301,27 @@ object PipelineQueries {
     graft.operators.Packing.packSequences(Tables.documents(s, d), "doc_id", "text", PackShards, PackBudget)
   val seqPackSql: String = graft.operators.Packing.packSequencesSql(PackShards, PackBudget)
 
+  /** Typo-tolerant keyword matching (OCR-noise shape): dictionary terms
+    * deliberately misspelled by one edit so the oracle exercises real
+    * fuzzy hits, not just exact words.
+    */
+  private val FuzzyDict = Seq("scann", "columm", "qery", "mergee")
+  private val FuzzyDist = 1
+  val fuzzyKeyword: Q = (s, d) =>
+    TextAnalysis.fuzzyKeywordMatches(Tables.documents(s, d), "text", FuzzyDict, FuzzyDist)
+  val fuzzyKeywordSql: String = {
+    val dictRows = FuzzyDict.map(w => s"('$w')").mkString(", ")
+    s"""WITH v AS (SELECT word, count(*) AS occ
+       |           FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |           GROUP BY word),
+       |d(dict_word) AS (VALUES $dictRows),
+       |m AS (SELECT d.dict_word, v.word, v.occ
+       |      FROM v JOIN d ON levenshtein(v.word, d.dict_word) <= $FuzzyDist)
+       |SELECT dict_word, count(*) AS n_variants,
+       |       CAST(sum(occ) AS BIGINT) AS n_occurrences, min(word) AS first_variant
+       |FROM m GROUP BY dict_word""".stripMargin
+  }
+
   // ---------------------------------------------------------------- embeddings
   private val TopK = 5
   val annTopK: Q = (s, d) => {
@@ -622,6 +643,7 @@ object PipelineQueries {
     "q_ivf_assign" -> ivfAssign,
     "q_tfidf_topk" -> tfdfTopk,
     "q_seq_pack" -> seqPack,
+    "q_fuzzy_keyword" -> fuzzyKeyword,
     "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
@@ -651,6 +673,7 @@ object PipelineQueries {
     "q_ivf_assign" -> ivfAssignSql,
     "q_tfidf_topk" -> tfdfTopkSql,
     "q_seq_pack" -> seqPackSql,
+    "q_fuzzy_keyword" -> fuzzyKeywordSql,
     "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,

@@ -123,4 +123,17 @@ class TextAnalysisSpec extends SparkSpec {
       .filter($"rk" === 2).select("word", "df").as[(String, Long)].collect().toSet
     assert(second === Set(("common", 3L)))
   }
+
+  test("fuzzy keyword matching absorbs distance-1 typos, counts occurrences") {
+    val docs = Seq(
+      (1L, "scan scan scann skan xcan"),   // 4 variants of 'scan' within dist 1 (not 'skan'? s->k is 1 edit -> yes)
+      (2L, "wildly unrelated words here")).toDF("doc_id", "text")
+    val got = TextAnalysis.fuzzyKeywordMatches(docs, "text", Seq("scan", "zzzz"), 1)
+      .as[(String, Long, Long, String)].collect().toSeq
+    // 'zzzz' matches nothing and drops out (inner join)
+    assert(got.map(_._1) === Seq("scan"))
+    val (_, variants, occ, first) = got.head
+    // variants: scan, scann, skan, xcan (distinct words), occurrences: 2+1+1+1
+    assert(variants === 4L && occ === 5L && first === "scan")
+  }
 }
