@@ -580,6 +580,37 @@ object DomainQueries {
        |       min(ts_us) AS session_start, max(ts_us) AS session_end
        |FROM se GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- skew salting
+  /** The skew operators under the oracle gate: salting must be OUTPUT-
+    * INVISIBLE (same rows as the plain join/agg — only the shuffle key
+    * changes), so the oracle is simply the unsalted SQL. events is the
+    * natural fixture: 15 users / 5 types over 10k+ rows — every key is
+    * hot, exactly the shape AQE can't fix on a broadcast-ineligible
+    * side. The agg sums integer cents so the two-phase sum-of-sums
+    * cannot reassociate doubles.
+    */
+  val skewJoin: Q = (s, d) => {
+    val events = Tables.events(s, d).select(col("event_id"), col("user_id"))
+    val dim = Tables.customer(s, d).filter(col("c_custkey") <= 14)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    graft.operators.Skew.saltedJoin(events, dim, Seq("user_id"), salt = 8)
+  }
+  val skewJoinSql: String =
+    """SELECT e.event_id, e.user_id, c.segment
+      |FROM events e
+      |JOIN (SELECT c_custkey AS user_id, c_mktsegment AS segment
+      |      FROM customer WHERE c_custkey <= 14) c USING (user_id)""".stripMargin
+
+  val skewAgg: Q = (s, d) =>
+    graft.operators.Skew.saltedAgg(
+      Tables.events(s, d).select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents")),
+      Seq("event_type"), "cents", salt = 8)
+  val skewAggSql: String =
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- funnel/cohort
   private val FunnelStages = Seq("view", "click", "purchase")
   /** Ordered view→click→purchase conversion funnel over the event log. */
@@ -595,6 +626,8 @@ object DomainQueries {
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
     "q_cohort" -> cohort,
+    "q_skew_join" -> skewJoin,
+    "q_skew_agg" -> skewAgg,
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
@@ -618,6 +651,8 @@ object DomainQueries {
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
+    "q_skew_join" -> skewJoinSql,
+    "q_skew_agg" -> skewAggSql,
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
