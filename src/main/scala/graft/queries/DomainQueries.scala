@@ -580,6 +580,22 @@ object DomainQueries {
        |       min(ts_us) AS session_start, max(ts_us) AS session_end
        |FROM se GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic grouped string aggregation: `collect_list` order is
+    * partition-dependent, so the list is SORTED before joining — the
+    * only way listagg-style output can hash-gate (and the right habit
+    * anywhere results feed a diff or a cache key). Grain caveat applies
+    * at scale: the per-group string is O(group size); keep the grain
+    * bounded (here: a 50-key slice) or switch to top-k/sampling.
+    */
+  val stringAgg: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_custkey") <= 50)
+      .groupBy("c_mktsegment")
+      .agg(concat_ws("|", sort_array(collect_list(col("c_name")))).as("names"),
+        count(lit(1)).as("n"))
+  val stringAggSql: String =
+    """SELECT c_mktsegment, string_agg(c_name, '|' ORDER BY c_name) AS names, count(*) AS n
+      |FROM customer WHERE c_custkey <= 50 GROUP BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- skew salting
   /** The skew operators under the oracle gate: salting must be OUTPUT-
     * INVISIBLE (same rows as the plain join/agg — only the shuffle key
@@ -628,6 +644,7 @@ object DomainQueries {
     "q_cohort" -> cohort,
     "q_skew_join" -> skewJoin,
     "q_skew_agg" -> skewAgg,
+    "q_string_agg" -> stringAgg,
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
@@ -653,6 +670,7 @@ object DomainQueries {
     "q_cohort" -> cohortSql,
     "q_skew_join" -> skewJoinSql,
     "q_skew_agg" -> skewAggSql,
+    "q_string_agg" -> stringAggSql,
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
