@@ -46,6 +46,18 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), plan.take(800))
   }
 
+  test("q_tfidf_topk cuts the per-doc top-k map-side (WindowGroupLimit)") {
+    val plan = queries.PipelineQueries.tfdfTopk(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+  }
+
+  test("q_skew_join broadcasts the exploded dim (no sort-merge of the hot side)") {
+    val plan = queries.DomainQueries.skewJoin(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
   test("no query plans a window without a partition spec (single-task funnel)") {
     // the optimized LOGICAL plan is audited (AQE wraps the physical one);
     // a foldable partition key is as global as an empty one.
