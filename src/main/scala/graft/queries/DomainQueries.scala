@@ -252,6 +252,45 @@ object DomainQueries {
       |FROM customer
       |WHERE c_custkey <= 500 AND c_custkey BETWEEN 1 AND 40 AND c_custkey % 3 = 1""".stripMargin
 
+  /** The connector WRITE path under the driver gate: cells derived from
+    * orders are written THROUGH `graft-items` (idempotent keyed
+    * upserts) and read back through the same connector. The write
+    * happens once per JVM (store-existence guard) and is idempotent
+    * anyway — re-invocation re-applies identical upserts — so Bench's
+    * double run and Verify see the same store. The derivation is
+    * pre-reduced to UNIQUE (item, column) keys before writing: with
+    * colliding keys the surviving cell would depend on task completion
+    * order (concurrent upserters), which no oracle can predict —
+    * duplicate-collapse semantics are exercised deterministically in
+    * ItemsSourceSpec instead. A hash match proves the write→read round
+    * trip through the V2 surface is lossless.
+    */
+  val itemsWrite: Q = (s, d) => {
+    import graft.sources.v2.{ItemsSource, ItemsStore}
+    val store = ("q_items_wr_" + d).replaceAll("[^a-zA-Z0-9]", "_")
+    if (ItemsStore.get(store).isEmpty) {
+      val src = Tables.orders(s, d).filter(col("o_orderkey") <= 400)
+        .select((col("o_orderkey") % 100).as("item_id"),
+          concat(lit("col"), pmod(col("o_orderkey"), lit(2))).as("column_id"),
+          col("o_orderstatus").as("text"),
+          col("o_orderkey").as("created_at"))
+      Picks.pickTop1(src, Seq(col("item_id"), col("column_id")),
+          Seq(col("created_at").desc))
+        .write.format(ItemsSource.ShortName).option("store", store).mode("append").save()
+    }
+    s.read.format(ItemsSource.ShortName).option("store", store).load()
+  }
+  val itemsWriteSql: String =
+    """SELECT item_id, column_id, text, created_at
+      |FROM (SELECT o_orderkey % 100 AS item_id,
+      |             'col' || CAST(o_orderkey % 2 AS VARCHAR) AS column_id,
+      |             o_orderstatus AS text,
+      |             o_orderkey AS created_at,
+      |             row_number() OVER (PARTITION BY o_orderkey % 100, o_orderkey % 2
+      |                                ORDER BY o_orderkey DESC) AS rn
+      |      FROM orders WHERE o_orderkey <= 400)
+      |WHERE rn = 1""".stripMargin
+
   // ---------------------------------------------------------------- F7 structure lot
   private val LotNumber = 7
   private val StartId = 3L
@@ -645,6 +684,7 @@ object DomainQueries {
     "q_skew_join" -> skewJoin,
     "q_skew_agg" -> skewAgg,
     "q_string_agg" -> stringAgg,
+    "q_items_write" -> itemsWrite,
     "q_files_payload" -> filesPayload,
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
@@ -671,6 +711,7 @@ object DomainQueries {
     "q_skew_join" -> skewJoinSql,
     "q_skew_agg" -> skewAggSql,
     "q_string_agg" -> stringAggSql,
+    "q_items_write" -> itemsWriteSql,
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
