@@ -41,6 +41,43 @@ object Packing {
           .as("n_chunks"))
   }
 
+  /** Per-document sliding-window chunk spans (the RAG / long-context
+    * preprocessing shape — WITHIN a doc, unlike [[packSequences]]'
+    * cross-doc concat): chunks of `chunkTokens` tokens starting every
+    * `chunkTokens - overlap`, last chunk clamped to the doc end. One
+    * generator per row (no shuffle at all); all integer arithmetic, so
+    * spans are engine-exact. A doc shorter than one chunk yields a
+    * single clamped span.
+    */
+  def chunkSpans(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap/$chunkTokens")
+    val stride = chunkTokens - overlap
+    docs.select(col(idCol).as("doc_id"),
+        size(Hashing.words(col(textCol))).as("n_tokens"))
+      // chunks = 1 + ceil(max(0, n-C)/stride), as integer arithmetic
+      .withColumn("_n_chunks",
+        lit(1L) + expr(s"(greatest(n_tokens - $chunkTokens, 0) + ${stride - 1}) div $stride"))
+      .select(col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("_n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tokens")).as("end_tok"))
+  }
+
+  def chunkSpansSql(chunkTokens: Int, overlap: Int): String = {
+    val stride = chunkTokens - overlap
+    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+       |n AS (SELECT doc_id, n_tokens,
+       |             1 + (greatest(n_tokens - $chunkTokens, 0) + ${stride - 1}) // $stride AS n_chunks
+       |      FROM t)
+       |SELECT doc_id, n_tokens, chunk_idx,
+       |       chunk_idx * $stride AS start_tok,
+       |       least(chunk_idx * $stride + $chunkTokens, n_tokens) AS end_tok
+       |FROM (SELECT doc_id, n_tokens, unnest(range(n_chunks)) AS chunk_idx FROM n)""".stripMargin
+  }
+
   def packSequencesSql(shards: Int, budgetTokens: Int): String =
     s"""WITH t AS (SELECT doc_id,
        |                  ${Hashing.stableHash60Sql("CAST(doc_id AS VARCHAR)")} % ${shards}::BIGINT AS shard,

@@ -301,6 +301,12 @@ object PipelineQueries {
     graft.operators.Packing.packSequences(Tables.documents(s, d), "doc_id", "text", PackShards, PackBudget)
   val seqPackSql: String = graft.operators.Packing.packSequencesSql(PackShards, PackBudget)
 
+  private val ChunkTokens = 64
+  private val ChunkOverlap = 16
+  val chunkSpans: Q = (s, d) =>
+    graft.operators.Packing.chunkSpans(Tables.documents(s, d), "doc_id", "text", ChunkTokens, ChunkOverlap)
+  val chunkSpansSql: String = graft.operators.Packing.chunkSpansSql(ChunkTokens, ChunkOverlap)
+
   /** Typo-tolerant keyword matching (OCR-noise shape): dictionary terms
     * deliberately misspelled by one edit so the oracle exercises real
     * fuzzy hits, not just exact words.
@@ -643,6 +649,7 @@ object PipelineQueries {
     "q_ivf_assign" -> ivfAssign,
     "q_tfidf_topk" -> tfdfTopk,
     "q_seq_pack" -> seqPack,
+    "q_chunk_spans" -> chunkSpans,
     "q_fuzzy_keyword" -> fuzzyKeyword,
     "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
@@ -673,6 +680,7 @@ object PipelineQueries {
     "q_ivf_assign" -> ivfAssignSql,
     "q_tfidf_topk" -> tfdfTopkSql,
     "q_seq_pack" -> seqPackSql,
+    "q_chunk_spans" -> chunkSpansSql,
     "q_fuzzy_keyword" -> fuzzyKeywordSql,
     "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,

@@ -24,6 +24,30 @@ class PackingSpec extends SparkSpec {
       (3L, 7L, 1L, 1L))) // tokens [7,12): last index 11 is still chunk 1
   }
 
+  test("chunk spans: stride, overlap and final clamp on known sizes") {
+    // 10 tokens, chunk 4, overlap 1 -> stride 3: starts 0,3,6 with the
+    // last span clamped; 2-token doc -> one clamped chunk
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkSpans(docs, "doc_id", "text", chunkTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 7L), (1L, 2L, 6L, 10L),
+      (2L, 0L, 0L, 2L)))
+    // coverage invariant on the fixture: consecutive chunks overlap by
+    // exactly `overlap` except the clamped tail, and the last chunk
+    // ends at the doc end
+    val fx = Packing.chunkSpans(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text", 64, 16)
+    val lastEnd = fx.groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.max("end_tok").as("e"),
+        org.apache.spark.sql.functions.max("n_tokens").as("n"))
+      .filter($"e" =!= $"n")
+    assert(lastEnd.isEmpty)
+  }
+
   test("per-shard invariants on the documents fixture: contiguous, gap-free token stream") {
     val d = "/root/testdata/sf0.001"
     val packed = Packing.packSequences(
