@@ -36,10 +36,11 @@ case class FunnelProgress(user_id: Long, stage_reached: Int, stage_times_us: Seq
   *
   * Scale notes: the windowed aggregate shuffles on (window, type) with
   * watermark-bounded state; the idempotent sink works per partition
-  * with no driver round-trip. At production scale the Processed
-  * registry is the external system's own idempotency (K3's oldest-wins
-  * get-or-create, unique keys) — the in-memory registry here stands in
-  * for it offline, same contract.
+  * with no driver round-trip. Effect dedup is the persisted
+  * [[ProcessedLedger]] (distributed anti-join over durable markers);
+  * the in-memory [[Processed]] registry remains only where it stands
+  * in for the EXTERNAL system's own idempotency (K3's oldest-wins
+  * get-or-create, unique keys).
   */
 object EventPipeline {
 
@@ -269,10 +270,14 @@ object EventPipeline {
     * the seen-check and the mark only observe each other when every
     * executor shares the JVM (local[*], as here). On a real cluster
     * each executor would hold its own map and the guarantee silently
-    * degrades to at-least-once — which the idempotent effects absorb,
-    * but the registry itself must then be the EXTERNAL system's
-    * processed-ids table (an anti-join, as the startDepositStream
-    * scaladoc describes), not this object.
+    * degrades to at-least-once — which the idempotent effects absorb.
+    * The cluster-real registry is [[ProcessedLedger]]: the same
+    * marker-after-effect contract persisted as parquet and checked via
+    * a distributed anti-join; [[startDepositStream]] uses it, and
+    * LedgerSpec proves it across two separate SparkSessions. This
+    * object remains only to demonstrate the executor-side-predicate
+    * shape ([[startIdempotentPipeline]]) where the registry models the
+    * EXTERNAL system's own idempotency (K3 get-or-create, unique keys).
     */
   object Processed {
     private val stores =
@@ -288,29 +293,29 @@ object EventPipeline {
   }
 
   /** S8 + §3.3 end-to-end: each micro-batch's NEW events (cross-batch
-    * deduped by event_id) trigger the full deposit pipeline for their
-    * items against static cells/rules. NO driver round-trip: the
-    * registry check runs as an executor-side predicate, the clients
-    * table is restricted via a semi-join against the fresh item ids,
-    * and the after-effect marking is a foreachPartition — the driver
-    * only orchestrates. In production the registry predicate becomes an
-    * anti-join against the external system's processed-ids table; the
-    * shape of the plan does not change.
+    * deduped by event_id against the PERSISTED [[ProcessedLedger]])
+    * trigger the full deposit pipeline for their items against static
+    * cells/rules. NO driver round-trip: the dedup is a distributed
+    * left-anti join, the clients table is restricted via a semi-join
+    * against the fresh item ids, and the after-effect marking is a
+    * distributed parquet append. The ledger IS the production shape —
+    * durable markers + anti-join — so the exactly-once effects survive
+    * driver restarts and multi-JVM executors (LedgerSpec), not just
+    * local[*].
     */
   def startDepositStream(events: DataFrame, clients: DataFrame, cells: DataFrame,
                          rules: DataFrame, defaultRule: DataFrame, storeName: String,
-                         lotNumber: Int = 1): StreamingQuery =
+                         ledgerPath: String, lotNumber: Int = 1): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .queryName(StreamMetrics.queryName(storeName))
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val metrics = StreamMetrics.countersFor(batch.sparkSession, storeName)
-        // Registry reads mutable state: nondeterministic, and the eager
-        // localCheckpoint pins ONE evaluation so the later mark pass and
-        // the pipeline input see the identical fresh set.
-        val notSeen = udf((id: Long) => !Processed.seen(storeName, id)).asNondeterministic()
+        // The eager localCheckpoint pins ONE evaluation so the later
+        // mark pass and the pipeline input see the identical fresh set
+        // even though the ledger grows underneath.
         val pairs = batch.select("event_id", "item_id").distinct().localCheckpoint(true)
-        val freshPairs = pairs.filter(notSeen(col("event_id")))
+        val freshPairs = ProcessedLedger.fresh(pairs, ledgerPath)
           .localCheckpoint(true)
         // both counts run on checkpointed data — no recomputation
         val nFresh = freshPairs.count()
@@ -327,9 +332,7 @@ object EventPipeline {
           // above leaves the ids unmarked and the streaming retry
           // re-runs them against the idempotent store (oldest-wins
           // folders, digest-keyed uploads) — effectively-once.
-          freshPairs.select("event_id").foreachPartition { (it: Iterator[Row]) =>
-            it.foreach(r => Processed.markDone(storeName, r.getLong(0)))
-          }
+          ProcessedLedger.mark(freshPairs.select("event_id"), ledgerPath, batchId)
         }
         ()
       }

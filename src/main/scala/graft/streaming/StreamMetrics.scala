@@ -13,7 +13,7 @@ import org.apache.spark.util.LongAccumulator
   *     jobs, no driver round-trip); the driver reads `.value` at any
   *     time. Accumulator caveat applies: a re-executed task re-adds, so
   *     counts are at-least-once diagnostics, never effect guards — the
-  *     Processed registry stays the source of truth for idempotency.
+  *     [[ProcessedLedger]] stays the source of truth for idempotency.
   *   - [[GraftQueryListener]]: a StreamingQueryListener that, on every
   *     completed micro-batch, snapshots the engine's own numInputRows
   *     together with the sink's cumulative applied/deduped counters,
@@ -30,7 +30,9 @@ object StreamMetrics {
       /** Effects applied (event was new; side effect ran and was marked). */
       val applied: LongAccumulator,
       /** Events skipped because the registry had already marked them. */
-      val deduped: LongAccumulator) extends Serializable
+      val deduped: LongAccumulator,
+      /** Owning SparkContext, so a session restart invalidates the cache. */
+      private[streaming] val appId: String) extends Serializable
 
   private val counters =
     new java.util.concurrent.ConcurrentHashMap[String, Counters]()
@@ -38,10 +40,19 @@ object StreamMetrics {
   /** Query-name key the sinks and the listener agree on. */
   def queryName(storeName: String): String = s"graft_sink_$storeName"
 
-  def countersFor(spark: SparkSession, storeName: String): Counters =
-    counters.computeIfAbsent(queryName(storeName), _ => new Counters(
-      spark.sparkContext.longAccumulator("graft.sink.applied"),
-      spark.sparkContext.longAccumulator("graft.sink.deduped")))
+  /** Accumulators are registered to ONE SparkContext; a cached entry
+    * from an earlier (possibly stopped) context would silently drop
+    * executor-side adds, so the cache is invalidated whenever the
+    * caller's context differs from the entry's.
+    */
+  def countersFor(spark: SparkSession, storeName: String): Counters = {
+    val appId = spark.sparkContext.applicationId
+    counters.compute(queryName(storeName), (_, old) =>
+      if (old != null && old.appId == appId) old
+      else new Counters(
+        spark.sparkContext.longAccumulator("graft.sink.applied"),
+        spark.sparkContext.longAccumulator("graft.sink.deduped"), appId))
+  }
 
   private[streaming] def lookup(name: String): Option[Counters] =
     Option(counters.get(name))

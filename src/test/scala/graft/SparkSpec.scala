@@ -4,13 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for every suite (Spark startup is ~5 s;
-  * per-suite sessions would dominate `sbt test`).
+  * per-suite sessions would dominate `sbt test`). Restart-tolerant:
+  * LedgerSpec stops the SparkContext to prove cross-session semantics,
+  * so a stopped cached session is replaced with a fresh one.
   */
 object SparkTestSession {
-  lazy val session: SparkSession = {
-    val s = GraftSession.builder("local[4]", "4").getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    s
+  private var cached: SparkSession = _
+  def session: SparkSession = synchronized {
+    if (cached == null || cached.sparkContext.isStopped) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      cached = GraftSession.builder("local[4]", "4").getOrCreate()
+      cached.sparkContext.setLogLevel("ERROR")
+    }
+    cached
   }
 }
 

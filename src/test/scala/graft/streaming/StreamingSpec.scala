@@ -69,9 +69,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("deposit stream records applied/deduped through the same metrics surface") {
-    EventPipeline.Processed.drop("st_dm")
     DriveStore.drop("st_dm")
     StreamMetrics.drop("st_dm")
+    val ledger = java.nio.file.Files.createTempDirectory("graft_ledger").toFile.getAbsolutePath + "/l"
     implicit val ctx = spark.sqlContext
     val clients = Seq((100L, "Ana")).toDF("id_monday", "nomcomplet")
     val cells = Seq(
@@ -82,7 +82,7 @@ class StreamingSpec extends SparkSpec {
     val default = Seq(("__default__", 1, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
       .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
     val mem = MemoryStream[Ev]
-    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st_dm")
+    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st_dm", ledger)
     try {
       mem.addData(ev(1, 100, "depot", 1))
       q.processAllAvailable()
@@ -94,8 +94,8 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming deposit pipeline: new events trigger uploads, redelivery does not") {
-    EventPipeline.Processed.drop("st3")
     DriveStore.drop("st3")
+    val ledger = java.nio.file.Files.createTempDirectory("graft_ledger").toFile.getAbsolutePath + "/l"
     implicit val ctx = spark.sqlContext
     val clients = Seq((100L, "Ana"), (200L, "Bob")).toDF("id_monday", "nomcomplet")
     val cells = Seq(
@@ -107,7 +107,7 @@ class StreamingSpec extends SparkSpec {
     val default = Seq(("__default__", 1, Seq.empty[String], Seq.empty[String], Seq("pdf"), "latest", Option.empty[Int]))
       .toDF("column_id", "priority", "include_any_of", "exclude_any_of", "file_types", "pick", "max")
     val mem = MemoryStream[Ev]
-    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st3")
+    val q = EventPipeline.startDepositStream(mem.toDF(), clients, cells, rules, default, "st3", ledger)
     try {
       mem.addData(ev(1, 100, "depot", 1))
       q.processAllAvailable()
