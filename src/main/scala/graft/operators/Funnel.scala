@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * stream; `app.py:95-117` reacts to single events, these operators are
   * the corpus-level rollups of the same log).
   *
-  * Both are built from keyed aggregates and co-partitioned joins: after
-  * the first exchange on `user_id`, every later stage join and rollup
-  * reuses that partitioning, so the funnel length adds map-side work
-  * but no new full shuffles of the event log. All arithmetic is on
-  * epoch integers — bit-exact on any engine, no timestamp formatting
-  * or timezone drift in the oracle compare.
+  * The funnel is SINGLE-PASS: the event log is filtered to funnel
+  * stages, shuffled ONCE on `user_id`, and each user's (small) stage
+  * history is folded in timestamp order with O(stages) state — the
+  * batch twin of the streaming funnel's FunnelProgress, and the shape
+  * that survives a 10-stage funnel at 100 TB (the previous
+  * join-per-stage formulation re-shuffled the filtered log k times;
+  * PushdownSpec now asserts the one-exchange plan). All arithmetic is
+  * on epoch integers — bit-exact on any engine, no timestamp
+  * formatting or timezone drift in the oracle compare.
   */
 object Funnel {
   /** Ordered funnel: per user, the FIRST occurrence of stage k strictly
@@ -22,27 +25,61 @@ object Funnel {
     * (no first-stage event → not in the output). Output:
     * `user_id, t1..tN (epoch micros, null once the funnel broke),
     * stage_reached`.
+    *
+    * Shape: map events to (stage index, epoch micros), drop non-stage
+    * noise BEFORE the shuffle, collect each user's events sorted by
+    * time, then fold them through an `aggregate` HOF whose accumulator
+    * is the N-slot stage-time array. Within-tie event order cannot
+    * matter: slot k fills only when the event's time is STRICTLY
+    * greater than slot k-1, so an event tied with the previous stage's
+    * time is rejected whichever side of the tie the sort puts it on
+    * (FunnelProps exercises duplicate timestamps). The fold lambda is
+    * interpreted (Spark evaluates HOF lambdas row-at-a-time) but runs
+    * over per-user lists of already-projected integers — the heavy
+    * lifting (filter, projection, shuffle, sort) stays codegen'd.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
-    val base = events.select(col(userCol).as("user_id"), col(typeCol).as("_t"),
-      unix_micros(col(tsCol)).as("_ts"))
-    val entry = base.filter(col("_t") === stages.head)
-      .groupBy("user_id").agg(min("_ts").as("t1"))
-    val full = stages.tail.zipWithIndex.foldLeft(entry) { case (acc, (stage, i)) =>
-      val prev = s"t${i + 1}"
-      val cur = s"t${i + 2}"
-      val nxt = base.filter(col("_t") === stage)
-        .join(acc.select("user_id", prev), Seq("user_id"))
-        .filter(col("_ts") > col(prev))
-        .groupBy("user_id").agg(min("_ts").as(cur))
-      acc.join(nxt, Seq("user_id"), "left")
-    }
+    require(stages.distinct == stages, "funnel stages must be distinct")
+    val n = stages.size
+    val toIdx = stages.zipWithIndex.tail
+      .foldLeft(when(col("_t") === stages.head, 0)) { case (acc, (s, i)) =>
+        acc.when(col("_t") === s, i)
+      }
+    val base = events
+      .select(col(userCol).as("user_id"), col(typeCol).as("_t"),
+        unix_micros(col(tsCol)).as("_ts"))
+      .withColumn("_s", toIdx)
+      .filter(col("_s").isNotNull)
+      .select("user_id", "_ts", "_s")
+    val folded = base
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("_ts"), col("_s")))).as("_evs"))
+      .select(col("user_id"),
+        aggregate(
+          col("_evs"),
+          array_repeat(lit(null).cast("long"), n),
+          (acc, e) => {
+            val ts = e.getField("_ts")
+            val s = e.getField("_s")
+            transform(acc, (t, i) => {
+              // element_at is 1-based: acc(i-1) == element_at(acc, i);
+              // greatest() keeps the index legal when i == 0 (the
+              // branch below never reads prev for the entry stage).
+              val prev = element_at(acc, greatest(i, lit(1)))
+              when(t.isNotNull, t).otherwise(
+                when(s === i && (i === lit(0) || (prev.isNotNull && ts > prev)), ts))
+            })
+          }).as("_times"))
     val reached = stages.indices
-      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .map(i => when(element_at(col("_times"), i + 1).isNotNull, 1).otherwise(0))
       .reduce(_ + _)
-    full.withColumn("stage_reached", reached)
+    folded
+      .select(col("user_id") +:
+        stages.indices.map(i => element_at(col("_times"), i + 1).as(s"t${i + 1}")) :+
+        reached.as("stage_reached"): _*)
+      .filter(col("t1").isNotNull)
   }
 
   /** DuckDB twin generated from the same stage list. */

@@ -334,54 +334,106 @@ object ParityQueries {
       |       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
-  /** Exact grouped quantiles, DISTRIBUTED. Spark's built-in `percentile`
-    * is a TypedImperativeAggregate that buffers every (value, count) of
-    * a group in ONE in-memory map — with a 5-value group key each final
-    * task holds its group's whole column, the textbook plan that cannot
-    * survive a 100× scale-up. This formulation gets the identical
-    * doubles through rank windows instead: row_number + count per group
-    * (one per-group sort that SPILLS via the external sorter instead of
-    * OOMing), keep only the ≤6 rows straddling a quantile position (plus
-    * rank 1/n for min/max), then one tiny hash-agg. The interpolation
-    * reproduces percentile's exact fold —
+  /** Exact grouped quantiles, DISTRIBUTED, TWO-PASS. Spark's built-in
+    * `percentile` is a TypedImperativeAggregate that buffers every
+    * (value, count) of a group in ONE in-memory map — with a 5-value
+    * group key each final task holds its group's whole column, the
+    * textbook plan that cannot survive a 100× scale-up. The previous
+    * rank-window formulation fixed the memory blowup (the external
+    * sorter spills) but still SORTED each group in one task — serial
+    * wall-clock at 100×. This one never sorts a full group:
+    *
+    *   pass 1 — histogram-grid counts per (group, bin) (one map-side-
+    *     combined hash agg, the `q_quantile_hist` shape); a running sum
+    *     over the ≤`bins` count rows locates, for each needed rank
+    *     r ∈ {1, n, floor/ceil(p·(n-1))+1}, the bin that contains it
+    *     and its LOCAL rank inside that bin (r − cum_before);
+    *   pass 2 — re-scan restricted (broadcast semi-join) to the ≤6
+    *     needed bins per group, row_number ONLY inside those bins
+    *     (partition = (group, bin) — a bin's slice, never the group),
+    *     keep the rows matching a local rank, one tiny hash-agg.
+    *
+    * Exactness: the bin index is monotone in the value (values outside
+    * the grid clamp into the edge bins, which keeps the order), so
+    * global sort order == (bin, value-within-bin) order and
+    * `cum_before(bin) + local rank` IS the global rank; equal values
+    * always share a bin, so tie order never crosses a bin boundary.
+    * The interpolation reproduces percentile's exact fold —
     * `(higher-pos)*lo + (pos-lower)*hi` on `pos = p*(n-1)` — so the
-    * result is bit-identical (QuantilesSpec asserts it) and the DuckDB
-    * `quantile_cont` oracle is unchanged. Nulls: the fixture column has
-    * none; a null-valued row would be dropped here where `percentile`
-    * skips it inside the buffer — same result for any group with at
-    * least one non-null value.
+    * result is bit-identical (QuantilesSpec + QuantileProps assert raw
+    * bits vs `percentile`) and the DuckDB `quantile_cont` oracle is
+    * unchanged. Worst case (every value of a group in ONE bin) degrades
+    * to the per-group sort of the old formulation — for a measured
+    * distribution, pick the grid to spread it. Nulls: dropped here
+    * where `percentile` skips them in the buffer — same result for any
+    * group with at least one non-null value.
     */
   val quantiles: Q = (s, d) => quantilesOver(Tables.events(s, d))
 
-  /** The rank-window formulation over any (event_type, value) frame —
-    * split out so tests can drive it with edge-case groups.
+  /** The two-pass formulation over any (event_type, value) frame —
+    * split out so tests can drive it with edge-case groups. The grid
+    * only steers WHERE the exact selection happens; any values land
+    * correctly via edge-bin clamping.
     */
-  def quantilesOver(events: DataFrame): DataFrame = {
+  def quantilesOver(events: DataFrame, gridLo: Double = 0.0, gridHi: Double = 500.0,
+                    gridBins: Int = 50): DataFrame = {
+    val width = (gridHi - gridLo) / gridBins
+    val vals = events
+      .select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull)
+      .withColumn("bin",
+        least(greatest(floor((col("value") - lit(gridLo)) / lit(width)), lit(0.0)),
+          lit((gridBins - 1).toDouble)).cast("long"))
+    // pass 1: (group, bin) counts; cum + n over the tiny count rows.
+    // The two windows share one partitioning (the n-window needs no
+    // sort), and the branches below reuse this subtree's exchange
+    // (ReusedExchange — asserted in PushdownSpec).
     val byType = Window.partitionBy(col("event_type"))
+    val counts = vals.groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(byType.orderBy(col("bin"))))
+      .withColumn("n", sum("c").over(byType))
     // 0-based fractional position of quantile p in a sorted n-row group
     def pos(p: Double) = lit(p) * (col("n") - lit(1)).cast("double")
-    def lo(p: Double) = floor(pos(p)) + lit(1L) // 1-based straddling ranks
-    def hi(p: Double) = ceil(pos(p)) + lit(1L)
-    // exactly one row per group satisfies rn === rank, so max() picks it
-    def pick(rank: Column) = max(when(col("rn") === rank, col("value")))
+    def rkLo(p: Double) = floor(pos(p)) + lit(1L) // 1-based straddling ranks
+    def rkHi(p: Double) = ceil(pos(p)) + lit(1L)
+    val targets = counts.groupBy("event_type").agg(max("n").as("n"))
+      .select(col("event_type"), col("n"), explode(array(
+        struct(lit("l50").as("tag"), rkLo(0.5).as("r")),
+        struct(lit("h50").as("tag"), rkHi(0.5).as("r")),
+        struct(lit("l95").as("tag"), rkLo(0.95).as("r")),
+        struct(lit("h95").as("tag"), rkHi(0.95).as("r")),
+        struct(lit("min").as("tag"), lit(1L).as("r")),
+        struct(lit("max").as("tag"), col("n").as("r")))).as("t"))
+      .select(col("event_type"), col("n"), col("t.tag").as("tag"), col("t.r").as("r"))
+    // rank r lives in the bin with cum_before < r <= cum. The eager
+    // localCheckpoint runs pass 1 ONCE and pins its (tiny: ≤6 rows per
+    // group) result — without it every downstream use re-plans the
+    // whole counts subtree and the "two passes" silently become five
+    // scans (PushdownSpec asserts the scan count).
+    val located = targets.join(counts.select("event_type", "bin", "c", "cum"), Seq("event_type"))
+      .filter(col("cum") - col("c") < col("r") && col("r") <= col("cum"))
+      .select(col("event_type"), col("bin"), col("tag"), col("n"),
+        (col("r") - (col("cum") - col("c"))).as("local_r"))
+      .localCheckpoint(true)
+    // pass 2: order statistics ONLY inside the needed bins
+    val ranked = vals
+      .join(broadcast(located.select("event_type", "bin").distinct()),
+        Seq("event_type", "bin"), "left_semi")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), col("bin")).orderBy(col("value"))))
+    val picked = ranked.join(broadcast(located), Seq("event_type", "bin"))
+      .filter(col("rn") === col("local_r"))
+    def pick(t: String) = max(when(col("tag") === t, col("value")))
     def interp(p: Double, l: Column, h: Column) = {
       val x = pos(p)
       when(ceil(x) === floor(x), l)
         .otherwise((ceil(x) - x) * l + (x - floor(x)) * h)
     }
-    events
-      .select(col("event_type"), col("value"))
-      .filter(col("value").isNotNull)
-      .withColumn("rn", row_number().over(byType.orderBy(col("value"))))
-      .withColumn("n", count(lit(1)).over(byType))
-      .filter(col("rn") === 1 || col("rn") === col("n") ||
-        col("rn") === lo(0.5) || col("rn") === hi(0.5) ||
-        col("rn") === lo(0.95) || col("rn") === hi(0.95))
-      .groupBy(col("event_type"))
+    picked.groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
-        pick(lo(0.5)).as("_l50"), pick(hi(0.5)).as("_h50"),
-        pick(lo(0.95)).as("_l95"), pick(hi(0.95)).as("_h95"),
-        pick(lit(1)).as("v_min"), pick(col("n")).as("v_max"))
+        pick("l50").as("_l50"), pick("h50").as("_h50"),
+        pick("l95").as("_l95"), pick("h95").as("_h95"),
+        pick("min").as("v_min"), pick("max").as("v_max"))
       .select(col("event_type"),
         interp(0.5, col("_l50"), col("_h50")).as("p50"),
         interp(0.95, col("_l95"), col("_h95")).as("p95"),

@@ -46,6 +46,20 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), plan.take(800))
   }
 
+  test("q_quantiles is two-pass: one re-scan in the plan, no full-group sort") {
+    // pass 1 (grid counts → quantile locator) materializes eagerly at
+    // build; the REGISTERED plan is pass 2 alone — exactly one events
+    // scan joined against the checkpointed locator
+    val plan = queries.ParityQueries.quantiles(spark, d)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllMatchIn(plan).size
+    assert(scans === 1, s"expected 1 event scan in pass 2, got $scans:\n${plan.take(1200)}")
+    // the rank-select window is per (group, bin) — a bin slice, never a
+    // whole group
+    assert("hashpartitioning\\(event_type#\\d+L?, bin#".r.findAllMatchIn(plan).nonEmpty,
+      plan.take(1200))
+  }
+
   test("q_tfidf_topk cuts the per-doc top-k map-side (WindowGroupLimit)") {
     val plan = queries.PipelineQueries.tfdfTopk(spark, d)
       .queryExecution.executedPlan.toString
@@ -56,6 +70,19 @@ class PushdownSpec extends SparkSpec {
     val plan = queries.DomainQueries.skewJoin(spark, d)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"), plan.take(500))
+  }
+
+  test("funnel shuffles the event log exactly once regardless of stage count") {
+    // the join-per-stage formulation re-shuffled the filtered log once
+    // per stage; the fold formulation's plan has ONE exchange whether
+    // the funnel is 3 stages or 5.
+    Seq(Seq("view", "click", "purchase"),
+      Seq("view", "click", "purchase", "signup", "refund")).foreach { stages =>
+      val plan = operators.Funnel.funnel(
+        Tables.events(spark, d), "user_id", "event_type", "ts", stages)
+        .queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size === 1, plan.take(800))
+    }
   }
 
   test("no query plans a window without a partition spec (single-task funnel)") {
