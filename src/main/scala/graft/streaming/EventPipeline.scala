@@ -301,21 +301,34 @@ object EventPipeline {
     * distributed parquet append. The ledger IS the production shape —
     * durable markers + anti-join — so the exactly-once effects survive
     * driver restarts and multi-JVM executors (LedgerSpec), not just
-    * local[*].
+    * local[*]. Restart durability requires a `checkpoint` path: without
+    * one a restarted query replays the source from scratch and leans
+    * entirely on the ledger anti-join + effect idempotency (correct,
+    * but it re-reads everything). `redeliveryHorizon` (in batches)
+    * bounds the per-batch ledger read to `batch_id >= current −
+    * horizon` so the anti-join input stays flat for the stream's
+    * lifetime instead of re-scanning the full marker history.
     */
   def startDepositStream(events: DataFrame, clients: DataFrame, cells: DataFrame,
                          rules: DataFrame, defaultRule: DataFrame, storeName: String,
-                         ledgerPath: String, lotNumber: Int = 1): StreamingQuery =
-    events.writeStream
+                         ledgerPath: String, lotNumber: Int = 1,
+                         checkpoint: Option[String] = None,
+                         redeliveryHorizon: Long = Long.MaxValue): StreamingQuery = {
+    val writer = events.writeStream
       .outputMode("append")
       .queryName(StreamMetrics.queryName(storeName))
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val metrics = StreamMetrics.countersFor(batch.sparkSession, storeName)
+        val minBatch =
+          if (redeliveryHorizon == Long.MaxValue) Long.MinValue
+          else math.max(0L, batchId - redeliveryHorizon)
         // The eager localCheckpoint pins ONE evaluation so the later
         // mark pass and the pipeline input see the identical fresh set
         // even though the ledger grows underneath.
         val pairs = batch.select("event_id", "item_id").distinct().localCheckpoint(true)
-        val freshPairs = ProcessedLedger.fresh(pairs, ledgerPath)
+        val freshPairs = ProcessedLedger.fresh(pairs, ledgerPath, minBatchId = minBatch)
           .localCheckpoint(true)
         // both counts run on checkpointed data — no recomputation
         val nFresh = freshPairs.count()
@@ -337,6 +350,7 @@ object EventPipeline {
         ()
       }
       .start()
+  }
 
   /** S8 + K3: one pipeline invocation per NEW event — here the §3.3
     * per-item side effect is a get-or-create in the Drive stand-in.

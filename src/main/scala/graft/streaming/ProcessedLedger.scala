@@ -33,17 +33,33 @@ import org.apache.spark.sql.types._
   * SparkSessions (a fresh SparkContext each) over the same
   * checkpoint + ledger, a test the in-JVM map could not justify.
   *
-  * Scale notes: the ledger is append-only parquet keyed by
-  * `(key, batch_id)`. At 100 TB it would be date/batch-partitioned and
-  * the anti-join pruned to the source's redelivery horizon (only
-  * markers younger than the horizon can ever collide with a live
-  * batch), with an offline compaction folding old partitions into a
-  * bloom-filter summary; the per-batch plan — scan, broadcast or
-  * shuffled anti-join, append — is unchanged. The anti-join is the
-  * same shape Spark's own `streaming-commit-log + idempotent sink`
-  * pairing uses; nothing here needs a lock because appends are
-  * file-atomic and re-reads are monotone (a marker observed late only
-  * causes a redundant idempotent re-apply, never a skip).
+  * Scale: markers are parquet PARTITIONED BY `batch_id`, so a
+  * long-running stream bounds the per-batch anti-join by passing a
+  * redelivery horizon — [[read]]/[[fresh]] take `minBatchId` and the
+  * scan prunes to partitions `batch_id >= minBatchId` (only markers
+  * younger than the source's redelivery window can ever collide with a
+  * live batch; LedgerSpec asserts the pruned plan). [[compact]] folds
+  * the partitions at or below a horizon into one, keeping the file
+  * count flat; its crash ordering is safe because the ledger is a seen-
+  * SET — the compacted copy lands (inside an existing partition dir,
+  * duplicate rows are harmless to an anti-join) BEFORE the old
+  * partitions are deleted, so no window ever loses a marker.
+  *
+  * Concurrency contract: SINGLE WRITER PER LEDGER PATH. Two concurrent
+  * Spark append jobs on one directory share a `_temporary` staging dir
+  * under FileOutputCommitter, where one job's commit/abort cleanup can
+  * delete the other's in-flight task files — a streaming query
+  * serializes its own batches, so one query per ledger is safe by
+  * construction; concurrent queries must use distinct ledger paths.
+  * Re-reads are monotone (a marker observed late only causes a
+  * redundant idempotent re-apply, never a skip).
+  *
+  * Key contract: a NON-NULL `LongType` column. [[mark]] fails fast on
+  * any other type (a silent cast would write nulls, and null markers
+  * never satisfy the anti-join equality — the dedup would quietly
+  * degrade to re-applying every redelivery) and on null keys (a null
+  * key can never be marked-and-matched, so it would re-apply forever;
+  * failing the batch surfaces the bug at the first occurrence).
   */
 object ProcessedLedger {
 
@@ -51,26 +67,92 @@ object ProcessedLedger {
     StructField(key, LongType, nullable = false),
     StructField("batch_id", LongType, nullable = false)))
 
-  /** The ledger as a DataFrame; an absent directory is an empty ledger. */
-  def read(spark: SparkSession, path: String, key: String = "event_id"): DataFrame = {
+  private def fsOf(spark: SparkSession, path: String) = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.schema(schema(key)).parquet(path)
-    else spark.createDataFrame(new java.util.ArrayList[Row](), schema(key))
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** The ledger as a DataFrame; an absent directory is an empty ledger.
+    * `minBatchId` prunes the scan to marker partitions at or above it —
+    * pass `currentBatch - redeliveryHorizon` on a long-running stream
+    * so the anti-join input stays bounded instead of accreting forever.
+    */
+  def read(spark: SparkSession, path: String, key: String = "event_id",
+           minBatchId: Long = Long.MinValue): DataFrame = {
+    val (fs, p) = fsOf(spark, path)
+    val all =
+      if (fs.exists(p)) spark.read.schema(schema(key)).parquet(path)
+      else spark.createDataFrame(new java.util.ArrayList[Row](), schema(key))
+    if (minBatchId == Long.MinValue) all
+    else all.filter(col("batch_id") >= minBatchId)
   }
 
   /** Rows of `batch` whose key the ledger has NOT recorded (step 1). */
-  def fresh(batch: DataFrame, path: String, key: String = "event_id"): DataFrame =
-    batch.join(read(batch.sparkSession, path, key).select(key), Seq(key), "left_anti")
+  def fresh(batch: DataFrame, path: String, key: String = "event_id",
+            minBatchId: Long = Long.MinValue): DataFrame = {
+    requireLongKey(batch, key, "fresh")
+    batch.join(read(batch.sparkSession, path, key, minBatchId).select(key), Seq(key), "left_anti")
+  }
 
-  /** Record applied keys (step 3) — call only AFTER the effect succeeded. */
-  def mark(keys: DataFrame, path: String, batchId: Long, key: String = "event_id"): Unit =
-    keys.select(col(key).cast("long").as(key)).distinct()
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("append").parquet(path)
+  /** Record applied keys (step 3) — call only AFTER the effect
+    * succeeded. Fails fast on a non-Long or null key (see the key
+    * contract above); the null check is an extra tiny job over the
+    * per-batch key set, which callers already hold checkpointed.
+    */
+  def mark(keys: DataFrame, path: String, batchId: Long, key: String = "event_id"): Unit = {
+    requireLongKey(keys, key, "mark")
+    val k = keys.select(col(key)).distinct()
+    if (!k.filter(col(key).isNull).isEmpty)
+      throw new IllegalArgumentException(
+        s"ProcessedLedger.mark: null values in key column '$key' — a null marker can never " +
+          "satisfy the anti-join, so the event would be re-applied on every redelivery")
+    k.withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(path)
+  }
+
+  private def requireLongKey(df: DataFrame, key: String, op: String): Unit = {
+    val dt = df.schema(key).dataType
+    if (dt != LongType)
+      throw new IllegalArgumentException(
+        s"ProcessedLedger.$op: key column '$key' must be LongType, got ${dt.simpleString} — " +
+          "a lossy cast would produce null markers and silently void the exactly-once contract")
+  }
 
   def count(spark: SparkSession, path: String, key: String = "event_id"): Long =
     read(spark, path, key).count()
+
+  /** Fold every marker partition with `batch_id <= upToBatchId` into
+    * the newest of them, keeping the ledger's file count flat on a
+    * long-running stream. Crash-safe without coordination: the
+    * compacted rows are APPENDED into the surviving partition's
+    * directory first (duplicate markers are harmless — the ledger is a
+    * seen-set read through an anti-join), and only then are the older
+    * partition directories deleted; a crash anywhere leaves every
+    * marker present at least once. Single-writer contract applies (run
+    * it from the stream's own driver between batches, not concurrently
+    * with a mark).
+    */
+  def compact(spark: SparkSession, path: String, upToBatchId: Long,
+              key: String = "event_id"): Unit = {
+    val (fs, p) = fsOf(spark, path)
+    if (!fs.exists(p)) return
+    val parts = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong, s.getPath))
+      .filter(_._1 <= upToBatchId)
+      .sortBy(_._1)
+    if (parts.size <= 1) return
+    val target = parts.last._1
+    val old = parts.init
+    // distinct keys of the folded partitions, written INTO the
+    // surviving partition dir (plain parquet of the key column — the
+    // same file layout partitionBy produces)
+    spark.read.schema(StructType(Seq(StructField(key, LongType, nullable = false))))
+      .parquet(old.map(_._2.toString): _*)
+      .distinct()
+      .write.mode("append").parquet(s"$path/batch_id=$target")
+    old.foreach { case (_, dir) => fs.delete(dir, true) }
+  }
 
   /** A ledgered exactly-once file sink: each micro-batch's ledger-fresh
     * rows are written to `effectsPath/batch_id=<id>` (overwrite), then
@@ -81,16 +163,24 @@ object ProcessedLedger {
     * once no matter where a failure lands. Redelivered CONTENT (same
     * keys arriving again in later files/batches — beyond what the
     * checkpoint's file/offset tracking can dedup) is dropped by the
-    * anti-join.
+    * anti-join. `redeliveryHorizon` (in batches) bounds the anti-join
+    * read to `batch_id >= current - horizon` — set it to cover the
+    * source's redelivery window and the per-batch cost stays flat for
+    * the stream's lifetime.
     */
   def startLedgeredFileSink(events: DataFrame, checkpoint: String, ledgerPath: String,
-                            effectsPath: String, key: String = "event_id"): StreamingQuery =
+                            effectsPath: String, key: String = "event_id",
+                            redeliveryHorizon: Long = Long.MaxValue): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val minBatch =
+          if (redeliveryHorizon == Long.MaxValue) Long.MinValue
+          else math.max(0L, batchId - redeliveryHorizon)
         // pin ONE evaluation so the effect and the mark see the same set
-        val freshRows = fresh(batch.dropDuplicates(key), ledgerPath, key).localCheckpoint(true)
+        val freshRows = fresh(batch.dropDuplicates(key), ledgerPath, key, minBatch)
+          .localCheckpoint(true)
         if (!freshRows.isEmpty) {
           freshRows.write.mode("overwrite").parquet(s"$effectsPath/batch_id=$batchId")
           mark(freshRows.select(key), ledgerPath, batchId, key)

@@ -95,4 +95,69 @@ class LedgerSpec extends AnyFunSuite {
     val fresh = ProcessedLedger.fresh(next, ledger).select("event_id").as[Long].collect()
     assert(fresh.toSeq === Seq(3L))
   }
+
+  test("horizon pruning: the per-batch read scans only partitions inside the horizon") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    val ledger = java.nio.file.Files.createTempDirectory("graft_hzn").toFile.getAbsolutePath + "/l"
+    (0L to 4L).foreach { b =>
+      ProcessedLedger.mark(Seq((b * 10, 0L)).toDF("event_id", "item_id").select("event_id"),
+        ledger, b)
+    }
+    // data: only markers with batch_id >= 3 survive the pruned read …
+    val pruned = ProcessedLedger.read(spark, ledger, minBatchId = 3L)
+    assert(pruned.select("event_id").as[Long].collect().toSet === Set(30L, 40L))
+    // … so a key marked BEYOND the horizon no longer joins: the event
+    // is re-applied (the caller's redelivery window must cover it) —
+    // while a key inside the horizon still dedups.
+    val batch = Seq((10L, 0L), (40L, 0L), (99L, 0L)).toDF("event_id", "item_id")
+    val fresh = ProcessedLedger.fresh(batch, ledger, minBatchId = 3L)
+      .select("event_id").as[Long].collect().toSet
+    assert(fresh === Set(10L, 99L))
+    // and the pruning is PARTITION pruning, not a post-scan filter: the
+    // horizon predicate lands in the scan's PartitionFilters, so only
+    // the in-horizon partition directories are listed and read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*batch_id[^\\]]*>= 3".r.findFirstIn(plan).isDefined,
+      plan.take(1200))
+  }
+
+  test("compact folds old partitions into one without losing a marker") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    val ledger = java.nio.file.Files.createTempDirectory("graft_cmp").toFile.getAbsolutePath + "/l"
+    (0L to 4L).foreach { b =>
+      ProcessedLedger.mark(Seq((b * 10, 0L), (b * 10 + 1, 0L)).toDF("event_id", "item_id")
+        .select("event_id"), ledger, b)
+    }
+    ProcessedLedger.compact(spark, ledger, upToBatchId = 3L)
+    // every marker survives; the folded ones now carry the surviving batch id
+    val after = ProcessedLedger.read(spark, ledger)
+      .select("event_id", "batch_id").as[(Long, Long)].collect().toSet
+    assert(after.map(_._1) === (0L to 4L).flatMap(b => Seq(b * 10, b * 10 + 1)).toSet)
+    assert(after.map(_._2) === Set(3L, 4L))
+    // exactly two partition dirs remain on disk
+    val dirs = new java.io.File(ledger).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("batch_id=3", "batch_id=4"))
+    // dedup still works through the compacted layout
+    assert(ProcessedLedger.fresh(
+      Seq((11L, 0L), (777L, 0L)).toDF("event_id", "item_id"), ledger)
+      .select("event_id").as[Long].collect().toSeq === Seq(777L))
+  }
+
+  test("mark fails fast on a non-Long or null key instead of silently voiding the contract") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    val ledger = java.nio.file.Files.createTempDirectory("graft_key").toFile.getAbsolutePath + "/l"
+    val typed = intercept[IllegalArgumentException] {
+      ProcessedLedger.mark(Seq("a-uuid").toDF("event_id"), ledger, 0L)
+    }
+    assert(typed.getMessage.contains("LongType"))
+    val nulled = intercept[IllegalArgumentException] {
+      ProcessedLedger.mark(Seq(Some(1L), None).toDF("event_id"), ledger, 0L)
+    }
+    assert(nulled.getMessage.contains("null"))
+    // nothing was written by either failed mark
+    assert(ProcessedLedger.count(spark, ledger) === 0)
+  }
 }
