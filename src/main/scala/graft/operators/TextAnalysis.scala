@@ -153,8 +153,14 @@ object TextAnalysis {
     import spark.implicits._
     val vocab = docs.select(explode(words(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("occ"))
+    // Length band first: |len(a) − len(b)| is a lower bound on edit
+    // distance, and two length() calls + abs compare are ~free next to
+    // the O(|a|·|b|) levenshtein DP — the band prunes most vocab×dict
+    // pairs before the DP runs (condition order is load-bearing; a
+    // conjunction evaluates left-to-right and short-circuits).
     vocab.join(broadcast(dictionary.toDF("dict_word")),
-        levenshtein(col("word"), col("dict_word")) <= maxDist)
+        abs(length(col("word")) - length(col("dict_word"))) <= maxDist &&
+          levenshtein(col("word"), col("dict_word")) <= maxDist)
       .groupBy("dict_word")
       .agg(count(lit(1)).as("n_variants"), sum(col("occ")).as("n_occurrences"),
         min(col("word")).as("first_variant"))

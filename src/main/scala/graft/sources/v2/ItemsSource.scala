@@ -29,6 +29,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * offline stand-in, same pattern as DriveStore); a production version
   * swaps the reader's data lookup for the HTTP call — partition
   * planning, pushdown and pruning are unchanged.
+  *
+  * Multi-executor note: [[ItemsStore]] MODELS the external system — a
+  * remote service that is shared across executors BY DEFINITION. The
+  * stand-in is shared only within one JVM, so exercising this
+  * connector under multi-JVM executors (`local-cluster`) would test
+  * the stand-in's JVM-locality, not the connector: every reader/writer
+  * would talk to its executor's empty private store, where production
+  * readers/writers talk to the one remote API. The connector machinery
+  * itself is already cluster-shaped — partition planning and filter
+  * pushdown run on the driver, each `ItemsPage`/`ItemsCellWriter` is
+  * self-contained (store name + ids + filters serialize with the
+  * task), commit messages flow executor→driver, and task retries are
+  * safe because the write is a keyed idempotent upsert. That is why
+  * correctness tests run `local[*]` (where the stand-in IS shared) and
+  * nothing in the connector holds driver-side state a real cluster
+  * would miss.
   */
 object ItemsSource {
   val ShortName = "graft-items"

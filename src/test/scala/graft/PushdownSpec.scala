@@ -85,6 +85,35 @@ class PushdownSpec extends SparkSpec {
     }
   }
 
+  test("no registered query plans a CartesianProduct or an undocumented nested-loop join") {
+    // Sweep EVERY registered query: a cartesian product or a
+    // broadcast-nested-loop join that sneaks into a plan multiplies at
+    // 100 TB. The only sanctioned NLJs are joins whose BOTH sides are
+    // bounded by design (config-sized or sublinear in the input):
+    //   - q_fuzzy_keyword: distinct-vocab × broadcast config dictionary
+    //     under a length-band + levenshtein condition;
+    //   - q_ann_topk / q_ann_topk_agg: the brute-force ANN BASELINE —
+    //     queries × broadcast corpus is the definition of brute force
+    //     (q_ann_lsh / q_ann_ivf are the scale paths);
+    //   - q_rule_fallback: cross of the distinct rule column_ids with
+    //     the single default-rule row (both LocalTableScans of config);
+    //   - q_structure_lot / q_upload_plan: Structure.withSeqId's
+    //     triangle self-join over COARSE bucket totals — bounded at
+    //     (B/width)² rows, the documented price of a global sequential
+    //     id without a global window (Structure.scala:56-66).
+    val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
+      "q_rule_fallback", "q_structure_lot", "q_upload_plan")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, d).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin") && !nljAllowed(name)
+      if (cartesian || nlj)
+        Some(s"$name${if (cartesian) " [cartesian]" else ""}${if (nlj) " [nlj]" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile joins in: ${offenders.mkString(", ")}")
+  }
+
   test("no query plans a window without a partition spec (single-task funnel)") {
     // the optimized LOGICAL plan is audited (AQE wraps the physical one);
     // a foldable partition key is as global as an empty one.

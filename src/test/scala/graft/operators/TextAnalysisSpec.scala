@@ -136,4 +136,15 @@ class TextAnalysisSpec extends SparkSpec {
     // variants: scan, scann, skan, xcan (distinct words), occurrences: 2+1+1+1
     assert(variants === 4L && occ === 5L && first === "scan")
   }
+
+  test("fuzzy matching runs the length band BEFORE the levenshtein DP") {
+    // |len(a) − len(b)| lower-bounds edit distance: the cheap band must
+    // sit ahead of the O(|a|·|b|) DP in the join condition so the
+    // short-circuiting conjunction prunes most pairs for free
+    val docs = Seq((1L, "scan words")).toDF("doc_id", "text")
+    val plan = TextAnalysis.fuzzyKeywordMatches(docs, "text", Seq("scan"), 1)
+      .queryExecution.optimizedPlan.toString.replaceAll("\n", " ")
+    val cond = "abs\\(\\(length\\(word.*?\\) - length\\(dict_word.*?\\)\\)\\) <= 1\\).*levenshtein".r
+    assert(cond.findFirstIn(plan).isDefined, plan.take(1200))
+  }
 }
