@@ -188,6 +188,48 @@ object PipelineQueries {
        |SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ------------------------------------------------------- leakage-safe split
+  /** Contamination-safe train/eval/test split: the split key is the
+    * near-dup CLUSTER representative, not the document id — so a
+    * document and its near-duplicates land on the SAME side by
+    * construction. Splitting by doc_id (q_train_split) is the classic
+    * eval-leakage bug: ~5% of this corpus sits in multi-doc clusters,
+    * and a plain hash split routinely strands one copy of a pair in
+    * train and its near-duplicate in test, where it scores as
+    * memorization. Same deterministic hash-range machinery as
+    * q_train_split ([[Sampling.split]]), same cluster labels as
+    * q_dup_clusters — composed, the leak is structurally impossible
+    * (SamplingSpec asserts no cluster spans two splits).
+    */
+  val splitByCluster: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.duplicateClusters(docs, "doc_id",
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
+        maxShingleDf = Some(Dedup.DefaultMaxShingleDf)))
+    Sampling.split(clusters, col("component_id"),
+        Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "component_id", "split")
+  }
+  val splitByClusterSql: String =
+    s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
+       |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY 1),
+       |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
+       |         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, component_id,
+       |       CASE WHEN slot < 8000 THEN 'train'
+       |            WHEN slot < 9000 THEN 'eval'
+       |            ELSE 'test' END AS split
+       |FROM (SELECT doc_id, component_id,
+       |             ${stableHash60Sql("CAST(component_id AS VARCHAR)")} % 10000 AS slot
+       |      FROM comp)""".stripMargin
+
   // ---------------------------------------------------------------- simhash
   // 7 = chunks-1, the losslessness ceiling for the 8×12 banding; on the
   // 96-bit fingerprint this is comparable tolerance to the old 5-of-48.
@@ -635,6 +677,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dup_clusters" -> dupClusters,
+    "q_split_by_cluster" -> splitByCluster,
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
@@ -666,6 +709,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_split_by_cluster" -> splitByClusterSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,

@@ -307,13 +307,17 @@ object EventPipeline {
     * but it re-reads everything). `redeliveryHorizon` (in batches)
     * bounds the per-batch ledger read to `batch_id >= current −
     * horizon` so the anti-join input stays flat for the stream's
-    * lifetime instead of re-scanning the full marker history.
+    * lifetime instead of re-scanning the full marker history;
+    * `compactEvery` (0 = never) folds the out-of-horizon marker
+    * partitions every N batches from the stream's own single-writer
+    * slot, keeping the directory count flat as well.
     */
   def startDepositStream(events: DataFrame, clients: DataFrame, cells: DataFrame,
                          rules: DataFrame, defaultRule: DataFrame, storeName: String,
                          ledgerPath: String, lotNumber: Int = 1,
                          checkpoint: Option[String] = None,
-                         redeliveryHorizon: Long = Long.MaxValue): StreamingQuery = {
+                         redeliveryHorizon: Long = Long.MaxValue,
+                         compactEvery: Long = 0L): StreamingQuery = {
     val writer = events.writeStream
       .outputMode("append")
       .queryName(StreamMetrics.queryName(storeName))
@@ -347,6 +351,9 @@ object EventPipeline {
           // folders, digest-keyed uploads) — effectively-once.
           ProcessedLedger.mark(freshPairs.select("event_id"), ledgerPath, batchId)
         }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+          minBatch > Long.MinValue)
+          ProcessedLedger.compact(batch.sparkSession, ledgerPath, minBatch)
         ()
       }
       .start()

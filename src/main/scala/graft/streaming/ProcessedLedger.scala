@@ -166,11 +166,16 @@ object ProcessedLedger {
     * anti-join. `redeliveryHorizon` (in batches) bounds the anti-join
     * read to `batch_id >= current - horizon` — set it to cover the
     * source's redelivery window and the per-batch cost stays flat for
-    * the stream's lifetime.
+    * the stream's lifetime. `compactEvery` (in batches, 0 = never)
+    * additionally folds the out-of-horizon marker partitions into one
+    * every N batches, from inside the stream's own foreachBatch — the
+    * single-writer slot — so the ledger's directory count stays flat
+    * too, not just its read.
     */
   def startLedgeredFileSink(events: DataFrame, checkpoint: String, ledgerPath: String,
                             effectsPath: String, key: String = "event_id",
-                            redeliveryHorizon: Long = Long.MaxValue): StreamingQuery =
+                            redeliveryHorizon: Long = Long.MaxValue,
+                            compactEvery: Long = 0L): StreamingQuery =
     events.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -185,6 +190,9 @@ object ProcessedLedger {
           freshRows.write.mode("overwrite").parquet(s"$effectsPath/batch_id=$batchId")
           mark(freshRows.select(key), ledgerPath, batchId, key)
         }
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+          minBatch > Long.MinValue)
+          compact(batch.sparkSession, ledgerPath, minBatch, key)
         ()
       }
       .start()

@@ -80,4 +80,20 @@ class SamplingSpec extends SparkSpec {
     assert(again.select("id").as[Long].collect().sorted.toSeq ===
       out.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("cluster-keyed split: no near-dup cluster ever spans two splits") {
+    // the leakage guarantee of q_split_by_cluster — the split label is a
+    // pure function of the cluster representative, so every member of a
+    // cluster lands on the same side, for ANY cluster assignment
+    val members = (1L to 300L).map(i => (i, i % 40)).toDF("doc_id", "component_id")
+    val split = Sampling.split(members, $"component_id",
+      Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
+    val spanning = split.groupBy("component_id")
+      .agg(countDistinct($"split").as("n_sides"))
+      .filter($"n_sides" > 1)
+    assert(spanning.count() === 0L)
+    // and the split is a real partition of the corpus
+    assert(split.count() === 300L)
+    assert(split.select("split").distinct().count() >= 2L)
+  }
 }

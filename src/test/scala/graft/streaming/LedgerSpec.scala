@@ -145,6 +145,32 @@ class LedgerSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSeq === Seq(777L))
   }
 
+  test("horizon + compactEvery keep the ledger layout flat while exactly-once holds") {
+    val spark = SparkTestSession.session
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_cmpstream").toFile.getAbsolutePath
+    val ledger = s"$base/ledger"; val effects = s"$base/fx"
+    val mem = MemoryStream[(Long, Long)]
+    val q = ProcessedLedger.startLedgeredFileSink(
+      mem.toDF().toDF("event_id", "item_id"), s"$base/chk", ledger, effects,
+      redeliveryHorizon = 2L, compactEvery = 2L)
+    try (0 until 6).foreach { b =>
+      mem.addData((b * 10L, 0L), (b * 10L + 1L, 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // compaction at batch 4 folded partitions 0-2 into batch_id=2: the
+    // directory count stays flat (horizon window + one compacted dir)
+    // instead of growing one dir per batch forever
+    val dirs = new java.io.File(ledger).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("batch_id=2", "batch_id=3", "batch_id=4", "batch_id=5"), dirs)
+    // no marker was lost and every effect landed exactly once
+    assert(ProcessedLedger.count(spark, ledger) === 12)
+    val eff = spark.read.parquet(effects)
+    assert(eff.count() === 12 && eff.select("event_id").distinct().count() === 12)
+  }
+
   test("mark fails fast on a non-Long or null key instead of silently voiding the contract") {
     val spark = SparkTestSession.session
     import spark.implicits._
