@@ -678,9 +678,21 @@ object DomainQueries {
     graft.operators.Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")
   val cohortSql: String = graft.operators.Funnel.cohortRetentionSql
 
+  // ------------------------------------------------------- distinct sketch
+  /** Bounded-state distinct users per event type: exact baseline +
+    * 4096-slot linear-counting occupancy ([[graft.operators.Sketches]]).
+    */
+  private val SketchBins = 4096
+  val distinctSketch: Q = (s, d) =>
+    graft.operators.Sketches.distinctSketch(Tables.events(s, d),
+      col("event_type"), col("user_id"), SketchBins)
+  val distinctSketchSql: String =
+    graft.operators.Sketches.distinctSketchSql("events", "event_type", "user_id", SketchBins)
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> funnel,
     "q_cohort" -> cohort,
+    "q_distinct_sketch" -> distinctSketch,
     "q_skew_join" -> skewJoin,
     "q_skew_agg" -> skewAgg,
     "q_string_agg" -> stringAgg,
@@ -708,6 +720,7 @@ object DomainQueries {
   val oracleSql: Map[String, String] = Map(
     "q_funnel" -> funnelSql,
     "q_cohort" -> cohortSql,
+    "q_distinct_sketch" -> distinctSketchSql,
     "q_skew_join" -> skewJoinSql,
     "q_skew_agg" -> skewAggSql,
     "q_string_agg" -> stringAggSql,
