@@ -166,6 +166,61 @@ object TextAnalysis {
         min(col("word")).as("first_variant"))
   }
 
+  // ------------------------------------------------------------------ collocations
+  /** Top-k bigram collocations by LIFT — phrase mining for tokenizer /
+    * vocabulary work: `lift = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b)`
+    * ranks word pairs that co-occur far above chance ("new york"-shaped
+    * units a whitespace tokenizer splits). PMI is `ln(lift)` — the ln
+    * is MONOTONE, so ranking by lift IS ranking by PMI while keeping
+    * the gated column inside correctly-rounded IEEE arithmetic (the
+    * integer products stay well under 2^53, so the double division is
+    * the only rounding step and both engines round it identically; the
+    * ln stays out per the no-ln-in-oracle-columns rule).
+    *
+    * Scale shape: one pass for unigram counts, one for bigram counts
+    * (map-side combined), a minCount pre-filter BEFORE the two
+    * vocab-sized count joins, then a global top-k that plans as
+    * TakeOrderedAndProject (per-partition k, never a full sort). The
+    * total-token count N is a driver scalar (model state, same class
+    * as balanceToMix's per-source counts). Ties at the k boundary are
+    * impossible to mis-order: (lift, w1, w2) is a total order because
+    * (w1, w2) is unique.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val w = docs.select(words(col(textCol)).as("w"))
+    val toks = w.select(explode(col("w")).as("word"))
+    val nTot = toks.count()
+    val uni = toks.groupBy("word").agg(count(lit(1)).as("n_w"))
+    val bi = w.select(explode(ngramsFromWords(col("w"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"), col("n_ab"))
+    bi.join(uni.select(col("word").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(uni.select(col("word").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .withColumn("lift",
+        (col("n_ab") * lit(nTot)).cast("double") / (col("n_a") * col("n_b")).cast("double"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+  }
+
+  /** DuckDB twin generated from the same constants. */
+  def collocationsSql(table: String, textCol: String, minCount: Long, k: Int): String =
+    s"""WITH w AS (SELECT ${wordsSql(textCol)} AS ws FROM $table),
+       |tok AS (SELECT unnest(ws) AS word FROM w),
+       |tot AS (SELECT count(*) AS n_tot FROM tok),
+       |uni AS (SELECT word, count(*) AS n_w FROM tok GROUP BY 1),
+       |bi AS (SELECT unnest(${ngramsSql("ws", 2)}) AS bigram FROM w),
+       |bc AS (SELECT bigram, count(*) AS n_ab FROM bi GROUP BY 1 HAVING count(*) >= $minCount),
+       |sp AS (SELECT n_ab, string_split(bigram, ' ')[1] AS w1,
+       |              string_split(bigram, ' ')[2] AS w2 FROM bc)
+       |SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+       |       CAST(n_ab * n_tot AS DOUBLE) / CAST(a.n_w * b.n_w AS DOUBLE) AS lift
+       |FROM sp JOIN uni a ON sp.w1 = a.word JOIN uni b ON sp.w2 = b.word CROSS JOIN tot
+       |ORDER BY lift DESC, w1, w2 LIMIT $k""".stripMargin
+
   // ------------------------------------------------------------------ PII scrub
   /** Redaction patterns shared by the Spark expression and the DuckDB
     * oracle — restricted to syntax both Java regex and RE2 interpret

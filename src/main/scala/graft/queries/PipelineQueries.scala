@@ -337,6 +337,14 @@ object PipelineQueries {
     TextAnalysis.topTermsByTfDf(Tables.documents(s, d), "doc_id", "text", TfDfK)
   val tfdfTopkSql: String = TextAnalysis.topTermsByTfDfSql(TfDfK)
 
+  /** Top-50 bigram collocations by lift, min 5 occurrences. */
+  private val CollocMinCount = 5L
+  private val CollocK = 50
+  val collocations: Q = (s, d) =>
+    TextAnalysis.collocations(Tables.documents(s, d), "text", CollocMinCount, CollocK)
+  val collocationsSql: String =
+    TextAnalysis.collocationsSql("documents", "text", CollocMinCount, CollocK)
+
   private val PackShards = 8
   private val PackBudget = 2048
   val seqPack: Q = (s, d) =>
@@ -691,6 +699,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvf,
     "q_ivf_assign" -> ivfAssign,
     "q_tfidf_topk" -> tfdfTopk,
+    "q_collocations" -> collocations,
     "q_seq_pack" -> seqPack,
     "q_chunk_spans" -> chunkSpans,
     "q_fuzzy_keyword" -> fuzzyKeyword,
@@ -723,6 +732,7 @@ object PipelineQueries {
     "q_ann_ivf" -> annIvfSql,
     "q_ivf_assign" -> ivfAssignSql,
     "q_tfidf_topk" -> tfdfTopkSql,
+    "q_collocations" -> collocationsSql,
     "q_seq_pack" -> seqPackSql,
     "q_chunk_spans" -> chunkSpansSql,
     "q_fuzzy_keyword" -> fuzzyKeywordSql,

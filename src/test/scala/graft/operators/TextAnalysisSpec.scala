@@ -137,6 +137,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(variants === 4L && occ === 5L && first === "scan")
   }
 
+  test("collocations rank glued pairs above chance co-occurrence, top-k map-side") {
+    // "new"/"york" occur ONLY as the glued pair; alpha/beta straddle
+    // both doc shapes, so every other adjacent pair shares a word with
+    // a higher unigram count and ranks strictly below. Exact expected
+    // lift: N=160 tokens, n_ab=20, n_new=n_york=20 → 20·160/400 = 8.
+    val docs = ((1 to 20).map(i => (i.toLong, "new york alpha beta")) ++
+      (21 to 40).map(i => (i.toLong, "alpha gamma beta delta"))).toDF("doc_id", "text")
+    val got = TextAnalysis.collocations(docs, "text", minCount = 5, k = 3)
+    val rows = got.collect()
+    assert(rows.head.getString(0) === "new" && rows.head.getString(1) === "york")
+    assert(rows.head.getDouble(5) === 8.0)
+    rows.tail.foreach(r => assert(r.getDouble(5) < 8.0))
+    // global top-k plans as TakeOrderedAndProject — never a full sort
+    assert(got.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("fuzzy matching runs the length band BEFORE the levenshtein DP") {
     // |len(a) − len(b)| lower-bounds edit distance: the cheap band must
     // sit ahead of the O(|a|·|b|) DP in the join condition so the
