@@ -181,6 +181,51 @@ object Dedup {
       .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Span-level contamination: for each (corpus doc, probe) pair, the
+    * LONGEST RUN of consecutive corpus positions whose n-gram also
+    * appears in the probe — the cheap distributed stand-in for the
+    * suffix-array "longest shared substring" pass of training-data
+    * dedup: a high shared-gram COUNT ([[contaminationPairs]]) can be
+    * scattered single grams, but a long consecutive run is a copied
+    * PASSAGE. `span_words = max_run + n − 1` converts the gram run back
+    * to words.
+    *
+    * Shape: corpus n-grams WITH positions (one generator pass), doc-
+    * frequency cap on the gram hash (same semantics as the pair
+    * operator — stop-grams die before the join), hash-join against the
+    * probes' distinct gram hashes, then gaps-and-islands per
+    * (doc, probe): `pos − row_number()` is constant exactly on a
+    * consecutive run, so two keyed aggregates finish the job. Every
+    * window is partitioned by (doc, probe) — never a global sort — and
+    * all arithmetic is integer, so the DuckDB oracle gates it exactly.
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeIdCol: String, probeTextCol: String,
+                         n: Int,
+                         maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), posexplode(ngramsFromWords(col("w"), n)))
+      .select(col("doc_id"), col("pos"), pmod(stableHash60(col("col")), lit(P)).as("sh_h"))
+    val kept = maxShingleDf.fold(grams) { cap =>
+      val keepH = grams.select("doc_id", "sh_h").distinct()
+        .groupBy("sh_h").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= cap).select("sh_h")
+      grams.join(keepH, Seq("sh_h"))
+    }
+    val ps = docShingleHashes(probes, probeIdCol, probeTextCol, n)
+      .withColumnRenamed("doc_id", "probe_id")
+    val matched = kept.join(ps, Seq("sh_h"))
+      .select("doc_id", "probe_id", "pos").distinct()
+    val wnd = Window.partitionBy("doc_id", "probe_id").orderBy("pos")
+    matched
+      .withColumn("_island", col("pos") - row_number().over(wnd))
+      .groupBy("doc_id", "probe_id", "_island").agg(count(lit(1)).as("_run"))
+      .groupBy("doc_id", "probe_id")
+      .agg(sum("_run").as("n_shared_pos"), max("_run").as("max_run"))
+      .withColumn("span_words", col("max_run") + lit(n - 1))
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair
     * relation (doc_a < doc_b), labeled by the MINIMUM doc id of each
     * component — every doc in `docs` appears, singletons labeling

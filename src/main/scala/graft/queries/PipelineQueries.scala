@@ -136,6 +136,43 @@ object PipelineQueries {
        |FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2""".stripMargin
   }
 
+  /** Longest contaminated span per (corpus doc, probe) — the
+    * passage-level signal next to the gram-count signal of
+    * q_decontaminate (same 4-grams, same df cap, same probe set).
+    */
+  val contamSpan: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Dedup.contaminationSpans(
+      doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", DecontamN)
+  }
+  val contamSpanSql: String = {
+    val nGramList = ngramsSql("ws", DecontamN)
+    val probeList =
+      s"list_transform(${shinglesSql("ws", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |cg AS (SELECT doc_id,
+       |              unnest(range(1, len(ws) - ${DecontamN - 2})) AS pos,
+       |              unnest($nGramList) AS gram
+       |       FROM w WHERE doc_id % 10 <> 0),
+       |cgh AS (SELECT doc_id, pos, ${stableHash60Sql("gram")} % ${P}::BIGINT AS sh_h FROM cg),
+       |dfk AS (SELECT sh_h FROM (SELECT DISTINCT doc_id, sh_h FROM cgh)
+       |        GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
+       |kept AS (SELECT cgh.doc_id, cgh.pos, cgh.sh_h FROM cgh JOIN dfk USING (sh_h)),
+       |psh AS (SELECT doc_id AS probe_id, unnest($probeList) AS sh_h
+       |        FROM w WHERE doc_id % 10 = 0),
+       |m AS (SELECT DISTINCT doc_id, probe_id, pos FROM kept JOIN psh USING (sh_h)),
+       |isl AS (SELECT doc_id, probe_id,
+       |               pos - row_number() OVER (PARTITION BY doc_id, probe_id ORDER BY pos) AS island
+       |        FROM m),
+       |runs AS (SELECT doc_id, probe_id, island, count(*) AS run FROM isl GROUP BY 1, 2, 3)
+       |SELECT doc_id, probe_id,
+       |       CAST(sum(run) AS BIGINT) AS n_shared_pos,
+       |       CAST(max(run) AS BIGINT) AS max_run,
+       |       CAST(max(run) + ${DecontamN - 1} AS BIGINT) AS span_words
+       |FROM runs GROUP BY 1, 2""".stripMargin
+  }
+
   // ---------------------------------------------------------------- PII redaction
   /** Synthetic contact lines built from customer (the fixture corpus
     * contains no PII-shaped strings, and a redaction oracle over text
@@ -686,6 +723,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhash,
     "q_dup_clusters" -> dupClusters,
     "q_split_by_cluster" -> splitByCluster,
+    "q_contam_span" -> contamSpan,
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
@@ -719,6 +757,7 @@ object PipelineQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_split_by_cluster" -> splitByClusterSql,
+    "q_contam_span" -> contamSpanSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,

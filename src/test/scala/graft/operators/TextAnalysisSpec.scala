@@ -153,6 +153,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("contaminationSpans: consecutive shared grams fuse into one span, scattered ones don't") {
+    val corpus = Seq(
+      // doc 1 shares the probe's first five words: grams at pos 0 and 1
+      // are consecutive -> one island of run 2 -> span 2 + 3 = 5 words
+      (1L, "a b c d e f g h"),
+      // doc 2 matches the same gram twice, SEPARATED -> two islands of
+      // run 1 -> max_run 1, span 4, but n_shared_pos 2
+      (2L, "a b c d q r s a b c d")).toDF("doc_id", "text")
+    val probes = Seq((10L, "a b c d e x y z")).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(corpus, "doc_id", "text", probes, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 10L, 2L, 2L, 5L), (2L, 10L, 2L, 1L, 4L)))
+  }
+
   test("fuzzy matching runs the length band BEFORE the levenshtein DP") {
     // |len(a) − len(b)| lower-bounds edit distance: the cheap band must
     // sit ahead of the O(|a|·|b|) DP in the join condition so the
