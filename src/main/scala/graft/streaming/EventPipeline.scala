@@ -69,6 +69,28 @@ object EventPipeline {
         col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Windowed distinct-cardinality sketch, STREAMING-LEGAL form:
+    * `count(DISTINCT ...)` is not supported over a stream, and exact
+    * per-window distinct state is unbounded anyway. The streaming shape
+    * is the same bounded-state linear-counting occupancy as the batch
+    * [[graft.operators.Sketches.distinctSketch]]: hash the key into a
+    * fixed slot space, watermarked `dropDuplicates` on
+    * (window, group, slot) — ≤ `bins` state rows per (window, group),
+    * reclaimed when the watermark passes the window — then a plain
+    * count. Identical arithmetic to the batch sketch, so the streaming
+    * and batch answers are equal on equal data (StreamingSpec).
+    */
+  def windowedDistinctSketch(events: DataFrame, keyCol: String, bins: Int = 4096,
+                             watermark: String = "10 minutes",
+                             windowLen: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("_w"), col("event_type"),
+        pmod(graft.functions.Hashing.stableHash60(col(keyCol).cast("string")),
+          lit(bins.toLong)).as("_slot"))
+      .dropDuplicates("_w", "event_type", "_slot")
+      .groupBy(col("_w").getField("start").as("bucket_start"), col("event_type"))
+      .agg(count(lit(1)).as("occupied"))
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

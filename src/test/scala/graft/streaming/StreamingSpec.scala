@@ -364,4 +364,30 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSeq.map(_._3).sum === 6L)
     } finally q.stop()
   }
+
+  test("streaming bounded-state distinct sketch equals the batch sketch arithmetic") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // items 1/2/3 in the first window (item 2 twice — dedup must fold
+    // it), item 1 alone in a later window
+    val events = Seq(
+      ev(1, 1, "a", 1), ev(2, 2, "a", 2), ev(3, 2, "a", 3), ev(4, 3, "a", 4),
+      ev(5, 1, "a", 7))
+    val q = EventPipeline.windowedDistinctSketch(mem.toDF(), "item_id", bins = 64)
+      .writeStream.outputMode("complete").format("memory").queryName("wds").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("wds")
+        .select("bucket_start", "event_type", "occupied")
+        .as[(Timestamp, String, Long)].collect().toSet
+      val batch = EventPipeline.windowedDistinctSketch(events.toDF(), "item_id", bins = 64)
+        .select("bucket_start", "event_type", "occupied")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch)
+      // 3 distinct items hash to ≤3 slots in window 1; exactly 1 in window 2
+      val occ = streamed.toSeq.sortBy(_._1.getTime).map(_._3)
+      assert(occ.size === 2 && occ.last === 1L && occ.head >= 2L && occ.head <= 3L)
+    } finally q.stop()
+  }
 }
