@@ -78,7 +78,10 @@ object Bench {
     val medianTotal = results.map { case (_, (ts, _)) => median(ts) }.sum
     val coldTotal = results.map(_._2._1.head).sum
     val ok = results.count(_._2._2.isEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"queries_median":$meds,"runs":$runs,"sf":"$sfDir"}"""
+    // cpus: the artifact must say what parallelism produced it — a
+    // local[8] run and a local[32] run are not comparable numbers.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"queries_median":$meds,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")}}"""
     println(line)
     // Durable copy — the driver's tail capture has truncated this line
     // two rounds running; the committed file survives regardless.
