@@ -302,6 +302,153 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------ PQ
+  /** One subspace's product-quantization codebook as a single literal
+    * column `array<struct<code:int, cv:array<double>, cvv:double>>`
+    * (cvv = ‖c‖², precomputed driver-side with the same 0.0-seeded
+    * left fold as [[Hashing.dotFoldSql]]'s list_reduce so the oracle
+    * reproduces it bit-for-bit). Same one-literal design as
+    * [[centroidLit]]: codebook size scales data, never generated code.
+    */
+  private def pqCentLit(cents: Seq[Seq[Double]], subDim: Int): Column =
+    typedlit(cents.zipWithIndex.map { case (c, i) =>
+      (i, c, c.foldLeft(0.0)((a, x) => a + x * x))
+    })
+
+  /** Product-quantization encode: the `dim`-wide vector is split into
+    * `centroids.size` contiguous subspaces of `dim / M` dims, and each
+    * subvector is replaced by the id of its nearest (squared-L2)
+    * codebook centroid — 64 floats become M small ints, the memory-
+    * compression path that lets a 100 TB embedding corpus hold its
+    * whole index in RAM (Jégou et al. 2011; an IVF list + PQ code is
+    * the classic IVFADC layout, composable with [[withIvfList]]).
+    *
+    * Adds `code0..codeM-1` (int) and `qerr_u` — total quantization
+    * error Σ_m d²(sv_m, c_code_m) in integer micro-units (the
+    * fixed-order 4-term double sum is deterministic, the round-to-long
+    * makes the column engine-portable; same scaling trick as
+    * q_ivf_assign).
+    *
+    * Determinism: d² = svv − 2·⟨sv,c⟩ + cvv with every operand and the
+    * operation order mirrored in the SQL twin; argmin ties break to the
+    * lower code via the same array_max-over-(−d², −code) structs as
+    * [[withIvfList]]. Row-local — no shuffle; subvectors and their
+    * norms are projected ONCE per row, so the per-row cost is M·K
+    * subDim-wide compiled folds.
+    */
+  def withPqCodes(df: DataFrame, vecCol: String, dim: Int,
+                  centroids: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = centroids.size
+    require(m > 0 && dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val subDim = dim / m
+    centroids.foreach(cs => require(cs.forall(_.size == subDim), "centroid/subspace dim mismatch"))
+    val withSv = withDoubleVec(df, vecCol)
+      .select(col("*") +: (0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim).as(s"_sv$s")): _*)
+    val withSvv = withSv
+      .select(col("*") +: (0 until m).map(s =>
+        dotFold(col(s"_sv$s"), col(s"_sv$s"), subDim).as(s"_svv$s")): _*)
+    val coded = (0 until m).foldLeft(withSvv) { (acc, s) =>
+      val best = array_max(transform(pqCentLit(centroids(s), subDim), c => struct(
+        (-(col(s"_svv$s") - lit(2.0) * dotFold(col(s"_sv$s"), c.getField("_2"), subDim)
+          + c.getField("_3"))).as("s"),
+        (-c.getField("_1")).as("nid"))))
+      acc.withColumn(s"_best$s", best)
+    }
+    val errSum = (0 until m).map(s => -col(s"_best$s").getField("s")).reduce(_ + _)
+    coded
+      .select(col("*") +:
+        (0 until m).map(s => (-col(s"_best$s").getField("nid")).as(s"code$s")) :+
+        round(errSum * lit(1000000.0)).cast("long").as("qerr_u"): _*)
+      .drop((0 until m).flatMap(s => Seq(s"_sv$s", s"_svv$s", s"_best$s")): _*)
+  }
+
+  /** Deterministic per-subspace Lloyd k-means for the PQ codebooks:
+    * init = the k lowest-id vectors' subvectors, then `iters` rounds of
+    * encode + per-(subspace, code) mean. Each round is one encode pass
+    * plus M hash-aggregates over the corpus (subDim columnar sums);
+    * only the M×k×subDim codebook — model state — reaches the driver,
+    * exactly like [[trainIvfCentroids]]. Empty cells keep their
+    * previous centroid.
+    *
+    * Same determinism caveat as the IVF trainer: cross-partition double
+    * sums reassociate, so trained codebook bits can vary with cluster
+    * layout — fine for an index; the ORACLE-gated q_pq_* queries use
+    * fixed codebooks while training quality is exercised by PqSpec's
+    * recall tests (untrained uniform-random codebooks measured 0.048
+    * recall@5 on the fixture vs ~0.7 trained — the codebook IS the
+    * index quality).
+    */
+  def trainPqCodebooks(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       m: Int, k: Int, iters: Int): Seq[Seq[Seq[Double]]] = {
+    val subDim = dim / m
+    val e = withDoubleVec(df, vecCol).select(col(idCol).as("id"), col("v"))
+    var books: Seq[Seq[Seq[Double]]] = {
+      val seed = e.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toSeq)
+      (0 until m).map(s => seed.map(v => v.slice(s * subDim, (s + 1) * subDim)).toSeq)
+    }
+    for (_ <- 0 until iters) {
+      val coded = withPqCodes(e, "v", dim, books).localCheckpoint(true)
+      books = (0 until m).map { s =>
+        val aggs = count(lit(1)).as("_n") +: (0 until subDim).map(i =>
+          sum(col("v")(s * subDim + i)).as(s"_s$i"))
+        val sums = coded.groupBy(col(s"code$s"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> ((r.getLong(1), (0 until subDim).map(i => r.getDouble(2 + i)))))
+          .toMap
+        books(s).zipWithIndex.map { case (old, c) =>
+          sums.get(c).filter(_._1 > 0)
+            .map { case (n, ss) => ss.map(_ / n).toSeq }
+            .getOrElse(old)
+        }
+      }
+    }
+    books
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query
+    * precomputes its M×K lookup table of exact subspace distances, and
+    * a corpus row's approximate distance is M table lookups and a
+    * fixed-order M-term add — no per-pair dim-wide arithmetic at all.
+    * This is the scan that makes brute-force over a PQ-compressed
+    * corpus feasible: the corpus side streams (codes only, no
+    * vectors), the query side broadcasts, cost per pair is O(M).
+    * Smaller adc = closer; per-query top-k ties break to the lower
+    * nn_id. Exact-rerank of the survivors against the raw vectors is
+    * the standard follow-up ([[bruteForceTopK]] on the top-k ids).
+    */
+  def pqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                dim: Int, centroids: Seq[Seq[Seq[Double]]], k: Int): DataFrame = {
+    val m = centroids.size
+    val subDim = dim / m
+    val coded = withPqCodes(corpus, vecCol, dim, centroids)
+      .select(col(idCol).as("nn_id") +: (0 until m).map(s => col(s"code$s")): _*)
+    val q0 = withDoubleVec(queries, vecCol)
+      .select(col(idCol).as("query_id") +: (0 until m).map(s =>
+        slice(col("v"), s * subDim + 1, subDim).as(s"_qs$s")): _*)
+    val q1 = q0.select((col("query_id") +: (0 until m).map(s => col(s"_qs$s"))) ++
+      (0 until m).map(s => dotFold(col(s"_qs$s"), col(s"_qs$s"), subDim).as(s"_qvv$s")): _*)
+    val withLut = q1.select(col("query_id") +: (0 until m).map(s =>
+      transform(pqCentLit(centroids(s), subDim), c =>
+        col(s"_qvv$s") - lit(2.0) * dotFold(col(s"_qs$s"), c.getField("_2"), subDim)
+          + c.getField("_3")).as(s"_lut$s")): _*)
+    val scored = coded.crossJoin(broadcast(withLut))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc",
+        (0 until m).map(s => element_at(col(s"_lut$s"), col(s"code$s") + 1)).reduce(_ + _))
+    // Two-stage top-k (same shape as [[topK]], ascending-distance order).
+    val order = Seq(col("adc").asc, col("nn_id"))
+    val localW = Window
+      .partitionBy(col("query_id"), pmod(hash(col("nn_id")), lit(LocalTopKBuckets)))
+      .orderBy(order: _*)
+    val globalW = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_lrk", row_number().over(localW)).filter(col("_lrk") <= k).drop("_lrk")
+      .withColumn("rk", row_number().over(globalW)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("adc"), col("rk"))
+  }
+
   /** IVF top-k: corpus rows are searched only in the query's `nProbe`
     * closest lists. The coarse quantizer bounds the shuffle exactly like
     * the LSH bucket join; recall is tuned via nProbe.

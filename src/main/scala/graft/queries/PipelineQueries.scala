@@ -2,7 +2,8 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -171,6 +172,69 @@ object PipelineQueries {
        |       CAST(max(run) AS BIGINT) AS max_run,
        |       CAST(max(run) + ${DecontamN - 1} AS BIGINT) AS span_words
        |FROM runs GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- retrieval
+  private val Bm25K = 5
+  private val RrfK0 = 60
+  private val RrfK = 5
+
+  /** BM25 top-k retrieval: the held-out probe docs (doc_id % 10 == 0,
+    * the q_decontaminate probe set) query the corpus — the retrieval
+    * triage next to decontamination's overlap counting.
+    */
+  val bm25Retrieve: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Retrieval.bm25TopK(doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", Bm25K)
+  }
+  val bm25RetrieveSql: String =
+    s"""WITH ${Retrieval.bm25PairsCte("doc_id % 10 <> 0", "doc_id % 10 = 0")}
+       |SELECT probe_id, doc_id, n_matched, score_u, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score_u DESC, doc_id) AS rk FROM bm)
+       |WHERE rk <= $Bm25K""".stripMargin
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
+    * the shared-4-gram contamination ranking over the same (probe,
+    * corpus doc) space — the calibration-free combiner for rankings
+    * whose raw scores are incomparable.
+    */
+  val rrfFusion: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val corpus = doc.filter(col("doc_id") % 10 =!= 0)
+    val probes = doc.filter(col("doc_id") % 10 === 0)
+    val wBm = Window.partitionBy(col("probe_id")).orderBy(col("score_u").desc, col("doc_id"))
+    val bm = Retrieval.bm25Pairs(corpus, "doc_id", "text", probes, "doc_id", "text")
+      .select(col("probe_id"), col("doc_id"), row_number().over(wBm).as("r_bm25"))
+    val wNg = Window.partitionBy(col("probe_id")).orderBy(col("n_shared").desc, col("doc_id"))
+    val ng = Dedup.contaminationPairs(corpus, "doc_id", "text", probes, "doc_id", "text", DecontamN)
+      .select(col("probe_id"), col("doc_id"), row_number().over(wNg).as("r_ngram"))
+    Retrieval.rrfFuse(bm, "r_bm25", ng, "r_ngram", RrfK0, RrfK)
+  }
+  val rrfFusionSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH ${Retrieval.bm25PairsCte("doc_id % 10 <> 0", "doc_id % 10 = 0")},
+       |w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
+       |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
+       |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
+       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0),
+       |cont AS (SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
+       |         FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2),
+       |ra AS (SELECT probe_id, doc_id,
+       |              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_u DESC, doc_id) AS INTEGER) AS r_bm25
+       |       FROM bm),
+       |rb AS (SELECT probe_id, doc_id,
+       |              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS INTEGER) AS r_ngram
+       |       FROM cont),
+       |f AS (SELECT coalesce(ra.probe_id, rb.probe_id) AS probe_id,
+       |             coalesce(ra.doc_id, rb.doc_id) AS doc_id, r_bm25, r_ngram,
+       |             coalesce(1.0 / ($RrfK0 + r_bm25), 0.0) + coalesce(1.0 / ($RrfK0 + r_ngram), 0.0) AS rrf
+       |      FROM ra FULL OUTER JOIN rb ON ra.probe_id = rb.probe_id AND ra.doc_id = rb.doc_id)
+       |SELECT probe_id, doc_id, r_bm25, r_ngram, rrf, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rk FROM f)
+       |WHERE rk <= $RrfK""".stripMargin
   }
 
   // ---------------------------------------------------------------- PII redaction
@@ -560,6 +624,94 @@ object PipelineQueries {
        |WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- PQ ANN
+  private val PqM = 4
+  private val PqKCents = 8
+  private val PqSubDim = Dim / PqM
+  private val PqTopN = 5
+  /** Deterministic codebooks from the shared hyperplane generator
+    * (offset 300 keeps them disjoint from the LSH plane families and
+    * the IVF seeds). In production codebooks come from per-subspace
+    * k-means; the operator structure is what's under test, exactly as
+    * with [[IvfCentroids]].
+    */
+  private val PqCentroids: Seq[Seq[Seq[Double]]] =
+    (0 until PqM).map(m => (0 until PqKCents).map(c =>
+      (1 to PqSubDim).map(dd => hyperplane(300 + m * PqKCents + c, dd)).toSeq).toSeq)
+
+  /** PQ encode of the whole embedding table: 64 floats → 4 codebook
+    * ids + the integer-scaled quantization error.
+    */
+  val pqCodes: Q = (s, d) =>
+    Similarity.withPqCodes(Tables.embeddings(s, d), "embedding", Dim, PqCentroids)
+      .select(col("vec_id") +: (0 until PqM).map(i => col(s"code$i")) :+ col("qerr_u"): _*)
+
+  /** Shared oracle CTE chain ending in `enc(vec_id, m, code, d2)` —
+    * the same d² = svv − 2·⟨sv,c⟩ + cvv arithmetic as
+    * [[graft.operators.Similarity.withPqCodes]], argmin ties to the
+    * lower code.
+    */
+  private def pqEncCtes: String = {
+    val rows = (for { m <- 0 until PqM; c <- 0 until PqKCents } yield
+      s"($m, $c, ${PqCentroids(m)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |cb(m, code, cv) AS (VALUES
+       |  $rows),
+       |cc AS (SELECT m, code, cv, ${dotFoldSql("cv", "cv", PqSubDim)} AS cvv
+       |       FROM (SELECT m, code, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv FROM cb)),
+       |sub AS (SELECT vec_id, s.m, list_slice(v, s.m * $PqSubDim + 1, (s.m + 1) * $PqSubDim) AS sv
+       |        FROM e CROSS JOIN (SELECT DISTINCT m FROM cb) s),
+       |sv2 AS (SELECT vec_id, m, sv, ${dotFoldSql("sv", "sv", PqSubDim)} AS svv FROM sub),
+       |dd AS (SELECT vec_id, sv2.m, code, svv - 2.0 * ${dotFoldSql("sv", "cv", PqSubDim)} + cvv AS d2
+       |       FROM sv2 JOIN cc ON sv2.m = cc.m),
+       |enc AS (SELECT vec_id, m, code, d2 FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dd)
+       |        WHERE rn = 1)""".stripMargin
+  }
+
+  val pqCodesSql: String = {
+    val codeCols = (0 until PqM)
+      .map(i => s"max(CASE WHEN m = $i THEN code END) AS code$i").mkString(", ")
+    val errSum = (0 until PqM).map(i => s"max(CASE WHEN m = $i THEN d2 END)").mkString(" + ")
+    s"""WITH $pqEncCtes
+       |SELECT vec_id, $codeCols,
+       |       CAST(round(($errSum) * 1000000.0) AS BIGINT) AS qerr_u
+       |FROM enc GROUP BY vec_id""".stripMargin
+  }
+
+  /** ADC top-k over the PQ-compressed corpus for the vec_id < 8 query
+    * set (same probes as the other ANN variants; smaller adc =
+    * closer).
+    */
+  val pqAdc: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqAdcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Dim, PqCentroids, PqTopN)
+  }
+  val pqAdcSql: String = {
+    val codeCols = (0 until PqM)
+      .map(i => s"max(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+    val joins = (1 until PqM).map(i =>
+      s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.m = $i AND l$i.code = codes.c$i")
+      .mkString("\n        ")
+    val adcSum = (0 until PqM).map(i => s"l$i.d2").mkString(" + ")
+    s"""WITH $pqEncCtes,
+       |qsub AS (SELECT vec_id AS query_id, s.m, list_slice(v, s.m * $PqSubDim + 1, (s.m + 1) * $PqSubDim) AS sv
+       |         FROM e CROSS JOIN (SELECT DISTINCT m FROM cb) s WHERE vec_id < 8),
+       |qsv AS (SELECT query_id, m, sv, ${dotFoldSql("sv", "sv", PqSubDim)} AS svv FROM qsub),
+       |lut AS (SELECT query_id, qsv.m, code, svv - 2.0 * ${dotFoldSql("sv", "cv", PqSubDim)} + cvv AS d2
+       |        FROM qsv JOIN cc ON qsv.m = cc.m),
+       |codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+       |adc AS (SELECT l0.query_id, codes.vec_id AS nn_id, $adcSum AS adc
+       |        FROM codes
+       |        JOIN lut l0 ON l0.m = 0 AND l0.code = codes.c0
+       |        $joins
+       |        WHERE codes.vec_id != l0.query_id)
+       |SELECT query_id, nn_id, adc, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, nn_id) AS rk FROM adc)
+       |WHERE rk <= $PqTopN""".stripMargin
+  }
+
   val embedNearDup: Q = (s, d) =>
     Similarity.blockedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", Dim, 0.4)
   val embedNearDupSql: String =
@@ -744,6 +896,10 @@ object PipelineQueries {
     "q_ann_topk_agg" -> annTopKAgg,
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
+    "q_bm25_topk" -> bm25Retrieve,
+    "q_rrf_fusion" -> rrfFusion,
+    "q_pq_codes" -> pqCodes,
+    "q_pq_adc" -> pqAdc,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -778,5 +934,9 @@ object PipelineQueries {
     "q_ann_topk_agg" -> annTopKSql,
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
+    "q_bm25_topk" -> bm25RetrieveSql,
+    "q_rrf_fusion" -> rrfFusionSql,
+    "q_pq_codes" -> pqCodesSql,
+    "q_pq_adc" -> pqAdcSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }
