@@ -114,6 +114,39 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: `cont(A→B) = |A∩B| / |A|`
+    * over distinct-shingle sets — Broder's containment next to
+    * resemblance (Jaccard). The signal symmetric dedup misses: a short
+    * doc pasted whole into a long one has containment ≈ 1 while its
+    * Jaccard ≈ |A|/|B| sits below any dedup threshold, so quote/
+    * subset-shaped duplication survives a Jaccard sweep. Emits both
+    * directions per unordered pair (doc_a < doc_b) and keeps pairs
+    * whose LARGER containment clears `threshold`.
+    *
+    * Same plan as [[ngramJaccardPairs]] (one shingle-keyed self-join,
+    * stop-shingle df cap on by default, sizes and intersections over
+    * the same pruned universe) — only the final arithmetic differs:
+    * `inter/n_a` and `inter/n_b`, each a single exact-int double
+    * division, so the scores hash-gate.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val sh = docShingleHashes(docs, idCol, textCol, n)
+    val pruned = maxShingleDf.fold(sh)(pruneStopShingles(sh, _))
+    val sizes = pruned.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    pruned.as("a").join(pruned.as("b"),
+        col("a.sh_h") === col("b.sh_h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("cont_a_in_b", col("inter") / col("n_a"))
+      .withColumn("cont_b_in_a", col("inter") / col("n_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a_in_b", "cont_b_in_a")
+  }
+
   /** Per-doc MinHash signature as MinhashK wide columns m0..m{K-1}.
     * One explode + one hash-aggregate; docs shorter than n words produce
     * no shingles and drop out (same as the reference treating an empty

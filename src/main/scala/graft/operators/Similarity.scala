@@ -449,6 +449,59 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("adc"), col("rk"))
   }
 
+  /** IVFADC: the canonical compressed-index layout (Jégou et al. 2011)
+    * — IVF list pruning composed with ADC scoring over PQ codes. The
+    * corpus side carries (id, list_id, M codes): ~20 bytes/vector
+    * instead of dim×4, and the scan touches only the query's `nProbe`
+    * lists. Unlike the flat [[pqAdcTopK]] scan (a documented
+    * broadcast-NLJ), the probe join here is a plain equi-join on
+    * list_id — at 100 TB this is the shape that keeps both the bytes
+    * (PQ) and the candidate count (IVF) sublinear. Exact re-rank of
+    * the shortlist against raw vectors is the standard follow-up, as
+    * with pqAdcTopK.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, k: Int, centroids: Seq[Seq[Double]], nProbe: Int,
+                 books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val subDim = dim / m
+    val c = withPqCodes(withIvfList(corpus, vecCol, dim, centroids), "v", dim, books)
+      .select(col(idCol).as("nn_id") +: col("ivf_list").as("list_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    // probe-list selection: identical ranking to ivfTopK (sim desc,
+    // list_id desc on exact ties)
+    val qSims = withDoubleVec(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("v").as("qv"), norm2(col("v"), dim).as("qnrm"))
+    val probes = transform(centroidLit(centroids), c0 => struct(
+      (dotFold(col("qv"), c0.getField("_2"), dim) / (col("qnrm") * c0.getField("_3"))).as("sim"),
+      c0.getField("_1").as("list_id")))
+    val qp = qSims.withColumn("_probe", slice(reverse(array_sort(probes)), 1, nProbe))
+      .select(col("query_id"), col("qv"), explode(col("_probe.list_id")).as("list_id"))
+    // per-(query, probed list) lookup tables, same arithmetic as pqAdcTopK
+    val qs = qp.select(col("query_id") +: col("list_id") +: (0 until m).map(s =>
+      slice(col("qv"), s * subDim + 1, subDim).as(s"_qs$s")): _*)
+    val qv = qs.select((col("query_id") +: col("list_id") +:
+      (0 until m).map(s => col(s"_qs$s"))) ++
+      (0 until m).map(s => dotFold(col(s"_qs$s"), col(s"_qs$s"), subDim).as(s"_qvv$s")): _*)
+    val luts = qv.select(col("query_id") +: col("list_id") +: (0 until m).map(s =>
+      transform(pqCentLit(books(s), subDim), c0 =>
+        col(s"_qvv$s") - lit(2.0) * dotFold(col(s"_qs$s"), c0.getField("_2"), subDim)
+          + c0.getField("_3")).as(s"_lut$s")): _*)
+    val scored = c.join(broadcast(luts), Seq("list_id"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("adc",
+        (0 until m).map(s => element_at(col(s"_lut$s"), col(s"code$s") + 1)).reduce(_ + _))
+    val order = Seq(col("adc").asc, col("nn_id"))
+    val localW = Window
+      .partitionBy(col("query_id"), pmod(hash(col("nn_id")), lit(LocalTopKBuckets)))
+      .orderBy(order: _*)
+    val globalW = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_lrk", row_number().over(localW)).filter(col("_lrk") <= k).drop("_lrk")
+      .withColumn("rk", row_number().over(globalW)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("adc"), col("rk"))
+  }
+
   /** IVF top-k: corpus rows are searched only in the query's `nProbe`
     * closest lists. The coarse quantizer bounds the shuffle exactly like
     * the LSH bucket join; recall is tuned via nProbe.

@@ -289,6 +289,21 @@ object PipelineQueries {
        |SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- containment
+  /** Asymmetric containment pairs at 0.8 — quote/subset duplication the
+    * symmetric Jaccard sweep misses (a short doc pasted into a long one).
+    */
+  private val ContainThreshold = 0.8
+  val containment: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", N, ContainThreshold,
+      Some(Dedup.DefaultMaxShingleDf))
+  val containmentSql: String =
+    s"""WITH ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))}
+       |SELECT da AS doc_a, db AS doc_b, i AS inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |       i / sa.n_sh AS cont_a_in_b, i / sb.n_sh AS cont_b_in_a
+       |FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+       |WHERE greatest(i / sa.n_sh, i / sb.n_sh) >= $ContainThreshold""".stripMargin
+
   // ------------------------------------------------------- leakage-safe split
   /** Contamination-safe train/eval/test split: the split key is the
     * near-dup CLUSTER representative, not the document id — so a
@@ -712,6 +727,75 @@ object PipelineQueries {
        |WHERE rk <= $PqTopN""".stripMargin
   }
 
+  /** IVFADC — IVF list pruning composed with ADC over PQ codes (the
+    * fixed IVF centroids of q_ann_ivf + the fixed codebooks of
+    * q_pq_codes; equi-join on list_id, codes-only corpus side).
+    */
+  val ivfAdc: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfAdcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Dim, IvfTopN, IvfCentroids, IvfProbe, PqCentroids)
+  }
+  val ivfAdcSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val simExprs = IvfCentroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"${dotFoldSql("v", lit64(c), Dim)} / (nrm * $cn) AS c$i"
+    }.mkString(",\n       ")
+    val gmax = (0 until IvfK).map(i => s"c$i").mkString("greatest(", ", ", ")")
+    val argmax = (0 until IvfK).map(i => s"WHEN c$i = m THEN $i").mkString("CASE ", " ", " END")
+    val probeStructs = (0 until IvfK).map(i => s"{'sim': c$i, 'list_id': $i}").mkString("[", ", ", "]")
+    val pqRows = (for { mm <- 0 until PqM; c <- 0 until PqKCents } yield
+      s"($mm, $c, ${PqCentroids(mm)(c).mkString("[", ", ", "]")})").mkString(",\n  ")
+    val codeCols = (0 until PqM).map(i => s"max(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+    val joins = (1 until PqM).map(i =>
+      s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.m = $i AND l$i.code = codes.c$i")
+      .mkString("\n        ")
+    val adcSum = (0 until PqM).map(i => s"l$i.d2").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |s AS (SELECT vec_id, v, nrm,
+       |       $simExprs
+       |      FROM n),
+       |a AS (SELECT vec_id, v, $argmax AS list_id
+       |      FROM (SELECT *, $gmax AS m FROM s)),
+       |cb(m, code, cv) AS (VALUES
+       |  $pqRows),
+       |cc AS (SELECT m, code, cv, ${dotFoldSql("cv", "cv", PqSubDim)} AS cvv
+       |       FROM (SELECT m, code, list_transform(cv, x -> CAST(x AS DOUBLE)) AS cv FROM cb)),
+       |sub AS (SELECT vec_id, ss.m, list_slice(v, ss.m * $PqSubDim + 1, (ss.m + 1) * $PqSubDim) AS sv
+       |        FROM a CROSS JOIN (SELECT DISTINCT m FROM cb) ss),
+       |sv2 AS (SELECT vec_id, m, sv, ${dotFoldSql("sv", "sv", PqSubDim)} AS svv FROM sub),
+       |dd AS (SELECT vec_id, sv2.m, code, svv - 2.0 * ${dotFoldSql("sv", "cv", PqSubDim)} + cvv AS d2
+       |       FROM sv2 JOIN cc ON sv2.m = cc.m),
+       |enc AS (SELECT vec_id, m, code FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code) AS rn FROM dd)
+       |        WHERE rn = 1),
+       |codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+       |qp AS (SELECT query_id, list_id FROM (
+       |        SELECT vec_id AS query_id, sim, list_id,
+       |               row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id DESC) AS pr
+       |        FROM (SELECT vec_id, unnest($probeStructs, recursive := true)
+       |              FROM s WHERE vec_id < 8))
+       |       WHERE pr <= $IvfProbe),
+       |qsub AS (SELECT vec_id AS query_id, ss.m, list_slice(v, ss.m * $PqSubDim + 1, (ss.m + 1) * $PqSubDim) AS sv
+       |         FROM e CROSS JOIN (SELECT DISTINCT m FROM cb) ss WHERE vec_id < 8),
+       |qsv AS (SELECT query_id, m, sv, ${dotFoldSql("sv", "sv", PqSubDim)} AS svv FROM qsub),
+       |lut AS (SELECT query_id, qsv.m, code, svv - 2.0 * ${dotFoldSql("sv", "cv", PqSubDim)} + cvv AS d2
+       |        FROM qsv JOIN cc ON qsv.m = cc.m),
+       |cand AS (SELECT qp.query_id, a.vec_id AS nn_id
+       |         FROM a JOIN qp ON a.list_id = qp.list_id
+       |         WHERE a.vec_id != qp.query_id),
+       |adc AS (SELECT cand.query_id, cand.nn_id, $adcSum AS adc
+       |        FROM cand
+       |        JOIN codes ON codes.vec_id = cand.nn_id
+       |        JOIN lut l0 ON l0.query_id = cand.query_id AND l0.m = 0 AND l0.code = codes.c0
+       |        $joins)
+       |SELECT query_id, nn_id, adc, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, nn_id) AS rk FROM adc)
+       |WHERE rk <= $IvfTopN""".stripMargin
+  }
+
   val embedNearDup: Q = (s, d) =>
     Similarity.blockedNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", "label", Dim, 0.4)
   val embedNearDupSql: String =
@@ -900,6 +984,8 @@ object PipelineQueries {
     "q_rrf_fusion" -> rrfFusion,
     "q_pq_codes" -> pqCodes,
     "q_pq_adc" -> pqAdc,
+    "q_ivfadc" -> ivfAdc,
+    "q_containment" -> containment,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -938,5 +1024,7 @@ object PipelineQueries {
     "q_rrf_fusion" -> rrfFusionSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc" -> pqAdcSql,
+    "q_ivfadc" -> ivfAdcSql,
+    "q_containment" -> containmentSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }

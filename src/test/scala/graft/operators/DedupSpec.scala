@@ -142,4 +142,29 @@ class DedupSpec extends SparkSpec {
       .agg(countDistinct("chunk_val").as("n")).agg(max("n")).as[Long].head()
     assert(maxDistinct > 256L, s"only $maxDistinct distinct chunk values — banding narrower than expected")
   }
+
+  test("containment catches a short doc quoted inside a long one that Jaccard misses") {
+    // doc 1 is pasted whole into doc 2's longer text: containment(1→2)
+    // is exactly 1.0 while Jaccard sits at |A|/|B| — below any dedup
+    // threshold. That asymmetry is the operator's reason to exist.
+    val quoted = (1 to 8).map(i => s"q$i").mkString(" ")
+    val host = quoted + " " + (1 to 20).map(i => s"h$i").mkString(" ")
+    val d = docs((1L, quoted), (2L, host), (3L, other))
+    val pairs = Dedup.containmentPairs(d, "doc_id", "text", 5, 0.8, maxShingleDf = None)
+      .collect()
+    assert(pairs.length === 1)
+    val p = pairs.head
+    assert((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(p.getAs[Double]("cont_a_in_b") === 1.0)
+    assert(p.getAs[Double]("cont_b_in_a") < 0.8)
+    // and the symmetric sweep at the same bar really does miss it
+    assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, None).isEmpty)
+  }
+
+  test("containment of identical docs is 1.0 in both directions") {
+    val p = Dedup.containmentPairs(docs((1L, wordsA), (2L, wordsA)), "doc_id", "text", 5, 0.8,
+      maxShingleDf = None).collect().head
+    assert(p.getAs[Double]("cont_a_in_b") === 1.0)
+    assert(p.getAs[Double]("cont_b_in_a") === 1.0)
+  }
 }

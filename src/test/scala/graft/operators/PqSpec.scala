@@ -131,6 +131,33 @@ class PqSpec extends SparkSpec {
     assert(rReranked > rShort, "re-ranking a 10x shortlist must beat raw ADC top-5")
   }
 
+  private lazy val ivfCents: Seq[Seq[Double]] =
+    (0 until 8).map(i => (1 to dim).map(dd => Hashing.hyperplane(100 + i, dd)).toSeq)
+
+  test("ivfadc probing every list equals the flat ADC scan exactly") {
+    // with nProbe = #lists the candidate set is the whole corpus, so
+    // IVFADC must reproduce pqAdcTopK bit-for-bit (same codes, same
+    // luts, same tie-breaks) — the list pruning is the ONLY difference.
+    val queries = emb.filter(col("vec_id") < 8)
+    val full = Similarity.ivfAdcTopK(emb, queries, "vec_id", "embedding", dim, 5,
+      ivfCents, nProbe = 8, books = cents)
+    val flat = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", dim, cents, 5)
+    assert(rows(full.orderBy("query_id", "rk")) === rows(flat.orderBy("query_id", "rk")))
+  }
+
+  test("ivfadc at nProbe=2 returns a subset of candidates scored identically to the flat scan") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val pruned = Similarity.ivfAdcTopK(emb, queries, "vec_id", "embedding", dim, 3,
+      ivfCents, nProbe = 2, books = cents)
+      .select(col("query_id"), col("nn_id"), col("adc").as("adc_ivf"))
+    // every returned pair's ADC must equal the flat scan's ADC for that
+    // pair — pruning changes WHICH pairs are scored, never the score
+    val flatAll = Similarity.pqAdcTopK(emb, queries, "vec_id", "embedding", dim, cents, 500)
+      .select(col("query_id"), col("nn_id"), col("adc"))
+    val joined = pruned.join(flatAll, Seq("query_id", "nn_id"), "left")
+    assert(joined.filter(col("adc").isNull || col("adc") =!= col("adc_ivf")).isEmpty)
+  }
+
   test("adc on an exact-duplicate query returns the duplicate first at its own quantization error") {
     // corpus = fixture plus a copy of vector 0 under id -1: the copy
     // shares vector 0's codes, so ADC(query 0 -> copy) = qerr(query 0),
