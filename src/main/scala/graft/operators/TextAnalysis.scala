@@ -136,6 +136,39 @@ object TextAnalysis {
        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM s)
        |WHERE rk <= $k""".stripMargin
 
+  /** Word frequency-of-frequencies (the Zipf spectrum): how many
+    * distinct words occur exactly `occ` times. The standard vocabulary
+    * diagnostic — hapax count (occ=1) drives Good-Turing smoothing and
+    * tokenizer-vocab sizing, and the spectrum's slope is the corpus's
+    * Zipf exponent. Two map-side-combined hash aggs (word counts, then
+    * count-of-counts over the vocabulary-sized result); the second agg
+    * keys on `occ`, whose skew (most words are rare) is exactly what
+    * partial aggregation flattens.
+    */
+  def freqSpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(words(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_words"))
+
+  def freqSpectrumSql(table: String, textCol: String): String =
+    s"""SELECT occ, count(*) AS n_words
+       |FROM (SELECT word, count(*) AS occ
+       |      FROM (SELECT unnest(${wordsSql(textCol)}) AS word FROM $table)
+       |      GROUP BY word)
+       |GROUP BY occ""".stripMargin
+
+  /** Language-ID confusion matrix: predicted language (from
+    * [[withLangId]]) against the labeled `langCol`, with counts — the
+    * eval-loop query every heuristic classifier needs before it gates
+    * a corpus. One extra doc-id-keyed join over the label column and a
+    * tiny (|langs|²-bounded) aggregate.
+    */
+  def langIdEval(docs: DataFrame, idCol: String, textCol: String,
+                 langCol: String): DataFrame =
+    withLangId(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), Seq("doc_id"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+
   /** Typo-tolerant keyword matching: corpus words within edit distance
     * `maxDist` of a dictionary term (the OCR-cleanup / fuzzy-keyword
     * shape — the reference's scanned-document domain produces exactly

@@ -414,6 +414,20 @@ object PipelineQueries {
        |  (SELECT doc_id, $scores FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents)))""".stripMargin
   }
 
+  /** Zipf frequency spectrum of the corpus vocabulary. */
+  val freqSpectrum: Q = (s, d) =>
+    TextAnalysis.freqSpectrum(Tables.documents(s, d), "text")
+  val freqSpectrumSql: String = TextAnalysis.freqSpectrumSql("documents", "text")
+
+  /** Language-ID confusion matrix against the fixture's lang label. */
+  val langIdEval: Q = (s, d) =>
+    TextAnalysis.langIdEval(Tables.documents(s, d), "doc_id", "text", "lang")
+  val langIdEvalSql: String =
+    s"""WITH p AS ($langIdSql)
+       |SELECT d.lang, p.pred_lang, count(*) AS n
+       |FROM p JOIN documents d USING (doc_id)
+       |GROUP BY 1, 2""".stripMargin
+
   /** Gopher-style repetition signals; null top-n-gram ratios for docs
     * shorter than n words on BOTH engines (left joins).
     */
@@ -727,6 +741,48 @@ object PipelineQueries {
        |WHERE rk <= $PqTopN""".stripMargin
   }
 
+  /** ADC top-20 shortlist → exact-L2 re-rank top-5: the production PQ
+    * retrieval pipeline end-to-end under the hash gate.
+    */
+  private val PqShortlistK = 20
+  val pqRerank: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqRerankTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Dim, PqCentroids, PqShortlistK, PqTopN)
+  }
+  val pqRerankSql: String = {
+    val codeCols = (0 until PqM)
+      .map(i => s"max(CASE WHEN m = $i THEN code END) AS c$i").mkString(", ")
+    val joins = (1 until PqM).map(i =>
+      s"JOIN lut l$i ON l$i.query_id = l0.query_id AND l$i.m = $i AND l$i.code = codes.c$i")
+      .mkString("\n        ")
+    val adcSum = (0 until PqM).map(i => s"l$i.d2").mkString(" + ")
+    val exactD2 = s"${dotFoldSql("q.qv", "q.qv", Dim)} - 2.0 * ${dotFoldSql("q.qv", "c.cv", Dim)}" +
+      s" + ${dotFoldSql("c.cv", "c.cv", Dim)}"
+    s"""WITH $pqEncCtes,
+       |qsub AS (SELECT vec_id AS query_id, s.m, list_slice(v, s.m * $PqSubDim + 1, (s.m + 1) * $PqSubDim) AS sv
+       |         FROM e CROSS JOIN (SELECT DISTINCT m FROM cb) s WHERE vec_id < 8),
+       |qsv AS (SELECT query_id, m, sv, ${dotFoldSql("sv", "sv", PqSubDim)} AS svv FROM qsub),
+       |lut AS (SELECT query_id, qsv.m, code, svv - 2.0 * ${dotFoldSql("sv", "cv", PqSubDim)} + cvv AS d2
+       |        FROM qsv JOIN cc ON qsv.m = cc.m),
+       |codes AS (SELECT vec_id, $codeCols FROM enc GROUP BY vec_id),
+       |adc AS (SELECT l0.query_id, codes.vec_id AS nn_id, $adcSum AS adc
+       |        FROM codes
+       |        JOIN lut l0 ON l0.m = 0 AND l0.code = codes.c0
+       |        $joins
+       |        WHERE codes.vec_id != l0.query_id),
+       |short AS (SELECT query_id, nn_id FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, nn_id) AS ark FROM adc)
+       |          WHERE ark <= $PqShortlistK),
+       |ex AS (SELECT short.query_id, short.nn_id, $exactD2 AS d2
+       |       FROM short
+       |       JOIN (SELECT vec_id, v AS cv FROM e) c ON c.vec_id = short.nn_id
+       |       JOIN (SELECT vec_id, v AS qv FROM e WHERE vec_id < 8) q ON q.vec_id = short.query_id)
+       |SELECT query_id, nn_id, d2, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, nn_id) AS rk FROM ex)
+       |WHERE rk <= $PqTopN""".stripMargin
+  }
+
   /** IVFADC — IVF list pruning composed with ADC over PQ codes (the
     * fixed IVF centroids of q_ann_ivf + the fixed codebooks of
     * q_pq_codes; equi-join on list_id, codes-only corpus side).
@@ -985,7 +1041,10 @@ object PipelineQueries {
     "q_pq_codes" -> pqCodes,
     "q_pq_adc" -> pqAdc,
     "q_ivfadc" -> ivfAdc,
+    "q_pq_rerank" -> pqRerank,
     "q_containment" -> containment,
+    "q_freq_spectrum" -> freqSpectrum,
+    "q_langid_eval" -> langIdEval,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -1025,6 +1084,9 @@ object PipelineQueries {
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc" -> pqAdcSql,
     "q_ivfadc" -> ivfAdcSql,
+    "q_pq_rerank" -> pqRerankSql,
     "q_containment" -> containmentSql,
+    "q_freq_spectrum" -> freqSpectrumSql,
+    "q_langid_eval" -> langIdEvalSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }

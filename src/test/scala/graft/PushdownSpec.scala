@@ -101,12 +101,15 @@ class PushdownSpec extends SparkSpec {
     //     triangle self-join over COARSE bucket totals — bounded at
     //     (B/width)² rows, the documented price of a global sequential
     //     id without a global window (Structure.scala:56-66);
-    //   - q_pq_adc: the PQ-compressed scan — corpus CODES (M ints/row)
+    //   - q_pq_adc (and q_pq_rerank, which embeds it as its shortlist
+    //     stage): the PQ-compressed scan — corpus CODES (M ints/row)
     //     stream against the broadcast query LUTs; the whole point is
     //     that the per-pair work is M lookups, so the "nested loop" is
-    //     the designed O(M)-per-pair scan, not a dim-wide blowup.
+    //     the designed O(M)-per-pair scan, not a dim-wide blowup
+    //     (q_ivfadc is the equi-join shape that drops even this).
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
-      "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc")
+      "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
+      "q_pq_rerank")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

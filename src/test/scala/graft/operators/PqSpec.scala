@@ -80,7 +80,7 @@ class PqSpec extends SparkSpec {
       .filter(col("nn_id") =!= col("query_id"))
       .withColumn("d2", d2)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "nn_id")
+      .select("query_id", "nn_id", "rk")
   }
 
   test("adc recall vs exact L2: rises with codebook bits, trained beats untrained") {
@@ -156,6 +156,17 @@ class PqSpec extends SparkSpec {
       .select(col("query_id"), col("nn_id"), col("adc"))
     val joined = pruned.join(flatAll, Seq("query_id", "nn_id"), "left")
     assert(joined.filter(col("adc").isNull || col("adc") =!= col("adc_ivf")).isEmpty)
+  }
+
+  test("rerank with a corpus-wide shortlist degenerates to exact L2 top-k") {
+    // shortlistK >= |corpus| means ADC prunes nothing, so the re-rank
+    // stage IS the exact search — the two ends of the pipeline meet.
+    val queries = emb.filter(col("vec_id") < 8)
+    val reranked = Similarity.pqRerankTopK(emb, queries, "vec_id", "embedding",
+      dim, cents, shortlistK = 1000, k = 5)
+    val exact = exactL2TopK(queries, 5)
+    assert(rows(reranked.select("query_id", "nn_id", "rk").orderBy("query_id", "rk"))
+      === rows(exact.orderBy("query_id", "rk")))
   }
 
   test("adc on an exact-duplicate query returns the duplicate first at its own quantization error") {

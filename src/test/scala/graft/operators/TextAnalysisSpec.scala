@@ -168,6 +168,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((1L, 10L, 2L, 2L, 5L), (2L, 10L, 2L, 1L, 4L)))
   }
 
+  test("freq spectrum conserves totals: sum occ*n_words = tokens, sum n_words = vocabulary") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // counts: a=4, b=3, c=1, d=1 -> spectrum {4:1, 3:1, 1:2}
+    val spec = TextAnalysis.freqSpectrum(docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(spec === Map(4L -> 1L, 3L -> 1L, 1L -> 2L))
+    assert(spec.map { case (occ, n) => occ * n }.sum === 9L) // total tokens
+    assert(spec.values.sum === 4L) // distinct words
+  }
+
+  test("langIdEval confusion matrix partitions the corpus by its label") {
+    val docs = Seq(
+      (1L, "the a of and to in is", "en"),
+      (2L, "el la de que y los es", "es"),
+      (3L, "qq rr ss", "en")).toDF("doc_id", "text", "lang")
+    val m = TextAnalysis.langIdEval(docs, "doc_id", "text", "lang")
+      .as[(String, String, Long)].collect().toSet
+    assert(m === Set(("en", "en", 1L), ("es", "es", 1L), ("en", "und", 1L)))
+  }
+
   test("fuzzy matching runs the length band BEFORE the levenshtein DP") {
     // |len(a) − len(b)| lower-bounds edit distance: the cheap band must
     // sit ahead of the O(|a|·|b|) DP in the join condition so the
