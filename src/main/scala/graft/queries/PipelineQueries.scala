@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -507,6 +507,21 @@ object PipelineQueries {
        |       CAST(sum(occ) AS BIGINT) AS n_occurrences, min(word) AS first_variant
        |FROM m GROUP BY dict_word""".stripMargin
   }
+
+  // ---------------------------------------------------------------- count-min
+  /** CM-sketch frequency estimates probed at the stopword list (hot
+    * keys, real collisions at width 512) plus the fuzzy dictionary's
+    * misspellings (absent/rare keys — estimates still ≥ 0 exact).
+    */
+  private val CmWidth = 512
+  private lazy val CmProbes: Seq[String] = TextAnalysis.EnStopwords ++ FuzzyDict
+  val cmSketchEst: Q = (s, d) =>
+    Sketches.cmEstimates(
+      Tables.documents(s, d).select(explode(words(col("text"))).as("k")),
+      col("k"), CmProbes, CmWidth)
+  val cmSketchEstSql: String =
+    Sketches.cmEstimatesSql(
+      s"SELECT unnest(${wordsSql("text")}) AS k FROM documents", CmProbes, CmWidth)
 
   // ---------------------------------------------------------------- embeddings
   private val TopK = 5
@@ -1045,6 +1060,7 @@ object PipelineQueries {
     "q_containment" -> containment,
     "q_freq_spectrum" -> freqSpectrum,
     "q_langid_eval" -> langIdEval,
+    "q_cm_sketch" -> cmSketchEst,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -1088,5 +1104,6 @@ object PipelineQueries {
     "q_containment" -> containmentSql,
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_langid_eval" -> langIdEvalSql,
+    "q_cm_sketch" -> cmSketchEstSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }

@@ -41,4 +41,44 @@ class SketchesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sketches.estimate(bins + 1L, bins))
     intercept[IllegalArgumentException](Sketches.estimate(-1L, bins))
   }
+
+  // ---------------------------------------------------------------- count-min
+  private def tokens(ws: String*) = ws.toDF("k")
+
+  test("count-min never undercounts, and is exact without collisions") {
+    // width 64 over 3 distinct keys: collisions vanishingly unlikely in
+    // all 4 rows at once, but the INVARIANT asserted is one-sided error
+    val keys = tokens(Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c"): _*)
+    val est = Sketches.cmEstimates(keys, $"k", Seq("a", "b", "c", "absent"), width = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    est.foreach { case (w, (cm, exact, over)) =>
+      assert(cm >= exact && over === cm - exact, s"$w: cm=$cm exact=$exact")
+    }
+    assert(est("absent")._2 === 0L)
+    assert(est("a")._1 === 5L && est("b")._1 === 3L && est("c")._1 === 1L)
+  }
+
+  test("count-min is linear: the sketch of a union is the element-wise sum of the sketches") {
+    // THE mergeability property — partial sketches from partitions,
+    // days or streams combine by plain addition, no rescan
+    val a = tokens(Seq.fill(7)("x") ++ Seq.fill(2)("y"): _*)
+    val b = tokens(Seq.fill(4)("y") ++ Seq.fill(3)("z"): _*)
+    val w = 32
+    val skA = Sketches.cmSketch(a, $"k", w).withColumnRenamed("cnt", "ca")
+    val skB = Sketches.cmSketch(b, $"k", w).withColumnRenamed("cnt", "cb")
+    val summed = skA.join(skB, Seq("r", "bucket"), "full_outer")
+      .select($"r", $"bucket",
+        (coalesce($"ca", lit(0L)) + coalesce($"cb", lit(0L))).as("cnt"))
+    val whole = Sketches.cmSketch(a.unionByName(b), $"k", w)
+    assert(rows(summed.orderBy("r", "bucket")) === rows(whole.orderBy("r", "bucket")))
+  }
+
+  test("count-min sketch is layout-independent and bounded at depth x width rows") {
+    val keys = tokens((1 to 500).map(i => s"w${i % 97}"): _*)
+    val w = 16
+    val sk1 = Sketches.cmSketch(keys, $"k", w)
+    val sk2 = Sketches.cmSketch(keys.repartition(7), $"k", w)
+    assert(rows(sk1.orderBy("r", "bucket")) === rows(sk2.orderBy("r", "bucket")))
+    assert(sk1.count() <= (Sketches.CmDepth * w).toLong)
+  }
 }
