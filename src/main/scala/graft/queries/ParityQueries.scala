@@ -476,6 +476,34 @@ object ParityQueries {
       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** Gap-filled dense hourly series per event type: sparse counts
+    * densified onto each type's own [min, max] hour span with explicit
+    * zeros — the sparse→dense resample every dashboard / anomaly
+    * detector needs (a quiet hour must be a 0 row, not an absent one).
+    * Shape: keyed agg → per-type bounds agg → `explode(sequence(...))`
+    * generator → keyed left join. No cross join anywhere: each series
+    * carries its own grid, so the plan stays keyed end-to-end at any
+    * number of series.
+    */
+  val tsFill: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.groupBy("event_type")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    grid.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+  val tsFillSql: String =
+    """WITH c AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM c GROUP BY 1),
+      |g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hr FROM b)
+      |SELECT g.event_type, g.hr, coalesce(n, 0) AS n
+      |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_pick_latest" -> pickLatest,
     "q_pick_first" -> pickFirst,
@@ -499,7 +527,8 @@ object ParityQueries {
     "q_rollup_agg" -> rollupAgg,
     "q_quantiles" -> quantiles,
     "q_quantile_hist" -> quantileHist,
-    "q_window_events" -> windowEvents)
+    "q_window_events" -> windowEvents,
+    "q_ts_fill" -> tsFill)
 
   val oracleSql: Map[String, String] = Map(
     "q_pick_latest" -> pickLatestSql,
@@ -524,5 +553,6 @@ object ParityQueries {
     "q_rollup_agg" -> rollupAggSql,
     "q_quantiles" -> quantilesSql,
     "q_quantile_hist" -> quantileHistSql,
-    "q_window_events" -> windowEventsSql)
+    "q_window_events" -> windowEventsSql,
+    "q_ts_fill" -> tsFillSql)
 }

@@ -91,6 +91,25 @@ object EventPipeline {
       .groupBy(col("_w").getField("start").as("bucket_start"), col("event_type"))
       .agg(count(lit(1)).as("occupied"))
 
+  /** Streaming Count-Min frequency sketch: because the sketch is
+    * LINEAR (counters are plain sums — see
+    * [[graft.operators.Sketches.cmSketch]]), its streaming form is
+    * nothing more than a running aggregation over (row, bucket): state
+    * is bounded at depth×width counters BY CONSTRUCTION, so no
+    * watermark is needed and the query is complete/update-mode legal
+    * forever. The stream's counters equal the batch sketch of
+    * everything seen so far on any micro-batch boundary
+    * (StreamingSpec proves final-state equality) — the property that
+    * lets a long-running stream hand its counters to a batch job, or
+    * several streams merge theirs by addition, with no rescan.
+    */
+  def streamingCmSketch(keys: DataFrame, keyCol: String, width: Int,
+                        depth: Int = graft.operators.Sketches.CmDepth): DataFrame =
+    keys.select(posexplode(array((0 until depth).map(r =>
+        graft.operators.Sketches.cmBucket(col(keyCol), r, width)): _*))
+        .as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

@@ -390,4 +390,29 @@ class StreamingSpec extends SparkSpec {
       assert(occ.size === 2 && occ.last === 1L && occ.head >= 2L && occ.head <= 3L)
     } finally q.stop()
   }
+
+  test("streaming count-min counters equal the batch sketch after any number of micro-batches") {
+    // linearity in action: the stream's running (r, bucket) sums are
+    // the batch sketch of everything seen — no watermark, state bounded
+    // at depth x width by construction
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val w = 32
+    val q = EventPipeline.streamingCmSketch(mem.toDF(), "value", w)
+      .writeStream.outputMode("complete").format("memory").queryName("cms").start()
+    val batch1 = Seq("a", "a", "b", "c")
+    val batch2 = Seq("b", "d", "a")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms").as[(Int, Long, Long)].collect().toSet
+      val batch = graft.operators.Sketches.cmSketch(
+        (batch1 ++ batch2).toDF("value"),
+        org.apache.spark.sql.functions.col("value"), w)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally { q.stop(); spark.catalog.dropTempView("cms") }
+  }
 }
