@@ -147,6 +147,62 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "cont_a_in_b", "cont_b_in_a")
   }
 
+  /** Per-doc novelty profile: the fraction of a doc's distinct
+    * n-grams whose FIRST occurrence (by doc id order) is this doc —
+    * the corpus novelty curve. Late documents full of already-seen
+    * grams are boilerplate/duplication candidates even when no single
+    * pair crosses a dedup threshold; a data-curation loop watches this
+    * ratio decay as a crawl saturates. One gram-keyed aggregate
+    * (min doc_id = first owner), one join back, one per-doc count —
+    * never pairwise.
+    */
+  def noveltyProfile(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = docShingleHashes(docs, idCol, textCol, n)
+    val first = sh.groupBy("sh_h").agg(min("doc_id").as("first_doc"))
+    sh.join(first, Seq("sh_h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel") / col("n_grams"))
+  }
+
+  /** Incremental near-dup: a NEW delta checked against a FROZEN corpus
+    * — the production dedup loop (dedup each crawl/day against
+    * everything already kept without ever re-pairing the corpus with
+    * itself). Returns (new_id, old_id, inter, n_new, n_old, jaccard ≥
+    * threshold) pairs. The stop-gram rule prunes by the OLD side's
+    * document frequency (the frozen corpus owns the statistics — a
+    * delta is too small to define "stop"), and the pruned universe is
+    * applied to BOTH sides' sizes: old grams via the keep-set, new
+    * grams by dropping only grams the old side declared stop (novel
+    * grams stay — they are the diff). Join is keyed by the gram hash:
+    * |delta|-proportional, never corpus-quadratic.
+    */
+  def incrementalNearDups(newDocs: DataFrame, oldDocs: DataFrame,
+                          idCol: String, textCol: String, n: Int, threshold: Double,
+                          maxShingleDf: Option[Int] = Some(DefaultMaxShingleDf)): DataFrame = {
+    val oldSh0 = docShingleHashes(oldDocs, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "old_id")
+    val newSh0 = docShingleHashes(newDocs, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "new_id")
+    val (oldSh, newSh) = maxShingleDf match {
+      case Some(cap) =>
+        val stop = oldSh0.groupBy("sh_h").agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > cap).select("sh_h")
+        (oldSh0.join(stop, Seq("sh_h"), "left_anti"),
+          newSh0.join(stop, Seq("sh_h"), "left_anti"))
+      case None => (oldSh0, newSh0)
+    }
+    val nNew = newSh.groupBy("new_id").agg(count(lit(1)).as("n_new"))
+    val nOld = oldSh.groupBy("old_id").agg(count(lit(1)).as("n_old"))
+    newSh.join(oldSh, Seq("sh_h"))
+      .groupBy("new_id", "old_id").agg(count(lit(1)).as("inter"))
+      .join(nNew, "new_id").join(nOld, "old_id")
+      .withColumn("jaccard", col("inter") / (col("n_new") + col("n_old") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "inter", "n_new", "n_old", "jaccard")
+  }
+
   /** Per-doc MinHash signature as MinhashK wide columns m0..m{K-1}.
     * One explode + one hash-aggregate; docs shorter than n words produce
     * no shingles and drop out (same as the reference treating an empty

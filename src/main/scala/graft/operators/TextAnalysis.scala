@@ -157,6 +157,39 @@ object TextAnalysis {
        |      GROUP BY word)
        |GROUP BY occ""".stripMargin
 
+  /** Top-V vocabulary coverage: per document, total tokens, tokens
+    * OUTSIDE the corpus's `vocabSize` most frequent words, and the unk
+    * rate — the tokenizer-sizing loop's core number (what OOV rate
+    * does a V-word vocab buy on this corpus?). Join-shaped on purpose:
+    * the vocab is a DataFrame met with a word-keyed left join, so V
+    * can be 100k without touching a driver list or an isin literal;
+    * vocab selection itself is the bounded TakeOrderedAndProject
+    * top-k. Ties at the V boundary break (count desc, word) —
+    * deterministic on both engines.
+    */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    vocabSize: Int): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+    val vocab = tok.groupBy("word").agg(count(lit(1)).as("_n"))
+      .orderBy(col("_n").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(1).as("_in"))
+    tok.join(vocab, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_unk"))
+      .withColumn("unk_rate", col("n_unk") / col("n_tokens"))
+  }
+
+  def vocabCoverageSql(table: String, textCol: String, vocabSize: Int): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(${wordsSql(textCol)}) AS word FROM $table),
+       |v AS (SELECT word, 1 AS v_in FROM (
+       |        SELECT word, count(*) AS n FROM tok GROUP BY 1
+       |        ORDER BY n DESC, word LIMIT $vocabSize))
+       |SELECT doc_id, count(*) AS n_tokens,
+       |       CAST(sum(CASE WHEN v_in IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+       |       CAST(sum(CASE WHEN v_in IS NULL THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS unk_rate
+       |FROM tok LEFT JOIN v USING (word) GROUP BY doc_id""".stripMargin
+
   /** Language-ID confusion matrix: predicted language (from
     * [[withLangId]]) against the labeled `langCol`, with counts — the
     * eval-loop query every heuristic classifier needs before it gates

@@ -289,6 +289,57 @@ object PipelineQueries {
        |SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- novelty
+  /** Per-doc novel-gram ratio over the same 5-gram universe as the
+    * dedup family.
+    */
+  val novelty: Q = (s, d) =>
+    Dedup.noveltyProfile(Tables.documents(s, d), "doc_id", "text", N)
+  val noveltySql: String = {
+    val hashedList = s"list_transform(${shinglesSql("w", N)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w),
+       |f AS (SELECT sh_h, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT sh.doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) / count(*) AS novelty
+       |FROM sh JOIN f USING (sh_h) GROUP BY sh.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- incremental dedup
+  /** Odd doc_ids are the arriving delta, even doc_ids the frozen
+    * corpus — the each-crawl-against-everything-kept loop.
+    */
+  val incrementalDedup: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Dedup.incrementalNearDups(
+      doc.filter(col("doc_id") % 2 === 1), doc.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", N, 0.5, Some(Dedup.DefaultMaxShingleDf))
+  }
+  val incrementalDedupSql: String = {
+    val hashedList = s"list_transform(${shinglesSql("w", N)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |osh AS (SELECT doc_id AS old_id, unnest($hashedList) AS sh_h FROM w WHERE doc_id % 2 = 0),
+       |nsh AS (SELECT doc_id AS new_id, unnest($hashedList) AS sh_h FROM w WHERE doc_id % 2 = 1),
+       |stop AS (SELECT sh_h FROM osh GROUP BY sh_h HAVING count(*) > ${Dedup.DefaultMaxShingleDf}),
+       |ok AS (SELECT old_id, sh_h FROM osh WHERE sh_h NOT IN (SELECT sh_h FROM stop)),
+       |nk AS (SELECT new_id, sh_h FROM nsh WHERE sh_h NOT IN (SELECT sh_h FROM stop)),
+       |sn AS (SELECT new_id, count(*) AS n_new FROM nk GROUP BY 1),
+       |so AS (SELECT old_id, count(*) AS n_old FROM ok GROUP BY 1),
+       |i AS (SELECT new_id, old_id, count(*) AS inter FROM nk JOIN ok USING (sh_h) GROUP BY 1, 2)
+       |SELECT new_id, old_id, inter, n_new, n_old,
+       |       inter / (n_new + n_old - inter) AS jaccard
+       |FROM i JOIN sn USING (new_id) JOIN so USING (old_id)
+       |WHERE inter / (n_new + n_old - inter) >= 0.5""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- vocab coverage
+  private val VocabCoverV = 100
+  val vocabCover: Q = (s, d) =>
+    TextAnalysis.vocabCoverage(Tables.documents(s, d), "doc_id", "text", VocabCoverV)
+  val vocabCoverSql: String =
+    TextAnalysis.vocabCoverageSql("documents", "text", VocabCoverV)
+
   // ---------------------------------------------------------------- containment
   /** Asymmetric containment pairs at 0.8 — quote/subset duplication the
     * symmetric Jaccard sweep misses (a short doc pasted into a long one).
@@ -1061,6 +1112,9 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrum,
     "q_langid_eval" -> langIdEval,
     "q_cm_sketch" -> cmSketchEst,
+    "q_novelty" -> novelty,
+    "q_incremental_dedup" -> incrementalDedup,
+    "q_vocab_coverage" -> vocabCover,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -1105,5 +1159,8 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_langid_eval" -> langIdEvalSql,
     "q_cm_sketch" -> cmSketchEstSql,
+    "q_novelty" -> noveltySql,
+    "q_incremental_dedup" -> incrementalDedupSql,
+    "q_vocab_coverage" -> vocabCoverSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }

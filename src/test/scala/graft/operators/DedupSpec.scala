@@ -161,6 +161,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, None).isEmpty)
   }
 
+  test("novelty: first owner of every gram scores 1.0, a verbatim repeat scores 0.0") {
+    val out = Dedup.noveltyProfile(
+      docs((1L, wordsA), (2L, wordsA), (3L, other)), "doc_id", "text", 5)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(out === Map(1L -> 1.0, 2L -> 0.0, 3L -> 1.0))
+  }
+
+  test("incremental dedup pairs the delta against the frozen corpus only — never within either side") {
+    // new 1 duplicates old 2; new 3 duplicates new 1 (delta-internal);
+    // old 4 duplicates old 2 (corpus-internal). Only (1, 2) and (3, 2)
+    // may appear: delta x corpus, nothing else.
+    val newDocs = docs((1L, wordsA), (3L, wordsA), (5L, other))
+    val oldDocs = docs((2L, wordsA), (4L, wordsA))
+    val pairs = Dedup.incrementalNearDups(newDocs, oldDocs, "doc_id", "text", 5, 0.5,
+      maxShingleDf = None)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (3L, 2L), (3L, 4L)))
+  }
+
+  test("incremental dedup prunes stop-grams by the FROZEN side's document frequency") {
+    // a gram in every old doc (df 3 > cap 2) must not create pairs on
+    // its own; the new doc shares ONLY stop-grams with the corpus
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val oldDocs = docs((2L, boiler + " x1 x2 x3 x4 x5"), (4L, boiler + " y1 y2 y3 y4 y5"),
+      (6L, boiler + " z1 z2 z3 z4 z5"))
+    val newDocs = docs((1L, boiler))
+    val pairs = Dedup.incrementalNearDups(newDocs, oldDocs, "doc_id", "text", 5, 0.1,
+      maxShingleDf = Some(2))
+    assert(pairs.isEmpty)
+  }
+
   test("containment of identical docs is 1.0 in both directions") {
     val p = Dedup.containmentPairs(docs((1L, wordsA), (2L, wordsA)), "doc_id", "text", 5, 0.8,
       maxShingleDf = None).collect().head

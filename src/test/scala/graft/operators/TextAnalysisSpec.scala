@@ -178,6 +178,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(spec.values.sum === 4L) // distinct words
   }
 
+  test("vocabCoverage: tokens outside the top-V vocab count as unk") {
+    // counts: a=3, b=2, c=1 -> top-2 vocab {a, b}; c is the only unk
+    val docs = Seq((1L, "a b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) === ((3L, 0L, 0.0)))
+  }
+
   test("langIdEval confusion matrix partitions the corpus by its label") {
     val docs = Seq(
       (1L, "the a of and to in is", "en"),
