@@ -203,6 +203,30 @@ object Dedup {
       .select("new_id", "old_id", "inter", "n_new", "n_old", "jaccard")
   }
 
+  /** Dedup yield report: what keep-lowest-id-per-cluster would save,
+    * sliced by cluster size. `clusters` is [[duplicateClusters]] output
+    * (doc_id, component_id — the label is the component's min id, so
+    * the representative is the doc whose id EQUALS its label). Per
+    * cluster size: cluster count, duplicates dropped (size − 1 each),
+    * and the bytes those duplicates hold — the number a curation run
+    * reports before committing a dedup pass. Two hash aggregates over
+    * the cluster table; integer outputs, engine-portable.
+    */
+  def yieldReport(docs: DataFrame, idCol: String, textCol: String,
+                  clusters: DataFrame): DataFrame = {
+    val perCluster = docs
+      .select(col(idCol).as("doc_id"), length(col(textCol)).cast("long").as("_len"))
+      .join(clusters, Seq("doc_id"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("size"),
+        sum(when(col("doc_id") =!= col("component_id"), col("_len")).otherwise(0L))
+          .as("_dup_bytes"))
+    perCluster.groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (sum(col("size")) - count(lit(1))).as("dup_docs"),
+        sum(col("_dup_bytes")).as("dup_bytes"))
+  }
+
   /** Per-doc MinHash signature as MinhashK wide columns m0..m{K-1}.
     * One explode + one hash-aggregate; docs shorter than n words produce
     * no shingles and drop out (same as the reference treating an empty

@@ -81,6 +81,36 @@ object Sampling {
     df.filter(slot(keyCol) < threshCol)
   }
 
+  /** Temperature-flattened mixture weights at τ = 2 (α = 1/2): the
+    * multilingual/multi-source sampling rule w_s ∝ n_s^(1/2) that
+    * upweights tail sources relative to proportional sampling without
+    * letting the head dominate (the standard pick in multilingual
+    * pretraining). Emits per source: n, the normalized sampling weight,
+    * and `epochs` — how many passes over the source one corpus-sized
+    * draw implies (the >1 values are the tail sources a trainer will
+    * repeat, the oversampling-vs-repetition dial).
+    *
+    * Determinism across engines: n^(1/2) is `sqrt` (IEEE
+    * correctly-rounded on both JVM and C, unlike `pow`/`ln` — the same
+    * reasoning that made BM25 drop its log), and each weight is
+    * quantized to integer micro-units BEFORE the normalizing sum so the
+    * total is an order-free integer, never a reassociated double sum.
+    * The totals side is ONE row by construction, met with a broadcast
+    * cross join (a sanctioned k×1 nested loop, like the rule cascade's
+    * default-rule row — not a global window, which would serialize).
+    * Aggregation-shaped: two map-side-combined hash aggs over the
+    * corpus, k output rows.
+    */
+  def temperatureWeights(df: DataFrame, sourceCol: Column): DataFrame = {
+    val counts = df.groupBy(sourceCol.as("source")).agg(count(lit(1)).as("n"))
+      .withColumn("_w_u", round(sqrt(col("n")) * 1e6).cast("long"))
+    val totals = counts.agg(sum(col("_w_u")).as("_tot"), sum(col("n")).as("_n_tot"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("weight", col("_w_u").cast("double") / col("_tot"))
+      .withColumn("epochs", col("weight") * col("_n_tot") / col("n"))
+      .select("source", "n", "weight", "epochs")
+  }
+
   /** Disjoint train/eval/test split by hash range: fractions of Den,
     * in order, must sum to <= Den. Every row lands in exactly one split
     * (the remainder slot gets the last label) — auditable and stable

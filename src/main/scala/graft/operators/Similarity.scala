@@ -194,6 +194,31 @@ object Similarity {
     }.toDF("id_a", "id_b", "cosine")
   }
 
+  /** SemDedup (Abbas et al. 2023): semantic deduplication = cluster the
+    * embedding space with the IVF coarse quantizer, score cosine pairs
+    * ONLY within a cluster, and drop the higher-id member of every pair
+    * at or above `threshold`. Returns the survivors as (id, list_id).
+    *
+    * The cluster assignment is the SAME row-local argmax as
+    * [[withIvfList]] and the pair scan the same compiled within-block
+    * fold as [[lshNearDupPairs]] — so the shuffle is keyed by the
+    * cluster id and the pair count is quadratic only within a cluster,
+    * never across the corpus. Keep-lowest-id is decided per PAIR (a
+    * doc survives unless some lower-id cluster-mate sits within the
+    * threshold), which needs no iteration: one anti-join of the corpus
+    * against the dropped-id set.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val e = withIvfList(df, vecCol, dim, centroids)
+      .select(col(idCol).as("id"), col("ivf_list").as("blk"), col("v"),
+        col("_nrm").as("nrm"))
+    val dropped = pairsWithinBlocks(e, dim, threshold)
+      .select(col("id_b").as("id")).distinct()
+    e.select(col("id"), col("blk").as("list_id"))
+      .join(dropped, Seq("id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------ recall
   /** Recall@k of an approximate top-k result against the exact one:
     * per-query |approx ∩ exact| / |exact| on (query_id, nn_id)

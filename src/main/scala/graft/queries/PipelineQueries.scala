@@ -289,6 +289,39 @@ object PipelineQueries {
        |SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- dedup yield
+  /** What keep-one-per-cluster would save, by cluster size — the
+    * report a curation run reads before committing a dedup pass.
+    */
+  val dedupYield: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.yieldReport(docs, "doc_id", "text",
+      Dedup.duplicateClusters(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
+          maxShingleDf = Some(Dedup.DefaultMaxShingleDf))))
+  }
+  val dedupYieldSql: String =
+    s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
+       |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
+       |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |        UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM und
+       |  UNION
+       |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+       |labels AS (SELECT a AS doc_id, min(b) AS min_reach FROM reach GROUP BY 1),
+       |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(l.min_reach, d.doc_id)) AS component_id
+       |         FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |pc AS (SELECT component_id, count(*) AS size,
+       |              CAST(sum(CASE WHEN c.doc_id != c.component_id
+       |                            THEN length(d2.text) ELSE 0 END) AS BIGINT) AS dup_bytes
+       |       FROM comp c JOIN documents d2 ON c.doc_id = d2.doc_id
+       |       GROUP BY 1)
+       |SELECT size, count(*) AS n_clusters,
+       |       CAST(sum(size) - count(*) AS BIGINT) AS dup_docs,
+       |       CAST(sum(dup_bytes) AS BIGINT) AS dup_bytes
+       |FROM pc GROUP BY size""".stripMargin
+
   // ---------------------------------------------------------------- novelty
   /** Per-doc novel-gram ratio over the same 5-gram universe as the
     * dedup family.
@@ -936,6 +969,69 @@ object PipelineQueries {
        |FROM bk a JOIN bk b ON a.blk = b.blk AND a.vec_id < b.vec_id
        |WHERE ${cosineSql("a.v", "b.v", Dim)} >= 0.4""".stripMargin
 
+  /** SemDedup over the IVF clustering: survivors after dropping the
+    * higher-id member of every within-cluster pair at cosine ≥ 0.4.
+    */
+  val semDedup: Q = (s, d) =>
+    Similarity.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+        Dim, IvfCentroids, 0.4)
+      .select(col("id").as("vec_id"), col("list_id"))
+  val semDedupSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val simExprs = IvfCentroids.zipWithIndex.map { case (c, i) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      s"${dotFoldSql("v", lit64(c), Dim)} / (nrm * $cn) AS c$i"
+    }.mkString(",\n       ")
+    val gmax = (0 until IvfK).map(i => s"c$i").mkString("greatest(", ", ", ")")
+    val argmax = (0 until IvfK).map(i => s"WHEN c$i = m THEN $i").mkString("CASE ", " ", " END")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |s AS (SELECT vec_id, v, nrm,
+       |       $simExprs
+       |      FROM n),
+       |a AS (SELECT vec_id, v, nrm, $argmax AS list_id
+       |      FROM (SELECT *, $gmax AS m FROM s)),
+       |drp AS (SELECT DISTINCT b.vec_id
+       |        FROM a x JOIN a b ON x.list_id = b.list_id AND x.vec_id < b.vec_id
+       |        WHERE ${cosineSql("x.v", "b.v", Dim)} >= 0.4)
+       |SELECT vec_id, list_id FROM a
+       |WHERE vec_id NOT IN (SELECT vec_id FROM drp)""".stripMargin
+  }
+
+  /** Recall@3 of the sign-LSH index against the exact top-3 — the
+    * index-tuning eval under the oracle gate (the `planes`/`tables`
+    * dial reads this number; [[Similarity.recallAtK]]'s scaladoc is the
+    * tuning loop). Embeds the brute-force baseline as its truth side.
+    */
+  val annRecall: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+    Similarity.recallAtK(
+      Similarity.lshTopK(emb, q, "vec_id", "embedding", Dim, 3, Planes),
+      Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", Dim, 3))
+  }
+  val annRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |xs AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |              ${cosineSql("q.v", "c.v", Dim)} AS cosine
+       |       FROM e q JOIN e c ON c.vec_id != q.vec_id WHERE q.vec_id < 8),
+       |exact AS (SELECT query_id, nn_id
+       |          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM xs)
+       |          WHERE rk <= 3),
+       |b AS (SELECT vec_id, v, ${signBucketSql("v", Dim, Planes)} AS bucket FROM e),
+       |ls AS (SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+       |              ${cosineSql("q.v", "c.v", Dim)} AS cosine
+       |       FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+       |       WHERE q.vec_id < 8),
+       |approx AS (SELECT query_id, nn_id
+       |           FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, nn_id) AS rk FROM ls)
+       |           WHERE rk <= 3),
+       |hit AS (SELECT query_id, count(*) AS n_hit
+       |        FROM exact JOIN approx USING (query_id, nn_id) GROUP BY 1),
+       |ne AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY 1)
+       |SELECT query_id, CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact AS recall
+       |FROM ne LEFT JOIN hit USING (query_id)""".stripMargin
+
   // ---------------------------------------------------------------- W4 rule cascade
   /** Pool derived from lineitem: synthetic file names exercise accents,
     * case, extensions and the latest/first/all pick modes.
@@ -1070,6 +1166,21 @@ object PipelineQueries {
        |WHERE ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % 10000 < th.thresh""".stripMargin
   }
 
+  /** Temperature-flattened mixture weights (τ = 2): per-source sampling
+    * weight ∝ √n and the implied epochs-per-source — the
+    * oversampling-vs-repetition dial next to the hard-threshold
+    * [[mixBalance]].
+    */
+  val mixTemperature: Q = (s, d) =>
+    Sampling.temperatureWeights(Tables.documents(s, d), col("source"))
+  val mixTemperatureSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+       |w AS (SELECT source, n, CAST(round(sqrt(n) * 1000000.0) AS BIGINT) AS w_u FROM c),
+       |t AS (SELECT CAST(sum(w_u) AS BIGINT) AS tot, CAST(sum(n) AS BIGINT) AS n_tot FROM w)
+       |SELECT source, n, CAST(w_u AS DOUBLE) / tot AS weight,
+       |       CAST(w_u AS DOUBLE) / tot * n_tot / n AS epochs
+       |FROM w CROSS JOIN t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_sample_stratified" -> sampleStratified,
     "q_train_split" -> trainSplit,
@@ -1115,6 +1226,10 @@ object PipelineQueries {
     "q_novelty" -> novelty,
     "q_incremental_dedup" -> incrementalDedup,
     "q_vocab_coverage" -> vocabCover,
+    "q_dedup_yield" -> dedupYield,
+    "q_semdedup" -> semDedup,
+    "q_ann_recall" -> annRecall,
+    "q_mix_temperature" -> mixTemperature,
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
@@ -1162,5 +1277,9 @@ object PipelineQueries {
     "q_novelty" -> noveltySql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_vocab_coverage" -> vocabCoverSql,
+    "q_dedup_yield" -> dedupYieldSql,
+    "q_semdedup" -> semDedupSql,
+    "q_ann_recall" -> annRecallSql,
+    "q_mix_temperature" -> mixTemperatureSql,
     "q_rule_fallback" -> ruleFallbackSql)
 }

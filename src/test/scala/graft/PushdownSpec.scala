@@ -107,9 +107,15 @@ class PushdownSpec extends SparkSpec {
     //     that the per-pair work is M lookups, so the "nested loop" is
     //     the designed O(M)-per-pair scan, not a dim-wide blowup
     //     (q_ivfadc is the equi-join shape that drops even this).
+    //   - q_ann_recall: embeds the brute-force scan as its ground-truth
+    //     side (recall is BY DEFINITION measured against exact search);
+    //     the approx side under eval is the equi-join LSH plan.
+    //   - q_mix_temperature: the per-source weight rows (k = distinct
+    //     sources) meet the single normalizing-totals row — a k×1 join
+    //     of two aggregate outputs, both sides bounded by construction.
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
-      "q_pq_rerank")
+      "q_pq_rerank", "q_ann_recall", "q_mix_temperature")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

@@ -192,6 +192,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("yieldReport slices duplicate docs and bytes by cluster size") {
+    import org.apache.spark.sql.functions.length
+    // cluster {1,2,3} (label 1), cluster {4,5} (label 4), singleton 6
+    val d = Seq(
+      (1L, "aaaa"), (2L, "bbb"), (3L, "cc"),
+      (4L, "ddddd"), (5L, "e"),
+      (6L, "ffffff")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L))
+      .toDF("doc_id", "component_id")
+    val out = Dedup.yieldReport(d, "doc_id", "text", clusters)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // dup_bytes = lengths of the NON-representative members only
+    assert(out(3L) === ((3L, 1L, 2L, 5L))) // docs 2+3: 3+2 chars
+    assert(out(2L) === ((2L, 1L, 1L, 1L))) // doc 5: 1 char
+    assert(out(1L) === ((1L, 1L, 0L, 0L)))
+  }
+
   test("containment of identical docs is 1.0 in both directions") {
     val p = Dedup.containmentPairs(docs((1L, wordsA), (2L, wordsA)), "doc_id", "text", 5, 0.8,
       maxShingleDf = None).collect().head

@@ -81,6 +81,18 @@ class SamplingSpec extends SparkSpec {
       out.select("id").as[Long].collect().sorted.toSeq)
   }
 
+  test("temperatureWeights flattens toward the tail: weights sum to 1, epochs = weight·total/n") {
+    // a:9 rows, b:1 row → proportional shares would be 0.9/0.1; the
+    // sqrt rule gives 3e6/1e6 micro-weights → 0.75/0.25 — head down,
+    // tail up. Tail epochs 2.5 > 1: the trainer repeats source b.
+    val docs = ((1 to 9).map(i => (i.toLong, "a")) :+ (10L, "b")).toDF("doc_id", "source")
+    val out = Sampling.temperatureWeights(docs, $"source")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 9L, 0.75, 0.75 * 10 / 9)))
+    assert(out("b") === (("b", 1L, 0.25, 2.5)))
+    assert(out.values.map(_._3).sum === 1.0)
+  }
+
   test("cluster-keyed split: no near-dup cluster ever spans two splits") {
     // the leakage guarantee of q_split_by_cluster — the split label is a
     // pure function of the cluster representative, so every member of a

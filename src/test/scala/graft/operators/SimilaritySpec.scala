@@ -74,6 +74,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 2L))) // 3 is orthogonal (cos 0); 4 in another block
   }
 
+  test("semDedup drops the higher-id member of each within-cluster near-dup pair") {
+    // centroids on the x and y axes → two clusters. 1 and 2 land in
+    // cluster 0 at cosine ≈ 0.994 → 2 drops; 3 and 5 land in cluster 1
+    // likewise → 5 drops; 4 (opposite of x) lands in cluster 1 at
+    // cosine 0 to both members → survives (below threshold).
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val data = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.1f, 0.9f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(data, "vec_id", "embedding", 4, cents, 0.9)
+      .as[(Long, Int)].collect().toMap
+    assert(out === Map(1L -> 0, 3L -> 1, 4L -> 1))
+  }
+
   test("LSH top-1 recall is perfect on clustered data (perturbation can't flip sign buckets)") {
     // corpus: 100 distinct ±1-valued vectors; queries: 8 of them nudged
     // by 0.1 — every dim keeps its sign, so query and base share the
