@@ -339,6 +339,43 @@ object Dedup {
       .withColumn("span_words", col("max_run") + lit(n - 1))
   }
 
+  /** Corpus-internal repeated spans: for each doc, the maximal runs of
+    * consecutive positions whose n-gram occurs in at least `minDf`
+    * distinct documents. At `minDf = 2` this is C4's span rule (Raffel
+    * et al. 2020 strip any passage occurring more than once in the
+    * corpus); at high `minDf` it is template-boilerplate detection
+    * (headers/footers/navigation chrome) — the mirror image of the
+    * dedup family's stop-gram rule: the high-df grams pair-finding
+    * PRUNES as noise are exactly the spans a cleaning pass CUTS. One
+    * row per (doc, island): the start position and width in words —
+    * the spans to strip before tokenization.
+    *
+    * Same shape as [[contaminationSpans]] minus the probe dimension:
+    * positioned grams in one generator pass, df over distinct
+    * (doc, gram), islands via the pos − row_number constant, windows
+    * partitioned per doc — never global. All-integer arithmetic.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDf: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .select(col("doc_id"), posexplode(ngramsFromWords(col("w"), n)))
+      .select(col("doc_id"), col("pos"), pmod(stableHash60(col("col")), lit(P)).as("sh_h"))
+    val hot = grams.select("doc_id", "sh_h").distinct()
+      .groupBy("sh_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= minDf).select("sh_h")
+    // one gram per position and one `hot` row per hash → (doc, pos) is
+    // already unique after the join; no dedup shuffle needed
+    val wnd = Window.partitionBy("doc_id").orderBy("pos")
+    grams.join(hot, Seq("sh_h"))
+      .select("doc_id", "pos")
+      .withColumn("_island", col("pos") - row_number().over(wnd))
+      .groupBy("doc_id", "_island")
+      .agg(min(col("pos")).cast("long").as("start_pos"), count(lit(1)).as("_run"))
+      .select(col("doc_id"), col("start_pos"),
+        (col("_run") + lit(n - 1)).as("span_words"))
+  }
+
   /** Duplicate clustering: connected components over a near-dup pair
     * relation (doc_a < doc_b), labeled by the MINIMUM doc id of each
     * component — every doc in `docs` appears, singletons labeling

@@ -174,6 +174,31 @@ object PipelineQueries {
        |FROM runs GROUP BY 1, 2""".stripMargin
   }
 
+  /** C4-rule repeated spans (minDf = 2): every maximal run of corpus
+    * positions whose 4-gram occurs in ≥ 2 docs — the passages a
+    * cleaning pass strips. Same gram universe as q_contam_span.
+    */
+  val repeatedSpan: Q = (s, d) =>
+    Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", DecontamN, minDf = 2)
+  val repeatedSpanSql: String = {
+    val nGramList = ngramsSql("ws", DecontamN)
+    s"""WITH w AS (SELECT doc_id, ${wordsSql("text")} AS ws FROM documents),
+       |cg AS (SELECT doc_id,
+       |              unnest(range(1, len(ws) - ${DecontamN - 2})) AS pos,
+       |              unnest($nGramList) AS gram
+       |       FROM w),
+       |cgh AS (SELECT doc_id, pos, ${stableHash60Sql("gram")} % ${P}::BIGINT AS sh_h FROM cg),
+       |hot AS (SELECT sh_h FROM (SELECT DISTINCT doc_id, sh_h FROM cgh)
+       |        GROUP BY sh_h HAVING count(*) >= 2),
+       |k AS (SELECT doc_id, pos FROM cgh JOIN hot USING (sh_h)),
+       |isl AS (SELECT doc_id, pos,
+       |               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |        FROM k)
+       |SELECT doc_id, CAST(min(pos) - 1 AS BIGINT) AS start_pos,
+       |       CAST(count(*) + ${DecontamN - 1} AS BIGINT) AS span_words
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+  }
+
   // ---------------------------------------------------------------- retrieval
   private val Bm25K = 5
   private val RrfK0 = 60
@@ -1193,6 +1218,7 @@ object PipelineQueries {
     "q_dup_clusters" -> dupClusters,
     "q_split_by_cluster" -> splitByCluster,
     "q_contam_span" -> contamSpan,
+    "q_repeated_span" -> repeatedSpan,
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
     "q_lang_id" -> langId,
@@ -1244,6 +1270,7 @@ object PipelineQueries {
     "q_dup_clusters" -> dupClustersSql,
     "q_split_by_cluster" -> splitByClusterSql,
     "q_contam_span" -> contamSpanSql,
+    "q_repeated_span" -> repeatedSpanSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
     "q_lang_id" -> langIdSql,

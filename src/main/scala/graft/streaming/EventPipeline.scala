@@ -110,6 +110,35 @@ object EventPipeline {
         .as(Seq("r", "bucket")))
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming incremental near-dup: each micro-batch of arriving docs
+    * is checked against a FROZEN reference corpus with
+    * [[graft.operators.Dedup.incrementalNearDups]] and the surviving
+    * pairs appended to `outPath` — the production crawl-ingest loop
+    * (dedup every delta against everything already kept) as a stream.
+    *
+    * Because pairs are strictly delta × corpus and the stop-gram
+    * statistics come from the corpus ALONE (a delta is too small to
+    * define "stop"), the union of per-batch outputs EQUALS the one-shot
+    * batch run over the concatenated delta: arrival slicing cannot
+    * change the result (StreamingSpec proves stream-equals-batch over
+    * any micro-batch split). At 100 TB the corpus side's shingle table
+    * is a stable artifact — precompute and bucket it once; only the
+    * delta is shingled per batch, so per-batch cost is proportional to
+    * the batch, not the corpus.
+    */
+  def startIncrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            threshold: Double, maxShingleDf: Option[Int],
+                            outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .incrementalNearDups(batch, corpus, idCol, textCol, n, threshold, maxShingleDf)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

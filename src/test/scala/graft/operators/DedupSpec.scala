@@ -192,6 +192,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.isEmpty)
   }
 
+  test("repeatedSpans merges consecutive shared positions into one island with 0-based start") {
+    // docs 1 and 2 share words 5..12 (an 8-word passage → 5 consecutive
+    // 4-gram positions starting at index 5); everything else is unique,
+    // so each doc reports exactly one island of span_words 8
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ") + " " + shared + " a99"),
+      (2L, (1 to 5).map(i => s"b$i").mkString(" ") + " " + shared + " b99"))
+    val out = Dedup.repeatedSpans(d, "doc_id", "text", 4, minDf = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 5L, 8L), (2L, 5L, 8L)))
+  }
+
+  test("repeatedSpans at a high minDf ignores passages shared by too few docs") {
+    val shared = (1 to 8).map(i => s"s$i").mkString(" ")
+    val d = docs((1L, shared + " x1 x2 x3 x4"), (2L, shared + " y1 y2 y3 y4"))
+    assert(Dedup.repeatedSpans(d, "doc_id", "text", 4, minDf = 3).isEmpty)
+  }
+
   test("yieldReport slices duplicate docs and bytes by cluster size") {
     import org.apache.spark.sql.functions.length
     // cluster {1,2,3} (label 1), cluster {4,5} (label 4), singleton 6

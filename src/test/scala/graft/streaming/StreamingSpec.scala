@@ -415,4 +415,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally { q.stop(); spark.catalog.dropTempView("cms") }
   }
+
+  test("streaming incremental dedup: any micro-batch slicing equals the one-shot batch run") {
+    // pairs are strictly delta × corpus and stop-gram stats come from
+    // the corpus alone, so arrival slicing cannot change the result
+    implicit val ctx = spark.sqlContext
+    val wordsA = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val nearOther = other.replace("z1 ", "q1 ")
+    val corpus = Seq((2L, wordsA), (4L, other)).toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val q = EventPipeline.startIncrementalDedup(
+      mem.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text", 5, 0.5,
+      maxShingleDf = None, outPath = out)
+    try {
+      mem.addData((1L, wordsA))
+      q.processAllAvailable()
+      mem.addData((3L, wordsA), (5L, nearOther))
+      q.processAllAvailable()
+      val cols = Seq("new_id", "old_id", "inter", "n_new", "n_old", "jaccard")
+      val streamed = spark.read.parquet(out)
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      val batch = graft.operators.Dedup.incrementalNearDups(
+        Seq((1L, wordsA), (3L, wordsA), (5L, nearOther)).toDF("doc_id", "text"),
+        corpus, "doc_id", "text", 5, 0.5, maxShingleDf = None)
+        .select(cols.head, cols.tail: _*)
+        .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 2L), (5L, 4L)))
+    } finally q.stop()
+  }
 }
