@@ -63,6 +63,105 @@ object Sketches {
     else -bins * math.log1p(-occupied.toDouble / bins)
   }
 
+  // ------------------------------------------------------------------ HLL
+  /** HyperLogLog registers and estimate (Flajolet et al. 2007) — the
+    * LARGE-cardinality companion to linear counting above: state is
+    * `HllM` registers per group no matter the cardinality, with ~1.04/
+    * sqrt(m) relative error, and registers merge across partitions,
+    * days, or streams by element-wise MAX.
+    *
+    * The scaladoc above says classic HLL isn't hash-gateable — that is
+    * true of float harmonic sums and log-based corrections, and this
+    * implementation is built to dodge exactly those: (a) the register
+    * table is a pure max over `rho(key)` — order-free integers from
+    * the shared 60-bit hash, so registers are bit-reproducible on any
+    * engine; (b) rho uses the BIT LENGTH of the hash remainder
+    * (`length(bin(v))` — both engines have `bin`), never `log2`;
+    * (c) the harmonic sum Σ 2^(−M_j) is scaled by 2^55 into an exact
+    * integer (shifts, not pow), summed order-free, and divided into a
+    * single driver-computed double constant α·m²·2^55 — one correctly-
+    * rounded division, identical bits on both engines. The small-range
+    * linear-counting correction needs `ln`, so it stays driver-side in
+    * [[hllCorrected]] (same rule as [[estimate]]).
+    */
+  val HllB = 6
+  val HllM: Int = 1 << HllB // 64 registers
+  /** stableHash60 yields 60 bits; b go to the bucket, 54 remain. */
+  private val HllVBits = 60 - HllB
+  /** α_m · m² · 2^(HllVBits+1), driver-computed once; emitted into the
+    * SQL twin via Double.toString (shortest-roundtrip, so both engines
+    * parse the identical double).
+    */
+  val HllAlphaNum: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2.0, HllVBits + 1).toLong
+
+  /** Per-group HLL register table: (group_key, bucket, m_j) with at
+    * most `HllM` rows per group. m_j ∈ [1, 55]: position of the highest
+    * set bit counted from the top of the 54-bit remainder, +1; an
+    * all-zero remainder saturates at 55.
+    */
+  def hllRegisters(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val h = Hashing.stableHash60(keyCol.cast("string"))
+    val bucket = pmod(h, lit(HllM.toLong))
+    val v = shiftrightunsigned(h, HllB)
+    val rho = when(v === 0L, lit(HllVBits + 1))
+      .otherwise(lit(HllVBits + 1) - length(bin(v)))
+    df.groupBy(groupCol.as("group_key"), bucket.as("bucket"))
+      .agg(max(rho).cast("long").as("m_j"))
+  }
+
+  /** Per-group raw HLL estimate next to the exact distinct count (the
+    * diagnostic pair, like [[cmEstimates]]' overcount). `hll_est` is
+    * the UNCORRECTED estimator — biased high below ~2.5·m distinct
+    * keys; apply [[hllCorrected]] driver-side for the classic
+    * small-range patch.
+    */
+  def hllEstimates(df: DataFrame, groupCol: Column, keyCol: Column): DataFrame = {
+    val regs = hllRegisters(df, groupCol, keyCol)
+      .withColumn("_term", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(${HllVBits + 1} - m_j AS INT))"))
+      .groupBy("group_key")
+      .agg(count(lit(1)).as("n_registers"), sum(col("_term")).as("_s_present"))
+    val empty = lit(1L << (HllVBits + 1))
+    val exact = df.groupBy(groupCol.as("group_key"))
+      .agg(countDistinct(keyCol).as("n_exact"))
+    exact.join(regs, Seq("group_key"))
+      .withColumn("hll_est",
+        lit(HllAlphaNum) /
+          (col("_s_present") + (lit(HllM.toLong) - col("n_registers")) * empty).cast("double"))
+      .select("group_key", "n_exact", "n_registers", "hll_est")
+  }
+
+  /** DuckDB twin: same hash, same bit-length rho, same integer-scaled
+    * harmonic sum, same single division.
+    */
+  def hllEstimatesSql(table: String, groupExpr: String, keyExpr: String): String = {
+    val h = Hashing.stableHash60Sql(s"CAST($keyExpr AS VARCHAR)")
+    val vb = HllVBits + 1
+    s"""WITH hh AS (SELECT $groupExpr AS group_key, $h AS h FROM $table),
+       |r AS (SELECT group_key, h % ${HllM} AS bucket,
+       |             CAST(max(CASE WHEN h // ${HllM} = 0 THEN $vb
+       |                           ELSE $vb - length(bin(h // ${HllM})) END) AS BIGINT) AS m_j
+       |      FROM hh GROUP BY 1, 2),
+       |s AS (SELECT group_key, count(*) AS n_registers,
+       |             CAST(sum(CAST(1 AS BIGINT) << CAST($vb - m_j AS INTEGER)) AS BIGINT) AS s_present
+       |      FROM r GROUP BY 1),
+       |ex AS (SELECT $groupExpr AS group_key, count(DISTINCT $keyExpr) AS n_exact
+       |       FROM $table GROUP BY 1)
+       |SELECT ex.group_key, n_exact, n_registers,
+       |       ${HllAlphaNum} /
+       |         CAST(s_present + (${HllM} - n_registers) * (CAST(1 AS BIGINT) << $vb) AS DOUBLE) AS hll_est
+       |FROM ex JOIN s USING (group_key)""".stripMargin
+  }
+
+  /** Driver-side corrected estimate: below 2.5·m with empty registers,
+    * fall back to linear counting over the register occupancy (the
+    * `ln` stays out of gated columns, as with [[estimate]]).
+    */
+  def hllCorrected(rawEst: Double, nRegisters: Long): Double =
+    if (rawEst <= 2.5 * HllM && nRegisters < HllM)
+      HllM * math.log(HllM.toDouble / (HllM - nRegisters))
+    else rawEst
+
   // ------------------------------------------------------------------ count-min
   /** Count-Min frequency sketch (Cormode & Muthukrishnan 2005): a
     * depth×width integer counter matrix; key k increments counter

@@ -504,6 +504,38 @@ object ParityQueries {
       |SELECT g.event_type, g.hr, coalesce(n, 0) AS n
       |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr""".stripMargin
 
+  /** Rolling z-score anomalies over the gap-filled hourly series: each
+    * hour scored against the trailing 24-hour baseline (current point
+    * excluded), |z| ≥ 3 flagged. Composes [[tsFill]] — the zeros the
+    * fill inserts are exactly what makes a dead hour scorable.
+    */
+  val tsAnomaly: Q = (s, d) =>
+    graft.operators.TimeSeries.rollingZScore(
+      tsFill(s, d), "event_type", "hr", "n", lookback = 24, minPoints = 12, zThreshold = 3.0)
+  val tsAnomalySql: String =
+    """WITH c AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+      |                  count(*) AS n
+      |           FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(hr) AS mn, max(hr) AS mx FROM c GROUP BY 1),
+      |g AS (SELECT event_type, unnest(range(mn, mx + 1)) AS hr FROM b),
+      |f AS (SELECT g.event_type, g.hr, coalesce(n, 0) AS n
+      |      FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hr = c.hr),
+      |wz AS (SELECT event_type, hr, n,
+      |              CAST(sum(n) OVER w AS BIGINT) AS s,
+      |              CAST(sum(n * n) OVER w AS BIGINT) AS q,
+      |              CAST(count(n) OVER w AS BIGINT) AS c
+      |       FROM f
+      |       WINDOW w AS (PARTITION BY event_type ORDER BY hr
+      |                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT event_type, hr, n,
+      |             CAST(n * c - s AS DOUBLE) /
+      |               (CAST(c AS DOUBLE) *
+      |                sqrt(CAST(c * q - s * s AS DOUBLE) / CAST(c * (c - 1) AS DOUBLE))) AS z
+      |      FROM wz WHERE c >= 12 AND c * q - s * s > 0)
+      |SELECT event_type, hr, n, z,
+      |       CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END AS is_anomaly
+      |FROM z""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_pick_latest" -> pickLatest,
     "q_pick_first" -> pickFirst,
@@ -528,7 +560,8 @@ object ParityQueries {
     "q_quantiles" -> quantiles,
     "q_quantile_hist" -> quantileHist,
     "q_window_events" -> windowEvents,
-    "q_ts_fill" -> tsFill)
+    "q_ts_fill" -> tsFill,
+    "q_ts_anomaly" -> tsAnomaly)
 
   val oracleSql: Map[String, String] = Map(
     "q_pick_latest" -> pickLatestSql,
@@ -554,5 +587,6 @@ object ParityQueries {
     "q_quantiles" -> quantilesSql,
     "q_quantile_hist" -> quantileHistSql,
     "q_window_events" -> windowEventsSql,
-    "q_ts_fill" -> tsFillSql)
+    "q_ts_fill" -> tsFillSql,
+    "q_ts_anomaly" -> tsAnomalySql)
 }

@@ -632,6 +632,16 @@ object PipelineQueries {
     Sketches.cmEstimatesSql(
       s"SELECT unnest(${wordsSql("text")}) AS k FROM documents", CmProbes, CmWidth)
 
+  /** HLL distinct-user sketch per event type next to the exact count —
+    * the large-cardinality companion to q_distinct_sketch, gated
+    * bit-for-bit (order-free integer registers, integer-scaled harmonic
+    * sum, one final division).
+    */
+  val hllSketch: Q = (s, d) =>
+    Sketches.hllEstimates(Tables.events(s, d), col("event_type"), col("user_id"))
+  val hllSketchSql: String =
+    Sketches.hllEstimatesSql("events", "event_type", "user_id")
+
   // ---------------------------------------------------------------- embeddings
   private val TopK = 5
   val annTopK: Q = (s, d) => {
@@ -1249,6 +1259,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrum,
     "q_langid_eval" -> langIdEval,
     "q_cm_sketch" -> cmSketchEst,
+    "q_hll" -> hllSketch,
     "q_novelty" -> novelty,
     "q_incremental_dedup" -> incrementalDedup,
     "q_vocab_coverage" -> vocabCover,
@@ -1301,6 +1312,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_langid_eval" -> langIdEvalSql,
     "q_cm_sketch" -> cmSketchEstSql,
+    "q_hll" -> hllSketchSql,
     "q_novelty" -> noveltySql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_vocab_coverage" -> vocabCoverSql,

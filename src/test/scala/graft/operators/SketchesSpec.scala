@@ -81,4 +81,39 @@ class SketchesSpec extends SparkSpec {
     assert(rows(sk1.orderBy("r", "bucket")) === rows(sk2.orderBy("r", "bucket")))
     assert(sk1.count() <= (Sketches.CmDepth * w).toLong)
   }
+
+  test("HLL registers merge by element-wise MAX: two halves equal the whole") {
+    val all = (1L to 4000L).map(k => ("g", k)).toDF("g", "k")
+    val rA = Sketches.hllRegisters(all.filter($"k" <= 2000L), $"g", $"k")
+      .withColumnRenamed("m_j", "ma")
+    val rB = Sketches.hllRegisters(all.filter($"k" > 2000L), $"g", $"k")
+      .withColumnRenamed("m_j", "mb")
+    val merged = rA.join(rB, Seq("group_key", "bucket"), "full_outer")
+      .select($"group_key", $"bucket",
+        greatest(coalesce($"ma", lit(0L)), coalesce($"mb", lit(0L))).as("m_j"))
+    val whole = Sketches.hllRegisters(all, $"g", $"k")
+    assert(rows(merged.orderBy("bucket")) === rows(whole.orderBy("bucket")))
+  }
+
+  test("HLL estimate lands within the ~1.04/sqrt(m) error band (x3) on 4k distinct keys") {
+    val all = (1L to 4000L).map(k => ("g", k)).toDF("g", "k")
+    val (exact, nReg, est) = Sketches.hllEstimates(all, $"g", $"k")
+      .select("n_exact", "n_registers", "hll_est")
+      .as[(Long, Long, Double)].collect().head
+    assert(exact === 4000L && nReg === Sketches.HllM.toLong)
+    val relErr = math.abs(est - exact) / exact
+    assert(relErr < 3 * 1.04 / math.sqrt(Sketches.HllM), s"relErr $relErr (est $est)")
+  }
+
+  test("HLL is layout-independent, state-bounded at m registers, and corrected for small range") {
+    val all = (1L to 4000L).map(k => ("g", k % 7)).toDF("g", "k") // 7 distinct
+    val a = Sketches.hllEstimates(all, $"g", $"k").collect().head
+    val b = Sketches.hllEstimates(all.repartition(11), $"g", $"k").collect().head
+    assert(a === b)
+    assert(Sketches.hllRegisters(all, $"g", $"k").count() <= Sketches.HllM.toLong)
+    // 7 distinct keys: raw HLL overshoots down here; the linear-counting
+    // patch brings it inside +-2
+    val corrected = Sketches.hllCorrected(a.getDouble(3), a.getLong(2))
+    assert(math.abs(corrected - 7.0) < 2.0, s"corrected $corrected")
+  }
 }
