@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CCNet-style corpus curation: a unigram-LM quality score, per-language
+  * head/middle/tail bucketing, per-domain document caps, and
+  * quality-weighted deterministic sampling. Together these are the
+  * "rank by model fit, bucket, cap, resample" stage a pretraining
+  * pipeline runs between dedup and mixture balancing (the reference's
+  * filter/pick stages are row-local; these are the corpus-global
+  * analogs).
+  *
+  * Determinism across engines (the oracle gate hashes values):
+  *   - the score is built ONLY from integer counts, correctly-rounded
+  *     IEEE double division/rounding, and integer division — no `ln`
+  *     (libm-specific last-ulp), mirroring BM25's log-free rational
+  *     (see [[Retrieval]]) and the quantized micro-unit convention.
+  *   - bucketing compares integer bin ids against integer thresholds.
+  *   - sampling is an exact integer cross-multiplication of a stable
+  *     md5-derived slot against a min-max-normalized weight — no RNG,
+  *     reproducible on any engine and any partitioning ([[Sampling]]).
+  */
+object Curation {
+  /** Fixed-point unit for the score: parts-per-billion. */
+  val Ppb = 1000000000L
+
+  /** Histogram bin width for bucket thresholds, in ppb. Bounds the
+    * threshold aggregate at <= Ppb/BinWidth ≈ 244k rows per language
+    * regardless of corpus size — the same mergeable-grid trick as
+    * [[HistogramQuantiles]] — while keeping bins ~250× finer than the
+    * observed score spread on the fixture corpus.
+    */
+  val BinWidth = 4096L
+
+  /** The "trained LM": corpus relative word frequencies in ppb —
+    * `(_word, _rel_ppb)`. One explode + one map-side-combined count
+    * aggregate + a 1-row total met with a broadcast cross join. At
+    * 100 TB this is a stable artifact computed once from the reference
+    * corpus and reused across scoring runs (batch AND streaming — see
+    * [[graft.streaming.EventPipeline.startQualityFilter]]).
+    * Overflow-safe to ~2^53 corpus tokens (the double mantissa;
+    * IEEE multiply/divide/round are correctly rounded, so the quantized
+    * rel_ppb is engine-identical).
+    */
+  def referenceRel(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(explode(Hashing.words(col(textCol))).as("_word"))
+      .filter(length(col("_word")) > 0)
+    val corpus = toks.groupBy("_word").agg(count(lit(1)).as("_cnt"))
+    val tot = corpus.agg(sum("_cnt").as("_tot"))
+    corpus.crossJoin(broadcast(tot))
+      .select(col("_word"),
+        round(col("_cnt") * lit(Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
+  }
+
+  /** Score documents against a FROZEN reference frequency table from
+    * [[referenceRel]]: mean reference frequency of the document's
+    * tokens in ppb, out-of-vocabulary tokens scoring 0 (they dilute
+    * the mean — the harsh-OOV convention, which is what makes garbage
+    * score low). This is the CCNet deployment shape: the LM is fit to
+    * a curated reference corpus ONCE, then applied to arbitrary new
+    * data.
+    *
+    * Shape at scale: token explode → per-(doc, word) counts (bounds
+    * every later stage at one row per distinct pair, not one per token
+    * instance), then one shuffle join on `word` back to the per-doc
+    * pairs. All aggregation-shaped with map-side combine; the word-key
+    * join's skew is bounded because the left side is per-doc DISTINCT
+    * words (a stop word contributes one row per doc, never one per
+    * occurrence). sum(tf·rel_ppb) <= n_tok·Ppb fits a long.
+    *
+    * Output: `idCol`, extras, `n_tok`, `score_ppb`.
+    */
+  def scoreWithReference(docs: DataFrame, idCol: String, textCol: String,
+                         rel: DataFrame, extra: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: extra).map(col)
+    val toks = docs
+      .select(keys :+ explode(Hashing.words(col(textCol))).as("_word"): _*)
+      .filter(length(col("_word")) > 0)
+    val tf = toks.groupBy(keys :+ col("_word"): _*).agg(count(lit(1)).as("_tf"))
+    tf.join(rel, Seq("_word"), "left")
+      .withColumn("_rel0", coalesce(col("_rel_ppb"), lit(0L)))
+      .groupBy(keys: _*)
+      .agg(sum(expr("_tf * _rel0")).as("_s"), sum("_tf").as("n_tok"))
+      .select(keys :+ col("n_tok") :+ expr("_s div n_tok").as("score_ppb"): _*)
+  }
+
+  /** Per-document unigram-LM quality score: the corpus scored against
+    * its OWN frequency table (every token in-vocabulary by
+    * construction). A log-free perplexity proxy — documents of common,
+    * fluent vocabulary score high; rare-token/garbage documents score
+    * low — with the monotone log dropped so the score hash-gates
+    * cross-engine.
+    *
+    * Output: `idCol`, extras, `n_tok`, `score_ppb`.
+    */
+  def unigramQuality(docs: DataFrame, idCol: String, textCol: String,
+                     extra: Seq[String] = Nil): DataFrame =
+    scoreWithReference(docs, idCol, textCol, referenceRel(docs, textCol), extra)
+
+  /** Oracle CTE chain ending in `scored(idCol, extras..., n_tok,
+    * score_ppb)` — same arithmetic, generated from the same constants.
+    */
+  def unigramQualityCtes(table: String, idCol: String, textCol: String,
+                         extra: Seq[String] = Nil): String = {
+    val keys = (idCol +: extra).mkString(", ")
+    s"""toks AS (SELECT $keys, unnest(${Hashing.wordsSql(textCol)}) AS w FROM $table),
+       |tk AS (SELECT $keys, w FROM toks WHERE length(w) > 0),
+       |tf AS (SELECT $keys, w, count(*) AS tf FROM tk GROUP BY ALL),
+       |c AS (SELECT w, sum(tf) AS cnt FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(cnt) AS tot FROM c),
+       |rel AS (SELECT w, CAST(round(cnt * ${Ppb.toDouble} / tot) AS BIGINT) AS rel_ppb FROM c, tot),
+       |scored AS (
+       |  SELECT $keys, CAST(sum(tf) AS BIGINT) AS n_tok,
+       |         CAST(sum(tf * rel_ppb) // sum(tf) AS BIGINT) AS score_ppb
+       |  FROM tf JOIN rel USING (w) GROUP BY ALL)""".stripMargin
+  }
+
+  /** CCNet head/middle/tail bucketing: per language, split the corpus
+    * into score thirds — head = best LM fit (lowest perplexity), the
+    * slice CCNet feeds to training first. Thresholds come from a
+    * histogram grid over the integer score (NOT a per-language ntile:
+    * an ntile window sorts every document of a language in one task,
+    * the quantized grid keeps the per-language state <= Ppb/BinWidth
+    * rows — the [[HistogramQuantiles]] scale path). Documents in one
+    * bin always land in one bucket; both engines quantize identically,
+    * so the boundary is deterministic.
+    *
+    * Output: `idCol`, lang, score_ppb, bucket.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val scored = unigramQuality(docs, idCol, textCol, Seq(langCol))
+    val binned = scored.withColumn("_bin", expr(s"score_ppb div $BinWidth"))
+    val binCounts = binned.groupBy(col(langCol), col("_bin")).agg(count(lit(1)).as("_bn"))
+    // windows run over the ≤244k-row bin AGGREGATE per language, never
+    // over documents
+    val byLang = Window.partitionBy(langCol)
+    val cum = binCounts
+      .withColumn("_cum", sum("_bn").over(byLang.orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum("_bn").over(byLang))
+    val thr = cum.groupBy(langCol).agg(
+      min(when(expr("_cum * 3 >= _n"), col("_bin"))).as("_t1"),
+      min(when(expr("_cum * 3 >= 2 * _n"), col("_bin"))).as("_t2"))
+    binned.join(broadcast(thr), langCol)
+      .select(col(idCol), col(langCol), col("score_ppb"),
+        when(col("_bin") <= col("_t1"), "tail")
+          .when(col("_bin") <= col("_t2"), "middle")
+          .otherwise("head").as("bucket"))
+  }
+
+  def ccnetBucketsSql(table: String, idCol: String, textCol: String,
+                      langCol: String): String =
+    s"""WITH ${unigramQualityCtes(table, idCol, textCol, Seq(langCol))},
+       |b AS (SELECT $idCol, $langCol, score_ppb, score_ppb // $BinWidth AS bin FROM scored),
+       |bc AS (SELECT $langCol, bin, count(*) AS bn FROM b GROUP BY 1, 2),
+       |cum AS (SELECT $langCol, bin,
+       |               sum(bn) OVER (PARTITION BY $langCol ORDER BY bin) AS cum,
+       |               sum(bn) OVER (PARTITION BY $langCol) AS n FROM bc),
+       |thr AS (SELECT $langCol, min(CASE WHEN cum * 3 >= n THEN bin END) AS t1,
+       |               min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS t2
+       |        FROM cum GROUP BY 1)
+       |SELECT $idCol, $langCol, score_ppb,
+       |       CASE WHEN bin <= t1 THEN 'tail' WHEN bin <= t2 THEN 'middle'
+       |            ELSE 'head' END AS bucket
+       |FROM b JOIN thr USING ($langCol)""".stripMargin
+
+  /** Per-domain cap: keep at most `k` documents per domain, best-first
+    * by `orderCol` (ties broken by id — fully deterministic). The
+    * standard web-corpus defense against a single domain flooding the
+    * mix. The rank filter compiles to WindowGroupLimit, so each task
+    * keeps a k-row heap per domain instead of sorting whole partitions;
+    * domain cardinality is the parallelism (millions of domains at
+    * 100 TB — no hot partition).
+    *
+    * Output: `idCol`, domain, orderCol, rk (1-based).
+    */
+  def domainCap(docs: DataFrame, idCol: String, domainCol: String,
+                orderCol: String, k: Int): DataFrame = {
+    require(k > 0, s"cap must be positive, got $k")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(orderCol).desc, col(idCol))
+    docs.select(col(idCol), col(domainCol), col(orderCol))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  def domainCapSql(table: String, idCol: String, domainCol: String,
+                   orderCol: String, k: Int): String =
+    s"""SELECT $idCol, $domainCol, $orderCol, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT $idCol, $domainCol, $orderCol,
+       |         row_number() OVER (PARTITION BY $domainCol
+       |                            ORDER BY $orderCol DESC, $idCol) AS rk
+       |  FROM $table) WHERE rk <= $k""".stripMargin
+
+  /** Quality-weighted deterministic sampling: keep each document with
+    * probability proportional to its min-max-normalized quality score —
+    * importance resampling toward high-quality data (the soft
+    * alternative to a hard head/tail cutoff). Membership is decided by
+    * exact integer cross-multiplication `slot·(mx−mn) < (score−mn)·Den`
+    * of a stable hash slot (no RNG, no division): the best document is
+    * always kept, the worst never, and the same rows are kept on any
+    * engine, any partitioning, any rerun. Degenerate all-equal-scores
+    * corpus keeps everything. The min/max aggregate is 1 row of model
+    * state met with a broadcast cross join.
+    *
+    * Output: `idCol`, n_tok, score_ppb.
+    */
+  def qualityWeightedSample(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = unigramQuality(docs, idCol, textCol)
+    val mm = scored.agg(max("score_ppb").as("_mx"), min("score_ppb").as("_mn"))
+    val slot = pmod(Hashing.stableHash60(col(idCol).cast("string")), lit(Sampling.Den))
+    scored.crossJoin(broadcast(mm))
+      .filter(col("_mx") === col("_mn") ||
+        slot * (col("_mx") - col("_mn")) < (col("score_ppb") - col("_mn")) * lit(Sampling.Den))
+      .select(col(idCol), col("n_tok"), col("score_ppb"))
+  }
+
+  def qualityWeightedSampleSql(table: String, idCol: String, textCol: String): String =
+    s"""WITH ${unigramQualityCtes(table, idCol, textCol)},
+       |mm AS (SELECT max(score_ppb) AS mx, min(score_ppb) AS mn FROM scored)
+       |SELECT $idCol, n_tok, score_ppb FROM scored, mm
+       |WHERE mx = mn OR
+       |      (${Hashing.stableHash60Sql(s"CAST($idCol AS VARCHAR)")} % ${Sampling.Den}) * (mx - mn)
+       |        < (score_ppb - mn) * ${Sampling.Den}""".stripMargin
+}

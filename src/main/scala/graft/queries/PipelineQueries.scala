@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Curation, Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1216,7 +1216,38 @@ object PipelineQueries {
        |       CAST(w_u AS DOUBLE) / tot * n_tot / n AS epochs
        |FROM w CROSS JOIN t""".stripMargin
 
+  // ------------------------------------------------------- CCNet curation
+  /** Unigram-LM quality score (log-free perplexity proxy) per document. */
+  val lmQuality: Q = (s, d) =>
+    Curation.unigramQuality(Tables.documents(s, d), "doc_id", "text")
+  val lmQualitySql: String =
+    s"""WITH ${Curation.unigramQualityCtes("documents", "doc_id", "text")}
+       |SELECT doc_id, n_tok, score_ppb FROM scored""".stripMargin
+
+  /** Per-language head/middle/tail thirds by LM fit (CCNet buckets). */
+  val ccnetBucket: Q = (s, d) =>
+    Curation.ccnetBuckets(Tables.documents(s, d), "doc_id", "text", "lang")
+  val ccnetBucketSql: String =
+    Curation.ccnetBucketsSql("documents", "doc_id", "text", "lang")
+
+  /** Cap each source at its 10 largest documents (anti-flooding). */
+  private val DomainCapK = 10
+  val domainCap: Q = (s, d) =>
+    Curation.domainCap(Tables.documents(s, d), "doc_id", "source", "n_chars", DomainCapK)
+  val domainCapSql: String =
+    Curation.domainCapSql("documents", "doc_id", "source", "n_chars", DomainCapK)
+
+  /** Importance resampling by min-max-normalized quality weight. */
+  val weightedSample: Q = (s, d) =>
+    Curation.qualityWeightedSample(Tables.documents(s, d), "doc_id", "text")
+  val weightedSampleSql: String =
+    Curation.qualityWeightedSampleSql("documents", "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
+    "q_lm_quality" -> lmQuality,
+    "q_ccnet_bucket" -> ccnetBucket,
+    "q_domain_cap" -> domainCap,
+    "q_weighted_sample" -> weightedSample,
     "q_sample_stratified" -> sampleStratified,
     "q_train_split" -> trainSplit,
     "q_mix_balance" -> mixBalance,
@@ -1270,6 +1301,10 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_quality" -> lmQualitySql,
+    "q_ccnet_bucket" -> ccnetBucketSql,
+    "q_domain_cap" -> domainCapSql,
+    "q_weighted_sample" -> weightedSampleSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_train_split" -> trainSplitSql,
     "q_mix_balance" -> mixBalanceSql,

@@ -139,6 +139,31 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming CCNet quality filter: score each arriving micro-batch
+    * of documents against a FROZEN reference-corpus frequency table
+    * ([[graft.operators.Curation.referenceRel]] — the "trained LM",
+    * a stable artifact at 100 TB) and append the documents clearing
+    * `minScorePpb` to `outPath`, carrying their scores.
+    *
+    * Because the reference table is frozen and scoring is per-document
+    * (no cross-batch state), the union of per-batch outputs EQUALS the
+    * one-shot batch scoring of the concatenated input: arrival slicing
+    * cannot change the result (StreamingSpec proves it). Per-batch cost
+    * is proportional to the batch — one word-key join against the
+    * reference, never a rescan of anything historical.
+    */
+  def startQualityFilter(newDocs: DataFrame, rel: DataFrame, minScorePpb: Long,
+                         outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Curation
+          .scoreWithReference(batch, "doc_id", "text", rel)
+          .filter(col("score_ppb") >= minScorePpb)
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CCNet-curation invariants: score arithmetic on a hand-checkable
+  * corpus, bucket monotonicity and per-language coverage, domain-cap
+  * bounds and determinism, weighted-sample endpoint guarantees.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 docs, 10 corpus tokens total: "a"×5, "b"×3, "c"×2 →
+  // rel_ppb(a)=500e6, rel_ppb(b)=300e6, rel_ppb(c)=200e6.
+  private def tiny = Seq(
+    (1L, "a a a", "en"),
+    (2L, "a b b", "en"),
+    (3L, "a b c", "en"),
+    (4L, "c", "de")).toDF("doc_id", "text", "lang")
+
+  test("unigramQuality computes the exact mean corpus frequency in ppb") {
+    val out = Curation.unigramQuality(tiny, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map { case (id, n, s) => id -> ((n, s)) }.toMap
+    // doc 1: (500+500+500)/3 = 500e6; doc 2: (500+300+300)/3 = 366666666
+    // doc 3: (500+300+200)/3 = 333333333; doc 4: 200e6
+    assert(out(1L) === ((3L, 500000000L)))
+    assert(out(2L) === ((3L, 366666666L)))
+    assert(out(3L) === ((3L, 333333333L)))
+    assert(out(4L) === ((1L, 200000000L)))
+  }
+
+  test("unigramQuality ignores empty tokens from repeated separators") {
+    val df = Seq((1L, "a  a"), (2L, "a")).toDF("doc_id", "text")
+    val out = Curation.unigramQuality(df, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(out(1L) === ((2L, 1000000000L))) // all 3 instances are "a"
+    assert(out(2L) === ((1L, 1000000000L)))
+  }
+
+  test("ccnetBuckets is monotone in score and covers every language") {
+    val docs = (1L to 300L).map { i =>
+      // score rises with i (more common filler per doc as i grows)
+      val common = Seq.fill((i % 100).toInt + 1)("the")
+      val rare = Seq(s"rare$i")
+      (i, (common ++ rare).mkString(" "), if (i % 3 == 0) "de" else "en")
+    }.toDF("doc_id", "text", "lang")
+    val out = Curation.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .select("lang", "score_ppb", "bucket").as[(String, Long, String)].collect()
+    val ranks = Map("tail" -> 0, "middle" -> 1, "head" -> 2)
+    for (lang <- Seq("en", "de")) {
+      val g = out.filter(_._1 == lang)
+      assert(Set("tail", "middle", "head").subsetOf(g.map(_._3).toSet), lang)
+      // bucket rank never decreases as score grows
+      val sorted = g.sortBy(_._2).map(t => ranks(t._3))
+      assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b }, lang)
+      // thirds are approximate (bin-quantized) but each bucket holds
+      // a substantial share
+      val counts = g.groupBy(_._3).view.mapValues(_.size).toMap
+      counts.values.foreach(n => assert(n > g.length / 6, s"$lang $counts"))
+    }
+  }
+
+  test("domainCap keeps at most k per domain, best-first, layout-stable") {
+    val docs = (1L to 500L).map(i => (i, s"src${i % 7}", (i * 13 % 97).toInt))
+      .toDF("doc_id", "source", "n_chars")
+    val out = Curation.domainCap(docs, "doc_id", "source", "n_chars", 5)
+    val rows = out.as[(Long, String, Int, Int)].collect()
+    assert(rows.groupBy(_._2).forall(_._2.length <= 5))
+    assert(rows.forall(_._4 <= 5))
+    // kept set = the top-5 by (n_chars desc, doc_id) computed directly
+    val expect = (1L to 500L).map(i => (i, s"src${i % 7}", (i * 13 % 97).toInt))
+      .groupBy(_._2).flatMap { case (_, g) =>
+        g.sortBy(t => (-t._3, t._1)).take(5)
+      }.map(_._1).toSet
+    assert(rows.map(_._1).toSet === expect)
+    val again = Curation.domainCap(docs.repartition(11), "doc_id", "source", "n_chars", 5)
+    assert(again.as[(Long, String, Int, Int)].collect().toSet === rows.toSet)
+    intercept[IllegalArgumentException] {
+      Curation.domainCap(docs, "doc_id", "source", "n_chars", 0)
+    }
+  }
+
+  test("qualityWeightedSample always keeps a best doc, never a worst, and is a quality-biased subset") {
+    val docs = (1L to 400L).map { i =>
+      val common = Seq.fill((i % 40).toInt + 1)("the")
+      (i, (common :+ s"rare$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val scored = Curation.unigramQuality(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map { case (id, _, s) => id -> s }.toMap
+    val mx = scored.values.max
+    val mn = scored.values.min
+    val kept = Curation.qualityWeightedSample(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(scored.filter(_._2 == mx).keySet.subsetOf(kept))
+    assert(scored.filter(_._2 == mn).keySet.intersect(kept).isEmpty)
+    // kept mean score strictly above dropped mean score
+    val (k, d) = scored.partition { case (id, _) => kept(id) }
+    assert(k.values.sum.toDouble / k.size > d.values.sum.toDouble / d.size)
+  }
+
+  test("qualityWeightedSample keeps everything when all scores are equal") {
+    val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "a a")).toDF("doc_id", "text")
+    assert(Curation.qualityWeightedSample(docs, "doc_id", "text").count() === 3L)
+  }
+}

@@ -447,4 +447,38 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.map(p => (p._1, p._2)) === Set((1L, 2L), (3L, 2L), (5L, 4L)))
     } finally q.stop()
   }
+
+  test("streaming quality filter with a frozen reference equals batch scoring on any slicing") {
+    implicit val ctx = spark.sqlContext
+    // reference corpus: "the" dominates, so the-heavy docs score high
+    val ref = Seq((100L, "the the the the a"), (101L, "the a b"))
+      .toDF("doc_id", "text")
+    val rel = graft.operators.Curation.referenceRel(ref, "text")
+    val arrivals = Seq(
+      (1L, "the the a"), // high score
+      (2L, "b b b"), // low score
+      (3L, "the oov oov"), // OOV-diluted
+      (4L, "the the the")) // top score
+    val mem = MemoryStream[(Long, String)]
+    val out = java.nio.file.Files.createTempDirectory("qfilter").toString
+    val min = 300000000L
+    val q = EventPipeline.startQualityFilter(
+      mem.toDF().toDF("doc_id", "text"), rel, min, out)
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "n_tok", "score_ppb")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Curation
+        .scoreWithReference(arrivals.toDF("doc_id", "text"), "doc_id", "text", rel)
+        .filter($"score_ppb" >= min)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // the the-heavy docs pass, pure-OOV/rare docs are filtered
+      assert(streamed.map(_._1) === Set(1L, 4L))
+    } finally q.stop()
+  }
 }
