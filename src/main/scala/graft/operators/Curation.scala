@@ -118,6 +118,87 @@ object Curation {
        |  FROM tf JOIN rel USING (w) GROUP BY ALL)""".stripMargin
   }
 
+  /** Stupid-backoff discount for unseen bigrams: backed-off unigram
+    * mass is divided by 10 (integer — Brants et al.'s λ=0.4 rounded to
+    * a hash-gateable power of ten).
+    */
+  val BackoffDiv = 10L
+
+  /** Bigram-LM quality score with stupid backoff, scored against a
+    * HELD-OUT reference corpus (the KenLM-filter shape one rung up
+    * from [[unigramQuality]]): each consecutive word pair scores its
+    * reference bigram frequency when the reference has seen the pair,
+    * else the unigram frequency of the continuation word discounted by
+    * [[BackoffDiv]], else 0 (OOV). Scoring against a SEPARATE
+    * reference is what makes backoff real — self-scored corpora
+    * contain every one of their own bigrams.
+    *
+    * Same integer-ppb discipline as the unigram path; the two
+    * reference tables are word-/pair-keyed equi-joins (per-doc
+    * DISTINCT pairs on the left, so stop-pair skew is bounded by
+    * document count). Documents shorter than 2 words have no bigrams
+    * and are absent from the output by construction.
+    *
+    * Output: `idCol`, n_bigrams, score_ppb.
+    */
+  def bigramScoreWithBackoff(docs: DataFrame, refDocs: DataFrame,
+                             idCol: String, textCol: String): DataFrame = {
+    def pairs(df: DataFrame, cols: Seq[Column]): DataFrame =
+      df.select(cols :+ filter(Hashing.words(col(textCol)), w => length(w) > 0).as("_w"): _*)
+        .filter(size(col("_w")) >= 2)
+        .select(cols :+ posexplode(expr("transform(sequence(1, size(_w) - 1), i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))")) :+ col("_w"): _*)
+        .select(cols :+ col("col").as("_bigram") :+
+          element_at(col("_w"), col("pos") + 2).as("_w2"): _*)
+    // reference tables: bigram rel + unigram rel, both in ppb of their
+    // own totals
+    val refPairs = pairs(refDocs, Nil)
+    val bigramCnt = refPairs.groupBy("_bigram").agg(count(lit(1)).as("_cnt"))
+    val bigramTot = bigramCnt.agg(sum("_cnt").as("_tot"))
+    val rel2 = bigramCnt.crossJoin(broadcast(bigramTot))
+      .select(col("_bigram"),
+        round(col("_cnt") * lit(Ppb.toDouble) / col("_tot")).cast("long").as("_rel2_ppb"))
+    val rel1 = referenceRel(refDocs, textCol)
+      .select(col("_word").as("_w2"), col("_rel_ppb").as("_rel1_ppb"))
+    // score side: per-doc (bigram, continuation) counts
+    val tf = pairs(docs, Seq(col(idCol)))
+      .groupBy(col(idCol), col("_bigram"), col("_w2")).agg(count(lit(1)).as("_tf"))
+    tf.join(rel2, Seq("_bigram"), "left")
+      .join(rel1, Seq("_w2"), "left")
+      .withColumn("_score", coalesce(col("_rel2_ppb"),
+        expr(s"_rel1_ppb div $BackoffDiv"), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(expr("_tf * _score")).as("_s"), sum("_tf").as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), expr("_s div n_bigrams").as("score_ppb"))
+  }
+
+  /** Oracle twin of [[bigramScoreWithBackoff]]: `docsWhere`/`refWhere`
+    * select the scored and reference halves of `table`.
+    */
+  def bigramScoreSql(table: String, idCol: String, textCol: String,
+                     docsWhere: String, refWhere: String): String = {
+    def pairCtes(pfx: String, where: String, keys: String) =
+      s"""${pfx}w AS (SELECT $keys list_filter(${Hashing.wordsSql(textCol)}, x -> length(x) > 0) AS w
+         |       FROM $table WHERE $where),
+         |${pfx}bg AS (SELECT $keys
+         |        unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1])) AS bigram,
+         |        unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i + 1])) AS w2
+         |      FROM ${pfx}w WHERE len(w) >= 2)""".stripMargin
+    s"""WITH ${pairCtes("r", refWhere, "")},
+       |c2 AS (SELECT bigram, count(*) AS cnt FROM rbg GROUP BY 1),
+       |t2 AS (SELECT sum(cnt) AS tot FROM c2),
+       |rel2 AS (SELECT bigram, CAST(round(cnt * ${Ppb.toDouble} / tot) AS BIGINT) AS rel2_ppb FROM c2, t2),
+       |rtk AS (SELECT unnest(w) AS word FROM rw),
+       |c1 AS (SELECT word, count(*) AS cnt FROM rtk GROUP BY 1),
+       |t1 AS (SELECT sum(cnt) AS tot FROM c1),
+       |rel1 AS (SELECT word AS w2, CAST(round(cnt * ${Ppb.toDouble} / tot) AS BIGINT) AS rel1_ppb FROM c1, t1),
+       |${pairCtes("d", docsWhere, s"$idCol,")},
+       |tf AS (SELECT $idCol, bigram, w2, count(*) AS tf FROM dbg GROUP BY 1, 2, 3)
+       |SELECT $idCol, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |       CAST(sum(tf * coalesce(rel2_ppb, rel1_ppb // $BackoffDiv, 0)) // sum(tf) AS BIGINT) AS score_ppb
+       |FROM tf LEFT JOIN rel2 USING (bigram) LEFT JOIN rel1 USING (w2)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** CCNet head/middle/tail bucketing: per language, split the corpus
     * into score thirds — head = best LM fit (lowest perplexity), the
     * slice CCNet feeds to training first. Thresholds come from a

@@ -114,6 +114,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Cross-source n-gram overlap matrix: pairwise Jaccard between the
+    * distinct shingle sets of whole SOURCES (domains) — which corners
+    * of a crawl mirror each other (syndication networks, scraped
+    * mirrors, shared boilerplate farms), the corpus-level view the
+    * per-document sweeps can't see. Aggregating to source level first
+    * collapses the join's left side to one row per distinct
+    * (source, shingle) — at 100 TB that's bounded by
+    * sources × per-source vocabulary, not by document count — and the
+    * shingle's cross-source df is bounded by the source count, so the
+    * self-join fans out at most sources² per shingle even uncapped.
+    * `maxSourceDf` additionally drops shingles present in more than
+    * that many sources (universal boilerplate) before the quadratic
+    * step.
+    *
+    * Output: src_a < src_b, inter, n_a, n_b, jaccard.
+    */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String, n: Int,
+                    maxSourceDf: Option[Int] = None): DataFrame = {
+    val sh = docShingleHashes(docs, srcCol, textCol, n).distinct()
+    val pruned = maxSourceDf.fold(sh)(pruneStopShingles(sh, _))
+    jaccardPairs(pruned)
+      .select(col("doc_a").as("src_a"), col("doc_b").as("src_b"),
+        col("inter"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: `cont(A→B) = |A∩B| / |A|`
     * over distinct-shingle sets — Broder's containment next to
     * resemblance (Jaccard). The signal symmetric dedup misses: a short

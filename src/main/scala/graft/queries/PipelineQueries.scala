@@ -1243,7 +1243,46 @@ object PipelineQueries {
   val weightedSampleSql: String =
     Curation.qualityWeightedSampleSql("documents", "doc_id", "text")
 
+  /** Bigram LM with stupid backoff: even doc_ids are the reference
+    * corpus ("train"), odd doc_ids are scored — the held-out split that
+    * makes backoff non-vacuous (self-scoring sees all its own bigrams).
+    */
+  val lmBigram: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Curation.bigramScoreWithBackoff(
+      doc.filter(col("doc_id") % 2 === 1), doc.filter(col("doc_id") % 2 === 0),
+      "doc_id", "text")
+  }
+  val lmBigramSql: String =
+    Curation.bigramScoreSql("documents", "doc_id", "text",
+      "doc_id % 2 = 1", "doc_id % 2 = 0")
+
+  /** Cross-source 3-gram overlap matrix (which domains mirror each
+    * other). 3-grams: at 5 the fixture's source pairs barely collide;
+    * at 3 all pairs have signal (same discrimination argument as
+    * DecontamN).
+    */
+  private val OverlapN = 3
+  val sourceOverlap: Q = (s, d) =>
+    Dedup.sourceOverlap(Tables.documents(s, d), "source", "text", OverlapN)
+  val sourceOverlapSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", OverlapN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest($hashedList) AS sh_h FROM w),
+       |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT src_a, src_b, inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |       inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |FROM i JOIN sizes sa ON src_a = sa.source
+       |       JOIN sizes sb ON src_b = sb.source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_lm_bigram" -> lmBigram,
+    "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
     "q_ccnet_bucket" -> ccnetBucket,
     "q_domain_cap" -> domainCap,
@@ -1301,6 +1340,8 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_lm_bigram" -> lmBigramSql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,
     "q_ccnet_bucket" -> ccnetBucketSql,
     "q_domain_cap" -> domainCapSql,

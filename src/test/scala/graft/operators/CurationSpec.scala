@@ -102,4 +102,32 @@ class CurationSpec extends SparkSpec {
     val docs = Seq((1L, "a a"), (2L, "a a"), (3L, "a a")).toDF("doc_id", "text")
     assert(Curation.qualityWeightedSample(docs, "doc_id", "text").count() === 3L)
   }
+
+  test("bigramScoreWithBackoff: exact arithmetic for seen, backed-off, and OOV pairs") {
+    // reference bigrams: "a b"×2, "b c"×1 → tot=3; rel2(a b)=666666667,
+    // rel2(b c)=333333333. reference unigrams: a×2 b×2 c×1 → tot=5.
+    val ref = Seq((10L, "a b c"), (11L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // both bigrams seen: (666666667+333333333)/2
+      (2L, "c a"), // "c a" unseen, a known: rel1(a)=400000000 div 10
+      (3L, "x y"), // fully OOV: 0
+      (4L, "a")) // no bigrams: absent from output
+      .toDF("doc_id", "text")
+    val out = Curation.bigramScoreWithBackoff(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(out(1L) === ((2L, 500000000L)))
+    assert(out(2L) === ((1L, 40000000L)))
+    assert(out(3L) === ((1L, 0L)))
+    assert(!out.contains(4L))
+  }
+
+  test("bigramScoreWithBackoff counts repeated bigrams with multiplicity") {
+    val ref = Seq((10L, "a b")).toDF("doc_id", "text")
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    // pairs: (a b), (b a), (a b) → n=3; rel2(a b)=1e9 seen twice,
+    // (b a) backs off to rel1(a)=5e8 div 10 → (2e9 + 5e7) div 3
+    val out = Curation.bigramScoreWithBackoff(docs, ref, "doc_id", "text")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L, 683333333L)))
+  }
 }

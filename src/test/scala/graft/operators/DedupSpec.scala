@@ -234,4 +234,36 @@ class DedupSpec extends SparkSpec {
     assert(p.getAs[Double]("cont_a_in_b") === 1.0)
     assert(p.getAs[Double]("cont_b_in_a") === 1.0)
   }
+
+  test("sourceOverlap measures source-set Jaccard, not per-document duplication") {
+    import spark.implicits._
+    val phrase = (1 to 6).map(i => s"p$i").mkString(" ") // 2 distinct 5-grams
+    val other = (1 to 6).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      // srcA carries the phrase in MANY docs — source-level distinct
+      // collapses them to one set
+      ("srcA", phrase), ("srcA", phrase), ("srcA", phrase),
+      ("srcB", phrase), // mirrors srcA exactly
+      ("srcC", other)) // disjoint
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", 5)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    // only (srcA, srcB) overlap; identical sets → jaccard 1.0 even
+    // though srcA has 3× the documents
+    assert(out.toSeq === Seq(("srcA", "srcB", 2L, 2L, 2L, 1.0)))
+  }
+
+  test("sourceOverlap maxSourceDf drops shingles present in too many sources") {
+    import spark.implicits._
+    val boiler = (1 to 5).map(i => s"b$i").mkString(" ") // 1 shared 5-gram
+    val docs = Seq(
+      ("s1", boiler + " u1 u2 u3 u4"), ("s2", boiler + " v1 v2 v3 v4"),
+      ("s3", boiler + " w1 w2 w3 w4"))
+      .toDF("source", "text")
+    // the boilerplate gram sits in all 3 sources; cap 2 removes it and
+    // the unique tails share nothing → no pairs survive
+    assert(Dedup.sourceOverlap(docs, "source", "text", 5, Some(2)).count() === 0L)
+    // uncapped, every pair intersects on exactly the boilerplate gram
+    assert(Dedup.sourceOverlap(docs, "source", "text", 5).count() === 3L)
+  }
 }
