@@ -78,6 +78,84 @@ object Packing {
        |FROM (SELECT doc_id, n_tokens, unnest(range(n_chunks)) AS chunk_idx FROM n)""".stripMargin
   }
 
+  /** Content-defined chunking (CDC): cut a document into variable-size
+    * passages at words whose stable hash ≡ 0 mod `divisor` — the
+    * rolling-hash boundary rule (Rabin/FastCDC family, word
+    * granularity). Because boundaries depend only on CONTENT, the same
+    * passage embedded in two different documents chunks identically
+    * (interior boundaries align), which is what makes the fingerprints
+    * joinable across documents — a fixed-width chunker would misalign
+    * on the first inserted word. Expected chunk length = `divisor`
+    * words; a pathological no-boundary document degrades to one
+    * doc-sized chunk (bounded by doc length, same bound as any
+    * per-doc op here).
+    *
+    * Shape at scale: posexplode → one running-sum window PARTITIONED
+    * BY DOC (document cardinality is the parallelism) → per-chunk
+    * hash agg. Chunk text is reassembled order-exact via
+    * sort_array(collect_list(struct(pos, word))) — never a bare
+    * collect_list, whose order is partition-dependent.
+    *
+    * Output: doc_id, chunk_id, n_words, fp (60-bit fingerprint).
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                divisor: Int): DataFrame = {
+    require(divisor > 1, s"divisor must be > 1, got $divisor")
+    val p = docs
+      .select(col(idCol).as("doc_id"),
+        filter(Hashing.words(col(textCol)), w => length(w) > 0).as("_w"))
+      .select(col("doc_id"), posexplode(col("_w")).as(Seq("pos", "word")))
+    val ch = p
+      .withColumn("_brk",
+        when(pmod(Hashing.stableHash60(col("word")), lit(divisor.toLong)) === 0, 1L).otherwise(0L))
+      .withColumn("chunk_id",
+        sum("_brk").over(Window.partitionBy("doc_id").orderBy("pos")))
+    ch.groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+          s => s.getField("word")), " ").as("_chunk_text"))
+      .select(col("doc_id"), col("chunk_id"), col("n_words"),
+        Hashing.stableHash60(col("_chunk_text")).as("fp"))
+  }
+
+  /** Cross-document passage dedup over [[cdcChunks]] fingerprints: the
+    * passages occurring more than once in the corpus, with occurrence
+    * and document counts and the canonical (lowest-id) owner. One
+    * fingerprint-keyed hash aggregate after the chunker — the
+    * passage-granularity companion to document-level
+    * [[Dedup.exactGroups]] and span-level [[Dedup.repeatedSpans]].
+    */
+  def duplicatePassages(docs: DataFrame, idCol: String, textCol: String,
+                        divisor: Int): DataFrame =
+    cdcChunks(docs, idCol, textCol, divisor)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"),
+        min(col("n_words")).as("n_words"))
+      .filter(col("n_occ") >= 2)
+
+  def duplicatePassagesSql(table: String, idCol: String, textCol: String,
+                           divisor: Int): String =
+    s"""WITH w AS (SELECT $idCol, list_filter(${Hashing.wordsSql(textCol)}, x -> length(x) > 0) AS w
+       |           FROM $table),
+       |p AS (SELECT $idCol, unnest(w) AS word,
+       |             unnest(generate_series(0, len(w) - 1)) AS pos FROM w),
+       |b AS (SELECT $idCol, pos, word,
+       |             CASE WHEN (${Hashing.stableHash60Sql("word")} % $divisor) = 0
+       |                  THEN 1 ELSE 0 END AS brk FROM p),
+       |ch AS (SELECT $idCol, pos, word,
+       |              sum(brk) OVER (PARTITION BY $idCol ORDER BY pos) AS chunk_id FROM b),
+       |t AS (SELECT $idCol, chunk_id, count(*) AS n_words,
+       |             string_agg(word, ' ' ORDER BY pos) AS chunk_text
+       |      FROM ch GROUP BY 1, 2),
+       |f AS (SELECT $idCol, ${Hashing.stableHash60Sql("chunk_text")} AS fp, n_words FROM t)
+       |SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+       |       CAST(count(DISTINCT $idCol) AS BIGINT) AS n_docs,
+       |       min($idCol) AS canonical_doc,
+       |       CAST(min(n_words) AS BIGINT) AS n_words
+       |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+
   def packSequencesSql(shards: Int, budgetTokens: Int): String =
     s"""WITH t AS (SELECT doc_id,
        |                  ${Hashing.stableHash60Sql("CAST(doc_id AS VARCHAR)")} % ${shards}::BIGINT AS shard,

@@ -1280,7 +1280,18 @@ object PipelineQueries {
        |       JOIN sizes sb ON src_b = sb.source""".stripMargin
   }
 
+  /** Content-defined passage dedup. Divisor 4 ≈ 4-word expected chunks
+    * — at the fixture's ~60-word docs that yields hundreds of shared
+    * passages; production corpora use larger divisors (64-128 words).
+    */
+  private val CdcDivisor = 4
+  val cdcDedup: Q = (s, d) =>
+    graft.operators.Packing.duplicatePassages(Tables.documents(s, d), "doc_id", "text", CdcDivisor)
+  val cdcDedupSql: String =
+    graft.operators.Packing.duplicatePassagesSql("documents", "doc_id", "text", CdcDivisor)
+
   val queries: Map[String, Q] = Map(
+    "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
     "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
@@ -1340,6 +1351,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,

@@ -67,4 +67,55 @@ class PackingSpec extends SparkSpec {
         col("n_chunks") < 1)
     assert(inconsistent.filter(col("n_tokens") > 0).isEmpty)
   }
+
+  test("cdcChunks: a shared passage fingerprints identically inside different docs") {
+    import spark.implicits._
+    // find a boundary word (hash % 4 == 0) so the passage has interior
+    // structure around it
+    val words = (1 to 200).map(i => s"t$i")
+    val hashes = Seq(words: _*).toDF("w")
+      .select(col("w"), pmod(graft.functions.Hashing.stableHash60(col("w")), lit(4L)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val boundary = words.find(hashes(_) == 0L).get
+    val interior = words.filter(hashes(_) != 0L).take(6)
+    val passage = (interior.take(3) :+ boundary) ++ interior.drop(3)
+    // the same passage embedded after different prefixes
+    val docA = (Seq(interior(0)) ++ passage).mkString(" ")
+    val docB = (Seq(boundary, interior(1), interior(2)) ++ passage).mkString(" ")
+    val chunks = Packing.cdcChunks(
+      Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val fpsA = chunks.filter(_._1 == 1L).map(_._4).toSet
+    val fpsB = chunks.filter(_._1 == 2L).map(_._4).toSet
+    // the interior-aligned chunk (from the boundary word onward) is
+    // shared even though prefixes differ
+    assert(fpsA.intersect(fpsB).nonEmpty)
+    // chunk word counts cover each doc exactly
+    assert(chunks.filter(_._1 == 1L).map(_._3).sum === docA.split(" ").length.toLong)
+    assert(chunks.filter(_._1 == 2L).map(_._3).sum === docB.split(" ").length.toLong)
+  }
+
+  test("duplicatePassages reports occurrences, distinct docs, and canonical owner") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"t$i")
+    val hashes = Seq(words: _*).toDF("w")
+      .select(col("w"), pmod(graft.functions.Hashing.stableHash60(col("w")), lit(4L)).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = words.find(hashes(_) == 0L).get
+    val ints = words.filter(hashes(_) != 0L)
+    // a chunk runs from its boundary word to just before the NEXT
+    // boundary (or doc end), so back-to-back repeats chunk identically
+    val passage = Seq(b, ints(0), ints(1)).mkString(" ")
+    val docs = Seq(
+      (3L, s"$passage $passage"),
+      (7L, s"${ints(3)} $passage"),
+      (9L, s"${ints(4)} ${ints(5)}")).toDF("doc_id", "text")
+    val out = Packing.duplicatePassages(docs, "doc_id", "text", 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val dup = out.filter(r => r._2 >= 3) // the tripled passage
+    assert(dup.length === 1)
+    assert(dup.head._2 === 3L) // n_occ
+    assert(dup.head._3 === 2L) // n_docs
+    assert(dup.head._4 === 3L) // canonical = min doc id
+  }
 }
