@@ -139,6 +139,42 @@ object Dedup {
         col("inter"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** MinHash estimate of [[sourceOverlap]], with the exact Jaccard and
+    * the estimation error side by side — the index-tuning eval for
+    * sketch-based overlap (the q_ann_recall of dedup): at 100 TB you
+    * ship the K-long signature per source (constant bytes, mergeable
+    * via element-wise min) instead of the full shingle sets, and this
+    * query is how you validate that trade on a sample. Signature
+    * agreement is an unbiased Jaccard estimator (P[min-hash collision]
+    * = J); est and err are exact-int and correctly-rounded-double
+    * arithmetic, so they hash-gate.
+    *
+    * Pairs come from the exact overlap join (shingle-keyed), so the
+    * plan adds only two source-keyed equi-joins against the k-row
+    * signature table — no source×source nested loop.
+    *
+    * Output: src_a, src_b, jaccard (exact), sig_matches (0..K),
+    * est, err.
+    */
+  def sourceOverlapEstimate(docs: DataFrame, srcCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val sh = docShingleHashes(docs, srcCol, textCol, n).distinct()
+    val mins = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("sh_h") * a + b, lit(P))).as(s"m$i")
+    }
+    val sigs = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val matches = (0 until MinhashK).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L)).reduce(_ + _)
+    jaccardPairs(sh)
+      .select(col("doc_a").as("src_a"), col("doc_b").as("src_b"), col("jaccard"))
+      .join(sigs.as("a"), col("src_a") === col("a.doc_id"))
+      .join(sigs.as("b"), col("src_b") === col("b.doc_id"))
+      .select(col("src_a"), col("src_b"), col("jaccard"),
+        matches.as("sig_matches"))
+      .withColumn("est", col("sig_matches") / MinhashK)
+      .withColumn("err", abs(col("est") - col("jaccard")))
+  }
+
   /** Asymmetric n-gram CONTAINMENT pairs: `cont(A→B) = |A∩B| / |A|`
     * over distinct-shingle sets — Broder's containment next to
     * resemblance (Jaccard). The signal symmetric dedup misses: a short

@@ -1290,7 +1290,38 @@ object PipelineQueries {
   val cdcDedupSql: String =
     graft.operators.Packing.duplicatePassagesSql("documents", "doc_id", "text", CdcDivisor)
 
+  /** MinHash estimate vs exact source overlap — the sketch-accuracy
+    * eval (ship K-long signatures at 100 TB, validate the trade here).
+    */
+  val sourceOverlapEst: Q = (s, d) =>
+    Dedup.sourceOverlapEstimate(Tables.documents(s, d), "source", "text", OverlapN)
+  val sourceOverlapEstSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", OverlapN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest($hashedList) AS sh_h FROM w),
+       |hs AS (SELECT source, list(sh_h) AS hs FROM sh GROUP BY 1),
+       |sig AS (SELECT source, ${minhashSignatureSql("hs")} AS sig FROM hs),
+       |sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY 1),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.source < b.source
+       |      GROUP BY 1, 2),
+       |ex AS (SELECT src_a, src_b,
+       |              inter / (sa.n_sh + sb.n_sh - inter) AS jaccard
+       |       FROM i JOIN sizes sa ON src_a = sa.source
+       |              JOIN sizes sb ON src_b = sb.source),
+       |m AS (SELECT src_a, src_b, jaccard,
+       |             CAST(list_sum(list_transform(generate_series(1, ${Hashing.MinhashK}),
+       |               k -> CASE WHEN x.sig[k] = y.sig[k] THEN 1 ELSE 0 END)) AS BIGINT) AS sig_matches
+       |      FROM ex JOIN sig x ON src_a = x.source JOIN sig y ON src_b = y.source)
+       |SELECT src_a, src_b, jaccard, sig_matches,
+       |       sig_matches / ${Hashing.MinhashK} AS est,
+       |       abs(sig_matches / ${Hashing.MinhashK} - jaccard) AS err
+       |FROM m""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_source_overlap_est" -> sourceOverlapEst,
     "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
     "q_source_overlap" -> sourceOverlap,
@@ -1351,6 +1382,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_overlap_est" -> sourceOverlapEstSql,
     "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,
     "q_source_overlap" -> sourceOverlapSql,

@@ -19,6 +19,9 @@ case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
 case class SessState(start_us: Long, end_us: Long, n: Long)
 case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_events: Long)
 
+/** Typed arrival row for the streaming domain cap. */
+case class DocArrival(doc_id: Long, source: String)
+
 /** Typed rows for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 case class FunnelState(times_us: Seq[Long])
@@ -191,6 +194,30 @@ object EventPipeline {
     * registry. State is per event-id; at scale give it a timeout
     * matched to the source's redelivery horizon.
     */
+  /** Streaming per-domain admission cap: admit at most `k` documents
+    * per domain over the stream's LIFETIME — the ingestion-time twin of
+    * [[graft.operators.Curation.domainCap]] (batch keeps the best k in
+    * hindsight; a live crawl must decide at arrival, so the streaming
+    * rule is first-k). State is ONE counter per domain — bounded by
+    * domain cardinality, not by stream length — and admission within a
+    * micro-batch is by ascending doc id, so a given batch slicing
+    * admits a deterministic set (StreamingSpec pins it).
+    */
+  def streamingDomainCap(docs: Dataset[DocArrival], k: Int): Dataset[DocArrival] = {
+    require(k > 0, s"cap must be positive, got $k")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState[Long, DocArrival](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val room = math.max(0L, k - admitted).toInt
+          val take = arrivals.toSeq.sortBy(_.doc_id).take(room)
+          state.update(admitted + take.size)
+          take.iterator
+      }
+  }
+
   def statefulDedup(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_id)

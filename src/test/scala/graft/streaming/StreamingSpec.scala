@@ -481,4 +481,27 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.map(_._1) === Set(1L, 4L))
     } finally q.stop()
   }
+
+  test("streaming domain cap admits first-k per domain across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[DocArrival]
+    val admitted = EventPipeline.streamingDomainCap(mem.toDS(), k = 2)
+    val q = admitted.writeStream.outputMode("append").format("memory")
+      .queryName("dom_cap").start()
+    try {
+      // batch 1: srcA over-full (3 arrivals → lowest two ids admitted),
+      // srcB partial
+      mem.addData(DocArrival(5L, "srcA"), DocArrival(3L, "srcA"),
+        DocArrival(9L, "srcA"), DocArrival(7L, "srcB"))
+      q.processAllAvailable()
+      // batch 2: srcA already full (rejected), srcB tops up then rejects
+      mem.addData(DocArrival(1L, "srcA"), DocArrival(2L, "srcB"),
+        DocArrival(8L, "srcB"))
+      q.processAllAvailable()
+      val out = spark.table("dom_cap").as[DocArrival].collect()
+        .map(a => (a.doc_id, a.source)).toSet
+      // first-k by ARRIVAL: batch-1 srcA admits 3,5 (not the later 1)
+      assert(out === Set((3L, "srcA"), (5L, "srcA"), (7L, "srcB"), (2L, "srcB")))
+    } finally q.stop()
+  }
 }
