@@ -233,9 +233,12 @@ object Curation {
           .otherwise("head").as("bucket"))
   }
 
-  def ccnetBucketsSql(table: String, idCol: String, textCol: String,
+  /** Oracle CTE chain ending in `bucketed(idCol, langCol, score_ppb,
+    * bucket)` — composable (the funnel embeds it over a survivor CTE).
+    */
+  def ccnetBucketCtes(table: String, idCol: String, textCol: String,
                       langCol: String): String =
-    s"""WITH ${unigramQualityCtes(table, idCol, textCol, Seq(langCol))},
+    s"""${unigramQualityCtes(table, idCol, textCol, Seq(langCol))},
        |b AS (SELECT $idCol, $langCol, score_ppb, score_ppb // $BinWidth AS bin FROM scored),
        |bc AS (SELECT $langCol, bin, count(*) AS bn FROM b GROUP BY 1, 2),
        |cum AS (SELECT $langCol, bin,
@@ -243,11 +246,80 @@ object Curation {
        |               sum(bn) OVER (PARTITION BY $langCol) AS n FROM bc),
        |thr AS (SELECT $langCol, min(CASE WHEN cum * 3 >= n THEN bin END) AS t1,
        |               min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS t2
-       |        FROM cum GROUP BY 1)
-       |SELECT $idCol, $langCol, score_ppb,
-       |       CASE WHEN bin <= t1 THEN 'tail' WHEN bin <= t2 THEN 'middle'
-       |            ELSE 'head' END AS bucket
-       |FROM b JOIN thr USING ($langCol)""".stripMargin
+       |        FROM cum GROUP BY 1),
+       |bucketed AS (
+       |  SELECT $idCol, $langCol, score_ppb,
+       |         CASE WHEN bin <= t1 THEN 'tail' WHEN bin <= t2 THEN 'middle'
+       |              ELSE 'head' END AS bucket
+       |  FROM b JOIN thr USING ($langCol))""".stripMargin
+
+  def ccnetBucketsSql(table: String, idCol: String, textCol: String,
+                      langCol: String): String =
+    s"""WITH ${ccnetBucketCtes(table, idCol, textCol, langCol)}
+       |SELECT $idCol, $langCol, score_ppb, bucket FROM bucketed""".stripMargin
+
+  /** The end-to-end curation funnel report: how many documents and
+    * tokens survive each stage of the standard pipeline —
+    * raw → exact dedup (keep lowest id per exact text) →
+    * quality (drop the per-language tail third, [[ccnetBuckets]]) →
+    * domain cap (top `capK` per domain by `orderCol`). The first
+    * number a curation run reports: where the corpus actually went.
+    * Stages are applied SEQUENTIALLY (each stage's corpus statistics —
+    * bucket thresholds, domain ranks — are computed over the previous
+    * stage's survivors, exactly as a staged pipeline would see them),
+    * and each stage is one of this module's designed operators, so the
+    * funnel inherits their scale shapes. The four stage aggregates are
+    * single map-side-combined rows unioned at the end.
+    *
+    * Output: stage_idx, stage, n_docs, n_tokens.
+    */
+  def curationFunnel(docs: DataFrame, idCol: String, textCol: String,
+                     langCol: String, domainCol: String, orderCol: String,
+                     capK: Int): DataFrame = {
+    val base = docs.select(col(idCol), col(langCol), col(domainCol),
+      col(orderCol), col(textCol),
+      size(filter(Hashing.words(col(textCol)), w => length(w) > 0)).as("_n_tok"))
+    val s1 = base
+      .withColumn("_keeper", min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))))
+      .filter(col(idCol) === col("_keeper")).drop("_keeper")
+    val s2 = s1.join(
+      ccnetBuckets(s1, idCol, textCol, langCol)
+        .filter(col("bucket") =!= "tail").select(col(idCol)),
+      idCol)
+    val s3 = s2
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col(domainCol)).orderBy(col(orderCol).desc, col(idCol))))
+      .filter(col("_rk") <= capK)
+    def stageRow(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"), sum("_n_tok").cast("long").as("n_tokens"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(base, 0, "raw")
+      .unionAll(stageRow(s1, 1, "exact_dedup"))
+      .unionAll(stageRow(s2, 2, "quality"))
+      .unionAll(stageRow(s3, 3, "domain_cap"))
+  }
+
+  def curationFunnelSql(table: String, idCol: String, textCol: String,
+                        langCol: String, domainCol: String, orderCol: String,
+                        capK: Int): String =
+    s"""WITH base AS (SELECT $idCol, $langCol, $domainCol, $orderCol, $textCol,
+       |                     len(list_filter(${Hashing.wordsSql(textCol)}, x -> length(x) > 0)) AS n_tok
+       |              FROM $table),
+       |s1 AS (SELECT * FROM (
+       |         SELECT *, min($idCol) OVER (PARTITION BY md5($textCol)) AS keeper FROM base)
+       |       WHERE $idCol = keeper),
+       |${ccnetBucketCtes("s1", idCol, textCol, langCol)},
+       |s2 AS (SELECT s1.* FROM s1 JOIN bucketed USING ($idCol) WHERE bucket <> 'tail'),
+       |s3 AS (SELECT * FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY $domainCol
+       |                     ORDER BY $orderCol DESC, $idCol) AS rk FROM s2)
+       |       WHERE rk <= $capK)
+       |SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+       |UNION ALL SELECT 1, 'exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT) FROM s1
+       |UNION ALL SELECT 2, 'quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
+       |UNION ALL SELECT 3, 'domain_cap', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3""".stripMargin
 
   /** Per-domain cap: keep at most `k` documents per domain, best-first
     * by `orderCol` (ties broken by id — fully deterministic). The

@@ -1320,7 +1320,18 @@ object PipelineQueries {
        |FROM m""".stripMargin
   }
 
+  /** The staged curation funnel report (raw → exact dedup → quality →
+    * domain cap), docs and tokens per stage.
+    */
+  val curationFunnel: Q = (s, d) =>
+    Curation.curationFunnel(Tables.documents(s, d), "doc_id", "text",
+      "lang", "source", "n_chars", DomainCapK)
+  val curationFunnelSql: String =
+    Curation.curationFunnelSql("documents", "doc_id", "text",
+      "lang", "source", "n_chars", DomainCapK)
+
   val queries: Map[String, Q] = Map(
+    "q_curation_funnel" -> curationFunnel,
     "q_source_overlap_est" -> sourceOverlapEst,
     "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
@@ -1382,6 +1393,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_curation_funnel" -> curationFunnelSql,
     "q_source_overlap_est" -> sourceOverlapEstSql,
     "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,

@@ -103,6 +103,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.qualityWeightedSample(docs, "doc_id", "text").count() === 3L)
   }
 
+  test("curationFunnel stages are sequential, monotone, and respect each rule") {
+    val docs = (1L to 120L).map { i =>
+      val common = Seq.fill((i % 30).toInt + 1)("the")
+      val text = if (i <= 10) "dup dup dup" // 10 exact duplicates
+                 else (common :+ s"r$i").mkString(" ")
+      (i, text, if (i % 2 == 0) "en" else "de", s"src${i % 3}", text.length)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.curationFunnel(docs, "doc_id", "text", "lang", "source", "n_chars", 5)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq ===
+      Seq((0, "raw"), (1, "exact_dedup"), (2, "quality"), (3, "domain_cap")))
+    // monotone shrinking docs and tokens
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    // exact dedup collapses the 10 copies to 1: raw 120 -> 111
+    assert(out(0)._3 === 120L && out(1)._3 === 111L)
+    // domain cap: at most 5 per 3 sources survive
+    assert(out(3)._3 <= 15L)
+  }
+
   test("bigramScoreWithBackoff: exact arithmetic for seen, backed-off, and OOV pairs") {
     // reference bigrams: "a b"×2, "b c"×1 → tot=3; rel2(a b)=666666667,
     // rel2(b c)=333333333. reference unigrams: a×2 b×2 c×1 → tot=5.
