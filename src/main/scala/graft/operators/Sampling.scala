@@ -111,6 +111,61 @@ object Sampling {
       .select("source", "n", "weight", "epochs")
   }
 
+  /** Exact-k uniform sample per stratum ("1000 eval docs per
+    * language"): rank rows by their stable key hash — a deterministic
+    * uniform permutation — and keep the first `k` of each stratum.
+    * [[bernoulli]] gives a BINOMIAL per-stratum count; evaluation sets
+    * need exactly k, which forces a rank. The rank filter compiles to
+    * WindowGroupLimit (per-task k-row heaps, no full sort), stratum
+    * cardinality is the parallelism, and the hash order makes the
+    * sample layout-independent and reproducible on any engine. Ties on
+    * the 60-bit hash break by key.
+    */
+  def reservoirPerStratum(df: DataFrame, keyCol: Column, stratumCol: Column,
+                          k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val slot = Hashing.stableHash60(keyCol.cast("string"))
+    df.withColumn("rk", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(slot, keyCol)))
+      .filter(col("rk") <= k)
+  }
+
+  /** Token-budget mixture plan: the actionable step after
+    * [[temperatureWeights]] — given a token budget, how many tokens to
+    * draw from each source, what hash-filter keep-fraction that
+    * implies, and how many epochs of the source one budget-sized draw
+    * costs. Weights are τ=2 temperature over TOKEN counts (not doc
+    * counts — sources with long documents weigh accordingly).
+    * `keep_frac_bp` saturates at 10000 basis points: a source whose
+    * allocation exceeds its size is kept whole and repeats
+    * (`epochs` > 1 is the repeat dial). Two map-side-combined
+    * aggregates + a 1-row broadcast total; every output is integer
+    * arithmetic or a single chain of correctly-rounded IEEE double
+    * ops, so it hash-gates cross-engine.
+    *
+    * Output: source, n_docs, n_tokens, weight, alloc_tokens,
+    * keep_frac_bp, epochs.
+    */
+  def mixTokenPlan(docs: DataFrame, sourceCol: Column, textCol: Column,
+                   budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    val counts = docs.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Hashing.words(textCol))).as("n_tokens"))
+      .withColumn("_w_u", round(sqrt(col("n_tokens")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("_w_u")).as("_tw"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("weight", col("_w_u").cast("double") / col("_tw"))
+      .withColumn("alloc_tokens",
+        round(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      .withColumn("keep_frac_bp",
+        least(lit(10000L), expr("alloc_tokens * 10000 div n_tokens")))
+      .withColumn("epochs", col("alloc_tokens").cast("double") / col("n_tokens"))
+      .select("source", "n_docs", "n_tokens", "weight", "alloc_tokens",
+        "keep_frac_bp", "epochs")
+  }
+
   /** Disjoint train/eval/test split by hash range: fractions of Den,
     * in order, must sum to <= Den. Every row lands in exactly one split
     * (the remainder slot gets the last label) — auditable and stable

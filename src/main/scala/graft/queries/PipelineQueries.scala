@@ -1330,7 +1330,41 @@ object PipelineQueries {
     Curation.curationFunnelSql("documents", "doc_id", "text",
       "lang", "source", "n_chars", DomainCapK)
 
+  /** Exact-15 uniform eval sample per language. */
+  private val ReservoirK = 15
+  val reservoir: Q = (s, d) =>
+    Sampling.reservoirPerStratum(Tables.documents(s, d), col("doc_id"), col("lang"), ReservoirK)
+      .select("doc_id", "lang", "rk")
+  val reservoirSql: String =
+    s"""SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+       |           ORDER BY ${stableHash60Sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rk
+       |  FROM documents) WHERE rk <= $ReservoirK""".stripMargin
+
+  /** Token-budget mixture plan at a 100k-token budget (≈3× the sf0.01
+    * corpus, so the epochs>1 repeat dial is visible).
+    */
+  private val MixBudget = 100000L
+  val mixPlan: Q = (s, d) =>
+    Sampling.mixTokenPlan(Tables.documents(s, d), col("source"), col("text"), MixBudget)
+  val mixPlanSql: String =
+    s"""WITH t AS (SELECT source, count(*) AS n_docs,
+       |                  CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_tokens
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000.0) AS BIGINT) AS w_u FROM t),
+       |tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM w),
+       |p AS (SELECT source, n_docs, n_tokens,
+       |             CAST(w_u AS DOUBLE) / tw AS weight,
+       |             CAST(round($MixBudget * (CAST(w_u AS DOUBLE) / tw)) AS BIGINT) AS alloc_tokens
+       |      FROM w, tot)
+       |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
+       |       least(10000, alloc_tokens * 10000 // n_tokens) AS keep_frac_bp,
+       |       CAST(alloc_tokens AS DOUBLE) / n_tokens AS epochs
+       |FROM p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_reservoir" -> reservoir,
+    "q_mix_plan" -> mixPlan,
     "q_curation_funnel" -> curationFunnel,
     "q_source_overlap_est" -> sourceOverlapEst,
     "q_cdc_dedup" -> cdcDedup,
@@ -1393,6 +1427,8 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_reservoir" -> reservoirSql,
+    "q_mix_plan" -> mixPlanSql,
     "q_curation_funnel" -> curationFunnelSql,
     "q_source_overlap_est" -> sourceOverlapEstSql,
     "q_cdc_dedup" -> cdcDedupSql,

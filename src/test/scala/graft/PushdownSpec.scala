@@ -110,9 +110,10 @@ class PushdownSpec extends SparkSpec {
     //   - q_ann_recall: embeds the brute-force scan as its ground-truth
     //     side (recall is BY DEFINITION measured against exact search);
     //     the approx side under eval is the equi-join LSH plan.
-    //   - q_mix_temperature: the per-source weight rows (k = distinct
-    //     sources) meet the single normalizing-totals row — a k×1 join
-    //     of two aggregate outputs, both sides bounded by construction.
+    //   - q_mix_temperature / q_mix_plan: the per-source weight rows
+    //     (k = distinct sources) meet the single normalizing-totals
+    //     row — a k×1 join of two aggregate outputs, both sides
+    //     bounded by construction.
     //   - q_lm_quality / q_lm_bigram / q_ccnet_bucket /
     //     q_weighted_sample / q_curation_funnel (embeds the bucket
     //     stage): the same k×1 shape — vocab (or bigram) rows meet the
@@ -124,7 +125,7 @@ class PushdownSpec extends SparkSpec {
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_bigram", "q_ccnet_bucket", "q_weighted_sample",
-      "q_curation_funnel")
+      "q_curation_funnel", "q_mix_plan")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

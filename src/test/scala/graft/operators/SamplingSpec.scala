@@ -108,4 +108,37 @@ class SamplingSpec extends SparkSpec {
     assert(split.count() === 300L)
     assert(split.select("split").distinct().count() >= 2L)
   }
+
+  test("reservoirPerStratum draws exactly k per stratum, layout-independent") {
+    val docs2 = (1L to 500L).map(i => (i, if (i % 5 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val a = Sampling.reservoirPerStratum(docs2, $"doc_id", $"lang", 20)
+    val counts = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("en" -> 20L, "de" -> 20L))
+    val b = Sampling.reservoirPerStratum(docs2.repartition(13), $"doc_id", $"lang", 20)
+    assert(a.select("doc_id").as[Long].collect().toSet ===
+      b.select("doc_id").as[Long].collect().toSet)
+    // k above the stratum size keeps the whole stratum
+    val all = Sampling.reservoirPerStratum(docs2, $"doc_id", $"lang", 1000)
+    assert(all.count() === 500L)
+  }
+
+  test("mixTokenPlan allocates the budget by temperature weight and caps keep fraction") {
+    val docs2 = Seq.tabulate(300)(i =>
+      (i.toLong, if (i < 280) "web" else "books", "w " * 9 + "w")) // 10 tokens each
+      .toDF("doc_id", "source", "text")
+    val plan = Sampling.mixTokenPlan(docs2, $"source", $"text", budgetTokens = 3000L)
+      .as[(String, Long, Long, Double, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (web, books) = (plan("web"), plan("books"))
+    assert(web._3 === 2800L && books._3 === 200L)
+    // sqrt temperature: weights ∝ sqrt(2800):sqrt(200) ≈ 0.789:0.211
+    assert(math.abs(web._4 - 0.789) < 0.01 && math.abs(books._4 - 0.211) < 0.01)
+    // allocations sum ~ budget (rounding each side)
+    assert(math.abs(web._5 + books._5 - 3000L) <= 1L)
+    // books is over-allocated relative to size: capped at 10000 bp,
+    // epochs > 1; web keeps a fraction
+    assert(books._6 === 10000L && books._7 > 1.0)
+    assert(web._6 < 10000L && web._7 < 1.0)
+  }
 }
