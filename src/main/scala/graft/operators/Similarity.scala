@@ -289,6 +289,25 @@ object Similarity {
     e.withColumn("ivf_list", coalesce(-best.getField("nid"), lit(-1)))
   }
 
+  /** [[withIvfList]] variant that also keeps the winning cosine — the
+    * input to index-health reporting (how tight each inverted list is).
+    * Same argmax, same tie-break, same non-nullable coalesce on the
+    * list id; the sim is exact-chain IEEE arithmetic, so downstream
+    * consumers quantize it to integer micro-units before any
+    * reassociating aggregate.
+    */
+  def withIvfAssignment(df: DataFrame, vecCol: String, dim: Int,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    val e = withDoubleVec(df, vecCol).withColumn("_nrm", norm2(col("v"), dim))
+    val best = array_max(transform(centroidLit(centroids), c => struct(
+      (dotFold(col("v"), c.getField("_2"), dim) / (col("_nrm") * c.getField("_3"))).as("sim"),
+      (-c.getField("_1")).as("nid"))))
+    e.withColumn("_best", best)
+      .withColumn("ivf_list", coalesce(-col("_best").getField("nid"), lit(-1)))
+      .withColumn("ivf_sim", col("_best").getField("sim"))
+      .drop("_best")
+  }
+
   /** Deterministic Lloyd k-means for the IVF coarse quantizer: init =
     * the k lowest-id vectors, then `iters` rounds of
     * assign-via-argmax-cosine + per-list mean. Each round is ONE

@@ -1362,7 +1362,67 @@ object PipelineQueries {
        |       CAST(alloc_tokens AS DOUBLE) / n_tokens AS epochs
        |FROM p""".stripMargin
 
+  /** Per-domain quality profile: which sources are garbage — doc count,
+    * integer-mean LM score, and the share of docs in the per-language
+    * tail bucket.
+    */
+  val sourceQuality: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    docs.select(col("doc_id"), col("source"))
+      .join(Curation.ccnetBuckets(docs, "doc_id", "text", "lang"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(score_ppb) div count(1)").as("mean_score_ppb"),
+        sum(when(col("bucket") === "tail", 1L).otherwise(0L)).as("n_tail"))
+      .withColumn("tail_share", col("n_tail").cast("double") / col("n_docs"))
+  }
+  val sourceQualitySql: String =
+    s"""WITH ${graft.operators.Curation.ccnetBucketCtes("documents", "doc_id", "text", "lang")}
+       |SELECT d.source, count(*) AS n_docs,
+       |       CAST(sum(score_ppb) // count(*) AS BIGINT) AS mean_score_ppb,
+       |       CAST(sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |       CAST(sum(CASE WHEN bucket = 'tail' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS tail_share
+       |FROM documents d JOIN bucketed USING (doc_id)
+       |GROUP BY 1""".stripMargin
+
+  /** IVF index-health report: per inverted list, population and the
+    * integer-micro-unit mean/min cosine to the assigned centroid —
+    * the retrain/rebalance signal an ANN index operator watches (a
+    * sparse or loose list means the coarse quantizer no longer fits
+    * the data). Sims quantize to micro-units BEFORE the reassociating
+    * sum, same discipline as the k-means update.
+    */
+  val ivfHealth: Q = (s, d) =>
+    Similarity.withIvfAssignment(Tables.embeddings(s, d), "embedding", Dim, IvfCentroids)
+      .withColumn("_u", round(col("ivf_sim") * 1e6).cast("long"))
+      .groupBy(col("ivf_list"))
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(_u) div count(1)").as("mean_sim_u"),
+        min("_u").as("min_sim_u"))
+  val ivfHealthSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val c0Rows = IvfCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${lit64(c)})" }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |c0(list_id, cv) AS (VALUES
+       |  $c0Rows),
+       |a0 AS (SELECT n.vec_id, c0.list_id,
+       |              ${dotFoldSql("n.v", "c0.cv", Dim)} / (n.nrm * sqrt(${dotFoldSql("c0.cv", "c0.cv", Dim)})) AS sim
+       |       FROM n CROSS JOIN c0),
+       |l0 AS (SELECT vec_id, list_id, sim
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn FROM a0)
+       |       WHERE rn = 1),
+       |u AS (SELECT list_id, CAST(round(sim * 1000000.0) AS BIGINT) AS su FROM l0)
+       |SELECT list_id AS ivf_list, count(*) AS n_vecs,
+       |       CAST(sum(su) // count(*) AS BIGINT) AS mean_sim_u,
+       |       min(su) AS min_sim_u
+       |FROM u GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_source_quality" -> sourceQuality,
+    "q_ivf_health" -> ivfHealth,
     "q_reservoir" -> reservoir,
     "q_mix_plan" -> mixPlan,
     "q_curation_funnel" -> curationFunnel,
@@ -1427,6 +1487,8 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_source_quality" -> sourceQualitySql,
+    "q_ivf_health" -> ivfHealthSql,
     "q_reservoir" -> reservoirSql,
     "q_mix_plan" -> mixPlanSql,
     "q_curation_funnel" -> curationFunnelSql,

@@ -125,7 +125,7 @@ class PushdownSpec extends SparkSpec {
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_bigram", "q_ccnet_bucket", "q_weighted_sample",
-      "q_curation_funnel", "q_mix_plan")
+      "q_curation_funnel", "q_mix_plan", "q_source_quality")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

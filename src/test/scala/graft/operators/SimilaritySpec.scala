@@ -114,4 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.contains((1L, 2L))) // near-identical vectors share all sign bits
     assert(!out.contains((1L, 4L))) // opposite vectors land in different buckets
   }
+
+  test("withIvfAssignment agrees with withIvfList and keeps a sane winning cosine") {
+    val dim = 4
+    val cents = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, Array(0.1f, 0.8f, 0.1f, 0f)),
+      (3L, Array(0.5f, 0.5f, 0f, 0f))) // exact tie -> lowest list id
+      .toDF("vec_id", "embedding")
+    val a = Similarity.withIvfAssignment(vecs, "embedding", dim, cents)
+      .select("vec_id", "ivf_list", "ivf_sim")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    val l = Similarity.withIvfList(vecs, "embedding", dim, cents)
+      .select("vec_id", "ivf_list").as[(Long, Int)].collect().sortBy(_._1)
+    assert(a.map(t => (t._1, t._2)).toSeq === l.toSeq)
+    assert(a.map(_._2).toSeq === Seq(0, 1, 0)) // tie broke to list 0
+    // the winning cosine is the max over centroids, in (0, 1]
+    assert(a.forall(t => t._3 > 0.0 && t._3 <= 1.0 + 1e-12))
+  }
 }
