@@ -321,6 +321,46 @@ object Curation {
        |UNION ALL SELECT 2, 'quality', count(*), CAST(sum(n_tok) AS BIGINT) FROM s2
        |UNION ALL SELECT 3, 'domain_cap', count(*), CAST(sum(n_tok) AS BIGINT) FROM s3""".stripMargin
 
+  /** Per-language percentile calibration of the quality score, in basis
+    * points: `pct_bp = 10000 · (docs in strictly lower bins) / n_lang`.
+    * Scores are only comparable WITHIN a language (a small language's
+    * common words are rarer corpus-wide), so cross-lingual thresholds
+    * must be set on the calibrated rank, not the raw ppb — this is the
+    * continuous companion to [[ccnetBuckets]]' three-way split. Same
+    * bounded histogram grid (never a per-language rank window); docs
+    * rejoin the ≤ Ppb/BinWidth-row CDF table by (lang, bin) equi-join.
+    * Docs sharing a bin share a percentile — both engines quantize
+    * identically. All integer arithmetic.
+    *
+    * Output: `idCol`, lang, score_ppb, pct_bp.
+    */
+  def qualityPercentile(docs: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val scored = unigramQuality(docs, idCol, textCol, Seq(langCol))
+    val binned = scored.withColumn("_bin", expr(s"score_ppb div $BinWidth"))
+    val byLang = Window.partitionBy(langCol)
+    val cdf = binned.groupBy(col(langCol), col("_bin")).agg(count(lit(1)).as("_bn"))
+      .withColumn("_cum", sum("_bn").over(byLang.orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum("_bn").over(byLang))
+      .select(col(langCol), col("_bin"),
+        expr("(_cum - _bn) * 10000 div _n").as("pct_bp"))
+    binned.join(cdf, Seq(langCol, "_bin"))
+      .select(col(idCol), col(langCol), col("score_ppb"), col("pct_bp"))
+  }
+
+  def qualityPercentileSql(table: String, idCol: String, textCol: String,
+                           langCol: String): String =
+    s"""WITH ${unigramQualityCtes(table, idCol, textCol, Seq(langCol))},
+       |b AS (SELECT $idCol, $langCol, score_ppb, score_ppb // $BinWidth AS bin FROM scored),
+       |bc AS (SELECT $langCol, bin, count(*) AS bn FROM b GROUP BY 1, 2),
+       |cdf AS (SELECT $langCol, bin,
+       |               CAST(((sum(bn) OVER (PARTITION BY $langCol ORDER BY bin)) - bn) * 10000
+       |                    // (sum(bn) OVER (PARTITION BY $langCol)) AS BIGINT) AS pct_bp
+       |        FROM bc)
+       |SELECT $idCol, $langCol, score_ppb, pct_bp
+       |FROM b JOIN cdf USING ($langCol, bin)""".stripMargin
+
   /** Per-domain cap: keep at most `k` documents per domain, best-first
     * by `orderCol` (ties broken by id — fully deterministic). The
     * standard web-corpus defense against a single domain flooding the

@@ -167,6 +167,36 @@ object EventPipeline {
       }
       .start()
 
+  /** [[startQualityFilter]] under the exactly-once ledger: redelivered
+    * documents are anti-joined away against the persisted
+    * [[ProcessedLedger]] BEFORE scoring, survivors append
+    * per-batch-overwrite (crash-window idempotent), and every fresh
+    * doc — passing or failing — is marked processed, so a redelivery
+    * can neither duplicate output nor re-score a rejected doc. The
+    * composition a production curation ingest actually runs: frozen
+    * reference LM + at-least-once source + exactly-once effects.
+    */
+  def startLedgeredQualityFilter(newDocs: DataFrame, rel: DataFrame,
+                                 minScorePpb: Long, checkpoint: String,
+                                 ledgerPath: String, outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val freshDocs = ProcessedLedger
+          .fresh(batch.dropDuplicates("doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!freshDocs.isEmpty) {
+          graft.operators.Curation
+            .scoreWithReference(freshDocs, "doc_id", "text", rel)
+            .filter(col("score_ppb") >= minScorePpb)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          ProcessedLedger.mark(freshDocs.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
+      }
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed
