@@ -1,0 +1,153 @@
+package graft.functions
+
+import graft.sources.ImageCodec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions for the real image codec (B4/B5/B6) — thin
+  * codegen'd wrappers over [[graft.sources.ImageCodec]] static calls,
+  * so scan-effects / re-encode / decode-dims ride INSIDE whole-stage
+  * codegen like any other projection (no UDF boundary, no row-at-a-time
+  * serialization). Each evaluates to null when the payload is not a
+  * decodable image: the query layer coalesces those onto the documented
+  * PDF-stub path.
+  */
+object ImageExprs {
+  /** Static decode-dims helper returning the struct row codegen needs. */
+  def infoRow(bytes: Array[Byte]): InternalRow = {
+    val info = ImageCodec.imageInfo(bytes)
+    if (info == null) null
+    else new GenericInternalRow(Array[Any](
+      info(0).asInstanceOf[Integer].intValue(),
+      info(1).asInstanceOf[Integer].intValue(),
+      UTF8String.fromString(info(2).asInstanceOf[String])))
+  }
+
+  val InfoSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("format", StringType, nullable = true)))
+}
+
+/** `add_scan_effects_minimal` (`fixed_signature_utils.py:369-450`) as a
+  * deterministic binary→binary expression; null for non-image payloads.
+  */
+case class ScanMinimalExpr(child: Expression, quality: String) extends UnaryExpression {
+  require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    ImageCodec.scanEffectsMinimal(b.asInstanceOf[Array[Byte]], quality)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("scanned")
+      s"""
+         |byte[] $r = graft.sources.ImageCodec.scanEffectsMinimal($b, "$quality");
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ScanMinimalExpr = copy(child = c)
+  override def prettyName: String = "scan_effects_minimal"
+}
+
+/** Seeded `add_scan_effects` (`fixed_signature_utils.py:453-558`):
+  * (content, seed) → JPEG bytes, a pure function of its inputs
+  * (SURVEY §2.10's explicit-seed contract). Null for non-images.
+  */
+case class ScanSeededExpr(left: Expression, right: Expression, quality: String)
+    extends BinaryExpression {
+  require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, seed: Any): Any =
+    ImageCodec.scanEffects(b.asInstanceOf[Array[Byte]], quality, seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, seed) => {
+      val r = ctx.freshName("scanned")
+      s"""
+         |byte[] $r = graft.sources.ImageCodec.scanEffects($b, "$quality", $seed);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ScanSeededExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "scan_effects_seeded"
+}
+
+/** Per-frame JPEG re-encode (`app.py:268-271`). Null for non-images. */
+case class JpegReencodeExpr(child: Expression, quality: Int) extends UnaryExpression {
+  require(quality >= 1 && quality <= 100, s"jpeg quality out of range: $quality")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    ImageCodec.jpegReencode(b.asInstanceOf[Array[Byte]], quality)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jpg")
+      s"""
+         |byte[] $r = graft.sources.ImageCodec.jpegReencode($b, $quality);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JpegReencodeExpr = copy(child = c)
+  override def prettyName: String = "jpeg_reencode"
+}
+
+/** Real decode of an image payload to struct(width, height, format);
+  * null when undecodable.
+  */
+case class ImageInfoExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ImageExprs.InfoSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = ImageExprs.infoRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("info")
+      s"""
+         |InternalRow $r = graft.functions.ImageExprs.infoRow($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ImageInfoExpr = copy(child = c)
+  override def prettyName: String = "image_info"
+}
+
+/** Deterministic synthetic PNG fixture: (seed, w, h) → PNG bytes.
+  * Gives oracle queries an image input whose dimensions are a SQL-
+  * computable function of the row, so DuckDB can independently verify
+  * the decode→effects→encode→decode round trip.
+  */
+case class SynthImageExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    ImageCodec.synthPng(seed.asInstanceOf[Long], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, w, h) =>
+      s"${ev.value} = graft.sources.ImageCodec.synthPng($s, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthImageExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_image"
+}
+
+/** Column-level entry points. */
+object ImageOps {
+  def scanMinimal(bin: Column, quality: String): Column =
+    GraftExpr.toColumn(ScanMinimalExpr(GraftExpr.toExpr(bin), quality))
+  def scanSeeded(bin: Column, seed: Column, quality: String): Column =
+    GraftExpr.toColumn(ScanSeededExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(seed), quality))
+  def jpegReencode(bin: Column, quality: Int): Column =
+    GraftExpr.toColumn(JpegReencodeExpr(GraftExpr.toExpr(bin), quality))
+  def imageInfo(bin: Column): Column =
+    GraftExpr.toColumn(ImageInfoExpr(GraftExpr.toExpr(bin)))
+  def synthImage(seed: Column, w: Column, h: Column): Column =
+    GraftExpr.toColumn(SynthImageExpr(
+      GraftExpr.toExpr(seed), GraftExpr.toExpr(w), GraftExpr.toExpr(h)))
+}

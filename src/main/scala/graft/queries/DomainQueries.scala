@@ -144,6 +144,66 @@ object DomainQueries {
       |       CAST(habs % 100000 AS DOUBLE) / 100000.0 AS feature
       |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- B4/B5/B6 real image codec
+  /** The REAL image scan pipeline through the oracle gate: per doc,
+    * synthesize a PNG whose dimensions are a SQL-computable function of
+    * doc_id, run actual pixel scan effects (`add_scan_effects_minimal`,
+    * balanced preset) plus the per-page JPEG re-encode (`app.py:268`),
+    * then RE-DECODE the output and report its true dimensions/format.
+    * DuckDB recomputes the expected dims from doc_id alone — so a
+    * failure anywhere in decode → effects → encode → re-encode →
+    * decode surfaces as a dim/format mismatch, not a vacuous pass.
+    * Byte-level determinism and effect direction are spec-tested
+    * (ImageCodecSpec); this gate proves the geometry contract
+    * end-to-end on every document row.
+    */
+  val scanEffectsQ: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      // codec work is CPU-bound per row, not IO-bound: a small parquet
+      // file arrives as ~1 input split, which would serialize the whole
+      // pipeline on one core — and AQE would coalesce an unsized
+      // repartition of a few MB right back to 1. Pin to the core count.
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("img", graft.functions.ImageOps.synthImage(col("doc_id"),
+        (lit(40) + col("doc_id") % 17).cast("int"), (lit(30) + col("doc_id") % 13).cast("int")))
+      .withColumn("scanned", graft.functions.ImageOps.scanMinimal(col("img"), "balanced"))
+      .withColumn("page_jpeg", graft.functions.ImageOps.jpegReencode(col("scanned"), 85))
+      .withColumn("info", graft.functions.ImageOps.imageInfo(col("page_jpeg")))
+      .select(col("doc_id"),
+        col("info.width").as("out_w"), col("info.height").as("out_h"),
+        col("info.format").as("out_format"))
+  val scanEffectsSql: String =
+    """SELECT doc_id,
+      |       CAST(40 + doc_id % 17 AS INTEGER) AS out_w,
+      |       CAST(30 + doc_id % 13 AS INTEGER) AS out_h,
+      |       'JPEG' AS out_format
+      |FROM documents""".stripMargin
+
+  /** The seeded randomized variant (`add_scan_effects`, SURVEY §2.10's
+    * explicit-seed contract): rotation is expand=False so output dims
+    * must still equal the synthesized input dims — which the oracle
+    * recomputes from doc_id. Seed = doc_id, so every row exercises a
+    * different draw sequence.
+    */
+  val scanSeededQ: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      // CPU-bound codec: partition for cores, not bytes (pinned — see q_scan_effects)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("img", graft.functions.ImageOps.synthImage(col("doc_id") * 31,
+        (lit(36) + col("doc_id") % 11).cast("int"), (lit(28) + col("doc_id") % 7).cast("int")))
+      .withColumn("scanned",
+        graft.functions.ImageOps.scanSeeded(col("img"), col("doc_id"), "realistic"))
+      .withColumn("info", graft.functions.ImageOps.imageInfo(col("scanned")))
+      .select(col("doc_id"),
+        col("info.width").as("out_w"), col("info.height").as("out_h"),
+        col("info.format").as("out_format"))
+  val scanSeededSql: String =
+    """SELECT doc_id,
+      |       CAST(36 + doc_id % 11 AS INTEGER) AS out_w,
+      |       CAST(28 + doc_id % 7 AS INTEGER) AS out_h,
+      |       'JPEG' AS out_format
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -701,6 +761,8 @@ object DomainQueries {
     "q_binary_meta" -> binaryMeta,
     "q_frames" -> frames,
     "q_decode_features" -> decodeFeatures,
+    "q_scan_effects" -> scanEffectsQ,
+    "q_scan_seeded" -> scanSeededQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
     "q_items_connector" -> itemsConnector,
@@ -731,6 +793,8 @@ object DomainQueries {
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
+    "q_scan_effects" -> scanEffectsSql,
+    "q_scan_seeded" -> scanSeededSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,
     "q_structure_lot" -> structureLotSql,

@@ -1,0 +1,601 @@
+package graft.sources
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.stream.MemoryCacheImageOutputStream
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Real JVM image codec for the reference's scan-effect operators
+  * (B4/B5/B6), built ONLY on JDK-builtin `javax.imageio` +
+  * `java.awt.image` — zero new dependencies.
+  *
+  * Reference semantics re-implemented (cited, not copied — the
+  * reference is Pillow/numpy, this is deterministic int/float JVM
+  * math):
+  *   - `fixed_signature_utils.py:369-450` `add_scan_effects_minimal`:
+  *     preset-driven brightness / contrast / Gaussian blur /
+  *     saturation / sharpen passes then an in-memory JPEG round-trip.
+  *   - `fixed_signature_utils.py:453-558` `add_scan_effects`: the
+  *     randomized variant — small rotation (white fill, no expand),
+  *     dark border vignette, random brightness/contrast, Gaussian
+  *     noise, sine row-shift distortion, blur, saturation, sparse
+  *     scan lines, JPEG. Randomness here is an EXPLICIT seed
+  *     (SURVEY §2.10): one `java.util.Random(seed)` drawn in a fixed
+  *     documented order, so the output bytes are a pure function of
+  *     (input, quality, seed).
+  *   - `app.py:248-285`: the per-page JPEG re-encode of the scan
+  *     endpoint (decode → effects → JPEG q=85).
+  *
+  * Pixel-op semantics follow Pillow's public `ImageEnhance` contract:
+  * each enhancer blends the image with a "degenerate" image —
+  * out = degenerate + factor * (original - degenerate) — where the
+  * degenerate is black (brightness), constant mean-luminance gray
+  * (contrast), per-pixel grayscale (color/saturation), or a smoothed
+  * copy (sharpness). Luminance is ITU-R 601-2: (299 R + 587 G +
+  * 114 B) / 1000. 3×3 filter kernels (SHARPEN, SMOOTH, EDGE_ENHANCE,
+  * EDGE_ENHANCE_MORE, DETAIL) use Pillow's published coefficients;
+  * borders are left unfiltered exactly as Pillow does.
+  *
+  * Everything is deterministic: no Java2D rendering-hint-dependent
+  * filters — convolutions, rotation resampling, and blends are
+  * explicit loops over int rasters, so the same bytes come out on any
+  * JVM. Only PDF parse/rasterize/sign still needs a library the
+  * container lacks; those paths remain stubbed in [[Multimodal]].
+  *
+  * Scale note: these are per-row CPU transforms with no Spark state —
+  * they ride inside whole-stage codegen via the expressions in
+  * `graft.functions.ImageExprs` and scale embarrassingly; the cluster
+  * concern is purely bytes-per-partition, not the codec.
+  */
+object ImageCodec {
+
+  // ImageIO's default ImageInputStream/ImageOutputStream cache is a
+  // TEMP FILE per decode/encode — measured ~10× the codec cost on the
+  // small per-row payloads this engine processes. In-memory caching
+  // only.
+  ImageIO.setUseCache(false)
+
+  /** Decoded working form: packed 0xRRGGBB ints, row-major. */
+  final case class Px(w: Int, h: Int, rgb: Array[Int])
+
+  // ------------------------------------------------------------------
+  // Magic sniffing + decode/encode
+  // ------------------------------------------------------------------
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff
+
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  /** Is this payload one of the image formats the JDK decodes natively? */
+  def isImage(b: Array[Byte]): Boolean =
+    isJpeg(b) || isPng(b) ||
+      (b != null && b.length > 2 && b(0) == 'B' && b(1) == 'M') || // BMP
+      (b != null && b.length > 5 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') // GIF
+
+  /** Format name from magic bytes; null when not a known image. */
+  def formatName(b: Array[Byte]): String =
+    if (isJpeg(b)) "JPEG"
+    else if (isPng(b)) "PNG"
+    else if (b != null && b.length > 2 && b(0) == 'B' && b(1) == 'M') "BMP"
+    else if (b != null && b.length > 5 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "GIF"
+    else null
+
+  /** Decode to packed-RGB, or null when the payload is not decodable. */
+  def decode(bytes: Array[Byte]): Px = {
+    if (bytes == null || !isImage(bytes)) return null
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth; val h = img.getHeight
+    // Normalize any source color model to plain RGB ints (strips alpha
+    // against white, matching the reference's RGB-only pipeline).
+    val out = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, out, 0, w)
+    var i = 0
+    while (i < out.length) {
+      val a = (out(i) >>> 24) & 0xff
+      if (a == 255) out(i) &= 0xffffff
+      else {
+        val r = ((out(i) >> 16) & 0xff) * a / 255 + (255 - a)
+        val g = ((out(i) >> 8) & 0xff) * a / 255 + (255 - a)
+        val b = (out(i) & 0xff) * a / 255 + (255 - a)
+        out(i) = (r << 16) | (g << 8) | b
+      }
+      i += 1
+    }
+    Px(w, h, out)
+  }
+
+  private def toBuffered(px: Px): BufferedImage = {
+    val img = new BufferedImage(px.w, px.h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, px.w, px.h, px.rgb, 0, px.w)
+    img
+  }
+
+  /** JPEG-encode at an explicit quality (0-100), like Pillow's
+    * `save(..., format='JPEG', quality=q)`.
+    */
+  def encodeJpeg(px: Px, quality: Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new IIOImage(toBuffered(px), null, null), p)
+    } finally {
+      writer.dispose(); ios.close()
+    }
+    bos.toByteArray
+  }
+
+  def encodePng(px: Px): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(toBuffered(px), "png", bos)
+    bos.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Pillow-semantics pixel math
+  // ------------------------------------------------------------------
+
+  @inline private def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+  @inline private def clampD(v: Double): Int = clamp(math.round(v).toInt)
+  @inline private def luma(c: Int): Int = {
+    val r = (c >> 16) & 0xff; val g = (c >> 8) & 0xff; val b = c & 0xff
+    (r * 299 + g * 587 + b * 114 + 500) / 1000
+  }
+
+  /** out = deg + f*(src - deg), per channel (Pillow Image.blend). */
+  private def blendChannel(deg: Int, src: Int, f: Double): Int =
+    clampD(deg + f * (src - deg))
+
+  /** Brightness: degenerate = black → out = c*f. */
+  def brightness(px: Px, f: Double): Px = {
+    val out = new Array[Int](px.rgb.length)
+    var i = 0
+    while (i < out.length) {
+      val c = px.rgb(i)
+      out(i) = (clampD(((c >> 16) & 0xff) * f) << 16) |
+        (clampD(((c >> 8) & 0xff) * f) << 8) |
+        clampD((c & 0xff) * f)
+      i += 1
+    }
+    Px(px.w, px.h, out)
+  }
+
+  /** Contrast: degenerate = constant gray at the image's mean
+    * luminance (Pillow rounds the mean to an int).
+    */
+  def contrast(px: Px, f: Double): Px = {
+    var sum = 0L
+    var i = 0
+    while (i < px.rgb.length) { sum += luma(px.rgb(i)); i += 1 }
+    val mean = if (px.rgb.length == 0) 0 else ((sum.toDouble / px.rgb.length) + 0.5).toInt
+    val out = new Array[Int](px.rgb.length)
+    i = 0
+    while (i < out.length) {
+      val c = px.rgb(i)
+      out(i) = (blendChannel(mean, (c >> 16) & 0xff, f) << 16) |
+        (blendChannel(mean, (c >> 8) & 0xff, f) << 8) |
+        blendChannel(mean, c & 0xff, f)
+      i += 1
+    }
+    Px(px.w, px.h, out)
+  }
+
+  /** Color/saturation: degenerate = per-pixel grayscale. */
+  def saturation(px: Px, f: Double): Px = {
+    val out = new Array[Int](px.rgb.length)
+    var i = 0
+    while (i < out.length) {
+      val c = px.rgb(i)
+      val l = luma(c)
+      out(i) = (blendChannel(l, (c >> 16) & 0xff, f) << 16) |
+        (blendChannel(l, (c >> 8) & 0xff, f) << 8) |
+        blendChannel(l, c & 0xff, f)
+      i += 1
+    }
+    Px(px.w, px.h, out)
+  }
+
+  /** 3×3 convolution with Pillow's kernel contract (divide by `scale`,
+    * add `offset`); the 1-pixel border is copied unfiltered, exactly as
+    * Pillow's fixed filters do.
+    */
+  def convolve3x3(px: Px, k: Array[Int], scale: Int, offset: Int): Px = {
+    val w = px.w; val h = px.h
+    val out = px.rgb.clone()
+    var y = 1
+    while (y < h - 1) {
+      var x = 1
+      while (x < w - 1) {
+        var r = 0; var g = 0; var b = 0
+        var ky = -1
+        while (ky <= 1) {
+          var kx = -1
+          while (kx <= 1) {
+            val c = px.rgb((y + ky) * w + (x + kx))
+            val kv = k((ky + 1) * 3 + (kx + 1))
+            r += kv * ((c >> 16) & 0xff); g += kv * ((c >> 8) & 0xff); b += kv * (c & 0xff)
+            kx += 1
+          }
+          ky += 1
+        }
+        out(y * w + x) = (clamp(r / scale + offset) << 16) |
+          (clamp(g / scale + offset) << 8) | clamp(b / scale + offset)
+        x += 1
+      }
+      y += 1
+    }
+    Px(w, h, out)
+  }
+
+  // Pillow's published fixed-filter kernels.
+  val KernelSharpen: Array[Int] = Array(-2, -2, -2, -2, 32, -2, -2, -2, -2) // scale 16
+  val KernelSmooth: Array[Int] = Array(1, 1, 1, 1, 5, 1, 1, 1, 1) // scale 13
+  val KernelEdgeEnhance: Array[Int] = Array(-1, -1, -1, -1, 10, -1, -1, -1, -1) // scale 2
+  val KernelEdgeEnhanceMore: Array[Int] = Array(-1, -1, -1, -1, 9, -1, -1, -1, -1) // scale 1
+  val KernelDetail: Array[Int] = Array(0, -1, 0, -1, 10, -1, 0, -1, 0) // scale 6
+
+  def sharpenFilter(px: Px): Px = convolve3x3(px, KernelSharpen, 16, 0)
+  def edgeEnhance(px: Px): Px = convolve3x3(px, KernelEdgeEnhance, 2, 0)
+  def edgeEnhanceMore(px: Px): Px = convolve3x3(px, KernelEdgeEnhanceMore, 1, 0)
+  def detailFilter(px: Px): Px = convolve3x3(px, KernelDetail, 6, 0)
+
+  /** Sharpness enhancer: degenerate = SMOOTH-filtered copy; f>1
+    * extrapolates away from the smooth image (sharpens).
+    */
+  def sharpness(px: Px, f: Double): Px = {
+    val smooth = convolve3x3(px, KernelSmooth, 13, 0)
+    val out = new Array[Int](px.rgb.length)
+    var i = 0
+    while (i < out.length) {
+      val s = smooth.rgb(i); val c = px.rgb(i)
+      out(i) = (blendChannel((s >> 16) & 0xff, (c >> 16) & 0xff, f) << 16) |
+        (blendChannel((s >> 8) & 0xff, (c >> 8) & 0xff, f) << 8) |
+        blendChannel(s & 0xff, c & 0xff, f)
+      i += 1
+    }
+    Px(px.w, px.h, out)
+  }
+
+  /** Separable Gaussian blur, sigma = radius (Pillow's GaussianBlur
+    * radius IS the standard deviation), kernel truncated at 3 sigma,
+    * clamp-to-edge. radius <= 0 → identity.
+    */
+  def gaussianBlur(px: Px, radius: Double): Px = {
+    if (radius <= 0) return px
+    val half = math.max(1, math.ceil(radius * 3).toInt)
+    val kernel = new Array[Double](2 * half + 1)
+    var s = 0.0
+    var i = 0
+    while (i < kernel.length) {
+      val d = i - half
+      kernel(i) = math.exp(-(d * d) / (2 * radius * radius))
+      s += kernel(i)
+      i += 1
+    }
+    i = 0
+    while (i < kernel.length) { kernel(i) /= s; i += 1 }
+
+    val w = px.w; val h = px.h
+    // horizontal pass
+    val tmp = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var k = -half
+        while (k <= half) {
+          val xx = math.max(0, math.min(w - 1, x + k))
+          val c = px.rgb(y * w + xx)
+          val kv = kernel(k + half)
+          r += kv * ((c >> 16) & 0xff); g += kv * ((c >> 8) & 0xff); b += kv * (c & 0xff)
+          k += 1
+        }
+        tmp(y * w + x) = (clampD(r) << 16) | (clampD(g) << 8) | clampD(b)
+        x += 1
+      }
+      y += 1
+    }
+    // vertical pass
+    val out = new Array[Int](w * h)
+    y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var r = 0.0; var g = 0.0; var b = 0.0
+        var k = -half
+        while (k <= half) {
+          val yy = math.max(0, math.min(h - 1, y + k))
+          val c = tmp(yy * w + x)
+          val kv = kernel(k + half)
+          r += kv * ((c >> 16) & 0xff); g += kv * ((c >> 8) & 0xff); b += kv * (c & 0xff)
+          k += 1
+        }
+        out(y * w + x) = (clampD(r) << 16) | (clampD(g) << 8) | clampD(b)
+        x += 1
+      }
+      y += 1
+    }
+    Px(w, h, out)
+  }
+
+  /** Small-angle rotation about the center, white fill, output size
+    * unchanged (Pillow `rotate(angle, fillcolor='white',
+    * expand=False)`), inverse-mapped bilinear resampling.
+    */
+  def rotate(px: Px, angleDeg: Double): Px = {
+    if (angleDeg == 0.0) return px
+    val w = px.w; val h = px.h
+    val rad = math.toRadians(angleDeg)
+    val cos = math.cos(rad); val sin = math.sin(rad)
+    val cx = (w - 1) / 2.0; val cy = (h - 1) / 2.0
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // inverse rotation: where in the source does this output pixel come from
+        val dx = x - cx; val dy = y - cy
+        val sx = cos * dx + sin * dy + cx
+        val sy = -sin * dx + cos * dy + cy
+        out(y * w + x) =
+          if (sx < -0.5 || sy < -0.5 || sx > w - 0.5 || sy > h - 0.5) 0xffffff
+          else {
+            val x0 = math.floor(sx).toInt; val y0 = math.floor(sy).toInt
+            val fx = sx - x0; val fy = sy - y0
+            @inline def at(xx: Int, yy: Int): Int =
+              if (xx < 0 || yy < 0 || xx >= w || yy >= h) 0xffffff
+              else px.rgb(yy * w + xx)
+            val c00 = at(x0, y0); val c10 = at(x0 + 1, y0)
+            val c01 = at(x0, y0 + 1); val c11 = at(x0 + 1, y0 + 1)
+            @inline def lerp(ch: Int): Int = {
+              val t = ((c00 >> ch) & 0xff) * (1 - fx) * (1 - fy) +
+                ((c10 >> ch) & 0xff) * fx * (1 - fy) +
+                ((c01 >> ch) & 0xff) * (1 - fx) * fy +
+                ((c11 >> ch) & 0xff) * fx * fy
+              clampD(t)
+            }
+            (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+          }
+        x += 1
+      }
+      y += 1
+    }
+    Px(w, h, out)
+  }
+
+  /** Dark border vignette (`fixed_signature_utils.py:495-503`): 5
+    * nested 1-px rectangle rings at inset i with mask opacity
+    * 255 - 10 i, composited against near-white (250,250,250).
+    */
+  def borderVignette(px: Px): Px = {
+    val w = px.w; val h = px.h
+    val out = px.rgb.clone()
+    var ring = 0
+    while (ring < 5 && ring * 2 < math.min(w, h)) {
+      val opacity = 255 - ring * 10
+      @inline def mix(idx: Int): Unit = {
+        val c = out(idx)
+        val r = (((c >> 16) & 0xff) * opacity + 250 * (255 - opacity)) / 255
+        val g = (((c >> 8) & 0xff) * opacity + 250 * (255 - opacity)) / 255
+        val b = ((c & 0xff) * opacity + 250 * (255 - opacity)) / 255
+        out(idx) = (r << 16) | (g << 8) | b
+      }
+      var x = ring
+      while (x <= w - 1 - ring) {
+        mix(ring * w + x); mix((h - 1 - ring) * w + x); x += 1
+      }
+      var y = ring + 1
+      while (y < h - 1 - ring) {
+        mix(y * w + ring); mix(y * w + (w - 1 - ring)); y += 1
+      }
+      ring += 1
+    }
+    Px(w, h, out)
+  }
+
+  /** Seeded Gaussian pixel noise, N(0, level*1.5) per channel, drawn
+    * row-major R,G,B — the `np.random.normal` step with an explicit
+    * generator.
+    */
+  def addNoise(px: Px, rng: java.util.Random, level: Double): Px = {
+    val sd = level * 1.5
+    val out = new Array[Int](px.rgb.length)
+    var i = 0
+    while (i < out.length) {
+      val c = px.rgb(i)
+      val r = clampD(((c >> 16) & 0xff) + rng.nextGaussian() * sd)
+      val g = clampD(((c >> 8) & 0xff) + rng.nextGaussian() * sd)
+      val b = clampD((c & 0xff) + rng.nextGaussian() * sd)
+      out(i) = (r << 16) | (g << 8) | b
+      i += 1
+    }
+    Px(px.w, px.h, out)
+  }
+
+  /** Sine row-shift distortion (`fixed_signature_utils.py:517-523`):
+    * row i rolls horizontally by int(2 sin(2π i / 150)) with
+    * wraparound.
+    */
+  def rowShiftSine(px: Px): Px = {
+    val w = px.w; val h = px.h
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val shift = (2 * math.sin(2 * math.Pi * y / 150)).toInt
+      var x = 0
+      while (x < w) {
+        val sx = ((x - shift) % w + w) % w
+        out(y * w + x) = px.rgb(y * w + sx)
+        x += 1
+      }
+      y += 1
+    }
+    Px(w, h, out)
+  }
+
+  /** Sparse darkened scan lines: every 50th row, with probability 0.02,
+    * scaled by 0.95 (`fixed_signature_utils.py:533-539`).
+    */
+  def scanLines(px: Px, rng: java.util.Random): Px = {
+    val w = px.w; val h = px.h
+    val out = px.rgb.clone()
+    var y = 0
+    while (y < h) {
+      if (rng.nextDouble() > 0.98) {
+        var x = 0
+        while (x < w) {
+          val c = out(y * w + x)
+          out(y * w + x) = (((c >> 16) & 0xff) * 95 / 100 << 16) |
+            (((c >> 8) & 0xff) * 95 / 100 << 8) | ((c & 0xff) * 95 / 100)
+          x += 1
+        }
+      }
+      y += 50
+    }
+    Px(w, h, out)
+  }
+
+  // ------------------------------------------------------------------
+  // The composed reference operators
+  // ------------------------------------------------------------------
+
+  /** Presets of `add_scan_effects_minimal`
+    * (`fixed_signature_utils.py:375-423`):
+    * (brightness, contrast, blurRadius, saturation, jpegQuality).
+    */
+  private val MinimalPresets: Map[String, (Double, Double, Double, Double, Int)] = Map(
+    "minimum" -> (1.05, 1.1, 0.2, 0.8, 40),
+    "balanced" -> (1.03, 1.12, 0.3, 0.85, 65),
+    "high" -> (1.02, 1.15, 0.25, 0.9, 80),
+    "premium" -> (1.01, 1.12, 0.2, 0.95, 92),
+    "ultra" -> (1.0, 1.15, 0.0, 1.0, 100))
+
+  /** `add_scan_effects_minimal`: deterministic preset pipeline ending
+    * in a real JPEG encode. Returns the JPEG bytes, or null when the
+    * payload is not a decodable image (PDF payloads stay on the
+    * documented stub path in [[Multimodal]]).
+    */
+  def scanEffectsMinimal(bytes: Array[Byte], quality: String): Array[Byte] = {
+    val px0 = decode(bytes)
+    if (px0 == null) return null
+    val (bF, cF, blurR, satF, jpegQ) =
+      MinimalPresets.getOrElse(quality, MinimalPresets("high"))
+    var px = quality match {
+      case "high" => sharpenFilter(px0)
+      case "premium" => edgeEnhance(sharpenFilter(px0))
+      case "ultra" => detailFilter(edgeEnhanceMore(sharpness(px0, 1.5)))
+      case _ => px0
+    }
+    px = brightness(px, bF)
+    px = contrast(px, cF)
+    if (blurR > 0) px = gaussianBlur(px, blurR)
+    px = saturation(px, satF)
+    if (quality == "premium" || quality == "high") px = sharpness(px, 1.3)
+    encodeJpeg(px, jpegQ)
+  }
+
+  /** Presets of `add_scan_effects` (`fixed_signature_utils.py:458-496`):
+    * (rotationRange, noiseLevel, blurRadius, brightLo, brightHi,
+    * contrastLo, contrastHi, saturation, jpegQuality).
+    */
+  private val RandomPresets
+      : Map[String, (Double, Double, Double, Double, Double, Double, Double, Double, Int)] = Map(
+    "light" -> (0.3, 1.0, 0.2, 0.98, 1.02, 1.05, 1.15, 0.9, 90),
+    "medium" -> (0.5, 2.0, 0.3, 0.95, 1.05, 1.1, 1.3, 0.8, 85),
+    "heavy" -> (1.0, 4.0, 0.5, 0.90, 1.10, 1.2, 1.4, 0.6, 75),
+    "realistic" -> (0.8, 3.0, 0.4, 0.92, 1.08, 1.15, 1.35, 0.7, 80),
+    "old_scanner" -> (1.2, 5.0, 0.6, 0.88, 1.12, 1.25, 1.45, 0.5, 70))
+
+  /** `add_scan_effects` with an EXPLICIT seed: all random draws come
+    * from one `java.util.Random(seed)` in fixed order (angle,
+    * brightness, contrast, per-pixel noise, scan lines), so output
+    * bytes are a pure function of (input, quality, seed). Returns null
+    * for non-image payloads.
+    */
+  def scanEffects(bytes: Array[Byte], quality: String, seed: Long): Array[Byte] = {
+    val px0 = decode(bytes)
+    if (px0 == null) return null
+    val (rotR, noise, blurR, bLo, bHi, cLo, cHi, satF, jpegQ) =
+      RandomPresets.getOrElse(quality, RandomPresets("realistic"))
+    val rng = new java.util.Random(seed)
+    val angle = rng.nextDouble() * 2 * rotR - rotR
+    var px = rotate(px0, angle)
+    px = borderVignette(px)
+    px = brightness(px, bLo + rng.nextDouble() * (bHi - bLo))
+    px = contrast(px, cLo + rng.nextDouble() * (cHi - cLo))
+    px = addNoise(px, rng, noise)
+    if (quality == "realistic" || quality == "old_scanner") px = rowShiftSine(px)
+    px = gaussianBlur(px, blurR)
+    px = saturation(px, satF)
+    if (quality == "realistic" || quality == "old_scanner") px = scanLines(px, rng)
+    encodeJpeg(px, jpegQ)
+  }
+
+  /** Per-frame JPEG re-encode (`app.py:268-271`: page image → JPEG
+    * quality 85). Null for non-image payloads.
+    */
+  def jpegReencode(bytes: Array[Byte], quality: Int): Array[Byte] = {
+    val px = decode(bytes)
+    if (px == null) null else encodeJpeg(px, quality)
+  }
+
+  /** (width, height, format) of an image payload, or null. Dims come
+    * from a REAL decode, format from magic bytes.
+    */
+  def imageInfo(bytes: Array[Byte]): Array[AnyRef] = {
+    val px = decode(bytes)
+    if (px == null) null
+    else Array[AnyRef](Integer.valueOf(px.w), Integer.valueOf(px.h), formatName(bytes))
+  }
+
+  /** Mean luminance of an image payload (0-255), or -1 when not
+    * decodable — the quantitative hook tests use to verify effect
+    * direction.
+    */
+  def meanLuma(bytes: Array[Byte]): Double = {
+    val px = decode(bytes)
+    if (px == null) -1 else meanLumaPx(px)
+  }
+
+  /** Mean luminance of an already-decoded raster (0-255; -1 if empty). */
+  def meanLumaPx(px: Px): Double = {
+    if (px.rgb.isEmpty) return -1
+    var sum = 0L
+    var i = 0
+    while (i < px.rgb.length) { sum += luma(px.rgb(i)); i += 1 }
+    sum.toDouble / px.rgb.length
+  }
+
+  /** Deterministic synthetic PNG fixture: pixel (x,y) = gradient +
+    * XOR texture mixed with the seed. Gives the effect pipeline real
+    * structure (variance, edges) with bytes that are a pure function
+    * of (seed, w, h) — the test/oracle fixture generator.
+    */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"synthPng dims must be positive, got ${w}x$h")
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = (x * 7 + seed * 13).toInt & 0xff
+        val g = (y * 11 + seed * 7).toInt & 0xff
+        val b = ((x ^ y) + seed).toInt & 0xff
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(Px(w, h, rgb))
+  }
+}

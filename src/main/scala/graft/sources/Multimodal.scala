@@ -6,14 +6,20 @@ import org.apache.spark.sql.functions._
 /** S7/B1-B7 — multimodal columns: media content as opaque `BinaryType`
   * with typed metadata, per-document transforms, and frame chunking.
   *
-  * The reference's binary operators (compress / sign / scan-effects,
-  * `fixed_signature_utils.py:38-110`, `:369-558`) need PDF/image
-  * libraries that are not in this container, so the DECODE step is a
-  * clearly-marked deterministic stub — but everything Spark-side is
-  * real and tested: the BinaryType schema, the `binaryFile` source, the
-  * expression-level transform plumbing (seeded, codegen'd — never a
-  * Python-style row UDF), frame chunking via binary `substring`, and
-  * the typed mapPartitions batch shape a JVM decoder would slot into.
+  * The IMAGE half of the reference's binary operators is REAL now:
+  * scan effects (`fixed_signature_utils.py:369-558`), JPEG re-encode
+  * (`app.py:248-285`) and decode-dims run on actual pixels via
+  * [[ImageCodec]] (JDK-builtin `javax.imageio`, zero new deps) behind
+  * the codegen'd expressions in `graft.functions.ImageExprs`. ONLY the
+  * PDF paths (parse / rasterize / sign, `fixed_signature_utils
+  * .py:38-110`) still need a library the container lacks, so those
+  * payloads stay on the clearly-marked deterministic stub below — the
+  * image expressions null-propagate on them and the query layer
+  * coalesces onto the stub. Everything Spark-side is real and tested:
+  * the BinaryType schema, the `binaryFile` source, the expression-level
+  * transform plumbing (seeded, codegen'd — never a Python-style row
+  * UDF), frame chunking via binary `substring`, and the typed
+  * mapPartitions batch shape.
   *
   * Scale notes: binary payloads ride the same columnar batches as
   * everything else; transforms are per-row map work (no shuffle), and
@@ -34,13 +40,24 @@ object Multimodal {
     df.withColumn("byte_len", length(col(binCol)).cast("long"))
       .withColumn("content_md5", md5(col(binCol)))
 
-  /** B1/B4 stand-in: a deterministic, seeded BinaryType→BinaryType
-    * transform (16-byte digest of content + seed). A real scan-effect /
-    * compress implementation (PDFBox/ImageIO) replaces ONLY this
-    * expression; the surrounding plumbing is production-shaped.
+  /** B1 PDF stand-in: a deterministic, seeded BinaryType→BinaryType
+    * transform (16-byte digest of content + seed). Image payloads use
+    * the REAL codec ([[scanEffect]] below); this stub remains only for
+    * PDF payloads, whose parse/rasterize needs a library the container
+    * lacks.
     */
   def scanEffectStub(bin: Column, seed: String): Column =
     unhex(md5(concat(hex(bin), lit(seed))))
+
+  /** B4/B5 scan effects, for real: seeded randomized scanner pipeline
+    * (`fixed_signature_utils.py:453-558`) on image payloads via
+    * [[ImageCodec]]; non-image (PDF) payloads fall back to the
+    * documented stub so the column is never null.
+    */
+  def scanEffect(bin: Column, seed: Column, quality: String = "realistic"): Column =
+    coalesce(
+      graft.functions.ImageOps.scanSeeded(bin, seed, quality),
+      unhex(md5(concat(hex(bin), lit(":"), seed.cast("string")))))
 
   /** Resize stand-in (B1's dpi/zoom geometry, `fixed_signature_utils
     * .py:68`, `:91-92`): deterministic derived payload + real geometry
@@ -85,9 +102,10 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                            width: Int, height: Int, feature: Double)
 
-  /** STUB decode: deterministic fake dimensions/feature derived from the
-    * bytes. A real implementation would decode the image/audio here —
-    * same signature, same batch shape, one decoder per partition.
+  /** STUB decode for NON-IMAGE payloads (PDF/audio/video, whose codecs
+    * the container lacks): deterministic fake dimensions/feature
+    * derived from the bytes — same signature and batch shape a real
+    * decoder slots into.
     */
   def decodeStub(d: MediaDoc): MediaFeatures = {
     val n = d.content.length
@@ -98,14 +116,27 @@ object Multimodal {
       feature = (math.abs(h) % 100000) / 100000.0)
   }
 
+  /** REAL decode for image payloads: actual pixel dimensions and mean
+    * luminance (normalized 0-1) from [[ImageCodec]]; everything else
+    * falls back to the documented stub.
+    */
+  def decodeMedia(d: MediaDoc): MediaFeatures =
+    if (ImageCodec.isImage(d.content)) {
+      val px = ImageCodec.decode(d.content)
+      if (px == null) decodeStub(d)
+      else MediaFeatures(d.doc_id, d.mime, d.content.length, px.w, px.h,
+        feature = ImageCodec.meanLumaPx(px) / 255.0)
+    } else decodeStub(d)
+
   /** Per-partition decode: the expensive-init resource (a decoder
     * context) is created once per partition, not per row.
     */
   def decodeFeatures(spark: SparkSession, docs: Dataset[MediaDoc]): Dataset[MediaFeatures] = {
     import spark.implicits._
     docs.mapPartitions { it =>
-      // real code: val decoder = HeavyDecoder.open(); it.map(d => decoder.decode(d))
-      it.map(decodeStub)
+      // the JDK ImageIO decoder is stateless/static; a stateful codec
+      // would be opened here, once per partition
+      it.map(decodeMedia)
     }
   }
 }

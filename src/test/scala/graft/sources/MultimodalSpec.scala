@@ -89,6 +89,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out1.forall(f => f.n_bytes > 0 && f.width >= 1 && f.height >= 1))
   }
 
+  test("decodeMedia decodes REAL dimensions for image payloads, stub for the rest") {
+    val png = ImageCodec.synthPng(3, 77, 41)
+    val real = Multimodal.decodeMedia(Multimodal.MediaDoc(1L, "image/png", png))
+    assert((real.width, real.height) === (77, 41))
+    assert(real.feature >= 0.0 && real.feature <= 1.0) // normalized mean luminance
+    val jpg = ImageCodec.jpegReencode(png, 80)
+    val realJpg = Multimodal.decodeMedia(Multimodal.MediaDoc(2L, "image/jpeg", jpg))
+    assert((realJpg.width, realJpg.height) === (77, 41))
+    // non-image payloads keep the documented deterministic stub
+    val pdf = Multimodal.MediaDoc(3L, "application/pdf", "%PDF-1.4 x".getBytes)
+    assert(Multimodal.decodeMedia(pdf) === Multimodal.decodeStub(pdf))
+  }
+
+  test("scanEffect routes image payloads to the real codec and PDFs to the stub") {
+    val png = ImageCodec.synthPng(5, 30, 20)
+    val df = Seq((1L, png), (2L, "%PDF-1.4 fake".getBytes)).toDF("doc_id", "content")
+      .select($"doc_id", Multimodal.scanEffect($"content", $"doc_id").as("out"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    val img = rows(0).getAs[Array[Byte]]("out")
+    assert(ImageCodec.isJpeg(img)) // real scanner output
+    assert(rows(1).getAs[Array[Byte]]("out").length === 16) // md5 stub for PDFs
+  }
+
   test("FilesPayload: corrupt, null and files-less payloads yield empty lists, not errors") {
     val df = Seq(
       (1L, """{"files":[{"assetId":5,"name":"a.pdf","createdAt":9}]}"""),
