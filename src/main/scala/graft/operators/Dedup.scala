@@ -443,44 +443,77 @@ object Dedup {
     * themselves. This is the step a real dedup pipeline runs after
     * pair finding: keep one canonical doc per cluster.
     *
-    * Iterative min-label propagation (what GraphX/GraphFrames CC does
-    * under the hood): each round every node takes the min of its own
-    * and its neighbors' labels; rounds needed = component diameter
-    * (near-dup clusters are shallow — a handful of rounds). Each
-    * iteration localCheckpoints: iterative plans MUST cut lineage or
-    * the DAG grows exponentially. The driver loop carries only a
-    * convergence flag, never data.
+    * Alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round, large-star links every node's LARGER neighbors to the
+    * minimum of its closed neighborhood, then small-star does the same
+    * for the smaller neighbors. Rounds to converge are O(log n) in the
+    * component size — independent of DIAMETER — so a chain-shaped
+    * component (boilerplate docs that each near-dup their neighbors)
+    * converges in a handful of rounds where plain min-label
+    * propagation needs one round per hop and would blow any sane
+    * iteration budget at 100 TB. The fixed point is a union of stars
+    * centered at each component's minimum, which is exactly the output
+    * labeling. Each round localCheckpoints (iterative plans MUST cut
+    * lineage or the DAG grows exponentially); the driver loop carries
+    * only counts, never data. Non-convergence still throws loudly:
+    * partial labels are WRONG labels.
     */
   def duplicateClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                         maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b"), col("doc_a")))
+    // canonical u < v edge set; self-pairs contribute nothing
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint(true)
-    var comp = docs.select(col(idCol).as("doc_id"))
-      .withColumn("component_id", col("doc_id"))
-      .localCheckpoint(true)
+    var edgeCount = edges.count()
     var iter = 0
-    var converged = false
+    var converged = edgeCount == 0L
     while (!converged && iter < maxIter) {
-      val neighborMin = comp.join(edges, comp("doc_id") === edges("src"))
-        .groupBy(col("dst").as("doc_id")).agg(min(col("component_id")).as("n_min"))
-      val next = comp.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component_id"), coalesce(col("n_min"), col("component_id"))).as("component_id"))
+      // large-star: for node a with closed-neighborhood min m, connect
+      // every neighbor b > a to m (m <= a < b, so (m, b) is canonical)
+      val bi = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = bi.groupBy("a").agg(min(col("b")).as("nbr_min"))
+        .select(col("a"), least(col("a"), col("nbr_min")).as("m"))
+      val afterLarge = bi.join(mins, Seq("a"))
+        .filter(col("b") > col("a"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .distinct()
         .localCheckpoint(true)
-      converged = next.as("n").join(comp.as("c"), Seq("doc_id"))
-        .filter(col("n.component_id") =!= col("c.component_id"))
-        .isEmpty
-      comp = next
+      // small-star: key each edge by its larger endpoint a (so every
+      // neighbor b < a); m = min neighbor; connect the other small
+      // neighbors AND a itself to m
+      val keyed = afterLarge.select(col("v").as("a"), col("u").as("b"))
+      val smins = keyed.groupBy("a").agg(min(col("b")).as("m"))
+      val next = keyed.join(smins, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("m").as("u"), col("b").as("v"))
+        .union(smins.select(col("m").as("u"), col("a").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // exact convergence: same canonical set (count + anti-join; a
+      // hashed proxy could silently mislabel on collision)
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      edgeCount = nextCount
       iter += 1
     }
-    // Partial labels are WRONG labels: a component whose diameter
-    // exceeds maxIter would silently split into several clusters.
+    // Partial labels are WRONG labels: refuse to emit a half-contracted
+    // edge set as components.
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within maxIter=$maxIter rounds; " +
-          "a component's diameter exceeds the iteration budget — raise maxIter")
-    comp
+          "star contraction should converge in O(log n) — raise maxIter")
+    // fixed point = stars (component_min, member): label members by
+    // their center, everything else by itself
+    docs.select(col(idCol).as("doc_id"))
+      .join(edges.select(col("v").as("doc_id"), col("u").as("_center")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("_center"), col("doc_id")).as("component_id"))
   }
 
   /** Per-doc 96-bit simhash as two 48-bit words (`sim_lo`, `sim_hi`)

@@ -85,15 +85,27 @@ class DedupSpec extends SparkSpec {
     assert(comp.forall(_._2 == 1L))
   }
 
+  test("duplicateClusters collapses a diameter-500 chain in O(log n) rounds") {
+    // the naive min-propagation loop needs one round per hop (500 here,
+    // far past any sane budget); star contraction must land it in ≤ 12
+    val n = 501L
+    val docsDf = docs((1L to n).map(i => (i, s"t$i")): _*)
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.duplicateClusters(docsDf, "doc_id", pairs, maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(comp.length === n)
+    assert(comp.forall(_._2 == 1L))
+  }
+
   test("duplicateClusters refuses to return partial labels when maxIter is too small") {
-    // a 12-node chain has diameter 11; 2 rounds cannot converge, and
-    // silently returning the intermediate labels would split the
-    // component — the operator must throw instead.
-    val n = 12L
+    // a 500-hop chain cannot fully contract in 1 round even for star
+    // contraction; silently returning the intermediate edge set would
+    // split the component — the operator must throw instead.
+    val n = 501L
     val docsDf = docs((1L to n).map(i => (i, s"t$i")): _*)
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val ex = intercept[IllegalStateException] {
-      Dedup.duplicateClusters(docsDf, "doc_id", pairs, maxIter = 2)
+      Dedup.duplicateClusters(docsDf, "doc_id", pairs, maxIter = 1)
     }
     assert(ex.getMessage.contains("did not converge"))
   }
