@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Event-log analytics: ordered conversion funnels and cohort
   * retention — the two aggregation shapes every product-events pipeline
@@ -27,16 +28,22 @@ object Funnel {
     * stage_reached`.
     *
     * Shape: map events to (stage index, epoch micros), drop non-stage
-    * noise BEFORE the shuffle, collect each user's events sorted by
-    * time, then fold them through an `aggregate` HOF whose accumulator
-    * is the N-slot stage-time array. Within-tie event order cannot
-    * matter: slot k fills only when the event's time is STRICTLY
-    * greater than slot k-1, so an event tied with the previous stage's
-    * time is rejected whichever side of the tie the sort puts it on
-    * (FunnelProps exercises duplicate timestamps). The fold lambda is
-    * interpreted (Spark evaluates HOF lambdas row-at-a-time) but runs
-    * over per-user lists of already-projected integers — the heavy
-    * lifting (filter, projection, shuffle, sort) stays codegen'd.
+    * noise BEFORE the shuffle, then ONE exchange on `user_id`, a
+    * within-partition sort on (user, ts, stage), and a streaming
+    * per-user fold with O(stages) state. No per-user event list is
+    * ever materialized — a bot user with millions of stage events
+    * flows through the iterator row by row instead of becoming one
+    * giant `collect_list` row in a single task (the previous
+    * formulation's only unbounded state; a count-cap per (user, stage)
+    * was considered and rejected — spam of EARLY stage-k events can
+    * push the true conversion event arbitrarily deep in per-stage
+    * order, so any cap is silently wrong). Within-tie event order
+    * cannot matter: slot k fills only when the event's time is
+    * STRICTLY greater than slot k-1, so an event tied with the
+    * previous stage's time is rejected whichever side of the tie the
+    * sort puts it on (FunnelProps exercises duplicate timestamps and a
+    * hot user). The fold is plain JVM code over already-projected
+    * integers; filter, projection, shuffle and sort stay codegen'd.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
              stages: Seq[String]): DataFrame = {
@@ -51,35 +58,47 @@ object Funnel {
       .select(col(userCol).as("user_id"), col(typeCol).as("_t"),
         unix_micros(col(tsCol)).as("_ts"))
       .withColumn("_s", toIdx)
-      .filter(col("_s").isNotNull)
+      .filter(col("_s").isNotNull && col("_ts").isNotNull)
       .select("user_id", "_ts", "_s")
-    val folded = base
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("_ts"), col("_s")))).as("_evs"))
-      .select(col("user_id"),
-        aggregate(
-          col("_evs"),
-          array_repeat(lit(null).cast("long"), n),
-          (acc, e) => {
-            val ts = e.getField("_ts")
-            val s = e.getField("_s")
-            transform(acc, (t, i) => {
-              // element_at is 1-based: acc(i-1) == element_at(acc, i);
-              // greatest() keeps the index legal when i == 0 (the
-              // branch below never reads prev for the entry stage).
-              val prev = element_at(acc, greatest(i, lit(1)))
-              when(t.isNotNull, t).otherwise(
-                when(s === i && (i === lit(0) || (prev.isNotNull && ts > prev)), ts))
-            })
-          }).as("_times"))
-    val reached = stages.indices
-      .map(i => when(element_at(col("_times"), i + 1).isNotNull, 1).otherwise(0))
-      .reduce(_ + _)
-    folded
-      .select(col("user_id") +:
-        stages.indices.map(i => element_at(col("_times"), i + 1).as(s"t${i + 1}")) :+
-        reached.as("stage_reached"): _*)
-      .filter(col("t1").isNotNull)
+    val sorted = base
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("_ts"), col("_s"))
+    val outSchema = StructType(
+      StructField("user_id", base.schema("user_id").dataType, nullable = true) +:
+        (1 to n).map(i => StructField(s"t$i", LongType, nullable = true)) :+
+        StructField("stage_reached", IntegerType, nullable = false))
+    sorted.mapPartitions { it =>
+      new Iterator[Row] {
+        private val rows = it.buffered
+        private var nextRow: Row = _
+        private def advance(): Unit = {
+          nextRow = null
+          while (nextRow == null && rows.hasNext) {
+            val user = rows.head.get(0)
+            val acc = new Array[java.lang.Long](n)
+            // consume this user's whole sorted run with O(n) state
+            while (rows.hasNext && rows.head.get(0) == user) {
+              val e = rows.next()
+              val ts = e.getLong(1)
+              val s = e.getInt(2)
+              if (acc(s) == null &&
+                (s == 0 || (acc(s - 1) != null && ts > acc(s - 1)))) {
+                acc(s) = ts
+              }
+            }
+            if (acc(0) != null) {
+              var reached = 0
+              var i = 0
+              while (i < n && acc(i) != null) { reached += 1; i += 1 }
+              nextRow = Row.fromSeq(user +: acc.toSeq :+ reached)
+            } // no entry-stage event → user not in the output; keep scanning
+          }
+        }
+        advance()
+        override def hasNext: Boolean = nextRow != null
+        override def next(): Row = { val r = nextRow; advance(); r }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** DuckDB twin generated from the same stage list. */

@@ -31,6 +31,28 @@ class FunnelSpec extends SparkSpec {
       (2L, us(5), None, None, 1)))
   }
 
+  test("a hot user with 200k events folds with O(stages) state and exact semantics") {
+    // the adversarial shape that makes ANY per-(user, stage) count-cap
+    // wrong: 100k click events BEFORE the first view, so the true
+    // conversion click is the 100,001st in click-time order. The
+    // streaming fold must still find it — and must not materialize the
+    // 200k-event list as one row.
+    val sec = 1735725600L // 2026-01-01 10:00:00 UTC, arbitrary base
+    def t(off: Long) = new Timestamp((sec + off) * 1000L)
+    val hot = (1L to 100000L).map(i => (1L, "click", t(i))) ++
+      Seq((1L, "view", t(100001L)), (1L, "click", t(100002L))) ++
+      (1L to 100000L).map(i => (1L, "noise", t(i))) // dropped pre-shuffle
+    val cold = Seq((2L, "view", t(5L)), (2L, "click", t(6L)))
+    val events = scala.util.Random.shuffle(hot ++ cold).toDF("user_id", "event_type", "ts")
+      .repartition(8) // arrival order and placement scrambled
+    val got = Funnel.funnel(events, "user_id", "event_type", "ts", Seq("view", "click"))
+      .orderBy("user_id")
+      .as[(Long, Long, Option[Long], Int)].collect().toSeq
+    assert(got === Seq(
+      (1L, (sec + 100001L) * 1000000L, Some((sec + 100002L) * 1000000L), 2),
+      (2L, (sec + 5L) * 1000000L, Some((sec + 6L) * 1000000L), 2)))
+  }
+
   test("cohort retention: week 0 counts every user of the cohort exactly once") {
     val events = Seq(
       (1L, ts(0)), (1L, ts(5)), (2L, ts(1)),
