@@ -225,10 +225,17 @@ object Curation {
       .withColumn("_n", sum("_bn").over(byLang))
     val thr = cum.groupBy(langCol).agg(
       min(when(expr("_cum * 3 >= _n"), col("_bin"))).as("_t1"),
-      min(when(expr("_cum * 3 >= 2 * _n"), col("_bin"))).as("_t2"))
+      min(when(expr("_cum * 3 >= 2 * _n"), col("_bin"))).as("_t2"),
+      min(col("_bin")).as("_bmin"), max(col("_bin")).as("_bmax"))
+    // degenerate language (every doc in one histogram bin — single-doc
+    // or all-equal-score): t1 == t2 == that bin would label the WHOLE
+    // language 'tail' and the funnel's quality stage would drop it
+    // wholesale; an indivisible distribution has no worst third → keep
+    // all ('head')
     binned.join(broadcast(thr), langCol)
       .select(col(idCol), col(langCol), col("score_ppb"),
-        when(col("_bin") <= col("_t1"), "tail")
+        when(col("_bmin") === col("_bmax"), "head")
+          .when(col("_bin") <= col("_t1"), "tail")
           .when(col("_bin") <= col("_t2"), "middle")
           .otherwise("head").as("bucket"))
   }
@@ -245,11 +252,13 @@ object Curation {
        |               sum(bn) OVER (PARTITION BY $langCol ORDER BY bin) AS cum,
        |               sum(bn) OVER (PARTITION BY $langCol) AS n FROM bc),
        |thr AS (SELECT $langCol, min(CASE WHEN cum * 3 >= n THEN bin END) AS t1,
-       |               min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS t2
+       |               min(CASE WHEN cum * 3 >= 2 * n THEN bin END) AS t2,
+       |               min(bin) AS bmin, max(bin) AS bmax
        |        FROM cum GROUP BY 1),
        |bucketed AS (
        |  SELECT $idCol, $langCol, score_ppb,
-       |         CASE WHEN bin <= t1 THEN 'tail' WHEN bin <= t2 THEN 'middle'
+       |         CASE WHEN bmin = bmax THEN 'head'
+       |              WHEN bin <= t1 THEN 'tail' WHEN bin <= t2 THEN 'middle'
        |              ELSE 'head' END AS bucket
        |  FROM b JOIN thr USING ($langCol))""".stripMargin
 

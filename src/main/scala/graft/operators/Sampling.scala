@@ -150,18 +150,26 @@ object Sampling {
   def mixTokenPlan(docs: DataFrame, sourceCol: Column, textCol: Column,
                    budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budget must be positive, got $budgetTokens")
+    // same token definition as every Curation operator (empty tokens
+    // from repeated separators excluded) — the plan's n_tokens must
+    // agree with curationFunnel's for the same corpus
     val counts = docs.groupBy(sourceCol.as("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(Hashing.words(textCol))).as("n_tokens"))
+        sum(size(filter(Hashing.words(textCol), w => length(w) > 0))).as("n_tokens"))
       .withColumn("_w_u", round(sqrt(col("n_tokens")) * 1e6).cast("long"))
     val tot = counts.agg(sum(col("_w_u")).as("_tw"))
     counts.crossJoin(broadcast(tot))
       .withColumn("weight", col("_w_u").cast("double") / col("_tw"))
       .withColumn("alloc_tokens",
         round(lit(budgetTokens.toDouble) * col("weight")).cast("long"))
+      // an all-empty source has n_tokens = 0: nothing to keep (and the
+      // integer div would raise under ANSI)
       .withColumn("keep_frac_bp",
-        least(lit(10000L), expr("alloc_tokens * 10000 div n_tokens")))
-      .withColumn("epochs", col("alloc_tokens").cast("double") / col("n_tokens"))
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(least(lit(10000L), expr("alloc_tokens * 10000 div n_tokens"))))
+      .withColumn("epochs",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("alloc_tokens").cast("double") / col("n_tokens")))
       .select("source", "n_docs", "n_tokens", "weight", "alloc_tokens",
         "keep_frac_bp", "epochs")
   }

@@ -1349,7 +1349,7 @@ object PipelineQueries {
     Sampling.mixTokenPlan(Tables.documents(s, d), col("source"), col("text"), MixBudget)
   val mixPlanSql: String =
     s"""WITH t AS (SELECT source, count(*) AS n_docs,
-       |                  CAST(sum(len(${wordsSql("text")})) AS BIGINT) AS n_tokens
+       |                  CAST(sum(len(list_filter(${wordsSql("text")}, x -> length(x) > 0))) AS BIGINT) AS n_tokens
        |           FROM documents GROUP BY 1),
        |w AS (SELECT *, CAST(round(sqrt(n_tokens) * 1000000.0) AS BIGINT) AS w_u FROM t),
        |tot AS (SELECT CAST(sum(w_u) AS BIGINT) AS tw FROM w),
@@ -1358,8 +1358,10 @@ object PipelineQueries {
        |             CAST(round($MixBudget * (CAST(w_u AS DOUBLE) / tw)) AS BIGINT) AS alloc_tokens
        |      FROM w, tot)
        |SELECT source, n_docs, n_tokens, weight, alloc_tokens,
-       |       least(10000, alloc_tokens * 10000 // n_tokens) AS keep_frac_bp,
-       |       CAST(alloc_tokens AS DOUBLE) / n_tokens AS epochs
+       |       CASE WHEN n_tokens = 0 THEN 0
+       |            ELSE least(10000, alloc_tokens * 10000 // n_tokens) END AS keep_frac_bp,
+       |       CASE WHEN n_tokens = 0 THEN 0.0
+       |            ELSE CAST(alloc_tokens AS DOUBLE) / n_tokens END AS epochs
        |FROM p""".stripMargin
 
   /** Per-domain quality profile: which sources are garbage — doc count,

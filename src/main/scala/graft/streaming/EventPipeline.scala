@@ -183,8 +183,17 @@ object EventPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // same-id rows within one micro-batch: keep the lexicographically
+        // smallest remaining-column tuple, so the scored/persisted
+        // content is the SAME on any rerun of the batch (dropDuplicates
+        // keeps an arbitrary row — nondeterministic under retry)
+        val rest = batch.columns.filterNot(_ == "doc_id").map(col)
+        val oneRowPerDoc = batch.groupBy(col("doc_id"))
+          .agg(min(struct(rest.toIndexedSeq: _*)).as("_r"))
+          .select(col("doc_id") +: batch.columns.filterNot(_ == "doc_id")
+            .map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
         val freshDocs = ProcessedLedger
-          .fresh(batch.dropDuplicates("doc_id"), ledgerPath, "doc_id")
+          .fresh(oneRowPerDoc, ledgerPath, "doc_id")
           .localCheckpoint(true)
         if (!freshDocs.isEmpty) {
           graft.operators.Curation
@@ -218,12 +227,6 @@ object EventPipeline {
       }
   }
 
-  /** Exactly-once WITHIN the engine: event-id dedup as managed state
-    * (flatMapGroupsWithState) — redelivered ids produce no output, so
-    * downstream sinks see each event once without any external
-    * registry. State is per event-id; at scale give it a timeout
-    * matched to the source's redelivery horizon.
-    */
   /** Streaming per-domain admission cap: admit at most `k` documents
     * per domain over the stream's LIFETIME — the ingestion-time twin of
     * [[graft.operators.Curation.domainCap]] (batch keeps the best k in
@@ -242,12 +245,23 @@ object EventPipeline {
         (_: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, k - admitted).toInt
-          val take = arrivals.toSeq.sortBy(_.doc_id).take(room)
-          state.update(admitted + take.size)
-          take.iterator
+          // a saturated hot domain would otherwise pay an O(g log g)
+          // sort of every micro-batch group forever
+          if (room == 0) Iterator.empty
+          else {
+            val take = arrivals.toSeq.sortBy(_.doc_id).take(room)
+            state.update(admitted + take.size)
+            take.iterator
+          }
       }
   }
 
+  /** Exactly-once WITHIN the engine: event-id dedup as managed state
+    * (flatMapGroupsWithState) — redelivered ids produce no output, so
+    * downstream sinks see each event once without any external
+    * registry. State is per event-id; at scale give it a timeout
+    * matched to the source's redelivery horizon.
+    */
   def statefulDedup(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.event_id)

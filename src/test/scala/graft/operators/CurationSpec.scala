@@ -60,6 +60,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("ccnetBuckets keeps a degenerate single-bin language whole ('head'), never all-'tail'") {
+    // a language whose docs all land in one histogram bin (here: one
+    // single doc) has no worst third — labeling it 'tail' would make
+    // the funnel's quality stage drop the entire language
+    val docs = ((1L to 90L).map(i => (i, Seq.fill(5)("the").mkString(" ") + s" rare$i", "en"))
+      :+ (91L, "solitary zulu document", "zu")).toDF("doc_id", "text", "lang")
+    val out = Curation.ccnetBuckets(docs, "doc_id", "text", "lang")
+      .select("lang", "bucket").as[(String, String)].collect()
+    assert(out.filter(_._1 == "zu").map(_._2).toSeq === Seq("head"))
+  }
+
   test("domainCap keeps at most k per domain, best-first, layout-stable") {
     val docs = (1L to 500L).map(i => (i, s"src${i % 7}", (i * 13 % 97).toInt))
       .toDF("doc_id", "source", "n_chars")
