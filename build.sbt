@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// local-cluster[...] tests: the standalone Worker builds executor
+// commands in-JVM (WorkerCommandBuilder), which resolves the Scala
+// version from this env var when $SPARK_HOME has no build dirs.
+Test / envVars += ("SPARK_SCALA_VERSION" -> "2.13")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

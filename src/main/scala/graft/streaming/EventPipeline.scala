@@ -183,17 +183,11 @@ object EventPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        // same-id rows within one micro-batch: keep the lexicographically
-        // smallest remaining-column tuple, so the scored/persisted
-        // content is the SAME on any rerun of the batch (dropDuplicates
-        // keeps an arbitrary row — nondeterministic under retry)
-        val rest = batch.columns.filterNot(_ == "doc_id").map(col)
-        val oneRowPerDoc = batch.groupBy(col("doc_id"))
-          .agg(min(struct(rest.toIndexedSeq: _*)).as("_r"))
-          .select(col("doc_id") +: batch.columns.filterNot(_ == "doc_id")
-            .map(c => col(s"_r.$c").as(c)).toIndexedSeq: _*)
+        // same-id rows within one micro-batch: deterministic survivor
+        // (dropDuplicates keeps an arbitrary row — the scored/persisted
+        // content would differ across reruns of the same batch)
         val freshDocs = ProcessedLedger
-          .fresh(oneRowPerDoc, ledgerPath, "doc_id")
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
           .localCheckpoint(true)
         if (!freshDocs.isEmpty) {
           graft.operators.Curation

@@ -87,6 +87,20 @@ object ProcessedLedger {
     else all.filter(col("batch_id") >= minBatchId)
   }
 
+  /** One deterministic row per key within a micro-batch: the
+    * lexicographically smallest remaining-column tuple wins.
+    * `dropDuplicates` keeps an ARBITRARY row, so a retried batch could
+    * persist different content for the same key — this makes the
+    * survivor a pure function of the batch's contents.
+    */
+  def canonicalPerKey(batch: DataFrame, key: String): DataFrame = {
+    val rest = batch.columns.filterNot(_ == key)
+    if (rest.isEmpty) batch.distinct()
+    else batch.groupBy(col(key))
+      .agg(min(struct(rest.map(col).toIndexedSeq: _*)).as("_r"))
+      .select(col(key) +: rest.map(c => col("_r").getField(c).as(c)).toIndexedSeq: _*)
+  }
+
   /** Rows of `batch` whose key the ledger has NOT recorded (step 1). */
   def fresh(batch: DataFrame, path: String, key: String = "event_id",
             minBatchId: Long = Long.MinValue): DataFrame = {
@@ -184,7 +198,7 @@ object ProcessedLedger {
           if (redeliveryHorizon == Long.MaxValue) Long.MinValue
           else math.max(0L, batchId - redeliveryHorizon)
         // pin ONE evaluation so the effect and the mark see the same set
-        val freshRows = fresh(batch.dropDuplicates(key), ledgerPath, key, minBatch)
+        val freshRows = fresh(canonicalPerKey(batch.toDF(), key), ledgerPath, key, minBatch)
           .localCheckpoint(true)
         if (!freshRows.isEmpty) {
           freshRows.write.mode("overwrite").parquet(s"$effectsPath/batch_id=$batchId")

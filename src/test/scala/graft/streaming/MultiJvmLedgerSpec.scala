@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ledgered sink's exactly-once claim under REAL multi-JVM
+  * executors: `local-cluster[2,2,1024]` launches two executor
+  * PROCESSES, so nothing the dedup relies on can hide in driver-shared
+  * memory — the anti-join read, the effect write and the marker append
+  * all cross process boundaries, exactly as they would on a
+  * 1000-executor cluster. LedgerSpec proves restart semantics across
+  * sequential SparkContexts; this spec proves the distributed-state
+  * claim the scaladoc makes ("no shared memory anywhere") by
+  * observation instead of argument.
+  */
+class MultiJvmLedgerSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("item_id", LongType, nullable = false)))
+
+  test("ledgered file sink applies effects exactly once on local-cluster[2,2,1024]") {
+    // one SparkContext per JVM: park the shared local session first
+    SparkTestSession.session.sparkContext.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // executor JVMs are spawned fresh and must see the same classpath
+    // (graft classes + spark jars) this test JVM runs with
+    val spark = SparkSession.builder()
+      .master("local-cluster[2,2,1024]")
+      .appName("graft-multijvm-ledger")
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_mjvm").toFile.getAbsolutePath
+      val input = s"$base/in"; val chk = s"$base/chk"
+      val ledger = s"$base/ledger"; val effects = s"$base/fx"
+
+      def arrive(ids: Range): Unit =
+        ids.map(i => (i.toLong, i.toLong % 7)).toDF("event_id", "item_id")
+          .coalesce(1).write.mode("append").parquet(input)
+      def drain(): Unit = {
+        val q = ProcessedLedger.startLedgeredFileSink(
+          spark.readStream.schema(schema).parquet(input), chk, ledger, effects)
+        try q.processAllAvailable() finally q.stop()
+      }
+
+      // really multi-JVM: wait for driver + 2 separate executor
+      // processes to register (launch is async)
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (spark.sparkContext.statusTracker.getExecutorInfos.length < 3 &&
+        System.nanoTime() < deadline) Thread.sleep(200)
+      assert(spark.sparkContext.statusTracker.getExecutorInfos.length >= 3,
+        "local-cluster executors did not register")
+
+      arrive(1 to 40)
+      drain()
+      // a NEW file redelivers 21..40 (content the checkpoint's
+      // file-offset tracking cannot dedup) and adds 41..60
+      arrive(21 to 60)
+      drain()
+
+      val eff = spark.read.parquet(effects)
+      assert(eff.count() === 60)
+      assert(eff.select("event_id").distinct().count() === 60)
+      assert(ProcessedLedger.count(spark, ledger) === 60)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
