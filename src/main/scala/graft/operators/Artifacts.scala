@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted model artifacts for the retrieval / curation layer.
+  *
+  * At 100 TB the expensive pass of BM25 and of the CCNet-style LM
+  * score is the same one: tokenize + explode + first-level aggregation
+  * over the raw corpus text. Everything downstream (df, dl, idf,
+  * relative frequencies, the scoring join itself) derives from small
+  * SUFFICIENT STATISTICS of that pass:
+  *
+  *   - BM25: the (doc_id, word, tf) term-frequency table
+  *     ([[Retrieval.termFrequencies]]);
+  *   - unigram LM: the (word, cnt) corpus counts behind
+  *     [[Curation.referenceRel]].
+  *
+  * Both are compute-once artifacts: build them from the reference
+  * corpus once, persist as parquet, and every later scoring run —
+  * batch or streaming — reads the artifact instead of re-tokenizing
+  * the corpus. Both are also ADDITIVE, which makes the incremental
+  * path a plain append:
+  *
+  *   - LM counts: word counts of a delta batch simply append; the
+  *     loader merges with one word-keyed aggregate, so double-counting
+  *     is impossible to express (the merge IS the semantics).
+  *   - BM25 tf: rows are per (doc, word); a delta of NEW documents
+  *     appends disjoint rows. Contract: a delta batch must carry doc
+  *     ids not already indexed (re-indexing a doc means rebuilding —
+  *     same single-writer discipline as
+  *     [[graft.streaming.ProcessedLedger]]). The loader folds
+  *     duplicates with MAX per (doc_id, word) — a true count appears
+  *     once, so max is the identity there, and a whole RETRIED delta
+  *     append (the one redelivery shape parquet append cannot prevent)
+  *     lands as exact-duplicate rows that max folds away. LM count
+  *     appends have no such idempotent fold (counts legitimately
+  *     repeat across deltas), so their retry safety comes from the
+  *     upstream ledgered writer.
+  *
+  * Corpus-level scalars (N docs, total length, the LM total) are NOT
+  * persisted: they are one tiny aggregate over the artifact and
+  * freezing them would silently mis-weight every delta-updated index.
+  */
+object Artifacts {
+
+  // ------------------------------------------------------------------
+  // BM25 index: the (doc_id, word, tf) table
+  // ------------------------------------------------------------------
+
+  /** Build and persist the BM25 index for `corpus` at `path`. */
+  def saveBm25Index(corpus: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    Retrieval.termFrequencies(corpus, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/tf")
+
+  /** Incrementally index a delta batch of NEW documents (see the
+    * contract above): one tokenize pass over the delta only, appended
+    * to the artifact — never a corpus rebuild.
+    */
+  def appendBm25Delta(delta: DataFrame, idCol: String, textCol: String, path: String): Unit =
+    Retrieval.termFrequencies(delta, idCol, textCol)
+      .write.mode("append").parquet(s"$path/tf")
+
+  /** The persisted tf table. Duplicates fold with MAX per (doc_id,
+    * word): identity on true counts (each pair is written once), and a
+    * retried delta append — exact-duplicate rows — folds away instead
+    * of double-counting (sum would not be idempotent).
+    */
+  def loadBm25Tf(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tf")
+      .groupBy("doc_id", "word").agg(max("tf").as("tf"))
+
+  /** Top-k BM25 retrieval fed from the artifact — identical output to
+    * [[Retrieval.bm25TopK]] over the same (base + delta) corpus, which
+    * the q_bm25_artifact oracle proves cross-engine.
+    */
+  def bm25TopKFromIndex(spark: SparkSession, path: String,
+                        probes: DataFrame, probeIdCol: String, probeTextCol: String,
+                        k: Int,
+                        maxDf: Option[Long] = Some(Retrieval.DefaultMaxTermDf)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("score_u").desc, col("doc_id"))
+    Retrieval.bm25PairsFromTf(loadBm25Tf(spark, path), probes, probeIdCol, probeTextCol, maxDf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  // ------------------------------------------------------------------
+  // Unigram-LM reference: the (word, cnt) counts
+  // ------------------------------------------------------------------
+
+  /** Build and persist the LM word counts for a reference corpus. */
+  def saveLmCounts(docs: DataFrame, textCol: String, path: String): Unit =
+    lmCounts(docs, textCol).write.mode("overwrite").parquet(s"$path/counts")
+
+  /** Fold a delta batch into the artifact: counts are additive, so the
+    * delta's own counts append and the loader's word-keyed aggregate
+    * does the merge.
+    */
+  def appendLmCounts(delta: DataFrame, textCol: String, path: String): Unit =
+    lmCounts(delta, textCol).write.mode("append").parquet(s"$path/counts")
+
+  private def lmCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(graft.functions.Hashing.words(col(textCol))).as("_word"))
+      .filter(length(col("_word")) > 0)
+      .groupBy("_word").agg(count(lit(1)).as("_cnt"))
+
+  /** The merged reference frequency table `(_word, _rel_ppb)` — same
+    * arithmetic as [[Curation.referenceRel]] (sum-identical counts →
+    * bit-identical ppb), ready for [[Curation.scoreWithReference]].
+    */
+  def loadLmRel(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.parquet(s"$path/counts")
+      .groupBy("_word").agg(sum("_cnt").as("_cnt"))
+    val tot = counts.agg(sum("_cnt").as("_tot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("_word"),
+        round(col("_cnt") * lit(Curation.Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
+  }
+}

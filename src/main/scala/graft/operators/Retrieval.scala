@@ -69,11 +69,30 @@ object Retrieval {
     * computed BEFORE the cap, so the cap prunes the join without
     * shifting the surviving terms' weights.
     */
+  /** The corpus term-frequency table — one row per (doc, word) with
+    * its count. This is THE sufficient statistic of BM25: dl, df and
+    * the corpus scalars each derive from it in one aggregate, and the
+    * expensive pass at 100 TB (tokenize + explode + first-level
+    * aggregation over raw text) happens exactly here —
+    * [[graft.operators.Artifacts]] persists this table so scoring runs
+    * never repeat it.
+    */
+  def termFrequencies(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
   def bm25Pairs(corpus: DataFrame, idCol: String, textCol: String,
                 probes: DataFrame, probeIdCol: String, probeTextCol: String,
-                maxDf: Option[Long] = Some(DefaultMaxTermDf)): DataFrame = {
-    val tf = corpus.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("word"))
-      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+                maxDf: Option[Long] = Some(DefaultMaxTermDf)): DataFrame =
+    bm25PairsFromTf(termFrequencies(corpus, idCol, textCol),
+      probes, probeIdCol, probeTextCol, maxDf)
+
+  /** [[bm25Pairs]] fed from an existing (doc_id, word, tf) table —
+    * recomputed or loaded from a persisted index artifact.
+    */
+  def bm25PairsFromTf(tf: DataFrame,
+                      probes: DataFrame, probeIdCol: String, probeTextCol: String,
+                      maxDf: Option[Long] = Some(DefaultMaxTermDf)): DataFrame = {
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val dfreq0 = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val dfreq = maxDf.fold(dfreq0)(c => dfreq0.filter(col("df") <= c))

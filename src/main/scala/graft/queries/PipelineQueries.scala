@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.Hashing
-import graft.operators.{Curation, Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
+import graft.operators.{Artifacts, Curation, Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -218,6 +218,24 @@ object PipelineQueries {
        |SELECT probe_id, doc_id, n_matched, score_u, CAST(rk AS INTEGER) AS rk
        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score_u DESC, doc_id) AS rk FROM bm)
        |WHERE rk <= $Bm25K""".stripMargin
+
+  /** BM25 from a PERSISTED index with an incremental delta: build the
+    * tf artifact from two thirds of the corpus, append the last third
+    * as a delta batch (one tokenize pass over the delta only), then
+    * score the probe set from the LOADED artifact. The oracle
+    * recomputes BM25 over the full corpus from raw text — so the gate
+    * proves save → append → load → score ≡ recompute, cross-engine.
+    */
+  val bm25Artifact: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val corpus = doc.filter(col("doc_id") % 10 =!= 0)
+    val probes = doc.filter(col("doc_id") % 10 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toFile.getAbsolutePath
+    Artifacts.saveBm25Index(corpus.filter(col("doc_id") % 3 =!= 1), "doc_id", "text", path)
+    Artifacts.appendBm25Delta(corpus.filter(col("doc_id") % 3 === 1), "doc_id", "text", path)
+    Artifacts.bm25TopKFromIndex(s, path, probes, "doc_id", "text", Bm25K)
+  }
+  val bm25ArtifactSql: String = bm25RetrieveSql
 
   /** Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
     * the shared-4-gram contamination ranking over the same (probe,
@@ -1224,6 +1242,22 @@ object PipelineQueries {
     s"""WITH ${Curation.unigramQualityCtes("documents", "doc_id", "text")}
        |SELECT doc_id, n_tok, score_ppb FROM scored""".stripMargin
 
+  /** The unigram LM as a PERSISTED artifact with an incremental delta:
+    * word counts of three quarters of the corpus saved, the last
+    * quarter appended (counts are additive — the loader's word-keyed
+    * merge is the update), then every document scored against the
+    * LOADED reference. Oracle recomputes the LM from the full corpus:
+    * artifact-fed scoring must be bit-identical to recompute.
+    */
+  val lmArtifact: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_lm_ref").toFile.getAbsolutePath
+    Artifacts.saveLmCounts(doc.filter(col("doc_id") % 4 =!= 2), "text", path)
+    Artifacts.appendLmCounts(doc.filter(col("doc_id") % 4 === 2), "text", path)
+    Curation.scoreWithReference(doc, "doc_id", "text", Artifacts.loadLmRel(s, path))
+  }
+  val lmArtifactSql: String = lmQualitySql
+
   /** Per-language head/middle/tail thirds by LM fit (CCNet buckets). */
   val ccnetBucket: Q = (s, d) =>
     Curation.ccnetBuckets(Tables.documents(s, d), "doc_id", "text", "lang")
@@ -1433,6 +1467,7 @@ object PipelineQueries {
     "q_lm_bigram" -> lmBigram,
     "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
+    "q_lm_artifact" -> lmArtifact,
     "q_ccnet_bucket" -> ccnetBucket,
     "q_domain_cap" -> domainCap,
     "q_weighted_sample" -> weightedSample,
@@ -1469,6 +1504,7 @@ object PipelineQueries {
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
     "q_bm25_topk" -> bm25Retrieve,
+    "q_bm25_artifact" -> bm25Artifact,
     "q_rrf_fusion" -> rrfFusion,
     "q_pq_codes" -> pqCodes,
     "q_pq_adc" -> pqAdc,
@@ -1499,6 +1535,7 @@ object PipelineQueries {
     "q_lm_bigram" -> lmBigramSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,
+    "q_lm_artifact" -> lmArtifactSql,
     "q_ccnet_bucket" -> ccnetBucketSql,
     "q_domain_cap" -> domainCapSql,
     "q_weighted_sample" -> weightedSampleSql,
@@ -1535,6 +1572,7 @@ object PipelineQueries {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
     "q_bm25_topk" -> bm25RetrieveSql,
+    "q_bm25_artifact" -> bm25ArtifactSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_pq_codes" -> pqCodesSql,
     "q_pq_adc" -> pqAdcSql,

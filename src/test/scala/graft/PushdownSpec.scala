@@ -114,18 +114,18 @@ class PushdownSpec extends SparkSpec {
     //     (k = distinct sources) meet the single normalizing-totals
     //     row — a k×1 join of two aggregate outputs, both sides
     //     bounded by construction.
-    //   - q_lm_quality / q_lm_bigram / q_ccnet_bucket /
+    //   - q_lm_quality / q_lm_artifact / q_lm_bigram / q_ccnet_bucket /
     //     q_weighted_sample / q_curation_funnel (embeds the bucket
     //     stage): the same k×1 shape — vocab (or bigram) rows meet the
     //     single broadcast total / min-max row (Curation.referenceRel,
-    //     bigramScoreWithBackoff, qualityWeightedSample); the
-    //     corpus-sized joins in those plans are all equi-joins on the
-    //     word/pair key.
+    //     Artifacts.loadLmRel, bigramScoreWithBackoff,
+    //     qualityWeightedSample); the corpus-sized joins in those plans
+    //     are all equi-joins on the word/pair key.
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_recall", "q_mix_temperature",
-      "q_lm_quality", "q_lm_bigram", "q_ccnet_bucket", "q_weighted_sample",
-      "q_curation_funnel", "q_mix_plan", "q_source_quality")
+      "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
+      "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
