@@ -204,6 +204,15 @@ object DomainQueries {
       |       'JPEG' AS out_format
       |FROM documents""".stripMargin
 
+  /** §3.2 end-to-end: the scan endpoint over the documents table with
+    * the REAL image codec in the middle (see
+    * [[graft.pipelines.ScanPipeline]]). Rows-only at the driver gate —
+    * JPEG bytes are not SQL-reproducible — with the value-level
+    * contract pinned in ScanPipelineSpec.
+    */
+  val scanPipelineQ: Q = (s, d) =>
+    graft.pipelines.ScanPipeline.scanPlan(Tables.documents(s, d))
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -763,6 +772,7 @@ object DomainQueries {
     "q_decode_features" -> decodeFeatures,
     "q_scan_effects" -> scanEffectsQ,
     "q_scan_seeded" -> scanSeededQ,
+    "q_scan_pipeline" -> scanPipelineQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
     "q_items_connector" -> itemsConnector,
