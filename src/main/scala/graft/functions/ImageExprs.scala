@@ -32,6 +32,12 @@ object ImageExprs {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("format", StringType, nullable = true)))
+
+  /** Static resize helper for codegen: decode → bilinear → PNG. */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val px = ImageCodec.decode(bytes)
+    if (px == null) null else ImageCodec.encodePng(ImageCodec.resize(px, w, h))
+  }
 }
 
 /** `add_scan_effects_minimal` (`fixed_signature_utils.py:369-450`) as a
@@ -98,6 +104,52 @@ case class JpegReencodeExpr(child: Expression, quality: Int) extends UnaryExpres
   override def prettyName: String = "jpeg_reencode"
 }
 
+/** B1 `compress_pdf_bytes` image path (`fixed_signature_utils
+  * .py:38-110`): dpi-preset resize + sharpen + contrast + JPEG, on
+  * real pixels. Null for non-images.
+  */
+case class CompressImageExpr(child: Expression, quality: String) extends UnaryExpression {
+  require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    ImageCodec.compressImage(b.asInstanceOf[Array[Byte]], quality)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("compressed")
+      s"""
+         |byte[] $r = graft.sources.ImageCodec.compressImage($b, "$quality");
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): CompressImageExpr = copy(child = c)
+  override def prettyName: String = "compress_image"
+}
+
+/** Real bilinear resize of an image payload to (w, h), re-encoded as
+  * PNG (lossless — resize is a geometry op, not a compression op).
+  * Null for non-images.
+  */
+case class ResizeImageExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    ImageExprs.resizePng(b.asInstanceOf[Array[Byte]], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, w, h) => {
+      val r = ctx.freshName("resized")
+      s"""
+         |byte[] $r = graft.functions.ImageExprs.resizePng($b, $w, $h);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ResizeImageExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "resize_image"
+}
+
 /** Real decode of an image payload to struct(width, height, format);
   * null when undecodable.
   */
@@ -145,6 +197,11 @@ object ImageOps {
     GraftExpr.toColumn(ScanSeededExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(seed), quality))
   def jpegReencode(bin: Column, quality: Int): Column =
     GraftExpr.toColumn(JpegReencodeExpr(GraftExpr.toExpr(bin), quality))
+  def compressImage(bin: Column, quality: String): Column =
+    GraftExpr.toColumn(CompressImageExpr(GraftExpr.toExpr(bin), quality))
+  def resizeImage(bin: Column, w: Column, h: Column): Column =
+    GraftExpr.toColumn(ResizeImageExpr(
+      GraftExpr.toExpr(bin), GraftExpr.toExpr(w), GraftExpr.toExpr(h)))
   def imageInfo(bin: Column): Column =
     GraftExpr.toColumn(ImageInfoExpr(GraftExpr.toExpr(bin)))
   def synthImage(seed: Column, w: Column, h: Column): Column =

@@ -179,6 +179,28 @@ object DomainQueries {
       |       'JPEG' AS out_format
       |FROM documents""".stripMargin
 
+  /** B1's compress image path on real pixels: synth page render →
+    * dpi-preset bilinear resize (balanced = 150 dpi ⇒ dims scale by
+    * 150/72 in floor integer math the oracle recomputes) → sharpen →
+    * contrast → JPEG → re-decode and report true output dims.
+    */
+  val compressQ: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id")) // CPU-bound codec
+      .withColumn("img", graft.functions.ImageOps.synthImage(col("doc_id") * 17,
+        (lit(30) + col("doc_id") % 9).cast("int"), (lit(24) + col("doc_id") % 5).cast("int")))
+      .withColumn("out", graft.functions.ImageOps.compressImage(col("img"), "balanced"))
+      .withColumn("info", graft.functions.ImageOps.imageInfo(col("out")))
+      .select(col("doc_id"),
+        col("info.width").as("out_w"), col("info.height").as("out_h"),
+        col("info.format").as("out_format"))
+  val compressSql: String =
+    """SELECT doc_id,
+      |       CAST(greatest(1, (30 + doc_id % 9) * 150 // 72) AS INTEGER) AS out_w,
+      |       CAST(greatest(1, (24 + doc_id % 5) * 150 // 72) AS INTEGER) AS out_h,
+      |       'JPEG' AS out_format
+      |FROM documents""".stripMargin
+
   /** The seeded randomized variant (`add_scan_effects`, SURVEY §2.10's
     * explicit-seed contract): rotation is expand=False so output dims
     * must still equal the synthesized input dims — which the oracle
@@ -773,6 +795,7 @@ object DomainQueries {
     "q_scan_effects" -> scanEffectsQ,
     "q_scan_seeded" -> scanSeededQ,
     "q_scan_pipeline" -> scanPipelineQ,
+    "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
     "q_items_connector" -> itemsConnector,
@@ -805,6 +828,7 @@ object DomainQueries {
     "q_frames" -> framesSql,
     "q_scan_effects" -> scanEffectsSql,
     "q_scan_seeded" -> scanSeededSql,
+    "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,
     "q_structure_lot" -> structureLotSql,

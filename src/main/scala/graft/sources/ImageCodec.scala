@@ -328,6 +328,71 @@ object ImageCodec {
     Px(w, h, out)
   }
 
+  /** Bilinear resize to exactly (w, h) — pixel centers mapped
+    * source↔target (the standard half-pixel convention), clamp at
+    * edges. Deterministic explicit loops, like every op here.
+    */
+  def resize(px: Px, w: Int, h: Int): Px = {
+    require(w > 0 && h > 0, s"resize dims must be positive, got ${w}x$h")
+    if (w == px.w && h == px.h) return px
+    val out = new Array[Int](w * h)
+    val sx = px.w.toDouble / w
+    val sy = px.h.toDouble / h
+    var y = 0
+    while (y < h) {
+      val fy = (y + 0.5) * sy - 0.5
+      val y0 = math.max(0, math.min(px.h - 1, math.floor(fy).toInt))
+      val y1 = math.min(px.h - 1, y0 + 1)
+      val wy = math.max(0.0, math.min(1.0, fy - y0))
+      var x = 0
+      while (x < w) {
+        val fx = (x + 0.5) * sx - 0.5
+        val x0 = math.max(0, math.min(px.w - 1, math.floor(fx).toInt))
+        val x1 = math.min(px.w - 1, x0 + 1)
+        val wx = math.max(0.0, math.min(1.0, fx - x0))
+        val c00 = px.rgb(y0 * px.w + x0); val c10 = px.rgb(y0 * px.w + x1)
+        val c01 = px.rgb(y1 * px.w + x0); val c11 = px.rgb(y1 * px.w + x1)
+        @inline def lerp(sh: Int): Int = clampD(
+          ((c00 >> sh) & 0xff) * (1 - wx) * (1 - wy) + ((c10 >> sh) & 0xff) * wx * (1 - wy) +
+            ((c01 >> sh) & 0xff) * (1 - wx) * wy + ((c11 >> sh) & 0xff) * wx * wy)
+        out(y * w + x) = (lerp(16) << 16) | (lerp(8) << 8) | lerp(0)
+        x += 1
+      }
+      y += 1
+    }
+    Px(w, h, out)
+  }
+
+  /** B1 `compress_pdf_bytes` presets (`fixed_signature_utils
+    * .py:47-62`): quality → (target_dpi, jpeg_quality).
+    */
+  private val CompressPresets: Map[String, (Int, Int)] = Map(
+    "minimum" -> (90, 50), "balanced" -> (150, 85), "high" -> (200, 90),
+    "premium" -> (250, 95), "ultra" -> (300, 100))
+
+  /** B1's per-page image path, for real (`fixed_signature_utils
+    * .py:66-89`): treat the payload as a 72-dpi page render, scale to
+    * the preset's target dpi (zoom = dpi/72; output dims floor to
+    * `dim·dpi/72` in integer math so the oracle can recompute them),
+    * sharpness 1.2, contrast 1.05, JPEG at the preset quality. The
+    * reference forces subsampling=0 for text fidelity; the JDK writer
+    * manages subsampling internally, which affects bytes, not
+    * geometry — the cross-engine gate is on the re-decoded dims.
+    * Returns null for non-image payloads (the PDF container walk
+    * stays stubbed).
+    */
+  def compressImage(bytes: Array[Byte], quality: String): Array[Byte] = {
+    val px0 = decode(bytes)
+    if (px0 == null) return null
+    val (dpi, jpegQ) = CompressPresets.getOrElse(quality, CompressPresets("balanced"))
+    val w = math.max(1, (px0.w * dpi) / 72)
+    val h = math.max(1, (px0.h * dpi) / 72)
+    var px = resize(px0, w, h)
+    px = sharpness(px, 1.2)
+    px = contrast(px, 1.05)
+    encodeJpeg(px, jpegQ)
+  }
+
   /** Small-angle rotation about the center, white fill, output size
     * unchanged (Pillow `rotate(angle, fillcolor='white',
     * expand=False)`), inverse-mapped bilinear resampling.

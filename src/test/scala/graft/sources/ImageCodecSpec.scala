@@ -133,6 +133,30 @@ class ImageCodecSpec extends SparkSpec {
     assert(v > 1.0, s"expected noise-driven variance, got $v")
   }
 
+  test("resize: exact dims, identity at same size, constant images stay constant") {
+    val px = decode(synthPng(21, 30, 20))
+    assert(resize(px, 30, 20) eq px)
+    val up = resize(px, 60, 40)
+    assert(up.w === 60 && up.h === 40)
+    val down = resize(px, 15, 10)
+    assert(down.w === 15 && down.h === 10)
+    val const = Px(8, 8, Array.fill(64)(0x336699))
+    assert(resize(const, 20, 12).rgb.forall(_ === 0x336699))
+  }
+
+  test("compressImage: B1 preset dpi geometry, deterministic, JPEG out, null for PDFs") {
+    val in = synthPng(23, 30, 24)
+    val out = compressImage(in, "balanced") // 150 dpi: dims scale by 150/72
+    assert(isJpeg(out))
+    val px = decode(out)
+    assert(px.w === 30 * 150 / 72 && px.h === 24 * 150 / 72) // 62 x 50
+    assert(out.toSeq === compressImage(in, "balanced").toSeq)
+    // minimum preset: 90 dpi, lower jpeg quality -> different geometry
+    val lo = decode(compressImage(in, "minimum"))
+    assert(lo.w === 30 * 90 / 72 && lo.h === 24 * 90 / 72)
+    assert(compressImage("%PDF-1.4".getBytes, "balanced") === null)
+  }
+
   test("jpegReencode re-encodes at the asked quality; bigger q, bigger file") {
     val in = synthPng(17, 64, 48)
     val lo = jpegReencode(in, 30)
