@@ -203,6 +203,87 @@ object Sketches {
       .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  // ------------------------------------------------------------------
+  // Bloom filter: broadcast-bitmask membership triage
+  // ------------------------------------------------------------------
+
+  /** Build the m-bit Bloom mask over a column's values: each value
+    * sets k positions via Kirsch-Mitzenmacher double hashing on the
+    * two 48-bit md5 slices. The distinct position set is bounded by m
+    * (a CONFIG constant — 2^16 bits = 8 KiB default in the queries),
+    * so the driver-side fold is model state, same class as k×dim
+    * centroids.
+    */
+  def bloomMask(df: DataFrame, c: Column, m: Int, k: Int): Array[Long] = {
+    require(m > 0 && m % 64 == 0, s"m must be a positive multiple of 64, got $m")
+    require(k > 0, s"k must be positive, got $k")
+    val hashed = df.select(Hashing.stableHash48(c, 0).as("_h1"), Hashing.stableHash48(c, 1).as("_h2"))
+    val pos = hashed.select(explode(array((0 until k).map(i =>
+        (col("_h1") + lit(i.toLong) * col("_h2")) % lit(m.toLong)): _*)).as("p"))
+      .distinct()
+    graft.functions.Bloom.maskOf(pos.collect().iterator.map(_.getLong(0)), m)
+  }
+
+  /** Decontamination triage via a broadcast Bloom mask
+    * ([[graft.functions.Bloom]] for the full scale rationale): flag
+    * each corpus doc by how many of its distinct word n-grams hit the
+    * probe set's mask. A miss is definitive (truly novel gram); a hit
+    * is "maybe contaminated" with the classic one-sided false-positive
+    * rate — the exact shingle join (`Dedup.contaminationPairs`) then
+    * runs over the flagged sliver only. No corpus shuffle against the
+    * probe side anywhere: the corpus side is one aggregation over its
+    * own grams with k bit probes per gram.
+    *
+    * Output: `doc_id, n_grams, n_flagged` (distinct grams; integer
+    * counts — decisions AND counts hash-gate cross-engine).
+    */
+  def bloomContamination(corpus: DataFrame, idCol: String, textCol: String,
+                         probes: DataFrame, probeTextCol: String,
+                         n: Int, m: Int, k: Int): DataFrame = {
+    val probeGrams = probes
+      .select(Hashing.words(col(probeTextCol)).as("_w"))
+      .select(explode(Hashing.shinglesFromWords(col("_w"), n)).as("g"))
+    val mask = bloomMask(probeGrams, col("g"), m, k)
+    corpus
+      .select(col(idCol).as("doc_id"), Hashing.words(col(textCol)).as("_w"))
+      .select(col("doc_id"), explode(Hashing.shinglesFromWords(col("_w"), n)).as("g"))
+      .select(col("doc_id"),
+        graft.functions.BloomCol.contains(
+          Hashing.stableHash48(col("g"), 0), Hashing.stableHash48(col("g"), 1),
+          mask, k, m).as("_hit"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_hit"), 1L).otherwise(0L)).as("n_flagged"))
+  }
+
+  /** DuckDB twin: the probe position set as a CTE, each corpus gram
+    * flagged iff all k of its positions are present — the same
+    * decisions the mask makes, expressed relationally.
+    */
+  def bloomContaminationSql(corpusFilter: String, probeFilter: String,
+                            n: Int, m: Int, k: Int): String =
+    s"""WITH pw AS (SELECT ${Hashing.wordsSql("text")} AS w
+       |            FROM documents WHERE $probeFilter),
+       |pg AS (SELECT DISTINCT unnest(${Hashing.shinglesSql("w", n)}) AS g FROM pw),
+       |ph AS (SELECT ${Hashing.stableHash48Sql("g", 0)} AS h1,
+       |              ${Hashing.stableHash48Sql("g", 1)} AS h2 FROM pg),
+       |pp AS (SELECT DISTINCT (h1 + i * h2) % $m AS p
+       |       FROM ph, (SELECT unnest(range(0, $k)) AS i)),
+       |cw AS (SELECT doc_id, ${Hashing.wordsSql("text")} AS w
+       |       FROM documents WHERE $corpusFilter),
+       |cg AS (SELECT doc_id, unnest(${Hashing.shinglesSql("w", n)}) AS g FROM cw),
+       |ch AS (SELECT doc_id, g, ${Hashing.stableHash48Sql("g", 0)} AS h1,
+       |              ${Hashing.stableHash48Sql("g", 1)} AS h2 FROM cg),
+       |hits AS (SELECT doc_id, g
+       |         FROM (SELECT doc_id, g, (h1 + i * h2) % $m AS p
+       |               FROM ch, (SELECT unnest(range(0, $k)) AS i)) probes
+       |         JOIN pp USING (p)
+       |         GROUP BY doc_id, g HAVING count(*) = $k)
+       |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       |       CAST(count(hits.g) AS BIGINT) AS n_flagged
+       |FROM cg LEFT JOIN hits ON cg.doc_id = hits.doc_id AND cg.g = hits.g
+       |GROUP BY 1""".stripMargin
+
   /** Point estimates for a fixed probe list, alongside exact counts
     * (for the gate/diagnostics): `cm_est = min_r cnt(r, h_r(probe))`,
     * absent buckets counting 0. `overcount = cm_est - n_exact` is

@@ -650,6 +650,25 @@ object PipelineQueries {
     Sketches.cmEstimatesSql(
       s"SELECT unnest(${wordsSql("text")}) AS k FROM documents", CmProbes, CmWidth)
 
+  /** Bloom-mask decontamination triage: the probe docs' 4-gram set
+    * compressed to a 2^16-bit broadcast mask (8 KiB), each corpus doc
+    * counting flagged grams with k=4 bit probes per gram — no corpus
+    * shuffle against the probe side; the exact shingle join then only
+    * runs over the flagged sliver. The oracle recomputes the SAME bit
+    * positions relationally, so membership decisions hash-gate, not
+    * just aggregate counts.
+    */
+  private val BloomM = 1 << 16
+  private val BloomK = 4
+  val bloomContam: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    Sketches.bloomContamination(doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+      doc.filter(col("doc_id") % 10 === 0), "text", n = 4, m = BloomM, k = BloomK)
+  }
+  val bloomContamSql: String =
+    Sketches.bloomContaminationSql("doc_id % 10 <> 0", "doc_id % 10 = 0",
+      n = 4, m = BloomM, k = BloomK)
+
   /** HLL distinct-user sketch per event type next to the exact count —
     * the large-cardinality companion to q_distinct_sketch, gated
     * bit-for-bit (order-free integer registers, integer-scaled harmonic
@@ -1514,6 +1533,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrum,
     "q_langid_eval" -> langIdEval,
     "q_cm_sketch" -> cmSketchEst,
+    "q_bloom_contam" -> bloomContam,
     "q_hll" -> hllSketch,
     "q_novelty" -> novelty,
     "q_incremental_dedup" -> incrementalDedup,
@@ -1582,6 +1602,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_langid_eval" -> langIdEvalSql,
     "q_cm_sketch" -> cmSketchEstSql,
+    "q_bloom_contam" -> bloomContamSql,
     "q_hll" -> hllSketchSql,
     "q_novelty" -> noveltySql,
     "q_incremental_dedup" -> incrementalDedupSql,

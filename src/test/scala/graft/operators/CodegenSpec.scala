@@ -62,4 +62,20 @@ class CodegenSpec extends SparkSpec {
         many, nProbe = 4).count() > 0)
     }
   }
+
+  test("the full image-codec expression stack compiles in whole-stage codegen") {
+    import graft.functions.ImageOps
+    import spark.implicits._
+    strictCodegen {
+      val widths = Seq(1L, 2L).toDF("doc_id")
+        .withColumn("img", ImageOps.synthImage(col("doc_id"), lit(20), lit(16)))
+        .withColumn("out", ImageOps.jpegReencode(
+          ImageOps.compressImage(ImageOps.scanMinimal(col("img"), "balanced"), "minimum"), 70))
+        .withColumn("seeded", ImageOps.scanSeeded(col("img"), col("doc_id"), "light"))
+        .withColumn("resized", ImageOps.resizeImage(col("img"), lit(10), lit(8)))
+        .select(col("out"), col("seeded"), col("resized"),
+          ImageOps.imageInfo(col("out")).getField("width").as("w"))
+      assert(widths.select("w").as[Int].collect().forall(_ > 0))
+    }
+  }
 }

@@ -116,4 +116,40 @@ class SketchesSpec extends SparkSpec {
     val corrected = Sketches.hllCorrected(a.getDouble(3), a.getLong(2))
     assert(math.abs(corrected - 7.0) < 2.0, s"corrected $corrected")
   }
+
+  test("bloom mask: no false negatives ever, false positives bounded at low occupancy") {
+    val m = 1 << 12; val k = 4
+    val members = (1 to 50).map(i => s"member gram number $i alpha")
+    val mask = Sketches.bloomMask(members.toDF("g"), $"g", m, k)
+    assert(mask.length === m / 64)
+    // every member hits (one-sided error: misses are definitive)
+    members.foreach { g =>
+      val df = Seq(g).toDF("g")
+      val hit = df.select(graft.functions.BloomCol.contains(
+        graft.functions.Hashing.stableHash48($"g", 0),
+        graft.functions.Hashing.stableHash48($"g", 1), mask, k, m).as("h")).head.getBoolean(0)
+      assert(hit, s"false negative for '$g'")
+    }
+    // 50*4/4096 ≈ 5% occupancy → fp ≈ 0.05^4; 500 non-members should all miss
+    val nonMembers = (1 to 500).map(i => s"novel gram number $i beta").toDF("g")
+    val fps = nonMembers.select(graft.functions.BloomCol.contains(
+      graft.functions.Hashing.stableHash48($"g", 0),
+      graft.functions.Hashing.stableHash48($"g", 1), mask, k, m).as("h"))
+      .filter($"h").count()
+    assert(fps <= 2, s"$fps false positives out of 500 at ~5% occupancy")
+  }
+
+  test("bloomContamination counts gram hits per doc; a verbatim probe copy is fully flagged") {
+    val probes = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two three four five six"), // verbatim copy: every 4-gram flagged
+      (2L, "totally novel words nothing shared here at all"),
+      (3L, "tiny")).toDF("doc_id", "text") // < 4 words: no grams, no row
+    val out = Sketches.bloomContamination(corpus, "doc_id", "text", probes, "text",
+      n = 4, m = 1 << 12, k = 4)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L))
+    assert(out(0) === ((1L, 3L, 3L))) // 6 words → 3 distinct 4-grams, all flagged
+    assert(out(1)._3 === 0L) // novel doc: zero flags (no false positives here)
+  }
 }
