@@ -200,6 +200,34 @@ object EventPipeline {
       }
       .start()
 
+  /** Incremental BM25 index maintenance under the exactly-once ledger:
+    * each micro-batch's ledger-fresh documents are tokenized ONCE and
+    * appended to the [[graft.operators.Artifacts]] tf table, then
+    * marked. The composition makes the artifact contract self-
+    * enforcing: redelivered docs are anti-joined away (so delta
+    * batches always carry NEW doc ids, as the index requires), and a
+    * crash between append and mark retries the SAME fresh set — whose
+    * exact-duplicate tf rows the loader's max-fold dedups. Scoring
+    * runs read the index at their own cadence; the corpus-level
+    * scalars re-derive there, so a delta can never mis-weight them.
+    */
+  def startLedgeredBm25Indexer(newDocs: DataFrame, checkpoint: String,
+                               ledgerPath: String, indexPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val fresh = ProcessedLedger
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          graft.operators.Artifacts.appendBm25Delta(fresh, "doc_id", "text", indexPath)
+          ProcessedLedger.mark(fresh.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
+      }
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

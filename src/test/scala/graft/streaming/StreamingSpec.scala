@@ -482,6 +482,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ledgered BM25 indexer: sliced + redelivered stream equals one-shot indexing") {
+    val base = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    val input = s"$base/in"; val chk = s"$base/chk"
+    val ledger = s"$base/ledger"; val index = s"$base/idx"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the lazy dog sleeps"),
+      (3L, "spark engines process the corpus"),
+      (4L, "a completely different document"))
+    def arrive(slice: Seq[(Long, String)]): Unit =
+      slice.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, true)))
+      val q = EventPipeline.startLedgeredBm25Indexer(
+        spark.readStream.schema(schema).parquet(input), chk, ledger, index)
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(docs.take(2))
+    drain()
+    // a new file REDELIVERS doc 2 and adds 3..4: the ledger must keep
+    // the index's new-docs-only contract
+    arrive(docs.drop(1))
+    drain()
+    val streamed = graft.operators.Artifacts.loadBm25Tf(spark, index)
+      .as[(Long, String, Long)].collect().toSet
+    val oneShot = graft.operators.Retrieval
+      .termFrequencies(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === oneShot)
+    // and the index scores identically to recompute
+    val probes = Seq((100L, "the corpus")).toDF("doc_id", "text")
+    val viaIndex = graft.operators.Artifacts
+      .bm25TopKFromIndex(spark, index, probes, "doc_id", "text", k = 3)
+      .orderBy("rk").collect().map(_.toSeq)
+    val recompute = graft.operators.Retrieval
+      .bm25TopK(docs.toDF("doc_id", "text"), "doc_id", "text", probes, "doc_id", "text", k = 3)
+      .orderBy("rk").collect().map(_.toSeq)
+    assert(viaIndex.toSeq === recompute.toSeq)
+  }
+
   test("streaming domain cap admits first-k per domain across micro-batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[DocArrival]
