@@ -1,0 +1,48 @@
+package graft.pipelines
+
+import graft.functions.{ImageOps, StringOps}
+import graft.sources.{Multimodal, SignOps}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** §3.1 the sign endpoint (`app.py:68-82`, `fixed_signature_utils
+  * .py:211-254` `sign_pdf_url_and_transfer`) recomposed declaratively:
+  *
+  *   download                       → stub transport (UrlFetch echo shape)
+  *   → B1 compress (dpi, quality)   → REAL on image payloads
+  *   → B2 sign                      → REAL detached PKCS#12/RSA crypto
+  *   → F3 " SIGNÉ" rename           → ref-exact
+  *   → K1 upload plan               → the sink task shape
+  *
+  * Only the PDF-container halves stay stand-ins (rasterize/rebuild in
+  * B1, embedding the signature into a PDF incremental update in B2);
+  * the pixels and the cryptography are real. Like the reference's
+  * defaults: compress at dpi=144/q=60 ≈ the "minimum/balanced" band —
+  * here the preset knob is explicit.
+  */
+object SignPipeline {
+
+  /** One signed-upload task row per input doc: compressed payload,
+    * detached signature, renamed upload name.
+    */
+  def signPlan(docs: DataFrame, pkcs12: Array[Byte], password: String,
+               quality: String = "balanced"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rendered = docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id")) // CPU-bound codec+crypto
+      .withColumn("page", ImageOps.synthImage(col("doc_id") * 13, lit(60), lit(84)))
+      .withColumn("compressed", ImageOps.compressImage(col("page"), quality))
+    val media: Dataset[Multimodal.MediaDoc] = rendered
+      .select(col("doc_id"), lit("image/jpeg").as("mime"), col("compressed").as("content"))
+      .as[Multimodal.MediaDoc]
+    SignOps.signAll(media, pkcs12, password).toDF()
+      .withColumn("file_name", concat(lit("doc_"), col("doc_id"), lit(".pdf")))
+      .withColumn("upload_name",
+        StringOps.sanitizeName(StringOps.signedFilename(col("file_name"))))
+      .select(col("doc_id"), col("upload_name"), col("signer"),
+        length(col("content")).cast("long").as("n_bytes"),
+        length(col("signature")).cast("long").as("sig_bytes"),
+        md5(col("signature")).as("sig_md5"))
+  }
+}
