@@ -22,11 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object SignPipeline {
 
-  /** One signed-upload task row per input doc: compressed payload,
-    * detached signature, renamed upload name.
+  /** One signed-upload task row per input doc: compressed payload
+    * with the visible stamp, detached signature over the stamped
+    * bytes, renamed upload name. `ts` is explicit (determinism).
     */
   def signPlan(docs: DataFrame, pkcs12: Array[Byte], password: String,
-               quality: String = "balanced"): DataFrame = {
+               quality: String = "balanced",
+               ts: String = "2026-01-01 00:00:00"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val rendered = docs.select(col("doc_id"))
@@ -36,7 +38,7 @@ object SignPipeline {
     val media: Dataset[Multimodal.MediaDoc] = rendered
       .select(col("doc_id"), lit("image/jpeg").as("mime"), col("compressed").as("content"))
       .as[Multimodal.MediaDoc]
-    SignOps.signAll(media, pkcs12, password).toDF()
+    SignOps.signAllStamped(media, pkcs12, password, ts).toDF()
       .withColumn("file_name", concat(lit("doc_"), col("doc_id"), lit(".pdf")))
       .withColumn("upload_name",
         StringOps.sanitizeName(StringOps.signedFilename(col("file_name"))))

@@ -438,6 +438,38 @@ object ImageCodec {
     Px(w, h, out)
   }
 
+  /** B2's visible signature stamp, for real (`fixed_signature_utils
+    * .py:143-147`: `TextStampStyle(font_size=10, background=None,
+    * border_width=0)` at the `sig_box`): black text lines rendered
+    * into the box with the JDK's headless font rasterizer, nothing
+    * drawn outside it. Text metrics come from the platform font
+    * stack, so stamped BYTES are deterministic within one container
+    * but not across font stacks — stamping is therefore test-gated
+    * (structural assertions), never oracle-gated; everything around
+    * it stays bit-reproducible.
+    */
+  def stampTextBox(px: Px, lines: Seq[String],
+                   x0: Int, y0: Int, x1: Int, y1: Int, fontSize: Int = 10): Px = {
+    require(x0 < x1 && y0 < y1, s"empty stamp box ($x0,$y0,$x1,$y1)")
+    if (lines.isEmpty || lines.forall(_.isEmpty)) return px
+    val img = toBuffered(px)
+    val g = img.createGraphics()
+    try {
+      g.setClip(x0, y0, x1 - x0, y1 - y0) // nothing may escape the box
+      g.setColor(java.awt.Color.BLACK)
+      g.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.PLAIN, fontSize))
+      val lineH = math.max(fontSize + 2, g.getFontMetrics.getHeight)
+      lines.zipWithIndex.foreach { case (line, i) =>
+        g.drawString(line, x0 + 2, y0 + (i + 1) * lineH - 2)
+      }
+    } finally g.dispose()
+    val out = new Array[Int](px.w * px.h)
+    img.getRGB(0, 0, px.w, px.h, out, 0, px.w)
+    var i = 0
+    while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+    Px(px.w, px.h, out)
+  }
+
   /** Dark border vignette (`fixed_signature_utils.py:495-503`): 5
     * nested 1-px rectangle rings at inset i with mask opacity
     * 255 - 10 i, composited against near-white (250,250,250).

@@ -79,4 +79,42 @@ object SignOps {
       it.map(d => SignedDoc(d.doc_id, d.content, signDetached(d.content, key), signer))
     }
   }
+
+  /** The CN attribute of an X.500 name ("CN=Alice,O=X" → "Alice"). */
+  def cnOf(x500: String): String =
+    x500.split(',').map(_.trim).collectFirst {
+      case s if s.startsWith("CN=") => s.stripPrefix("CN=")
+    }.getOrElse(x500)
+
+  /** [[signAll]] with the VISIBLE stamp applied first on image
+    * payloads (`fixed_signature_utils.py:138`: `"Firmado por:
+    * %(signer)s\nFecha: %(ts)s"` at the `sig_box`, default
+    * (300,470,500,530) in A4 points — scaled here to the render's
+    * pixel grid). The signature covers the STAMPED bytes, exactly as
+    * a PDF signature covers the appearance stream. `ts` is an
+    * explicit parameter — a wall-clock default would make the output
+    * a function of when it ran. Non-image payloads sign unstamped
+    * (the PDF-container stamp path stays stubbed).
+    */
+  def signAllStamped(docs: Dataset[Multimodal.MediaDoc], pkcs12: Array[Byte],
+                     password: String, ts: String,
+                     jpegQuality: Int = 85): Dataset[SignedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val (key, cert) = loadPkcs12(pkcs12, password.toCharArray)
+      val signer = cert.getSubjectX500Principal.getName
+      val lines = Seq(s"Firmado por: ${cnOf(signer)}", s"Fecha: $ts")
+      it.map { d =>
+        val px = ImageCodec.decode(d.content)
+        val content =
+          if (px == null) d.content
+          else {
+            val stamped = ImageCodec.stampTextBox(px, lines,
+              px.w * 300 / 595, px.h * 470 / 842, px.w * 500 / 595, px.h * 530 / 842)
+            ImageCodec.encodeJpeg(stamped, jpegQuality)
+          }
+        SignedDoc(d.doc_id, content, signDetached(content, key), signer)
+      }
+    }
+  }
 }

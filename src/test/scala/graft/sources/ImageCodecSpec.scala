@@ -167,6 +167,22 @@ class ImageCodecSpec extends SparkSpec {
     assert(jpegReencode("nope".getBytes, 85) === null)
   }
 
+  test("stampTextBox draws text ONLY inside the box, deterministically; empty lines no-op") {
+    val px = Px(100, 80, Array.fill(100 * 80)(0xffffff))
+    val stamped = stampTextBox(px, Seq("Firmado por: Test", "Fecha: 2026-01-01"), 10, 20, 90, 60)
+    // something was drawn...
+    assert(stamped.rgb.exists(_ != 0xffffff))
+    // ...but nothing outside the box
+    for (y <- 0 until 80; x <- 0 until 100
+         if x < 10 || x >= 90 || y < 20 || y >= 60)
+      assert(stamped.rgb(y * 100 + x) === 0xffffff, s"pixel ($x,$y) escaped the box")
+    // deterministic within this JVM/font stack
+    val again = stampTextBox(px, Seq("Firmado por: Test", "Fecha: 2026-01-01"), 10, 20, 90, 60)
+    assert(again.rgb.toSeq === stamped.rgb.toSeq)
+    assert(stampTextBox(px, Seq.empty, 10, 20, 90, 60) eq px)
+    assert(stampTextBox(px, Seq("", ""), 10, 20, 90, 60) eq px)
+  }
+
   // ---------------------------------------------------------------- Spark expressions
 
   test("ImageOps expressions: synth → scan → info round trip in a single projection") {
