@@ -69,6 +69,35 @@ class MultiJvmLedgerSpec extends AnyFunSuite {
       assert(eff.count() === 60)
       assert(eff.select("event_id").distinct().count() === 60)
       assert(ProcessedLedger.count(spark, ledger) === 60)
+
+      // Representative custom operators under REAL executor JVMs —
+      // codegen'd image expressions, plan-constant Bloom masks and the
+      // typed funnel fold all serialize to and execute on separate
+      // processes, not just local threads.
+      import spark.implicits._
+      import org.apache.spark.sql.functions._
+      val scanned = Seq(1L, 2L, 3L).toDF("doc_id")
+        .withColumn("img", graft.functions.ImageOps.synthImage(col("doc_id"), lit(24), lit(18)))
+        .withColumn("info", graft.functions.ImageOps.imageInfo(
+          graft.functions.ImageOps.scanMinimal(col("img"), "balanced")))
+        .select(col("info.width")).as[Int].collect()
+      assert(scanned.toSeq === Seq(24, 24, 24))
+
+      val mask = graft.operators.Sketches.bloomMask(Seq("alpha", "beta").toDF("g"), col("g"), 4096, 4)
+      val hits = Seq("alpha", "novel").toDF("g")
+        .select(graft.functions.BloomCol.contains(
+          graft.functions.Hashing.stableHash48(col("g"), 0),
+          graft.functions.Hashing.stableHash48(col("g"), 1), mask, 4, 4096).as("h"))
+        .as[Boolean].collect()
+      assert(hits(0) === true)
+
+      val sec = 1735725600L
+      val funnel = graft.operators.Funnel.funnel(
+        Seq((1L, "view", new java.sql.Timestamp(sec * 1000)),
+          (1L, "click", new java.sql.Timestamp((sec + 60) * 1000)))
+          .toDF("user_id", "event_type", "ts"),
+        "user_id", "event_type", "ts", Seq("view", "click"))
+      assert(funnel.count() === 1)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
