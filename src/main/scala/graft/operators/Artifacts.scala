@@ -95,10 +95,25 @@ object Artifacts {
 
   /** Fold a delta batch into the artifact: counts are additive, so the
     * delta's own counts append and the loader's word-keyed aggregate
-    * does the merge.
+    * does the merge. Retry-UNSAFE on its own (a torn append retried
+    * lands the same counts twice and sum cannot tell) — streaming
+    * callers use [[writeLmCountsBatch]], whose per-batch overwrite
+    * closes exactly that window.
     */
   def appendLmCounts(delta: DataFrame, textCol: String, path: String): Unit =
     lmCounts(delta, textCol).write.mode("append").parquet(s"$path/counts")
+
+  /** The crash-safe delta write for streams: each batch's counts land
+    * under `counts/batch_id=<id>` with OVERWRITE, so a retry of the
+    * same batch replaces its own directory instead of double-counting
+    * — the identical idempotency shape as
+    * [[graft.streaming.ProcessedLedger.startLedgeredFileSink]]'s
+    * effects. The loader's partition-discovery read + word-keyed
+    * merge needs no change.
+    */
+  def writeLmCountsBatch(delta: DataFrame, textCol: String, path: String, batchId: Long): Unit =
+    lmCounts(delta, textCol)
+      .write.mode("overwrite").parquet(s"$path/counts/batch_id=$batchId")
 
   private def lmCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(graft.functions.Hashing.words(col(textCol))).as("_word"))
@@ -110,7 +125,10 @@ object Artifacts {
     * bit-identical ppb), ready for [[Curation.scoreWithReference]].
     */
   def loadLmRel(spark: SparkSession, path: String): DataFrame = {
-    val counts = spark.read.parquet(s"$path/counts")
+    // recursive lookup: base saves write files at counts/ root, stream
+    // deltas live in counts/batch_id=N/ subdirs — read every file,
+    // no partition inference needed (the merge is by _word anyway)
+    val counts = spark.read.option("recursiveFileLookup", "true").parquet(s"$path/counts")
       .groupBy("_word").agg(sum("_cnt").as("_cnt"))
     val tot = counts.agg(sum("_cnt").as("_tot"))
     counts.crossJoin(broadcast(tot))

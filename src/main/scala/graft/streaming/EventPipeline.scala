@@ -228,6 +228,34 @@ object EventPipeline {
       }
       .start()
 
+  /** Incremental LM reference maintenance under the exactly-once
+    * ledger: fresh documents' word counts land in a per-batch
+    * OVERWRITE directory ([[graft.operators.Artifacts.writeLmCountsBatch]]),
+    * then the docs are marked. Counts are additive with NO idempotent
+    * fold (unlike the BM25 tf max-merge), so the crash window between
+    * write and mark is closed by the overwrite: a retried batch
+    * recomputes the SAME fresh set (unchanged ledger) and replaces its
+    * own directory. Redelivered docs in later batches are anti-joined
+    * away. [[graft.operators.Artifacts.loadLmRel]] then serves the
+    * merged reference at any point.
+    */
+  def startLedgeredLmCounter(newDocs: DataFrame, checkpoint: String,
+                             ledgerPath: String, countsPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val fresh = ProcessedLedger
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          graft.operators.Artifacts.writeLmCountsBatch(fresh, "text", countsPath, batchId)
+          ProcessedLedger.mark(fresh.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
+      }
+      .start()
+
   /** Custom streaming state via mapGroupsWithState: cumulative per-item
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed

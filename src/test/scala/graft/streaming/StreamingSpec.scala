@@ -524,6 +524,40 @@ class StreamingSpec extends SparkSpec {
     assert(viaIndex.toSeq === recompute.toSeq)
   }
 
+  test("ledgered LM counter: sliced + redelivered + retried stream equals one-shot counts") {
+    val base = java.nio.file.Files.createTempDirectory("lm_stream").toString
+    val input = s"$base/in"; val chk = s"$base/chk"
+    val ledger = s"$base/ledger"; val counts = s"$base/lm"
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the lazy dog"),
+      (3L, "the corpus grows"))
+    def arrive(slice: Seq[(Long, String)]): Unit =
+      slice.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, true)))
+      val q = EventPipeline.startLedgeredLmCounter(
+        spark.readStream.schema(schema).parquet(input), chk, ledger, counts)
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(docs.take(2))
+    drain()
+    // simulate the crash-retry window: re-write batch 0's counts dir —
+    // the overwrite replaces, never double-counts
+    graft.operators.Artifacts.writeLmCountsBatch(
+      docs.take(2).toDF("doc_id", "text"), "text", counts, batchId = 0L)
+    // a new file redelivers doc 2 and adds doc 3
+    arrive(docs.drop(1))
+    drain()
+    val streamed = graft.operators.Artifacts.loadLmRel(spark, counts)
+      .as[(String, Long)].collect().toSet
+    val oneShot = graft.operators.Curation.referenceRel(docs.toDF("doc_id", "text"), "text")
+      .as[(String, Long)].collect().toSet
+    assert(streamed === oneShot)
+  }
+
   test("streaming domain cap admits first-k per domain across micro-batches") {
     implicit val ctx = spark.sqlContext
     val mem = MemoryStream[DocArrival]
