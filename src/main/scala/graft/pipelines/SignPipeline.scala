@@ -47,4 +47,50 @@ object SignPipeline {
         length(col("signature")).cast("long").as("sig_bytes"),
         md5(col("signature")).as("sig_md5"))
   }
+
+  /** [[signPlan]] plus a per-row VERIFICATION of the detached
+    * signature against the keystore's certificate — the end-to-end
+    * crypto round trip as a column (every row must read true).
+    */
+  def signPlanVerified(docs: DataFrame, pkcs12: Array[Byte], password: String,
+                       quality: String = "balanced",
+                       ts: String = "2026-01-01 00:00:00"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rendered = docs.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("page", ImageOps.synthImage(col("doc_id") * 13, lit(60), lit(84)))
+      .withColumn("compressed", ImageOps.compressImage(col("page"), quality))
+    val media: Dataset[Multimodal.MediaDoc] = rendered
+      .select(col("doc_id"), lit("image/jpeg").as("mime"), col("compressed").as("content"))
+      .as[Multimodal.MediaDoc]
+    val signed = SignOps.signAllStamped(media, pkcs12, password, ts)
+    val verified = signed.mapPartitions { it =>
+      val (_, cert) = SignOps.loadPkcs12(pkcs12, password.toCharArray)
+      it.map(s => (s.doc_id, s.content.length.toLong, s.signature.length.toLong,
+        SignOps.verifyDetached(s.content, s.signature, cert)))
+    }.toDF("doc_id", "n_bytes", "sig_bytes", "verified")
+    verified
+      .withColumn("upload_name", StringOps.sanitizeName(StringOps.signedFilename(
+        concat(lit("doc_"), col("doc_id"), lit(".pdf")))))
+      .select("doc_id", "upload_name", "n_bytes", "sig_bytes", "verified")
+  }
+
+  /** A throwaway PKCS#12 credential via the JDK's own keytool — for
+    * the registered demo query and tests (a real deployment injects
+    * its credential; nothing here persists key material).
+    */
+  def ephemeralPkcs12(cn: String): Array[Byte] = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p12_q")
+    val path = dir.resolve("signer.p12").toString
+    val keytool = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "keytool").toString
+    val proc = new ProcessBuilder(keytool, "-genkeypair", "-alias", "graft", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", path,
+      "-storepass", "changeit", "-dname", s"CN=$cn", "-validity", "30")
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    require(proc.waitFor() == 0, s"keytool failed: $out")
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  }
 }

@@ -235,6 +235,18 @@ object DomainQueries {
   val scanPipelineQ: Q = (s, d) =>
     graft.pipelines.ScanPipeline.scanPlan(Tables.documents(s, d))
 
+  /** §3.1 end-to-end: compress → stamp → sign → verify → rename over
+    * the documents table with an ephemeral keytool credential. Rows-
+    * only at the driver gate (key material is random per run, so
+    * signature bytes are not cross-engine reproducible); the `verified`
+    * column is the in-query crypto round trip and the value contract
+    * is pinned in SignPipelineSpec.
+    */
+  val signPipelineQ: Q = (s, d) =>
+    graft.pipelines.SignPipeline.signPlanVerified(
+      Tables.documents(s, d),
+      graft.pipelines.SignPipeline.ephemeralPkcs12("Graft Query Signer"), "changeit")
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -795,6 +807,7 @@ object DomainQueries {
     "q_scan_effects" -> scanEffectsQ,
     "q_scan_seeded" -> scanSeededQ,
     "q_scan_pipeline" -> scanPipelineQ,
+    "q_sign_pipeline" -> signPipelineQ,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,

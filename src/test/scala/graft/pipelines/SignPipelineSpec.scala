@@ -21,6 +21,22 @@ class SignPipelineSpec extends SparkSpec {
     Files.readAllBytes(Paths.get(path))
   }
 
+  test("signPlanVerified: every row's detached signature verifies in-query") {
+    val out = SignPipeline.signPlanVerified(Seq(1L, 2L, 3L).toDF("doc_id"), p12, "changeit")
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) === Seq(1L, 2L, 3L))
+    assert(out.forall(_._5), "a signature failed verification")
+    assert(out.forall(_._4 === 256L))
+    assert(out.head._2 === "doc_1 SIGNÉ.pdf")
+  }
+
+  test("ephemeralPkcs12 yields a loadable signing credential") {
+    val bytes = SignPipeline.ephemeralPkcs12("Spec Signer")
+    val (_, cert) = graft.sources.SignOps.loadPkcs12(bytes, "changeit".toCharArray)
+    assert(cert.getSubjectX500Principal.getName.contains("CN=Spec Signer"))
+  }
+
   test("sign plan: compressed payload, RSA-2048 signature, SIGNÉ rename, deterministic") {
     val out = SignPipeline.signPlan(Seq(1L, 2L).toDF("doc_id"), p12, "changeit")
       .orderBy("doc_id")
