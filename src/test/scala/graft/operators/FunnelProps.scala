@@ -39,6 +39,22 @@ object FunnelProps extends Properties("graft.funnel") {
       if (times.nonEmpty) Some(u -> times) else None
     }
 
+  property("funnel operator == sequential reference fold (dense/hot users)") =
+    Prop.forAll(Gen.listOfN(150, evGen)) { evs =>
+      // 150 events over 3 users: every user is "hot" relative to the
+      // 31-minute clock, forcing heavy duplicate-timestamp and
+      // spam-before-entry shapes through the streaming fold
+      import spark.implicits._
+      val df = evs.map(e => (e.user, e.typ, tsOf(e.minute))).toDF("user_id", "event_type", "ts")
+      val got = Funnel.funnel(df, "user_id", "event_type", "ts", stages)
+        .collect().map { r =>
+          val times = (1 to stages.size).toList
+            .takeWhile(i => !r.isNullAt(i)).map(r.getLong)
+          r.getLong(0) -> times
+        }.toMap
+      Prop(got == reference(evs)) :| s"got=$got want=${reference(evs)}"
+    }
+
   property("funnel operator == sequential reference fold") =
     Prop.forAll(Gen.listOfN(25, evGen)) { evs =>
       import spark.implicits._
