@@ -468,9 +468,8 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
-    var edgeCount = edges.count()
     var iter = 0
-    var converged = edgeCount == 0L
+    var converged = edges.isEmpty
     while (!converged && iter < maxIter) {
       // large-star: for node a with closed-neighborhood min m, connect
       // every neighbor b > a to m (m <= a < b, so (m, b) is canonical)
@@ -494,13 +493,15 @@ object Dedup {
         .union(smins.select(col("m").as("u"), col("a").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // exact convergence: same canonical set (count + anti-join; a
-      // hashed proxy could silently mislabel on collision)
-      val nextCount = next.count()
-      converged = nextCount == edgeCount &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // exact convergence in ONE action: both sets are distinct, so a
+      // pair counts 2 in the union iff it is in both — any other count
+      // is a symmetric-difference member (a hashed proxy could
+      // silently mislabel on collision; this cannot)
+      converged = next.unionByName(edges)
+        .groupBy("u", "v").agg(count(lit(1)).as("_n"))
+        .filter(col("_n") =!= 2)
+        .isEmpty
       edges = next
-      edgeCount = nextCount
       iter += 1
     }
     // Partial labels are WRONG labels: refuse to emit a half-contracted
