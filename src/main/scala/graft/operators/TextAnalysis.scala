@@ -346,6 +346,71 @@ object TextAnalysis {
     gramRatios.foldLeft(wordStats)((acc, df) => acc.join(df, Seq("doc_id"), "left"))
   }
 
+  /** Gopher/MassiveText-style quality RULE GATE: hard boolean filters
+    * next to the soft [[withQualityScore]] blend. Four of the published
+    * rules apply to this corpus shape (single-line word streams):
+    * word-count bounds, mean-word-length bounds, top-word repetition
+    * cap, and the ≥2-distinct-stopwords requirement. Every rule is
+    * decided in INTEGER arithmetic (cross-multiplied instead of
+    * divided), so the gate is bit-identical cross-engine — no double
+    * ever materializes.
+    *
+    * Shape: explode → (doc, word) counts → per-doc fold. Two map-side
+    * -combined hash aggs keyed by (doc_id, word) then doc_id — uniform
+    * keys, linear in corpus size, no window and no skew at any scale.
+    *
+    * @param repDen top-word frequency cap as max_n · repDen <= n_words
+    *               (i.e. the most frequent word may be at most 1/repDen
+    *               of the doc)
+    */
+  def gopherRules(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Long, maxWords: Long,
+                  minMeanLen: Long, maxMeanLen: Long,
+                  repDen: Long, minStopwords: Long): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(filter(words(col(textCol)), w => length(w) > 0)).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"),
+        max(col("c")).as("max_word_n"),
+        sum(col("c") * length(col("w"))).as("_sum_len"),
+        countDistinct(when(col("w").isin(EnStopwords.map(lit): _*), col("w")))
+          .as("_n_stop"))
+      .select(col("doc_id"), col("n_words"), col("max_word_n"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("wc_ok"),
+        (col("_sum_len") >= col("n_words") * minMeanLen &&
+          col("_sum_len") <= col("n_words") * maxMeanLen).as("wlen_ok"),
+        (col("max_word_n") * repDen <= col("n_words")).as("rep_ok"),
+        (col("_n_stop") >= minStopwords).as("stop_ok"))
+      .withColumn("keep",
+        col("wc_ok") && col("wlen_ok") && col("rep_ok") && col("stop_ok"))
+
+  /** DuckDB twin of [[gopherRules]] (same integer cross-multiplies). */
+  def gopherRulesSql(table: String, idCol: String, textCol: String,
+                     minWords: Long, maxWords: Long,
+                     minMeanLen: Long, maxMeanLen: Long,
+                     repDen: Long, minStopwords: Long): String = {
+    val stopList = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH w AS (SELECT $idCol AS doc_id,
+       |                  unnest(list_filter(string_split($textCol, ' '), x -> strlen(x) > 0)) AS w
+       |           FROM $table),
+       |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_word_n,
+       |             CAST(sum(c * strlen(w)) AS BIGINT) AS sum_len,
+       |             count(DISTINCT CASE WHEN list_contains($stopList, w) THEN w END) AS n_stop
+       |      FROM c GROUP BY 1)
+       |SELECT doc_id, n_words, max_word_n,
+       |       n_words >= $minWords AND n_words <= $maxWords AS wc_ok,
+       |       sum_len >= n_words * $minMeanLen AND sum_len <= n_words * $maxMeanLen AS wlen_ok,
+       |       max_word_n * $repDen <= n_words AS rep_ok,
+       |       n_stop >= $minStopwords AS stop_ok,
+       |       (n_words >= $minWords AND n_words <= $maxWords)
+       |         AND (sum_len >= n_words * $minMeanLen AND sum_len <= n_words * $maxMeanLen)
+       |         AND (max_word_n * $repDen <= n_words)
+       |         AND (n_stop >= $minStopwords) AS keep
+       |FROM d""".stripMargin
+  }
+
   /** Fingerprints: whole-text stable hash + min/max shingle hashes (the
     * rolling-hash document signature).
     */

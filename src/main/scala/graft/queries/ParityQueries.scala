@@ -536,7 +536,32 @@ object ParityQueries {
       |       CASE WHEN abs(z) >= 3.0 THEN 1 ELSE 0 END AS is_anomaly
       |FROM z""".stripMargin
 
+  // ---------------------------------------------------------------- warehouse maintenance
+  /** SCD2 dimension build from the events feed: entity = user, tracked
+    * attribute = event_type — the history-preserving fold of the
+    * reference's last-write-wins column updates.
+    */
+  val scd2: Q = (s, d) =>
+    graft.operators.Scd2.build(Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+  val scd2Sql: String =
+    graft.operators.Scd2.buildSql("events", "user_id", "event_type", "ts", "event_id")
+
+  /** Compaction plan over the documents listing (source = directory,
+    * n_chars = bytes, 512-byte target — the corpus-scaled stand-in for
+    * a 512 MB production target; both branches of the planner are
+    * exercised at this threshold).
+    */
+  private val CompactionTarget = 512L
+  val compactionPlan: Q = (s, d) =>
+    graft.sources.Layout.compactionPlan(
+      Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+      "source", "doc_id", "n_chars", CompactionTarget)
+  val compactionPlanSql: String =
+    graft.sources.Layout.compactionPlanSql("documents", "source", "doc_id", "n_chars", CompactionTarget)
+
   val queries: Map[String, Q] = Map(
+    "q_scd2" -> scd2,
+    "q_compaction_plan" -> compactionPlan,
     "q_pick_latest" -> pickLatest,
     "q_pick_first" -> pickFirst,
     "q_pick_all_max" -> pickAllMax,
@@ -564,6 +589,8 @@ object ParityQueries {
     "q_ts_anomaly" -> tsAnomaly)
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2" -> scd2Sql,
+    "q_compaction_plan" -> compactionPlanSql,
     "q_pick_latest" -> pickLatestSql,
     "q_pick_first" -> pickFirstSql,
     "q_pick_all_max" -> pickAllMaxSql,

@@ -526,6 +526,27 @@ object PipelineQueries {
        |      FROM (SELECT doc_id, text, ${wordsSql("text")} AS w FROM documents))""".stripMargin
   }
 
+  /** Gopher-style hard rule gate next to the soft quality score.
+    * Bounds chosen to discriminate on this corpus (word counts 10..99,
+    * mean word lengths 3.7..5.3): each rule passes some docs and fails
+    * others, so the gate's joint selectivity is non-vacuous under the
+    * oracle.
+    */
+  private val GopherMinWords = 30L
+  private val GopherMaxWords = 80L
+  private val GopherMinMeanLen = 4L
+  private val GopherMaxMeanLen = 5L
+  private val GopherRepDen = 8L
+  private val GopherMinStop = 2L
+  val gopherRules: Q = (s, d) =>
+    TextAnalysis.gopherRules(Tables.documents(s, d), "doc_id", "text",
+      GopherMinWords, GopherMaxWords, GopherMinMeanLen, GopherMaxMeanLen,
+      GopherRepDen, GopherMinStop)
+  val gopherRulesSql: String =
+    TextAnalysis.gopherRulesSql("documents", "doc_id", "text",
+      GopherMinWords, GopherMaxWords, GopherMinMeanLen, GopherMaxMeanLen,
+      GopherRepDen, GopherMinStop)
+
   val langId: Q = (s, d) =>
     TextAnalysis.withLangId(Tables.documents(s, d), "doc_id", "text")
   val langIdSql: String = {
@@ -1504,6 +1525,7 @@ object PipelineQueries {
     "q_repeated_span" -> repeatedSpan,
     "q_token_count" -> tokenCount,
     "q_quality_score" -> qualityScore,
+    "q_gopher_rules" -> gopherRules,
     "q_lang_id" -> langId,
     "q_repetition" -> repetition,
     "q_decontaminate" -> decontaminate,
@@ -1573,6 +1595,7 @@ object PipelineQueries {
     "q_repeated_span" -> repeatedSpanSql,
     "q_token_count" -> tokenCountSql,
     "q_quality_score" -> qualityScoreSql,
+    "q_gopher_rules" -> gopherRulesSql,
     "q_lang_id" -> langIdSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,

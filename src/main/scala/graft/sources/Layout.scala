@@ -57,4 +57,62 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Small-file compaction planner: assign each file of a listing to a
+    * target-size output bin. The small-file problem IS the 100 TB
+    * problem — a day of streaming micro-batches leaves millions of
+    * KB-sized parquet files whose per-file open/footer cost dominates
+    * any later scan; compaction rewrites them into ~`target`-byte
+    * outputs. This operator emits the *plan* (bin manifest), which a
+    * rewrite job executes per-bin.
+    *
+    * Packing rule (deterministic, shuffle-free beyond one window per
+    * partition): files >= target each keep their own bin ("large" —
+    * rewriting them buys nothing); smaller files are packed in id
+    * order by cumulative size, bin = floor(bytes_before / target).
+    * A bin may overflow by at most one file — the price of computing
+    * the whole plan in one windowed pass instead of a sequential
+    * first-fit loop no engine could parallelize. Everything is integer
+    * arithmetic, so the plan is bit-identical cross-engine.
+    */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+                     sizeCol: String, target: Long): DataFrame = {
+    require(target > 0, "target must be positive")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+    val packed = files.filter(col(sizeCol) < target)
+      .withColumn("_before", sum(col(sizeCol)).over(w) - col(sizeCol))
+      .withColumn("bin_id", expr(s"_before div ${target}L"))
+      .groupBy(col(partCol), col("bin_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col(sizeCol)).as("total_bytes"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .select(col(partCol), lit("packed").as("kind"), col("bin_id"),
+        col("n_files"), col("total_bytes"), col("min_id"), col("max_id"))
+    val large = files.filter(col(sizeCol) >= target)
+      .select(col(partCol), lit("large").as("kind"),
+        col(idCol).cast("long").as("bin_id"), lit(1L).as("n_files"),
+        col(sizeCol).cast("long").as("total_bytes"),
+        col(idCol).as("min_id"), col(idCol).as("max_id"))
+    packed.unionByName(large)
+  }
+
+  /** DuckDB twin of [[compactionPlan]] (same window packing, same
+    * integer division).
+    */
+  def compactionPlanSql(table: String, partCol: String, idCol: String,
+                        sizeExpr: String, target: Long): String =
+    s"""WITH f AS (SELECT $partCol, $idCol, $sizeExpr AS bytes FROM $table),
+       |s AS (SELECT $partCol, $idCol, bytes,
+       |             CAST((sum(bytes) OVER (PARTITION BY $partCol ORDER BY $idCol) - bytes) // $target AS BIGINT) AS bin_id
+       |      FROM f WHERE bytes < $target),
+       |p AS (SELECT $partCol, 'packed' AS kind, bin_id,
+       |             count(*) AS n_files, CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       |             min($idCol) AS min_id, max($idCol) AS max_id
+       |      FROM s GROUP BY 1, 3),
+       |l AS (SELECT $partCol, 'large' AS kind, CAST($idCol AS BIGINT) AS bin_id,
+       |             CAST(1 AS BIGINT) AS n_files, CAST(bytes AS BIGINT) AS total_bytes,
+       |             $idCol AS min_id, $idCol AS max_id
+       |      FROM f WHERE bytes >= $target)
+       |SELECT * FROM p UNION ALL SELECT * FROM l""".stripMargin
 }

@@ -198,6 +198,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m === Set(("en", "en", 1L), ("es", "es", 1L), ("en", "und", 1L)))
   }
 
+  test("gopherRules: each rule fails exactly its violating doc") {
+    // minWords=3, maxWords=6, meanLen in [2,4], rep: max*3<=n, >=2 stopwords
+    val docs = Seq(
+      (1L, "the cat sat on it"),            // passes all (5 words, meanLen 2.8, max 1*3<=5, stops {the,it,on})
+      (2L, "the it"),                       // wc fail (2 words)
+      (3L, "the considerable magnificent onomatopoeia it"), // wlen fail (meanLen 8.2)
+      (4L, "the the the the it x"),         // rep fail (4*3 > 6)
+      (5L, "cat dog bird fish")).toDF("doc_id", "text") // stop fail (0 stopwords)
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", 3, 6, 2, 4, 3, 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("wc_ok"), r.getAs[Boolean]("wlen_ok"),
+          r.getAs[Boolean]("rep_ok"), r.getAs[Boolean]("stop_ok"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) === ((true, true, true, true, true)))
+    assert(!out(2L)._1 && !out(2L)._5)
+    assert(!out(3L)._2 && !out(3L)._5)
+    assert(!out(4L)._3 && !out(4L)._5)
+    assert(!out(5L)._4 && !out(5L)._5)
+  }
+
+  test("gopherRules ignores empty tokens from repeated separators") {
+    val docs = Seq((1L, "the  cat   sat  on  it")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text", 3, 6, 2, 4, 3, 2).collect()
+    assert(out.head.getAs[Long]("n_words") == 5L)
+  }
+
   test("fuzzy matching runs the length band BEFORE the levenshtein DP") {
     // |len(a) − len(b)| lower-bounds edit distance: the cheap band must
     // sit ahead of the O(|a|·|b|) DP in the join condition so the
