@@ -574,6 +574,86 @@ object Similarity {
       .select(col("query_id"), col("nn_id"), col("d2"), col("rk"))
   }
 
+  // ------------------------------------------------------------ scalar quantization
+  /** Per-dimension (min, max) ranges for int8 scalar quantization —
+    * the 2×dim-double model state (like the IVF centroids / PQ
+    * codebooks, a driver-side collect of bounded size). min/max are
+    * order-insensitive exact aggregates, so unlike a trained k-means
+    * codebook the ranges are bit-identical on any cluster layout —
+    * which is what lets the SQ queries run under the oracle hash gate
+    * with ranges trained inside the query itself.
+    */
+  def trainSqRanges(df: DataFrame, vecCol: String, dim: Int): Seq[(Double, Double)] = {
+    val e = withDoubleVec(df, vecCol)
+    val aggs = (0 until dim).flatMap(i =>
+      Seq(min(col("v")(i)).as(s"_mn$i"), max(col("v")(i)).as(s"_mx$i")))
+    val r = e.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (0 until dim).map(i => (r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+  }
+
+  /** Int8 scalar-quantization encode: each dimension maps to
+    * round((v−min)/scale) with scale = (max−min)/255 — 4-byte floats
+    * become 1-byte codes, the simplest of the embedding-compression
+    * ladder (SQ → PQ → IVFADC). Unlike PQ the code is per-DIMENSION,
+    * so reconstruction min+code·scale is exact to half a step and
+    * 8-bit recall stays ≈1 where 32-bit PQ codes trade much more.
+    *
+    * Adds `_c0.._cN` (int codes), `_r0.._rN` (reconstructed doubles)
+    * and `qerr_u` (Σ (v−recon)², integer micro-units, fixed fold
+    * order). Row-local, no shuffle; constant-range dims (scale 0)
+    * encode as 0 and reconstruct the constant exactly.
+    */
+  def withSqCodes(df: DataFrame, vecCol: String, dim: Int,
+                  ranges: Seq[(Double, Double)]): DataFrame = {
+    require(ranges.size == dim, "one (min,max) range per dimension")
+    val e = withDoubleVec(df, vecCol)
+    val coded = e.select(col("*") +: ranges.zipWithIndex.map { case ((mn, mx), i) =>
+      val scale = (mx - mn) / 255.0
+      val c = if (scale == 0.0) lit(0)
+        else round((col("v")(i) - lit(mn)) / lit(scale)).cast("int")
+      c.as(s"_c$i")
+    }: _*)
+    val recon = coded.select(col("*") +: ranges.zipWithIndex.map { case ((mn, mx), i) =>
+      val scale = (mx - mn) / 255.0
+      (lit(mn) + col(s"_c$i").cast("double") * lit(scale)).as(s"_r$i")
+    }: _*)
+    val errTerms = (0 until dim).map { i =>
+      val d = col("v")(i) - col(s"_r$i")
+      d * d
+    }
+    recon.withColumn("qerr_u", round(errTerms.reduce(_ + _) * lit(1000000.0)).cast("long"))
+  }
+
+  /** ADC top-k over the SQ-compressed corpus: the corpus side streams
+    * codes only (dim bytes/vector), each pair scores as the exact
+    * query vector against the reconstruction — per-pair cost is one
+    * dim-wide compiled fold, with NO raw corpus vectors read past the
+    * encode. Same broadcast-query scan shape as [[pqAdcTopK]]; smaller
+    * d2 = closer, ties to the lower nn_id.
+    */
+  def sqAdcTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                dim: Int, ranges: Seq[(Double, Double)], k: Int): DataFrame = {
+    val coded = withSqCodes(corpus, vecCol, dim, ranges)
+      .select(col(idCol).as("nn_id") +: (0 until dim).map(i => col(s"_r$i")): _*)
+    val q = withDoubleVec(queries, vecCol).select(col(idCol).as("query_id"), col("v").as("qv"))
+    val d2 = (0 until dim).map { i =>
+      val d = col("qv")(i) - col(s"_r$i")
+      d * d
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .withColumn("d2", d2)
+    val order = Seq(col("d2").asc, col("nn_id"))
+    val localW = Window
+      .partitionBy(col("query_id"), pmod(hash(col("nn_id")), lit(LocalTopKBuckets)))
+      .orderBy(order: _*)
+    val globalW = Window.partitionBy(col("query_id")).orderBy(order: _*)
+    scored
+      .withColumn("_lrk", row_number().over(localW)).filter(col("_lrk") <= k).drop("_lrk")
+      .withColumn("rk", row_number().over(globalW)).filter(col("rk") <= k)
+      .select(col("query_id"), col("nn_id"), col("d2"), col("rk"))
+  }
+
   /** IVF top-k: corpus rows are searched only in the query's `nProbe`
     * closest lists. The coarse quantizer bounds the shuffle exactly like
     * the LSH bucket join; recall is tuned via nProbe.

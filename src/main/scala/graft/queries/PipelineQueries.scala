@@ -845,6 +845,71 @@ object PipelineQueries {
        |WHERE rn = 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------- SQ ANN
+  private val SqTopN = 5
+  /** Oracle CTE chain ending in `r(vec_id, v, r0..r63)` — per-dim
+    * int8 codes and reconstructions from min/max ranges the oracle
+    * trains itself with the same exact aggregates as
+    * [[graft.operators.Similarity.trainSqRanges]] (min/max are order-
+    * insensitive, so both engines derive identical ranges — no
+    * centroid literals needed, unlike the PQ chain).
+    */
+  private def sqReconCtes: String = {
+    val mnmx = (0 until Dim).map(i => s"min(v[${i + 1}]) AS mn$i, max(v[${i + 1}]) AS mx$i").mkString(", ")
+    val scales = (0 until Dim).map(i =>
+      s"mn$i, CASE WHEN mx$i = mn$i THEN 0.0 ELSE (mx$i - mn$i) / 255.0 END AS sc$i").mkString(", ")
+    val codes = (0 until Dim).map(i =>
+      s"mn$i, sc$i, CASE WHEN sc$i = 0.0 THEN 0 ELSE CAST(round((v[${i + 1}] - mn$i) / sc$i) AS INTEGER) END AS c$i").mkString(", ")
+    val recon = (0 until Dim).map(i => s"c$i, mn$i + CAST(c$i AS DOUBLE) * sc$i AS r$i").mkString(", ")
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |st AS (SELECT $mnmx FROM e),
+       |sc AS (SELECT $scales FROM st),
+       |c AS (SELECT vec_id, v, $codes FROM e CROSS JOIN sc),
+       |r AS (SELECT vec_id, v, $recon FROM c)""".stripMargin
+  }
+
+  /** Int8 SQ encode of the embedding table: 64 floats → 64 byte codes
+    * + integer-scaled reconstruction error (the SQ counterpart of
+    * q_pq_codes; ranges trained in-query from exact min/max).
+    */
+  val sqCodes: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val ranges = Similarity.trainSqRanges(emb, "embedding", Dim)
+    Similarity.withSqCodes(emb, "embedding", Dim, ranges)
+      .select(col("vec_id"),
+        concat_ws("-", (0 until Dim).map(i => col(s"_c$i").cast("string")): _*).as("code_str"),
+        col("qerr_u"))
+  }
+  val sqCodesSql: String = {
+    val codeStr = (0 until Dim).map(i => s"CAST(c$i AS VARCHAR)").mkString("concat_ws('-', ", ", ", ")")
+    val err = (0 until Dim).map(i => s"(v[${i + 1}] - r$i) * (v[${i + 1}] - r$i)").mkString(" + ")
+    s"""WITH $sqReconCtes
+       |SELECT vec_id, $codeStr AS code_str,
+       |       CAST(round(($err) * 1000000.0) AS BIGINT) AS qerr_u
+       |FROM r""".stripMargin
+  }
+
+  /** ADC top-k over the SQ-compressed corpus for the vec_id < 8 query
+    * set — the third rung of the compression ladder next to q_pq_adc
+    * and q_ivfadc (codes-only corpus side, exact query side).
+    */
+  val annSq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val ranges = Similarity.trainSqRanges(emb, "embedding", Dim)
+    Similarity.sqAdcTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+      Dim, ranges, SqTopN)
+  }
+  val annSqSql: String = {
+    val d2 = (0 until Dim).map(i => s"(q.v[${i + 1}] - r.r$i) * (q.v[${i + 1}] - r.r$i)").mkString(" + ")
+    s"""WITH $sqReconCtes,
+       |qr AS (SELECT q.vec_id AS query_id, r.vec_id AS nn_id, $d2 AS d2
+       |       FROM r CROSS JOIN (SELECT vec_id, v FROM e WHERE vec_id < 8) q
+       |       WHERE r.vec_id != q.vec_id)
+       |SELECT query_id, nn_id, d2, CAST(rk AS INTEGER) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d2, nn_id) AS rk FROM qr)
+       |WHERE rk <= $SqTopN""".stripMargin
+  }
+
   // ---------------------------------------------------------------- PQ ANN
   private val PqM = 4
   private val PqKCents = 8
@@ -1548,6 +1613,8 @@ object PipelineQueries {
     "q_bm25_artifact" -> bm25Artifact,
     "q_rrf_fusion" -> rrfFusion,
     "q_pq_codes" -> pqCodes,
+    "q_sq_codes" -> sqCodes,
+    "q_ann_sq" -> annSq,
     "q_pq_adc" -> pqAdc,
     "q_ivfadc" -> ivfAdc,
     "q_pq_rerank" -> pqRerank,
@@ -1618,6 +1685,8 @@ object PipelineQueries {
     "q_bm25_artifact" -> bm25ArtifactSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_pq_codes" -> pqCodesSql,
+    "q_sq_codes" -> sqCodesSql,
+    "q_ann_sq" -> annSqSql,
     "q_pq_adc" -> pqAdcSql,
     "q_ivfadc" -> ivfAdcSql,
     "q_pq_rerank" -> pqRerankSql,

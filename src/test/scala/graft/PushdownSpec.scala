@@ -107,6 +107,10 @@ class PushdownSpec extends SparkSpec {
     //     that the per-pair work is M lookups, so the "nested loop" is
     //     the designed O(M)-per-pair scan, not a dim-wide blowup
     //     (q_ivfadc is the equi-join shape that drops even this).
+    //   - q_ann_sq: same compressed-scan shape with int8 scalar codes —
+    //     the corpus streams dim-byte reconstructions against the
+    //     broadcast query set; list pruning composes exactly as for PQ
+    //     when needed (q_ivfadc shows the equi-join variant).
     //   - q_ann_recall: embeds the brute-force scan as its ground-truth
     //     side (recall is BY DEFINITION measured against exact search);
     //     the approx side under eval is the equi-join LSH plan.
@@ -123,7 +127,7 @@ class PushdownSpec extends SparkSpec {
     //     are all equi-joins on the word/pair key.
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
-      "q_pq_rerank", "q_ann_recall", "q_mix_temperature",
+      "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
       "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
