@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: local[32] shares ONE heap across 32 executor threads; at 8g the
+  // allocation-heavy codec queries hit a GC cliff near the end of the
+  // 128-query bench registry (q_scan_pipeline 2s -> 13s, tail-wide drag;
+  // 16g still shows a 2x residue). Uncommitted heap, so idle cost is nil.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

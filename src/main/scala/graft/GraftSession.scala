@@ -22,6 +22,12 @@ object GraftSession {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
+      // Long-running driver hygiene: shuffle/broadcast blocks are freed
+      // by weak-reference processing, which only runs on GC — the 30 min
+      // default lets a many-query session accumulate dead blocks until
+      // the heap chokes (observed as a bench-tail GC cliff). 2 min bounds
+      // the backlog; a real cluster driver wants the same.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val s = builder(s"local[$cpus]", cpus).getOrCreate()
