@@ -1,0 +1,765 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.{Deflater, Inflater}
+import scala.collection.mutable
+
+/** Pure-JVM PDF container codec — the last reference capability that
+  * was previously a stand-in. The reference manipulates PDFs with
+  * PyMuPDF/pyHanko (`fixed_signature_utils.py:38-110` compress,
+  * `app.py:236-317` scan page loop, `signature_utils.py:606-660`
+  * legacy reassembly); none of those libraries exist in this
+  * container, so this module implements the SUBSET of ISO 32000 the
+  * reference actually exercises, from scratch, on `java.util.zip` +
+  * `javax.imageio` only:
+  *
+  *   - WRITE ([[compose]]): page-per-image documents — each page one
+  *     full-page DCTDecode (JPEG) image XObject — classic cross-
+  *     reference table, optional FlateDecode content streams (the
+  *     reference saves with `deflate`). Deterministic bytes: no
+  *     creation dates, no random /ID.
+  *   - READ ([[parse]]): sequential object scan (`N G obj … endobj`),
+  *     streams skipped by /Length with an `endstream` search
+  *     fallback, LAST definition of an object number wins — which is
+  *     exactly the incremental-update semantics the signing path
+  *     appends ([[SignOps.signPdfIncremental]]). Page tree walked
+  *     from the catalog with /MediaBox / /Resources inheritance;
+  *     FlateDecode and DCTDecode stream filters.
+  *   - RASTERIZE ([[rasterizePage]]): content-stream interpreter for
+  *     the q/Q/cm/Do operator subset (axis-aligned image placement —
+  *     the only geometry [[compose]] and the reference's page loops
+  *     emit), bilinear blit through [[ImageCodec.resize]] onto a
+  *     white canvas at `dpi/72` zoom (`app.py:256-257`).
+  *
+  * OUT of subset (documented, loud where it matters): encryption,
+  * object/xref streams (PDF 1.5 compressed xref), text rendering,
+  * non-axis-aligned image placement, CMYK images. [[parse]] throws
+  * on encrypted documents rather than mis-reading them.
+  *
+  * Scale shape: every entry point is bytes→bytes/struct per row — no
+  * Spark state, no shuffle; it rides inside whole-stage codegen via
+  * `graft.functions.PdfOps` exactly like the image codec. The cluster
+  * concern is bytes-per-partition, not the codec.
+  */
+object PdfCodec {
+
+  // ------------------------------------------------------------------
+  // object model
+  // ------------------------------------------------------------------
+
+  sealed trait PVal
+  case object PNull extends PVal
+  final case class PBool(b: Boolean) extends PVal
+  final case class PNum(d: Double) extends PVal {
+    def i: Int = math.round(d).toInt
+    def l: Long = math.round(d)
+  }
+  final case class PName(s: String) extends PVal
+  /** Literal `(…)` or hex `<…>` string, already decoded to bytes. */
+  final case class PStr(bytes: Array[Byte]) extends PVal
+  final case class PRef(num: Int, gen: Int) extends PVal
+  final case class PArr(items: Vector[PVal]) extends PVal
+  final case class PDict(m: Map[String, PVal]) extends PVal {
+    def get(k: String): Option[PVal] = m.get(k)
+  }
+
+  /** One indirect object; `rawStream` is the undecoded stream bytes. */
+  final case class PObj(num: Int, gen: Int, value: PVal, rawStream: Option[Array[Byte]])
+
+  /** An image XObject on a page: pixel dims + filter + DECODED-to-
+    * filter-payload data (for DCTDecode that is the JPEG file itself;
+    * for FlateDecode raw samples, already inflated).
+    */
+  final case class PdfImage(name: String, widthPx: Int, heightPx: Int,
+                            filter: String, colorSpace: String, data: Array[Byte])
+
+  /** A resolved page: media box in points, decoded content stream,
+    * images keyed by resource name.
+    */
+  final case class PdfPage(mediaW: Double, mediaH: Double,
+                           content: Array[Byte], images: Map[String, PdfImage],
+                           dict: PDict, objNum: Int)
+
+  final case class PdfDoc(objects: Map[Int, PObj], order: Vector[Int],
+                          pages: Vector[PdfPage], catalogNum: Int, maxObjNum: Int) {
+    def pageCount: Int = pages.length
+  }
+
+  def isPdf(b: Array[Byte]): Boolean =
+    b != null && b.length > 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
+
+  // ------------------------------------------------------------------
+  // JPEG header scan — pixel dims without a full decode
+  // ------------------------------------------------------------------
+
+  /** (width, height) from the first SOF marker, or null when the bytes
+    * are not a baseline/progressive JPEG. Marker walk only — O(headers).
+    */
+  def jpegDims(b: Array[Byte]): Array[Int] = {
+    if (b == null || b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    var p = 2
+    while (p + 3 < b.length) {
+      if ((b(p) & 0xff) != 0xff) return null
+      val marker = b(p + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) { p += 2 } // standalone
+      else {
+        val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (p + 8 >= b.length) return null
+          val h = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
+          val w = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
+          return Array(w, h)
+        }
+        if (marker == 0xd9 || marker == 0xda) return null // EOI / SOS before SOF
+        p += 2 + len
+      }
+    }
+    null
+  }
+
+  // ------------------------------------------------------------------
+  // writer
+  // ------------------------------------------------------------------
+
+  /** One page of a composed document: a JPEG payload shown full-page
+    * at (wPt × hPt) points.
+    */
+  final case class PageImage(jpeg: Array[Byte], wPt: Double, hPt: Double)
+
+  /** PDF-number formatting: integral values without a fraction, others
+    * with up to 4 decimals, locale-independent.
+    */
+  private def fmtNum(d: Double): String =
+    if (d == math.rint(d) && math.abs(d) < 1e15) math.round(d).toString
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .underlying.stripTrailingZeros.toPlainString
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 16)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private[sources] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 3 + 16)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsDictionary()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated Flate stream")
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Serialize a parsed value back to PDF syntax (used by the
+    * incremental-update writer to re-emit amended dictionaries).
+    * Strings always re-serialize hex — unambiguous, no escaping.
+    */
+  def serialize(v: PVal): String = v match {
+    case PNull => "null"
+    case PBool(b) => if (b) "true" else "false"
+    case PNum(d) => fmtNum(d)
+    case PName(s) => "/" + s
+    case PStr(b) => "<" + b.map(x => f"${x & 0xff}%02x").mkString + ">"
+    case PRef(n, g) => s"$n $g R"
+    case PArr(items) => items.map(serialize).mkString("[", " ", "]")
+    case PDict(m) =>
+      // deterministic key order — composed bytes must be reproducible
+      m.toSeq.sortBy(_._1).map { case (k, x) => s"/$k ${serialize(x)}" }
+        .mkString("<< ", " ", " >>")
+  }
+
+  /** Write a complete document: one full-page JPEG per page, classic
+    * xref, `/Root 1 0 R`. `deflateContents` mirrors the reference's
+    * `deflate` save option (`fixed_signature_utils.py:104`) on the
+    * content streams (image data stays DCT — deflating JPEG is a
+    * pessimization, which is also why the reference's
+    * `deflate_images` is a no-op on DCT XObjects).
+    */
+  def compose(pages: Seq[PageImage], deflateContents: Boolean = false): Array[Byte] = {
+    require(pages.nonEmpty, "compose: no pages")
+    val out = new ByteArrayOutputStream(pages.map(_.jpeg.length).sum + 2048)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    def endObj(): Unit = w("endobj\n")
+
+    w("%PDF-1.4\n%âãÏÓ\n")
+    val pageNums = pages.indices.map(i => 3 + 3 * i)
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\n"); endObj()
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [${pageNums.map(n => s"$n 0 R").mkString(" ")}] /Count ${pages.length} >>\n")
+    endObj()
+    pages.zipWithIndex.foreach { case (pg, i) =>
+      val (pn, cn, xn) = (3 + 3 * i, 4 + 3 * i, 5 + 3 * i)
+      val dims = jpegDims(pg.jpeg)
+      require(dims != null, s"compose: page $i payload is not a JPEG")
+      beginObj(pn)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${fmtNum(pg.wPt)} ${fmtNum(pg.hPt)}] " +
+        s"/Resources << /XObject << /Im0 $xn 0 R >> >> /Contents $cn 0 R >>\n")
+      endObj()
+      val contentRaw =
+        s"q\n${fmtNum(pg.wPt)} 0 0 ${fmtNum(pg.hPt)} 0 0 cm\n/Im0 Do\nQ\n"
+          .getBytes(StandardCharsets.ISO_8859_1)
+      val content = if (deflateContents) deflate(contentRaw) else contentRaw
+      beginObj(cn)
+      w(s"<< /Length ${content.length}${if (deflateContents) " /Filter /FlateDecode" else ""} >>\nstream\n")
+      out.write(content); w("\nendstream\n"); endObj()
+      beginObj(xn)
+      w(s"<< /Type /XObject /Subtype /Image /Width ${dims(0)} /Height ${dims(1)} " +
+        s"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode /Length ${pg.jpeg.length} >>\nstream\n")
+      out.write(pg.jpeg); w("\nendstream\n"); endObj()
+    }
+    val size = 3 + 3 * pages.length
+    val xrefOff = out.size()
+    w(s"xref\n0 $size\n")
+    w("0000000000 65535 f \n")
+    (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // tokenizer + value parser
+  // ------------------------------------------------------------------
+
+  private def isWs(c: Int): Boolean =
+    c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+  private def isDelim(c: Int): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Mutable cursor over the byte buffer; all reads bounds-checked. */
+  private final class Lexer(val b: Array[Byte], var p: Int) {
+    def eof: Boolean = p >= b.length
+    def cur: Int = if (eof) -1 else b(p) & 0xff
+    def skipWs(): Unit = {
+      var go = true
+      while (go && !eof) {
+        if (isWs(cur)) p += 1
+        else if (cur == '%') { while (!eof && cur != '\n' && cur != '\r') p += 1 }
+        else go = false
+      }
+    }
+    /** Regular token (name chars / keyword / number). */
+    def token(): String = {
+      skipWs()
+      val s = p
+      while (!eof && !isWs(cur) && !isDelim(cur)) p += 1
+      new String(b, s, p - s, StandardCharsets.ISO_8859_1)
+    }
+    def peekToken(): String = { val save = p; val t = token(); p = save; t }
+    def expect(lit: String): Unit = {
+      skipWs()
+      require(matchesAt(lit), s"PDF parse: expected '$lit' at offset $p")
+      p += lit.length
+    }
+    def matchesAt(lit: String): Boolean =
+      p + lit.length <= b.length &&
+        (0 until lit.length).forall(i => (b(p + i) & 0xff) == lit.charAt(i))
+  }
+
+  private def parseVal(lx: Lexer): PVal = {
+    lx.skipWs()
+    lx.cur match {
+      case '<' if lx.p + 1 < lx.b.length && (lx.b(lx.p + 1) & 0xff) == '<' =>
+        lx.p += 2
+        val m = mutable.LinkedHashMap[String, PVal]()
+        var done = false
+        while (!done) {
+          lx.skipWs()
+          if (lx.matchesAt(">>")) { lx.p += 2; done = true }
+          else {
+            require(lx.cur == '/', s"PDF parse: dict key expected at ${lx.p}")
+            val key = parseName(lx)
+            m(key) = parseVal(lx)
+          }
+        }
+        PDict(m.toMap)
+      case '<' => // hex string
+        lx.p += 1
+        val sb = new StringBuilder
+        while (lx.cur != '>' && !lx.eof) { if (!isWs(lx.cur)) sb.append(lx.cur.toChar); lx.p += 1 }
+        require(!lx.eof, "PDF parse: unterminated hex string")
+        lx.p += 1
+        val hex = if (sb.length % 2 == 1) sb.append('0').toString else sb.toString
+        PStr(hex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      case '(' =>
+        lx.p += 1
+        val out = new ByteArrayOutputStream()
+        var depth = 1
+        while (depth > 0 && !lx.eof) {
+          val c = lx.cur; lx.p += 1
+          c match {
+            case '\\' if !lx.eof =>
+              val e = lx.cur; lx.p += 1
+              e match {
+                case 'n' => out.write('\n'); case 'r' => out.write('\r')
+                case 't' => out.write('\t'); case 'b' => out.write('\b'); case 'f' => out.write('\f')
+                case '(' => out.write('('); case ')' => out.write(')'); case '\\' => out.write('\\')
+                case d if d >= '0' && d <= '7' =>
+                  var v = d - '0'; var k = 0
+                  while (k < 2 && lx.cur >= '0' && lx.cur <= '7') { v = v * 8 + (lx.cur - '0'); lx.p += 1; k += 1 }
+                  out.write(v & 0xff)
+                case '\n' => // line continuation
+                case _ => out.write(e)
+              }
+            case '(' => depth += 1; out.write('(')
+            case ')' => depth -= 1; if (depth > 0) out.write(')')
+            case c2 => out.write(c2)
+          }
+        }
+        PStr(out.toByteArray)
+      case '/' => PName(parseName(lx))
+      case '[' =>
+        lx.p += 1
+        val items = Vector.newBuilder[PVal]
+        var done = false
+        while (!done) {
+          lx.skipWs()
+          if (lx.cur == ']') { lx.p += 1; done = true }
+          else items += parseVal(lx)
+        }
+        PArr(items.result())
+      case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+        val t = lx.token()
+        val n = t.toDouble
+        // `N G R` indirect reference lookahead
+        if (n == math.rint(n) && n >= 0) {
+          val save = lx.p
+          val t2 = lx.token()
+          if (t2.nonEmpty && t2.forall(_.isDigit)) {
+            lx.skipWs()
+            if (lx.cur == 'R' &&
+                (lx.p + 1 >= lx.b.length || isWs(lx.b(lx.p + 1) & 0xff) || isDelim(lx.b(lx.p + 1) & 0xff))) {
+              lx.p += 1
+              return PRef(n.toInt, t2.toInt)
+            }
+          }
+          lx.p = save
+        }
+        PNum(n)
+      case _ =>
+        val t = lx.token()
+        t match {
+          case "true" => PBool(true)
+          case "false" => PBool(false)
+          case "null" => PNull
+          case other => throw new IllegalArgumentException(
+            s"PDF parse: unexpected token '$other' at offset ${lx.p}")
+        }
+    }
+  }
+
+  private def parseName(lx: Lexer): String = {
+    require(lx.cur == '/', "PDF parse: name expected")
+    lx.p += 1
+    val sb = new StringBuilder
+    while (!lx.eof && !isWs(lx.cur) && !isDelim(lx.cur)) {
+      if (lx.cur == '#' && lx.p + 2 < lx.b.length) {
+        sb.append(Integer.parseInt(
+          new String(lx.b, lx.p + 1, 2, StandardCharsets.ISO_8859_1), 16).toChar)
+        lx.p += 3
+      } else { sb.append(lx.cur.toChar); lx.p += 1 }
+    }
+    sb.toString
+  }
+
+  // ------------------------------------------------------------------
+  // document parser
+  // ------------------------------------------------------------------
+
+  private val ObjHeader = java.util.regex.Pattern.compile("""(\d+)\s+(\d+)\s+obj\b""")
+
+  /** Parse a document into its object graph + resolved page list.
+    *
+    * Strategy: a single forward scan for `N G obj` headers instead of
+    * xref-table chasing — immune to the slightly-wrong offsets real-
+    * world writers emit, needs no xref-stream support, and naturally
+    * honors incremental updates because a LATER definition of the
+    * same object number overwrites the earlier one in document order
+    * (ISO 32000 §7.5.6 semantics). Stream bodies are skipped using
+    * /Length when it is direct, falling back to an `endstream`
+    * search; the scan therefore never tokenizes stream payloads.
+    */
+  def parse(bytes: Array[Byte]): PdfDoc = {
+    require(isPdf(bytes), "not a PDF (missing %PDF- header)")
+    val text = new String(bytes, StandardCharsets.ISO_8859_1)
+    val objects = mutable.LinkedHashMap[Int, PObj]()
+    val order = Vector.newBuilder[Int]
+    val m = ObjHeader.matcher(text)
+    var searchFrom = 0
+    while (searchFrom < bytes.length && m.find(searchFrom)) {
+      // header must begin at a token boundary (avoid matching "12 0 obj"
+      // inside e.g. "112 0 obj" digits — regex \d+ is greedy so the only
+      // hazard is a preceding name/number char)
+      val hs = m.start()
+      if (hs > 0 && !isWs(bytes(hs - 1) & 0xff) && !isDelim(bytes(hs - 1) & 0xff)) {
+        searchFrom = m.end()
+      } else {
+        val num = m.group(1).toInt
+        val gen = m.group(2).toInt
+        val lx = new Lexer(bytes, m.end())
+        val value = parseVal(lx)
+        lx.skipWs()
+        var stream: Option[Array[Byte]] = None
+        if (lx.matchesAt("stream")) {
+          lx.p += "stream".length
+          if (lx.cur == '\r') lx.p += 1
+          if (lx.cur == '\n') lx.p += 1
+          val start = lx.p
+          val len = value match {
+            case d: PDict => d.get("Length") match {
+              case Some(PNum(n)) => n.toInt
+              case Some(PRef(ln, _)) =>
+                // indirect /Length: usually a later object — fall back to search
+                objects.get(ln).collect { case PObj(_, _, PNum(n), _) => n.toInt }.getOrElse(-1)
+              case _ => -1
+            }
+            case _ => -1
+          }
+          val end =
+            if (len >= 0 && start + len <= bytes.length &&
+                text.startsWith("endstream", skipWsAt(bytes, start + len))) start + len
+            else {
+              val e = text.indexOf("endstream", start)
+              require(e >= 0, s"PDF parse: object $num stream has no endstream")
+              // trim the single EOL the writer puts before endstream
+              trimEol(bytes, start, e)
+            }
+          stream = Some(java.util.Arrays.copyOfRange(bytes, start, end))
+          val e2 = text.indexOf("endstream", end)
+          lx.p = (if (e2 >= 0) e2 else end) + "endstream".length
+        }
+        if (!objects.contains(num)) order += num
+        objects(num) = PObj(num, gen, value, stream)
+        searchFrom = lx.p
+      }
+    }
+    require(objects.nonEmpty, "PDF parse: no objects found")
+    // encryption guard: /Encrypt lives in the (last) trailer dictionary —
+    // only inspect that region, not stream payloads that might contain
+    // the byte string by chance
+    val trailerAt = text.lastIndexOf("trailer")
+    val trailerRegion = if (trailerAt >= 0) text.substring(trailerAt) else text.takeRight(1024)
+    require(!trailerRegion.contains("/Encrypt"), "PDF parse: encrypted documents are out of subset")
+    val catalogNum = objects.values.toSeq.reverse.collectFirst {
+      case PObj(n, _, d: PDict, _) if d.get("Type").contains(PName("Catalog")) => n
+    }.getOrElse(-1)
+    val doc0 = PdfDoc(objects.toMap, order.result(), Vector.empty, catalogNum,
+      if (objects.isEmpty) 0 else objects.keys.max)
+    doc0.copy(pages = collectPages(doc0))
+  }
+
+  private def skipWsAt(b: Array[Byte], at: Int): Int = {
+    var p = at
+    while (p < b.length && isWs(b(p) & 0xff)) p += 1
+    p
+  }
+  private def trimEol(b: Array[Byte], start: Int, end: Int): Int = {
+    var e = end
+    if (e > start && b(e - 1) == '\n') e -= 1
+    if (e > start && b(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def resolve(doc: PdfDoc, v: PVal): PVal = v match {
+    case PRef(n, _) => doc.objects.get(n).map(o => resolve(doc, o.value)).getOrElse(PNull)
+    case other => other
+  }
+
+  /** Decode an object's stream through its /Filter chain. DCTDecode is
+    * terminal (the payload IS the JPEG); unknown filters throw.
+    */
+  def decodedStream(doc: PdfDoc, obj: PObj): Array[Byte] = {
+    val raw = obj.rawStream.getOrElse(Array.emptyByteArray)
+    val filters: Seq[String] = obj.value match {
+      case d: PDict => resolve(doc, d.get("Filter").getOrElse(PNull)) match {
+        case PName(f) => Seq(f)
+        case PArr(fs) => fs.map { case PName(f) => f; case other =>
+          throw new IllegalArgumentException(s"bad /Filter entry: $other") }
+        case PNull => Seq.empty
+        case other => throw new IllegalArgumentException(s"bad /Filter: $other")
+      }
+      case _ => Seq.empty
+    }
+    filters.foldLeft(raw) {
+      case (data, "FlateDecode") => inflate(data)
+      case (data, "DCTDecode") => data
+      case (_, f) => throw new IllegalArgumentException(s"unsupported stream filter /$f")
+    }
+  }
+
+  /** Walk the page tree in /Kids order with /MediaBox and /Resources
+    * inheritance; fall back to document-order /Type /Page objects when
+    * the catalog or tree is missing/damaged.
+    */
+  private def collectPages(doc: PdfDoc): Vector[PdfPage] = {
+    def mediaBox(v: PVal): Option[(Double, Double)] = resolve(doc, v) match {
+      case PArr(Vector(a, b, c, d)) =>
+        (resolve(doc, a), resolve(doc, b), resolve(doc, c), resolve(doc, d)) match {
+          case (PNum(x0), PNum(y0), PNum(x1), PNum(y1)) => Some((x1 - x0, y1 - y0))
+          case _ => None
+        }
+      case _ => None
+    }
+    def buildPage(num: Int, d: PDict, inhBox: Option[(Double, Double)],
+                  inhRes: Option[PVal]): PdfPage = {
+      val (w, h) = d.get("MediaBox").flatMap(mediaBox).orElse(inhBox).getOrElse((612.0, 792.0))
+      val contents = resolve(doc, d.get("Contents").getOrElse(PNull)) match {
+        case _: PDict => // single stream object — need the PObj for bytes
+          d.get("Contents") match {
+            case Some(PRef(n, _)) => doc.objects.get(n).map(o => decodedStream(doc, o))
+              .getOrElse(Array.emptyByteArray)
+            case _ => Array.emptyByteArray
+          }
+        case PArr(refs) =>
+          val out = new ByteArrayOutputStream()
+          refs.foreach {
+            case PRef(n, _) => doc.objects.get(n).foreach { o => out.write(decodedStream(doc, o)); out.write('\n') }
+            case _ =>
+          }
+          out.toByteArray
+        case _ => Array.emptyByteArray
+      }
+      val resources = d.get("Resources").map(r => resolve(doc, r)).orElse(inhRes.map(r => resolve(doc, r)))
+      val images: Map[String, PdfImage] = resources match {
+        case Some(rd: PDict) => resolve(doc, rd.get("XObject").getOrElse(PNull)) match {
+          case xd: PDict =>
+            xd.m.flatMap { case (name, ref) =>
+              val obj = ref match {
+                case PRef(n, _) => doc.objects.get(n)
+                case _ => None
+              }
+              obj.flatMap { o =>
+                o.value match {
+                  case od: PDict if od.get("Subtype").contains(PName("Image")) =>
+                    val wpx = resolve(doc, od.get("Width").getOrElse(PNum(0))) match { case PNum(n) => n.toInt; case _ => 0 }
+                    val hpx = resolve(doc, od.get("Height").getOrElse(PNum(0))) match { case PNum(n) => n.toInt; case _ => 0 }
+                    val filt = resolve(doc, od.get("Filter").getOrElse(PNull)) match {
+                      case PName(f) => f
+                      case PArr(fs) if fs.nonEmpty => fs.collect { case PName(f) => f }.lastOption.getOrElse("")
+                      case _ => ""
+                    }
+                    val cs = resolve(doc, od.get("ColorSpace").getOrElse(PNull)) match {
+                      case PName(c) => c; case _ => ""
+                    }
+                    Some(name -> PdfImage(name, wpx, hpx, filt, cs, decodedStream(doc, o)))
+                  case _ => None
+                }
+              }
+            }
+          case _ => Map.empty[String, PdfImage]
+        }
+        case _ => Map.empty[String, PdfImage]
+      }
+      PdfPage(w, h, contents, images, d, num)
+    }
+    def walk(ref: PVal, inhBox: Option[(Double, Double)], inhRes: Option[PVal],
+             seen: Set[Int]): Vector[PdfPage] = ref match {
+      case PRef(n, _) if !seen.contains(n) =>
+        doc.objects.get(n) match {
+          case Some(PObj(_, _, d: PDict, _)) => d.get("Type") match {
+            case Some(PName("Pages")) =>
+              val box = d.get("MediaBox").flatMap(b => mediaBox(b) match {
+                case Some(_) => Some(d.m("MediaBox")); case None => None
+              })
+              val boxWh = box.flatMap(mediaBox).orElse(inhBox)
+              val res = d.get("Resources").orElse(inhRes)
+              resolve(doc, d.get("Kids").getOrElse(PNull)) match {
+                case PArr(kids) => kids.flatMap(k => walk(k, boxWh, res, seen + n)).toVector
+                case _ => Vector.empty
+              }
+            case Some(PName("Page")) => Vector(buildPage(n, d, inhBox, inhRes))
+            case _ => Vector.empty
+          }
+          case _ => Vector.empty
+        }
+      case _ => Vector.empty
+    }
+    val fromTree = doc.objects.get(doc.catalogNum) match {
+      case Some(PObj(_, _, d: PDict, _)) =>
+        d.get("Pages").map(p => walk(p, None, None, Set.empty)).getOrElse(Vector.empty)
+      case _ => Vector.empty
+    }
+    if (fromTree.nonEmpty) fromTree
+    else doc.order.flatMap { n =>
+      doc.objects(n) match {
+        case PObj(_, _, d: PDict, _) if d.get("Type").contains(PName("Page")) =>
+          Some(buildPage(n, d, None, None))
+        case _ => None
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // rasterizer
+  // ------------------------------------------------------------------
+
+  /** Decode an image XObject's samples to the codec working form.
+    * DCTDecode → ImageIO JPEG decode; FlateDecode(+none) `/DeviceRGB`
+    * 8-bit → raw triplets; `/DeviceGray` 8-bit → replicated; anything
+    * else null (caller skips the draw).
+    */
+  def decodeImage(img: PdfImage): ImageCodec.Px = img.filter match {
+    case "DCTDecode" => ImageCodec.decode(img.data)
+    case "" | "FlateDecode" =>
+      val n = img.widthPx * img.heightPx
+      img.colorSpace match {
+        case "DeviceRGB" if img.data.length >= n * 3 =>
+          val rgb = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            rgb(i) = ((img.data(i * 3) & 0xff) << 16) |
+              ((img.data(i * 3 + 1) & 0xff) << 8) | (img.data(i * 3 + 2) & 0xff)
+            i += 1
+          }
+          ImageCodec.Px(img.widthPx, img.heightPx, rgb)
+        case "DeviceGray" if img.data.length >= n =>
+          val rgb = new Array[Int](n)
+          var i = 0
+          while (i < n) { val g = img.data(i) & 0xff; rgb(i) = (g << 16) | (g << 8) | g; i += 1 }
+          ImageCodec.Px(img.widthPx, img.heightPx, rgb)
+        case _ => null
+      }
+    case _ => null
+  }
+
+  /** Rasterize one page at `dpi` onto a white canvas — the reference's
+    * `page.get_pixmap(matrix=fitz.Matrix(zoom, zoom))` shape
+    * (`app.py:256-257`, zoom = dpi/72). Interprets the q/Q/cm/Do
+    * subset; image placements must be axis-aligned (b = c = 0 in the
+    * accumulated matrix — all writers in this engine and the
+    * reference's page loops satisfy that); anything else is skipped,
+    * leaving that region white, never mis-drawn.
+    */
+  def rasterizePage(page: PdfPage, dpi: Int): ImageCodec.Px = {
+    val zoom = dpi / 72.0
+    val cw = math.max(1, math.ceil(page.mediaW * zoom).toInt)
+    val ch = math.max(1, math.ceil(page.mediaH * zoom).toInt)
+    val canvas = new Array[Int](cw * ch)
+    java.util.Arrays.fill(canvas, 0xffffff)
+    // graphics state: current transformation matrix [a b c d e f]
+    var ctm = Array(1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val stack = mutable.Stack[Array[Double]]()
+    val operands = mutable.ArrayBuffer[PVal]()
+    val lx = new Lexer(page.content, 0)
+    while ({ lx.skipWs(); !lx.eof }) {
+      val c = lx.cur
+      if (c == '/' || c == '[' || c == '(' || c == '<' || c == '+' || c == '-' || c == '.' ||
+          (c >= '0' && c <= '9')) {
+        operands += parseVal(lx)
+      } else {
+        val op = lx.token()
+        op match {
+          case "q" => stack.push(ctm.clone())
+          case "Q" => if (stack.nonEmpty) ctm = stack.pop()
+          case "cm" if operands.length >= 6 =>
+            val ns = operands.takeRight(6).collect { case PNum(d) => d }
+            if (ns.length == 6) {
+              val Seq(a, b2, c2, d, e, f) = ns.toSeq
+              ctm = Array(
+                a * ctm(0) + b2 * ctm(2), a * ctm(1) + b2 * ctm(3),
+                c2 * ctm(0) + d * ctm(2), c2 * ctm(1) + d * ctm(3),
+                e * ctm(0) + f * ctm(2) + ctm(4), e * ctm(1) + f * ctm(3) + ctm(5))
+            }
+            operands.clear()
+          case "Do" =>
+            operands.lastOption match {
+              case Some(PName(name)) =>
+                page.images.get(name).foreach { img =>
+                  // axis-aligned only: unit square → rect via ctm
+                  if (math.abs(ctm(1)) < 1e-9 && math.abs(ctm(2)) < 1e-9) {
+                    val src = decodeImage(img)
+                    if (src != null) blit(canvas, cw, ch, src, ctm, page.mediaH, zoom)
+                  }
+                }
+              case _ =>
+            }
+            operands.clear()
+          case "" => lx.p += 1 // defensive: unknown delimiter
+          case _ => operands.clear() // unhandled operator (text, paths, gs…)
+        }
+        if (op == "q" || op == "Q") operands.clear()
+      }
+    }
+    ImageCodec.Px(cw, ch, canvas)
+  }
+
+  /** Draw `src` into the axis-aligned user-space rect the CTM maps the
+    * unit square to, converting to device pixels (y flipped), bilinear
+    * via [[ImageCodec.resize]], clipped to the canvas.
+    */
+  private def blit(canvas: Array[Int], cw: Int, ch: Int, src: ImageCodec.Px,
+                   ctm: Array[Double], mediaH: Double, zoom: Double): Unit = {
+    val x0u = math.min(ctm(4), ctm(0) + ctm(4))
+    val x1u = math.max(ctm(4), ctm(0) + ctm(4))
+    val y0u = math.min(ctm(5), ctm(3) + ctm(5))
+    val y1u = math.max(ctm(5), ctm(3) + ctm(5))
+    val dx0 = math.round(x0u * zoom).toInt
+    val dx1 = math.round(x1u * zoom).toInt
+    val dy0 = math.round((mediaH - y1u) * zoom).toInt
+    val dy1 = math.round((mediaH - y0u) * zoom).toInt
+    val rw = dx1 - dx0
+    val rh = dy1 - dy0
+    if (rw <= 0 || rh <= 0) return
+    val scaled = ImageCodec.resize(src, rw, rh)
+    var y = math.max(0, dy0)
+    val yEnd = math.min(ch, dy1)
+    while (y < yEnd) {
+      var x = math.max(0, dx0)
+      val xEnd = math.min(cw, dx1)
+      while (x < xEnd) {
+        canvas(y * cw + x) = scaled.rgb((y - dy0) * rw + (x - dx0))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // convenience metadata entry points (per-row codegen targets)
+  // ------------------------------------------------------------------
+
+  /** Page count, or -1 when the bytes are not a parseable PDF. */
+  def pageCount(bytes: Array[Byte]): Int =
+    if (!isPdf(bytes)) -1
+    else try parse(bytes).pageCount catch { case _: Exception => -1 }
+
+  /** [n_pages, w_pt_x100, h_pt_x100, n_images] of the first page —
+    * integer-scaled points so the struct is exactly reproducible in
+    * SQL. Null when not a parseable PDF.
+    */
+  def pdfInfo(bytes: Array[Byte]): Array[Long] =
+    if (!isPdf(bytes)) null
+    else try {
+      val doc = parse(bytes)
+      val first = doc.pages.headOption
+      Array(doc.pageCount.toLong,
+        first.map(p => math.round(p.mediaW * 100)).getOrElse(0L),
+        first.map(p => math.round(p.mediaH * 100)).getOrElse(0L),
+        doc.pages.map(_.images.size.toLong).sum)
+    } catch { case _: Exception => null }
+
+  /** Rasterize page `idx` (0-based) at `dpi` → PNG bytes; null when
+    * out of range or unparseable. Page-at-a-time API so the query
+    * layer can explode to page grain and parallelize renders.
+    */
+  def rasterizePng(bytes: Array[Byte], idx: Int, dpi: Int): Array[Byte] =
+    if (!isPdf(bytes)) null
+    else try {
+      val doc = parse(bytes)
+      if (idx < 0 || idx >= doc.pageCount) null
+      else ImageCodec.encodePng(rasterizePage(doc.pages(idx), dpi))
+    } catch { case _: Exception => null }
+}
