@@ -1,0 +1,172 @@
+package graft.functions
+
+import graft.sources.{ImageCodec, PdfCodec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over [[graft.sources.PdfCodec]] — the PDF
+  * container operators (parse / rasterize / compose / sign metadata)
+  * as codegen'd projections, mirroring [[ImageExprs]]. Null-in →
+  * null-out; a non-PDF payload evaluates to null rather than
+  * throwing, so query layers can coalesce onto documented fallbacks.
+  */
+object PdfExprs {
+
+  val InfoSchema: StructType = StructType(Seq(
+    StructField("n_pages", LongType, nullable = false),
+    StructField("w_pt_x100", LongType, nullable = false),
+    StructField("h_pt_x100", LongType, nullable = false),
+    StructField("n_images", LongType, nullable = false)))
+
+  /** Static parse-metadata helper: struct row of [[PdfCodec.pdfInfo]]
+    * (integer-scaled points — exactly reproducible in SQL).
+    */
+  def pdfInfoRow(bytes: Array[Byte]): InternalRow = {
+    val info = PdfCodec.pdfInfo(bytes)
+    if (info == null) null
+    else new GenericInternalRow(Array[Any](info(0), info(1), info(2), info(3)))
+  }
+
+  /** Deterministic synthetic document fixture: `nPages` synthetic JPEG
+    * pages at (wPt × hPt) points — the PDF analog of
+    * [[ImageExprs]]'s `synth_image`, so oracle queries get a REAL PDF
+    * input whose parse metadata is a SQL-computable function of the
+    * row. Page pixels are seeded per page (seed + page index).
+    */
+  def synthPdf(seed: Long, nPages: Int, wPt: Double, hPt: Double): Array[Byte] = {
+    val pages = (0 until math.max(1, nPages)).map { i =>
+      val px = ImageCodec.decode(ImageCodec.synthPng(seed + i,
+        math.max(8, math.round(wPt / 2).toInt), math.max(8, math.round(hPt / 2).toInt)))
+      PdfCodec.PageImage(ImageCodec.encodeJpeg(px, 90), wPt, hPt)
+    }
+    PdfCodec.compose(pages, deflateContents = true)
+  }
+
+  /** Reassemble ordered JPEG pages into a document at a uniform page
+    * size — B6's "new A4 page, insert image, save with deflate"
+    * (`app.py:276-283`). Null when any page payload is null or not a
+    * JPEG (corrupt-page guard: refuse to build a half-document).
+    */
+  def composePdf(pages: ArrayData, wPt: Double, hPt: Double): Array[Byte] = {
+    if (pages == null || pages.numElements() == 0) return null
+    val n = pages.numElements()
+    val imgs = new Array[PdfCodec.PageImage](n)
+    var i = 0
+    while (i < n) {
+      if (pages.isNullAt(i)) return null
+      val jpeg = pages.getBinary(i)
+      if (PdfCodec.jpegDims(jpeg) == null) return null
+      imgs(i) = PdfCodec.PageImage(jpeg, wPt, hPt)
+      i += 1
+    }
+    PdfCodec.compose(imgs.toSeq, deflateContents = true)
+  }
+}
+
+/** Parse metadata of a PDF payload: struct(n_pages, w_pt_x100,
+  * h_pt_x100, n_images); null for non-PDF bytes.
+  */
+case class PdfInfoExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PdfExprs.InfoSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = PdfExprs.pdfInfoRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("pdfInfo")
+      s"""
+         |InternalRow $r = graft.functions.PdfExprs.pdfInfoRow($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): PdfInfoExpr = copy(child = c)
+  override def prettyName: String = "pdf_info"
+}
+
+/** Rasterize page `page` (0-based) of a PDF payload at `dpi` → PNG
+  * bytes (`app.py:256-257` zoom geometry); null when non-PDF or out
+  * of range.
+  */
+case class PdfRasterizeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, page: Any, dpi: Any): Any =
+    PdfCodec.rasterizePng(b.asInstanceOf[Array[Byte]], page.asInstanceOf[Int], dpi.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, page, dpi) => {
+      val r = ctx.freshName("raster")
+      s"""
+         |byte[] $r = graft.sources.PdfCodec.rasterizePng($b, $page, $dpi);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PdfRasterizeExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "pdf_rasterize"
+}
+
+/** Reassemble array<binary> JPEG pages into a PDF at a uniform
+  * (wPt × hPt) page size (B6's rebuild loop). Null on empty/corrupt
+  * input.
+  */
+case class PdfComposeExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(pages: Any, w: Any, h: Any): Any =
+    PdfExprs.composePdf(pages.asInstanceOf[ArrayData],
+      w.asInstanceOf[Double], h.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (pages, w, h) => {
+      val r = ctx.freshName("pdf")
+      s"""
+         |byte[] $r = graft.functions.PdfExprs.composePdf($pages, $w, $h);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PdfComposeExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "pdf_compose"
+}
+
+/** Deterministic synthetic PDF fixture: (seed, n_pages, wPt, hPt) →
+  * PDF bytes whose parse metadata is a closed-form function of the
+  * inputs — the oracle-gate entry point for the container codec.
+  */
+case class SynthPdfExpr(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any, w: Any, h: Any): Any =
+    PdfExprs.synthPdf(seed.asInstanceOf[Long], n.asInstanceOf[Int],
+      w.asInstanceOf[Double], h.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n, w, h) =>
+      s"${ev.value} = graft.functions.PdfExprs.synthPdf($seed, $n, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthPdfExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_pdf"
+}
+
+/** Column-level entry points. */
+object PdfOps {
+  def pdfInfo(bin: Column): Column =
+    GraftExpr.toColumn(PdfInfoExpr(GraftExpr.toExpr(bin)))
+  def pdfRasterize(bin: Column, page: Column, dpi: Column): Column =
+    GraftExpr.toColumn(PdfRasterizeExpr(
+      GraftExpr.toExpr(bin), GraftExpr.toExpr(page), GraftExpr.toExpr(dpi)))
+  def pdfCompose(pages: Column, wPt: Column, hPt: Column): Column =
+    GraftExpr.toColumn(PdfComposeExpr(
+      GraftExpr.toExpr(pages), GraftExpr.toExpr(wPt), GraftExpr.toExpr(hPt)))
+  def synthPdf(seed: Column, nPages: Column, wPt: Column, hPt: Column): Column =
+    GraftExpr.toColumn(SynthPdfExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages),
+      GraftExpr.toExpr(wPt), GraftExpr.toExpr(hPt)))
+}

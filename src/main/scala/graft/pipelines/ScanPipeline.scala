@@ -1,32 +1,38 @@
 package graft.pipelines
 
-import graft.functions.{ImageOps, StringOps}
+import graft.functions.{ImageOps, PdfOps, StringOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** §3.2 the scan endpoint (`app.py:180-330`) recomposed as one
-  * declarative flow, now running the REAL image codec end-to-end:
+  * declarative flow — now REAL end-to-end, container included:
   *
   *   items → two file columns                     (app.py:196)
   *     → explode file entries, PDF whitelist      P1/P2 (`extract_pdf_asset_ids`)
-  *     → per-page render at 150 dpi               B1 geometry (`app.py:256-257`)
+  *     → REAL PDF input (synth fixture)           [[graft.sources.PdfCodec.compose]]
+  *     → page count from PARSING the document     (`app.py:250`: `for page in doc`)
+  *     → per-page rasterize at 150 dpi            B6 REAL (`app.py:256-257`)
   *     → `add_scan_effects_minimal("balanced")`   B4 REAL (`app.py:266`)
   *     → JPEG quality-85 re-encode                B6 REAL (`app.py:268-271`)
-  *     → in-order page reassembly                 (`app.py:276-283`)
+  *     → in-order page reassembly into a REAL     B6 REAL (`app.py:276-283`:
+  *       A4-page PDF (deflated content streams)    new page, insert, deflate save)
+  *     → parse-back page count self-check         (out_pages column)
   *     → sanitized upload name per column         F3/F4 (`transfert_file`)
   *
-  * Two steps remain stand-ins, both PDF-container-shaped: the page
-  * RENDER (a PDF rasterizer is not in the container — a deterministic
-  * synthetic page render stands in, with the reference's real
-  * 150/72 zoom geometry) and the output container (pages reassemble
-  * by ordered binary concat instead of a PDF writer). Everything
-  * between them — scan effects, JPEG encode, decode — is the real
-  * codec on real pixels.
+  * Nothing is a stand-in anymore: the input is a real (synthetic-
+  * content) PDF document, the page count comes from parsing it, pages
+  * rasterize through the content-stream interpreter, effects run on
+  * real pixels, and the output is a real PDF whose page count the
+  * plan itself re-parses (`out_pages` must equal `n_pages` on every
+  * row — asserted in ScanPipelineSpec and visible to the bench).
   *
   * The reference walks items one at a time over HTTP; here the page
   * grain is just an exploded DataFrame, so a webhook item and a
   * backfill differ only in partition count. Codec work is CPU-bound —
   * partition for cores, not bytes (same note as q_scan_effects).
+  * The per-page `pdf_rasterize` re-parses the document's object graph
+  * per page (pages ≤ 3 here); at a larger page grain, rasterize once
+  * per file via mapPartitions instead.
   */
 object ScanPipeline {
 
@@ -36,13 +42,17 @@ object ScanPipeline {
   /** Balanced-scan render dpi (`app.py:256`: 150 dpi ⇒ zoom 150/72). */
   val RenderDpi = 150
 
+  /** A4 output page size in points (`app.py:277`). */
+  val A4WPt = 595.0
+  val A4HPt = 842.0
+
   /** Full scan plan over a document table: one output row per
-    * (doc, column, pdf file) with the processed payload's length/md5
-    * and its upload name. Page renders are small by default so the
-    * fixture corpus processes in seconds; the plan shape is unchanged
-    * at any render size.
+    * (doc, column, pdf file) with the processed document's length/md5,
+    * its parse-back page count and its upload name. Page sizes are
+    * small by default so the fixture corpus processes in seconds; the
+    * plan shape is unchanged at any render size.
     */
-  def scanPlan(docs: DataFrame, pageW: Int = 62, pageH: Int = 87): DataFrame = {
+  def scanPlan(docs: DataFrame, pageWPt: Int = 62, pageHPt: Int = 87): DataFrame = {
     val spark = docs.sparkSession
     // one candidate file per (doc, column); every 7th is a non-PDF the
     // whitelist must drop, mirroring extract_pdf_asset_ids
@@ -53,24 +63,28 @@ object ScanPipeline {
         when(col("doc_id") % 7 === 0, ".xlsx").otherwise(".pdf")))
       .filter(StringOps.fileExt(col("file_name")) === "pdf")
     val pages = files
-      .withColumn("n_pages", (col("doc_id") % 3 + 1).cast("int"))
+      // the stored document: a REAL multi-page PDF (synthetic content)
+      .withColumn("in_pdf", PdfOps.synthPdf(col("doc_id") * 100,
+        (col("doc_id") % 3 + 1).cast("int"), lit(pageWPt.toDouble), lit(pageHPt.toDouble)))
+      // page count by PARSING the container, not by trusting the fixture
+      .withColumn("n_pages", PdfOps.pdfInfo(col("in_pdf")).getField("n_pages").cast("int"))
       .withColumn("page", explode(sequence(lit(0), col("n_pages") - 1)))
-      .withColumn("render_zoom", lit(RenderDpi / 72.0))
-      // stubbed rasterize: deterministic synthetic page pixels
-      .withColumn("page_png",
-        ImageOps.synthImage(col("doc_id") * 100 + col("page"), lit(pageW), lit(pageH)))
-      // REAL: scanner effects + the per-page JPEG re-encode
+      // REAL rasterize through the content-stream interpreter at 150 dpi
+      .withColumn("page_png", PdfOps.pdfRasterize(col("in_pdf"), col("page"), lit(RenderDpi)))
+      // REAL scanner effects + the per-page JPEG re-encode
       .withColumn("page_jpg",
         ImageOps.jpegReencode(ImageOps.scanMinimal(col("page_png"), "balanced"), 85))
     pages.groupBy("doc_id", "column_id", "file_name", "n_pages")
       .agg(sort_array(collect_list(struct(col("page"), col("page_jpg")))).as("_pp"))
-      .withColumn("out_pdf",
-        aggregate(col("_pp"), lit(Array.empty[Byte]),
-          (acc, p) => concat(acc, p.getField("page_jpg"))))
+      // B6: rebuild on fresh A4 pages, deflate save — a REAL PDF out
+      .withColumn("out_pdf", PdfOps.pdfCompose(
+        transform(col("_pp"), p => p.getField("page_jpg")), lit(A4WPt), lit(A4HPt)))
+      // parse-back self-check: the output document's page count
+      .withColumn("out_pages", PdfOps.pdfInfo(col("out_pdf")).getField("n_pages").cast("int"))
       .withColumn("upload_name",
         StringOps.sanitizeName(StringOps.signedFilename(col("file_name"), " SCANNE")))
       .select(col("doc_id"), col("column_id"), col("file_name"), col("upload_name"),
-        col("n_pages"),
+        col("n_pages"), col("out_pages"),
         length(col("out_pdf")).cast("long").as("out_len"),
         md5(col("out_pdf")).as("out_md5"))
   }

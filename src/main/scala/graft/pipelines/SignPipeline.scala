@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   *
   *   download                       → stub transport (UrlFetch echo shape)
   *   → B1 compress (dpi, quality)   → REAL on image payloads
-  *   → B2 sign                      → REAL detached PKCS#12/RSA crypto
+  *   → B2 sign                      → REAL: visible stamp on the pixels,
+  *                                    one-page PDF containerization, and
+  *                                    an EMBEDDED incremental-update
+  *                                    signature (ByteRange two-range
+  *                                    SHA256withRSA, widget + AcroForm) —
+  *                                    [[graft.sources.SignOps.signAllPdf]]
   *   → F3 " SIGNÉ" rename           → ref-exact
   *   → K1 upload plan               → the sink task shape
   *
-  * Only the PDF-container halves stay stand-ins (rasterize/rebuild in
-  * B1, embedding the signature into a PDF incremental update in B2);
-  * the pixels and the cryptography are real. Like the reference's
-  * defaults: compress at dpi=144/q=60 ≈ the "minimum/balanced" band —
-  * here the preset knob is explicit.
+  * Only the download transport remains a stand-in (zero egress).
+  * Like the reference's defaults: compress at dpi=144/q=60 ≈ the
+  * "minimum/balanced" band — here the preset knob is explicit.
   */
 object SignPipeline {
 
@@ -48,9 +51,12 @@ object SignPipeline {
         md5(col("signature")).as("sig_md5"))
   }
 
-  /** [[signPlan]] plus a per-row VERIFICATION of the detached
-    * signature against the keystore's certificate — the end-to-end
-    * crypto round trip as a column (every row must read true).
+  /** [[signPlan]] upgraded to the COMPLETE B2: visible stamp on the
+    * compressed pixels, one-page PDF containerization, embedded
+    * incremental-update signature, and a per-row VERIFICATION of that
+    * embedded signature from the document alone (via its /Cert) — the
+    * end-to-end container + crypto round trip as a column (every row
+    * must read true; pinned in SignPipelineSpec).
     */
   def signPlanVerified(docs: DataFrame, pkcs12: Array[Byte], password: String,
                        quality: String = "balanced",
@@ -64,16 +70,13 @@ object SignPipeline {
     val media: Dataset[Multimodal.MediaDoc] = rendered
       .select(col("doc_id"), lit("image/jpeg").as("mime"), col("compressed").as("content"))
       .as[Multimodal.MediaDoc]
-    val signed = SignOps.signAllStamped(media, pkcs12, password, ts)
-    val verified = signed.mapPartitions { it =>
-      val (_, cert) = SignOps.loadPkcs12(pkcs12, password.toCharArray)
-      it.map(s => (s.doc_id, s.content.length.toLong, s.signature.length.toLong,
-        SignOps.verifyDetached(s.content, s.signature, cert)))
-    }.toDF("doc_id", "n_bytes", "sig_bytes", "verified")
-    verified
+    SignOps.signAllPdf(media, pkcs12, password, ts).toDF()
       .withColumn("upload_name", StringOps.sanitizeName(StringOps.signedFilename(
         concat(lit("doc_"), col("doc_id"), lit(".pdf")))))
-      .select("doc_id", "upload_name", "n_bytes", "sig_bytes", "verified")
+      .select(col("doc_id"), col("upload_name"),
+        length(col("pdf")).cast("long").as("n_bytes"),
+        length(col("signature")).cast("long").as("sig_bytes"),
+        col("verified"))
   }
 
   /** A throwaway PKCS#12 credential via the JDK's own keytool — for

@@ -247,6 +247,36 @@ object DomainQueries {
       Tables.documents(s, d),
       graft.pipelines.SignPipeline.ephemeralPkcs12("Graft Query Signer"), "changeit")
 
+  /** The PDF container codec through the DuckDB oracle gate: a real
+    * compose → parse round trip per document whose parse metadata
+    * (page count, media box in integer-scaled points, image count) is
+    * a closed-form function of doc_id — if the writer or parser drifts
+    * anywhere (page tree walk, MediaBox, xref, Flate content streams),
+    * the hash gate catches it on every row. The byte-level halves
+    * (rasterized pixels, signed bytes) are pinned by PdfCodecSpec /
+    * SignOpsSpec; this query gates the metadata contract at corpus
+    * grain.
+    */
+  val pdfRoundtrip: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      // CPU-bound codec: partition for cores, not bytes (see q_scan_effects)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdf(col("doc_id") * 17,
+        (col("doc_id") % 3 + 1).cast("int"), lit(120.0), lit(160.0)))
+      .withColumn("info", graft.functions.PdfOps.pdfInfo(col("pdf")))
+      .select(col("doc_id"),
+        col("info.n_pages").as("n_pages"),
+        col("info.w_pt_x100").as("w_pt_x100"),
+        col("info.h_pt_x100").as("h_pt_x100"),
+        col("info.n_images").as("n_images"))
+  val pdfRoundtripSql: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+      |       CAST(12000 AS BIGINT) AS w_pt_x100,
+      |       CAST(16000 AS BIGINT) AS h_pt_x100,
+      |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_images
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -808,6 +838,7 @@ object DomainQueries {
     "q_scan_seeded" -> scanSeededQ,
     "q_scan_pipeline" -> scanPipelineQ,
     "q_sign_pipeline" -> signPipelineQ,
+    "q_pdf_roundtrip" -> pdfRoundtrip,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -841,6 +872,7 @@ object DomainQueries {
     "q_frames" -> framesSql,
     "q_scan_effects" -> scanEffectsSql,
     "q_scan_seeded" -> scanSeededSql,
+    "q_pdf_roundtrip" -> pdfRoundtripSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,

@@ -6,16 +6,18 @@ import org.apache.spark.sql.functions._
 /** S7/B1-B7 — multimodal columns: media content as opaque `BinaryType`
   * with typed metadata, per-document transforms, and frame chunking.
   *
-  * The IMAGE half of the reference's binary operators is REAL now:
+  * The reference's binary operators are REAL now, container included:
   * scan effects (`fixed_signature_utils.py:369-558`), JPEG re-encode
   * (`app.py:248-285`) and decode-dims run on actual pixels via
-  * [[ImageCodec]] (JDK-builtin `javax.imageio`, zero new deps) behind
-  * the codegen'd expressions in `graft.functions.ImageExprs`. ONLY the
-  * PDF paths (parse / rasterize / sign, `fixed_signature_utils
-  * .py:38-110`) still need a library the container lacks, so those
-  * payloads stay on the clearly-marked deterministic stub below — the
-  * image expressions null-propagate on them and the query layer
-  * coalesces onto the stub. Everything Spark-side is real and tested:
+  * [[ImageCodec]] (JDK-builtin `javax.imageio`, zero new deps), and
+  * the PDF paths — parse, dpi rasterize, compose, embedded signature
+  * (`fixed_signature_utils.py:38-110`, `:132-254`) — run on a real
+  * container via [[PdfCodec]]/[[SignOps]], all behind the codegen'd
+  * expressions in `graft.functions.ImageExprs`/`PdfExprs`. Only
+  * audio/video payloads remain on the clearly-marked deterministic
+  * stub below (no codec in the JDK) — the image expressions
+  * null-propagate on them and the query layer coalesces onto the
+  * stub. Everything Spark-side is real and tested:
   * the BinaryType schema, the `binaryFile` source, the expression-level
   * transform plumbing (seeded, codegen'd — never a Python-style row
   * UDF), frame chunking via binary `substring`, and the typed
@@ -40,19 +42,19 @@ object Multimodal {
     df.withColumn("byte_len", length(col(binCol)).cast("long"))
       .withColumn("content_md5", md5(col(binCol)))
 
-  /** B1 PDF stand-in: a deterministic, seeded BinaryType→BinaryType
-    * transform (16-byte digest of content + seed). Image payloads use
-    * the REAL codec ([[scanEffect]] below); this stub remains only for
-    * PDF payloads, whose parse/rasterize needs a library the container
-    * lacks.
+  /** Stand-in transform for codec-less payloads: a deterministic,
+    * seeded BinaryType→BinaryType digest of content + seed. Image
+    * payloads use the REAL codec ([[scanEffect]] below) and PDFs the
+    * real container ([[PdfCodec]]); this stub remains only for
+    * audio/video bytes.
     */
   def scanEffectStub(bin: Column, seed: String): Column =
     unhex(md5(concat(hex(bin), lit(seed))))
 
   /** B4/B5 scan effects, for real: seeded randomized scanner pipeline
     * (`fixed_signature_utils.py:453-558`) on image payloads via
-    * [[ImageCodec]]; non-image (PDF) payloads fall back to the
-    * documented stub so the column is never null.
+    * [[ImageCodec]]; codec-less payloads (audio/video) fall back to
+    * the documented stub so the column is never null.
     */
   def scanEffect(bin: Column, seed: Column, quality: String = "realistic"): Column =
     coalesce(
@@ -102,10 +104,11 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                            width: Int, height: Int, feature: Double)
 
-  /** STUB decode for NON-IMAGE payloads (PDF/audio/video, whose codecs
-    * the container lacks): deterministic fake dimensions/feature
-    * derived from the bytes — same signature and batch shape a real
-    * decoder slots into.
+  /** STUB decode for payloads with NO real codec in this engine
+    * (audio/video): deterministic fake dimensions/feature derived
+    * from the bytes — same signature and batch shape a real decoder
+    * slots into. Images ([[ImageCodec]]) and PDFs ([[PdfCodec]])
+    * decode for real in [[decodeMedia]].
     */
   def decodeStub(d: MediaDoc): MediaFeatures = {
     val n = d.content.length
@@ -116,9 +119,10 @@ object Multimodal {
       feature = (math.abs(h) % 100000) / 100000.0)
   }
 
-  /** REAL decode for image payloads: actual pixel dimensions and mean
-    * luminance (normalized 0-1) from [[ImageCodec]]; everything else
-    * falls back to the documented stub.
+  /** REAL decode for image payloads (pixel dimensions + mean
+    * luminance from [[ImageCodec]]) and for PDF payloads (first-page
+    * media box in points + mean luminance of the page-1 raster from
+    * [[PdfCodec]]); audio/video fall back to the documented stub.
     */
   def decodeMedia(d: MediaDoc): MediaFeatures =
     if (ImageCodec.isImage(d.content)) {
@@ -126,6 +130,15 @@ object Multimodal {
       if (px == null) decodeStub(d)
       else MediaFeatures(d.doc_id, d.mime, d.content.length, px.w, px.h,
         feature = ImageCodec.meanLumaPx(px) / 255.0)
+    } else if (PdfCodec.isPdf(d.content)) {
+      val info = PdfCodec.pdfInfo(d.content)
+      if (info == null) decodeStub(d)
+      else {
+        val png = PdfCodec.rasterizePng(d.content, 0, 36) // thumbnail-dpi luma probe
+        MediaFeatures(d.doc_id, d.mime, d.content.length,
+          width = (info(1) / 100).toInt, height = (info(2) / 100).toInt,
+          feature = if (png == null) 0.0 else ImageCodec.meanLuma(png) / 255.0)
+      }
     } else decodeStub(d)
 
   /** Per-partition decode: the expensive-init resource (a decoder

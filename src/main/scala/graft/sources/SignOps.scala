@@ -284,6 +284,50 @@ object SignOps {
       }
     } catch { case _: Exception => false }
 
+  /** One embedded-signed document row: the full signed PDF, the
+    * signer CN line, and the in-row verification of the embedded
+    * signature (the crypto round trip as a column).
+    */
+  case class SignedPdfDoc(doc_id: Long, pdf: Array[Byte], signature: Array[Byte],
+                          signer: String, verified: Boolean)
+
+  /** B2/B3 complete: stamp → containerize → embedded-sign → verify,
+    * per row. Image payloads get the visible stamp burned into the
+    * pixels, are wrapped into a one-page PDF at their pixel size in
+    * points, then signed via [[signPdfIncremental]]; payloads that
+    * are ALREADY PDFs sign directly (the reference's own flow —
+    * download → compress → sign). Payloads that are neither fail
+    * loudly: the reference endpoint only ever signs PDFs. Keystore
+    * parsed once per partition; output is a pure function of
+    * (input, key, ts).
+    */
+  def signAllPdf(docs: Dataset[Multimodal.MediaDoc], pkcs12: Array[Byte],
+                 password: String, ts: String,
+                 jpegQuality: Int = 85): Dataset[SignedPdfDoc] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { it =>
+      val (key, cert) = loadPkcs12(pkcs12, password.toCharArray)
+      val signer = cert.getSubjectX500Principal.getName
+      val lines = Seq(s"Firmado por: ${cnOf(signer)}", s"Fecha: $ts")
+      val tsCompact = ts.filter(_.isDigit)
+      it.map { d =>
+        val pdf =
+          if (PdfCodec.isPdf(d.content)) d.content
+          else {
+            val px = ImageCodec.decode(d.content)
+            require(px != null, s"signAllPdf: doc ${d.doc_id} is neither a PDF nor an image")
+            val stamped = ImageCodec.stampTextBox(px, lines,
+              px.w * 300 / 595, px.h * 470 / 842, px.w * 500 / 595, px.h * 530 / 842)
+            PdfCodec.compose(Seq(PdfCodec.PageImage(
+              ImageCodec.encodeJpeg(stamped, jpegQuality), px.w.toDouble, px.h.toDouble)))
+          }
+        val signed = signPdfIncremental(pdf, key, cert, tsCompact)
+        val sig = extractPdfSignature(signed).map(_.signature).getOrElse(Array.empty[Byte])
+        SignedPdfDoc(d.doc_id, signed, sig, signer, verifyPdfSignature(signed))
+      }
+    }
+  }
+
   /** The CN attribute of an X.500 name ("CN=Alice,O=X" → "Alice"). */
   def cnOf(x500: String): String =
     x500.split(',').map(_.trim).collectFirst {

@@ -1,52 +1,66 @@
 package graft.pipelines
 
 import graft.SparkSpec
-import graft.sources.ImageCodec
+import graft.functions.PdfExprs
+import graft.sources.{ImageCodec, PdfCodec}
 
 /** Value-level contract of the scan pipeline (its oracle gate is
-  * rows-only — JPEG bytes are not SQL-reproducible).
+  * rows-only — PDF bytes are not SQL-reproducible): real input
+  * document, parsed page counts, real rasterize → effects → JPEG →
+  * A4 PDF reassembly, byte-for-byte deterministic.
   */
 class ScanPipelineSpec extends SparkSpec {
   import spark.implicits._
 
   private def docs = Seq(1L, 2L, 3L, 7L).toDF("doc_id")
 
-  test("scan plan: PDF whitelist, two columns, page counts, naming, deterministic output") {
+  test("scan plan: PDF whitelist, two columns, parsed page counts, naming, deterministic") {
     val out = ScanPipeline.scanPlan(docs)
       .orderBy("doc_id", "column_id")
-      .as[(Long, String, String, String, Int, Long, String)].collect().toSeq
+      .as[(Long, String, String, String, Int, Int, Long, String)].collect().toSeq
     // doc 7 carries .xlsx and is whitelisted away; 3 docs × 2 columns remain
     assert(out.map(_._1).distinct === Seq(1L, 2L, 3L))
     assert(out.size === 6)
     assert(out.map(_._2).distinct.sorted === ScanPipeline.ScanColumns.sorted)
-    // n_pages = doc_id % 3 + 1
-    assert(out.collect { case (id, "file_col_a", _, _, n, _, _) => id -> n }.toMap
+    // n_pages comes from PARSING the input document: doc_id % 3 + 1
+    assert(out.collect { case (id, "file_col_a", _, _, n, _, _, _) => id -> n }.toMap
       === Map(1L -> 2, 2L -> 3, 3L -> 1))
+    // the output document parses back to the same page count, in-plan
+    assert(out.forall(r => r._6 === r._5), "out_pages != n_pages")
     // upload name: " SCANNE" inserted before .pdf, sanitized
     assert(out.head._4 === "doc_1 SCANNE.pdf")
     // output payload is non-empty and per-row deterministic across runs
-    assert(out.forall(_._6 > 0))
+    assert(out.forall(_._7 > 0))
     val again = ScanPipeline.scanPlan(docs)
       .orderBy("doc_id", "column_id")
-      .as[(Long, String, String, String, Int, Long, String)].collect().toSeq
+      .as[(Long, String, String, String, Int, Int, Long, String)].collect().toSeq
     assert(again === out)
   }
 
-  test("the reassembled payload is the in-order concat of real per-page JPEGs") {
+  test("the output payload is a REAL A4 PDF rebuilt from real per-page scan renders") {
     val row = ScanPipeline.scanPlan(Seq(2L).toDF("doc_id"))
       .filter($"column_id" === "file_col_a").head
     val nPages = row.getAs[Int]("n_pages")
     assert(nPages === 3)
-    // rebuild the expected payload with the codec directly
-    val expected = (0 until nPages).map { p =>
-      val png = ImageCodec.synthPng(2L * 100 + p, 62, 87)
+    // rebuild the expected document with the codec directly
+    val inPdf = PdfExprs.synthPdf(200L, 3, 62.0, 87.0)
+    val pages = (0 until nPages).map { p =>
+      val png = PdfCodec.rasterizePng(inPdf, p, ScanPipeline.RenderDpi)
       ImageCodec.jpegReencode(ImageCodec.scanEffectsMinimal(png, "balanced"), 85)
-    }.reduce(_ ++ _)
+    }
+    val expected = PdfCodec.compose(
+      pages.map(j => PdfCodec.PageImage(j, ScanPipeline.A4WPt, ScanPipeline.A4HPt)),
+      deflateContents = true)
     assert(row.getAs[Long]("out_len") === expected.length.toLong)
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(expected)
       .map("%02x".format(_)).mkString
     assert(row.getAs[String]("out_md5") === md5)
-    // the payload starts with a JPEG magic (first page)
-    assert(ImageCodec.isJpeg(expected))
+    // and it IS a PDF: 3 A4 pages, one DCT image each, 150-dpi pixels
+    val doc = PdfCodec.parse(expected)
+    assert(doc.pageCount === 3)
+    assert(doc.pages.forall(p => (p.mediaW, p.mediaH) === (595.0, 842.0)))
+    assert(doc.pages.forall(_.images.values.forall(_.filter === "DCTDecode")))
+    val rendered = doc.pages.head.images("Im0")
+    assert(rendered.widthPx === math.ceil(62 * 150 / 72.0).toInt) // 130 px at 150 dpi
   }
 }

@@ -97,7 +97,12 @@ class MultimodalSpec extends SparkSpec {
     val jpg = ImageCodec.jpegReencode(png, 80)
     val realJpg = Multimodal.decodeMedia(Multimodal.MediaDoc(2L, "image/jpeg", jpg))
     assert((realJpg.width, realJpg.height) === (77, 41))
-    // non-image payloads keep the documented deterministic stub
+    // a REAL PDF decodes for real: media box points + raster luminance
+    val realPdf = graft.functions.PdfExprs.synthPdf(9L, 2, 120.0, 160.0)
+    val pdfFeat = Multimodal.decodeMedia(Multimodal.MediaDoc(4L, "application/pdf", realPdf))
+    assert((pdfFeat.width, pdfFeat.height) === (120, 160))
+    assert(pdfFeat.feature > 0.0 && pdfFeat.feature <= 1.0)
+    // a CORRUPT pdf and codec-less payloads keep the deterministic stub
     val pdf = Multimodal.MediaDoc(3L, "application/pdf", "%PDF-1.4 x".getBytes)
     assert(Multimodal.decodeMedia(pdf) === Multimodal.decodeStub(pdf))
   }
