@@ -46,6 +46,26 @@ object PdfExprs {
     PdfCodec.compose(pages, deflateContents = true)
   }
 
+  /** [[PdfCodec.rasterizeAllPng]] boxed for codegen: Catalyst array
+    * wrapper over the per-page PNGs (null for non-PDF bytes).
+    */
+  def rasterizeAll(bytes: Array[Byte], dpi: Int): ArrayData = {
+    val pages = PdfCodec.rasterizeAllPng(bytes, dpi)
+    if (pages == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pages.asInstanceOf[Array[Any]])
+  }
+
+  /** [[PdfCodec.scanPagesJpeg]] boxed for codegen (null for non-PDF
+    * bytes; `quality` is a UTF8String at the Catalyst boundary).
+    */
+  def scanPages(bytes: Array[Byte], dpi: Int, quality: Any, jpegQ: Int): ArrayData = {
+    val pages = PdfCodec.scanPagesJpeg(bytes, dpi, quality.toString, jpegQ)
+    if (pages == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pages.asInstanceOf[Array[Any]])
+  }
+
   /** Reassemble ordered JPEG pages into a document at a uniform page
     * size — B6's "new A4 page, insert image, save with deflate"
     * (`app.py:276-283`). Null when any page payload is null or not a
@@ -110,6 +130,31 @@ case class PdfRasterizeExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "pdf_rasterize"
 }
 
+/** Rasterize EVERY page of a PDF payload at `dpi` → array<binary> of
+  * per-page PNGs, parsing the object graph once per document (the
+  * page-grain [[PdfRasterizeExpr]] pays one parse per page — use this
+  * then `posexplode` when a plan touches all pages). Null when
+  * non-PDF.
+  */
+case class PdfRasterizeAllExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, dpi: Any): Any =
+    PdfExprs.rasterizeAll(b.asInstanceOf[Array[Byte]], dpi.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, dpi) => {
+      val r = ctx.freshName("rasterAll")
+      s"""
+         |ArrayData $r = graft.functions.PdfExprs.rasterizeAll($b, $dpi);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PdfRasterizeAllExpr = copy(left = l, right = r)
+  override def prettyName: String = "pdf_rasterize_all"
+}
+
 /** Reassemble array<binary> JPEG pages into a PDF at a uniform
   * (wPt × hPt) page size (B6's rebuild loop). Null on empty/corrupt
   * input.
@@ -133,6 +178,36 @@ case class PdfComposeExpr(first: Expression, second: Expression, third: Expressi
       f: Expression, s: Expression, t: Expression): PdfComposeExpr =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "pdf_compose"
+}
+
+/** The scan endpoint's per-page hot path fused into one expression:
+  * rasterize at `dpi` → pixel-level scanner effects (`quality`) → one
+  * JPEG encode at `jpegQ`, per page, parsing the document once —
+  * exactly the reference's in-memory flow (`app.py:256-271`), with
+  * none of the intermediate PNG/JPEG round trips the composed
+  * rasterize→effects→reencode column chain would pay. Null when
+  * non-PDF.
+  */
+case class PdfScanPagesExpr(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, dpi: Any, quality: Any, jpegQ: Any): Any =
+    PdfExprs.scanPages(b.asInstanceOf[Array[Byte]], dpi.asInstanceOf[Int],
+      quality, jpegQ.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, dpi, quality, jpegQ) => {
+      val r = ctx.freshName("scanPages")
+      s"""
+         |ArrayData $r = graft.functions.PdfExprs.scanPages($b, $dpi, $quality, $jpegQ);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): PdfScanPagesExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "pdf_scan_pages"
 }
 
 /** Deterministic synthetic PDF fixture: (seed, n_pages, wPt, hPt) →
@@ -163,6 +238,11 @@ object PdfOps {
   def pdfRasterize(bin: Column, page: Column, dpi: Column): Column =
     GraftExpr.toColumn(PdfRasterizeExpr(
       GraftExpr.toExpr(bin), GraftExpr.toExpr(page), GraftExpr.toExpr(dpi)))
+  def pdfRasterizeAll(bin: Column, dpi: Column): Column =
+    GraftExpr.toColumn(PdfRasterizeAllExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(dpi)))
+  def pdfScanPages(bin: Column, dpi: Column, quality: Column, jpegQ: Column): Column =
+    GraftExpr.toColumn(PdfScanPagesExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(dpi),
+      GraftExpr.toExpr(quality), GraftExpr.toExpr(jpegQ)))
   def pdfCompose(pages: Column, wPt: Column, hPt: Column): Column =
     GraftExpr.toColumn(PdfComposeExpr(
       GraftExpr.toExpr(pages), GraftExpr.toExpr(wPt), GraftExpr.toExpr(hPt)))

@@ -1,6 +1,6 @@
 package graft.pipelines
 
-import graft.functions.{ImageOps, PdfOps, StringOps}
+import graft.functions.{PdfOps, StringOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,9 +30,12 @@ import org.apache.spark.sql.functions._
   * grain is just an exploded DataFrame, so a webhook item and a
   * backfill differ only in partition count. Codec work is CPU-bound —
   * partition for cores, not bytes (same note as q_scan_effects).
-  * The per-page `pdf_rasterize` re-parses the document's object graph
-  * per page (pages ≤ 3 here); at a larger page grain, rasterize once
-  * per file via mapPartitions instead.
+  * The render→effects→encode chain runs FUSED per document
+  * (`pdf_scan_pages`: one parse, pixels stay in memory between
+  * stages, one JPEG encode — exactly the reference's in-memory loop),
+  * then `posexplode` to page grain. For 100+-page corpora switch to
+  * the composable page-grain chain (`pdf_rasterize` → `scanMinimal` →
+  * `jpegReencode`) so one huge document cannot skew a partition.
   */
 object ScanPipeline {
 
@@ -66,16 +69,18 @@ object ScanPipeline {
       // the stored document: a REAL multi-page PDF (synthetic content)
       .withColumn("in_pdf", PdfOps.synthPdf(col("doc_id") * 100,
         (col("doc_id") % 3 + 1).cast("int"), lit(pageWPt.toDouble), lit(pageHPt.toDouble)))
-      // page count by PARSING the container, not by trusting the fixture
-      .withColumn("n_pages", PdfOps.pdfInfo(col("in_pdf")).getField("n_pages").cast("int"))
-      .withColumn("page", explode(sequence(lit(0), col("n_pages") - 1)))
-      // REAL rasterize through the content-stream interpreter at 150 dpi
-      .withColumn("page_png", PdfOps.pdfRasterize(col("in_pdf"), col("page"), lit(RenderDpi)))
-      // REAL scanner effects + the per-page JPEG re-encode
-      .withColumn("page_jpg",
-        ImageOps.jpegReencode(ImageOps.scanMinimal(col("page_png"), "balanced"), 85))
-    pages.groupBy("doc_id", "column_id", "file_name", "n_pages")
+      // REAL rasterize at 150 dpi → pixel-level effects → one JPEG
+      // encode at 85, FUSED like the reference's in-memory loop
+      // (`app.py:256-271`: pixmap → PIL effects → single save) — one
+      // parse per document, no intermediate PNG/JPEG round trips; an
+      // unparseable document explodes to zero rows — the P4 guard
+      .select(col("doc_id"), col("column_id"), col("file_name"),
+        posexplode(PdfOps.pdfScanPages(col("in_pdf"), lit(RenderDpi),
+          lit("balanced"), lit(85))).as(Seq("page", "page_jpg")))
+    pages.groupBy("doc_id", "column_id", "file_name")
       .agg(sort_array(collect_list(struct(col("page"), col("page_jpg")))).as("_pp"))
+      // page count of the parsed document = pages the rasterizer found
+      .withColumn("n_pages", size(col("_pp")))
       // B6: rebuild on fresh A4 pages, deflate save — a REAL PDF out
       .withColumn("out_pdf", PdfOps.pdfCompose(
         transform(col("_pp"), p => p.getField("page_jpg")), lit(A4WPt), lit(A4HPt)))

@@ -585,7 +585,19 @@ object ImageCodec {
   def scanEffectsMinimal(bytes: Array[Byte], quality: String): Array[Byte] = {
     val px0 = decode(bytes)
     if (px0 == null) return null
-    val (bF, cF, blurR, satF, jpegQ) =
+    val jpegQ = MinimalPresets.getOrElse(quality, MinimalPresets("high"))._5
+    encodeJpeg(scanEffectsMinimalPx(px0, quality), jpegQ)
+  }
+
+  /** [[scanEffectsMinimal]] at the PIXEL level — no encode on either
+    * side, exactly the reference's `add_scan_effects_minimal`
+    * (`fixed_signature_utils.py:369-450`), which takes and returns an
+    * in-memory image. The scan pipeline fuses rasterize → this →
+    * one JPEG encode, like `app.py:262-271` does; the byte-level
+    * wrapper above exists for standalone column use.
+    */
+  def scanEffectsMinimalPx(px0: Px, quality: String): Px = {
+    val (bF, cF, blurR, satF, _) =
       MinimalPresets.getOrElse(quality, MinimalPresets("high"))
     var px = quality match {
       case "high" => sharpenFilter(px0)
@@ -598,7 +610,7 @@ object ImageCodec {
     if (blurR > 0) px = gaussianBlur(px, blurR)
     px = saturation(px, satF)
     if (quality == "premium" || quality == "high") px = sharpness(px, 1.3)
-    encodeJpeg(px, jpegQ)
+    px
   }
 
   /** Presets of `add_scan_effects` (`fixed_signature_utils.py:458-496`):

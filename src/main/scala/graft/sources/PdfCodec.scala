@@ -762,4 +762,34 @@ object PdfCodec {
       if (idx < 0 || idx >= doc.pageCount) null
       else ImageCodec.encodePng(rasterizePage(doc.pages(idx), dpi))
     } catch { case _: Exception => null }
+
+  /** Rasterize EVERY page at `dpi` → one PNG per page, in page order;
+    * null when unparseable. Parses the object graph ONCE per document
+    * — the whole-document grain [[rasterizePng]] lacks: a plan that
+    * explodes to page grain first pays one parse per page, so render
+    * all pages here and `posexplode` the result instead (page counts
+    * are scan-endpoint small; for 100+-page corpora go back to page
+    * grain so one huge document cannot skew a partition).
+    */
+  def rasterizeAllPng(bytes: Array[Byte], dpi: Int): Array[Array[Byte]] =
+    if (!isPdf(bytes)) null
+    else try {
+      val doc = parse(bytes)
+      doc.pages.map(p => ImageCodec.encodePng(rasterizePage(p, dpi))).toArray
+    } catch { case _: Exception => null }
+
+  /** The scan endpoint's per-page hot path FUSED, exactly as the
+    * reference runs it (`app.py:256-271`): rasterize at `dpi`, scanner
+    * effects at the pixel level, ONE JPEG encode at `jpegQ` — pixels
+    * stay in memory between the stages; no intermediate PNG/JPEG
+    * round trip. One parse per document. Null when unparseable.
+    */
+  def scanPagesJpeg(bytes: Array[Byte], dpi: Int, quality: String,
+                    jpegQ: Int): Array[Array[Byte]] =
+    if (!isPdf(bytes)) null
+    else try {
+      val doc = parse(bytes)
+      doc.pages.map(p => ImageCodec.encodeJpeg(
+        ImageCodec.scanEffectsMinimalPx(rasterizePage(p, dpi), quality), jpegQ)).toArray
+    } catch { case _: Exception => null }
 }

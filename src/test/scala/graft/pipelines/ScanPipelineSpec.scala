@@ -42,14 +42,20 @@ class ScanPipelineSpec extends SparkSpec {
       .filter($"column_id" === "file_col_a").head
     val nPages = row.getAs[Int]("n_pages")
     assert(nPages === 3)
-    // rebuild the expected document with the codec directly
+    // rebuild the expected document with the codec directly — the
+    // fused per-page path: rasterize → pixel effects → ONE JPEG encode
+    // (the reference's in-memory loop; no intermediate PNG/JPEG)
     val inPdf = PdfExprs.synthPdf(200L, 3, 62.0, 87.0)
-    val pages = (0 until nPages).map { p =>
-      val png = PdfCodec.rasterizePng(inPdf, p, ScanPipeline.RenderDpi)
-      ImageCodec.jpegReencode(ImageCodec.scanEffectsMinimal(png, "balanced"), 85)
-    }
+    val pages = PdfCodec.scanPagesJpeg(inPdf, ScanPipeline.RenderDpi, "balanced", 85)
+    assert(pages.length === nPages)
+    // the fused path equals its composed stages run on raw pixels
+    val byHand = ImageCodec.encodeJpeg(
+      ImageCodec.scanEffectsMinimalPx(
+        PdfCodec.parse(inPdf).pages.map(p => PdfCodec.rasterizePage(p, ScanPipeline.RenderDpi)).head,
+        "balanced"), 85)
+    assert(java.util.Arrays.equals(pages(0), byHand))
     val expected = PdfCodec.compose(
-      pages.map(j => PdfCodec.PageImage(j, ScanPipeline.A4WPt, ScanPipeline.A4HPt)),
+      pages.toSeq.map(j => PdfCodec.PageImage(j, ScanPipeline.A4WPt, ScanPipeline.A4HPt)),
       deflateContents = true)
     assert(row.getAs[Long]("out_len") === expected.length.toLong)
     val md5 = java.security.MessageDigest.getInstance("MD5").digest(expected)
