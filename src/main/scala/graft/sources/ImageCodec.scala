@@ -82,11 +82,45 @@ object ImageCodec {
     else if (b != null && b.length > 5 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "GIF"
     else null
 
+  /** Per-thread reader cache: `ImageIO.read` pays a service-provider
+    * scan + reader construction + metadata parse on EVERY call (~0.5
+    * ms — half the decode cost of a small payload). Executor task
+    * threads are long-lived, the format is already known from magic
+    * bytes, and pixel data is all we need, so keep one reader per
+    * (thread, format) and `setInput(ignoreMetadata = true)` per call.
+    * A reader that throws is disposed and dropped (corrupt payloads
+    * must not poison the cached instance), falling back to a fresh
+    * `ImageIO.read`.
+    */
+  private val readerCache =
+    ThreadLocal.withInitial[java.util.HashMap[String, javax.imageio.ImageReader]](
+      () => new java.util.HashMap())
+
+  private def cachedRead(bytes: Array[Byte], fmt: String): BufferedImage = {
+    val cache = readerCache.get()
+    var reader = cache.get(fmt)
+    if (reader == null) {
+      reader = ImageIO.getImageReadersByFormatName(fmt).next()
+      cache.put(fmt, reader)
+    }
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, true, true)
+      reader.read(0, null)
+    } catch {
+      case _: Exception =>
+        cache.remove(fmt)
+        reader.dispose()
+        ImageIO.read(new ByteArrayInputStream(bytes))
+    } finally iis.close()
+  }
+
   /** Decode to packed-RGB, or null when the payload is not decodable. */
   def decode(bytes: Array[Byte]): Px = {
     if (bytes == null || !isImage(bytes)) return null
     val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
+      try cachedRead(bytes, formatName(bytes).toLowerCase)
       catch { case _: Exception => null }
     if (img == null) return null
     val w = img.getWidth; val h = img.getHeight
