@@ -277,6 +277,89 @@ object DomainQueries {
       |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_images
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- audio codec
+  /** The WAV/PCM16 audio codec through the oracle gate: a real synth
+    * → encode → parse → analyze round trip per document. The fixture
+    * is a ±amp square wave (amp = 1000 + seed % 9000), so EVERY
+    * analysis value — sample count, rate, duration, and crucially the
+    * integer RMS — is a closed-form function of doc_id: if the RIFF
+    * writer, the chunk-walking parser, or the Σs² fold drifts by one
+    * byte or one sample, the hash gate catches it on every row.
+    * Byte-level guards (chunk alignment, truncation, format codes)
+    * are pinned in AudioCodecSpec.
+    */
+  val audioMeta: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("wav", graft.functions.AudioOps.synthWav(col("doc_id") * 31,
+        (lit(250) + col("doc_id") % 250).cast("int"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"), lit(0)))
+      .withColumn("info", graft.functions.AudioOps.wavInfo(col("wav")))
+      .select(col("doc_id"),
+        col("info.n_samples").as("n_samples"),
+        col("info.sample_rate").as("sample_rate"),
+        col("info.channels").as("channels"),
+        col("info.duration_ms").as("duration_ms"),
+        graft.functions.AudioOps.audioRms(col("wav")).as("rms"))
+  val audioMetaSql: String =
+    """SELECT doc_id,
+      |       CAST(8 * (250 + doc_id % 250) AS BIGINT) AS n_samples,
+      |       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(1 AS BIGINT) AS channels,
+      |       (8 * (250 + doc_id % 250) * 1000) // (8000 + (doc_id % 3) * 4000)
+      |         AS duration_ms,
+      |       CAST(1000 + (doc_id * 31) % 9000 AS BIGINT) AS rms
+      |FROM documents""".stripMargin
+
+  /** VAD-style segmentation on real audio bytes: per-window integer
+    * RMS over the synth fixture with a doc_id-derived silence mask
+    * (bit i of doc_id % 256 zeroes window i), exploded to window
+    * grain. Window RMS is exactly amp-or-0 by construction, so DuckDB
+    * recomputes every window from the mask's bits — gating the window
+    * slicing, the mask placement AND the RMS fold at once.
+    */
+  val audioVad: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("wav", graft.functions.AudioOps.synthWav(col("doc_id") * 31,
+        (lit(100) + col("doc_id") % 100).cast("int"), lit(16000),
+        (col("doc_id") % 256).cast("int")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.AudioOps.audioWindowRms(col("wav"),
+          (lit(100) + col("doc_id") % 100).cast("int"))).as(Seq("win", "win_rms")))
+      .select(col("doc_id"), col("win").cast("long").as("win"), col("win_rms"))
+  val audioVadSql: String =
+    """SELECT d.doc_id, t.win,
+      |       CASE WHEN ((d.doc_id % 256) >> CAST(t.win AS INTEGER)) & 1 = 1
+      |            THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(1000 + (d.doc_id * 31) % 9000 AS BIGINT) END AS win_rms
+      |FROM documents d, generate_series(0, 7) t(win)""".stripMargin
+
+  /** Exact-rational resampling through the gate: synth at a
+    * doc_id-derived rate, resample to 16 kHz, parse the OUTPUT
+    * container back. Output length n·16000/src (floor) and the
+    * 44-byte-header byte size are closed-form — DuckDB recomputes
+    * both, gating the resampler's length arithmetic and the
+    * re-encode, byte-exactly, on every row.
+    */
+  val audioResampleQ: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("wav", graft.functions.AudioOps.synthWav(col("doc_id") * 31,
+        (lit(250) + col("doc_id") % 250).cast("int"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"), lit(0)))
+      .withColumn("out", graft.functions.AudioOps.audioResample(col("wav"), lit(16000)))
+      .withColumn("info", graft.functions.AudioOps.wavInfo(col("out")))
+      .select(col("doc_id"),
+        col("info.n_samples").as("out_samples"),
+        col("info.sample_rate").as("out_rate"),
+        length(col("out")).cast("long").as("out_bytes"))
+  val audioResampleSql: String =
+    """SELECT doc_id,
+      |       (8 * (250 + doc_id % 250) * 16000)
+      |         // (8000 + (doc_id % 3) * 4000) AS out_samples,
+      |       CAST(16000 AS BIGINT) AS out_rate,
+      |       44 + 2 * ((8 * (250 + doc_id % 250) * 16000)
+      |         // (8000 + (doc_id % 3) * 4000)) AS out_bytes
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -839,6 +922,9 @@ object DomainQueries {
     "q_scan_pipeline" -> scanPipelineQ,
     "q_sign_pipeline" -> signPipelineQ,
     "q_pdf_roundtrip" -> pdfRoundtrip,
+    "q_audio_meta" -> audioMeta,
+    "q_audio_vad" -> audioVad,
+    "q_audio_resample" -> audioResampleQ,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -873,6 +959,9 @@ object DomainQueries {
     "q_scan_effects" -> scanEffectsSql,
     "q_scan_seeded" -> scanSeededSql,
     "q_pdf_roundtrip" -> pdfRoundtripSql,
+    "q_audio_meta" -> audioMetaSql,
+    "q_audio_vad" -> audioVadSql,
+    "q_audio_resample" -> audioResampleSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,

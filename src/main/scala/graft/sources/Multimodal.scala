@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   * the PDF paths — parse, dpi rasterize, compose, embedded signature
   * (`fixed_signature_utils.py:38-110`, `:132-254`) — run on a real
   * container via [[PdfCodec]]/[[SignOps]], all behind the codegen'd
-  * expressions in `graft.functions.ImageExprs`/`PdfExprs`. Only
-  * audio/video payloads remain on the clearly-marked deterministic
-  * stub below (no codec in the JDK) — the image expressions
-  * null-propagate on them and the query layer coalesces onto the
-  * stub. Everything Spark-side is real and tested:
+  * expressions in `graft.functions.ImageExprs`/`PdfExprs`, and WAV
+  * audio parses/analyzes/resamples for real via [[AudioCodec]]
+  * (`graft.functions.AudioExprs`). Only VIDEO payloads remain on the
+  * clearly-marked deterministic stub below (the JDK ships no video
+  * codec) — the typed expressions null-propagate on them and the
+  * query layer coalesces onto the stub. Everything Spark-side is real and tested:
   * the BinaryType schema, the `binaryFile` source, the expression-level
   * transform plumbing (seeded, codegen'd — never a Python-style row
   * UDF), frame chunking via binary `substring`, and the typed
@@ -44,17 +45,17 @@ object Multimodal {
 
   /** Stand-in transform for codec-less payloads: a deterministic,
     * seeded BinaryType→BinaryType digest of content + seed. Image
-    * payloads use the REAL codec ([[scanEffect]] below) and PDFs the
-    * real container ([[PdfCodec]]); this stub remains only for
-    * audio/video bytes.
+    * payloads use the REAL codec ([[scanEffect]] below), PDFs the
+    * real container ([[PdfCodec]]) and WAV audio [[AudioCodec]]; this
+    * stub remains only for video bytes.
     */
   def scanEffectStub(bin: Column, seed: String): Column =
     unhex(md5(concat(hex(bin), lit(seed))))
 
   /** B4/B5 scan effects, for real: seeded randomized scanner pipeline
     * (`fixed_signature_utils.py:453-558`) on image payloads via
-    * [[ImageCodec]]; codec-less payloads (audio/video) fall back to
-    * the documented stub so the column is never null.
+    * [[ImageCodec]]; codec-less payloads (video, non-PCM audio) fall
+    * back to the documented stub so the column is never null.
     */
   def scanEffect(bin: Column, seed: Column, quality: String = "realistic"): Column =
     coalesce(
@@ -105,10 +106,10 @@ object Multimodal {
                            width: Int, height: Int, feature: Double)
 
   /** STUB decode for payloads with NO real codec in this engine
-    * (audio/video): deterministic fake dimensions/feature derived
-    * from the bytes — same signature and batch shape a real decoder
-    * slots into. Images ([[ImageCodec]]) and PDFs ([[PdfCodec]])
-    * decode for real in [[decodeMedia]].
+    * (video): deterministic fake dimensions/feature derived from the
+    * bytes — same signature and batch shape a real decoder slots
+    * into. Images ([[ImageCodec]]), PDFs ([[PdfCodec]]) and WAV audio
+    * ([[AudioCodec]]) decode for real in [[decodeMedia]].
     */
   def decodeStub(d: MediaDoc): MediaFeatures = {
     val n = d.content.length
@@ -120,9 +121,11 @@ object Multimodal {
   }
 
   /** REAL decode for image payloads (pixel dimensions + mean
-    * luminance from [[ImageCodec]]) and for PDF payloads (first-page
-    * media box in points + mean luminance of the page-1 raster from
-    * [[PdfCodec]]); audio/video fall back to the documented stub.
+    * luminance from [[ImageCodec]]), PDF payloads (first-page media
+    * box in points + mean luminance of the page-1 raster from
+    * [[PdfCodec]]) and WAV audio (sample rate, channels, normalized
+    * RMS loudness from [[AudioCodec]]); video falls back to the
+    * documented stub.
     */
   def decodeMedia(d: MediaDoc): MediaFeatures =
     if (ImageCodec.isImage(d.content)) {
@@ -139,6 +142,13 @@ object Multimodal {
           width = (info(1) / 100).toInt, height = (info(2) / 100).toInt,
           feature = if (png == null) 0.0 else ImageCodec.meanLuma(png) / 255.0)
       }
+    } else if (AudioCodec.isWav(d.content)) {
+      val info = AudioCodec.wavInfo(d.content)
+      if (info == null) decodeStub(d)
+      else MediaFeatures(d.doc_id, d.mime, d.content.length,
+        width = info(1).toInt, // sample rate
+        height = info(2).toInt, // channels
+        feature = math.min(1.0, AudioCodec.rms(d.content) / 32767.0)) // loudness
     } else decodeStub(d)
 
   /** Per-partition decode: the expensive-init resource (a decoder
