@@ -1382,6 +1382,22 @@ object PipelineQueries {
   val weightedSampleSql: String =
     Curation.qualityWeightedSampleSql("documents", "doc_id", "text")
 
+  /** DSIR hashed-n-gram importance resampling: every 10th document is
+    * the curated target slice, the full table is the raw corpus, and
+    * the top 25% of raw documents by clipped ratio-weight score are
+    * kept. The oracle recomputes the whole chain — bucket hashing,
+    * smoothed clipped weights, floored mean scores, histogram-grid
+    * threshold — so weight arithmetic drift anywhere fails every row.
+    */
+  val dsirResample: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    graft.operators.Dsir.resample(
+      doc, doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", keepBp = 2500)
+  }
+  val dsirResampleSql: String =
+    graft.operators.Dsir.resampleSql("documents", "doc_id",
+      "WHERE doc_id % 10 = 0", keepBp = 2500)
+
   /** Bigram LM with stupid backoff: even doc_ids are the reference
     * corpus ("train"), odd doc_ids are scored — the held-out split that
     * makes backoff non-vacuous (self-scoring sees all its own bigrams).
@@ -1576,6 +1592,7 @@ object PipelineQueries {
     "q_ccnet_bucket" -> ccnetBucket,
     "q_domain_cap" -> domainCap,
     "q_weighted_sample" -> weightedSample,
+    "q_dsir_resample" -> dsirResample,
     "q_sample_stratified" -> sampleStratified,
     "q_train_split" -> trainSplit,
     "q_mix_balance" -> mixBalance,
@@ -1648,6 +1665,7 @@ object PipelineQueries {
     "q_ccnet_bucket" -> ccnetBucketSql,
     "q_domain_cap" -> domainCapSql,
     "q_weighted_sample" -> weightedSampleSql,
+    "q_dsir_resample" -> dsirResampleSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_train_split" -> trainSplitSql,
     "q_mix_balance" -> mixBalanceSql,
