@@ -28,19 +28,24 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = table(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = table(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = table(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads as a
-    * raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by
-    * [[GraftSession]]); convert to a microsecond timestamp here so every
-    * query sees a normal timestamp column. NOTE: `div` (integer
-    * division) is load-bearing — `/` on longs is DOUBLE division and
-    * epoch nanos exceed a double's 53-bit mantissa, silently shifting
-    * timestamps by ±1µs.
+  /** `events.ts` arrives in whatever physical type the generator chose:
+    * parquet TIMESTAMP(NANOS) reads as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set by [[GraftSession]]),
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ.
+    * Normalize both to a plain session-TZ timestamp here so every query
+    * sees one `ts` type (the session TZ is pinned to UTC, so the NTZ
+    * cast is numerically exact). NOTE: `div` (integer division) is
+    * load-bearing on the nanos path — `/` on longs is DOUBLE division
+    * and epoch nanos exceed a double's 53-bit mantissa, silently
+    * shifting timestamps by ±1µs.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     val raw = table(spark, d, "events")
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")

@@ -360,6 +360,73 @@ object DomainQueries {
       |         // (8000 + (doc_id % 3) * 4000)) AS out_bytes
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------------------- gif / video codec
+  /** The animated-GIF (video-family) codec through the oracle gate: a
+    * real synth → GIF encode → container parse → per-frame luminance
+    * analysis round trip per document. Frame k of doc_id's fixture is
+    * solid webSafe(7·doc_id + k), which GIF's 256-color palette
+    * preserves exactly, so frame count, geometry AND every frame's
+    * integer mean luma are closed-form in doc_id — one byte of drift
+    * in the LZW round trip or the frame indexing flips the hash on
+    * every row. Byte-level guards (non-GIF null paths, palette
+    * round-trip pixel-exactness, frame-size refusal) are pinned in
+    * GifCodecSpec.
+    */
+  val gifFrames: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("gif", graft.functions.GifOps.synthGif(col("doc_id") * 7,
+        (lit(2) + col("doc_id") % 4).cast("int"),
+        (lit(8) + (col("doc_id") % 3) * 4).cast("int"), lit(6)))
+      .withColumn("info", graft.functions.GifOps.gifInfo(col("gif")))
+      .select(col("doc_id"),
+        col("info.n_frames").as("n_frames"),
+        col("info.width").as("width"),
+        col("info.height").as("height"),
+        posexplode(graft.functions.GifOps.frameLumas(col("gif"))).as(Seq("frame", "luma")))
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"),
+        col("frame").cast("long").as("frame"), col("luma"))
+  val gifFramesSql: String =
+    """SELECT d.doc_id,
+      |       CAST(2 + d.doc_id % 4 AS BIGINT) AS n_frames,
+      |       CAST(8 + (d.doc_id % 3) * 4 AS BIGINT) AS width,
+      |       CAST(6 AS BIGINT) AS height,
+      |       t.frame,
+      |       CAST((77 * (((7 * d.doc_id + t.frame) % 216) // 36) * 51
+      |           + 150 * ((((7 * d.doc_id + t.frame) % 216) // 6) % 6) * 51
+      |           + 29 * (((7 * d.doc_id + t.frame) % 216) % 6) * 51) // 256
+      |         AS BIGINT) AS luma
+      |FROM documents d, generate_series(0, 4) t(frame)
+      |WHERE t.frame < 2 + d.doc_id % 4""".stripMargin
+
+  /** Scene-change detection on the frame sequence: consecutive-frame
+    * motion (mean |Δr|+|Δg|+|Δb| per pixel) exploded to cut grain,
+    * thresholded into an is_cut flag. On the solid-color fixture every
+    * motion value is the exact channel-delta sum of two web-safe
+    * colors, so DuckDB recomputes the full motion series AND the flag
+    * from doc_id alone — gating frame ordering, the per-pixel delta
+    * fold and the threshold at once.
+    */
+  val gifScene: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("gif", graft.functions.GifOps.synthGif(col("doc_id") * 7,
+        (lit(2) + col("doc_id") % 4).cast("int"), lit(8), lit(6)))
+      .select(col("doc_id"),
+        posexplode(graft.functions.GifOps.frameMotion(col("gif"))).as(Seq("cut", "motion")))
+      .select(col("doc_id"), col("cut").cast("long").as("cut"), col("motion"),
+        (col("motion") >= 96).as("is_cut"))
+  val gifSceneSql: String =
+    """SELECT doc_id, cut, motion, motion >= 96 AS is_cut FROM (
+      |  SELECT d.doc_id, t.cut,
+      |         CAST(abs((((7 * d.doc_id + t.cut + 1) % 216) // 36) * 51
+      |                - (((7 * d.doc_id + t.cut) % 216) // 36) * 51)
+      |            + abs(((((7 * d.doc_id + t.cut + 1) % 216) // 6) % 6) * 51
+      |                - ((((7 * d.doc_id + t.cut) % 216) // 6) % 6) * 51)
+      |            + abs((((7 * d.doc_id + t.cut + 1) % 216) % 6) * 51
+      |                - (((7 * d.doc_id + t.cut) % 216) % 6) * 51)
+      |           AS BIGINT) AS motion
+      |  FROM documents d, generate_series(0, 3) t(cut)
+      |  WHERE t.cut < 1 + d.doc_id % 4)""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -925,6 +992,8 @@ object DomainQueries {
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
+    "q_gif_frames" -> gifFrames,
+    "q_gif_scene" -> gifScene,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -962,6 +1031,8 @@ object DomainQueries {
     "q_audio_meta" -> audioMetaSql,
     "q_audio_vad" -> audioVadSql,
     "q_audio_resample" -> audioResampleSql,
+    "q_gif_frames" -> gifFramesSql,
+    "q_gif_scene" -> gifSceneSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,

@@ -50,6 +50,7 @@ object GifCodec {
     try {
       reader.setInput(iis, false, true)
       val n = reader.getNumImages(true)
+      if (n <= 0) return null // truncated before the first frame
       val out = new Array[ImageCodec.Px](n)
       var i = 0
       while (i < n) {
@@ -144,7 +145,47 @@ object GifCodec {
   def frameLuma(b: Array[Byte], idx: Int): Long = {
     val frames = decodeFrames(b)
     if (frames == null || idx < 0 || idx >= frames.length) return -1L
-    val f = frames(idx)
+    meanLuma(frames(idx))
+  }
+
+  /** Mean luminance of every frame in stream order (ONE container
+    * decode for the whole sequence — the per-frame-analysis shape a
+    * video pipeline wants); null when not a GIF.
+    */
+  def frameLumas(b: Array[Byte]): Array[Long] = {
+    val frames = decodeFrames(b)
+    if (frames == null) null else frames.map(meanLuma)
+  }
+
+  /** Motion signal between consecutive frames: entry k is the mean
+    * over pixels of |Δr|+|Δg|+|Δb| between frames k and k+1 (length
+    * n_frames-1). The scene-cut detector's raw input — one container
+    * decode for the whole sequence. Null when not a GIF, single-frame,
+    * or frame geometries differ.
+    */
+  def frameMotion(b: Array[Byte]): Array[Long] = {
+    val frames = decodeFrames(b)
+    if (frames == null || frames.length < 2) return null
+    val out = new Array[Long](frames.length - 1)
+    var k = 1
+    while (k < frames.length) {
+      val a = frames(k - 1).rgb; val c = frames(k).rgb
+      if (a.length != c.length) return null
+      var sum = 0L; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = c(i)
+        sum += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
+          math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
+          math.abs((x & 0xff) - (y & 0xff))
+        i += 1
+      }
+      out(k - 1) = math.round(sum.toDouble / a.length)
+      k += 1
+    }
+    out
+  }
+
+  private def meanLuma(f: ImageCodec.Px): Long = {
     var sum = 0L
     var i = 0
     while (i < f.rgb.length) {

@@ -49,9 +49,9 @@ object EventPipeline {
 
   /** File-source replay of a driver events table: `readStream` over the
     * parquet directory with the batch loader's schema — the offline
-    * analog of the webhook source (S8). The nanosecond `ts` arrives as
-    * a raw long (see [[graft.Tables.events]]) and is converted
-    * identically here.
+    * analog of the webhook source (S8). `ts` arrives as a raw long
+    * (nanos) or TIMESTAMP_NTZ (micros) depending on the generator; it
+    * is normalized identically to [[graft.Tables.events]].
     */
   def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val schema = graft.Tables.table(spark, sfDir, "events").schema
@@ -59,9 +59,11 @@ object EventPipeline {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
     // integer `div`: double division loses nanos-scale precision
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Watermarked tumbling-window counts (batch analog: q_window_events). */

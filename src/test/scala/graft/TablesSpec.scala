@@ -18,6 +18,15 @@ class TablesSpec extends SparkSpec {
     assert(drifts === 0L)
   }
 
+  test("events.ts normalizes to a plain timestamp whatever the physical type") {
+    val d = "/root/testdata/sf0.001"
+    val ts = Tables.events(spark, d).schema("ts").dataType
+    assert(ts.typeName === "timestamp") // never long, never timestamp_ntz
+    // unix_micros (TIMESTAMP-only) must resolve — the q_funnel/q_ts_* contract
+    val n = Tables.events(spark, d).select(unix_micros(col("ts"))).limit(1).count()
+    assert(n === 1L)
+  }
+
   test("every fixture table loads with a non-empty schema") {
     val d = "/root/testdata/sf0.001"
     Tables.names.foreach { t =>
