@@ -427,6 +427,43 @@ object DomainQueries {
       |  FROM documents d, generate_series(0, 3) t(cut)
       |  WHERE t.cut < 1 + d.doc_id % 4)""".stripMargin
 
+  /** Scene-cut keyframe sampling — the frame-selection step of a
+    * multimodal training pipeline: keep frame 0 plus every frame that
+    * STARTS a new scene (its motion vs the previous frame ≥ the cut
+    * threshold), instead of a fixed every-nth stride. One container
+    * decode yields both analysis arrays; the explode is then pruned to
+    * the kept frames. The oracle recomputes the kept set and each kept
+    * frame's luma in closed form from doc_id.
+    */
+  val gifKeyframes: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("gif", graft.functions.GifOps.synthGif(col("doc_id") * 7,
+        (lit(2) + col("doc_id") % 4).cast("int"), lit(8), lit(6)))
+      .select(col("doc_id"),
+        graft.functions.GifOps.frameLumas(col("gif")).as("_lumas"),
+        graft.functions.GifOps.frameMotion(col("gif")).as("_motion"))
+      .select(col("doc_id"), posexplode(col("_lumas")).as(Seq("frame", "luma")),
+        col("_motion"))
+      // element_at is 1-based: entry `frame` is motion between frames
+      // frame-1 and frame
+      .filter(col("frame") === 0 || element_at(col("_motion"), col("frame")) >= 96)
+      .select(col("doc_id"), col("frame").cast("long").as("frame"), col("luma"))
+  val gifKeyframesSql: String =
+    """SELECT d.doc_id, t.frame,
+      |       CAST((77 * (((7 * d.doc_id + t.frame) % 216) // 36) * 51
+      |           + 150 * ((((7 * d.doc_id + t.frame) % 216) // 6) % 6) * 51
+      |           + 29 * (((7 * d.doc_id + t.frame) % 216) % 6) * 51) // 256
+      |         AS BIGINT) AS luma
+      |FROM documents d, generate_series(0, 4) t(frame)
+      |WHERE t.frame < 2 + d.doc_id % 4
+      |  AND (t.frame = 0 OR
+      |       abs((((7 * d.doc_id + t.frame) % 216) // 36) * 51
+      |         - (((7 * d.doc_id + t.frame - 1) % 216) // 36) * 51)
+      |     + abs(((((7 * d.doc_id + t.frame) % 216) // 6) % 6) * 51
+      |         - ((((7 * d.doc_id + t.frame - 1) % 216) // 6) % 6) * 51)
+      |     + abs((((7 * d.doc_id + t.frame) % 216) % 6) * 51
+      |         - (((7 * d.doc_id + t.frame - 1) % 216) % 6) * 51) >= 96)""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -994,6 +1031,7 @@ object DomainQueries {
     "q_audio_resample" -> audioResampleQ,
     "q_gif_frames" -> gifFrames,
     "q_gif_scene" -> gifScene,
+    "q_gif_keyframes" -> gifKeyframes,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -1033,6 +1071,7 @@ object DomainQueries {
     "q_audio_resample" -> audioResampleSql,
     "q_gif_frames" -> gifFramesSql,
     "q_gif_scene" -> gifSceneSql,
+    "q_gif_keyframes" -> gifKeyframesSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_profile" -> profileTableSql,

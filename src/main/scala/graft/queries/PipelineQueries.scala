@@ -1412,6 +1412,40 @@ object PipelineQueries {
     Curation.bigramScoreSql("documents", "doc_id", "text",
       "doc_id % 2 = 1", "doc_id % 2 = 0")
 
+  /** Nearest-centroid source classifier: centroids trained on doc_id %
+    * 5 != 0, every fifth document held out and classified — the
+    * fastText-style weak-label sweep (here the weak label is `source`).
+    */
+  private val ClassifyTrainWhere = "doc_id % 5 <> 0"
+  private val ClassifyScoreWhere = "doc_id % 5 = 0"
+  private def classifyPred(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val doc = Tables.documents(s, d)
+    graft.operators.Classify.centroidClassify(
+      doc.filter(expr(ClassifyScoreWhere)), "doc_id", "text",
+      graft.operators.Classify.classCentroids(
+        doc.filter(expr(ClassifyTrainWhere)), "source", "text"))
+  }
+  val classify: Q = (s, d) => classifyPred(s, d)
+  val classifySql: String =
+    s"""WITH ${graft.operators.Classify.classifyCtes("documents", "doc_id", "source",
+      "text", ClassifyTrainWhere, ClassifyScoreWhere)}
+       |SELECT doc_id, pred, score_ppb FROM pred""".stripMargin
+
+  /** Held-out confusion matrix of [[classify]] — the classifier's
+    * eval artifact (per-class precision/recall inputs).
+    */
+  val classifyEval: Q = (s, d) =>
+    graft.operators.Classify.confusion(
+      Tables.documents(s, d).filter(expr(ClassifyScoreWhere)), "doc_id", "source",
+      classifyPred(s, d))
+  val classifyEvalSql: String =
+    s"""WITH ${graft.operators.Classify.classifyCtes("documents", "doc_id", "source",
+      "text", ClassifyTrainWhere, ClassifyScoreWhere)}
+       |SELECT d.source, p.pred, count(*) AS n
+       |FROM documents d JOIN pred p USING (doc_id)
+       |WHERE d.doc_id % 5 = 0
+       |GROUP BY 1, 2""".stripMargin
+
   /** Cross-source 3-gram overlap matrix (which domains mirror each
     * other). 3-grams: at 5 the fixture's source pairs barely collide;
     * at 3 all pairs have signal (same discrimination argument as
@@ -1586,6 +1620,8 @@ object PipelineQueries {
     "q_source_overlap_est" -> sourceOverlapEst,
     "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
+    "q_classify" -> classify,
+    "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
     "q_lm_artifact" -> lmArtifact,
@@ -1659,6 +1695,8 @@ object PipelineQueries {
     "q_source_overlap_est" -> sourceOverlapEstSql,
     "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,
+    "q_classify" -> classifySql,
+    "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,
     "q_lm_artifact" -> lmArtifactSql,
