@@ -135,4 +135,48 @@ object Artifacts {
       .select(col("_word"),
         round(col("_cnt") * lit(Curation.Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
   }
+
+  // ------------------------------------------------------------------
+  // Centroid classifier: the (class, word, cnt) counts
+  // ------------------------------------------------------------------
+
+  /** Build and persist the classifier's sufficient statistics: per-
+    * (class, word) token counts. Class totals are NOT persisted — they
+    * are one aggregate over the artifact, and freezing them would
+    * mis-normalize every delta-updated centroid (the same argument as
+    * the BM25/LM scalars above). Counts are additive per (class,
+    * word), so new labeled data folds in by append + merge, identical
+    * to the LM path.
+    */
+  def saveCentroidCounts(docs: DataFrame, labelCol: String, textCol: String,
+                         path: String): Unit =
+    centroidCounts(docs, labelCol, textCol).write.mode("overwrite").parquet(s"$path/ccounts")
+
+  /** Fold a delta batch of newly labeled documents into the artifact
+    * (additive counts — retry safety comes from the upstream ledgered
+    * writer, as for [[appendLmCounts]]).
+    */
+  def appendCentroidCounts(delta: DataFrame, labelCol: String, textCol: String,
+                           path: String): Unit =
+    centroidCounts(delta, labelCol, textCol).write.mode("append").parquet(s"$path/ccounts")
+
+  private def centroidCounts(docs: DataFrame, labelCol: String, textCol: String): DataFrame =
+    docs.select(col(labelCol).as("_cls"),
+        explode(graft.functions.Hashing.words(col(textCol))).as("_word"))
+      .filter(length(col("_word")) > 0)
+      .groupBy("_cls", "_word").agg(count(lit(1)).as("_cnt"))
+
+  /** The merged centroid table `(_cls, _word, _rel_ppb)` — identical
+    * arithmetic to [[Classify.classCentroids]] over the base + delta
+    * corpus (counts merge sum-identical, totals re-derive, ppb rounds
+    * bit-equal), ready for [[Classify.centroidClassify]].
+    */
+  def loadCentroids(spark: SparkSession, path: String): DataFrame = {
+    val counts = spark.read.option("recursiveFileLookup", "true").parquet(s"$path/ccounts")
+      .groupBy("_cls", "_word").agg(sum("_cnt").as("_cnt"))
+    val tot = counts.groupBy("_cls").agg(sum("_cnt").as("_tot"))
+    counts.join(broadcast(tot), Seq("_cls"))
+      .select(col("_cls"), col("_word"),
+        round(col("_cnt") * lit(Curation.Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
+  }
 }

@@ -1431,6 +1431,27 @@ object PipelineQueries {
       "text", ClassifyTrainWhere, ClassifyScoreWhere)}
        |SELECT doc_id, pred, score_ppb FROM pred""".stripMargin
 
+  /** The centroid model as a PERSISTED artifact with an incremental
+    * delta: counts of most of the train split saved, the last fifth of
+    * it appended (per-(class, word) counts are additive — the loader's
+    * merge + re-derived class totals ARE the update), then the held-out
+    * fifth classified against the LOADED centroids. Oracle recomputes
+    * the centroids from the full train split: artifact-fed
+    * classification must be bit-identical to recompute.
+    */
+  val classifyArtifact: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_centroids").toFile.getAbsolutePath
+    Artifacts.saveCentroidCounts(
+      doc.filter(expr(ClassifyTrainWhere) && col("doc_id") % 5 =!= 4), "source", "text", path)
+    Artifacts.appendCentroidCounts(
+      doc.filter(col("doc_id") % 5 === 4), "source", "text", path)
+    graft.operators.Classify.centroidClassify(
+      doc.filter(expr(ClassifyScoreWhere)), "doc_id", "text",
+      Artifacts.loadCentroids(s, path))
+  }
+  val classifyArtifactSql: String = classifySql
+
   /** Held-out confusion matrix of [[classify]] — the classifier's
     * eval artifact (per-class precision/recall inputs).
     */
@@ -1621,6 +1642,7 @@ object PipelineQueries {
     "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
     "q_classify" -> classify,
+    "q_classify_artifact" -> classifyArtifact,
     "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
@@ -1696,6 +1718,7 @@ object PipelineQueries {
     "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,
     "q_classify" -> classifySql,
+    "q_classify_artifact" -> classifyArtifactSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,

@@ -70,4 +70,26 @@ class ArtifactsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long)].collect()
     assert(viaArtifact.toSeq === direct.toSeq)
   }
+
+  test("centroids from saved+delta counts equal classCentroids over the full corpus") {
+    val labeled = corpus.withColumn("cls",
+      when($"doc_id" <= 3, "news").otherwise("tech"))
+    val path = tmp("cen_art")
+    Artifacts.saveCentroidCounts(labeled.filter($"doc_id" % 2 === 0), "cls", "text", path)
+    Artifacts.appendCentroidCounts(labeled.filter($"doc_id" % 2 === 1), "cls", "text", path)
+    val fromArt = Artifacts.loadCentroids(spark, path)
+      .orderBy("_cls", "_word").as[(String, String, Long)].collect()
+    val recomputed = Classify.classCentroids(labeled, "cls", "text")
+      .orderBy("_cls", "_word").as[(String, String, Long)].collect()
+    assert(fromArt.toSeq === recomputed.toSeq)
+    assert(fromArt.nonEmpty)
+    // and the classification fed from the artifact matches end-to-end
+    val viaArt = Classify.centroidClassify(corpus, "doc_id", "text",
+        Artifacts.loadCentroids(spark, path))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    val direct = Classify.centroidClassify(corpus, "doc_id", "text",
+        Classify.classCentroids(labeled, "cls", "text"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(viaArt.toSeq === direct.toSeq)
+  }
 }
