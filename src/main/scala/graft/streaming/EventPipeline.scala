@@ -202,6 +202,40 @@ object EventPipeline {
       }
       .start()
 
+  /** Classifier-routed ingest under the exactly-once ledger: each
+    * micro-batch's ledger-fresh documents are scored against FROZEN
+    * centroids ([[graft.operators.Classify.centroidClassify]]) and
+    * land partitioned by predicted class inside a per-batch overwrite
+    * directory — the route-crawl-docs-into-per-source-buckets shape a
+    * labeling ingest runs. Idempotency: a retried batch overwrites its
+    * own `batch_id=` directory wholesale (every pred partition of the
+    * batch lives under it, so no partial-routing residue survives a
+    * crash), and redeliveries in LATER batches are anti-joined away by
+    * the ledger. Downstream readers see one row per doc across all
+    * batch directories, already bucketed by class.
+    */
+  def startLedgeredClassifyRouter(newDocs: DataFrame, centroids: DataFrame,
+                                  checkpoint: String, ledgerPath: String,
+                                  outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val fresh = ProcessedLedger
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          graft.operators.Classify
+            .centroidClassify(fresh, "doc_id", "text", centroids)
+            .join(fresh, Seq("doc_id"))
+            .write.partitionBy("pred").mode("overwrite")
+            .parquet(s"$outPath/batch_id=$batchId")
+          ProcessedLedger.mark(fresh.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
+      }
+      .start()
+
   /** Incremental BM25 index maintenance under the exactly-once ledger:
     * each micro-batch's ledger-fresh documents are tokenized ONCE and
     * appended to the [[graft.operators.Artifacts]] tf table, then

@@ -482,6 +482,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ledgered classify router: redelivered docs route once, buckets match batch argmax") {
+    val base = java.nio.file.Files.createTempDirectory("cls_route").toString
+    val input = s"$base/in"; val chk = s"$base/chk"
+    val ledger = s"$base/ledger"; val out = s"$base/routed"
+    val train = Seq(
+      (100L, "a a b m", "x"), (101L, "a b b m", "x"),
+      (102L, "c c d m", "y"), (103L, "c d d m", "y"))
+      .toDF("doc_id", "text", "source")
+    val centroids = graft.operators.Classify.classCentroids(train, "source", "text")
+    val docs = Seq(
+      (1L, "a b a"), (2L, "c d c"), (3L, "m m"), (4L, "zz qq"))
+    def arrive(slice: Seq[(Long, String)]): Unit =
+      slice.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, true)))
+      val q = EventPipeline.startLedgeredClassifyRouter(
+        spark.readStream.schema(schema).parquet(input), centroids, chk, ledger, out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(docs.take(2))
+    drain()
+    // doc 2 is REDELIVERED alongside the rest: the ledger must route it once
+    arrive(docs.drop(1))
+    drain()
+    val routed = spark.read.parquet(out)
+      .select("doc_id", "pred", "score_ppb")
+      .as[(Long, String, Long)].collect()
+    assert(routed.length === 4) // exactly once despite redelivery
+    val batch = graft.operators.Classify
+      .centroidClassify(docs.toDF("doc_id", "text"), "doc_id", "text", centroids)
+      .as[(Long, String, Long)].collect().toSet
+    assert(routed.toSet === batch)
+    // the physical layout IS the bucketing: each pred lives in its partition dir
+    val preds = routed.map(r => r._1 -> r._2).toMap
+    assert(preds(1L) === "x" && preds(2L) === "y" && preds(3L) === "x" && preds(4L) === "?")
+  }
+
   test("ledgered BM25 indexer: sliced + redelivered stream equals one-shot indexing") {
     val base = java.nio.file.Files.createTempDirectory("bm25_stream").toString
     val input = s"$base/in"; val chk = s"$base/chk"
