@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus REWRITING: operators that edit document text, not just flag
+  * or drop whole documents — the C4 "remove any repeated three-sentence
+  * span" and RefinedWeb "strip boilerplate lines" family. The existing
+  * passage operators ([[Dedup]] spans/CDC/containment) REPORT overlap;
+  * these reconstruct each document from its surviving segments, which
+  * is what a cleaning pipeline actually ships.
+  *
+  * Segmentation: fixed k-word windows (the fixture corpus has no
+  * sentence or line boundaries; on real data the same operators take a
+  * sentence/line splitter — only the chunk expression changes). Chunk
+  * text is the join of its words, so equality is exact-match, not
+  * hashed: no collision caveat in the rewrite path.
+  *
+  * Determinism / scale shape (both hash-gate against DuckDB):
+  *   - first-owner attribution is two chunk-keyed min AGGREGATES
+  *     (min doc, then min position within that doc) — never a window
+  *     over occurrences, so a boilerplate chunk owned by millions of
+  *     docs costs two map-side-combined groupBys, not one giant task;
+  *   - reassembly is a per-doc sort of that doc's own ≤⌈len/k⌉ chunks
+  *     (collect_list + sort_array — bounded by document length, the
+  *     same bound as parsing the document in the first place);
+  *   - every join is a chunk- or doc-keyed equi-join.
+  */
+object Rewrite {
+
+  /** `(idCol, _g, _chunk)`: consecutive k-word windows per document,
+    * `_g` the 0-based window index (last window may be short).
+    */
+  private def chunks(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                     extra: Seq[String] = Nil): DataFrame = {
+    val keys = (idCol +: extra).map(col)
+    docs
+      .select(keys :+ filter(Hashing.words(col(textCol)), w => length(w) > 0).as("_w"): _*)
+      .filter(size(col("_w")) > 0)
+      .select(keys :+ posexplode(expr(
+        s"transform(sequence(0, (size(_w) + ${k - 1}) div $k - 1), g -> array_join(slice(_w, g * $k + 1, $k), ' '))")): _*)
+      .withColumnRenamed("pos", "_g").withColumnRenamed("col", "_chunk")
+  }
+
+  /** SQL twin of [[chunks]] ending in CTE `c(idCol, extras..., g, chunk)`. */
+  private def chunksCtes(table: String, idCol: String, textCol: String, k: Int,
+                         extra: Seq[String] = Nil): String = {
+    val keys = (idCol +: extra).mkString(", ")
+    s"""t AS (SELECT $keys, list_filter(${Hashing.wordsSql(textCol)}, x -> length(x) > 0) AS w
+       |      FROM $table),
+       |cg AS (SELECT $keys, unnest(range(0, CAST((len(w) + ${k - 1}) // $k AS BIGINT))) AS g, w
+       |       FROM t WHERE len(w) > 0),
+       |c AS (SELECT $keys, g, list_aggregate(w[g * $k + 1 : g * $k + $k], 'string_agg', ' ') AS chunk
+       |      FROM cg)""".stripMargin
+  }
+
+  /** C4-style repeated-span scrub: every k-word chunk that occurs more
+    * than once in the corpus survives ONLY at its first owner
+    * (smallest doc id, then smallest position there); all other
+    * occurrences are cut and each document is reassembled from its
+    * surviving chunks in order.
+    *
+    * Output: `idCol`, `n_chunks`, `n_kept`, `text_clean` (empty string
+    * when every chunk of a document is owned elsewhere).
+    */
+  def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val c = chunks(docs, idCol, textCol, k)
+    val ownerDoc = c.groupBy("_chunk").agg(min(col(idCol)).as("_od"))
+    val ownerPos = c.join(ownerDoc, Seq("_chunk"))
+      .filter(col(idCol) === col("_od"))
+      .groupBy("_chunk", "_od").agg(min("_g").as("_og"))
+    val kept = c.join(ownerPos, Seq("_chunk"))
+      .filter(col(idCol) === col("_od") && col("_g") === col("_og"))
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr("transform(sort_array(collect_list(struct(_g, _chunk))), x -> x._chunk)"),
+        " ").as("text_clean"))
+    c.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Oracle twin of [[scrubRepeatedSpans]]. */
+  def scrubRepeatedSpansSql(table: String, idCol: String, textCol: String, k: Int): String =
+    s"""WITH ${chunksCtes(table, idCol, textCol, k)},
+       |od AS (SELECT chunk, min($idCol) AS od FROM c GROUP BY 1),
+       |op AS (SELECT c.chunk, od, min(g) AS og
+       |       FROM c JOIN od ON c.chunk = od.chunk AND c.$idCol = od.od
+       |       GROUP BY 1, 2),
+       |kept AS (SELECT c.$idCol, c.g, c.chunk
+       |         FROM c JOIN op ON c.chunk = op.chunk AND c.$idCol = op.od AND c.g = op.og),
+       |rebuilt AS (SELECT $idCol, count(*) AS n_kept,
+       |                   string_agg(chunk, ' ' ORDER BY g) AS text_clean
+       |            FROM kept GROUP BY 1),
+       |tot AS (SELECT $idCol, count(*) AS n_chunks FROM c GROUP BY 1)
+       |SELECT t.$idCol, t.n_chunks,
+       |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |       coalesce(r.text_clean, '') AS text_clean
+       |FROM tot t LEFT JOIN rebuilt r USING ($idCol)""".stripMargin
+
+  /** RefinedWeb-style boilerplate strip: a chunk appearing in ≥ minDf
+    * DISTINCT documents of the same group (site/source) is boilerplate
+    * for that group — navigation, footers, licence blurbs — and is cut
+    * from EVERY document there; documents are reassembled from what
+    * remains. Unlike [[scrubRepeatedSpans]] no copy survives: the
+    * template text is noise, not content.
+    *
+    * Output: `idCol`, `groupCol`, `n_chunks`, `n_kept`, `text_clean`.
+    */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, k: Int, minDf: Int): DataFrame = {
+    val c = chunks(docs, idCol, textCol, k, Seq(groupCol))
+    // distinct first: a chunk repeated WITHIN one doc counts once
+    val df_ = c.select(col(groupCol), col("_chunk"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("_chunk")).agg(count(lit(1)).as("_df"))
+    val boiler = df_.filter(col("_df") >= minDf).drop("_df")
+    val kept = c.join(boiler.withColumn("_boiler", lit(true)),
+        Seq(groupCol, "_chunk"), "left")
+      .filter(col("_boiler").isNull)
+    val rebuilt = kept.groupBy(col(idCol), col(groupCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr("transform(sort_array(collect_list(struct(_g, _chunk))), x -> x._chunk)"),
+        " ").as("text_clean"))
+    c.groupBy(col(idCol), col(groupCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol, groupCol), "left")
+      .select(col(idCol), col(groupCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** Oracle twin of [[stripBoilerplate]]. */
+  def stripBoilerplateSql(table: String, idCol: String, textCol: String,
+                          groupCol: String, k: Int, minDf: Int): String =
+    s"""WITH ${chunksCtes(table, idCol, textCol, k, Seq(groupCol))},
+       |bdf AS (SELECT $groupCol, chunk, count(*) AS df
+       |        FROM (SELECT DISTINCT $groupCol, chunk, $idCol FROM c) GROUP BY 1, 2),
+       |boiler AS (SELECT $groupCol, chunk FROM bdf WHERE df >= $minDf),
+       |kept AS (SELECT c.$idCol, c.$groupCol, c.g, c.chunk
+       |         FROM c LEFT JOIN boiler b ON c.$groupCol = b.$groupCol AND c.chunk = b.chunk
+       |         WHERE b.chunk IS NULL),
+       |rebuilt AS (SELECT $idCol, $groupCol, count(*) AS n_kept,
+       |                   string_agg(chunk, ' ' ORDER BY g) AS text_clean
+       |            FROM kept GROUP BY 1, 2),
+       |tot AS (SELECT $idCol, $groupCol, count(*) AS n_chunks FROM c GROUP BY 1, 2)
+       |SELECT t.$idCol, t.$groupCol, t.n_chunks,
+       |       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       |       coalesce(r.text_clean, '') AS text_clean
+       |FROM tot t LEFT JOIN rebuilt r USING ($idCol, $groupCol)""".stripMargin
+}

@@ -1363,6 +1363,30 @@ object PipelineQueries {
   }
   val lmArtifactSql: String = lmQualitySql
 
+  /** C4-style repeated-span scrub: 6-word spans occurring more than
+    * once in the corpus survive only at their first owner; documents
+    * are REWRITTEN from the surviving spans (the rewrite counterpart
+    * of the span-REPORTING queries q_repeated_span/q_contam_span).
+    */
+  private val ScrubK = 6
+  val spanScrub: Q = (s, d) =>
+    graft.operators.Rewrite.scrubRepeatedSpans(Tables.documents(s, d), "doc_id", "text", ScrubK)
+  val spanScrubSql: String =
+    graft.operators.Rewrite.scrubRepeatedSpansSql("documents", "doc_id", "text", ScrubK)
+
+  /** RefinedWeb-style boilerplate strip: 2-word chunks present in ≥ 3
+    * distinct documents of the same source are template noise there
+    * and are cut from every document of that source.
+    */
+  private val BoilerK = 2
+  private val BoilerMinDf = 3
+  val boilerplateStrip: Q = (s, d) =>
+    graft.operators.Rewrite.stripBoilerplate(
+      Tables.documents(s, d), "doc_id", "text", "source", BoilerK, BoilerMinDf)
+  val boilerplateStripSql: String =
+    graft.operators.Rewrite.stripBoilerplateSql(
+      "documents", "doc_id", "text", "source", BoilerK, BoilerMinDf)
+
   /** Per-language head/middle/tail thirds by LM fit (CCNet buckets). */
   val ccnetBucket: Q = (s, d) =>
     Curation.ccnetBuckets(Tables.documents(s, d), "doc_id", "text", "lang")
@@ -1642,6 +1666,8 @@ object PipelineQueries {
     "q_cdc_dedup" -> cdcDedup,
     "q_lm_bigram" -> lmBigram,
     "q_classify" -> classify,
+    "q_span_scrub" -> spanScrub,
+    "q_boilerplate_strip" -> boilerplateStrip,
     "q_classify_artifact" -> classifyArtifact,
     "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
@@ -1718,6 +1744,8 @@ object PipelineQueries {
     "q_cdc_dedup" -> cdcDedupSql,
     "q_lm_bigram" -> lmBigramSql,
     "q_classify" -> classifySql,
+    "q_span_scrub" -> spanScrubSql,
+    "q_boilerplate_strip" -> boilerplateStripSql,
     "q_classify_artifact" -> classifyArtifactSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
