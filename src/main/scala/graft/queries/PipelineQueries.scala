@@ -280,6 +280,58 @@ object PipelineQueries {
        |WHERE rk <= $RrfK""".stripMargin
   }
 
+  /** Contrastive training-pair mining — the DPR recipe (Karpukhin et
+    * al. 2020): each probe "query" gets its POSITIVE from the overlap
+    * supervision signal (top shared-4-gram corpus doc) and its HARD
+    * NEGATIVE as the highest-BM25 corpus doc that is NOT the positive
+    * — lexically close enough to fool a retriever, known-wrong by the
+    * supervision. Probes with no overlapping corpus doc mine nothing;
+    * probes whose BM25 candidates are exhausted by the positive emit a
+    * null negative. Both rankings reuse the audited bounded machinery
+    * (df-capped shingle join, stop-term-capped BM25), and both top-1
+    * picks are per-probe windows over already-capped candidate sets.
+    */
+  val pairMining: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val corpus = doc.filter(col("doc_id") % 10 =!= 0)
+    val probes = doc.filter(col("doc_id") % 10 === 0)
+    val wPos = Window.partitionBy(col("probe_id")).orderBy(col("n_shared").desc, col("doc_id"))
+    val pos = Dedup.contaminationPairs(corpus, "doc_id", "text", probes, "doc_id", "text", DecontamN)
+      .withColumn("_rn", row_number().over(wPos)).filter(col("_rn") === 1)
+      .select(col("probe_id"), col("doc_id").as("pos_id"), col("n_shared"))
+    val wBm = Window.partitionBy(col("probe_id")).orderBy(col("score_u").desc, col("doc_id"))
+    val hard = Retrieval.bm25Pairs(corpus, "doc_id", "text", probes, "doc_id", "text")
+      .join(pos.select("probe_id", "pos_id"), Seq("probe_id"))
+      .filter(col("doc_id") =!= col("pos_id"))
+      .withColumn("_rn", row_number().over(wBm)).filter(col("_rn") === 1)
+      .select(col("probe_id"), col("doc_id").as("neg_id"), col("score_u").as("neg_score_u"))
+    pos.join(hard, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("pos_id"), col("n_shared"),
+        col("neg_id"), col("neg_score_u"))
+  }
+  val pairMiningSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH ${Retrieval.bm25PairsCte("doc_id % 10 <> 0", "doc_id % 10 = 0")},
+       |w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+       |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
+       |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
+       |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
+       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0),
+       |cont AS (SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
+       |         FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2),
+       |pos AS (SELECT probe_id, doc_id AS pos_id, n_shared FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rn
+       |          FROM cont) WHERE rn = 1),
+       |hard AS (SELECT probe_id, doc_id AS neg_id, score_u AS neg_score_u FROM (
+       |           SELECT bm.probe_id, bm.doc_id, bm.score_u,
+       |                  row_number() OVER (PARTITION BY bm.probe_id ORDER BY bm.score_u DESC, bm.doc_id) AS rn
+       |           FROM bm JOIN pos USING (probe_id)
+       |           WHERE bm.doc_id <> pos.pos_id) WHERE rn = 1)
+       |SELECT p.probe_id, p.pos_id, p.n_shared, h.neg_id, h.neg_score_u
+       |FROM pos p LEFT JOIN hard h USING (probe_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- PII redaction
   /** Synthetic contact lines built from customer (the fixture corpus
     * contains no PII-shaped strings, and a redaction oracle over text
@@ -1711,6 +1763,7 @@ object PipelineQueries {
     "q_embed_neardup" -> embedNearDup,
     "q_embed_neardup_lsh" -> embedNearDupLsh,
     "q_bm25_topk" -> bm25Retrieve,
+    "q_pair_mining" -> pairMining,
     "q_bm25_artifact" -> bm25Artifact,
     "q_rrf_fusion" -> rrfFusion,
     "q_pq_codes" -> pqCodes,
@@ -1789,6 +1842,7 @@ object PipelineQueries {
     "q_embed_neardup" -> embedNearDupSql,
     "q_embed_neardup_lsh" -> embedNearDupLshSql,
     "q_bm25_topk" -> bm25RetrieveSql,
+    "q_pair_mining" -> pairMiningSql,
     "q_bm25_artifact" -> bm25ArtifactSql,
     "q_rrf_fusion" -> rrfFusionSql,
     "q_pq_codes" -> pqCodesSql,
