@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Picks, Structure}
 import graft.sources.{FilesPayload, Multimodal, UrlFetch}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -517,6 +518,43 @@ object DomainQueries {
     s"""SELECT event_id,
        |       ${graft.sources.Layout.zValueSql("user_id", "day(CAST(ts AS TIMESTAMP))", 8)} AS z
        |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- user features
+  /** Per-user sequential feature engineering — the feature-store shape
+    * for behavioral training data: event order within user, previous
+    * event type, inter-event gap, and a 3-event rolling sum. Exact
+    * integer features only (epoch micros, value in micro-units): frame
+    * sums are long additions, so the rolling window hash-gates where a
+    * double mean would not. The window partitions by user — the same
+    * per-key bound every sessionization op in the suite carries.
+    */
+  val userFeatures: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("_ts_us"), col("event_type"),
+      round(col("value") * 1000000).cast("long").as("_value_u"))
+    val w = Window.partitionBy("user_id").orderBy(col("_ts_us"), col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    ev.select(col("event_id"), col("user_id"),
+      row_number().over(w).cast("long").as("seq"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      (col("_ts_us") - lag(col("_ts_us"), 1).over(w)).as("gap_us"),
+      sum("_value_u").over(w3).as("sum3_u"),
+      count(lit(1)).over(w3).as("n3"))
+  }
+  val userFeaturesSql: String =
+    """WITH f AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |                  event_type, CAST(round(value * 1000000) AS BIGINT) AS value_u
+      |           FROM events)
+      |SELECT event_id, user_id,
+      |       CAST(row_number() OVER w AS BIGINT) AS seq,
+      |       lag(event_type, 1) OVER w AS prev_type,
+      |       ts_us - lag(ts_us, 1) OVER w AS gap_us,
+      |       CAST(sum(value_u) OVER w3 AS BIGINT) AS sum3_u,
+      |       CAST(count(*) OVER w3 AS BIGINT) AS n3
+      |FROM f
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id),
+      |       w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
@@ -1035,6 +1073,7 @@ object DomainQueries {
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
+    "q_user_features" -> userFeatures,
     "q_items_connector" -> itemsConnector,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
@@ -1060,6 +1099,7 @@ object DomainQueries {
     "q_decode_features" -> decodeFeaturesSql,
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
+    "q_user_features" -> userFeaturesSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
