@@ -301,21 +301,30 @@ object Dedup {
     hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** MinHash-LSH candidate pairs, exact-verified at `threshold` against
-    * the candidate docs' shingle sets only (never the full corpus).
+  /** LSH candidate pairs alone (banded signature collisions, BEFORE
+    * any exact verification) — the raw output whose quality
+    * [[lshRecallReport]] measures and [[minhashLshPairs]] verifies.
     */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, threshold: Double): DataFrame = {
+  def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
     val sigs = withMinhashSignature(docs, idCol, textCol, n)
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until NumBands).map { b =>
         concat_ws("_", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
       }: _*)).as(Seq("band_idx", "band_key")))
-    val cand = bands.as("a").join(bands.as("b"),
+    bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash-LSH candidate pairs, exact-verified at `threshold` against
+    * the candidate docs' shingle sets only (never the full corpus).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    val cand = minhashCandidatePairs(docs, idCol, textCol, n)
     // Exact verification restricted to candidates: semi-join the shingle
     // table down to docs that appear in some candidate pair, run the
     // quadratic step on that subset, keep candidate pairs only.
@@ -327,6 +336,33 @@ object Dedup {
       .join(cand, Seq("doc_a", "doc_b"), "left_semi")
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Candidate-generation quality of the MinHash-LSH rung, measured —
+    * the dedup analog of q_ann_recall's estimator ladder: ground truth
+    * is the UNCAPPED exact Jaccard sweep at `threshold`, candidates are
+    * the banded signature collisions, and the report is one row of
+    * (n_truth, n_cand, n_hit, recall_ppb, precision_ppb) in integer
+    * ppb. Recall tells you what the band/row geometry misses at this
+    * threshold; precision tells you how much exact verification the
+    * candidates still need. The three counts come from one tagged
+    * union folded by a single global aggregate — no scalar-subquery
+    * cross joins.
+    */
+  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, threshold: Double): DataFrame = {
+    val gt = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxShingleDf = None)
+      .select("doc_a", "doc_b")
+    val cand = minhashCandidatePairs(docs, idCol, textCol, n)
+    val hit = gt.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    gt.select(lit("t").as("_t")).unionByName(cand.select(lit("c").as("_t")))
+      .unionByName(hit.select(lit("h").as("_t")))
+      .agg(sum(when(col("_t") === "t", 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("_t") === "c", 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("_t") === "h", 1L).otherwise(0L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 1000000000 div n_truth").as("recall_ppb"),
+        expr("n_hit * 1000000000 div n_cand").as("precision_ppb"))
   }
 
   /** Train/test decontamination sweep (the n-gram overlap check run

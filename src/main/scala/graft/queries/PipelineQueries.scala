@@ -99,6 +99,53 @@ object PipelineQueries {
        |WHERE jaccard >= 0.5""".stripMargin
   }
 
+  /** Measured candidate quality of the MinHash-LSH rung at TWO
+    * operating points of the S-curve: at the 0.5 dedup threshold the
+    * band geometry should catch everything (recall 1.0), at 0.005 it
+    * should correctly MISS the far pairs (recall < 1 — a report that
+    * can only ever read 1.0 could not detect a broken band). The
+    * dedup analog of q_ann_recall's measured ladder.
+    */
+  private val RecallThresholds = Seq(5000, 50) // basis points
+  val dedupRecall: Q = (s, d) =>
+    RecallThresholds.map { bp =>
+      Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text", N, bp / 10000.0)
+        .select(lit(bp.toLong).as("threshold_bp"), col("n_truth"), col("n_cand"),
+          col("n_hit"), col("recall_ppb"), col("precision_ppb"))
+    }.reduce(_ unionByName _)
+  val dedupRecallSql: String = {
+    val bandSelects = (0 until NumBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"CAST(sig[${b * BandRows + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $b AS band_idx, $key AS band_key FROM sig"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${shingleCte()},
+       |shl AS (SELECT doc_id, ${shinglesSql("w", N)} AS sh FROM w),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${stableHash60Sql("s")} % ${P}::BIGINT) AS hs,
+       |              len(sh) AS nsh FROM shl),
+       |sig AS (SELECT doc_id, ${minhashSignatureSql("hs")} AS sig FROM hs WHERE nsh > 0),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |thr AS (SELECT unnest(ARRAY[${RecallThresholds.mkString(", ")}]) AS threshold_bp),
+       |gt AS (SELECT t.threshold_bp, e.doc_a, e.doc_b
+       |       FROM exact e JOIN thr t ON e.jaccard >= t.threshold_bp / 10000.0),
+       |hit AS (SELECT gt.threshold_bp, gt.doc_a, gt.doc_b FROM gt JOIN cand USING (doc_a, doc_b)),
+       |counts AS (SELECT t.threshold_bp,
+       |                  (SELECT count(*) FROM gt WHERE gt.threshold_bp = t.threshold_bp) AS n_truth,
+       |                  (SELECT count(*) FROM cand) AS n_cand,
+       |                  (SELECT count(*) FROM hit WHERE hit.threshold_bp = t.threshold_bp) AS n_hit
+       |           FROM thr t)
+       |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
+       |       CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       CAST(n_hit * 1000000000 // n_truth AS BIGINT) AS recall_ppb,
+       |       CAST(n_hit * 1000000000 // n_cand AS BIGINT) AS precision_ppb
+       |FROM counts""".stripMargin
+  }
+
   // ---------------------------------------------------------------- vocabulary
   /** Top-25 corpus words. The oracle's ORDER BY mirrors the exact
     * (n desc, word) tiebreak so the LIMIT boundary is deterministic on
@@ -1736,6 +1783,7 @@ object PipelineQueries {
     "q_dedup_norm_exact" -> dedupNormExact,
     "q_dedup_ngram" -> dedupNgram,
     "q_dedup_minhash" -> dedupMinhash,
+    "q_dedup_recall" -> dedupRecall,
     "q_dedup_simhash" -> dedupSimhash,
     "q_dup_clusters" -> dupClusters,
     "q_split_by_cluster" -> splitByCluster,
@@ -1815,6 +1863,7 @@ object PipelineQueries {
     "q_dedup_norm_exact" -> dedupNormExactSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_recall" -> dedupRecallSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_split_by_cluster" -> splitByClusterSql,
