@@ -944,6 +944,45 @@ object PipelineQueries {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** Cluster-balanced diversity sampling: the m most-central vectors
+    * of EVERY IVF list, equal allocation regardless of cluster size —
+    * the coreset-selection shape (big clusters are downsampled hard,
+    * small clusters keep their coverage; SemDedup-pipeline
+    * "diversify" stage). The winning cosine is quantized to integer
+    * micro-units BEFORE the rank order so the cut is engine-exact;
+    * the per-list top-m runs as a WindowGroupLimit (map-side partial
+    * top-m per list, never a full-cluster sort in one task).
+    */
+  private val DiverseM = 8
+  val diverseSample: Q = (s, d) => {
+    val a = Similarity.withIvfAssignment(Tables.embeddings(s, d), "embedding", Dim, IvfCentroids)
+      .select(col("vec_id"), col("ivf_list"),
+        round(col("ivf_sim") * 1e6).cast("long").as("sim_u"))
+    val w = Window.partitionBy("ivf_list").orderBy(col("sim_u").desc, col("vec_id"))
+    a.withColumn("rk", row_number().over(w)).filter(col("rk") <= DiverseM)
+      .select(col("vec_id"), col("ivf_list").cast("long").as("ivf_list"),
+        col("sim_u"), col("rk").cast("long").as("rk"))
+  }
+  val diverseSampleSql: String = {
+    def lit64(c: Seq[Double]): String = c.mkString("[", ", ", "]")
+    val c0Rows = IvfCentroids.zipWithIndex
+      .map { case (c, i) => s"($i, ${lit64(c)})" }.mkString(",\n  ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(${dotFoldSql("v", "v", Dim)}) AS nrm FROM e),
+       |c0(list_id, cv) AS (VALUES
+       |  $c0Rows),
+       |a0 AS (SELECT n.vec_id, c0.list_id,
+       |              ${dotFoldSql("n.v", "c0.cv", Dim)} / (n.nrm * sqrt(${dotFoldSql("c0.cv", "c0.cv", Dim)})) AS sim
+       |       FROM n CROSS JOIN c0),
+       |l0 AS (SELECT vec_id, CAST(list_id AS BIGINT) AS ivf_list,
+       |              CAST(round(sim * 1000000.0) AS BIGINT) AS sim_u
+       |       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn FROM a0)
+       |       WHERE rn = 1)
+       |SELECT vec_id, ivf_list, sim_u, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY ivf_list ORDER BY sim_u DESC, vec_id) AS rk FROM l0)
+       |WHERE rk <= $DiverseM""".stripMargin
+  }
+
   // ---------------------------------------------------------------- SQ ANN
   private val SqTopN = 5
   /** Oracle CTE chain ending in `r(vec_id, v, r0..r63)` — per-dim
@@ -1802,6 +1841,7 @@ object PipelineQueries {
     "q_ann_lsh" -> annLsh,
     "q_ann_ivf" -> annIvf,
     "q_ivf_assign" -> ivfAssign,
+    "q_diverse_sample" -> diverseSample,
     "q_tfidf_topk" -> tfdfTopk,
     "q_collocations" -> collocations,
     "q_seq_pack" -> seqPack,
@@ -1882,6 +1922,7 @@ object PipelineQueries {
     "q_ann_lsh" -> annLshSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ivf_assign" -> ivfAssignSql,
+    "q_diverse_sample" -> diverseSampleSql,
     "q_tfidf_topk" -> tfdfTopkSql,
     "q_collocations" -> collocationsSql,
     "q_seq_pack" -> seqPackSql,
