@@ -556,6 +556,35 @@ object DomainQueries {
       |       w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- jsonl round trip
+  /** JSONL egress → ingest round trip — the interchange format
+    * training-data pipelines actually exchange (one JSON object per
+    * line, splittable, schema-on-read): the documents table is written
+    * as JSON lines to a scratch dir, read back through an explicit
+    * schema, and aggregated per source. The oracle aggregates the
+    * PARQUET table directly, so any loss in the round trip (encoding,
+    * escaping, null handling, numeric text) flips the hash.
+    */
+  val jsonlRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    docs.write.mode("overwrite").json(path)
+    s.read.schema(docs.schema).json(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+        countDistinct("lang").as("n_langs"))
+  }
+  val jsonlRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |       count(DISTINCT lang) AS n_langs
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
     * whose string rendering agrees across engines: longs and strings —
@@ -1074,6 +1103,7 @@ object DomainQueries {
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
     "q_user_features" -> userFeatures,
+    "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_items_connector" -> itemsConnector,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
@@ -1100,6 +1130,7 @@ object DomainQueries {
     "q_url_fetch" -> urlFetchSql,
     "q_zorder" -> zorderSql,
     "q_user_features" -> userFeaturesSql,
+    "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
