@@ -40,6 +40,18 @@ object GifExprs {
     val a = GifCodec.frameMotion(bytes)
     if (a == null) null else new GenericArrayData(a)
   }
+
+  val AnalyzeSchema: StructType = StructType(Seq(
+    StructField("lumas", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("motion", ArrayType(LongType, containsNull = false), nullable = true)))
+
+  /** Boxed fused analysis row for codegen: ONE decode → both arrays. */
+  def analyzeRow(bytes: Array[Byte]): InternalRow = {
+    val r = GifCodec.analyze(bytes)
+    if (r == null) null
+    else new GenericInternalRow(Array[Any](new GenericArrayData(r._1),
+      if (r._2 == null) null else new GenericArrayData(r._2)))
+  }
 }
 
 /** Parse metadata of an animated-GIF payload: struct(n_frames, width,
@@ -102,6 +114,28 @@ case class GifFrameMotionExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "gif_frame_motion"
 }
 
+/** Fused per-sequence analysis: struct(lumas array<bigint>, motion
+  * array<bigint>) from ONE container decode — the projection for
+  * queries consuming both signals (keyframe sampling), where separate
+  * luma/motion expressions would decode the container twice per row.
+  */
+case class GifAnalyzeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = GifExprs.AnalyzeSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    GifExprs.analyzeRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("gifAn")
+      s"""
+         |InternalRow $r = graft.functions.GifExprs.analyzeRow($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): GifAnalyzeExpr = copy(child = c)
+  override def prettyName: String = "gif_analyze"
+}
+
 /** Deterministic animated-GIF fixture: (seed, n_frames, w, h) → GIF
   * bytes whose frame metadata AND per-frame pixels are closed-form
   * functions of the inputs (frame k is solid webSafe(seed+k)) — the
@@ -132,6 +166,8 @@ object GifOps {
     GraftExpr.toColumn(GifFrameLumasExpr(GraftExpr.toExpr(bin)))
   def frameMotion(bin: Column): Column =
     GraftExpr.toColumn(GifFrameMotionExpr(GraftExpr.toExpr(bin)))
+  def analyze(bin: Column): Column =
+    GraftExpr.toColumn(GifAnalyzeExpr(GraftExpr.toExpr(bin)))
   def synthGif(seed: Column, nFrames: Column, w: Column, h: Column): Column =
     GraftExpr.toColumn(SynthGifExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nFrames),
       GraftExpr.toExpr(w), GraftExpr.toExpr(h)))

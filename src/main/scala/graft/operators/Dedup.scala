@@ -350,17 +350,44 @@ object Dedup {
     * cross joins.
     */
   def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, threshold: Double): DataFrame = {
-    val gt = ngramJaccardPairs(docs, idCol, textCol, n, threshold, maxShingleDf = None)
-      .select("doc_a", "doc_b")
+                      n: Int, threshold: Double): DataFrame =
+    lshRecallReportAt(docs, idCol, textCol, n, Seq(math.round(threshold * 10000).toInt))
+      .drop("threshold_bp")
+
+  /** Multi-threshold [[lshRecallReport]] in ONE exact sweep: the
+    * expensive uncapped Jaccard pass runs once at the loosest
+    * threshold, each operating point is then a conditional count over
+    * that single pair set (never one ground-truth sweep per point).
+    * Thresholds are integer basis points so the cut is engine-exact.
+    * Output: one row per threshold_bp.
+    */
+  def lshRecallReportAt(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, thresholdsBp: Seq[Int]): DataFrame = {
+    val loosest = thresholdsBp.min / 10000.0
+    val gt = ngramJaccardPairs(docs, idCol, textCol, n, loosest, maxShingleDf = None)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val cand = minhashCandidatePairs(docs, idCol, textCol, n)
-    val hit = gt.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    gt.select(lit("t").as("_t")).unionByName(cand.select(lit("c").as("_t")))
-      .unionByName(hit.select(lit("h").as("_t")))
-      .agg(sum(when(col("_t") === "t", 1L).otherwise(0L)).as("n_truth"),
-        sum(when(col("_t") === "c", 1L).otherwise(0L)).as("n_cand"),
-        sum(when(col("_t") === "h", 1L).otherwise(0L)).as("n_hit"))
-      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+    // one left join tags each true pair candidate-covered; candidate
+    // rows union in with a null jaccard so n_cand folds in the SAME
+    // single aggregate (no 1-row cross join, no per-threshold re-run)
+    val rows = gt.join(cand.withColumn("_c", lit(true)), Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("_c"), lit(false)).as("_c"),
+        lit(false).as("_isCand"))
+      .unionByName(cand.select(lit(null).cast("double").as("jaccard"),
+        lit(false).as("_c"), lit(true).as("_isCand")))
+    val aggCols = count(when(col("_isCand"), 1)).as("n_cand") +:
+      thresholdsBp.flatMap { bp =>
+        val in = col("jaccard") >= bp / 10000.0
+        Seq(count(when(in, 1)).as(s"_t$bp"), count(when(in && col("_c"), 1)).as(s"_h$bp"))
+      }
+    rows.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(thresholdsBp.map { bp =>
+        struct(lit(bp.toLong).as("threshold_bp"), col(s"_t$bp").as("n_truth"),
+          col("n_cand"), col(s"_h$bp").as("n_hit"))
+      }: _*)).as("_r"))
+      .select(col("_r.threshold_bp").as("threshold_bp"), col("_r.n_truth").as("n_truth"),
+        col("_r.n_cand").as("n_cand"), col("_r.n_hit").as("n_hit"))
+      .select(col("threshold_bp"), col("n_truth"), col("n_cand"), col("n_hit"),
         expr("n_hit * 1000000000 div n_truth").as("recall_ppb"),
         expr("n_hit * 1000000000 div n_cand").as("precision_ppb"))
   }

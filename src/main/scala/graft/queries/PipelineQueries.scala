@@ -108,11 +108,7 @@ object PipelineQueries {
     */
   private val RecallThresholds = Seq(5000, 50) // basis points
   val dedupRecall: Q = (s, d) =>
-    RecallThresholds.map { bp =>
-      Dedup.lshRecallReport(Tables.documents(s, d), "doc_id", "text", N, bp / 10000.0)
-        .select(lit(bp.toLong).as("threshold_bp"), col("n_truth"), col("n_cand"),
-          col("n_hit"), col("recall_ppb"), col("precision_ppb"))
-    }.reduce(_ unionByName _)
+    Dedup.lshRecallReportAt(Tables.documents(s, d), "doc_id", "text", N, RecallThresholds)
   val dedupRecallSql: String = {
     val bandSelects = (0 until NumBands).map { b =>
       val key = (0 until BandRows)

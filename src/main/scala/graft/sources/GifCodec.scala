@@ -185,6 +185,37 @@ object GifCodec {
     out
   }
 
+  /** Both analysis arrays from ONE container decode: `(lumas, motion)`
+    * — the fused form [[graft.functions.GifAnalyzeExpr]] projects when
+    * a query needs per-frame luma AND the cut signal (two separate
+    * expression calls would parse + LZW-decode the container twice per
+    * row). Motion is null (not empty) for single-frame sequences,
+    * matching [[frameMotion]]; both null when not a GIF.
+    */
+  def analyze(b: Array[Byte]): (Array[Long], Array[Long]) = {
+    val frames = decodeFrames(b)
+    if (frames == null) return null
+    val lumas = frames.map(meanLuma)
+    if (frames.length < 2) return (lumas, null)
+    val motion = new Array[Long](frames.length - 1)
+    var k = 1
+    while (k < frames.length) {
+      val a = frames(k - 1).rgb; val c = frames(k).rgb
+      if (a.length != c.length) return (lumas, null)
+      var sum = 0L; var i = 0
+      while (i < a.length) {
+        val x = a(i); val y = c(i)
+        sum += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
+          math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
+          math.abs((x & 0xff) - (y & 0xff))
+        i += 1
+      }
+      motion(k - 1) = math.round(sum.toDouble / a.length)
+      k += 1
+    }
+    (lumas, motion)
+  }
+
   private def meanLuma(f: ImageCodec.Px): Long = {
     var sum = 0L
     var i = 0

@@ -80,6 +80,17 @@ class GifCodecSpec extends SparkSpec {
     assert(GifCodec.frameMotion("plain text".getBytes) === null)
   }
 
+  test("analyze returns both arrays from one decode, agreeing with the split paths") {
+    val gif = GifCodec.synthGif(23L, 4, 8, 6)
+    val (lumas, motion) = GifCodec.analyze(gif)
+    assert(lumas.toSeq === GifCodec.frameLumas(gif).toSeq)
+    assert(motion.toSeq === GifCodec.frameMotion(gif).toSeq)
+    val single = GifCodec.encode(Seq(solid(4, 4, 0x102030)))
+    val (l1, m1) = GifCodec.analyze(single)
+    assert(l1.length === 1 && m1 === null) // motion null, matching frameMotion
+    assert(GifCodec.analyze("not gif".getBytes) === null)
+  }
+
   test("framesPng yields one decodable PNG per frame with the frame's pixels") {
     val gif = GifCodec.synthGif(11L, 2, 6, 4)
     val pngs = GifCodec.framesPng(gif)
