@@ -98,6 +98,27 @@ class MultiJvmLedgerSpec extends AnyFunSuite {
           .toDF("user_id", "event_type", "ts"),
         "user_id", "event_type", "ts", Seq("view", "click"))
       assert(funnel.count() === 1)
+
+      // round-8 additions under real executor JVMs: the fused GIF
+      // analysis expression, the centroid classifier's train+score
+      // joins, and the span-scrub rewrite's owner aggregates
+      val gifLumas = Seq(5L).toDF("doc_id")
+        .withColumn("gif", graft.functions.GifOps.synthGif(col("doc_id"), lit(3), lit(8), lit(6)))
+        .select(size(graft.functions.GifOps.analyze(col("gif")).getField("lumas")))
+        .as[Int].collect()
+      assert(gifLumas.toSeq === Seq(3))
+
+      val train = Seq((1L, "a a b", "x"), (2L, "c c d", "y")).toDF("doc_id", "text", "source")
+      val pred = graft.operators.Classify.centroidClassify(
+        Seq((10L, "a b")).toDF("doc_id", "text"), "doc_id", "text",
+        graft.operators.Classify.classCentroids(train, "source", "text"))
+        .select("pred").as[String].collect()
+      assert(pred.toSeq === Seq("x"))
+
+      val scrubbed = graft.operators.Rewrite.scrubRepeatedSpans(
+        Seq((1L, "p q r s"), (2L, "p q z z")).toDF("doc_id", "text"), "doc_id", "text", 2)
+        .filter(col("doc_id") === 2L).select("text_clean").as[String].collect()
+      assert(scrubbed.toSeq === Seq("z z"))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
