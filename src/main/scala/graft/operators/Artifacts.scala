@@ -161,22 +161,15 @@ object Artifacts {
     centroidCounts(delta, labelCol, textCol).write.mode("append").parquet(s"$path/ccounts")
 
   private def centroidCounts(docs: DataFrame, labelCol: String, textCol: String): DataFrame =
-    docs.select(col(labelCol).as("_cls"),
-        explode(graft.functions.Hashing.words(col(textCol))).as("_word"))
-      .filter(length(col("_word")) > 0)
-      .groupBy("_cls", "_word").agg(count(lit(1)).as("_cnt"))
+    Classify.classCounts(docs, labelCol, textCol)
 
   /** The merged centroid table `(_cls, _word, _rel_ppb)` — identical
     * arithmetic to [[Classify.classCentroids]] over the base + delta
-    * corpus (counts merge sum-identical, totals re-derive, ppb rounds
-    * bit-equal), ready for [[Classify.centroidClassify]].
+    * corpus BY CONSTRUCTION: counts merge sum-identical, then the same
+    * [[Classify.centroidsFromCounts]] normalizes both paths.
     */
-  def loadCentroids(spark: SparkSession, path: String): DataFrame = {
-    val counts = spark.read.option("recursiveFileLookup", "true").parquet(s"$path/ccounts")
-      .groupBy("_cls", "_word").agg(sum("_cnt").as("_cnt"))
-    val tot = counts.groupBy("_cls").agg(sum("_cnt").as("_tot"))
-    counts.join(broadcast(tot), Seq("_cls"))
-      .select(col("_cls"), col("_word"),
-        round(col("_cnt") * lit(Curation.Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
-  }
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    Classify.centroidsFromCounts(
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$path/ccounts")
+        .groupBy("_cls", "_word").agg(sum("_cnt").as("_cnt")))
 }

@@ -40,20 +40,34 @@ object Classify {
   /** Prediction for documents with no in-vocabulary token. */
   val Unclassifiable = "?"
 
-  /** Train: per-class unigram centroid `(_cls, _word, _rel_ppb)`, each
-    * class's word frequencies in ppb of that class's own token total
-    * (length-normalized, so class imbalance does not tilt weights).
+  /** The classifier's sufficient statistics: per-(class, word) token
+    * counts `(_cls, _word, _cnt)` — what [[Artifacts]] persists and
+    * what [[centroidsFromCounts]] normalizes. ONE tokenize pass.
     */
-  def classCentroids(docs: DataFrame, labelCol: String, textCol: String): DataFrame = {
-    val toks = docs
+  def classCounts(docs: DataFrame, labelCol: String, textCol: String): DataFrame =
+    docs
       .select(col(labelCol).as("_cls"), explode(Hashing.words(col(textCol))).as("_word"))
       .filter(length(col("_word")) > 0)
-    val cnt = toks.groupBy("_cls", "_word").agg(count(lit(1)).as("_cnt"))
+      .groupBy("_cls", "_word").agg(count(lit(1)).as("_cnt"))
+
+  /** Normalize counts to centroids `(_cls, _word, _rel_ppb)` — the ONE
+    * place the ppb arithmetic lives, so recompute
+    * ([[classCentroids]]) and artifact-fed ([[Artifacts.loadCentroids]])
+    * paths are bit-identical by construction, not by parallel edits.
+    */
+  def centroidsFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy("_cls").agg(sum("_cnt").as("_tot"))
     cnt.join(broadcast(tot), Seq("_cls"))
       .select(col("_cls"), col("_word"),
         round(col("_cnt") * lit(Ppb.toDouble) / col("_tot")).cast("long").as("_rel_ppb"))
   }
+
+  /** Train: per-class unigram centroid `(_cls, _word, _rel_ppb)`, each
+    * class's word frequencies in ppb of that class's own token total
+    * (length-normalized, so class imbalance does not tilt weights).
+    */
+  def classCentroids(docs: DataFrame, labelCol: String, textCol: String): DataFrame =
+    centroidsFromCounts(classCounts(docs, labelCol, textCol))
 
   /** Score + predict: each document's tf vector against every centroid
     * (match score = Σ tf·rel_ppb div n_tok — the harsh-OOV mean of

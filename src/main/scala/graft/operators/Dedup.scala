@@ -303,7 +303,7 @@ object Dedup {
 
   /** LSH candidate pairs alone (banded signature collisions, BEFORE
     * any exact verification) — the raw output whose quality
-    * [[lshRecallReport]] measures and [[minhashLshPairs]] verifies.
+    * [[lshRecallReportAt]] measures and [[minhashLshPairs]] verifies.
     */
   def minhashCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
                             n: Int): DataFrame = {
@@ -349,20 +349,21 @@ object Dedup {
     * union folded by a single global aggregate — no scalar-subquery
     * cross joins.
     */
-  def lshRecallReport(docs: DataFrame, idCol: String, textCol: String,
-                      n: Int, threshold: Double): DataFrame =
-    lshRecallReportAt(docs, idCol, textCol, n, Seq(math.round(threshold * 10000).toInt))
-      .drop("threshold_bp")
-
-  /** Multi-threshold [[lshRecallReport]] in ONE exact sweep: the
-    * expensive uncapped Jaccard pass runs once at the loosest
-    * threshold, each operating point is then a conditional count over
-    * that single pair set (never one ground-truth sweep per point).
-    * Thresholds are integer basis points so the cut is engine-exact.
+  /** Candidate quality of the MinHash-LSH rung at several operating
+    * points, in ONE exact sweep: the expensive uncapped Jaccard pass
+    * runs once at the loosest threshold, each operating point is then
+    * a conditional count over that single pair set (never one
+    * ground-truth sweep per point). Thresholds are integer basis
+    * points so the cut is engine-exact. A zero denominator reports 0,
+    * never NULL — a broken band geometry (zero candidates) must read
+    * as recall 0, and DuckDB's `//` would raise where Spark nulls.
     * Output: one row per threshold_bp.
     */
   def lshRecallReportAt(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, thresholdsBp: Seq[Int]): DataFrame = {
+    require(thresholdsBp.nonEmpty, "lshRecallReportAt needs at least one threshold")
+    require(thresholdsBp.distinct.size == thresholdsBp.size,
+      s"duplicate thresholds: $thresholdsBp")
     val loosest = thresholdsBp.min / 10000.0
     val gt = ngramJaccardPairs(docs, idCol, textCol, n, loosest, maxShingleDf = None)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -388,8 +389,10 @@ object Dedup {
       .select(col("_r.threshold_bp").as("threshold_bp"), col("_r.n_truth").as("n_truth"),
         col("_r.n_cand").as("n_cand"), col("_r.n_hit").as("n_hit"))
       .select(col("threshold_bp"), col("n_truth"), col("n_cand"), col("n_hit"),
-        expr("n_hit * 1000000000 div n_truth").as("recall_ppb"),
-        expr("n_hit * 1000000000 div n_cand").as("precision_ppb"))
+        when(col("n_truth") > 0, expr("n_hit * 1000000000 div n_truth"))
+          .otherwise(0L).as("recall_ppb"),
+        when(col("n_cand") > 0, expr("n_hit * 1000000000 div n_cand"))
+          .otherwise(0L).as("precision_ppb"))
   }
 
   /** Train/test decontamination sweep (the n-gram overlap check run

@@ -137,8 +137,8 @@ object PipelineQueries {
        |SELECT CAST(threshold_bp AS BIGINT) AS threshold_bp,
        |       CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
        |       CAST(n_hit AS BIGINT) AS n_hit,
-       |       CAST(n_hit * 1000000000 // n_truth AS BIGINT) AS recall_ppb,
-       |       CAST(n_hit * 1000000000 // n_cand AS BIGINT) AS precision_ppb
+       |       CAST(CASE WHEN n_truth > 0 THEN n_hit * 1000000000 // n_truth ELSE 0 END AS BIGINT) AS recall_ppb,
+       |       CAST(CASE WHEN n_cand > 0 THEN n_hit * 1000000000 // n_cand ELSE 0 END AS BIGINT) AS precision_ppb
        |FROM counts""".stripMargin
   }
 

@@ -166,6 +166,13 @@ object GifCodec {
   def frameMotion(b: Array[Byte]): Array[Long] = {
     val frames = decodeFrames(b)
     if (frames == null || frames.length < 2) return null
+    motionOf(frames)
+  }
+
+  /** The shared consecutive-frame delta fold; null when any adjacent
+    * pair's geometries differ. Callers guard length >= 2.
+    */
+  private def motionOf(frames: Array[ImageCodec.Px]): Array[Long] = {
     val out = new Array[Long](frames.length - 1)
     var k = 1
     while (k < frames.length) {
@@ -196,24 +203,7 @@ object GifCodec {
     val frames = decodeFrames(b)
     if (frames == null) return null
     val lumas = frames.map(meanLuma)
-    if (frames.length < 2) return (lumas, null)
-    val motion = new Array[Long](frames.length - 1)
-    var k = 1
-    while (k < frames.length) {
-      val a = frames(k - 1).rgb; val c = frames(k).rgb
-      if (a.length != c.length) return (lumas, null)
-      var sum = 0L; var i = 0
-      while (i < a.length) {
-        val x = a(i); val y = c(i)
-        sum += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
-          math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
-          math.abs((x & 0xff) - (y & 0xff))
-        i += 1
-      }
-      motion(k - 1) = math.round(sum.toDouble / a.length)
-      k += 1
-    }
-    (lumas, motion)
+    if (frames.length < 2) (lumas, null) else (lumas, motionOf(frames))
   }
 
   private def meanLuma(f: ImageCodec.Px): Long = {
