@@ -163,6 +163,37 @@ object Artifacts {
   private def centroidCounts(docs: DataFrame, labelCol: String, textCol: String): DataFrame =
     Classify.classCounts(docs, labelCol, textCol)
 
+  // ------------------------------------------------------------------
+  // Span-scrub rewrite: the (chunk, owner doc, owner pos) table
+  // ------------------------------------------------------------------
+
+  /** Persist the rewrite family's sufficient statistics: the first-
+    * owner table of [[Rewrite.chunkOwners]]. Deltas append their OWN
+    * part-owners; the loader's re-min is the merge (min is
+    * associative per dimension applied hierarchically — see
+    * [[Rewrite.chunkOwners]]), so a retried append (duplicate rows)
+    * folds away and incremental indexing never re-chunks the corpus.
+    * Contract: a document's chunks are indexed by exactly ONE
+    * save/append (doc-granular deltas — the BM25 new-docs-only
+    * contract); a doc split across parts could otherwise surface a
+    * part-local position as its winning og.
+    */
+  def saveChunkOwners(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                      path: String): Unit =
+    Rewrite.chunkOwners(docs, idCol, textCol, k)
+      .write.mode("overwrite").parquet(s"$path/owners")
+
+  /** Fold a delta batch's chunk owners into the artifact. */
+  def appendChunkOwnersDelta(delta: DataFrame, idCol: String, textCol: String, k: Int,
+                             path: String): Unit =
+    Rewrite.chunkOwners(delta, idCol, textCol, k)
+      .write.mode("append").parquet(s"$path/owners")
+
+  /** The merged owner table, ready for [[Rewrite.scrubWithOwners]]. */
+  def loadChunkOwners(spark: SparkSession, path: String): DataFrame =
+    Rewrite.mergeOwners(
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$path/owners"))
+
   /** The merged centroid table `(_cls, _word, _rel_ppb)` — identical
     * arithmetic to [[Classify.classCentroids]] over the base + delta
     * corpus BY CONSTRUCTION: counts merge sum-identical, then the same

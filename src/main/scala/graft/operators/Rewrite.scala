@@ -55,6 +55,65 @@ object Rewrite {
        |      FROM cg)""".stripMargin
   }
 
+  /** First-owner table of a corpus' chunks: `(_chunk, _od, _og)` — the
+    * smallest doc id holding each distinct chunk and the smallest
+    * position there. Two chunk-keyed min aggregates; these rows are
+    * the rewrite family's persistable sufficient statistics
+    * ([[graft.operators.Artifacts]] saves them, deltas append, and
+    * re-minning the union IS the merge — min is associative per
+    * dimension when applied hierarchically: global min doc = min of
+    * part-min docs, and the winning doc's min position survives in
+    * whichever part carried that doc).
+    */
+  def chunkOwners(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val c = chunks(docs, idCol, textCol, k)
+    ownersOf(c, idCol)
+  }
+
+  private def ownersOf(c: DataFrame, idCol: String): DataFrame = {
+    val ownerDoc = c.groupBy("_chunk").agg(min(col(idCol)).as("_od"))
+    c.join(ownerDoc, Seq("_chunk"))
+      .filter(col(idCol) === col("_od"))
+      .groupBy("_chunk", "_od").agg(min("_g").as("_og"))
+  }
+
+  /** Merge owner tables (base + deltas) back to one first owner per
+    * chunk — the same two-step min as [[chunkOwners]], over candidate
+    * rows instead of occurrences.
+    */
+  def mergeOwners(owners: DataFrame): DataFrame = {
+    val od = owners.groupBy("_chunk").agg(min("_od").as("_od"))
+    owners.join(od, Seq("_chunk", "_od"))
+      .groupBy("_chunk", "_od").agg(min("_og").as("_og"))
+  }
+
+  /** Rewrite `docs` against a FROZEN owner table: a chunk survives in
+    * doc d at position g iff the owner table says (d, g) owns it —
+    * docs and chunks absent from the table keep nothing / everything
+    * respectively exactly as a full recompute would, so artifact-fed
+    * scrubbing of a delta equals the full-corpus scrub restricted to
+    * the delta (q_scrub_delta proves it cross-engine).
+    */
+  def scrubWithOwners(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                      owners: DataFrame): DataFrame = {
+    val c = chunks(docs, idCol, textCol, k)
+    rebuild(c, idCol,
+      c.join(owners, Seq("_chunk"))
+        .filter(col(idCol) === col("_od") && col("_g") === col("_og")))
+  }
+
+  private def rebuild(c: DataFrame, idCol: String, kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(expr("transform(sort_array(collect_list(struct(_g, _chunk))), x -> x._chunk)"),
+        " ").as("text_clean"))
+    c.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** C4-style repeated-span scrub: every k-word chunk that occurs more
     * than once in the corpus survives ONLY at its first owner
     * (smallest doc id, then smallest position there); all other
@@ -66,21 +125,9 @@ object Rewrite {
     */
   def scrubRepeatedSpans(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val c = chunks(docs, idCol, textCol, k)
-    val ownerDoc = c.groupBy("_chunk").agg(min(col(idCol)).as("_od"))
-    val ownerPos = c.join(ownerDoc, Seq("_chunk"))
-      .filter(col(idCol) === col("_od"))
-      .groupBy("_chunk", "_od").agg(min("_g").as("_og"))
-    val kept = c.join(ownerPos, Seq("_chunk"))
+    val kept = c.join(ownersOf(c, idCol), Seq("_chunk"))
       .filter(col(idCol) === col("_od") && col("_g") === col("_og"))
-    val rebuilt = kept.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_kept"),
-      array_join(expr("transform(sort_array(collect_list(struct(_g, _chunk))), x -> x._chunk)"),
-        " ").as("text_clean"))
-    c.groupBy(col(idCol)).agg(count(lit(1)).as("n_chunks"))
-      .join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), col("n_chunks"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"))
+    rebuild(c, idCol, kept)
   }
 
   /** Oracle twin of [[scrubRepeatedSpans]]. */

@@ -1508,6 +1508,29 @@ object PipelineQueries {
   val spanScrubSql: String =
     graft.operators.Rewrite.scrubRepeatedSpansSql("documents", "doc_id", "text", ScrubK)
 
+  /** The span-scrub's owner table as a PERSISTED artifact with an
+    * incremental delta: owners of 90% of the corpus saved, the last
+    * tenth appended (re-minning the union is the merge), then THE
+    * DELTA alone rewritten against the loaded owners — the production
+    * each-crawl-against-everything-kept rewrite loop that never
+    * re-chunks the corpus. The oracle recomputes the FULL-corpus scrub
+    * and restricts it to the delta docs: artifact-fed incremental
+    * rewriting must be bit-identical to recompute.
+    */
+  val scrubDelta: Q = (s, d) => {
+    val doc = Tables.documents(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_owners").toFile.getAbsolutePath
+    Artifacts.saveChunkOwners(doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", ScrubK, path)
+    Artifacts.appendChunkOwnersDelta(doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", ScrubK, path)
+    graft.operators.Rewrite.scrubWithOwners(
+      doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", ScrubK,
+      Artifacts.loadChunkOwners(s, path))
+  }
+  val scrubDeltaSql: String =
+    graft.operators.Rewrite.scrubRepeatedSpansSql("documents", "doc_id", "text", ScrubK)
+      .replace("FROM tot t LEFT JOIN rebuilt r USING (doc_id)",
+        "FROM tot t LEFT JOIN rebuilt r USING (doc_id)\nWHERE t.doc_id % 10 = 0")
+
   /** RefinedWeb-style boilerplate strip: 2-word chunks present in ≥ 3
     * distinct documents of the same source are template noise there
     * and are cut from every document of that source.
@@ -1801,6 +1824,7 @@ object PipelineQueries {
     "q_lm_bigram" -> lmBigram,
     "q_classify" -> classify,
     "q_span_scrub" -> spanScrub,
+    "q_scrub_delta" -> scrubDelta,
     "q_boilerplate_strip" -> boilerplateStrip,
     "q_classify_artifact" -> classifyArtifact,
     "q_classify_eval" -> classifyEval,
@@ -1882,6 +1906,7 @@ object PipelineQueries {
     "q_lm_bigram" -> lmBigramSql,
     "q_classify" -> classifySql,
     "q_span_scrub" -> spanScrubSql,
+    "q_scrub_delta" -> scrubDeltaSql,
     "q_boilerplate_strip" -> boilerplateStripSql,
     "q_classify_artifact" -> classifyArtifactSql,
     "q_classify_eval" -> classifyEvalSql,

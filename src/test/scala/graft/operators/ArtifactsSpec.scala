@@ -92,4 +92,24 @@ class ArtifactsSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String, Long)].collect()
     assert(viaArt.toSeq === direct.toSeq)
   }
+
+  test("chunk owners from saved+delta (and a retried delta) equal one-shot owners") {
+    val path = tmp("owners_art")
+    Artifacts.saveChunkOwners(corpus.filter($"doc_id" <= 4), "doc_id", "text", 2, path)
+    Artifacts.appendChunkOwnersDelta(corpus.filter($"doc_id" > 4), "doc_id", "text", 2, path)
+    Artifacts.appendChunkOwnersDelta(corpus.filter($"doc_id" > 4), "doc_id", "text", 2, path) // retry
+    val merged = Artifacts.loadChunkOwners(spark, path)
+      .orderBy("_chunk").as[(String, Long, Long)].collect()
+    val oneShot = Rewrite.chunkOwners(corpus, "doc_id", "text", 2)
+      .orderBy("_chunk").as[(String, Long, Long)].collect()
+    assert(merged.toSeq === oneShot.toSeq)
+    // artifact-fed delta scrub == full recompute restricted to the delta
+    val delta = corpus.filter($"doc_id" > 4)
+    val viaArt = Rewrite.scrubWithOwners(delta, "doc_id", "text", 2,
+        Artifacts.loadChunkOwners(spark, path))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val full = Rewrite.scrubRepeatedSpans(corpus, "doc_id", "text", 2)
+      .filter($"doc_id" > 4).orderBy("doc_id").collect().map(_.toSeq)
+    assert(viaArt.toSeq === full.toSeq)
+  }
 }
