@@ -236,6 +236,41 @@ object EventPipeline {
       }
       .start()
 
+  /** Incremental span-scrub under the exactly-once ledger: each
+    * micro-batch's ledger-fresh documents first APPEND their part-
+    * owner rows to the persisted chunk-owner artifact, then are
+    * rewritten against the MERGED owners (which now include their own
+    * chunks — so within-batch repeats dedup too) into a per-batch
+    * overwrite directory, then marked. Crash anywhere retries the same
+    * fresh set: duplicate owner rows min-fold away in the loader, the
+    * batch directory overwrites wholesale. Contract: arrivals are
+    * doc-id-monotone across batches (crawl-time ids), so "first owner"
+    * means the same thing sliced or one-shot — StreamingSpec proves
+    * slicing + redelivery invariance under that contract.
+    */
+  def startLedgeredSpanScrub(newDocs: DataFrame, k: Int, checkpoint: String,
+                             ledgerPath: String, ownersPath: String,
+                             outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val fresh = ProcessedLedger
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          graft.operators.Artifacts
+            .appendChunkOwnersDelta(fresh, "doc_id", "text", k, ownersPath)
+          graft.operators.Rewrite
+            .scrubWithOwners(fresh, "doc_id", "text", k,
+              graft.operators.Artifacts.loadChunkOwners(fresh.sparkSession, ownersPath))
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          ProcessedLedger.mark(fresh.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
+      }
+      .start()
+
   /** Incremental BM25 index maintenance under the exactly-once ledger:
     * each micro-batch's ledger-fresh documents are tokenized ONCE and
     * appended to the [[graft.operators.Artifacts]] tf table, then

@@ -521,6 +521,39 @@ class StreamingSpec extends SparkSpec {
     assert(preds(1L) === "x" && preds(2L) === "y" && preds(3L) === "x" && preds(4L) === "?")
   }
 
+  test("ledgered span scrub: id-ordered slices + redelivery equal the one-shot rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("scrub_stream").toString
+    val input = s"$base/in"; val chk = s"$base/chk"
+    val ledger = s"$base/ledger"; val owners = s"$base/owners"; val out = s"$base/scrubbed"
+    // k=2 chunks; "a b" repeats across docs and within doc 3
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "a b a b"), (4L, "c d z w"))
+    def arrive(slice: Seq[(Long, String)]): Unit =
+      slice.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType, true)))
+      val q = EventPipeline.startLedgeredSpanScrub(
+        spark.readStream.schema(schema).parquet(input), 2, chk, ledger, owners, out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(docs.take(2))
+    drain()
+    // doc 2 REDELIVERED alongside 3..4: ledger must not re-scrub it
+    arrive(docs.drop(1))
+    drain()
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "n_chunks", "n_kept", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+    assert(streamed.length === 4)
+    val oneShot = Rewrite_scrub(docs)
+    assert(streamed.toSet === oneShot)
+  }
+  private def Rewrite_scrub(docs: Seq[(Long, String)]): Set[(Long, Long, Long, String)] =
+    graft.operators.Rewrite.scrubRepeatedSpans(docs.toDF("doc_id", "text"), "doc_id", "text", 2)
+      .as[(Long, Long, Long, String)].collect().toSet
+
   test("ledgered BM25 indexer: sliced + redelivered stream equals one-shot indexing") {
     val base = java.nio.file.Files.createTempDirectory("bm25_stream").toString
     val input = s"$base/in"; val chk = s"$base/chk"
