@@ -1612,6 +1612,31 @@ object PipelineQueries {
       "text", ClassifyTrainWhere, ClassifyScoreWhere)}
        |SELECT doc_id, pred, score_ppb FROM pred""".stripMargin
 
+  /** Model interpretability: each class's top-weight centroid words —
+    * what the classifier actually keys on (the feature audit run
+    * before shipping a weak-label sweep). Per-class top-k via
+    * WindowGroupLimit over the classes×vocab centroid table.
+    */
+  private val ClassifyTopF = 5
+  val classifyFeatures: Q = (s, d) => {
+    val cen = graft.operators.Classify.classCentroids(
+      Tables.documents(s, d).filter(expr(ClassifyTrainWhere)), "source", "text")
+    val w = Window.partitionBy(col("_cls")).orderBy(col("_rel_ppb").desc, col("_word"))
+    cen.withColumn("rk", row_number().over(w)).filter(col("rk") <= ClassifyTopF)
+      .select(col("_cls").as("cls"), col("_word").as("word"),
+        col("_rel_ppb").as("rel_ppb"), col("rk").cast("long").as("rk"))
+  }
+  val classifyFeaturesSql: String =
+    s"""WITH ctk AS (SELECT source AS cls, unnest(${graft.functions.Hashing.wordsSql("text")}) AS w
+       |             FROM documents WHERE $ClassifyTrainWhere),
+       |ccnt AS (SELECT cls, w, count(*) AS cnt FROM ctk WHERE length(w) > 0 GROUP BY 1, 2),
+       |ctot AS (SELECT cls, sum(cnt) AS tot FROM ccnt GROUP BY 1),
+       |cen AS (SELECT cls, w, CAST(round(cnt * ${graft.operators.Classify.Ppb.toDouble} / tot) AS BIGINT) AS rel_ppb
+       |        FROM ccnt JOIN ctot USING (cls))
+       |SELECT cls, w AS word, rel_ppb, CAST(rk AS BIGINT) AS rk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cls ORDER BY rel_ppb DESC, w) AS rk FROM cen)
+       |WHERE rk <= $ClassifyTopF""".stripMargin
+
   /** The centroid model as a PERSISTED artifact with an incremental
     * delta: counts of most of the train split saved, the last fifth of
     * it appended (per-(class, word) counts are additive — the loader's
@@ -1827,6 +1852,7 @@ object PipelineQueries {
     "q_scrub_delta" -> scrubDelta,
     "q_boilerplate_strip" -> boilerplateStrip,
     "q_classify_artifact" -> classifyArtifact,
+    "q_classify_features" -> classifyFeatures,
     "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
     "q_lm_quality" -> lmQuality,
@@ -1909,6 +1935,7 @@ object PipelineQueries {
     "q_scrub_delta" -> scrubDeltaSql,
     "q_boilerplate_strip" -> boilerplateStripSql,
     "q_classify_artifact" -> classifyArtifactSql,
+    "q_classify_features" -> classifyFeaturesSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_lm_quality" -> lmQualitySql,
