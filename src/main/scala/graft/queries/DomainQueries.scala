@@ -558,6 +558,61 @@ object DomainQueries {
       |       w3 AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ---------------------------------------------------------------- fk audit
+  /** Referential-integrity audit across the star schema: orphan
+    * foreign keys per relationship (rows whose FK matches no parent),
+    * each a left-anti join + count — the data-quality gate a
+    * warehouse runs after every load. Anti-joins shuffle on the key
+    * and the parent side is the smaller table (broadcast under AQE);
+    * output is one row per relationship, so the report is constant-
+    * size at any corpus scale.
+    */
+  val fkAudit: Q = (s, d) => {
+    def orphans(rel: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String): DataFrame =
+      child.select(col(fk).as("_k"))
+        .join(parent.select(col(pk).as("_k")), Seq("_k"), "left_anti")
+        .agg(lit(rel).as("relationship"), count(lit(1)).as("n_orphans"))
+    Seq(
+      orphans("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"),
+      orphans("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      orphans("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      orphans("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      orphans("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      orphans("nation->region", Tables.nation(s, d), "n_regionkey",
+        Tables.region(s, d), "r_regionkey"),
+      orphans("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+    ).reduce(_ unionByName _)
+  }
+  val fkAuditSql: String =
+    """SELECT 'orders->customer' AS relationship,
+      |       (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |         (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      |UNION ALL SELECT 'lineitem->orders',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL SELECT 'lineitem->part',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |UNION ALL SELECT 'lineitem->supplier',
+      |       (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |         (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |UNION ALL SELECT 'customer->nation',
+      |       (SELECT count(*) FROM customer c WHERE NOT EXISTS
+      |         (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |UNION ALL SELECT 'nation->region',
+      |       (SELECT count(*) FROM nation x WHERE NOT EXISTS
+      |         (SELECT 1 FROM region r WHERE r.r_regionkey = x.n_regionkey))
+      |UNION ALL SELECT 'supplier->nation',
+      |       (SELECT count(*) FROM supplier s WHERE NOT EXISTS
+      |         (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))""".stripMargin
+
   // ---------------------------------------------------------------- jsonl round trip
   /** JSONL egress → ingest round trip — the interchange format
     * training-data pipelines actually exchange (one JSON object per
@@ -1106,6 +1161,7 @@ object DomainQueries {
     "q_zorder" -> zorder,
     "q_user_features" -> userFeatures,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_fk_audit" -> fkAudit,
     "q_items_connector" -> itemsConnector,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
@@ -1133,6 +1189,7 @@ object DomainQueries {
     "q_zorder" -> zorderSql,
     "q_user_features" -> userFeaturesSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_fk_audit" -> fkAuditSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
     "q_frames" -> framesSql,
