@@ -39,14 +39,20 @@ object Tables {
     * and epoch nanos exceed a double's 53-bit mantissa, silently
     * shifting timestamps by ±1µs.
     */
-  def events(spark: SparkSession, d: String): DataFrame = {
-    val raw = table(spark, d, "events")
+  def events(spark: SparkSession, d: String): DataFrame =
+    normalizeTs(table(spark, d, "events"))
+
+  /** The ONE home of the ts-normalization rule — the streaming file
+    * replay ([[graft.streaming.EventPipeline.readEventStream]]) must
+    * apply the identical conversion or batch and stream silently
+    * diverge on the same bytes.
+    */
+  def normalizeTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType.typeName match {
       case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, d: String): DataFrame = table(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = table(spark, d, "embeddings")
 }

@@ -108,18 +108,26 @@ object Classify {
       .groupBy(col(labelCol), col("pred"))
       .agg(count(lit(1)).as("n"))
 
+  /** Oracle CTE chain ending in `cen(cls, w, rel_ppb)` — the SQL twin
+    * of [[classCentroids]], shared by the classify and the
+    * top-features oracles so the ppb arithmetic has one SQL home too.
+    */
+  def centroidCtes(table: String, labelCol: String, textCol: String,
+                   trainWhere: String): String =
+    s"""ctk AS (SELECT $labelCol AS cls, unnest(${Hashing.wordsSql(textCol)}) AS w
+       |        FROM $table WHERE $trainWhere),
+       |ccnt AS (SELECT cls, w, count(*) AS cnt FROM ctk WHERE length(w) > 0 GROUP BY 1, 2),
+       |ctot AS (SELECT cls, sum(cnt) AS tot FROM ccnt GROUP BY 1),
+       |cen AS (SELECT cls, w, CAST(round(cnt * ${Ppb.toDouble} / tot) AS BIGINT) AS rel_ppb
+       |        FROM ccnt JOIN ctot USING (cls))""".stripMargin
+
   /** Oracle CTE chain ending in `pred(idCol, pred, score_ppb)`:
     * centroids from `table` rows matching `trainWhere`, predictions
     * for rows matching `scoreWhere` — same constants, same rounding.
     */
   def classifyCtes(table: String, idCol: String, labelCol: String,
                    textCol: String, trainWhere: String, scoreWhere: String): String =
-    s"""ctk AS (SELECT $labelCol AS cls, unnest(${Hashing.wordsSql(textCol)}) AS w
-       |        FROM $table WHERE $trainWhere),
-       |ccnt AS (SELECT cls, w, count(*) AS cnt FROM ctk WHERE length(w) > 0 GROUP BY 1, 2),
-       |ctot AS (SELECT cls, sum(cnt) AS tot FROM ccnt GROUP BY 1),
-       |cen AS (SELECT cls, w, CAST(round(cnt * ${Ppb.toDouble} / tot) AS BIGINT) AS rel_ppb
-       |        FROM ccnt JOIN ctot USING (cls)),
+    s"""${centroidCtes(table, labelCol, textCol, trainWhere)},
        |dtk AS (SELECT $idCol, unnest(${Hashing.wordsSql(textCol)}) AS w
        |        FROM $table WHERE $scoreWhere),
        |dtf AS (SELECT $idCol, w, count(*) AS tf FROM dtk WHERE length(w) > 0 GROUP BY 1, 2),

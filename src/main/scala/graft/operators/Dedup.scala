@@ -338,17 +338,6 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** Candidate-generation quality of the MinHash-LSH rung, measured —
-    * the dedup analog of q_ann_recall's estimator ladder: ground truth
-    * is the UNCAPPED exact Jaccard sweep at `threshold`, candidates are
-    * the banded signature collisions, and the report is one row of
-    * (n_truth, n_cand, n_hit, recall_ppb, precision_ppb) in integer
-    * ppb. Recall tells you what the band/row geometry misses at this
-    * threshold; precision tells you how much exact verification the
-    * candidates still need. The three counts come from one tagged
-    * union folded by a single global aggregate — no scalar-subquery
-    * cross joins.
-    */
   /** Candidate quality of the MinHash-LSH rung at several operating
     * points, in ONE exact sweep: the expensive uncapped Jaccard pass
     * runs once at the loosest threshold, each operating point is then

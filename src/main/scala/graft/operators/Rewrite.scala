@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * hashed: no collision caveat in the rewrite path.
   *
   * Determinism / scale shape (both hash-gate against DuckDB):
-  *   - first-owner attribution is two chunk-keyed min AGGREGATES
-  *     (min doc, then min position within that doc) — never a window
-  *     over occurrences, so a boilerplate chunk owned by millions of
-  *     docs costs two map-side-combined groupBys, not one giant task;
+  *   - first-owner attribution is ONE chunk-keyed min(struct)
+  *     AGGREGATE (lexicographic: min doc, then min position) — never
+  *     a window over occurrences, so a boilerplate chunk owned by
+  *     millions of docs costs one map-side-combined groupBy, not one
+  *     giant task;
   *   - reassembly is a per-doc sort of that doc's own ≤⌈len/k⌉ chunks
   *     (collect_list + sort_array — bounded by document length, the
   *     same bound as parsing the document in the first place);
@@ -57,7 +58,9 @@ object Rewrite {
 
   /** First-owner table of a corpus' chunks: `(_chunk, _od, _og)` — the
     * smallest doc id holding each distinct chunk and the smallest
-    * position there. Two chunk-keyed min aggregates; these rows are
+    * position there — ONE chunk-keyed min(struct) aggregate
+    * (lexicographic min = min doc, then min position; the
+    * ProcessedLedger.canonicalPerKey pattern); these rows are
     * the rewrite family's persistable sufficient statistics
     * ([[graft.operators.Artifacts]] saves them, deltas append, and
     * re-minning the union IS the merge — min is associative per
@@ -70,27 +73,29 @@ object Rewrite {
     ownersOf(c, idCol)
   }
 
-  private def ownersOf(c: DataFrame, idCol: String): DataFrame = {
-    val ownerDoc = c.groupBy("_chunk").agg(min(col(idCol)).as("_od"))
-    c.join(ownerDoc, Seq("_chunk"))
-      .filter(col(idCol) === col("_od"))
-      .groupBy("_chunk", "_od").agg(min("_g").as("_og"))
-  }
+  private def ownersOf(c: DataFrame, idCol: String): DataFrame =
+    c.groupBy("_chunk")
+      .agg(min(struct(col(idCol), col("_g"))).as("_own"))
+      .select(col("_chunk"), col("_own").getField(idCol).as("_od"),
+        col("_own").getField("_g").as("_og"))
 
   /** Merge owner tables (base + deltas) back to one first owner per
-    * chunk — the same two-step min as [[chunkOwners]], over candidate
-    * rows instead of occurrences.
+    * chunk — the same lexicographic min as [[chunkOwners]], over
+    * candidate rows instead of occurrences.
     */
-  def mergeOwners(owners: DataFrame): DataFrame = {
-    val od = owners.groupBy("_chunk").agg(min("_od").as("_od"))
-    owners.join(od, Seq("_chunk", "_od"))
-      .groupBy("_chunk", "_od").agg(min("_og").as("_og"))
-  }
+  def mergeOwners(owners: DataFrame): DataFrame =
+    owners.groupBy("_chunk")
+      .agg(min(struct(col("_od"), col("_og"))).as("_own"))
+      .select(col("_chunk"), col("_own").getField("_od").as("_od"),
+        col("_own").getField("_og").as("_og"))
 
   /** Rewrite `docs` against a FROZEN owner table: a chunk survives in
-    * doc d at position g iff the owner table says (d, g) owns it —
-    * docs and chunks absent from the table keep nothing / everything
-    * respectively exactly as a full recompute would, so artifact-fed
+    * doc d at position g iff the owner table says (d, g) owns it.
+    * CONTRACT: the owner table must COVER `docs`' chunks (append the
+    * docs' own part-owners before scrubbing, as q_scrub_delta and
+    * startLedgeredSpanScrub do) — a chunk absent from the table is
+    * DROPPED, so scrubbing against a stale artifact destroys novel
+    * text instead of keeping it. Under that contract artifact-fed
     * scrubbing of a delta equals the full-corpus scrub restricted to
     * the delta (q_scrub_delta proves it cross-engine).
     */

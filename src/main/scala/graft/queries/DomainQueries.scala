@@ -624,7 +624,11 @@ object DomainQueries {
     */
   val jsonlRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toFile.getAbsolutePath
+    // one OVERWRITTEN scratch dir per (jvm tmp, sf dir) — repeated
+    // bench/verify runs reuse it instead of littering a corpus-sized
+    // JSON copy per invocation
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_jsonl_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
     docs.write.mode("overwrite").json(path)
     s.read.schema(docs.schema).json(path)
       .groupBy(col("source"))

@@ -168,17 +168,27 @@ object PipelineQueries {
       doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
       doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", DecontamN)
   }
-  val decontaminateSql: String = {
+  /** Shared oracle CTE chain `w0/sh0/keep/sh/psh/cont` — the df-capped
+    * shared-shingle pair counts between the corpus (doc_id % 10 <> 0)
+    * and probe (doc_id % 10 = 0) halves. ONE definition of "overlap
+    * positive" for q_decontaminate, q_rrf_fusion and q_pair_mining —
+    * a cap or hashing change propagates to all three or none.
+    */
+  private def contaminationCtes: String = {
     val hashedList =
       s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
-    s"""WITH w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
+    s"""w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
        |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
        |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
        |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
-       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0)
-       |SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
-       |FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2""".stripMargin
+       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0),
+       |cont AS (SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
+       |         FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2)""".stripMargin
   }
+
+  val decontaminateSql: String =
+    s"""WITH $contaminationCtes
+       |SELECT doc_id, probe_id, n_shared FROM cont""".stripMargin
 
   /** Longest contaminated span per (corpus doc, probe) — the
     * passage-level signal next to the gram-count signal of
@@ -298,16 +308,8 @@ object PipelineQueries {
     Retrieval.rrfFuse(bm, "r_bm25", ng, "r_ngram", RrfK0, RrfK)
   }
   val rrfFusionSql: String = {
-    val hashedList =
-      s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
     s"""WITH ${Retrieval.bm25PairsCte("doc_id % 10 <> 0", "doc_id % 10 = 0")},
-       |w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
-       |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
-       |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
-       |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
-       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0),
-       |cont AS (SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
-       |         FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2),
+       |$contaminationCtes,
        |ra AS (SELECT probe_id, doc_id,
        |              CAST(row_number() OVER (PARTITION BY probe_id ORDER BY score_u DESC, doc_id) AS INTEGER) AS r_bm25
        |       FROM bm),
@@ -353,16 +355,8 @@ object PipelineQueries {
         col("neg_id"), col("neg_score_u"))
   }
   val pairMiningSql: String = {
-    val hashedList =
-      s"list_transform(${shinglesSql("w", DecontamN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
     s"""WITH ${Retrieval.bm25PairsCte("doc_id % 10 <> 0", "doc_id % 10 = 0")},
-       |w0 AS (SELECT doc_id, ${wordsSql("text")} AS w FROM documents),
-       |sh0 AS (SELECT doc_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 <> 0),
-       |keep AS (SELECT sh_h FROM sh0 GROUP BY sh_h HAVING count(*) <= ${Dedup.DefaultMaxShingleDf}),
-       |sh AS (SELECT doc_id, sh_h FROM sh0 JOIN keep USING (sh_h)),
-       |psh AS (SELECT doc_id AS probe_id, unnest($hashedList) AS sh_h FROM w0 WHERE doc_id % 10 = 0),
-       |cont AS (SELECT sh.doc_id, psh.probe_id, count(*) AS n_shared
-       |         FROM sh JOIN psh USING (sh_h) GROUP BY 1, 2),
+       |$contaminationCtes,
        |pos AS (SELECT probe_id, doc_id AS pos_id, n_shared FROM (
        |          SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rn
        |          FROM cont) WHERE rn = 1),
@@ -1627,12 +1621,7 @@ object PipelineQueries {
         col("_rel_ppb").as("rel_ppb"), col("rk").cast("long").as("rk"))
   }
   val classifyFeaturesSql: String =
-    s"""WITH ctk AS (SELECT source AS cls, unnest(${graft.functions.Hashing.wordsSql("text")}) AS w
-       |             FROM documents WHERE $ClassifyTrainWhere),
-       |ccnt AS (SELECT cls, w, count(*) AS cnt FROM ctk WHERE length(w) > 0 GROUP BY 1, 2),
-       |ctot AS (SELECT cls, sum(cnt) AS tot FROM ccnt GROUP BY 1),
-       |cen AS (SELECT cls, w, CAST(round(cnt * ${graft.operators.Classify.Ppb.toDouble} / tot) AS BIGINT) AS rel_ppb
-       |        FROM ccnt JOIN ctot USING (cls))
+    s"""WITH ${graft.operators.Classify.centroidCtes("documents", "source", "text", ClassifyTrainWhere)}
        |SELECT cls, w AS word, rel_ppb, CAST(rk AS BIGINT) AS rk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY cls ORDER BY rel_ppb DESC, w) AS rk FROM cen)
        |WHERE rk <= $ClassifyTopF""".stripMargin
@@ -1670,7 +1659,7 @@ object PipelineQueries {
       "text", ClassifyTrainWhere, ClassifyScoreWhere)}
        |SELECT d.source, p.pred, count(*) AS n
        |FROM documents d JOIN pred p USING (doc_id)
-       |WHERE d.doc_id % 5 = 0
+       |WHERE d.$ClassifyScoreWhere
        |GROUP BY 1, 2""".stripMargin
 
   /** Cross-source 3-gram overlap matrix (which domains mirror each

@@ -35,7 +35,8 @@ object GifCodec {
     val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(b))
     try {
       reader.setInput(iis, false, true)
-      reader.getNumImages(true)
+      val n = reader.getNumImages(true)
+      if (n <= 0) -1 else n // match gifInfo/decodeFrames: no frames = unreadable
     } catch { case _: Exception => -1 }
     finally { reader.dispose(); iis.close() }
   }

@@ -58,12 +58,7 @@ object EventPipeline {
     // The file source wants a DIRECTORY; select just the events file.
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-    // integer `div`: double division loses nanos-scale precision
-    raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    graft.Tables.normalizeTs(raw)
   }
 
   /** Watermarked tumbling-window counts (batch analog: q_window_events). */
