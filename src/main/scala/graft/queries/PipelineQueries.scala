@@ -1685,6 +1685,42 @@ object PipelineQueries {
        |       JOIN sizes sb ON src_b = sb.source""".stripMargin
   }
 
+  /** Domain-authority PageRank over the source-overlap graph: sources
+    * sharing ≥ [[PageRankMinInter]] 3-gram shingles are linked (both
+    * directions — content mirroring is symmetric), and
+    * [[graft.operators.Graph.pageRank]] ranks them in exact integer
+    * ppm. The curation read: a source whose content is mirrored by many
+    * well-connected sources ranks high (hub/canonical), an isolated
+    * source keeps the teleport floor — the domain-level quality weight
+    * a Common-Crawl-style pipeline joins onto every document before
+    * sampling. Threshold 80 sits above the fixture's median pairwise
+    * overlap (~63), so the graph is sparse but connected enough to
+    * differentiate ranks at every SF.
+    */
+  private val PageRankMinInter = 80
+  val pageRank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ov = Dedup.sourceOverlap(docs, "source", "text", OverlapN)
+      .filter(col("inter") >= PageRankMinInter)
+    val edges = ov.select(col("src_a").as("src"), col("src_b").as("dst"))
+      .union(ov.select(col("src_b").as("src"), col("src_a").as("dst")))
+    graft.operators.Graph.pageRank(docs.select(col("source").as("node")).distinct(), edges)
+      .select(col("node").as("source"), col("out_deg"), col("rank_ppm"))
+  }
+  val pageRankSql: String = {
+    val hashedList =
+      s"list_transform(${shinglesSql("w", OverlapN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
+    s"""WITH w AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+       |sh AS (SELECT DISTINCT source, unnest($hashedList) AS sh_h FROM w),
+       |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.source < b.source
+       |      GROUP BY 1, 2 HAVING count(*) >= $PageRankMinInter),
+       |e AS (SELECT src_a AS src, src_b AS dst FROM i
+       |      UNION ALL SELECT src_b, src_a FROM i),
+       |nodes AS (SELECT DISTINCT source AS node FROM documents),
+       |${graft.operators.Graph.pageRankSql(nodeAs = "source")}""".stripMargin
+  }
+
   /** Content-defined passage dedup. Divisor 4 ≈ 4-word expected chunks
     * — at the fixture's ~60-word docs that yields hundreds of shared
     * passages; production corpora use larger divisors (64-128 words).
@@ -1844,6 +1880,7 @@ object PipelineQueries {
     "q_classify_features" -> classifyFeatures,
     "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
+    "q_pagerank" -> pageRank,
     "q_lm_quality" -> lmQuality,
     "q_lm_artifact" -> lmArtifact,
     "q_ccnet_bucket" -> ccnetBucket,
@@ -1927,6 +1964,7 @@ object PipelineQueries {
     "q_classify_features" -> classifyFeaturesSql,
     "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
+    "q_pagerank" -> pageRankSql,
     "q_lm_quality" -> lmQualitySql,
     "q_lm_artifact" -> lmArtifactSql,
     "q_ccnet_bucket" -> ccnetBucketSql,
