@@ -203,4 +203,34 @@ object Artifacts {
     Classify.centroidsFromCounts(
       spark.read.option("recursiveFileLookup", "true").parquet(s"$path/ccounts")
         .groupBy("_cls", "_word").agg(sum("_cnt").as("_cnt")))
+
+  /** The BPE merge table IS the tokenizer model — rank-ordered rules,
+    * a few KB at any corpus scale. Persist once after training; every
+    * segmentation job ([[Bpe.segmentExpr]]) loads it as literals into
+    * one codegen'd projection. NOT additive: merges are a totally
+    * ordered program, so an updated corpus retrains (cheap — the
+    * corpus-sized pass is the word count, which could itself be
+    * persisted via the LM-counts artifact if needed).
+    */
+  def saveBpeMerges(merges: Seq[Bpe.Merge], spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("step", "lhs", "rhs", "pair_cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+  }
+
+  def loadBpeMerges(spark: SparkSession, path: String): Seq[Bpe.Merge] =
+    spark.read.parquet(s"$path/merges")
+      .orderBy("step").collect()
+      .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  /** Probe weights: the (Dim+1)-row linear model. Persisted between
+    * training phases — [[Probe.train]]'s `init` resumes GD from the
+    * loaded table, the incremental path when new labeled data arrives.
+    */
+  def saveProbeWeights(weights: DataFrame, path: String): Unit =
+    weights.coalesce(1).write.mode("overwrite").parquet(s"$path/weights")
+
+  def loadProbeWeights(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/weights")
 }

@@ -68,6 +68,57 @@ object Graph {
         col("r").as("rank_ppm"))
   }
 
+  /** Per-node triangle counts + local clustering coefficient over a
+    * CANONICAL undirected edge set (`u < v` per row) — the other core
+    * graph statistic of a domain-mirroring audit: a source whose
+    * neighbors also mirror EACH OTHER (high clustering) sits in a
+    * copy-ring; a hub with low clustering syndicates to unrelated
+    * sources. The enumeration is the classic oriented triangle join —
+    * e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c) with a<b<c finds each triangle
+    * exactly once via two equi-joins, O(m^1.5) with the orientation
+    * bounding the join fan-out by out-degree in the ordering (the
+    * standard distributed formulation; no node ever sees more than its
+    * ordered neighborhood squared). Coefficient in exact ppm:
+    * 2·tri·10⁶ div (deg·(deg−1)), zero for degree < 2.
+    */
+  def triangleStats(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    nodes.join(deg, Seq("node"), "left").join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(coalesce(col("deg"), lit(0L)) >= 2,
+          expr(s"(2L * coalesce(n_tri, 0L) * $Scale) div (deg * (deg - 1L))"))
+          .otherwise(0L).as("clust_ppm"))
+  }
+
+  /** DuckDB twin over caller-provided `nodes` (node) and `edgeCte`
+    * (u, v canonical) CTEs.
+    */
+  def triangleStatsSql(edgeCte: String = "e", nodeAs: String = "node"): String =
+    s"""deg AS (SELECT node, count(*) AS deg FROM (
+       |  SELECT u AS node FROM $edgeCte UNION ALL SELECT v FROM $edgeCte) GROUP BY 1),
+       |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |        FROM $edgeCte e1 JOIN $edgeCte e2 ON e1.v = e2.u
+       |        JOIN $edgeCte e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |pn AS (SELECT node, count(*) AS n_tri FROM (
+       |  SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY 1)
+       |SELECT n.node AS $nodeAs, coalesce(d.deg, 0) AS deg, coalesce(p.n_tri, 0) AS n_tri,
+       |       CASE WHEN coalesce(d.deg, 0) >= 2
+       |            THEN (2 * coalesce(p.n_tri, 0) * $Scale) // (d.deg * (d.deg - 1))
+       |            ELSE 0 END AS clust_ppm
+       |FROM nodes n LEFT JOIN deg d ON n.node = d.node
+       |LEFT JOIN pn p ON n.node = p.node""".stripMargin
+
   /** DuckDB twin: unrolled iteration CTEs generated from the SAME
     * constants (fixed iteration counts make the recursion a plain CTE
     * chain — no RECURSIVE needed). Callers provide `nodes` (one column
@@ -75,7 +126,8 @@ object Graph {
     * chain from `ew`/`nn`/`r0` through `r{iters}` plus the final
     * projection, to be appended after those input CTEs.
     */
-  def pageRankSql(iters: Int = DefaultIters, nodeAs: String = "node"): String = {
+  /** The iteration CTE block `od, ew, nn, r0 … r{iters}`. */
+  def pageRankCtes(iters: Int = DefaultIters): String = {
     val steps = (1 to iters).map { t =>
       s"""r$t AS (SELECT n.node,
          |  (($Scale - $DampPpm) // (SELECT n FROM nn)) + ($DampPpm * coalesce(s.acc, 0)) // $Scale AS r
@@ -87,9 +139,18 @@ object Graph {
        |ew AS (SELECT e.src, e.dst, od.outd FROM e JOIN od USING (src)),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |r0 AS (SELECT node, $Scale // (SELECT n FROM nn) AS r FROM nodes),
-       |$steps
-       |SELECT n.node AS $nodeAs, coalesce(od.outd, 0) AS out_deg, r$iters.r AS rank_ppm
+       |$steps""".stripMargin
+  }
+
+  /** The final (node, out_deg, rank_ppm) projection over the CTE block
+    * — bare, so callers can use it as a query tail or wrap it as a CTE
+    * for composition.
+    */
+  def pageRankSelect(iters: Int = DefaultIters, nodeAs: String = "node"): String =
+    s"""SELECT n.node AS $nodeAs, coalesce(od.outd, 0) AS out_deg, r$iters.r AS rank_ppm
        |FROM nodes n JOIN r$iters ON n.node = r$iters.node
        |LEFT JOIN od ON n.node = od.src""".stripMargin
-  }
+
+  def pageRankSql(iters: Int = DefaultIters, nodeAs: String = "node"): String =
+    s"${pageRankCtes(iters)}\n${pageRankSelect(iters, nodeAs)}"
 }

@@ -1698,27 +1698,223 @@ object PipelineQueries {
     * differentiate ranks at every SF.
     */
   private val PageRankMinInter = 80
-  val pageRank: Q = (s, d) => {
+  private def sourceRanks(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val ov = Dedup.sourceOverlap(docs, "source", "text", OverlapN)
       .filter(col("inter") >= PageRankMinInter)
     val edges = ov.select(col("src_a").as("src"), col("src_b").as("dst"))
       .union(ov.select(col("src_b").as("src"), col("src_a").as("dst")))
     graft.operators.Graph.pageRank(docs.select(col("source").as("node")).distinct(), edges)
-      .select(col("node").as("source"), col("out_deg"), col("rank_ppm"))
   }
-  val pageRankSql: String = {
+  /** The overlap-graph CTEs (`w, sh, i, e, nodes`) feeding PageRank. */
+  private val pageRankGraphCtes: String = {
     val hashedList =
       s"list_transform(${shinglesSql("w", OverlapN)}, s -> ${stableHash60Sql("s")} % ${P}::BIGINT)"
-    s"""WITH w AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
+    s"""w AS (SELECT source, ${wordsSql("text")} AS w FROM documents),
        |sh AS (SELECT DISTINCT source, unnest($hashedList) AS sh_h FROM w),
        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
        |      FROM sh a JOIN sh b ON a.sh_h = b.sh_h AND a.source < b.source
        |      GROUP BY 1, 2 HAVING count(*) >= $PageRankMinInter),
        |e AS (SELECT src_a AS src, src_b AS dst FROM i
        |      UNION ALL SELECT src_b, src_a FROM i),
-       |nodes AS (SELECT DISTINCT source AS node FROM documents),
-       |${graft.operators.Graph.pageRankSql(nodeAs = "source")}""".stripMargin
+       |nodes AS (SELECT DISTINCT source AS node FROM documents)""".stripMargin
+  }
+  val pageRank: Q = (s, d) =>
+    sourceRanks(s, d).select(col("node").as("source"), col("out_deg"), col("rank_ppm"))
+  val pageRankSql: String =
+    s"""WITH $pageRankGraphCtes,
+       |${graft.operators.Graph.pageRankCtes()}
+       |${graft.operators.Graph.pageRankSelect(nodeAs = "source")}""".stripMargin
+
+  /** Local clustering structure of the SAME overlap graph: per-source
+    * triangle membership + clustering coefficient — copy-RING detection
+    * (neighbors that also mirror each other) next to PageRank's hub
+    * ranking. The a<b<c oriented enumeration is two equi-joins.
+    */
+  val triangles: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val ov = Dedup.sourceOverlap(docs, "source", "text", OverlapN)
+      .filter(col("inter") >= PageRankMinInter)
+    graft.operators.Graph.triangleStats(
+        docs.select(col("source").as("node")).distinct(),
+        ov.select(col("src_a").as("u"), col("src_b").as("v")))
+      .select(col("node").as("source"), col("deg"), col("n_tri"), col("clust_ppm"))
+  }
+  val trianglesSql: String =
+    s"""WITH $pageRankGraphCtes,
+       |eu AS (SELECT src_a AS u, src_b AS v FROM i),
+       |${graft.operators.Graph.triangleStatsSql(edgeCte = "eu", nodeAs = "source")}""".stripMargin
+
+  /** The composition the rank exists for: authority-weighted document
+    * sampling. Each doc keeps with probability min(rank·10, 1) in ppm
+    * via the same deterministic hash-membership machinery as the
+    * Sampling family — docs from hub sources survive, isolated-source
+    * docs thin to the teleport floor ×10 (~7.5%). One broadcast join +
+    * one hash filter on top of the rank artifact.
+    */
+  private val AuthorityBoost = 10
+  val authoritySample: Q = (s, d) => {
+    val ranks = sourceRanks(s, d).select(col("node").as("source"), col("rank_ppm"))
+    Tables.documents(s, d).join(ranks, Seq("source"))
+      .filter(pmod(stableHash60(col("doc_id").cast("string")), lit(graft.operators.Graph.Scale)) <
+        least(col("rank_ppm") * AuthorityBoost, lit(graft.operators.Graph.Scale)))
+      .select(col("doc_id"), col("source"), col("rank_ppm"))
+  }
+  val authoritySampleSql: String =
+    s"""WITH $pageRankGraphCtes,
+       |${graft.operators.Graph.pageRankCtes()},
+       |ranks AS (${graft.operators.Graph.pageRankSelect(nodeAs = "source")})
+       |SELECT d.doc_id, d.source, ranks.rank_ppm
+       |FROM documents d JOIN ranks USING (source)
+       |WHERE ${stableHash60Sql("CAST(d.doc_id AS VARCHAR)")} % ${graft.operators.Graph.Scale} < LEAST(ranks.rank_ppm * $AuthorityBoost, ${graft.operators.Graph.Scale})""".stripMargin
+
+  /** BPE tokenizer training over the corpus ([[graft.operators.Bpe]]):
+    * q_bpe_merges is the learned merge table itself (the MODEL — 8
+    * rules at the fixture scale), q_bpe_tokenize the per-document
+    * token counts under that vocabulary (the compression a tokenizer
+    * build is judged by), q_bpe_vocab the corpus token-frequency
+    * report of the final segmentation. All three share one training
+    * definition on each side, so the Spark loop and the DuckDB
+    * unrolled-CTE chain cannot drift.
+    */
+  private val BpeSteps = graft.operators.Bpe.DefaultSteps
+  val bpeMerges: Q = (s, d) => {
+    val (merges, _) = graft.operators.Bpe.train(Tables.documents(s, d), "text", BpeSteps)
+    import s.implicits._
+    merges.toDF("step", "lhs", "rhs", "pair_cnt")
+  }
+  val bpeMergesSql: String =
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)}
+       |${graft.operators.Bpe.mergesSql(BpeSteps)}""".stripMargin
+
+  val bpeTokenize: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (_, vocab) = graft.operators.Bpe.train(docs, "text", BpeSteps)
+    graft.operators.Bpe.tokenize(docs, "doc_id", "text", vocab)
+  }
+  val bpeTokenizeSql: String =
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |v AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$BpeSteps),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word FROM documents)
+       |SELECT doc_id, count(*) AS n_words, sum(v.n_sym) AS n_bpe
+       |FROM tok JOIN v USING (word) GROUP BY 1""".stripMargin
+
+  private val BpeVocabK = 20
+  val bpeVocab: Q = (s, d) => {
+    val (_, vocab) = graft.operators.Bpe.train(Tables.documents(s, d), "text", BpeSteps)
+    graft.operators.Bpe.tokenFrequencies(vocab)
+      .orderBy(col("freq").desc, col("tok")).limit(BpeVocabK)
+  }
+  val bpeVocabSql: String =
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |toks AS (SELECT tok, sum(cnt) AS freq FROM (
+       |  SELECT cnt, unnest(string_split(trim(sym), '  ')) AS tok FROM w$BpeSteps) GROUP BY 1)
+       |SELECT tok, freq FROM toks ORDER BY freq DESC, tok LIMIT $BpeVocabK""".stripMargin
+
+  /** Tokenizer INFERENCE on a table the model never saw: merges learned
+    * on `documents` segment `part.p_name` words (unseen words fall back
+    * to finer pieces — the deployment behavior). One codegen'd
+    * projection of chained literal replaces; the oracle re-learns the
+    * merges and applies the same chain via scalar subqueries.
+    */
+  val bpeSegment: Q = (s, d) => {
+    val (merges, _) = graft.operators.Bpe.train(Tables.documents(s, d), "text", BpeSteps)
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        explode(filter(words(col("p_name")), w => length(w) > 0)).as("word"))
+      .select(col("p_partkey"), col("word"),
+        graft.operators.Bpe.segmentExpr(col("word"), merges).as("_toks"))
+      .select(col("p_partkey"), col("word"),
+        array_join(col("_toks"), "_").as("seg"),
+        size(col("_toks")).cast("long").as("n_sym"))
+  }
+  val bpeSegmentSql: String = {
+    val chain = graft.operators.Bpe.segmentSql(graft.operators.Bpe.spacedSql("word"), BpeSteps)
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |pw AS (SELECT p_partkey, unnest(list_filter(${wordsSql("p_name")}, x -> length(x) > 0)) AS word FROM part),
+       |seg0 AS (SELECT p_partkey, word, string_split(trim($chain), '  ') AS toks FROM pw)
+       |SELECT p_partkey, word, array_to_string(toks, '_') AS seg, len(toks) AS n_sym FROM seg0""".stripMargin
+  }
+
+  /** The merge table as a PERSISTED artifact: train, save, load, then
+    * segment the training corpus from the LOADED model. The oracle
+    * recomputes via the training chain (bpeTokenizeSql), so this query
+    * simultaneously proves (a) the artifact round-trip is lossless and
+    * (b) rank-ordered inference ([[graft.operators.Bpe.segmentExpr]])
+    * reproduces the training segmentation exactly on in-corpus words.
+    */
+  val bpeArtifact: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val (merges, _) = graft.operators.Bpe.train(docs, "text", BpeSteps)
+    val path = java.nio.file.Files.createTempDirectory("graft_bpe").toFile.getAbsolutePath
+    Artifacts.saveBpeMerges(merges, s, path)
+    val loaded = Artifacts.loadBpeMerges(s, path)
+    docs.select(col("doc_id"), explode(filter(words(col("text")), w => length(w) > 0)).as("word"))
+      .select(col("doc_id"), size(graft.operators.Bpe.segmentExpr(col("word"), loaded)).as("n_sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
+  }
+  val bpeArtifactSql: String = bpeTokenizeSql
+
+  /** Trained linear quality probe ([[graft.operators.Probe]]): 12 steps
+    * of exact-integer full-batch GD separating embeddings with label 0
+    * from the rest (measured binned AUC ≈ 0.81 vs the 0.82 float
+    * least-squares ceiling at sf0.01). q_linear_probe is the learned
+    * weight table (the model); q_probe_auc its ROC eval on the fixed
+    * 256-bin score histogram.
+    */
+  private val ProbePosLabel = 0
+  private def probeFeat(s: SparkSession, d: String): DataFrame =
+    graft.operators.Probe.features(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", ProbePosLabel).localCheckpoint(true)
+  val linearProbe: Q = (s, d) =>
+    graft.operators.Probe.train(probeFeat(s, d))
+      .select(col("j").as("bucket"), col("w").as("weight"))
+  val linearProbeSql: String =
+    s"""WITH ${graft.operators.Probe.trainCtes("embeddings", "vec_id", "embedding",
+      "label", ProbePosLabel)}
+       |SELECT j AS bucket, w AS weight FROM w${graft.operators.Probe.DefaultSteps}""".stripMargin
+
+  val probeAuc: Q = (s, d) => {
+    val feat = probeFeat(s, d)
+    graft.operators.Probe.binnedAuc(
+      graft.operators.Probe.score(feat, graft.operators.Probe.train(feat)))
+  }
+  val probeAucSql: String =
+    s"""WITH ${graft.operators.Probe.trainCtes("embeddings", "vec_id", "embedding",
+      "label", ProbePosLabel)},
+       |${graft.operators.Probe.aucSql()}""".stripMargin
+
+  /** Incremental probe training through the weight artifact: 8 GD steps
+    * on 80% of the data, weights persisted, then 4 warm-start steps over
+    * the full set from the LOADED model — the resume-don't-retrain path
+    * when labeled data arrives. The oracle replays both phases (two
+    * feature sets, continuous step numbering), so the persisted handoff
+    * must be bit-lossless for the hashes to agree.
+    */
+  private val ProbeWarmSteps = 8
+  private val ProbeFineSteps = 4
+  val probeArtifact: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val featA = graft.operators.Probe.features(
+      emb.filter(col("vec_id") % 5 =!= 4), "vec_id", "embedding",
+      "label", ProbePosLabel).localCheckpoint(true)
+    val w8 = graft.operators.Probe.train(featA, ProbeWarmSteps)
+    val path = java.nio.file.Files.createTempDirectory("graft_probe").toFile.getAbsolutePath
+    Artifacts.saveProbeWeights(w8, path)
+    graft.operators.Probe.train(probeFeat(s, d), ProbeFineSteps,
+        init = Some(Artifacts.loadProbeWeights(s, path)))
+      .select(col("j").as("bucket"), col("w").as("weight"))
+  }
+  val probeArtifactSql: String = {
+    val Pb = graft.operators.Probe
+    s"""WITH ${Pb.embedCte("embeddings", "vec_id", "embedding", "label", ProbePosLabel)},
+       |${Pb.featSetCtes("feat_a", "nn_a", "vec_id % 5 != 4")},
+       |w0 AS MATERIALIZED (SELECT unnest(range(0, ${Pb.Dim + 1})) AS j, CAST(0 AS BIGINT) AS w),
+       |${Pb.gdStepCtes("feat_a", "nn_a", 1, ProbeWarmSteps)},
+       |${Pb.featSetCtes("feat", "nn")},
+       |${Pb.gdStepCtes("feat", "nn", ProbeWarmSteps + 1, ProbeWarmSteps + ProbeFineSteps)}
+       |SELECT j AS bucket, w AS weight FROM w${ProbeWarmSteps + ProbeFineSteps}""".stripMargin
   }
 
   /** Content-defined passage dedup. Divisor 4 ≈ 4-word expected chunks
@@ -1881,6 +2077,16 @@ object PipelineQueries {
     "q_classify_eval" -> classifyEval,
     "q_source_overlap" -> sourceOverlap,
     "q_pagerank" -> pageRank,
+    "q_bpe_merges" -> bpeMerges,
+    "q_bpe_tokenize" -> bpeTokenize,
+    "q_bpe_vocab" -> bpeVocab,
+    "q_linear_probe" -> linearProbe,
+    "q_probe_auc" -> probeAuc,
+    "q_probe_artifact" -> probeArtifact,
+    "q_bpe_segment" -> bpeSegment,
+    "q_bpe_artifact" -> bpeArtifact,
+    "q_authority_sample" -> authoritySample,
+    "q_triangles" -> triangles,
     "q_lm_quality" -> lmQuality,
     "q_lm_artifact" -> lmArtifact,
     "q_ccnet_bucket" -> ccnetBucket,
@@ -1965,6 +2171,16 @@ object PipelineQueries {
     "q_classify_eval" -> classifyEvalSql,
     "q_source_overlap" -> sourceOverlapSql,
     "q_pagerank" -> pageRankSql,
+    "q_bpe_merges" -> bpeMergesSql,
+    "q_bpe_tokenize" -> bpeTokenizeSql,
+    "q_bpe_vocab" -> bpeVocabSql,
+    "q_linear_probe" -> linearProbeSql,
+    "q_probe_auc" -> probeAucSql,
+    "q_probe_artifact" -> probeArtifactSql,
+    "q_bpe_segment" -> bpeSegmentSql,
+    "q_bpe_artifact" -> bpeArtifactSql,
+    "q_authority_sample" -> authoritySampleSql,
+    "q_triangles" -> trianglesSql,
     "q_lm_quality" -> lmQualitySql,
     "q_lm_artifact" -> lmArtifactSql,
     "q_ccnet_bucket" -> ccnetBucketSql,

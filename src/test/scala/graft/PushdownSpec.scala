@@ -114,6 +114,10 @@ class PushdownSpec extends SparkSpec {
     //   - q_ann_recall: embeds the brute-force scan as its ground-truth
     //     side (recall is BY DEFINITION measured against exact search);
     //     the approx side under eval is the equi-join LSH plan.
+    //   - q_probe_auc: the binned-AUC triangle — the ≤256-row score
+    //     histogram joined against its own broadcast under bin_a >=
+    //     bin_b; both sides bounded by the fixed grid regardless of
+    //     data size (same shape as Structure.withSeqId's triangle).
     //   - q_mix_temperature / q_mix_plan: the per-source weight rows
     //     (k = distinct sources) meet the single normalizing-totals
     //     row — a k×1 join of two aggregate outputs, both sides
@@ -129,7 +133,8 @@ class PushdownSpec extends SparkSpec {
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
-      "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality")
+      "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality",
+      "q_probe_auc")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

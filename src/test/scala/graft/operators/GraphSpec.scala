@@ -57,6 +57,30 @@ class GraphSpec extends SparkSpec {
     assert(r("b")._2 !== Graph.Scale / 3)
   }
 
+  test("triangle stats: a 4-clique is all-triangles, a pendant node is none") {
+    // K4 on a,b,c,d plus pendant x-a: each K4 node sits in C(3,2)=3
+    // triangles with coefficient 1.0; x has degree 1 -> 0
+    val nodes = Seq("a", "b", "c", "d", "x").toDF("node")
+    val edges = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c", "b" -> "d",
+      "c" -> "d", "a" -> "x").map { case (u, v) => if (u < v) (u, v) else (v, u) }
+      .toDF("u", "v")
+    val r = Graph.triangleStats(nodes, edges).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("b") === ((3L, 3L, 1000000L)))
+    assert(r("c") === ((3L, 3L, 1000000L)))
+    assert(r("x") === ((1L, 0L, 0L)))
+    // a has the extra pendant edge: deg 4, still 3 triangles -> 2*3/(4*3)
+    assert(r("a") === ((4L, 3L, 500000L)))
+  }
+
+  test("q_triangles registers and finds the fixture's copy-ring structure") {
+    val df = graft.queries.PipelineQueries.triangles(spark, "/root/testdata/sf0.001")
+    assert(df.columns.toSeq === Seq("source", "deg", "n_tri", "clust_ppm"))
+    val rows = df.collect()
+    assert(rows.length === 20)
+    assert(rows.map(_.getLong(2)).sum === 3 * 5, "sf0.001 graph has 5 triangles")
+  }
+
   test("q_pagerank registers with deterministic schema and plausible values") {
     val df = graft.queries.PipelineQueries.pageRank(spark, "/root/testdata/sf0.001")
     assert(df.columns.toSeq === Seq("source", "out_deg", "rank_ppm"))

@@ -119,6 +119,25 @@ class MultiJvmLedgerSpec extends AnyFunSuite {
         Seq((1L, "p q r s"), (2L, "p q z z")).toDF("doc_id", "text"), "doc_id", "text", 2)
         .filter(col("doc_id") === 2L).select("text_clean").as[String].collect()
       assert(scrubbed.toSeq === Seq("z z"))
+
+      // trained-model operators under real executor JVMs: the iterative
+      // PageRank loop (localCheckpoint per round crosses processes),
+      // the BPE trainer's collect-and-replace loop, and one probe GD
+      // step's broadcast-weights join
+      val pr = graft.operators.Graph.pageRank(
+        Seq("a", "b", "c").toDF("node"),
+        Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")).toDF("src", "dst"),
+        iters = 3)
+      assert(pr.count() === 3)
+      val (bpeMerges, _) = graft.operators.Bpe.train(
+        Seq((1L, "ab ab ab")).toDF("doc_id", "text"), "text", steps = 1)
+      assert(bpeMerges === Seq(graft.operators.Bpe.Merge(1, "a", "b", 3)))
+      val probeFeat = graft.operators.Probe.features(
+        Seq((1L, Seq.fill(64)(0.1f), 0), (2L, Seq.fill(64)(-0.1f), 1))
+          .toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", 0).localCheckpoint(true)
+      val probeW = graft.operators.Probe.train(probeFeat, steps = 2)
+      assert(probeW.count() === 65)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
