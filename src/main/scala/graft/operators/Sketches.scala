@@ -330,4 +330,87 @@ object Sketches {
        |       cm_est - coalesce(n_exact, 0) AS overcount
        |FROM est LEFT JOIN ex ON est.word = ex.word""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // Two-pass heavy hitters: CM candidates, exact verify
+  // ------------------------------------------------------------------
+
+  /** Find every token whose frequency is ≥ `ppm` parts-per-million of
+    * the total token mass, WITHOUT ever holding full-vocabulary exact
+    * counts in one aggregation:
+    *
+    *   pass 1 — the bounded CM sketch (depth×width counters) gives
+    *   each distinct token an UPPER-BOUND estimate `cm_est = min_r
+    *   cnt(r, h_r)`; candidates are tokens with `cm_est ≥ threshold`.
+    *   CM's one-sided error means no true heavy hitter is missed —
+    *   collisions only ADD false candidates;
+    *
+    *   pass 2 — exact counts for the candidate sliver alone (broadcast
+    *   semi-join): the exact agg's state is |candidates| ≈
+    *   1e6/ppm + collision strays, not |vocab|.
+    *
+    * Deterministic end-to-end (CM is a commutative sum over fixed
+    * hashes; threshold is integer math over the exact total), so the
+    * DuckDB twin reproduces every row. Output per candidate:
+    * `word, n_exact, cm_est, overcount (≥0), is_heavy` — keeping the
+    * false candidates visible makes the sketch's precision measurable
+    * from the result itself.
+    *
+    * The threshold is RELATIVE (ppm of total mass, floored at 2), so
+    * the operator is scale-stable: at any SF the candidate set stays
+    * ~1e6/ppm tokens. `width` trades sketch size against false
+    * candidates exactly as in [[cmSketch]].
+    */
+  def heavyHitters(keys: DataFrame, keyCol: Column, width: Int, ppm: Long,
+                   depth: Int = CmDepth): DataFrame = {
+    require(ppm > 0 && ppm <= 1000000L, s"ppm in (0, 1e6], got $ppm")
+    val toks = keys.select(keyCol.as("word"))
+    val sk = cmSketch(toks, col("word"), width, depth)
+    // floor((n * ppm) / 1e6) == the integer division both engines agree
+    // on for non-negative operands (DuckDB `//`)
+    val thr = toks.agg(greatest(lit(2L),
+      floor((count(lit(1)) * lit(ppm)) / lit(1000000L)).cast("long")).as("thr"))
+    val pb = toks.distinct().select(col("word"),
+      posexplode(array((0 until depth).map(r => cmBucket(col("word"), r, width)): _*))
+        .as(Seq("r", "bucket")))
+    val cand = pb.join(broadcast(sk), Seq("r", "bucket"), "left")
+      .groupBy("word").agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+      .crossJoin(broadcast(thr)) // vocab × the single threshold row
+      .filter(col("cm_est") >= col("thr"))
+    // pass 2: exact counts for candidates only. The candidate set is
+    // ~1e6/ppm true hitters plus bucket-collision strays — broadcast
+    // class, same bound argument as the probe dictionaries.
+    toks.join(broadcast(cand.select("word")), Seq("word"), "left_semi")
+      .groupBy("word").agg(count(lit(1)).as("n_exact"))
+      .join(broadcast(cand), Seq("word"))
+      .select(col("word"), col("n_exact"), col("cm_est"),
+        (col("cm_est") - col("n_exact")).as("overcount"),
+        (col("n_exact") >= col("thr")).as("is_heavy"))
+  }
+
+  /** DuckDB twin — same hashes, same integer threshold, same two-pass
+    * candidate shape.
+    */
+  def heavyHittersSql(tokenCte: String, width: Int, ppm: Long,
+                      depth: Int = CmDepth): String = {
+    val buildRows = (0 until depth).map(r =>
+      s"SELECT $r AS r, ${cmBucketSql("word", r, width)} AS bucket FROM tok").mkString("\n UNION ALL ")
+    val probeRows = (0 until depth).map(r =>
+      s"SELECT word, $r AS r, ${cmBucketSql("word", r, width)} AS bucket FROM dk").mkString("\n UNION ALL ")
+    s"""WITH tok AS ($tokenCte),
+       |th AS (SELECT greatest(2, CAST(count(*) * $ppm AS BIGINT) // 1000000) AS thr FROM tok),
+       |bk AS (SELECT r, bucket, count(*) AS cnt FROM ($buildRows) GROUP BY 1, 2),
+       |dk AS (SELECT DISTINCT word FROM tok),
+       |pb AS ($probeRows),
+       |cand AS (SELECT word, min(coalesce(cnt, 0)) AS cm_est
+       |         FROM pb LEFT JOIN bk USING (r, bucket)
+       |         GROUP BY 1
+       |         HAVING min(coalesce(cnt, 0)) >= (SELECT thr FROM th)),
+       |ex AS (SELECT tok.word, count(*) AS n_exact
+       |       FROM tok JOIN cand USING (word) GROUP BY 1)
+       |SELECT cand.word, n_exact, cm_est,
+       |       cm_est - n_exact AS overcount,
+       |       n_exact >= (SELECT thr FROM th) AS is_heavy
+       |FROM cand JOIN ex USING (word)""".stripMargin
+  }
 }

@@ -646,6 +646,95 @@ object DomainQueries {
       |       count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- schema evolution
+  /** Schema drift across parquet generations — the 100 TB reality that
+    * a corpus is written over months by evolving jobs: generation 1
+    * lacks the `lang` column, generation 2 carries it. The read side
+    * must union BY NAME (`mergeSchema`), serving nulls for columns a
+    * file predates, and partition discovery must type the `gen` dir
+    * key. The oracle recomputes the same split from the source table,
+    * so a mis-merged schema (column collapse, wrong null fill) flips
+    * the hash. At scale, mergeSchema's footer-sampling cost is paid
+    * once per read, not per file — the layout itself stays splittable.
+    */
+  val schemaEvolution: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_schemaevo_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    // gen 1: the original writer's narrow schema (even ids)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(root + "/gen=1")
+    // gen 2: the evolved writer adds `lang` (odd ids)
+    docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "source", "n_chars", "lang")
+      .write.mode("overwrite").parquet(root + "/gen=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .withColumn("gen", col("gen").cast("int"))
+      .groupBy("gen")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("lang")).as("n_with_lang"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct("source").as("n_sources"))
+  }
+  val schemaEvolutionSql: String =
+    """SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS gen,
+      |       count(*) AS n_docs,
+      |       count(CASE WHEN doc_id % 2 = 1 THEN lang END) AS n_with_lang,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       count(DISTINCT source) AS n_sources
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- snapshot diff
+  /** Corpus-refresh audit: what changed between snapshot A and B?
+    * Each side is projected to (id, xxhash64(text)) BEFORE the join, so
+    * the full-outer equi-join shuffles 16 bytes per row — the wide text
+    * column never rides the exchange; at 100 TB that is the difference
+    * between diffing ids and re-shipping the corpus. The oracle
+    * compares text equality directly (DuckDB has no xxhash64) — the
+    * two agree except under a 64-bit hash collision, which is the same
+    * trade a production snapshot differ makes.
+    */
+  val snapshotDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_snapdiff_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    docs.filter(col("doc_id") <= 400).select("doc_id", "text")
+      .write.mode("overwrite").parquet(root + "/snap_a")
+    docs.filter(col("doc_id").between(201, 600))
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")).as("text"))
+      .write.mode("overwrite").parquet(root + "/snap_b")
+    val a = s.read.parquet(root + "/snap_a")
+      .select(col("doc_id"), xxhash64(col("text")).as("h_a"))
+    val b = s.read.parquet(root + "/snap_b")
+      .select(col("doc_id"), xxhash64(col("text")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+  val snapshotDiffSql: String =
+    """WITH a AS (SELECT doc_id, text FROM documents WHERE doc_id <= 400),
+      |     b AS (SELECT doc_id,
+      |                  CASE WHEN doc_id % 7 = 0 THEN text || '!' ELSE text END AS text
+      |           FROM documents WHERE doc_id BETWEEN 201 AND 600),
+      |     j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |                  CASE WHEN a.doc_id IS NULL THEN 'added'
+      |                       WHEN b.doc_id IS NULL THEN 'removed'
+      |                       WHEN a.text IS DISTINCT FROM b.text THEN 'changed'
+      |                       ELSE 'unchanged' END AS status
+      |           FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT status, count(*) AS n_rows, min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM j GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- table profiling
   /** One-pass profile of the orders table (columns restricted to types
     * whose string rendering agrees across engines: longs and strings —
@@ -699,6 +788,42 @@ object DomainQueries {
       |       c_custkey * 100 AS created_at
       |FROM customer
       |WHERE c_custkey <= 500 AND c_custkey BETWEEN 1 AND 40 AND c_custkey % 3 = 1""".stripMargin
+
+  /** Aggregate pushdown through the connector (same seeded store as
+    * [[itemsConnector]]): the group-by COUNT/MIN/MAX is pushed
+    * COMPLETELY into the source — the "API" answers the count query,
+    * Spark plans no aggregate at all (plan-asserted in
+    * ItemsSourceSpec; PushdownSpec sweeps this plan too). At 100 TB
+    * this is per-group numbers over the wire instead of every cell.
+    */
+  val itemsAgg: Q = (s, d) => {
+    import graft.sources.v2.{ItemsSource, ItemsStore}
+    val store = ("q_items_" + d).replaceAll("[^a-zA-Z0-9]", "_")
+    ItemsStore.seedOnce(store) {
+      Tables.customer(s, d).filter(col("c_custkey") <= 500)
+        .select(col("c_custkey").as("item_id"),
+          concat(lit("col"), pmod(col("c_custkey"), lit(3))).as("column_id"),
+          col("c_name").as("text"),
+          (col("c_custkey") * 100).as("created_at"))
+        .collect().map(r =>
+          ItemsStore.Cell(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    }
+    s.read.format(ItemsSource.ShortName).option("store", store).load()
+      .groupBy("column_id")
+      .agg(count(lit(1)).as("n_cells"),
+        min(col("item_id")).as("min_item"),
+        max(col("item_id")).as("max_item"),
+        count(col("text")).as("n_text"))
+  }
+  val itemsAggSql: String =
+    """SELECT 'col' || CAST(c_custkey % 3 AS VARCHAR) AS column_id,
+      |       count(*) AS n_cells,
+      |       min(c_custkey) AS min_item,
+      |       max(c_custkey) AS max_item,
+      |       count(c_name) AS n_text
+      |FROM customer
+      |WHERE c_custkey <= 500
+      |GROUP BY 1""".stripMargin
 
   /** The connector WRITE path under the driver gate: cells derived from
     * orders are written THROUGH `graft-items` (idempotent keyed
@@ -1165,8 +1290,11 @@ object DomainQueries {
     "q_zorder" -> zorder,
     "q_user_features" -> userFeatures,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_schema_evolution" -> schemaEvolution,
+    "q_snapshot_diff" -> snapshotDiff,
     "q_fk_audit" -> fkAudit,
     "q_items_connector" -> itemsConnector,
+    "q_items_agg" -> itemsAgg,
     "q_profile" -> profileTable,
     "q_structure_lot" -> structureLot,
     "q_upload_plan" -> uploadPlan,
@@ -1193,6 +1321,8 @@ object DomainQueries {
     "q_zorder" -> zorderSql,
     "q_user_features" -> userFeaturesSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_schema_evolution" -> schemaEvolutionSql,
+    "q_snapshot_diff" -> snapshotDiffSql,
     "q_fk_audit" -> fkAuditSql,
     "q_files_payload" -> filesPayloadSql,
     "q_binary_meta" -> binaryMetaSql,
@@ -1208,6 +1338,7 @@ object DomainQueries {
     "q_gif_keyframes" -> gifKeyframesSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
+    "q_items_agg" -> itemsAggSql,
     "q_profile" -> profileTableSql,
     "q_structure_lot" -> structureLotSql,
     "q_upload_plan" -> uploadPlanSql,

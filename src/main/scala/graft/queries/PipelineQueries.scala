@@ -760,6 +760,23 @@ object PipelineQueries {
     Sketches.cmEstimatesSql(
       s"SELECT unnest(${wordsSql("text")}) AS k FROM documents", CmProbes, CmWidth)
 
+  /** Two-pass heavy hitters over the document token stream: bounded CM
+    * candidates at ≥0.1% of token mass, exact verify over the sliver
+    * ([[Sketches.heavyHitters]] for the full scale rationale). Tokens
+    * keep the curation discipline (empty tokens from repeated
+    * separators excluded) so counts agree with the funnel layer.
+    */
+  private val HhPpm = 1000L
+  val heavyHittersQ: Q = (s, d) =>
+    Sketches.heavyHitters(
+      Tables.documents(s, d).select(explode(words(col("text"))).as("k"))
+        .filter(length(col("k")) > 0),
+      col("k"), CmWidth, HhPpm)
+  val heavyHittersSqlQ: String =
+    Sketches.heavyHittersSql(
+      s"SELECT word FROM (SELECT unnest(${wordsSql("text")}) AS word FROM documents) WHERE length(word) > 0",
+      CmWidth, HhPpm)
+
   /** Bloom-mask decontamination triage: the probe docs' 4-gram set
     * compressed to a 2^16-bit broadcast mask (8 KiB), each corpus doc
     * counting flagged grams with k=4 bit probes per gram — no corpus
@@ -2142,6 +2159,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrum,
     "q_langid_eval" -> langIdEval,
     "q_cm_sketch" -> cmSketchEst,
+    "q_heavy_hitters" -> heavyHittersQ,
     "q_bloom_contam" -> bloomContam,
     "q_hll" -> hllSketch,
     "q_novelty" -> novelty,
@@ -2236,6 +2254,7 @@ object PipelineQueries {
     "q_freq_spectrum" -> freqSpectrumSql,
     "q_langid_eval" -> langIdEvalSql,
     "q_cm_sketch" -> cmSketchEstSql,
+    "q_heavy_hitters" -> heavyHittersSqlQ,
     "q_bloom_contam" -> bloomContamSql,
     "q_hll" -> hllSketchSql,
     "q_novelty" -> noveltySql,

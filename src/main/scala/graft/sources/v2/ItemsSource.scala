@@ -3,7 +3,8 @@ package graft.sources.v2
 import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
@@ -115,9 +116,12 @@ class ItemsTable(store: String) extends Table with SupportsRead with SupportsWri
 }
 
 class ItemsScanBuilder(store: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ItemsSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
 
   /** Accept the predicates the API itself can evaluate (the `ids:[...]`
     * arguments); everything else stays in Spark.
@@ -133,15 +137,164 @@ class ItemsScanBuilder(store: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ItemsScan(store, pushed, required)
+
+  // ---- aggregate pushdown: the API-side COUNT/MIN/MAX the reference's
+  // GraphQL count queries would serve. The external system computes the
+  // aggregate in ONE call; at 100 TB this is the difference between
+  // shipping every cell across the network to count it and shipping one
+  // number per group.
+  private def fieldOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+  private def supportedAgg(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => !c.isDistinct && fieldOf(c.column).isDefined
+    case m: Min => fieldOf(m.column).isDefined
+    case m: Max => fieldOf(m.column).isDefined
+    case _ => false
+  }
+  /** The stand-in (like the modeled API) returns FINAL aggregates — one
+    * row per group, already merged — so a pushed aggregation is always
+    * complete: Spark plans no partial/final agg on top at all.
+    */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.forall(e => fieldOf(e).isDefined) &&
+      agg.aggregateExpressions.forall(supportedAgg)
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!supportCompletePushDown(agg)) false
+    else { pushedAgg = Some(agg); true }
+
+  /** LIMIT reaches the page planner: only ceil(limit / PageSize) API
+    * pages are fetched instead of the whole id space. Spark keeps its
+    * own Limit on top (`isPartiallyPushed` default), so the contract
+    * stays safe; the win is rows-not-fetched.
+    */
+  override def pushLimit(limit: Int): Boolean = { pushedLimit = Some(limit); true }
+
+  override def build(): Scan = pushedAgg match {
+    // aggregation replaces the row scan entirely; `required` no longer
+    // applies (the output schema IS the aggregate schema)
+    case Some(agg) => new ItemsAggScan(store, pushed, agg)
+    case None => new ItemsScan(store, pushed, required, pushedLimit)
+  }
 }
 
-class ItemsScan(store: String, pushed: Array[Filter], required: StructType)
+/** Scan that serves a completely-pushed aggregation: the "API" (the
+  * in-JVM store stand-in) evaluates group-by + COUNT/MIN/MAX itself and
+  * the connector returns the final one-row-per-group result as a single
+  * page — the connector analog of a GraphQL count query. Evaluation
+  * happens at partition PLANNING (driver), exactly where a production
+  * connector would issue the one aggregate API call; the result rows
+  * ride to the executor inside the partition handle.
+  */
+class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
+    extends Scan with Batch {
+  import ItemsAggScan._
+
+  private val groupCols: Seq[String] =
+    agg.groupByExpressions.toSeq.map(e => fieldNameOf(e)
+      .getOrElse(throw new IllegalStateException(s"unsupported group expr $e")))
+  private val aggFns: Seq[AggregateFunc] = agg.aggregateExpressions.toSeq
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => ItemsSource.schema(c)) ++
+      aggFns.zipWithIndex.map { case (f, i) => f match {
+        case _: CountStar => StructField(s"count_star_$i", LongType, nullable = false)
+        case c: Count => StructField(s"count_$i", LongType, nullable = false)
+        case m: Min => StructField(s"min_$i", colType(fieldNameOf(m.column).get), nullable = true)
+        case m: Max => StructField(s"max_$i", colType(fieldNameOf(m.column).get), nullable = true)
+        case other => throw new IllegalStateException(s"unsupported agg $other")
+      }})
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")} " +
+      s"pushedAgg=[${aggFns.mkString(", ")}] groupBy=[${groupCols.mkString(", ")}]"
+
+  private def keep(c: ItemsStore.Cell): Boolean = pushed.forall {
+    case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
+    case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
+    case EqualTo("column_id", v) => v != null && c.columnId == v
+    case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
+    case _ => true
+  }
+
+  private def cellValue(c: ItemsStore.Cell, col: String): Any = col match {
+    case "item_id" => c.itemId
+    case "column_id" => c.columnId
+    case "text" => c.text
+    case "created_at" => c.createdAt
+  }
+
+  /** One partition carrying the final aggregate rows (the single API
+    * response). Values are plain JVM types; the reader converts.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cells = ItemsStore.get(store).filter(keep)
+    val groups: Seq[(Seq[Any], Seq[ItemsStore.Cell])] =
+      if (groupCols.isEmpty) Seq((Seq.empty, cells))
+      else cells.groupBy(c => groupCols.map(g => cellValue(c, g)))
+        .toSeq.sortBy(_._1.mkString(" "))
+    val rows: Array[Array[Any]] = groups.map { case (key, gs) =>
+      (key ++ aggFns.map {
+        case _: CountStar => gs.size.toLong
+        case c: Count =>
+          val col = fieldNameOf(c.column).get
+          gs.count(g => cellValue(g, col) != null).toLong
+        case m: Min => minMax(gs, fieldNameOf(m.column).get, isMin = true)
+        case m: Max => minMax(gs, fieldNameOf(m.column).get, isMin = false)
+        case other => throw new IllegalStateException(s"unsupported agg $other")
+      }).toArray
+    }.toArray
+    Array(ItemsAggPage(rows))
+  }
+  override def createReaderFactory(): PartitionReaderFactory = new ItemsAggReaderFactory
+}
+
+object ItemsAggScan {
+  def fieldNameOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+    case _ => None
+  }
+  def colType(name: String): DataType = ItemsSource.schema(name).dataType
+  private[v2] def minMax(gs: Seq[ItemsStore.Cell], col: String, isMin: Boolean): Any = {
+    def pick[T](vs: Seq[T])(implicit o: Ordering[T]): Any =
+      if (vs.isEmpty) null else if (isMin) vs.min else vs.max
+    col match {
+      case "item_id" => pick(gs.map(_.itemId))
+      case "created_at" => pick(gs.map(_.createdAt))
+      case "column_id" => pick(gs.map(_.columnId))
+      case "text" => pick(gs.map(_.text).filter(_ != null))
+    }
+  }
+}
+
+case class ItemsAggPage(rows: Array[Array[Any]]) extends InputPartition
+
+class ItemsAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[ItemsAggPage].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        rows(i).toIndexedSeq.map {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        })
+      override def close(): Unit = ()
+    }
+  }
+}
+
+class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
+                limit: Option[Int] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")}"
+    s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")}" +
+      limit.map(l => s" pushedLimit=$l").getOrElse("")
 
   // The DSv2 Filter contract allows null values inside In (and EqualTo):
   // `IN (..., NULL)` matches nothing for the null element — it must not
@@ -155,19 +308,24 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType)
   }
 
   /** One partition per PageSize distinct item ids — the reference's
-    * chunked API paging as Spark's unit of parallelism.
+    * chunked API paging as Spark's unit of parallelism. A pushed LIMIT
+    * truncates the CELL stream (sorted by key, so deterministic) and
+    * pages only the ids that survive — `LIMIT n` fetches at most
+    * ceil(n / PageSize) pages instead of the whole id space.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val matching = ItemsStore.get(store).filter(keep)
+    val matching0 = ItemsStore.get(store).filter(keep)
+    val matching = limit.map(matching0.take).getOrElse(matching0)
     matching.map(_.itemId).distinct.sorted
       .grouped(ItemsSource.PageSize)
-      .map(ids => ItemsPage(store, ids.toArray, pushed): InputPartition)
+      .map(ids => ItemsPage(store, ids.toArray, pushed, limit): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = new ItemsReaderFactory(required)
 }
 
-case class ItemsPage(store: String, itemIds: Array[Long], pushed: Array[Filter])
+case class ItemsPage(store: String, itemIds: Array[Long], pushed: Array[Filter],
+                     limit: Option[Int] = None)
     extends InputPartition
 
 class ItemsReaderFactory(required: StructType) extends PartitionReaderFactory {
@@ -183,13 +341,16 @@ class ItemsReaderFactory(required: StructType) extends PartitionReaderFactory {
 class ItemsPageReader(page: ItemsPage, required: StructType)
     extends PartitionReader[InternalRow] {
   private val ids = page.itemIds.toSet
-  private val it = ItemsStore.get(page.store).iterator
+  private val it0 = ItemsStore.get(page.store).iterator
     .filter(c => ids.contains(c.itemId))
     .filter(c => page.pushed.forall {
       case EqualTo("column_id", v) => v != null && c.columnId == v
       case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
       case _ => true
     })
+  // a pushed LIMIT caps what each page fetches (Spark's own Limit on
+  // top enforces the exact global count — isPartiallyPushed contract)
+  private val it = page.limit.map(it0.take).getOrElse(it0)
   private var current: ItemsStore.Cell = _
 
   override def next(): Boolean = {

@@ -118,6 +118,9 @@ class PushdownSpec extends SparkSpec {
     //     histogram joined against its own broadcast under bin_a >=
     //     bin_b; both sides bounded by the fixed grid regardless of
     //     data size (same shape as Structure.withSeqId's triangle).
+    //   - q_heavy_hitters: the distinct-vocab rows meet the single
+    //     broadcast threshold row (k×1) before the candidate filter —
+    //     same bounded shape as the mix/curation totals joins below.
     //   - q_mix_temperature / q_mix_plan: the per-source weight rows
     //     (k = distinct sources) meet the single normalizing-totals
     //     row — a k×1 join of two aggregate outputs, both sides
@@ -134,7 +137,7 @@ class PushdownSpec extends SparkSpec {
       "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
       "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality",
-      "q_probe_auc")
+      "q_probe_auc", "q_heavy_hitters")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")

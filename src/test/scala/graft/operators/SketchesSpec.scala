@@ -152,4 +152,36 @@ class SketchesSpec extends SparkSpec {
     assert(out(0) === ((1L, 3L, 3L))) // 6 words → 3 distinct 4-grams, all flagged
     assert(out(1)._3 === 0L) // novel doc: zero flags (no false positives here)
   }
+
+  test("heavyHitters misses no true heavy hitter and never undercounts (CM one-sided)") {
+    // 10_000 tokens: 'hot' ×600 (6%), 'warm' ×120 (1.2%), the rest a
+    // long tail of singletons. ppm=10_000 (1%) → threshold 100.
+    val tokens = (Seq.fill(600)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 9280).map(i => s"tail$i")).toDF("k")
+    val out = Sketches.heavyHitters(tokens, $"k", width = 512, ppm = 10000L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    val byWord = out.map(r => r._1 -> r).toMap
+    // no false negatives: both true hitters present, exact, flagged
+    assert(byWord("hot") === (("hot", 600L, byWord("hot")._3, byWord("hot")._4, true)))
+    assert(byWord("warm")._2 === 120L && byWord("warm")._5)
+    // CM never undercounts: estimate >= exact for every candidate
+    out.foreach { case (w, exact, est, over, _) =>
+      assert(est >= exact && over === est - exact, s"undercount for $w")
+    }
+    // false candidates (collision strays) are visible but not heavy
+    out.filter(r => r._1 != "hot" && r._1 != "warm").foreach(r => assert(!r._5, r.toString))
+  }
+
+  test("heavyHitters threshold floors at 2: singleton vocab never floods the candidate set") {
+    // 100 distinct singletons, ppm=1e6 would give threshold 100·1/1e6=0
+    // without the floor → every token a candidate; the floor keeps the
+    // candidate set to tokens seen at least twice
+    val tokens = ((1 to 100).map(i => s"w$i") ++ Seq("dup", "dup", "dup")).toDF("k")
+    val out = Sketches.heavyHitters(tokens, $"k", width = 512, ppm = 1L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(out.exists(r => r._1 == "dup" && r._2 === 3L && r._5))
+    // every surviving candidate owes its estimate to a real >=2 bucket,
+    // and only 'dup' is truly heavy
+    assert(out.filter(_._5).map(_._1).toSeq === Seq("dup"))
+  }
 }

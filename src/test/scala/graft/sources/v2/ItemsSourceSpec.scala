@@ -110,4 +110,71 @@ class ItemsSourceSpec extends SparkSpec {
     assert(viaConnector === direct && viaConnector.nonEmpty)
     ItemsStore.drop("s_rt")
   }
+
+  test("group-by aggregate pushes COMPLETELY into the source (no Spark-side agg)") {
+    ItemsStore.put("s_agg", (1L to 100L).map(i =>
+      ItemsStore.Cell(i, s"col${i % 3}", if (i % 10 == 0) null else s"t$i", i * 7)))
+    val df = load("s_agg").groupBy("column_id")
+      .agg(count(lit(1)).as("n_cells"), min("item_id").as("min_item"),
+        max("item_id").as("max_item"), count("text").as("n_text"))
+    val plan = df.queryExecution.executedPlan.toString
+    // complete pushdown: the aggregate is served by the scan — no
+    // HashAggregate, no exchange, pushedAgg visible in the description
+    assert(plan.contains("pushedAgg=["), plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    val got = df.as[(String, Long, Long, Long, Long)].collect().toSet
+    // col0: 3,6,...,99 (34 ids incl 99? ids 3..99 step 3 = 33) — compute directly instead
+    val expect = (1L to 100L).map(i => (s"col${i % 3}", i, if (i % 10 == 0) null else s"t$i"))
+      .groupBy(_._1).map { case (k, vs) =>
+        (k, vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max,
+          vs.count(_._3 != null).toLong) }.toSet
+    assert(got === expect)
+    ItemsStore.drop("s_agg")
+  }
+
+  test("global (no group-by) COUNT/MIN/MAX pushes down and matches") {
+    ItemsStore.put("s_gagg", (1L to 57L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    val df = load("s_gagg").agg(count(lit(1)).as("n"), max("created_at").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[") && !plan.contains("HashAggregate"), plan)
+    assert(df.as[(Long, Long)].collect().toSeq === Seq((57L, 57L)))
+    ItemsStore.drop("s_gagg")
+  }
+
+  test("aggregate pushdown composes with pushed filters") {
+    ItemsStore.put("s_fagg", (1L to 40L).map(i =>
+      ItemsStore.Cell(i, s"col${i % 2}", s"t$i", i)))
+    val df = load("s_fagg").filter($"column_id" === "col1")
+      .agg(count(lit(1)).as("n"), min("item_id").as("mn"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedAgg=[") && plan.contains("column_id"), plan)
+    assert(df.as[(Long, Long)].collect().toSeq === Seq((20L, 1L)))
+    ItemsStore.drop("s_fagg")
+  }
+
+  test("unsupported aggregates (avg, distinct) fall back to a Spark-side agg — still correct") {
+    ItemsStore.put("s_avg", (1L to 10L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    val df = load("s_avg").agg(avg("created_at").as("a"),
+      countDistinct("column_id").as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("pushedAgg=["), plan)
+    assert(df.as[(Double, Long)].collect().toSeq === Seq((5.5, 1L)))
+    ItemsStore.drop("s_avg")
+  }
+
+  test("LIMIT pushes into page planning: fewer pages fetched, exact count kept") {
+    // 300 distinct ids = 6 full pages unpushed; LIMIT 10 must plan 1
+    ItemsStore.put("s_lim", (1L to 300L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    val df = load("s_lim").limit(10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedLimit=10"), plan)
+    assert(df.count() === 10)
+    // page pruning, asserted at the scan itself: 6 pages unlimited, 1 limited
+    val unlimited = new ItemsScanBuilder("s_lim").build().toBatch.planInputPartitions()
+    assert(unlimited.length === 6)
+    val sb = new ItemsScanBuilder("s_lim")
+    assert(sb.pushLimit(10))
+    assert(sb.build().toBatch.planInputPartitions().length === 1)
+    ItemsStore.drop("s_lim")
+  }
 }
