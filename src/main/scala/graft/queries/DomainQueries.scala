@@ -467,6 +467,70 @@ object DomainQueries {
       |     + abs((((7 * d.doc_id + t.frame) % 216) % 6) * 51
       |         - (((7 * d.doc_id + t.frame - 1) % 216) % 6) * 51) >= 96)""".stripMargin
 
+  /** The AVI container twin of q_gif_frames: metadata parse (count,
+    * geometry, fps from strh's rate/scale) + per-frame mean luminance
+    * over the uncompressed-DIB fixture, whose pixels are byte-exact —
+    * so DuckDB recomputes every output, gating the RIFF chunk walk,
+    * the bottom-up BGR row decode and the shared luma fold from
+    * doc_id alone.
+    */
+  val aviFrames: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("avi", graft.functions.AviOps.synthAvi(col("doc_id") * 11,
+        (lit(2) + col("doc_id") % 3).cast("int"),
+        (lit(8) + (col("doc_id") % 2) * 4).cast("int"), lit(6)))
+      .withColumn("info", graft.functions.AviOps.aviInfo(col("avi")))
+      .select(col("doc_id"),
+        col("info.n_frames").as("n_frames"),
+        col("info.width").as("width"),
+        col("info.height").as("height"),
+        col("info.fps").as("fps"),
+        posexplode(graft.functions.AviOps.frameLumas(col("avi"))).as(Seq("frame", "luma")))
+      .select(col("doc_id"), col("n_frames"), col("width"), col("height"), col("fps"),
+        col("frame").cast("long").as("frame"), col("luma"))
+  val aviFramesSql: String =
+    """SELECT d.doc_id,
+      |       CAST(2 + d.doc_id % 3 AS BIGINT) AS n_frames,
+      |       CAST(8 + (d.doc_id % 2) * 4 AS BIGINT) AS width,
+      |       CAST(6 AS BIGINT) AS height,
+      |       CAST(10 AS BIGINT) AS fps,
+      |       t.frame,
+      |       CAST((77 * (((11 * d.doc_id + t.frame) % 216) // 36) * 51
+      |           + 150 * ((((11 * d.doc_id + t.frame) % 216) // 6) % 6) * 51
+      |           + 29 * (((11 * d.doc_id + t.frame) % 216) % 6) * 51) // 256
+      |         AS BIGINT) AS luma
+      |FROM documents d, generate_series(0, 3) t(frame)
+      |WHERE t.frame < 2 + d.doc_id % 3""".stripMargin
+
+  /** B6's frame-wise JPEG re-encode on a REAL video container: DIB
+    * fixture → decode every frame → JPEG at q=80 → assemble a
+    * Motion-JPEG AVI → parse THAT. The oracle pins the re-encoded
+    * container's metadata (count/geometry/fps survive the transcode);
+    * the pixel-level decode fidelity is unit-tested (AviCodecSpec) —
+    * JPEG bytes are codec-internal and deliberately outside the
+    * cross-engine hash.
+    */
+  val aviTranscode: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("avi", graft.functions.AviOps.synthAvi(col("doc_id") * 11,
+        (lit(2) + col("doc_id") % 3).cast("int"), lit(16), lit(8)))
+      .withColumn("mjpeg", graft.functions.AviOps.toMjpeg(col("avi"), lit(80)))
+      .withColumn("info", graft.functions.AviOps.aviInfo(col("mjpeg")))
+      .select(col("doc_id"),
+        col("info.n_frames").as("n_frames"),
+        col("info.width").as("width"),
+        col("info.height").as("height"),
+        col("info.fps").as("fps"),
+        (length(col("mjpeg")) > 0).as("nonempty"))
+  val aviTranscodeSql: String =
+    """SELECT doc_id,
+      |       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+      |       CAST(16 AS BIGINT) AS width,
+      |       CAST(8 AS BIGINT) AS height,
+      |       CAST(10 AS BIGINT) AS fps,
+      |       TRUE AS nonempty
+      |FROM documents""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -1285,6 +1349,8 @@ object DomainQueries {
     "q_gif_frames" -> gifFrames,
     "q_gif_scene" -> gifScene,
     "q_gif_keyframes" -> gifKeyframes,
+    "q_avi_frames" -> aviFrames,
+    "q_avi_transcode" -> aviTranscode,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -1336,6 +1402,8 @@ object DomainQueries {
     "q_gif_frames" -> gifFramesSql,
     "q_gif_scene" -> gifSceneSql,
     "q_gif_keyframes" -> gifKeyframesSql,
+    "q_avi_frames" -> aviFramesSql,
+    "q_avi_transcode" -> aviTranscodeSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_items_agg" -> itemsAggSql,

@@ -106,10 +106,7 @@ object GifCodec {
   }
 
   /** The web-safe color cube (216 colors): GIF-exact by construction. */
-  @inline private def webSafe(i: Long): Int = {
-    val v = java.lang.Math.floorMod(i, 216L).toInt
-    ((v / 36) * 0x33 << 16) | (((v / 6) % 6) * 0x33 << 8) | ((v % 6) * 0x33)
-  }
+  @inline private def webSafe(i: Long): Int = FrameAnalysis.webSafe(i)
 
   /** Deterministic animated-GIF fixture: `nFrames` solid web-safe
     * frames (frame k is color `webSafe(seed + k)`) at w×h. Solid
@@ -170,28 +167,12 @@ object GifCodec {
     motionOf(frames)
   }
 
-  /** The shared consecutive-frame delta fold; null when any adjacent
-    * pair's geometries differ. Callers guard length >= 2.
+  /** The shared consecutive-frame delta fold ([[FrameAnalysis.motion]]);
+    * null when any adjacent pair's geometries differ. Callers guard
+    * length >= 2.
     */
-  private def motionOf(frames: Array[ImageCodec.Px]): Array[Long] = {
-    val out = new Array[Long](frames.length - 1)
-    var k = 1
-    while (k < frames.length) {
-      val a = frames(k - 1).rgb; val c = frames(k).rgb
-      if (a.length != c.length) return null
-      var sum = 0L; var i = 0
-      while (i < a.length) {
-        val x = a(i); val y = c(i)
-        sum += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
-          math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
-          math.abs((x & 0xff) - (y & 0xff))
-        i += 1
-      }
-      out(k - 1) = math.round(sum.toDouble / a.length)
-      k += 1
-    }
-    out
-  }
+  private def motionOf(frames: Array[ImageCodec.Px]): Array[Long] =
+    FrameAnalysis.motion(frames)
 
   /** Both analysis arrays from ONE container decode: `(lumas, motion)`
     * — the fused form [[graft.functions.GifAnalyzeExpr]] projects when
@@ -207,14 +188,5 @@ object GifCodec {
     if (frames.length < 2) (lumas, null) else (lumas, motionOf(frames))
   }
 
-  private def meanLuma(f: ImageCodec.Px): Long = {
-    var sum = 0L
-    var i = 0
-    while (i < f.rgb.length) {
-      val c = f.rgb(i)
-      sum += (77 * ((c >> 16) & 0xff) + 150 * ((c >> 8) & 0xff) + 29 * (c & 0xff)) >> 8
-      i += 1
-    }
-    math.round(sum.toDouble / f.rgb.length)
-  }
+  private def meanLuma(f: ImageCodec.Px): Long = FrameAnalysis.meanLuma(f)
 }

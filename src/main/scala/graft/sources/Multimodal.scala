@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   * container via [[PdfCodec]]/[[SignOps]], all behind the codegen'd
   * expressions in `graft.functions.ImageExprs`/`PdfExprs`, and WAV
   * audio parses/analyzes/resamples for real via [[AudioCodec]]
-  * (`graft.functions.AudioExprs`). Only VIDEO payloads remain on the
-  * clearly-marked deterministic stub below (the JDK ships no video
-  * codec) — the typed expressions null-propagate on them and the
+  * (`graft.functions.AudioExprs`), and VIDEO runs on two real
+  * containers — animated GIF ([[GifCodec]]) and RIFF-AVI with
+  * DIB/Motion-JPEG frames ([[AviCodec]], `graft.functions.AviExprs`).
+  * Only codec-bound video formats (H.264/VP9/AV1 — native libraries
+  * the container lacks) remain on the clearly-marked deterministic
+  * stub below — the typed expressions null-propagate on them and the
   * query layer coalesces onto the stub. Everything Spark-side is real and tested:
   * the BinaryType schema, the `binaryFile` source, the expression-level
   * transform plumbing (seeded, codegen'd — never a Python-style row
@@ -46,8 +49,9 @@ object Multimodal {
   /** Stand-in transform for codec-less payloads: a deterministic,
     * seeded BinaryType→BinaryType digest of content + seed. Image
     * payloads use the REAL codec ([[scanEffect]] below), PDFs the
-    * real container ([[PdfCodec]]) and WAV audio [[AudioCodec]]; this
-    * stub remains only for video bytes.
+    * real container ([[PdfCodec]]), WAV audio [[AudioCodec]] and
+    * GIF/AVI video [[GifCodec]]/[[AviCodec]]; this stub remains only
+    * for codec-bound video bytes (H.264/VP9/AV1).
     */
   def scanEffectStub(bin: Column, seed: String): Column =
     unhex(md5(concat(hex(bin), lit(seed))))
@@ -106,10 +110,11 @@ object Multimodal {
                            width: Int, height: Int, feature: Double)
 
   /** STUB decode for payloads with NO real codec in this engine
-    * (video): deterministic fake dimensions/feature derived from the
-    * bytes — same signature and batch shape a real decoder slots
-    * into. Images ([[ImageCodec]]), PDFs ([[PdfCodec]]) and WAV audio
-    * ([[AudioCodec]]) decode for real in [[decodeMedia]].
+    * (codec-bound video: H.264/VP9/AV1): deterministic fake
+    * dimensions/feature derived from the bytes — same signature and
+    * batch shape a real decoder slots into. Images ([[ImageCodec]]),
+    * PDFs ([[PdfCodec]]), AVI/GIF video ([[AviCodec]]/[[GifCodec]])
+    * and WAV audio ([[AudioCodec]]) decode for real in [[decodeMedia]].
     */
   def decodeStub(d: MediaDoc): MediaFeatures = {
     val n = d.content.length
@@ -123,9 +128,10 @@ object Multimodal {
   /** REAL decode for image payloads (pixel dimensions + mean
     * luminance from [[ImageCodec]]), PDF payloads (first-page media
     * box in points + mean luminance of the page-1 raster from
-    * [[PdfCodec]]) and WAV audio (sample rate, channels, normalized
-    * RMS loudness from [[AudioCodec]]); video falls back to the
-    * documented stub.
+    * [[PdfCodec]]), AVI video (geometry + normalized mean frame luma
+    * from [[AviCodec]]) and WAV audio (sample rate, channels,
+    * normalized RMS loudness from [[AudioCodec]]); codec-bound video
+    * falls back to the documented stub.
     */
   def decodeMedia(d: MediaDoc): MediaFeatures =
     if (ImageCodec.isImage(d.content)) {
@@ -141,6 +147,16 @@ object Multimodal {
         MediaFeatures(d.doc_id, d.mime, d.content.length,
           width = (info(1) / 100).toInt, height = (info(2) / 100).toInt,
           feature = if (png == null) 0.0 else ImageCodec.meanLuma(png) / 255.0)
+      }
+    } else if (AviCodec.isAvi(d.content)) {
+      val info = AviCodec.aviInfo(d.content)
+      if (info == null) decodeStub(d)
+      else {
+        val lumas = AviCodec.frameLumas(d.content)
+        MediaFeatures(d.doc_id, d.mime, d.content.length,
+          width = info(1).toInt, height = info(2).toInt,
+          feature = if (lumas == null || lumas.isEmpty) 0.0
+                    else math.min(1.0, lumas.sum.toDouble / (255.0 * lumas.length)))
       }
     } else if (AudioCodec.isWav(d.content)) {
       val info = AudioCodec.wavInfo(d.content)
