@@ -46,18 +46,22 @@ object Graph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = DefaultIters): DataFrame = {
     require(iters >= 1, s"need iters >= 1, got $iters")
-    val n = nodes.count()
+    // pin the node list once: `nodes` is typically a distinct() over the
+    // full corpus, and every iteration left-joins it — without this the
+    // corpus scan would re-execute per round (10 scans at 100 TB)
+    val nd = nodes.select("node").localCheckpoint(true)
+    val n = nd.count()
     require(n > 0, "pageRank needs a non-empty node set")
     val base = (Scale - DampPpm) / n
     val ew = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("outd")), Seq("src"))
       .localCheckpoint(true)
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("r"))
+    var ranks = nd.select(col("node"), lit(Scale / n).as("r"))
     for (_ <- 1 to iters) {
       val in = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"), expr("r div outd").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("acc"))
-      ranks = nodes.join(in, nodes("node") === in("dst"), "left")
+      ranks = nd.join(in, nd("node") === in("dst"), "left")
         .select(col("node"),
           (lit(base) + expr(s"$DampPpm * coalesce(acc, 0L) div $Scale")).as("r"))
         .localCheckpoint(true)
