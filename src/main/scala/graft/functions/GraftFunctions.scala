@@ -11,7 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `norm`, `file_ext`, `infer_mime`, `ext_from_name_or_mime`,
   * `sanitize_name`, `signed_filename`, `escape_for_q`, `stable_hash60`
   * directly — the same expressions the Column API builds, so plans and
-  * codegen are identical either way.
+  * codegen are identical either way. The media-codec surface
+  * (`image_info`/`synth_image`/`scan_seeded`/…, `pdf_*`, `wav_info`/
+  * `audio_*`, `gif_*`, `avi_*`) registers the same way, so a pure-SQL
+  * user can drive the real containers end-to-end.
   */
 object GraftFunctions {
 
@@ -34,15 +37,57 @@ object GraftFunctions {
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {
-      import org.apache.spark.sql.catalyst.expressions.Literal
-      val dim = GraftExpr.toExpr(a(2)) match {
-        case Literal(v: Int, _) => v
-        case Literal(v: Long, _) => v.toInt
-        case other => throw new IllegalArgumentException(
-          s"dot_fold dim must be a literal integer, got $other")
-      }
+      val dim = litInt(a(2), "dot_fold dim")
       DotProductCol.dot(a.head, a(1), dim)
-    }))
+    }),
+    // ---------------------------------------------------- media codecs
+    // The real-container surface (image/PDF/audio/GIF/AVI), same
+    // expressions the Column API builds. Mode/quality args that shape
+    // the compiled transform must be literals, like dot_fold's dim.
+    "image_info" -> (a => ImageOps.imageInfo(a.head)),
+    "synth_image" -> (a => ImageOps.synthImage(a.head, a(1), a(2))),
+    "resize_image" -> (a => ImageOps.resizeImage(a.head, a(1), a(2))),
+    "jpeg_reencode" -> (a => ImageOps.jpegReencode(a.head, litInt(a(1), "jpeg_reencode quality"))),
+    "scan_seeded" -> (a => ImageOps.scanSeeded(a.head, a(1), litString(a(2), "scan_seeded quality"))),
+    "pdf_info" -> (a => PdfOps.pdfInfo(a.head)),
+    "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),
+    "pdf_compose" -> (a => PdfOps.pdfCompose(a.head, a(1), a(2))),
+    "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),
+    "wav_info" -> (a => AudioOps.wavInfo(a.head)),
+    "audio_rms" -> (a => AudioOps.audioRms(a.head)),
+    "audio_window_rms" -> (a => AudioOps.audioWindowRms(a.head, a(1))),
+    "audio_resample" -> (a => AudioOps.audioResample(a.head, a(1))),
+    "synth_wav" -> (a => AudioOps.synthWav(a.head, a(1), a(2), a(3))),
+    "gif_info" -> (a => GifOps.gifInfo(a.head)),
+    "gif_frame_lumas" -> (a => GifOps.frameLumas(a.head)),
+    "gif_frame_motion" -> (a => GifOps.frameMotion(a.head)),
+    "gif_analyze" -> (a => GifOps.analyze(a.head)),
+    "synth_gif" -> (a => GifOps.synthGif(a.head, a(1), a(2), a(3))),
+    "avi_info" -> (a => AviOps.aviInfo(a.head)),
+    "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
+    "avi_analyze" -> (a => AviOps.analyze(a.head)),
+    "avi_to_mjpeg" -> (a => AviOps.toMjpeg(a.head, a(1))),
+    "synth_avi" -> (a => AviOps.synthAvi(a.head, a(1), a(2), a(3))))
+
+  private def litInt(c: Column, what: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftExpr.toExpr(c) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+
+  private def litString(c: Column, what: String): String = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    GraftExpr.toExpr(c) match {
+      case Literal(v: UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal string, got $other")
+    }
+  }
 
   private[functions] def builder(f: Seq[Column] => Column): Seq[Expression] => Expression =
     exprs => GraftExpr.toExpr(f(exprs.map(GraftExpr.toColumn)))

@@ -1,0 +1,109 @@
+package graft.functions
+
+import graft.sources.WarcCodec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[graft.sources.WarcCodec]] — the
+  * web-archive ingest container as codegen'd projections, mirroring
+  * the other codec surfaces. One WARC file (or gzip-membered
+  * `.warc.gz` segment) parses to an array of typed records in a
+  * single expression; the query layer explodes to record grain and
+  * filters by `rec_type` — the standard crawl-ingest shape (file =
+  * input split, flatMap to records, no shuffle before aggregation).
+  */
+object WarcExprs {
+
+  val RecordSchema: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("date", StringType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+
+  /** Input schema of [[SynthWarcGzExpr]]: the record fields with a
+    * text body (WET-style conversion payloads).
+    */
+  val InRecordSchema: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("date", StringType, nullable = false),
+    StructField("body", StringType, nullable = false)))
+
+  /** Boxed parse for codegen: array of record structs; null when the
+    * payload is not WARC.
+    */
+  def recordsArray(bytes: Array[Byte]): ArrayData = {
+    val recs = WarcCodec.parse(bytes)
+    if (recs == null) return null
+    new GenericArrayData(recs.map { r =>
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.recType), UTF8String.fromString(r.url),
+        UTF8String.fromString(r.date), r.body)): Any
+    })
+  }
+
+  /** Assemble a `.warc.gz` segment (one gzip member per record) from
+    * an array of (rec_type, url, date, body-text) structs.
+    */
+  def synthWarcGz(records: ArrayData): Array[Byte] = {
+    val n = records.numElements()
+    def str(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): String =
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    val recs = (0 until n).map { i =>
+      val row = records.getStruct(i, 4)
+      WarcCodec.WarcRecord(str(row, 0), str(row, 1), str(row, 2),
+        if (row.isNullAt(3)) Array.emptyByteArray else row.getUTF8String(3).getBytes)
+    }
+    WarcCodec.encodeGz(recs)
+  }
+}
+
+/** Parse a WARC / `.warc.gz` payload to its record array:
+  * array<struct<rec_type, url, date, body>>; null for non-WARC bytes,
+  * best-effort prefix for damaged segments (real crawl data).
+  */
+case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(WarcExprs.RecordSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    WarcExprs.recordsArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("warcRecs")
+      s"""
+         |ArrayData $r = graft.functions.WarcExprs.recordsArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WarcRecordsExpr = copy(child = c)
+  override def prettyName: String = "warc_records"
+}
+
+/** Serialize an array of (rec_type, url, date, body-text) structs as a
+  * standard `.warc.gz` segment (concatenated gzip members, one per
+  * record) — the writer half of the ingest round trip and the
+  * deterministic fixture generator for the oracle gate.
+  */
+case class SynthWarcGzExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    WarcExprs.synthWarcGz(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WarcExprs.synthWarcGz($a);")
+  override protected def withNewChildInternal(c: Expression): SynthWarcGzExpr = copy(child = c)
+  override def prettyName: String = "synth_warc_gz"
+}
+
+/** Column-level entry points. */
+object WarcOps {
+  def warcRecords(bin: Column): Column =
+    GraftExpr.toColumn(WarcRecordsExpr(GraftExpr.toExpr(bin)))
+  def synthWarcGz(records: Column): Column =
+    GraftExpr.toColumn(SynthWarcGzExpr(GraftExpr.toExpr(records)))
+}

@@ -531,6 +531,42 @@ object DomainQueries {
       |       TRUE AS nonempty
       |FROM documents""".stripMargin
 
+  /** Common-Crawl-shaped WARC ingest, end-to-end under the oracle
+    * gate: documents group into per-source `.warc.gz` segments (one
+    * gzip member per record, every 5th doc a `request` record — the
+    * non-content record types a real segment interleaves), the
+    * segments parse back through `warc_records`, and the query keeps
+    * only `response` payloads — the standard crawl-ingest flow
+    * (file = split → flatMap records → type filter) with the
+    * container framing, gzip member iteration, Content-Length payload
+    * slicing and type dispatch all on the cross-engine hash. The
+    * oracle reproduces every surviving row from `documents` directly:
+    * a correct round trip is EXACTLY identity on the kept subset.
+    */
+  val warcIngest: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), struct(
+        when(col("doc_id") % 5 === 0, lit("request")).otherwise(lit("response")).as("rec_type"),
+        concat(lit("https://"), col("source"), lit("/doc/"), col("doc_id")).as("url"),
+        concat(lit("2026-01-0"), (col("doc_id") % 9 + 1).cast("string"),
+          lit("T00:00:00Z")).as("date"),
+        col("text").as("body")).as("rec"))
+      .groupBy("source").agg(collect_list(col("rec")).as("recs"))
+      .select(col("source"), graft.functions.WarcOps.synthWarcGz(col("recs")).as("warc"))
+      .select(col("source"),
+        explode(graft.functions.WarcOps.warcRecords(col("warc"))).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("source"), col("r.url").as("url"), col("r.date").as("date"),
+        decode(col("r.body"), "UTF-8").as("text_out"),
+        length(col("r.body")).cast("long").as("n_bytes"))
+  val warcIngestSql: String =
+    """SELECT source,
+      |       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |       '2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z' AS date,
+      |       text AS text_out,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents WHERE doc_id % 5 <> 0""".stripMargin
+
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
     * customer keys (every 11th null — reference empty-url semantics;
@@ -1351,6 +1387,7 @@ object DomainQueries {
     "q_gif_keyframes" -> gifKeyframes,
     "q_avi_frames" -> aviFrames,
     "q_avi_transcode" -> aviTranscode,
+    "q_warc_ingest" -> warcIngest,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -1404,6 +1441,7 @@ object DomainQueries {
     "q_gif_keyframes" -> gifKeyframesSql,
     "q_avi_frames" -> aviFramesSql,
     "q_avi_transcode" -> aviTranscodeSql,
+    "q_warc_ingest" -> warcIngestSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_items_agg" -> itemsAggSql,

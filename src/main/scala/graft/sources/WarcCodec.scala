@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** WARC/1.0 web-archive container — the ingest format of a
+  * Common-Crawl-style pipeline (every large-scale web corpus starts
+  * as `.warc.gz` segments; WET text extracts use the same record
+  * framing as `conversion` records). Pure-JDK reader/writer:
+  *
+  *   - a record is `WARC/1.0\r\n` + header lines (`Name: value`) +
+  *     `\r\n` + exactly `Content-Length` payload bytes + `\r\n\r\n`;
+  *   - a `.warc.gz` file is CONCATENATED gzip members, one record per
+  *     member (the standard layout — it makes records individually
+  *     seekable); `java.util.zip.GZIPInputStream` natively iterates
+  *     concatenated members.
+  *
+  * Parsing is defensive (truncated/garbage → the records parsed so
+  * far, a malformed header → skip to the next record marker) because
+  * real crawl segments contain damage; format detection is by magic
+  * bytes (gzip 0x1f 0x8b vs literal `WARC/`). Scale shape: one file =
+  * one input split = one `flatMap` over records — embarrassingly
+  * parallel, no shuffle until the caller aggregates.
+  */
+object WarcCodec {
+
+  /** One parsed record: WARC-Type, target URI, WARC-Date and payload. */
+  final case class WarcRecord(recType: String, url: String, date: String,
+                              body: Array[Byte])
+
+  private val Gzip0 = 0x1f.toByte
+  private val Gzip1 = 0x8b.toByte
+
+  def isWarcGz(b: Array[Byte]): Boolean =
+    b != null && b.length > 2 && b(0) == Gzip0 && b(1) == Gzip1
+
+  def isWarc(b: Array[Byte]): Boolean =
+    b != null && (isWarcGz(b) ||
+      (b.length >= 5 && b(0) == 'W' && b(1) == 'A' && b(2) == 'R' && b(3) == 'C' && b(4) == '/'))
+
+  // ------------------------------------------------------------------
+  // Write path
+  // ------------------------------------------------------------------
+
+  private def recordBytes(r: WarcRecord): Array[Byte] = {
+    val head = new StringBuilder()
+      .append("WARC/1.0\r\n")
+      .append("WARC-Type: ").append(r.recType).append("\r\n")
+      .append("WARC-Target-URI: ").append(r.url).append("\r\n")
+      .append("WARC-Date: ").append(r.date).append("\r\n")
+      .append("Content-Length: ").append(r.body.length).append("\r\n")
+      .append("\r\n").toString.getBytes(UTF_8)
+    val out = new ByteArrayOutputStream(head.length + r.body.length + 4)
+    out.write(head); out.write(r.body); out.write("\r\n\r\n".getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Serialize records as a plain `.warc` byte stream. */
+  def encode(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach(r => out.write(recordBytes(r)))
+    out.toByteArray
+  }
+
+  /** Serialize records as `.warc.gz`: one gzip MEMBER per record,
+    * concatenated — the layout crawl archives actually use.
+    */
+  def encodeGz(records: Seq[WarcRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    records.foreach { r =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(recordBytes(r))
+      gz.finish() // closes THIS member, leaves the stream open
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Read path
+  // ------------------------------------------------------------------
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    // GZIPInputStream reads concatenated members transparently
+    val in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
+    val out = new ByteArrayOutputStream(math.max(64, b.length * 4))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Every parseable record in stream order; damaged trailing content
+    * yields the records parsed before the damage. Null only when the
+    * payload is not WARC at all (wrong magic).
+    */
+  def parse(b: Array[Byte]): Array[WarcRecord] = {
+    if (!isWarc(b)) return null
+    val raw = try { if (isWarcGz(b)) gunzipAll(b) else b }
+    catch { case _: Exception => if (isWarcGz(b)) return Array.empty else b }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+    val marker = "WARC/".getBytes(UTF_8)
+    var pos = 0
+    while (pos >= 0 && pos < raw.length) {
+      pos = indexOf(raw, marker, pos)
+      if (pos >= 0) {
+        parseOne(raw, pos) match {
+          case Some((rec, next)) => acc += rec; pos = next
+          case None => pos += marker.length // damaged header: resync
+        }
+      }
+    }
+    acc.toArray
+  }
+
+  /** Parse one record starting at `pos` (a `WARC/` marker): returns
+    * the record and the offset just past its payload, or None when the
+    * header block or declared payload is damaged/truncated.
+    */
+  private def parseOne(raw: Array[Byte], pos: Int): Option[(WarcRecord, Int)] = {
+    val headEnd = indexOf(raw, "\r\n\r\n".getBytes(UTF_8), pos)
+    if (headEnd < 0) return None
+    val header = new String(raw, pos, headEnd - pos, UTF_8)
+    val lines = header.split("\r\n")
+    if (!lines.head.startsWith("WARC/")) return None
+    var recType = ""; var url = ""; var date = ""; var len = -1L
+    lines.tail.foreach { line =>
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val k = line.substring(0, i).trim.toLowerCase
+        val v = line.substring(i + 1).trim
+        k match {
+          case "warc-type" => recType = v
+          case "warc-target-uri" => url = v
+          case "warc-date" => date = v
+          case "content-length" =>
+            len = try v.toLong catch { case _: NumberFormatException => -1L }
+          case _ => ()
+        }
+      }
+    }
+    val bodyStart = headEnd + 4
+    if (len < 0 || bodyStart + len > raw.length) return None
+    val body = java.util.Arrays.copyOfRange(raw, bodyStart, bodyStart + len.toInt)
+    Some((WarcRecord(recType, url, date, body), bodyStart + len.toInt))
+  }
+
+  private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var i = math.max(0, from)
+    val last = hay.length - needle.length
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && hay(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+}

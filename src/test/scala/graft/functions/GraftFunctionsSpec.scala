@@ -27,6 +27,33 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getString(7) === "ITEM_7")
   }
 
+  test("media codec functions are callable from pure SQL, matching the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT gif_info(synth_gif(CAST(5 AS BIGINT), 3, 8, 6)).n_frames AS gif_n,
+        |       gif_frame_lumas(synth_gif(CAST(42 AS BIGINT), 4, 8, 6)) AS gif_lumas,
+        |       avi_info(synth_avi(CAST(5 AS BIGINT), 3, 8, 6)).fps AS avi_fps,
+        |       avi_frame_lumas(synth_avi(CAST(42 AS BIGINT), 4, 8, 6)) AS avi_lumas,
+        |       avi_info(avi_to_mjpeg(synth_avi(CAST(5 AS BIGINT), 3, 8, 6), 85)).n_frames AS mj_n,
+        |       image_info(synth_image(CAST(3 AS BIGINT), 20, 10)).width AS img_w,
+        |       image_info(scan_seeded(synth_image(CAST(3 AS BIGINT), 20, 10),
+        |                              CAST(7 AS BIGINT), 'realistic')).format AS scan_fmt,
+        |       pdf_info(synth_pdf(CAST(9 AS BIGINT), 2, 120.0, 160.0)).n_pages AS pdf_pages,
+        |       wav_info(synth_wav(CAST(1 AS BIGINT), 160, 8000, 5)).sample_rate AS wav_rate
+        |""".stripMargin).head
+    assert(r.getLong(0) === 3L)
+    // the SQL path builds the SAME expression as the Column API: lumas agree
+    assert(r.getSeq[Long](1) === graft.sources.GifCodec.frameLumas(
+      graft.sources.GifCodec.synthGif(42L, 4, 8, 6)).toSeq)
+    assert(r.getLong(2) === 10L)
+    assert(r.getSeq[Long](3) === r.getSeq[Long](1)) // AVI/GIF fold parity
+    assert(r.getLong(4) === 3L) // transcode round trip in one SQL expression
+    assert(r.getInt(5) === 20)
+    assert(r.getString(6) === "JPEG")
+    assert(r.getLong(7) === 2L)
+    assert(r.getLong(8) === 8000L)
+  }
+
   test("spark.sql.extensions injects the scalar surface into a fresh session") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // force shared-session init before clearing defaults

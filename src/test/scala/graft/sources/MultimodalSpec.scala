@@ -102,6 +102,12 @@ class MultimodalSpec extends SparkSpec {
     val pdfFeat = Multimodal.decodeMedia(Multimodal.MediaDoc(4L, "application/pdf", realPdf))
     assert((pdfFeat.width, pdfFeat.height) === (120, 160))
     assert(pdfFeat.feature > 0.0 && pdfFeat.feature <= 1.0)
+    // AVI video decodes for real: container geometry + mean frame luma
+    val avi = AviCodec.synthAvi(11L, 3, 24, 10)
+    val aviFeat = Multimodal.decodeMedia(Multimodal.MediaDoc(5L, "video/x-msvideo", avi))
+    assert((aviFeat.width, aviFeat.height) === (24, 10))
+    val expectLuma = AviCodec.frameLumas(avi)
+    assert(aviFeat.feature === expectLuma.sum.toDouble / (255.0 * expectLuma.length))
     // a CORRUPT pdf and codec-less payloads keep the deterministic stub
     val pdf = Multimodal.MediaDoc(3L, "application/pdf", "%PDF-1.4 x".getBytes)
     assert(Multimodal.decodeMedia(pdf) === Multimodal.decodeStub(pdf))

@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.WarcCodec.WarcRecord
+
+/** Byte-level contract of the WARC web-archive codec: plain and
+  * gzip-membered round trips, Content-Length payload framing (bodies
+  * containing record markers and CRLFs survive), damage recovery, and
+  * magic detection. The corpus-grain round trip is oracle-gated by
+  * q_warc_ingest.
+  */
+class WarcCodecSpec extends SparkSpec {
+
+  private val recs = Seq(
+    WarcRecord("response", "https://a.example/1", "2026-01-01T00:00:00Z",
+      "hello world".getBytes("UTF-8")),
+    WarcRecord("request", "https://a.example/1", "2026-01-01T00:00:00Z",
+      Array.emptyByteArray),
+    WarcRecord("response", "https://b.example/2", "2026-01-02T00:00:00Z",
+      "body with\r\n\r\nWARC/1.0 marker inside".getBytes("UTF-8")))
+
+  test("plain encode → parse round trip preserves every field and payload byte") {
+    val warc = WarcCodec.encode(recs)
+    assert(WarcCodec.isWarc(warc) && !WarcCodec.isWarcGz(warc))
+    val back = WarcCodec.parse(warc)
+    assert(back.length === 3)
+    recs.zip(back).foreach { case (a, b) =>
+      assert((b.recType, b.url, b.date) === ((a.recType, a.url, a.date)))
+      assert(b.body.toSeq === a.body.toSeq)
+    }
+  }
+
+  test("gzip round trip: one member per record, concatenated — standard .warc.gz") {
+    val gz = WarcCodec.encodeGz(recs)
+    assert(WarcCodec.isWarcGz(gz))
+    val back = WarcCodec.parse(gz)
+    assert(back.length === 3)
+    assert(back(2).body.toSeq === recs(2).body.toSeq)
+    // the file really is multiple gzip members: a second magic pair exists
+    val more = (1 until gz.length - 1).exists(i => gz(i) == 0x1f.toByte && gz(i + 1) == 0x8b.toByte)
+    assert(more, "expected concatenated gzip members")
+  }
+
+  test("Content-Length framing: a body containing the record marker does not split") {
+    val back = WarcCodec.parse(WarcCodec.encode(recs))
+    assert(back.length === 3) // the embedded 'WARC/1.0' stayed inside record 3
+    assert(new String(back(2).body, "UTF-8").contains("WARC/1.0 marker inside"))
+  }
+
+  test("damage recovery: truncated tail yields the intact prefix; garbage is null") {
+    val warc = WarcCodec.encode(recs)
+    val cut = java.util.Arrays.copyOf(warc, warc.length - 20) // inside record 3's payload
+    val back = WarcCodec.parse(cut)
+    assert(back.length === 2)
+    assert(WarcCodec.parse("not a warc at all".getBytes) === null)
+    assert(WarcCodec.parse(null) === null)
+    // corrupt gzip: gz magic but broken stream → empty, never throws
+    assert(WarcCodec.parse(Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)).isEmpty)
+  }
+
+  test("a damaged header in the middle resyncs to the next record") {
+    val warc = WarcCodec.encode(recs)
+    // corrupt record 2's Content-Length header line (flip a digit to a letter)
+    val s = new String(warc, "ISO-8859-1")
+    val i = s.indexOf("Content-Length: 0")
+    val broken = (s.substring(0, i) + "Content-Length: X" + s.substring(i + 17)).getBytes("ISO-8859-1")
+    val back = WarcCodec.parse(broken)
+    // record 2 is lost, records 1 and 3 survive
+    assert(back.map(_.url).toSeq === Seq("https://a.example/1", "https://b.example/2"))
+  }
+}
