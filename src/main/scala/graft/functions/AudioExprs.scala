@@ -4,7 +4,7 @@ import graft.sources.AudioCodec
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -48,7 +48,8 @@ object AudioExprs {
 /** Parse metadata of a WAV payload: struct(n_samples, sample_rate,
   * channels, duration_ms); null for non-PCM16-WAV bytes.
   */
-case class WavInfoExpr(child: Expression) extends UnaryExpression {
+case class WavInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = AudioExprs.InfoSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = AudioExprs.wavInfoRow(b.asInstanceOf[Array[Byte]])
@@ -67,7 +68,8 @@ case class WavInfoExpr(child: Expression) extends UnaryExpression {
 /** Integer global RMS of a WAV payload (exact for the square-wave
   * fixture); null for non-WAV bytes.
   */
-case class AudioRmsExpr(child: Expression) extends UnaryExpression {
+case class AudioRmsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = {
@@ -90,7 +92,8 @@ case class AudioRmsExpr(child: Expression) extends UnaryExpression {
   * window_samples) → array<bigint>; null for non-WAV bytes.
   */
 case class AudioWindowRmsExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, w: Any): Any =
@@ -112,7 +115,8 @@ case class AudioWindowRmsExpr(left: Expression, right: Expression)
   * WAV bytes; null for non-WAV / non-mono payloads.
   */
 case class AudioResampleExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, rate: Any): Any =
@@ -138,7 +142,8 @@ case class AudioResampleExpr(left: Expression, right: Expression)
   */
 case class SynthWavExpr(first: Expression, second: Expression,
                         third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def nullSafeEval(seed: Any, w: Any, rate: Any, mask: Any): Any =

@@ -4,7 +4,7 @@ import graft.sources.AviCodec
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -50,7 +50,8 @@ object AviExprs {
 /** Parse metadata of an AVI payload: struct(n_frames, width, height,
   * fps); null for non-AVI bytes.
   */
-case class AviInfoExpr(child: Expression) extends UnaryExpression {
+case class AviInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = AviExprs.InfoSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = AviExprs.aviInfoRow(b.asInstanceOf[Array[Byte]])
@@ -69,7 +70,8 @@ case class AviInfoExpr(child: Expression) extends UnaryExpression {
 /** Per-frame mean luminance of an AVI's frame sequence (one container
   * decode): array<bigint> in stream order; null for non-AVI bytes.
   */
-case class AviFrameLumasExpr(child: Expression) extends UnaryExpression {
+case class AviFrameLumasExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -89,7 +91,8 @@ case class AviFrameLumasExpr(child: Expression) extends UnaryExpression {
 /** Fused per-sequence analysis: struct(lumas, motion) from ONE
   * container decode — the AVI twin of [[GifAnalyzeExpr]].
   */
-case class AviAnalyzeExpr(child: Expression) extends UnaryExpression {
+case class AviAnalyzeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = GifExprs.AnalyzeSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -109,7 +112,8 @@ case class AviAnalyzeExpr(child: Expression) extends UnaryExpression {
 /** Transcode an AVI to Motion-JPEG at `quality` (frame-wise JPEG
   * re-encode on a real container); null when the input doesn't decode.
   */
-case class AviToMjpegExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class AviToMjpegExpr(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, q: Any): Any = {
@@ -136,7 +140,8 @@ case class AviToMjpegExpr(left: Expression, right: Expression) extends BinaryExp
   */
 case class SynthAviExpr(first: Expression, second: Expression,
                         third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def nullSafeEval(seed: Any, n: Any, w: Any, h: Any): Any =

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 
 /** Bloom-filter membership as a broadcast bitmask probe.
   *
@@ -55,7 +55,8 @@ object Bloom {
   * per row inside whole-stage codegen, no join.
   */
 case class BloomContainsExpr(left: Expression, right: Expression,
-                             bits: Array[Long], k: Int, m: Int) extends BinaryExpression {
+                             bits: Array[Long], k: Int, m: Int) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
   require(k > 0 && m > 0 && m % 64 == 0, s"bad bloom geometry k=$k m=$m (m must be a multiple of 64)")
   require(bits.length == m / 64, s"mask length ${bits.length} != m/64 = ${m / 64}")
   override def dataType: DataType = BooleanType

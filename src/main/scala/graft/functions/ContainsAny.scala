@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Compiled needle scan with `exists`-HOF three-valued semantics:
@@ -32,7 +32,8 @@ object ContainsAny {
   * lambda eval per needle there (see the round-2 HOF lesson in
   * Hashing.dotFold's scaladoc — same trade, string edition).
   */
-case class ContainsAnyExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class ContainsAnyExpr(left: Expression, right: Expression) extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, ArrayType(StringType))
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
   override def nullSafeEval(h: Any, ns: Any): Any =

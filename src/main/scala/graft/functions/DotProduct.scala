@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** The compiled fold the expression (interpreted AND generated paths)
   * calls: identical left-to-right 0.0-seeded accumulation to the
@@ -48,7 +48,8 @@ object DotProduct {
   * HOF's ANSI `element_at` would have thrown there too).
   */
 case class DotProductExpr(left: Expression, right: Expression, dim: Int)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   require(dim > 0, s"dim must be positive, got $dim")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

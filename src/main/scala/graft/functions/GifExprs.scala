@@ -4,7 +4,7 @@ import graft.sources.GifCodec
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -57,7 +57,8 @@ object GifExprs {
 /** Parse metadata of an animated-GIF payload: struct(n_frames, width,
   * height); null for non-GIF bytes.
   */
-case class GifInfoExpr(child: Expression) extends UnaryExpression {
+case class GifInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = GifExprs.InfoSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = GifExprs.gifInfoRow(b.asInstanceOf[Array[Byte]])
@@ -76,7 +77,8 @@ case class GifInfoExpr(child: Expression) extends UnaryExpression {
 /** Per-frame mean luminance of a GIF's frame sequence (one container
   * decode): array<bigint> in stream order; null for non-GIF bytes.
   */
-case class GifFrameLumasExpr(child: Expression) extends UnaryExpression {
+case class GifFrameLumasExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -97,7 +99,8 @@ case class GifFrameLumasExpr(child: Expression) extends UnaryExpression {
   * GIF's frame sequence: array<bigint> of length n_frames-1; null for
   * non-GIF or single-frame payloads.
   */
-case class GifFrameMotionExpr(child: Expression) extends UnaryExpression {
+case class GifFrameMotionExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -119,7 +122,8 @@ case class GifFrameMotionExpr(child: Expression) extends UnaryExpression {
   * queries consuming both signals (keyframe sampling), where separate
   * luma/motion expressions would decode the container twice per row.
   */
-case class GifAnalyzeExpr(child: Expression) extends UnaryExpression {
+case class GifAnalyzeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = GifExprs.AnalyzeSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -143,7 +147,8 @@ case class GifAnalyzeExpr(child: Expression) extends UnaryExpression {
   */
 case class SynthGifExpr(first: Expression, second: Expression,
                         third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def nullSafeEval(seed: Any, n: Any, w: Any, h: Any): Any =

@@ -4,7 +4,7 @@ import graft.sources.ImageCodec
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,7 +43,8 @@ object ImageExprs {
 /** `add_scan_effects_minimal` (`fixed_signature_utils.py:369-450`) as a
   * deterministic binary→binary expression; null for non-image payloads.
   */
-case class ScanMinimalExpr(child: Expression, quality: String) extends UnaryExpression {
+case class ScanMinimalExpr(child: Expression, quality: String) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -66,7 +67,8 @@ case class ScanMinimalExpr(child: Expression, quality: String) extends UnaryExpr
   * (SURVEY §2.10's explicit-seed contract). Null for non-images.
   */
 case class ScanSeededExpr(left: Expression, right: Expression, quality: String)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, LongType)
   require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -86,7 +88,8 @@ case class ScanSeededExpr(left: Expression, right: Expression, quality: String)
 }
 
 /** Per-frame JPEG re-encode (`app.py:268-271`). Null for non-images. */
-case class JpegReencodeExpr(child: Expression, quality: Int) extends UnaryExpression {
+case class JpegReencodeExpr(child: Expression, quality: Int) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   require(quality >= 1 && quality <= 100, s"jpeg quality out of range: $quality")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -108,7 +111,8 @@ case class JpegReencodeExpr(child: Expression, quality: Int) extends UnaryExpres
   * .py:38-110`): dpi-preset resize + sharpen + contrast + JPEG, on
   * real pixels. Null for non-images.
   */
-case class CompressImageExpr(child: Expression, quality: String) extends UnaryExpression {
+case class CompressImageExpr(child: Expression, quality: String) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   require(quality.matches("[a-z_]+"), s"bad quality preset: $quality")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -131,7 +135,8 @@ case class CompressImageExpr(child: Expression, quality: String) extends UnaryEx
   * Null for non-images.
   */
 case class ResizeImageExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, w: Any, h: Any): Any =
@@ -153,7 +158,8 @@ case class ResizeImageExpr(first: Expression, second: Expression, third: Express
 /** Real decode of an image payload to struct(width, height, format);
   * null when undecodable.
   */
-case class ImageInfoExpr(child: Expression) extends UnaryExpression {
+case class ImageInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ImageExprs.InfoSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = ImageExprs.infoRow(b.asInstanceOf[Array[Byte]])
@@ -175,7 +181,8 @@ case class ImageInfoExpr(child: Expression) extends UnaryExpression {
   * the decode→effects→encode→decode round trip.
   */
 case class SynthImageExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def nullSafeEval(seed: Any, w: Any, h: Any): Any =

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -100,7 +100,8 @@ object NormalizeString {
     else UTF8String.fromString(normalize(s.toString))
 }
 
-case class NormalizeStringExpr(child: Expression) extends UnaryExpression {
+case class NormalizeStringExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     NormalizeString.normalizeUtf8(v.asInstanceOf[UTF8String])

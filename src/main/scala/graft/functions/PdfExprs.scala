@@ -4,7 +4,7 @@ import graft.sources.{ImageCodec, PdfCodec}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -90,7 +90,8 @@ object PdfExprs {
 /** Parse metadata of a PDF payload: struct(n_pages, w_pt_x100,
   * h_pt_x100, n_images); null for non-PDF bytes.
   */
-case class PdfInfoExpr(child: Expression) extends UnaryExpression {
+case class PdfInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = PdfExprs.InfoSchema
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any = PdfExprs.pdfInfoRow(b.asInstanceOf[Array[Byte]])
@@ -111,7 +112,8 @@ case class PdfInfoExpr(child: Expression) extends UnaryExpression {
   * of range.
   */
 case class PdfRasterizeExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, IntegerType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, page: Any, dpi: Any): Any =
@@ -137,7 +139,8 @@ case class PdfRasterizeExpr(first: Expression, second: Expression, third: Expres
   * non-PDF.
   */
 case class PdfRasterizeAllExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, dpi: Any): Any =
@@ -160,7 +163,8 @@ case class PdfRasterizeAllExpr(left: Expression, right: Expression)
   * input.
   */
 case class PdfComposeExpr(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(BinaryType), DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(pages: Any, w: Any, h: Any): Any =
@@ -190,7 +194,8 @@ case class PdfComposeExpr(first: Expression, second: Expression, third: Expressi
   */
 case class PdfScanPagesExpr(first: Expression, second: Expression,
                             third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, StringType, IntegerType)
   override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any, dpi: Any, quality: Any, jpegQ: Any): Any =
@@ -216,7 +221,8 @@ case class PdfScanPagesExpr(first: Expression, second: Expression,
   */
 case class SynthPdfExpr(first: Expression, second: Expression,
                         third: Expression, fourth: Expression)
-    extends QuaternaryExpression {
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, DoubleType, DoubleType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
   override def nullSafeEval(seed: Any, n: Any, w: Any, h: Any): Any =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -39,7 +39,8 @@ object SanitizeName {
   def sanitizeUtf8(s: UTF8String): UTF8String = UTF8String.fromString(sanitize(s.toString))
 }
 
-case class SanitizeNameExpr(child: Expression) extends UnaryExpression {
+case class SanitizeNameExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullSafeEval(v: Any): Any =
     SanitizeName.sanitizeUtf8(v.asInstanceOf[UTF8String])

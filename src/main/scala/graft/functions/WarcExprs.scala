@@ -3,7 +3,7 @@ package graft.functions
 import graft.sources.WarcCodec
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -66,7 +66,8 @@ object WarcExprs {
   * array<struct<rec_type, url, date, body>>; null for non-WARC bytes,
   * best-effort prefix for damaged segments (real crawl data).
   */
-case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
+case class WarcRecordsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
   override def dataType: DataType = ArrayType(WarcExprs.RecordSchema, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(b: Any): Any =
@@ -88,7 +89,8 @@ case class WarcRecordsExpr(child: Expression) extends UnaryExpression {
   * record) — the writer half of the ingest round trip and the
   * deterministic fixture generator for the oracle gate.
   */
-case class SynthWarcGzExpr(child: Expression) extends UnaryExpression {
+case class SynthWarcGzExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(WarcExprs.InRecordSchema))
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
   override def nullSafeEval(a: Any): Any =

@@ -183,6 +183,6 @@ object Bpe {
   /** The merge-table projection over [[trainCtes]]'s `b1..b{steps}`. */
   def mergesSql(steps: Int = DefaultSteps): String =
     (1 to steps).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS step, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs, c AS pair_cnt FROM b$k"
+      s"SELECT CAST($k AS BIGINT) AS step, split_part(pr, ' ', 1) AS lhs, split_part(pr, ' ', 2) AS rhs, CAST(c AS BIGINT) AS pair_cnt FROM b$k"
     }.mkString("\nUNION ALL ")
 }

@@ -184,7 +184,7 @@ object Dsir {
        |  WHERE length(_word) > 0),
        |scored AS (
        |  SELECT $idCol, count(*) AS n_tokens,
-       |         sum(w_ppm) // count(*) AS score_ppm
+       |         CAST(sum(w_ppm) // count(*) AS BIGINT) AS score_ppm
        |  FROM doctok JOIN wts USING (_bucket) GROUP BY 1),
        |b AS (SELECT *, score_ppm // $BinW AS bin FROM scored),
        |bc AS (SELECT bin, count(*) AS bn FROM b GROUP BY 1),
@@ -193,6 +193,6 @@ object Dsir {
        |thr AS (SELECT max(CASE WHEN cumtop * 10000 >= $keepBp * n THEN bin END) AS t
        |        FROM cum)
        |SELECT $idCol, n_tokens, score_ppm,
-       |       CASE WHEN bin >= COALESCE(t, ${Long.MinValue}) THEN 1 ELSE 0 END AS kept
+       |       CAST(CASE WHEN bin >= COALESCE(t, ${Long.MinValue}) THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM b, thr""".stripMargin
 }

@@ -134,7 +134,7 @@ object Graph {
   def pageRankCtes(iters: Int = DefaultIters): String = {
     val steps = (1 to iters).map { t =>
       s"""r$t AS (SELECT n.node,
-         |  (($Scale - $DampPpm) // (SELECT n FROM nn)) + ($DampPpm * coalesce(s.acc, 0)) // $Scale AS r
+         |  CAST((($Scale - $DampPpm) // (SELECT n FROM nn)) + ($DampPpm * coalesce(s.acc, 0)) // $Scale AS BIGINT) AS r
          |  FROM nodes n LEFT JOIN (
          |    SELECT dst, sum(r // outd) AS acc FROM ew JOIN r${t - 1} ON ew.src = r${t - 1}.node GROUP BY 1
          |  ) s ON n.node = s.dst)""".stripMargin

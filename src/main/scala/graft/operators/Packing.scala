@@ -68,7 +68,7 @@ object Packing {
 
   def chunkSpansSql(chunkTokens: Int, overlap: Int): String = {
     val stride = chunkTokens - overlap
-    s"""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    s"""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
        |n AS (SELECT doc_id, n_tokens,
        |             1 + (greatest(n_tokens - $chunkTokens, 0) + ${stride - 1}) // $stride AS n_chunks
        |      FROM t)
@@ -159,7 +159,7 @@ object Packing {
   def packSequencesSql(shards: Int, budgetTokens: Int): String =
     s"""WITH t AS (SELECT doc_id,
        |                  ${Hashing.stableHash60Sql("CAST(doc_id AS VARCHAR)")} % ${shards}::BIGINT AS shard,
-       |                  len(string_split(text, ' ')) AS n_tokens
+       |                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
        |           FROM documents),
        |c AS (SELECT doc_id, shard, n_tokens,
        |             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum

@@ -153,7 +153,7 @@ object Probe {
          |    FROM $featName f2 JOIN w$p w ON f2.j = w.j GROUP BY 1) sc ON f.vec_id = sc.vec_id
          |  GROUP BY 1),
          |w$k AS MATERIALIZED (
-         |  SELECT w.j, w.w - g.g // ((SELECT n FROM $nnName) * $LrDiv) AS w
+         |  SELECT w.j, CAST(w.w - g.g // ((SELECT n FROM $nnName) * $LrDiv) AS BIGINT) AS w
          |  FROM w$p w JOIN g$k g ON w.j = g.j)""".stripMargin
     }.mkString(",\n")
 
@@ -177,11 +177,11 @@ object Probe {
        |             sum(y) AS np, sum(1 - y) AS nn
        |      FROM sc GROUP BY 1),
        |agg AS (SELECT
-       |  sum(CASE WHEN a.bin > b.bin THEN 2 * a.np * b.nn
-       |           WHEN a.bin = b.bin THEN a.np * a.nn ELSE 0 END) AS num,
-       |  sum(CASE WHEN a.bin = b.bin THEN a.np ELSE 0 END) AS n_pos,
-       |  sum(CASE WHEN a.bin = b.bin THEN a.nn ELSE 0 END) AS n_neg
+       |  CAST(sum(CASE WHEN a.bin > b.bin THEN 2 * a.np * b.nn
+       |           WHEN a.bin = b.bin THEN a.np * a.nn ELSE 0 END) AS BIGINT) AS num,
+       |  CAST(sum(CASE WHEN a.bin = b.bin THEN a.np ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(sum(CASE WHEN a.bin = b.bin THEN a.nn ELSE 0 END) AS BIGINT) AS n_neg
        |  FROM h a JOIN h b ON a.bin >= b.bin)
-       |SELECT (num * $Scale) // (2 * n_pos * n_neg) AS auc_ppm, n_pos, n_neg FROM agg""".stripMargin
+       |SELECT CAST((num * $Scale) // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm, n_pos, n_neg FROM agg""".stripMargin
   }
 }

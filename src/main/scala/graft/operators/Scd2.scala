@@ -51,10 +51,15 @@ object Scd2 {
         col("_next").isNull.as("is_current"))
   }
 
-  /** Conventional SCD2 open-interval end (UTC — GraftSession pins the
-    * session timezone, so the literal parses identically everywhere).
+  /** SCD2 open-interval end (UTC — GraftSession pins the session
+    * timezone, so the literal parses identically everywhere). Chosen
+    * inside the datetime64[ns] representable range (±~292 years from
+    * epoch): the conventional `9999-12-31` sentinel overflows
+    * nanosecond-precision timestamp implementations, which makes
+    * cross-engine comparison depend on each engine's overflow
+    * behavior instead of on the value.
     */
-  val HighDate = "9999-12-31 00:00:00"
+  val HighDate = "2200-01-01 00:00:00"
 
   /** DuckDB twin of [[build]] (same change detection, same tiebreak). */
   def buildSql(table: String, keyCol: String, attrCol: String,

@@ -100,7 +100,7 @@ object DomainQueries {
        |  FROM documents,
        |       LATERAL (SELECT unnest(generate_series(0,
        |         CAST(ceil(length(text)/$FrameSize.0) AS BIGINT)-1)) AS i) gs)
-       |SELECT doc_id, frame_idx, md5(frame) AS frame_md5,
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, md5(frame) AS frame_md5,
        |       CAST(length(frame) AS BIGINT) AS frame_len
        |FROM fr""".stripMargin
 
@@ -229,24 +229,48 @@ object DomainQueries {
 
   /** §3.2 end-to-end: the scan endpoint over the documents table with
     * the REAL image codec in the middle (see
-    * [[graft.pipelines.ScanPipeline]]). Rows-only at the driver gate —
-    * JPEG bytes are not SQL-reproducible — with the value-level
-    * contract pinned in ScanPipelineSpec.
+    * [[graft.pipelines.ScanPipeline]]). Gated projection: every column
+    * is closed-form in doc_id — the PDF-whitelist row set, the parsed
+    * page count, the parse-BACK page count of the rebuilt document
+    * (compose → pdf_info round trip on the hash gate, the
+    * q_pdf_roundtrip pattern) and the " SCANNE" upload rename. The
+    * byte-level halves (out_len, out_md5 of the rebuilt PDF) stay
+    * pinned in ScanPipelineSpec.
     */
   val scanPipelineQ: Q = (s, d) =>
     graft.pipelines.ScanPipeline.scanPlan(Tables.documents(s, d))
+      .select("doc_id", "column_id", "file_name", "upload_name", "n_pages", "out_pages")
+  val scanPipelineSql: String =
+    s"""SELECT doc_id, column_id,
+       |       'doc_' || doc_id || '.pdf' AS file_name,
+       |       'doc_' || doc_id || ' SCANNE.pdf' AS upload_name,
+       |       CAST(doc_id % 3 + 1 AS INTEGER) AS n_pages,
+       |       CAST(doc_id % 3 + 1 AS INTEGER) AS out_pages
+       |FROM documents
+       |CROSS JOIN (SELECT unnest(${graft.pipelines.ScanPipeline.ScanColumns
+                      .map("'" + _ + "'").mkString("[", ", ", "]")}) AS column_id)
+       |WHERE doc_id % 7 != 0""".stripMargin
 
   /** §3.1 end-to-end: compress → stamp → sign → verify → rename over
-    * the documents table with an ephemeral keytool credential. Rows-
-    * only at the driver gate (key material is random per run, so
-    * signature bytes are not cross-engine reproducible); the `verified`
-    * column is the in-query crypto round trip and the value contract
-    * is pinned in SignPipelineSpec.
+    * the documents table with an ephemeral keytool credential. Gated
+    * projection: the key is random per run so SIGNATURE BYTES are not
+    * cross-engine reproducible, but the crypto round trip still is —
+    * `verified` (the in-query embedded-signature verification) must be
+    * true on every row, the extracted signature must be exactly the
+    * RSA-2048 modulus width, and the " SIGNÉ" rename is closed-form.
+    * Byte-level md5s stay pinned in SignPipelineSpec.
     */
   val signPipelineQ: Q = (s, d) =>
     graft.pipelines.SignPipeline.signPlanVerified(
       Tables.documents(s, d),
       graft.pipelines.SignPipeline.ephemeralPkcs12("Graft Query Signer"), "changeit")
+      .select("doc_id", "upload_name", "sig_bytes", "verified")
+  val signPipelineSql: String =
+    """SELECT doc_id,
+      |       'doc_' || doc_id || ' SIGNÉ.pdf' AS upload_name,
+      |       CAST(256 AS BIGINT) AS sig_bytes,
+      |       true AS verified
+      |FROM documents""".stripMargin
 
   /** The PDF container codec through the DuckDB oracle gate: a real
     * compose → parse round trip per document whose parse metadata
@@ -1433,6 +1457,8 @@ object DomainQueries {
     "q_scan_effects" -> scanEffectsSql,
     "q_scan_seeded" -> scanSeededSql,
     "q_pdf_roundtrip" -> pdfRoundtripSql,
+    "q_scan_pipeline" -> scanPipelineSql,
+    "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,
     "q_audio_vad" -> audioVadSql,
     "q_audio_resample" -> audioResampleSql,

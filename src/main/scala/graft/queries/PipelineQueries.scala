@@ -1813,7 +1813,7 @@ object PipelineQueries {
     s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
        |v AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$BpeSteps),
        |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word FROM documents)
-       |SELECT doc_id, count(*) AS n_words, sum(v.n_sym) AS n_bpe
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(v.n_sym) AS BIGINT) AS n_bpe
        |FROM tok JOIN v USING (word) GROUP BY 1""".stripMargin
 
   private val BpeVocabK = 20
@@ -1824,7 +1824,7 @@ object PipelineQueries {
   }
   val bpeVocabSql: String =
     s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
-       |toks AS (SELECT tok, sum(cnt) AS freq FROM (
+       |toks AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS freq FROM (
        |  SELECT cnt, unnest(string_split(trim(sym), '  ')) AS tok FROM w$BpeSteps) GROUP BY 1)
        |SELECT tok, freq FROM toks ORDER BY freq DESC, tok LIMIT $BpeVocabK""".stripMargin
 

@@ -54,6 +54,43 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(8) === 8000L)
   }
 
+  test("natural SQL literals work across the registry: INT seeds, DECIMAL geometry") {
+    // A SQL user writes synth_pdf(9, 2, 120.0, 160.0) — an INTEGER
+    // seed and DECIMAL dims, not the BIGINT/DOUBLE the Column API
+    // happens to pass. Every expression declares ImplicitCastInputTypes
+    // so the analyzer inserts those casts; this sweep locks the
+    // contract for each registered numeric-argument function.
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT pdf_info(synth_pdf(9, 2, 120.0, 160.0)).n_pages AS pdf_pages,
+        |       length(pdf_rasterize(synth_pdf(9, 1, 120.0, 160.0), 0, 72)) > 0 AS rast_ok,
+        |       image_info(synth_image(3, 20, 10)).width AS img_w,
+        |       image_info(scan_seeded(synth_image(3, 20, 10), 7, 'realistic')).format AS scan_fmt,
+        |       image_info(resize_image(synth_image(3, 20, 10), 10, 5)).height AS rz_h,
+        |       image_info(jpeg_reencode(scan_seeded(synth_image(3, 20, 10), 7, 'realistic'), 80)).format AS jr_fmt,
+        |       pdf_info(pdf_compose(array(scan_seeded(synth_image(3, 20, 10), 7, 'realistic')), 595.0, 842.0)).n_pages AS pc_pages,
+        |       gif_info(synth_gif(5, 3, 8, 6)).n_frames AS gif_n,
+        |       avi_info(synth_avi(5, 3, 8, 6)).fps AS avi_fps,
+        |       wav_info(synth_wav(1, 160, 8000, 5)).sample_rate AS wav_rate,
+        |       audio_rms(synth_wav(1, 160, 8000, 5)) >= 0 AS rms_ok,
+        |       size(audio_window_rms(synth_wav(1, 160, 8000, 5), 40)) AS win_n,
+        |       wav_info(audio_resample(synth_wav(1, 160, 8000, 5), 4000)).sample_rate AS rs_rate
+        |""".stripMargin).head
+    assert(r.getLong(0) === 2L)
+    assert(r.getBoolean(1))
+    assert(r.getInt(2) === 20)
+    assert(r.getString(3) === "JPEG")
+    assert(r.getInt(4) === 5)
+    assert(r.getString(5) === "JPEG")
+    assert(r.getLong(6) === 1L)
+    assert(r.getLong(7) === 3L)
+    assert(r.getLong(8) === 10L)
+    assert(r.getLong(9) === 8000L)
+    assert(r.getBoolean(10))
+    assert(r.getInt(11) === 32) // 160 ms at 8 kHz = 1280 samples / 40-sample windows
+    assert(r.getLong(12) === 4000L)
+  }
+
   test("spark.sql.extensions injects the scalar surface into a fresh session") {
     import org.apache.spark.sql.SparkSession
     val prev = spark // force shared-session init before clearing defaults
