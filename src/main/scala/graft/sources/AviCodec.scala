@@ -75,8 +75,12 @@ object AviCodec {
   }
 
   private def decodeDib(payload: Array[Byte], w: Int, h: Int): ImageCodec.Px = {
+    if (w <= 0 || h <= 0) return null
     val stride = dibStride(w)
-    if (payload.length < stride * h) return null
+    // Long arithmetic: hostile headers (e.g. w = h = 65536) overflow
+    // stride*h and w*h to 0 in Int, sliding past a 32-bit guard and
+    // crashing the pixel loop instead of yielding null
+    if (stride.toLong * h > payload.length || w.toLong * h > Int.MaxValue) return null
     val rgb = new Array[Int](w * h)
     var y = 0
     while (y < h) {
@@ -239,7 +243,11 @@ object AviCodec {
       }
       if (width <= 0 && strfW > 0) width = strfW
       if (height <= 0 && strfH > 0) height = math.abs(strfH)
-      if (width <= 0 || height <= 0 || total < 0) return null
+      // sane-dimension bound: header fields are untrusted u32s; a
+      // 32768² frame is already far past anything this codec emits,
+      // and rejecting here keeps every downstream Int product safe
+      if (width <= 0 || height <= 0 || total < 0 ||
+          width > (1 << 15) || height > (1 << 15)) return null
       val fps = if (scale > 0 && rate > 0) rate / scale else -1L
       Parsed(total, width, height, fps, mjpeg,
         if (wantFrames) frames.toArray else null)
@@ -258,7 +266,11 @@ object AviCodec {
     */
   def decodeFrames(b: Array[Byte]): Array[ImageCodec.Px] = {
     val p = parse(b, wantFrames = true)
-    if (p == null || p.frames.isEmpty) return null
+    if (p == null) null else decodeParsed(p)
+  }
+
+  private def decodeParsed(p: Parsed): Array[ImageCodec.Px] = {
+    if (p.frames == null || p.frames.isEmpty) return null
     val out = new Array[ImageCodec.Px](p.frames.length)
     var i = 0
     while (i < out.length) {
@@ -277,7 +289,12 @@ object AviCodec {
               ImageCodec.Px(w, h, rgb)
             }
           } catch { case _: Exception => null }
-        } else decodeDib(payload, p.width.toInt, p.height.toInt)
+        } else {
+          // same crash barrier as the MJPEG branch: a corrupt DIB must
+          // yield null on the data path, never throw through the task
+          try decodeDib(payload, p.width.toInt, p.height.toInt)
+          catch { case _: Exception => null }
+        }
       if (px == null) return null
       out(i) = px
       i += 1
@@ -313,10 +330,14 @@ object AviCodec {
     * real video container. Null when the input doesn't decode.
     */
   def toMjpeg(b: Array[Byte], fps: Int, quality: Int): Array[Byte] = {
-    val frames = decodeFrames(b)
+    // ONE chunk-tree walk serves both the frames and the source fps —
+    // a second metadata parse would double per-row container cost in
+    // the transcode query
+    val p = parse(b, wantFrames = true)
+    if (p == null) return null
+    val frames = decodeParsed(p)
     if (frames == null) return null
-    val info = aviInfo(b)
-    val useFps = if (info != null && info(3) > 0) info(3).toInt else fps
+    val useFps = if (p.fps > 0) p.fps.toInt else fps
     encode(frames.toIndexedSeq, useFps, mjpeg = true, quality = quality)
   }
 

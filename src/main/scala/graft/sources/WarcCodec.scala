@@ -43,12 +43,21 @@ object WarcCodec {
   // Write path
   // ------------------------------------------------------------------
 
+  /** Header values are line-framed, so an embedded CR/LF (reachable
+    * from arbitrary column data via `synth_warc_gz`) would corrupt
+    * record framing and silently drop or mangle records on re-parse —
+    * strip both before writing.
+    */
+  private def headerSafe(v: String): String =
+    if (v.indexOf('\r') < 0 && v.indexOf('\n') < 0) v
+    else v.filter(c => c != '\r' && c != '\n')
+
   private def recordBytes(r: WarcRecord): Array[Byte] = {
     val head = new StringBuilder()
       .append("WARC/1.0\r\n")
-      .append("WARC-Type: ").append(r.recType).append("\r\n")
-      .append("WARC-Target-URI: ").append(r.url).append("\r\n")
-      .append("WARC-Date: ").append(r.date).append("\r\n")
+      .append("WARC-Type: ").append(headerSafe(r.recType)).append("\r\n")
+      .append("WARC-Target-URI: ").append(headerSafe(r.url)).append("\r\n")
+      .append("WARC-Date: ").append(headerSafe(r.date)).append("\r\n")
       .append("Content-Length: ").append(r.body.length).append("\r\n")
       .append("\r\n").toString.getBytes(UTF_8)
     val out = new ByteArrayOutputStream(head.length + r.body.length + 4)
@@ -71,7 +80,12 @@ object WarcCodec {
     records.foreach { r =>
       val gz = new GZIPOutputStream(out)
       gz.write(recordBytes(r))
-      gz.finish() // closes THIS member, leaves the stream open
+      // close(), not finish(): close() finishes the member AND ends
+      // the native Deflater (finish() alone leaks it until GC — one
+      // per record is real native-memory pressure at crawl scale);
+      // ByteArrayOutputStream.close() is a no-op, so the outer stream
+      // stays usable for the next member
+      gz.close()
     }
     out.toByteArray
   }
@@ -81,12 +95,18 @@ object WarcCodec {
   // ------------------------------------------------------------------
 
   private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    // GZIPInputStream reads concatenated members transparently
-    val in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
+    // GZIPInputStream reads concatenated members transparently. A
+    // damaged member throws MID-stream; swallowing it here returns the
+    // bytes decompressed so far, so records from intact leading members
+    // survive a corrupt trailing member — the same partial-parse
+    // promise the plain-.warc path already keeps.
     val out = new ByteArrayOutputStream(math.max(64, b.length * 4))
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: Exception => () }
     out.toByteArray
   }
 

@@ -79,6 +79,32 @@ class AviCodecSpec extends SparkSpec {
     assert(back === null || back.length < 2)
   }
 
+  test("hostile header dimensions yield null on the data path, never throw") {
+    // patch the avih dwWidth/dwHeight of a valid file in place
+    def patchDims(avi: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = avi.clone()
+      val idx = out.indices.dropRight(3).find(i =>
+        out(i) == 'a' && out(i + 1) == 'v' && out(i + 2) == 'i' && out(i + 3) == 'h').get
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(idx + 4 + 4 + 32, w) // chunk id + size + avih offset 32
+      bb.putInt(idx + 4 + 4 + 36, h)
+      out
+    }
+    val avi = AviCodec.synthAvi(1L, 2, 8, 6)
+    // w = h = 65536: stride*h and w*h overflow Int to 0 — the pre-fix
+    // crash (ArrayIndexOutOfBounds through the pixel loop). The parse
+    // sane-bound now rejects the header outright.
+    val overflow = patchDims(avi, 65536, 65536)
+    assert(AviCodec.aviInfo(overflow) === null)
+    assert(AviCodec.decodeFrames(overflow) === null)
+    assert(AviCodec.frameLumas(overflow) === null)
+    // dims inside the sane bound but far past the real payload: the
+    // Long-arithmetic payload guard nulls the frame instead of looping
+    val tooBig = patchDims(avi, 30000, 30000)
+    assert(AviCodec.decodeFrames(tooBig) === null)
+    assert(AviCodec.aviInfo(tooBig) !== null) // metadata-only probe still reads
+  }
+
   test("synthAvi lumas are the closed-form webSafe formula; analyze matches GIF folds") {
     val seed = 42L
     val avi = AviCodec.synthAvi(seed, 4, 8, 6)

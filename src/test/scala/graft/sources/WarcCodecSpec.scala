@@ -58,6 +58,31 @@ class WarcCodecSpec extends SparkSpec {
     assert(WarcCodec.parse(Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)).isEmpty)
   }
 
+  test("CRLF in header values cannot break record framing") {
+    // reachable from arbitrary column data via synth_warc_gz: a value
+    // with embedded CRLF would otherwise end the header block early and
+    // corrupt every record after it
+    val hostile = Seq(
+      WarcRecord("response\r\nWARC-Type: request", "https://evil/\r\n\r\nWARC/1.0",
+        "2026-01-01\r\nT00:00:00Z", "payload".getBytes("UTF-8")),
+      recs.head)
+    val back = WarcCodec.parse(WarcCodec.encodeGz(hostile))
+    assert(back.length === 2)
+    assert(!back(0).recType.contains("\r") && !back(0).recType.contains("\n"))
+    assert(back(0).url === "https://evil/WARC/1.0")
+    assert(back(0).body.toSeq === "payload".getBytes("UTF-8").toSeq)
+    assert(back(1).url === recs.head.url)
+  }
+
+  test("a corrupt trailing gzip member keeps the intact leading members") {
+    val gz = WarcCodec.encodeGz(recs)
+    val junk = Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0, 42, 13, 77)
+    val damaged = gz ++ junk
+    val back = WarcCodec.parse(damaged)
+    assert(back.length === 3) // leading members survive, damage is dropped
+    assert(back.map(_.url).toSeq === recs.map(_.url))
+  }
+
   test("a damaged header in the middle resyncs to the next record") {
     val warc = WarcCodec.encode(recs)
     // corrupt record 2's Content-Length header line (flip a digit to a letter)
