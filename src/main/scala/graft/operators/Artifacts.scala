@@ -224,6 +224,21 @@ object Artifacts {
       .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
 
+  /** PageRank domain ranks `(node, out_deg, rank_ppm)`: the shingle-
+    * overlap graph + iteration chain is THE expensive pass (a full
+    * corpus tokenize plus 10 join rounds), while the output is one row
+    * per SOURCE — kilobytes at any corpus scale, broadcastable into
+    * every downstream sampling/weighting join. Compute once per corpus
+    * snapshot, persist, and every consumer pays join cost only. NOT
+    * additive (a new edge perturbs every rank), so an updated corpus
+    * recomputes — the same retrain-on-update contract as BPE merges.
+    */
+  def savePageRank(ranks: DataFrame, path: String): Unit =
+    ranks.coalesce(1).write.mode("overwrite").parquet(s"$path/ranks")
+
+  def loadPageRank(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/ranks")
+
   /** Probe weights: the (Dim+1)-row linear model. Persisted between
     * training phases — [[Probe.train]]'s `init` resumes GD from the
     * loaded table, the incremental path when new labeled data arrives.

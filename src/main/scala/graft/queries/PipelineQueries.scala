@@ -1762,17 +1762,38 @@ object PipelineQueries {
        |eu AS (SELECT src_a AS u, src_b AS v FROM i),
        |${graft.operators.Graph.triangleStatsSql(edgeCte = "eu", nodeAs = "source")}""".stripMargin
 
+  /** The rank table as a compute-ONCE-per-corpus-snapshot artifact
+    * ([[graft.operators.Artifacts.savePageRank]]): the first consumer
+    * in a process pays the graph build + save; every later consumer
+    * loads kilobytes of parquet. Keyed by the dataset dir — exactly
+    * the reuse a 100 TB curation pipeline gets from materializing
+    * domain ranks once per crawl snapshot. NOT additive, so a new
+    * snapshot (different dir) rebuilds.
+    */
+  private val pageRankArtifacts = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def rankArtifactPath(s: SparkSession, d: String): String =
+    pageRankArtifacts.computeIfAbsent(d, dir => {
+      val path = java.nio.file.Files.createTempDirectory("graft_pagerank").toFile.getAbsolutePath
+      graft.operators.Artifacts.savePageRank(sourceRanks(s, dir), path)
+      path
+    })
+
   /** The composition the rank exists for: authority-weighted document
     * sampling. Each doc keeps with probability min(rank·10, 1) in ppm
     * via the same deterministic hash-membership machinery as the
     * Sampling family — docs from hub sources survive, isolated-source
-    * docs thin to the teleport floor ×10 (~7.5%). One broadcast join +
-    * one hash filter on top of the rank artifact.
+    * docs thin to the teleport floor ×10 (~7.5%). The rank table comes
+    * FROM the persisted artifact, so the query itself is one broadcast
+    * join + one hash filter over loaded parquet — the 100 TB
+    * consumption shape — while the oracle recomputes the whole graph,
+    * putting save/load parity itself on the hash gate (the
+    * q_bm25_artifact proof pattern).
     */
   private val AuthorityBoost = 10
   val authoritySample: Q = (s, d) => {
-    val ranks = sourceRanks(s, d).select(col("node").as("source"), col("rank_ppm"))
-    Tables.documents(s, d).join(ranks, Seq("source"))
+    val ranks = graft.operators.Artifacts.loadPageRank(s, rankArtifactPath(s, d))
+      .select(col("node").as("source"), col("rank_ppm"))
+    Tables.documents(s, d).join(broadcast(ranks), Seq("source"))
       .filter(pmod(stableHash60(col("doc_id").cast("string")), lit(graft.operators.Graph.Scale)) <
         least(col("rank_ppm") * AuthorityBoost, lit(graft.operators.Graph.Scale)))
       .select(col("doc_id"), col("source"), col("rank_ppm"))

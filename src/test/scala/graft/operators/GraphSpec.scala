@@ -81,6 +81,20 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum === 3 * 5, "sf0.001 graph has 5 triangles")
   }
 
+  test("pagerank artifact: save → load is row-identical to the computed ranks") {
+    val n = Seq("a", "b", "c").toDF("node")
+    val e = Seq("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b").toDF("src", "dst")
+    val computed = Graph.pageRank(n, e)
+    val path = java.nio.file.Files.createTempDirectory("graft_pr_art").toFile.getAbsolutePath
+    Artifacts.savePageRank(computed, path)
+    val loaded = Artifacts.loadPageRank(spark, path)
+    // parquet reads everything nullable — compare names + types
+    assert(loaded.schema.map(f => (f.name, f.dataType)) ===
+      computed.schema.map(f => (f.name, f.dataType)))
+    assert(loaded.orderBy("node").collect().toSeq ===
+      computed.orderBy("node").collect().toSeq)
+  }
+
   test("q_pagerank registers with deterministic schema and plausible values") {
     val df = graft.queries.PipelineQueries.pageRank(spark, "/root/testdata/sf0.001")
     assert(df.columns.toSeq === Seq("source", "out_deg", "rank_ppm"))
