@@ -32,10 +32,20 @@ import scala.collection.mutable
   *     emit), bilinear blit through [[ImageCodec.resize]] onto a
   *     white canvas at `dpi/72` zoom (`app.py:256-257`).
   *
+  * PDF 1.5 object streams (`/Type /ObjStm`) ARE in subset on the read
+  * path: the forward scan expands each object stream in place, so its
+  * compressed objects take the container's position in document order
+  * and incremental-update last-wins still holds. Cross-reference
+  * STREAMS need no support at all — the parser never chases xref —
+  * and an `/XRef` stream object parses as a plain (ignored) object,
+  * so the dominant real-world 1.5+ layout (compressed xref + object
+  * streams) reads end to end.
+  *
   * OUT of subset (documented, loud where it matters): encryption,
-  * object/xref streams (PDF 1.5 compressed xref), text rendering,
-  * non-axis-aligned image placement, CMYK images. [[parse]] throws
-  * on encrypted documents rather than mis-reading them.
+  * text rendering, non-axis-aligned image placement, CMYK images,
+  * ObjStm filters beyond FlateDecode. [[parse]] throws on encrypted
+  * documents rather than mis-reading them (including the 1.5 shape
+  * where /Encrypt lives in the XRef stream dict).
   *
   * Scale shape: every entry point is bytes→bytes/struct per row — no
   * Spark state, no shuffle; it rides inside whole-stage codegen via
@@ -137,7 +147,7 @@ object PdfCodec {
     else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
       .underlying.stripTrailingZeros.toPlainString
 
-  private def deflate(data: Array[Byte]): Array[Byte] = {
+  private[sources] def deflate(data: Array[Byte]): Array[Byte] = {
     val d = new Deflater(Deflater.DEFAULT_COMPRESSION)
     d.setInput(data); d.finish()
     val out = new ByteArrayOutputStream(data.length / 2 + 16)
@@ -443,6 +453,19 @@ object PdfCodec {
         }
         if (!objects.contains(num)) order += num
         objects(num) = PObj(num, gen, value, stream)
+        // PDF 1.5 object streams: compressed objects live INSIDE this
+        // stream, invisible to the header scan — expand them HERE so
+        // they take this object's position in document order (a later
+        // regular definition or later ObjStm still overrides, keeping
+        // the incremental-update last-wins semantics intact)
+        value match {
+          case d: PDict if d.get("Type").contains(PName("ObjStm")) && stream.nonEmpty =>
+            expandObjStm(d, stream.get).foreach { case (n, v) =>
+              if (!objects.contains(n)) order += n
+              objects(n) = PObj(n, 0, v, None)
+            }
+          case _ =>
+        }
         searchFrom = lx.p
       }
     }
@@ -453,12 +476,58 @@ object PdfCodec {
     val trailerAt = text.lastIndexOf("trailer")
     val trailerRegion = if (trailerAt >= 0) text.substring(trailerAt) else text.takeRight(1024)
     require(!trailerRegion.contains("/Encrypt"), "PDF parse: encrypted documents are out of subset")
+    // PDF 1.5 files carry the trailer dict inside the /Type /XRef
+    // stream object instead of a `trailer` keyword — check it too
+    require(!objects.values.exists {
+      case PObj(_, _, d: PDict, _) =>
+        d.get("Type").contains(PName("XRef")) && d.m.contains("Encrypt")
+      case _ => false
+    }, "PDF parse: encrypted documents are out of subset")
     val catalogNum = objects.values.toSeq.reverse.collectFirst {
       case PObj(n, _, d: PDict, _) if d.get("Type").contains(PName("Catalog")) => n
     }.getOrElse(-1)
     val doc0 = PdfDoc(objects.toMap, order.result(), Vector.empty, catalogNum,
       if (objects.isEmpty) 0 else objects.keys.max)
     doc0.copy(pages = collectPages(doc0))
+  }
+
+  /** Decode one `/Type /ObjStm` stream into its (objnum, value) pairs
+    * (ISO 32000 §7.5.7): the stream body is N (objnum, offset) integer
+    * pairs followed at /First by the concatenated object values.
+    * Objects inside an object stream are always generation 0 and never
+    * carry streams themselves. /N and /First must be direct (every
+    * real-world writer emits them direct; indirect would need xref
+    * chasing, which this parser deliberately avoids). Filters beyond
+    * none/FlateDecode stay out of subset — loud throw, like the rest
+    * of the codec.
+    */
+  private def expandObjStm(dict: PDict, raw: Array[Byte]): Seq[(Int, PVal)] = {
+    val n = dict.get("N") match {
+      case Some(PNum(v)) => v.toInt
+      case other => throw new IllegalArgumentException(s"ObjStm: /N must be direct, got $other")
+    }
+    val first = dict.get("First") match {
+      case Some(PNum(v)) => v.toInt
+      case other => throw new IllegalArgumentException(s"ObjStm: /First must be direct, got $other")
+    }
+    val data = dict.get("Filter") match {
+      case None | Some(PNull) => raw
+      case Some(PName("FlateDecode")) => inflate(raw)
+      case Some(PArr(Vector(PName("FlateDecode")))) => inflate(raw)
+      case Some(other) => throw new IllegalArgumentException(
+        s"ObjStm: filter $other is out of subset (none/FlateDecode only)")
+    }
+    require(n >= 0 && first >= 0 && first <= data.length,
+      s"ObjStm: bad /N $n or /First $first for ${data.length} decoded bytes")
+    val head = new Lexer(data, 0)
+    val pairs = (0 until n).map { _ =>
+      val num = head.token().toInt
+      val off = head.token().toInt
+      require(num >= 0 && off >= 0 && first + off <= data.length,
+        s"ObjStm: pair ($num, $off) outside ${data.length} decoded bytes")
+      (num, off)
+    }
+    pairs.map { case (num, off) => num -> parseVal(new Lexer(data, first + off)) }
   }
 
   private def skipWsAt(b: Array[Byte], at: Int): Int = {

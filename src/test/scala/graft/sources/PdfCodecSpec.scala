@@ -103,6 +103,92 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("encrypted"))
   }
 
+  /** Repack a classic-xref document into the dominant real-world PDF
+    * 1.5+ layout: every non-stream object moves into ONE `/Type
+    * /ObjStm` (optionally FlateDecode), stream-bearing objects stay
+    * regular, and the trailer becomes a `/Type /XRef` cross-reference
+    * STREAM (no `trailer` keyword at all).
+    */
+  private def repack15(pdf: Array[Byte], deflateObjStm: Boolean,
+                       xrefExtra: String = ""): Array[Byte] = {
+    val doc = parse(pdf)
+    val objs = doc.order.map(doc.objects)
+    val (withStream, plain) = objs.partition(_.rawStream.nonEmpty)
+    val bodies = plain.map(o => serialize(o.value))
+    val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+    val headerPairs = plain.zip(offsets).map { case (o, off) => s"${o.num} $off" }.mkString(" ") + "\n"
+    val payload = (headerPairs + bodies.mkString(" ") + " ").getBytes("ISO-8859-1")
+    val first = headerPairs.length
+    val stm = if (deflateObjStm) PdfCodec.deflate(payload) else payload
+    val stmNum = doc.maxObjNum + 1
+    val xrefNum = doc.maxObjNum + 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.5\n%âãÏÓ\n")
+    w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${plain.length} /First $first /Length ${stm.length}" +
+      s"${if (deflateObjStm) " /Filter /FlateDecode" else ""} >>\nstream\n")
+    out.write(stm); w("\nendstream\nendobj\n")
+    withStream.foreach { o =>
+      w(s"${o.num} 0 obj\n${serialize(o.value)}\nstream\n")
+      out.write(o.rawStream.get); w("\nendstream\nendobj\n")
+    }
+    // compressed xref: the parser never chases offsets, so the entry
+    // bytes only need to be a VALID Flate stream, not a valid index
+    val xrefBody = PdfCodec.deflate(Array.fill[Byte](3 * (xrefNum + 1))(0))
+    val xrefOff = out.size()
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 1 1] /Root ${doc.catalogNum} 0 R" +
+      s" /Filter /FlateDecode /Length ${xrefBody.length}$xrefExtra >>\nstream\n")
+    out.write(xrefBody); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("PDF 1.5 object streams: compressed-object documents parse, both filters") {
+    val classic = compose(Seq(
+      PageImage(jpeg(91, 40, 30), 120, 160), PageImage(jpeg(92, 40, 30), 120, 160)),
+      deflateContents = true)
+    val want = parse(classic)
+    for (deflated <- Seq(true, false)) {
+      val p15 = repack15(classic, deflated)
+      assert(new String(p15, 0, 8, "ISO-8859-1") === "%PDF-1.5")
+      assert(!new String(p15, "ISO-8859-1").contains("\ntrailer")) // xref stream, no trailer keyword
+      val got = parse(p15)
+      assert(got.pageCount === want.pageCount)
+      got.pages.zip(want.pages).foreach { case (g, x) =>
+        assert((g.mediaW, g.mediaH) === ((x.mediaW, x.mediaH)))
+        assert(g.images("Im0").data.toSeq === x.images("Im0").data.toSeq)
+      }
+      // the whole metadata entry point agrees with the classic layout
+      assert(pdfInfo(p15).toSeq === pdfInfo(classic).toSeq)
+      // and the rasterizer renders identical pixels through it
+      assert(rasterizePng(p15, 0, 72).toSeq === rasterizePng(classic, 0, 72).toSeq)
+    }
+  }
+
+  test("PDF 1.5: a later regular object overrides an ObjStm definition (last wins)") {
+    val classic = compose(Seq(PageImage(jpeg(93, 30, 30), 100, 100)))
+    val doc = parse(classic)
+    val p15 = repack15(classic, deflateObjStm = true)
+    // append an incremental update redefining the PAGE object (which
+    // lives inside the ObjStm) with a different MediaBox — the signing
+    // path's exact update shape
+    val page = doc.pages.head
+    val updatedDict = serialize(PDict(page.dict.m.updated("MediaBox",
+      PArr(Vector(PNum(0), PNum(0), PNum(240), PNum(360))))))
+    val updated = p15 ++
+      s"${page.objNum} 0 obj\n$updatedDict\nendobj\n".getBytes("ISO-8859-1")
+    assert((parse(p15).pages.head.mediaW, parse(p15).pages.head.mediaH) === ((100.0, 100.0)))
+    val got = parse(updated).pages.head
+    assert((got.mediaW, got.mediaH) === ((240.0, 360.0))) // the appended definition won
+  }
+
+  test("PDF 1.5: /Encrypt inside the XRef stream dict is rejected loudly") {
+    val classic = compose(Seq(PageImage(jpeg(94, 20, 20), 20, 20)))
+    val enc = repack15(classic, deflateObjStm = true, xrefExtra = " /Encrypt 9 0 R")
+    val e = intercept[IllegalArgumentException](parse(enc))
+    assert(e.getMessage.contains("encrypted"))
+  }
+
   test("rasterize: dpi geometry matches zoom = dpi/72 (app.py:256-257)") {
     val pdf = compose(Seq(PageImage(jpeg(71, 62, 87), 62, 87)))
     val doc = parse(pdf)
