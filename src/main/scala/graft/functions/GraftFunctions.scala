@@ -34,6 +34,9 @@ object GraftFunctions {
     "stamp_text" -> (a => StringOps.stampText(a.head, a(1))),
     "item_name_or" -> (a => StringOps.itemNameOr(a.head, a(1))),
     "contains_any" -> (a => ContainsAnyCol.containsAny(a.head, a(1))),
+    "url_canon" -> (a => UrlOps.urlCanon(a.head)),
+    "url_host" -> (a => UrlOps.urlHost(a.head)),
+    "url_domain" -> (a => UrlOps.urlDomain(a.head)),
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {

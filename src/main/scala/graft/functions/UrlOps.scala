@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registered-domain extraction — the key
+  * primitives of crawl-scale curation that every URL-keyed stage
+  * (canonical-URL dedup, per-domain caps, blocklist joins, the
+  * PageRank node key) shares. One exact, engine-neutral SPEC, stated
+  * once and implemented twice (Spark Columns here, the DuckDB twin in
+  * [[canonSql]]/[[hostSql]]/[[domainSql]]), so the cross-engine hash
+  * gate pins every rule:
+  *
+  *   1. trim; strip the fragment (`#...`).
+  *   2. scheme = lowercased `^[A-Za-z][A-Za-z0-9+.-]*` before `://`;
+  *      no scheme → not a URL → every output null.
+  *   3. authority = up to the first `/` or `?`; userinfo (`...@`)
+  *      drops; host lowercases; one leading `www.` drops; the port
+  *      survives only when non-default for the scheme (http:80 and
+  *      https:443 drop). Empty host → null outputs.
+  *   4. path = authority end to `?`; empty → `/`; trailing slash runs
+  *      collapse away on non-root paths (`/a//` → `/a`).
+  *   5. query: split on `&`, DROP tracking params (`utm_*`, `fbclid`,
+  *      `gclid` — name match, with or without `=value`) and empty
+  *      segments, keep the remaining order (sorting would merge
+  *      semantically ordered params); empty result → no `?`.
+  *
+  * Registered domain (the per-domain aggregation key): last two host
+  * labels, or last three when the second-level label is a common
+  * multi-part suffix (`co|com|net|org|gov|ac|edu`) under a 2-letter
+  * country TLD — the standard heuristic when shipping the full public
+  * suffix list is out of scope (documented approximation; a real
+  * deployment swaps in the PSL as a broadcast lookup without touching
+  * the call sites). All-numeric (IP) hosts return unchanged.
+  *
+  * Everything is builtin string/regex/array Columns — fully inside
+  * whole-stage codegen, no UDF boundary; the only HOF lambda filters
+  * a handful of query params per row.
+  */
+object UrlOps {
+
+  private val SchemeRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://"
+  private val TrackRe = "^(utm_[^=]*|fbclid|gclid)(=|$)"
+  private val MultiSuffixes = Seq("co", "com", "net", "org", "gov", "ac", "edu")
+
+  private def stripFragment(u: Column): Column =
+    regexp_replace(trim(u), "#.*$", "")
+
+  private def restOf(s: Column): Column = regexp_replace(s, SchemeRe, "")
+
+  private def hostPort(s: Column): Column =
+    regexp_replace(regexp_extract(restOf(s), "^([^/?]*)", 1), "^[^@]*@", "")
+
+  private def rawHost(s: Column): Column =
+    regexp_replace(lower(regexp_replace(hostPort(s), ":[0-9]*$", "")), "^www\\.", "")
+
+  private def validUrl(u: Column, s: Column): Column =
+    u.isNotNull && s.rlike(SchemeRe) && rawHost(s) =!= ""
+
+  /** Lowercased, `www.`-stripped host; null when not a URL. */
+  def urlHost(u: Column): Column = {
+    val s = stripFragment(u)
+    when(validUrl(u, s), rawHost(s))
+  }
+
+  /** Registered domain of the host under the documented heuristic;
+    * null when not a URL.
+    */
+  def urlDomain(u: Column): Column = {
+    val s = stripFragment(u)
+    val host = rawHost(s)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val multi = element_at(labels, -2).isin(MultiSuffixes: _*) &&
+      length(element_at(labels, -1)) === 2
+    val reg = when(host.rlike("^[0-9.]+$"), host)
+      .when(n >= 3 && multi,
+        concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
+      .when(n >= 2, concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
+      .otherwise(host)
+    when(validUrl(u, s), reg)
+  }
+
+  /** The full canonical form; null when not a URL. */
+  def urlCanon(u: Column): Column = {
+    val s = stripFragment(u)
+    val scheme = lower(regexp_extract(s, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hp = hostPort(s)
+    val host = rawHost(s)
+    val port = regexp_extract(hp, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") && !(scheme === "https" && port === "443")
+    val pathq = regexp_replace(restOf(s), "^[^/?]*", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path1 = when(path0 === "", "/").otherwise(path0)
+    val path = coalesce(nullif(regexp_replace(path1, "/+$", ""), lit("")), lit("/"))
+    val query0 = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query0, "&"),
+      p => p =!= "" && !p.rlike(TrackRe))
+    val query = array_join(params, "&")
+    when(validUrl(u, s),
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(""),
+        path,
+        when(query =!= "", concat(lit("?"), query)).otherwise("")))
+  }
+
+  // ------------------------------------------------------------ DuckDB twins
+  // Same spec, same regexes, same step order; `e` is any SQL string
+  // expression. Generated inline so each oracle query stays a single
+  // self-contained statement.
+
+  private def sqlStrip(e: String) = s"regexp_replace(trim($e), '#.*$$', '')"
+  private def sqlRest(s: String) = s"regexp_replace($s, '$SchemeRe', '')"
+  private def sqlHostPort(s: String) =
+    s"regexp_replace(regexp_extract(${sqlRest(s)}, '^([^/?]*)', 1), '^[^@]*@', '')"
+  private def sqlRawHost(s: String) =
+    s"regexp_replace(lower(regexp_replace(${sqlHostPort(s)}, ':[0-9]*$$', '')), '^www\\.', '')"
+  private def sqlValid(e: String, s: String) =
+    s"($e IS NOT NULL AND regexp_matches($s, '$SchemeRe') AND ${sqlRawHost(s)} <> '')"
+
+  def hostSql(e: String): String = {
+    val s = sqlStrip(e)
+    s"CASE WHEN ${sqlValid(e, s)} THEN ${sqlRawHost(s)} END"
+  }
+
+  def domainSql(e: String): String = {
+    val s = sqlStrip(e)
+    val host = sqlRawHost(s)
+    val inSet = MultiSuffixes.map("'" + _ + "'").mkString("(", ", ", ")")
+    s"""CASE WHEN ${sqlValid(e, s)} THEN (
+       |  SELECT CASE
+       |    WHEN regexp_matches(h, '^[0-9.]+$$') THEN h
+       |    WHEN len(l) >= 3 AND l[-2] IN $inSet AND length(l[-1]) = 2
+       |      THEN concat_ws('.', l[-3], l[-2], l[-1])
+       |    WHEN len(l) >= 2 THEN concat_ws('.', l[-2], l[-1])
+       |    ELSE h END
+       |  FROM (SELECT $host AS h, string_split($host, '.') AS l)) END""".stripMargin
+  }
+
+  def canonSql(e: String): String = {
+    val s = sqlStrip(e)
+    // NOTE: generated text is re-embedded in callers' stripMargin
+    // blocks, so no line may START with `|` — `||` hangs at line ends
+    s"""CASE WHEN ${sqlValid(e, s)} THEN (
+       |  SELECT scheme || '://' || host ||
+       |    CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+       |                         AND NOT (scheme = 'https' AND port = '443')
+       |         THEN ':' || port ELSE '' END ||
+       |    coalesce(nullif(regexp_replace(CASE WHEN path0 = '' THEN '/' ELSE path0 END, '/+$$', ''), ''), '/') ||
+       |    CASE WHEN q <> '' THEN '?' || q ELSE '' END
+       |  FROM (SELECT scheme, host, port, path0,
+       |          array_to_string(list_filter(string_split(query0, '&'),
+       |            p -> p <> '' AND NOT regexp_matches(p, '$TrackRe')), '&') AS q
+       |        FROM (SELECT
+       |          lower(regexp_extract($s, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+       |          ${sqlRawHost(s)} AS host,
+       |          regexp_extract(${sqlHostPort(s)}, ':([0-9]+)$$', 1) AS port,
+       |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '^([^?]*)', 1) AS path0,
+       |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '\\?(.*)$$', 1) AS query0))) END""".stripMargin
+  }
+}

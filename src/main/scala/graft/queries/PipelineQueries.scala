@@ -5,7 +5,7 @@ import graft.functions.Hashing
 import graft.operators.{Artifacts, Curation, Dedup, Retrieval, Sampling, Similarity, Sketches, TextAnalysis}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis)
   * plus the W4 rule-fallback cascade. Every oracle below is GENERATED
@@ -2097,7 +2097,85 @@ object PipelineQueries {
        |FROM u GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------------------------------ URL layer
+  /** Synthetic messy-URL column, every component closed-form in
+    * doc_id so the oracle rebuilds the identical input: `variant`
+    * cycles the real-world noise shapes (case/www/default-port/
+    * trailing-slash/fragment, tracking-only query, userinfo +
+    * non-default port + mixed query) around one logical target per
+    * `base`. `mod` controls the variant cycle length.
+    */
+  private def messyUrl(base: Column, variant: Column): Column = {
+    val b = base.cast("string")
+    val suf = when(pmod(base, lit(5)) < 2, lit(".co.uk")).otherwise(lit(".com"))
+    val host = concat(lit("site"), b, suf)
+    when(variant === 0, concat(lit("https://"), host, lit("/doc/"), b))
+      .when(variant === 1,
+        concat(lit("HTTPS://WWW."), upper(host), lit(":443/doc/"), b, lit("/#frag")))
+      .when(variant === 2,
+        concat(lit("https://"), host, lit("/doc/"), b, lit("?utm_source=feed&fbclid=x&gclid=1")))
+      .otherwise(
+        concat(lit("https://u:p@"), host, lit(":8080/doc/"), b, lit("?ref=1&utm_medium=m")))
+  }
+  private def messyUrlSqlCte(baseExpr: String, variantExpr: String): String =
+    s"""b AS (SELECT doc_id, $baseExpr AS base, $variantExpr AS variant FROM documents),
+       |h AS (SELECT doc_id, base, variant,
+       |             'site' || base || (CASE WHEN base % 5 < 2 THEN '.co.uk' ELSE '.com' END) AS host
+       |      FROM b),
+       |u AS (SELECT doc_id,
+       |  CASE variant
+       |    WHEN 0 THEN 'https://' || host || '/doc/' || base
+       |    WHEN 1 THEN 'HTTPS://WWW.' || upper(host) || ':443/doc/' || base || '/#frag'
+       |    WHEN 2 THEN 'https://' || host || '/doc/' || base || '?utm_source=feed&fbclid=x&gclid=1'
+       |    ELSE 'https://u:p@' || host || ':8080/doc/' || base || '?ref=1&utm_medium=m'
+       |  END AS url FROM h)""".stripMargin
+
+  /** Row-level gate of the whole [[graft.functions.UrlOps]] spec:
+    * canonical form, host and registered domain of four noise
+    * variants, hashed cross-engine on every row. Pure projection —
+    * no shuffle; at crawl scale this is the map stage every URL-keyed
+    * operator shares.
+    */
+  val urlCanon: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        messyUrl(col("doc_id"), pmod(col("doc_id"), lit(4))).as("url"))
+      .select(col("doc_id"), col("url"),
+        graft.functions.UrlOps.urlCanon(col("url")).as("canon_url"),
+        graft.functions.UrlOps.urlHost(col("url")).as("host"),
+        graft.functions.UrlOps.urlDomain(col("url")).as("domain"))
+  val urlCanonSql: String =
+    s"""WITH ${messyUrlSqlCte("doc_id", "doc_id % 4")}
+       |SELECT doc_id, url,
+       |       ${graft.functions.UrlOps.canonSql("url")} AS canon_url,
+       |       ${graft.functions.UrlOps.hostSql("url")} AS host,
+       |       ${graft.functions.UrlOps.domainSql("url")} AS domain
+       |FROM u""".stripMargin
+
+  /** Canonical-URL dedup — the first stage of every crawl pipeline:
+    * recrawls and share-link variants of one target collapse onto the
+    * canonical form, oldest doc wins. Three noise variants of each
+    * target collapse to n_dups = 3 groups here. Shape at scale: one
+    * map-side canonicalization + ONE exchange keyed on canon_url —
+    * the same partitioning every later URL-keyed stage (domain cap,
+    * blocklist join) reuses.
+    */
+  val urlDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.UrlOps.urlCanon(
+          messyUrl(expr("doc_id div 3"), pmod(col("doc_id"), lit(3)))).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_doc"))
+  val urlDedupSql: String =
+    s"""WITH ${messyUrlSqlCte("doc_id // 3", "doc_id % 3")}
+       |SELECT ${graft.functions.UrlOps.canonSql("url")} AS canon_url,
+       |       count(*) AS n_dups, min(doc_id) AS canonical_doc
+       |FROM u GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_url_canon" -> urlCanon,
+    "q_url_dedup" -> urlDedup,
     "q_source_quality" -> sourceQuality,
     "q_ivf_health" -> ivfHealth,
     "q_reservoir" -> reservoir,
@@ -2193,6 +2271,8 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_url_canon" -> urlCanonSql,
+    "q_url_dedup" -> urlDedupSql,
     "q_source_quality" -> sourceQualitySql,
     "q_ivf_health" -> ivfHealthSql,
     "q_reservoir" -> reservoirSql,

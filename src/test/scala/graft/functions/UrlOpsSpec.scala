@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The UrlOps spec, rule by rule, on hand-picked edges. Cross-engine
+  * parity of the same rules is gated by q_url_canon / q_url_dedup.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: (String, String)*): Unit = check(UrlOps.urlCanon _, urls)
+  private def host(urls: (String, String)*): Unit = check(UrlOps.urlHost _, urls)
+  private def domain(urls: (String, String)*): Unit = check(UrlOps.urlDomain _, urls)
+
+  private def check(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                    urls: Seq[(String, String)]): Unit = {
+    val got = urls.map(_._1).toDF("u").select(f(col("u"))).collect().map(_.getString(0))
+    urls.map(_._2).zip(got).zip(urls.map(_._1)).foreach { case ((want, g), in) =>
+      assert(g === want, s"input: $in")
+    }
+  }
+
+  test("canonical form: case, www, default ports, fragments, trailing slashes") {
+    canon(
+      "https://Site.Com/doc/5" -> "https://site.com/doc/5",
+      "HTTPS://WWW.SITE.COM:443/doc/5/#frag" -> "https://site.com/doc/5",
+      "http://site.com:80/a" -> "http://site.com/a",
+      "http://site.com:8080/a" -> "http://site.com:8080/a",
+      "https://site.com" -> "https://site.com/",
+      "https://site.com/a//" -> "https://site.com/a",
+      "  https://site.com/x  " -> "https://site.com/x")
+  }
+
+  test("canonical form: query handling — tracking params drop, order is preserved") {
+    canon(
+      "https://s.com/p?utm_source=x&ref=1&fbclid=y&gclid" -> "https://s.com/p?ref=1",
+      "https://s.com/p?utm_source=x&utm_medium=y" -> "https://s.com/p",
+      "https://s.com/p?b=2&a=1" -> "https://s.com/p?b=2&a=1",
+      "https://s.com/p?&&a=1&" -> "https://s.com/p?a=1",
+      "https://u:pw@s.com:8080/p?ref=1#f" -> "https://s.com:8080/p?ref=1")
+  }
+
+  test("non-URLs and empty hosts are null, never garbage") {
+    canon(
+      "not a url" -> null,
+      "site.com/path" -> null, // no scheme
+      "https:///path" -> null, // empty host
+      null.asInstanceOf[String] -> null)
+    host("nope" -> null)
+    domain("nope" -> null)
+  }
+
+  test("host and registered domain: multi-part suffixes, IPs, single labels") {
+    host(
+      "https://WWW.News.BBC.co.uk/x" -> "news.bbc.co.uk",
+      "http://u@a.b.example.com:81/" -> "a.b.example.com")
+    domain(
+      "https://www.news.bbc.co.uk/x" -> "bbc.co.uk", // multi-part suffix → 3 labels
+      "https://a.b.example.com/x" -> "example.com",
+      "https://example.com/x" -> "example.com",
+      "http://localhost/x" -> "localhost",
+      "http://192.168.0.1/x" -> "192.168.0.1")
+  }
+
+  test("registered SQL surface: url_canon/url_host/url_domain callable from pure SQL") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT url_canon('HTTPS://WWW.S.COM:443/a/?utm_source=x#f') AS c,
+        |       url_host('https://www.s.co.uk/x') AS h,
+        |       url_domain('https://a.b.s.co.uk/x') AS d""".stripMargin).head
+    assert(r.getString(0) === "https://s.com/a")
+    assert(r.getString(1) === "s.co.uk")
+    assert(r.getString(2) === "s.co.uk")
+  }
+}
