@@ -408,6 +408,17 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
         maxShingleDf = Some(Dedup.DefaultMaxShingleDf)))
   }
+  /** One CC labeling per (snapshot, context) for the consumer queries
+    * (yield report, leakage-safe split) — q_dup_clusters, the build,
+    * still computes fresh. See [[memoized]].
+    */
+  private def dupClusterLabels(s: SparkSession, d: String): DataFrame =
+    memoized("dup_cluster_labels", s, d) {
+      val docs = Tables.documents(s, d)
+      Dedup.duplicateClusters(docs, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
+          maxShingleDf = Some(Dedup.DefaultMaxShingleDf))).localCheckpoint(true)
+    }
   val dupClustersSql: String =
     s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
        |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
@@ -425,13 +436,8 @@ object PipelineQueries {
   /** What keep-one-per-cluster would save, by cluster size — the
     * report a curation run reads before committing a dedup pass.
     */
-  val dedupYield: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    Dedup.yieldReport(docs, "doc_id", "text",
-      Dedup.duplicateClusters(docs, "doc_id",
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
-          maxShingleDf = Some(Dedup.DefaultMaxShingleDf))))
-  }
+  val dedupYield: Q = (s, d) =>
+    Dedup.yieldReport(Tables.documents(s, d), "doc_id", "text", dupClusterLabels(s, d))
   val dedupYieldSql: String =
     s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
        |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
@@ -533,15 +539,10 @@ object PipelineQueries {
     * q_dup_clusters — composed, the leak is structurally impossible
     * (SamplingSpec asserts no cluster spans two splits).
     */
-  val splitByCluster: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val clusters = Dedup.duplicateClusters(docs, "doc_id",
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text", N, 0.5,
-        maxShingleDf = Some(Dedup.DefaultMaxShingleDf)))
-    Sampling.split(clusters, col("component_id"),
+  val splitByCluster: Q = (s, d) =>
+    Sampling.split(dupClusterLabels(s, d), col("component_id"),
         Seq("train" -> 0.8, "eval" -> 0.1, "test" -> 0.1))
       .select("doc_id", "component_id", "split")
-  }
   val splitByClusterSql: String =
     s"""WITH RECURSIVE ${shingleCte(cap = Some(Dedup.DefaultMaxShingleDf))},
        |pairs AS (SELECT doc_a, doc_b FROM exact WHERE jaccard >= 0.5),
