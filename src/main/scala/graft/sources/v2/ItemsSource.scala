@@ -234,7 +234,7 @@ class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
     val groups: Seq[(Seq[Any], Seq[ItemsStore.Cell])] =
       if (groupCols.isEmpty) Seq((Seq.empty, cells))
       else cells.groupBy(c => groupCols.map(g => cellValue(c, g)))
-        .toSeq.sortBy(_._1.mkString(" "))
+        .toSeq.sortBy(_._1.mkString(""))
     val rows: Array[Array[Any]] = groups.map { case (key, gs) =>
       (key ++ aggFns.map {
         case _: CountStar => gs.size.toLong
@@ -289,17 +289,33 @@ class ItemsAggReaderFactory extends PartitionReaderFactory {
 
 class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
                 limit: Option[Int] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")}" +
       limit.map(l => s" pushedLimit=$l").getOrElse("")
 
+  // ---- runtime (join-driven) filtering: Spark's dynamic-pruning rule
+  // hands the scan the id set OBSERVED on the other side of an
+  // equi-join before partitions are planned — so a lookup joined
+  // against a filtered dimension fetches only the surviving ids' API
+  // pages instead of the whole id space. At the reference's workload
+  // this is the difference between paging every board item and paging
+  // the handful a webhook batch touched. `filter()` runs driver-side
+  // before `planInputPartitions()` (the BatchScanExec contract).
+  @volatile private var runtime: Array[Filter] = Array.empty
+  // only columns surviving pruning: Spark resolves these against the
+  // scan's (pruned) output and fails analysis on absent ones
+  override def filterAttributes(): Array[NamedReference] =
+    Seq("item_id", "column_id").filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
   // The DSv2 Filter contract allows null values inside In (and EqualTo):
   // `IN (..., NULL)` matches nothing for the null element — it must not
   // NPE partition planning.
-  private def keep(c: ItemsStore.Cell): Boolean = pushed.forall {
+  private def keep(c: ItemsStore.Cell): Boolean = (pushed ++ runtime).forall {
     case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
     case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
     case EqualTo("column_id", v) => v != null && c.columnId == v
@@ -311,17 +327,32 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
     * chunked API paging as Spark's unit of parallelism. A pushed LIMIT
     * truncates the CELL stream (sorted by key, so deterministic) and
     * pages only the ids that survive — `LIMIT n` fetches at most
-    * ceil(n / PageSize) pages instead of the whole id space.
+    * ceil(n / PageSize) pages instead of the whole id space. Runtime
+    * filters participate exactly like pushed ones: they shrink the id
+    * list BEFORE paging.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val matching0 = ItemsStore.get(store).filter(keep)
     val matching = limit.map(matching0.take).getOrElse(matching0)
-    matching.map(_.itemId).distinct.sorted
+    val pages = matching.map(_.itemId).distinct.sorted
       .grouped(ItemsSource.PageSize)
-      .map(ids => ItemsPage(store, ids.toArray, pushed, limit): InputPartition)
+      .map(ids => ItemsPage(store, ids.toArray, pushed ++ runtime, limit): InputPartition)
       .toArray
+    ItemsScan.lastPlannedPages.set(pages.length)
+    pages
   }
   override def createReaderFactory(): PartitionReaderFactory = new ItemsReaderFactory(required)
+}
+
+object ItemsScan {
+  /** Test-visible observability: pages planned by the most recent scan
+    * and pages actually READ (the true API-call count — BatchScanExec
+    * may plan both the unfiltered and the runtime-filtered partition
+    * lists, but only the filtered one is fetched). In-JVM counters:
+    * meaningful under local[*] tests, where executors share the JVM.
+    */
+  val lastPlannedPages = new java.util.concurrent.atomic.AtomicInteger(-1)
+  val pagesFetched = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
 case class ItemsPage(store: String, itemIds: Array[Long], pushed: Array[Filter],
@@ -331,6 +362,7 @@ case class ItemsPage(store: String, itemIds: Array[Long], pushed: Array[Filter],
 class ItemsReaderFactory(required: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val page = partition.asInstanceOf[ItemsPage]
+    ItemsScan.pagesFetched.incrementAndGet()
     new ItemsPageReader(page, required)
   }
 }
