@@ -2211,9 +2211,39 @@ object PipelineQueries {
        |       count(*) AS n_dups, min(doc_id) AS canonical_doc
        |FROM u GROUP BY 1""".stripMargin
 
+  /** Domain blocklist filtering — the UT1-blocklist-style gate every
+    * crawl pipeline applies before anything content-based runs: extract
+    * the registered domain, anti-join a (small, broadcast) deny list.
+    * The list here is a closed-form external relation so the oracle
+    * rebuilds it; production swaps in the real list file with no plan
+    * change. Shape at scale: map-side domain extraction + one broadcast
+    * anti-join — no shuffle of the corpus.
+    */
+  val urlBlocklist: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.UrlOps.urlDomain(
+          messyUrl(col("doc_id"), pmod(col("doc_id"), lit(4)))).as("domain"))
+    val suffixes = Seq(".com", ".co.uk")
+    val bl = suffixes.map(suf =>
+        s.range(0, 200).filter(col("id") % 10 === 3)
+          .select(concat(lit("site"), col("id").cast("string"), lit(suf)).as("domain")))
+      .reduce(_ union _)
+    docs.join(broadcast(bl), Seq("domain"), "left_anti")
+      .select(col("doc_id"), col("domain"))
+  }
+  val urlBlocklistSql: String =
+    s"""WITH ${messyUrlSqlCte("doc_id", "doc_id % 4")},
+       |dom AS (SELECT doc_id, ${graft.functions.UrlOps.domainSql("url")} AS domain FROM u),
+       |bl AS (SELECT 'site' || r || suf AS domain
+       |       FROM range(0, 200) t(r) CROSS JOIN (SELECT unnest(['.com', '.co.uk']) AS suf)
+       |       WHERE r % 10 = 3)
+       |SELECT doc_id, domain FROM dom WHERE domain NOT IN (SELECT domain FROM bl)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
+    "q_url_blocklist" -> urlBlocklist,
     "q_source_quality" -> sourceQuality,
     "q_ivf_health" -> ivfHealth,
     "q_reservoir" -> reservoir,
@@ -2311,6 +2341,7 @@ object PipelineQueries {
   val oracleSql: Map[String, String] = Map(
     "q_url_canon" -> urlCanonSql,
     "q_url_dedup" -> urlDedupSql,
+    "q_url_blocklist" -> urlBlocklistSql,
     "q_source_quality" -> sourceQualitySql,
     "q_ivf_health" -> ivfHealthSql,
     "q_reservoir" -> reservoirSql,

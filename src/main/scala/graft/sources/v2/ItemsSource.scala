@@ -289,7 +289,7 @@ class ItemsAggReaderFactory extends PartitionReaderFactory {
 
 class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
                 limit: Option[Int] = None)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -342,6 +342,24 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
     pages
   }
   override def createReaderFactory(): PartitionReaderFactory = new ItemsReaderFactory(required)
+
+  /** Post-pushdown statistics for the planner: without them a DSv2
+    * relation defaults to `defaultSizeInBytes` (effectively infinite),
+    * so a FILTERED items lookup joined to a big table shuffles both
+    * sides instead of broadcasting the handful of surviving cells.
+    * The stand-in counts the store directly; a production connector
+    * answers with the API's count endpoint — the same one call the
+    * aggregate pushdown path uses.
+    */
+  override def estimateStatistics(): Statistics = {
+    val matched = ItemsStore.get(store).count(keep)
+    val n = limit.fold(matched)(l => math.min(l, matched))
+    val rowBytes = required.map(_.dataType.defaultSize + 8L).sum.max(16L)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(n * rowBytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n.toLong)
+    }
+  }
 }
 
 object ItemsScan {

@@ -178,6 +178,22 @@ class ItemsSourceSpec extends SparkSpec {
     ItemsStore.drop("s_lim")
   }
 
+  test("reported statistics make a filtered lookup broadcastable (no hint needed)") {
+    // without SupportsReportStatistics a DSv2 relation sizes at
+    // defaultSizeInBytes (effectively infinite) and can never win a
+    // broadcast decision on its own
+    ItemsStore.put("s_stats", (1L to 1000L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
+    val small = load("s_stats").filter($"item_id".isin(2L, 3L, 5L))
+    val stats = small.queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 10000, stats.sizeInBytes)
+    val big = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val joined = big.join(small, big("l_orderkey") === small("item_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(joined.count() > 0)
+    ItemsStore.drop("s_stats")
+  }
+
   test("runtime filters shrink page planning to the join-observed ids (scan contract)") {
     // 300 ids = 6 pages; a runtime IN of 3 ids must re-plan to 1 page
     // with only those ids in the API call
