@@ -405,6 +405,26 @@ object EventPipeline {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming canonical-URL dedup — the ingestion-time twin of the
+    * batch q_url_dedup: recrawls and share-link variants of one target
+    * collapse AT ARRIVAL, keyed on [[graft.functions.UrlOps.urlCanon]]
+    * (case/www/default-port/fragment/tracking-param noise all folds
+    * onto one key), through the same bounded-watermark state as
+    * [[statefulDedupBounded]]. Input needs `url` and event-time `ts`
+    * columns; the canonicalization is one codegen projection, so the
+    * only stateful operator is the dedup itself — state bounded by
+    * horizon × crawl rate, not frontier size. Non-URL rows (null
+    * canon) pass through un-deduped rather than all colliding on one
+    * null key.
+    */
+  def streamingUrlDedup(pages: DataFrame, horizon: String = "30 minutes"): DataFrame = {
+    val canon = pages.withColumn("canon_url",
+      coalesce(graft.functions.UrlOps.urlCanon(col("url")),
+        concat(lit("opaque:"), col("url"))))
+    canon.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("canon_url")
+  }
+
   /** Watermarked stream-stream join: correlate two live event streams
     * per item within a bounded event-time window (e.g. every upload
     * with the scans that follow it within `joinWindow`). The time-range

@@ -179,6 +179,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("bdedup") }
   }
 
+  test("streaming URL dedup collapses canonical variants at arrival; non-URLs pass through") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[(String, Timestamp)]
+    val q = EventPipeline.streamingUrlDedup(
+        mem.toDF().toDF("url", "ts"), "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("urldedup").start()
+    try {
+      mem.addData(
+        ("https://site5.com/doc/9", ts(1)),
+        ("HTTPS://WWW.SITE5.COM:443/doc/9/#frag", ts(2)), // same canonical target
+        ("not a url", ts(3)))
+      q.processAllAvailable()
+      // a later batch redelivers the target with different noise, plus
+      // one genuinely new target and a second non-URL row
+      mem.addData(
+        ("https://site5.com/doc/9?utm_source=feed", ts(4)),
+        ("https://site6.com/doc/1", ts(5)),
+        ("also not a url", ts(6)))
+      q.processAllAvailable()
+      val got = spark.table("urldedup").select("url").as[String].collect().toSet
+      assert(got === Set(
+        "https://site5.com/doc/9", // first arrival of the target wins
+        "not a url",               // opaque rows are not collapsed together
+        "https://site6.com/doc/1",
+        "also not a url"))
+    } finally { q.stop(); spark.catalog.dropTempView("urldedup") }
+  }
+
   test("stream-stream join correlates events within the time window only") {
     implicit val ctx = spark.sqlContext
     val uploads = MemoryStream[Ev]
