@@ -295,15 +295,30 @@ object PipelineQueries {
     * corpus doc) space — the calibration-free combiner for rankings
     * whose raw scores are incomparable.
     */
+  /** The two scored (probe, corpus doc) pair tables every retrieval
+    * consumer shares, one materialization per (snapshot, context) —
+    * q_bm25_topk and q_decontaminate, the builds, still compute fresh.
+    * See [[memoized]].
+    */
+  private def bm25PairTable(s: SparkSession, d: String): DataFrame =
+    memoized("bm25_pairs", s, d) {
+      val doc = Tables.documents(s, d)
+      Retrieval.bm25Pairs(doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        doc.filter(col("doc_id") % 10 === 0), "doc_id", "text").localCheckpoint(true)
+    }
+  private def contamPairTable(s: SparkSession, d: String): DataFrame =
+    memoized("contam_pairs", s, d) {
+      val doc = Tables.documents(s, d)
+      Dedup.contaminationPairs(doc.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+        doc.filter(col("doc_id") % 10 === 0), "doc_id", "text", DecontamN).localCheckpoint(true)
+    }
+
   val rrfFusion: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-    val corpus = doc.filter(col("doc_id") % 10 =!= 0)
-    val probes = doc.filter(col("doc_id") % 10 === 0)
     val wBm = Window.partitionBy(col("probe_id")).orderBy(col("score_u").desc, col("doc_id"))
-    val bm = Retrieval.bm25Pairs(corpus, "doc_id", "text", probes, "doc_id", "text")
+    val bm = bm25PairTable(s, d)
       .select(col("probe_id"), col("doc_id"), row_number().over(wBm).as("r_bm25"))
     val wNg = Window.partitionBy(col("probe_id")).orderBy(col("n_shared").desc, col("doc_id"))
-    val ng = Dedup.contaminationPairs(corpus, "doc_id", "text", probes, "doc_id", "text", DecontamN)
+    val ng = contamPairTable(s, d)
       .select(col("probe_id"), col("doc_id"), row_number().over(wNg).as("r_ngram"))
     Retrieval.rrfFuse(bm, "r_bm25", ng, "r_ngram", RrfK0, RrfK)
   }
@@ -337,15 +352,12 @@ object PipelineQueries {
     * picks are per-probe windows over already-capped candidate sets.
     */
   val pairMining: Q = (s, d) => {
-    val doc = Tables.documents(s, d)
-    val corpus = doc.filter(col("doc_id") % 10 =!= 0)
-    val probes = doc.filter(col("doc_id") % 10 === 0)
     val wPos = Window.partitionBy(col("probe_id")).orderBy(col("n_shared").desc, col("doc_id"))
-    val pos = Dedup.contaminationPairs(corpus, "doc_id", "text", probes, "doc_id", "text", DecontamN)
+    val pos = contamPairTable(s, d)
       .withColumn("_rn", row_number().over(wPos)).filter(col("_rn") === 1)
       .select(col("probe_id"), col("doc_id").as("pos_id"), col("n_shared"))
     val wBm = Window.partitionBy(col("probe_id")).orderBy(col("score_u").desc, col("doc_id"))
-    val hard = Retrieval.bm25Pairs(corpus, "doc_id", "text", probes, "doc_id", "text")
+    val hard = bm25PairTable(s, d)
       .join(pos.select("probe_id", "pos_id"), Seq("probe_id"))
       .filter(col("doc_id") =!= col("pos_id"))
       .withColumn("_rn", row_number().over(wBm)).filter(col("_rn") === 1)
