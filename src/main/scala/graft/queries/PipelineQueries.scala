@@ -603,6 +603,84 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= $SimMaxHamming""".stripMargin
   }
 
+  /** SimHash banding SELECTIVITY, the cost knob q_dedup_simhash's
+    * losslessness gate doesn't measure: for two independent pigeonhole
+    * decompositions of the same 96-bit fingerprint (8 chunks × 12 bits
+    * and 12 × 8), the candidate-pair count each banding generates and
+    * the true ≤-maxHamming pairs among them. Both schemes are lossless
+    * at this tolerance (maxHamming < chunks), so their n_truth MUST
+    * agree — two different decompositions recovering the identical
+    * pair set is a strong cross-check of the band arithmetic — while
+    * n_cand quantifies the precision/bucket-width trade (wider chunks
+    * → fewer, larger buckets → more candidates to filter). The oracle
+    * recomputes truth by BRUTE-FORCE O(n²) hamming and the candidates
+    * by re-deriving each banding, so the gate pins both sides.
+    */
+  private val SimSchemes = Seq(8, 12)
+  val simhashSelectivity: Q = (s, d) => {
+    val sims = Dedup.withSimhash(Tables.documents(s, d), "doc_id", "text")
+      .localCheckpoint(true) // two bandings read the same fingerprint table
+    SimSchemes.map { chunks =>
+      val banded = Dedup.simhashBands(sims, chunks)
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk_val") === col("b.chunk_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sim_lo").as("lo_a"), col("a.sim_hi").as("hi_a"),
+          col("b.sim_lo").as("lo_b"), col("b.sim_hi").as("hi_b"))
+        .distinct()
+        .withColumn("_h", expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)"))
+      cand.agg(count(lit(1)).as("n_cand"),
+          count(when(col("_h") <= SimMaxHamming, 1)).as("n_truth"))
+        .select(lit(chunks.toLong).as("chunks"),
+          lit((SimhashWordBits * 2 / chunks).toLong).as("chunk_bits"),
+          col("n_cand"), col("n_truth"),
+          when(col("n_cand") > 0, expr("n_truth * 1000000000 div n_cand"))
+            .otherwise(0L).as("precision_ppb"))
+    }.reduce(_ unionAll _)
+  }
+  val simhashSelectivitySql: String = {
+    val sumCols = ("count(*) AS n" +: (0 until SimhashWordBits).flatMap(b => Seq(
+      s"sum(${simBitValueSql("h0", b)}) AS a$b",
+      s"sum(${simBitValueSql("h1", b)}) AS b$b"))).mkString(", ")
+    val loExpr = simhashFromBitSumsSql((0 until SimhashWordBits).map(b => s"a$b"), "n")
+    val hiExpr = simhashFromBitSumsSql((0 until SimhashWordBits).map(b => s"b$b"), "n")
+    def bandsCte(chunks: Int): String = {
+      val perWord = chunks / 2
+      val width = SimhashWordBits / perWord
+      val mask = (1L << width) - 1
+      (0 until chunks).map { c =>
+        val word = if (c < perWord) "sim_lo" else "sim_hi"
+        s"SELECT doc_id, sim_lo, sim_hi, $c AS ci, ($word >> ${(c % perWord) * width}) & $mask AS cv FROM sim"
+      }.mkString("\n UNION ALL ")
+    }
+    def schemeSelect(chunks: Int): String =
+      s"""SELECT CAST($chunks AS BIGINT) AS chunks,
+         |       CAST(${SimhashWordBits * 2 / chunks} AS BIGINT) AS chunk_bits,
+         |       count(*) AS n_cand,
+         |       CAST(sum(CASE WHEN bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $SimMaxHamming
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+         |       CASE WHEN count(*) > 0
+         |            THEN CAST(sum(CASE WHEN bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= $SimMaxHamming
+         |                          THEN 1 ELSE 0 END) * 1000000000 // count(*) AS BIGINT)
+         |            ELSE 0 END AS precision_ppb
+         |FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             a.sim_lo AS lo_a, a.sim_hi AS hi_a, b.sim_lo AS lo_b, b.sim_hi AS hi_b
+         |      FROM bands$chunks a JOIN bands$chunks b
+         |      ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)""".stripMargin
+    s"""WITH wx AS (SELECT doc_id, unnest(${wordsSql("text")}) AS word FROM documents),
+       |h AS (SELECT doc_id, ${stableHash48Sql("word", 0)} AS h0,
+       |             ${stableHash48Sql("word", 1)} AS h1 FROM wx),
+       |votes AS (SELECT doc_id, $sumCols FROM h GROUP BY 1),
+       |sim AS (SELECT doc_id, $loExpr AS sim_lo, $hiExpr AS sim_hi FROM votes),
+       |bands8 AS (${bandsCte(8)}),
+       |bands12 AS (${bandsCte(12)})
+       |${schemeSelect(8)}
+       |UNION ALL
+       |${schemeSelect(12)}""".stripMargin
+  }
+
   // ---------------------------------------------------------------- text analysis
   val tokenCount: Q = (s, d) =>
     TextAnalysis.withTokenCounts(Tables.documents(s, d), "doc_id", "text")
@@ -2298,6 +2376,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhash,
     "q_dedup_recall" -> dedupRecall,
     "q_dedup_simhash" -> dedupSimhash,
+    "q_simhash_selectivity" -> simhashSelectivity,
     "q_dup_clusters" -> dupClusters,
     "q_split_by_cluster" -> splitByCluster,
     "q_contam_span" -> contamSpan,
@@ -2396,6 +2475,7 @@ object PipelineQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_recall" -> dedupRecallSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_simhash_selectivity" -> simhashSelectivitySql,
     "q_dup_clusters" -> dupClustersSql,
     "q_split_by_cluster" -> splitByClusterSql,
     "q_contam_span" -> contamSpanSql,
