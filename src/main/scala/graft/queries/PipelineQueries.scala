@@ -650,7 +650,7 @@ object PipelineQueries {
         .groupBy("chunk_idx", "chunk_val").agg(count(lit(1)).as("c"))
         .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
           sum(expr("c * (c - 1) div 2")).cast("long").as("gen_pairs"))
-        .crossJoin(truth) // 1×1 rows: the scalar reference, not a data-path cartesian
+        .crossJoin(broadcast(truth)) // 1-row broadcast scalar attach, never a data-path cartesian
         .select(lit(chunks.toLong).as("chunks"),
           lit((SimhashWordBits * 2 / chunks).toLong).as("chunk_bits"),
           col("n_buckets"), col("max_bucket"), col("gen_pairs"), col("truth_pairs"),

@@ -132,7 +132,11 @@ class PushdownSpec extends SparkSpec {
     //     Artifacts.loadLmRel, bigramScoreWithBackoff,
     //     qualityWeightedSample); the corpus-sized joins in those plans
     //     are all equi-joins on the word/pair key.
+    //   - q_simhash_selectivity: each scheme's 1-row bucket-stats
+    //     aggregate meets the single broadcast truth-count row (1×1
+    //     scalar attach) — both sides aggregate outputs by construction.
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
+      "q_simhash_selectivity",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
