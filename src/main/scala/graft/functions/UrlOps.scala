@@ -43,8 +43,14 @@ object UrlOps {
   private val TrackRe = "^(utm_[^=]*|fbclid|gclid)(=|$)"
   private val MultiSuffixes = Seq("co", "com", "net", "org", "gov", "ac", "edu")
 
+  /** Explicit whitespace class, identical in Java regex and RE2 —
+    * `\s` itself differs between the engines on U+000B, which would
+    * silently fork the twins.
+    */
+  private val Ws = "[ \\t\\n\\r\\f\\x0B]"
+
   private def stripFragment(u: Column): Column =
-    regexp_replace(trim(u), "#.*$", "")
+    regexp_replace(regexp_replace(u, s"^$Ws+|$Ws+$$", ""), "#[\\s\\S]*$", "")
 
   private def restOf(s: Column): Column = regexp_replace(s, SchemeRe, "")
 
@@ -52,10 +58,18 @@ object UrlOps {
     regexp_replace(regexp_extract(restOf(s), "^([^/?]*)", 1), "^[^@]*@", "")
 
   private def rawHost(s: Column): Column =
-    regexp_replace(lower(regexp_replace(hostPort(s), ":[0-9]*$", "")), "^www\\.", "")
+    regexp_replace(lower(regexp_replace(hostPort(s), ":[0-9]*$", "")), "^(www\\.)+", "")
 
+  /** A URL is rejected outright when whitespace survives inside the
+    * non-fragment part: beyond being invalid per RFC 3986, an embedded
+    * newline makes Java's `$` (matches before a FINAL newline) and
+    * RE2's `$` (end of text only) disagree — the one place the "same
+    * regexes" twins could silently fork. Rejecting is both the correct
+    * URL semantics and what keeps every later `$`-anchored regex
+    * engine-identical.
+    */
   private def validUrl(u: Column, s: Column): Column =
-    u.isNotNull && s.rlike(SchemeRe) && rawHost(s) =!= ""
+    u.isNotNull && s.rlike(SchemeRe) && !s.rlike(Ws) && rawHost(s) =!= ""
 
   /** Lowercased, `www.`-stripped host; null when not a URL. */
   def urlHost(u: Column): Column = {
@@ -110,14 +124,17 @@ object UrlOps {
   // expression. Generated inline so each oracle query stays a single
   // self-contained statement.
 
-  private def sqlStrip(e: String) = s"regexp_replace(trim($e), '#.*$$', '')"
+  private val SqlWs = "[ \\t\\n\\r\\f\\x0B]"
+  private def sqlStrip(e: String) =
+    s"regexp_replace(regexp_replace($e, '^$SqlWs+|$SqlWs+$$', '', 'g'), '#[\\s\\S]*$$', '')"
   private def sqlRest(s: String) = s"regexp_replace($s, '$SchemeRe', '')"
   private def sqlHostPort(s: String) =
     s"regexp_replace(regexp_extract(${sqlRest(s)}, '^([^/?]*)', 1), '^[^@]*@', '')"
   private def sqlRawHost(s: String) =
-    s"regexp_replace(lower(regexp_replace(${sqlHostPort(s)}, ':[0-9]*$$', '')), '^www\\.', '')"
+    s"regexp_replace(lower(regexp_replace(${sqlHostPort(s)}, ':[0-9]*$$', '')), '^(www\\.)+', '')"
   private def sqlValid(e: String, s: String) =
-    s"($e IS NOT NULL AND regexp_matches($s, '$SchemeRe') AND ${sqlRawHost(s)} <> '')"
+    s"($e IS NOT NULL AND regexp_matches($s, '$SchemeRe')" +
+      s" AND NOT regexp_matches($s, '$SqlWs') AND ${sqlRawHost(s)} <> '')"
 
   def hostSql(e: String): String = {
     val s = sqlStrip(e)

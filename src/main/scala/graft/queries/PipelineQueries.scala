@@ -1834,10 +1834,21 @@ object PipelineQueries {
     * artifact and consumers pay load + apply. Checkpointed DataFrames
     * live on a SparkContext, hence the context in the key.
     */
-  private val modelMemo = new java.util.concurrent.ConcurrentHashMap[(String, String, Int), Any]()
-  private def memoized[T](kind: String, s: SparkSession, d: String)(f: => T): T =
-    modelMemo.computeIfAbsent((kind, d, System.identityHashCode(s.sparkContext)),
-      _ => f.asInstanceOf[Any]).asInstanceOf[T]
+  // Weak-keyed by the SparkContext OBJECT: a stopped context's
+  // checkpointed DataFrames must never be served to a new context
+  // (identity-hash keys could collide after GC) and the dead context's
+  // entries should become collectable with it.
+  private val modelMemo =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+        java.util.concurrent.ConcurrentHashMap[(String, String), Any]]())
+  private def memoized[T](kind: String, s: SparkSession, d: String)(f: => T): T = {
+    val perCtx = modelMemo.synchronized {
+      modelMemo.computeIfAbsent(s.sparkContext,
+        _ => new java.util.concurrent.ConcurrentHashMap[(String, String), Any]())
+    }
+    perCtx.computeIfAbsent((kind, d), _ => f.asInstanceOf[Any]).asInstanceOf[T]
+  }
 
   /** The thresholded source-overlap pair table (src_a < src_b, inter) —
     * the materialized input graph of the whole authority family.

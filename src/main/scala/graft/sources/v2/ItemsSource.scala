@@ -234,7 +234,10 @@ class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
     val groups: Seq[(Seq[Any], Seq[ItemsStore.Cell])] =
       if (groupCols.isEmpty) Seq((Seq.empty, cells))
       else cells.groupBy(c => groupCols.map(g => cellValue(c, g)))
-        .toSeq.sortBy(_._1.mkString(""))
+        .toSeq.sortBy(_._1.map(String.valueOf).toList)(
+          // element-wise, not a separator-free concat: ("a","bc") and
+          // ("ab","c") must not collide into one nondeterministic slot
+          scala.math.Ordering.Implicits.seqOrdering[List, String])
     val rows: Array[Array[Any]] = groups.map { case (key, gs) =>
       (key ++ aggFns.map {
         case _: CountStar => gs.size.toLong

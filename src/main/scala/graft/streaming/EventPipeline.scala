@@ -419,10 +419,15 @@ object EventPipeline {
     */
   def streamingUrlDedup(pages: DataFrame, horizon: String = "30 minutes"): DataFrame = {
     val canon = pages.withColumn("canon_url",
-      coalesce(graft.functions.UrlOps.urlCanon(col("url")),
-        concat(lit("opaque:"), col("url"))))
-    canon.withWatermark("ts", horizon)
+      graft.functions.UrlOps.urlCanon(col("url")))
+    // non-URL rows (null canon — including null urls) PASS THROUGH as
+    // their own branch: putting them through the dedup would collapse
+    // every one of them onto a single shared key (null, or any
+    // constant prefix of a null url) and silently drop events
+    val deduped = canon.filter(col("canon_url").isNotNull)
+      .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("canon_url")
+    deduped.unionByName(canon.filter(col("canon_url").isNull))
   }
 
   /** Watermarked stream-stream join: correlate two live event streams

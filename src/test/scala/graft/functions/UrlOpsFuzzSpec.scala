@@ -19,7 +19,7 @@ class UrlOpsFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(42)
     val pool = "abcXYZ019-._~:/?#[]@!$&'()*+,;=% \té中\\\"<>|^"
     val schemes = Seq("http", "https", "HTTPS", "ftp", "x+y-z.1", "")
-    val hosts = Seq("WWW.Site.Com", "a.b.co.uk", "192.168.0.1", "localhost",
+    val hosts = Seq("WWW.Site.Com", "www.www.Site.Com", "a.b.co.uk", "192.168.0.1", "localhost",
       "u:p@host.org:8080", "site..com", "", ":81", "@", "host.com:")
     val paths = Seq("", "/", "/a/b", "/a//", "/a%20b", "///", "/#", "/?")
     val queries = Seq("", "?utm_source=x", "?a=1&utm_medium=y&b=2", "?&&", "?#f", "?q=%%")

@@ -29,7 +29,9 @@ class UrlOpsSpec extends SparkSpec {
       "http://site.com:8080/a" -> "http://site.com:8080/a",
       "https://site.com" -> "https://site.com/",
       "https://site.com/a//" -> "https://site.com/a",
-      "  https://site.com/x  " -> "https://site.com/x")
+      "  https://site.com/x  " -> "https://site.com/x",
+      "https://www.www.site.com/x" -> "https://site.com/x", // idempotence: all www prefixes fold
+      "\thttps://site.com/x\n" -> "https://site.com/x") // explicit-class outer trim
   }
 
   test("canonical form: query handling — tracking params drop, order is preserved") {
@@ -46,6 +48,8 @@ class UrlOpsSpec extends SparkSpec {
       "not a url" -> null,
       "site.com/path" -> null, // no scheme
       "https:///path" -> null, // empty host
+      "https://a.com/x\ny" -> null, // interior whitespace: invalid per RFC, and the
+      "https://a.com/pa th" -> null, // one place Java-$ and RE2-$ could diverge
       null.asInstanceOf[String] -> null)
     host("nope" -> null)
     domain("nope" -> null)

@@ -196,14 +196,15 @@ class StreamingSpec extends SparkSpec {
       mem.addData(
         ("https://site5.com/doc/9?utm_source=feed", ts(4)),
         ("https://site6.com/doc/1", ts(5)),
-        ("also not a url", ts(6)))
+        ("also not a url", ts(6)),
+        ("not a url", ts(7))) // IDENTICAL garbage re-arrives: still passes through
       q.processAllAvailable()
-      val got = spark.table("urldedup").select("url").as[String].collect().toSet
-      assert(got === Set(
+      val got = spark.table("urldedup").select("url").as[String].collect().toList.sorted
+      assert(got === List(
+        "also not a url",
         "https://site5.com/doc/9", // first arrival of the target wins
-        "not a url",               // opaque rows are not collapsed together
         "https://site6.com/doc/1",
-        "also not a url"))
+        "not a url", "not a url")) // non-URL rows NEVER collapse (no shared key)
     } finally { q.stop(); spark.catalog.dropTempView("urldedup") }
   }
 
