@@ -46,6 +46,17 @@ object PdfExprs {
     PdfCodec.compose(pages, deflateContents = true)
   }
 
+  val CheckSchema: StructType = StructType(Seq(
+    StructField("ok", BooleanType, nullable = false),
+    StructField("reason", StringType, nullable = true)))
+
+  /** [[PdfCodec.checkPdf]] boxed for codegen: struct(ok, reason). */
+  def pdfCheckRow(bytes: Array[Byte]): InternalRow = {
+    val (ok, reason) = PdfCodec.checkPdf(bytes)
+    new GenericInternalRow(Array[Any](ok,
+      if (reason == null) null else org.apache.spark.unsafe.types.UTF8String.fromString(reason)))
+  }
+
   /** [[PdfCodec.rasterizeAllPng]] boxed for codegen: Catalyst array
     * wrapper over the per-page PNGs (null for non-PDF bytes).
     */
@@ -105,6 +116,22 @@ case class PdfInfoExpr(child: Expression) extends UnaryExpression with ImplicitC
     })
   override protected def withNewChildInternal(c: Expression): PdfInfoExpr = copy(child = c)
   override def prettyName: String = "pdf_info"
+}
+
+/** Accept/reject verdict of a PDF payload with a groupable reject
+  * reason: struct(ok, reason) — the quarantine-table companion of the
+  * null-propagating parse/raster expressions. Null only for a null
+  * payload; a poisoned payload yields `(false, reason)`, never a
+  * throw.
+  */
+case class PdfCheckExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = PdfExprs.CheckSchema
+  override def nullSafeEval(b: Any): Any = PdfExprs.pdfCheckRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.PdfExprs.pdfCheckRow($b)")
+  override protected def withNewChildInternal(c: Expression): PdfCheckExpr = copy(child = c)
+  override def prettyName: String = "pdf_check"
 }
 
 /** Rasterize page `page` (0-based) of a PDF payload at `dpi` → PNG
@@ -241,6 +268,8 @@ case class SynthPdfExpr(first: Expression, second: Expression,
 object PdfOps {
   def pdfInfo(bin: Column): Column =
     GraftExpr.toColumn(PdfInfoExpr(GraftExpr.toExpr(bin)))
+  def pdfCheck(bin: Column): Column =
+    GraftExpr.toColumn(PdfCheckExpr(GraftExpr.toExpr(bin)))
   def pdfRasterize(bin: Column, page: Column, dpi: Column): Column =
     GraftExpr.toColumn(PdfRasterizeExpr(
       GraftExpr.toExpr(bin), GraftExpr.toExpr(page), GraftExpr.toExpr(dpi)))

@@ -25,13 +25,13 @@ import org.apache.spark.sql.functions._
   *      segments, keep the remaining order (sorting would merge
   *      semantically ordered params); empty result → no `?`.
   *
-  * Registered domain (the per-domain aggregation key): last two host
-  * labels, or last three when the second-level label is a common
-  * multi-part suffix (`co|com|net|org|gov|ac|edu`) under a 2-letter
-  * country TLD — the standard heuristic when shipping the full public
-  * suffix list is out of scope (documented approximation; a real
-  * deployment swaps in the PSL as a broadcast lookup without touching
-  * the call sites). All-numeric (IP) hosts return unchanged.
+  * Registered domain (the per-domain aggregation key): PSL-backed via
+  * [[PslDomains]] (publicsuffix.org longest-match semantics over the
+  * `graft/psl.dat` rule fixture; the DuckDB twin replays the identical
+  * rules inline, so the gate pins the semantics). When the fixture is
+  * absent from the classpath, a documented last-2-or-3-label heuristic
+  * (`co|com|net|org|gov|ac|edu` under a 2-letter ccTLD) survives as
+  * the fallback. All-numeric (IP) hosts return unchanged.
   *
   * Everything is builtin string/regex/array Columns — fully inside
   * whole-stage codegen, no UDF boundary; the only HOF lambda filters
@@ -54,8 +54,10 @@ object UrlOps {
 
   private def restOf(s: Column): Column = regexp_replace(s, SchemeRe, "")
 
+  // Greedy `^.*@`: RFC 3986 delimits userinfo at the LAST `@` in the
+  // authority — `http://a@b@h.com/` has host `h.com`, not `b@h.com`
   private def hostPort(s: Column): Column =
-    regexp_replace(regexp_extract(restOf(s), "^([^/?]*)", 1), "^[^@]*@", "")
+    regexp_replace(regexp_extract(restOf(s), "^([^/?]*)", 1), "^.*@", "")
 
   private def rawHost(s: Column): Column =
     regexp_replace(lower(regexp_replace(hostPort(s), ":[0-9]*$", "")), "^(www\\.)+", "")
@@ -77,22 +79,32 @@ object UrlOps {
     when(validUrl(u, s), rawHost(s))
   }
 
-  /** Registered domain of the host under the documented heuristic;
-    * null when not a URL.
+  /** Registered domain of the host: PSL-backed ([[PslDomains]]) when
+    * the rule fixture is on the classpath, the documented 7-suffix
+    * heuristic otherwise; null when not a URL.
     */
   def urlDomain(u: Column): Column = {
     val s = stripFragment(u)
     val host = rawHost(s)
+    val reg =
+      if (PslDomains.rules.nonEmpty) PslDomains.domainOfHost(host)
+      else heuristicDomain(host)
+    when(validUrl(u, s), reg)
+  }
+
+  /** The pre-PSL registered-domain approximation (scaladoc above) —
+    * retained only as the no-fixture fallback.
+    */
+  private def heuristicDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
     val multi = element_at(labels, -2).isin(MultiSuffixes: _*) &&
       length(element_at(labels, -1)) === 2
-    val reg = when(host.rlike("^[0-9.]+$"), host)
+    when(host.rlike("^[0-9.]+$"), host)
       .when(n >= 3 && multi,
         concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
       .when(n >= 2, concat_ws(".", element_at(labels, -2), element_at(labels, -1)))
       .otherwise(host)
-    when(validUrl(u, s), reg)
   }
 
   /** The full canonical form; null when not a URL. */
@@ -129,7 +141,7 @@ object UrlOps {
     s"regexp_replace(regexp_replace($e, '^$SqlWs+|$SqlWs+$$', '', 'g'), '#[\\s\\S]*$$', '')"
   private def sqlRest(s: String) = s"regexp_replace($s, '$SchemeRe', '')"
   private def sqlHostPort(s: String) =
-    s"regexp_replace(regexp_extract(${sqlRest(s)}, '^([^/?]*)', 1), '^[^@]*@', '')"
+    s"regexp_replace(regexp_extract(${sqlRest(s)}, '^([^/?]*)', 1), '^.*@', '')"
   private def sqlRawHost(s: String) =
     s"regexp_replace(lower(regexp_replace(${sqlHostPort(s)}, ':[0-9]*$$', '')), '^(www\\.)+', '')"
   private def sqlValid(e: String, s: String) =
@@ -144,15 +156,19 @@ object UrlOps {
   def domainSql(e: String): String = {
     val s = sqlStrip(e)
     val host = sqlRawHost(s)
-    val inSet = MultiSuffixes.map("'" + _ + "'").mkString("(", ", ", ")")
-    s"""CASE WHEN ${sqlValid(e, s)} THEN (
-       |  SELECT CASE
-       |    WHEN regexp_matches(h, '^[0-9.]+$$') THEN h
-       |    WHEN len(l) >= 3 AND l[-2] IN $inSet AND length(l[-1]) = 2
-       |      THEN concat_ws('.', l[-3], l[-2], l[-1])
-       |    WHEN len(l) >= 2 THEN concat_ws('.', l[-2], l[-1])
-       |    ELSE h END
-       |  FROM (SELECT $host AS h, string_split($host, '.') AS l)) END""".stripMargin
+    if (PslDomains.rules.nonEmpty)
+      s"CASE WHEN ${sqlValid(e, s)} THEN ${PslDomains.domainOfHostSql(host)} END"
+    else {
+      val inSet = MultiSuffixes.map("'" + _ + "'").mkString("(", ", ", ")")
+      s"""CASE WHEN ${sqlValid(e, s)} THEN (
+         |  SELECT CASE
+         |    WHEN regexp_matches(h, '^[0-9.]+$$') THEN h
+         |    WHEN len(l) >= 3 AND l[-2] IN $inSet AND length(l[-1]) = 2
+         |      THEN concat_ws('.', l[-3], l[-2], l[-1])
+         |    WHEN len(l) >= 2 THEN concat_ws('.', l[-2], l[-1])
+         |    ELSE h END
+         |  FROM (SELECT $host AS h, string_split($host, '.') AS l)) END""".stripMargin
+    }
   }
 
   def canonSql(e: String): String = {

@@ -58,6 +58,13 @@ object Scd2 {
     * nanosecond-precision timestamp implementations, which makes
     * cross-engine comparison depend on each engine's overflow
     * behavior instead of on the value.
+    *
+    * MIGRATION NOTE: rounds ≤7 used the conventional `9999-12-31`
+    * sentinel, so SCD2 outputs persisted from those rounds mix two
+    * sentinels. Consumers rereading prior outputs must filter on
+    * `is_current` (always written, sentinel-independent) rather than
+    * testing `valid_to` against either literal; new outputs carry only
+    * this value.
     */
   val HighDate = "2200-01-01 00:00:00"
 

@@ -2262,7 +2262,10 @@ object PipelineQueries {
     */
   private def messyUrl(base: Column, variant: Column): Column = {
     val b = base.cast("string")
-    val suf = when(pmod(base, lit(5)) < 2, lit(".co.uk")).otherwise(lit(".com"))
+    val suf = when(pmod(base, lit(5)) < 2, lit(".co.uk"))
+      .when(pmod(base, lit(5)) === 2, lit(".or.jp"))
+      .when(pmod(base, lit(5)) === 3, lit(".github.io"))
+      .otherwise(lit(".com"))
     val host = concat(lit("site"), b, suf)
     when(variant === 0, concat(lit("https://"), host, lit("/doc/"), b))
       .when(variant === 1,
@@ -2275,7 +2278,10 @@ object PipelineQueries {
   private def messyUrlSqlCte(baseExpr: String, variantExpr: String): String =
     s"""b AS (SELECT doc_id, $baseExpr AS base, $variantExpr AS variant FROM documents),
        |h AS (SELECT doc_id, base, variant,
-       |             'site' || base || (CASE WHEN base % 5 < 2 THEN '.co.uk' ELSE '.com' END) AS host
+       |             'site' || base || (CASE WHEN base % 5 < 2 THEN '.co.uk'
+       |                                     WHEN base % 5 = 2 THEN '.or.jp'
+       |                                     WHEN base % 5 = 3 THEN '.github.io'
+       |                                     ELSE '.com' END) AS host
        |      FROM b),
        |u AS (SELECT doc_id,
        |  CASE variant
@@ -2341,7 +2347,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         graft.functions.UrlOps.urlDomain(
           messyUrl(col("doc_id"), pmod(col("doc_id"), lit(4)))).as("domain"))
-    val suffixes = Seq(".com", ".co.uk")
+    val suffixes = Seq(".com", ".co.uk", ".or.jp", ".github.io")
     val bl = suffixes.map(suf =>
         s.range(0, 200).filter(col("id") % 10 === 3)
           .select(concat(lit("site"), col("id").cast("string"), lit(suf)).as("domain")))
@@ -2353,14 +2359,59 @@ object PipelineQueries {
     s"""WITH ${messyUrlSqlCte("doc_id", "doc_id % 4")},
        |dom AS (SELECT doc_id, ${graft.functions.UrlOps.domainSql("url")} AS domain FROM u),
        |bl AS (SELECT 'site' || r || suf AS domain
-       |       FROM range(0, 200) t(r) CROSS JOIN (SELECT unnest(['.com', '.co.uk']) AS suf)
+       |       FROM range(0, 200) t(r)
+       |       CROSS JOIN (SELECT unnest(['.com', '.co.uk', '.or.jp', '.github.io']) AS suf)
        |       WHERE r % 10 = 3)
-       |SELECT doc_id, domain FROM dom WHERE domain NOT IN (SELECT domain FROM bl)""".stripMargin
+       |SELECT doc_id, domain FROM dom
+       |WHERE domain IS NULL OR domain NOT IN (SELECT domain FROM bl)""".stripMargin
+
+  /** Row-level gate of the PSL registered-domain algorithm on the
+    * paths the heuristic got wrong: multi-part ICANN suffixes
+    * (`or.jp`), private suffixes (`github.io`), wildcard rules
+    * (`*.kawasaki.jp`, `*.ck`) with their exceptions
+    * (`!city.kawasaki.jp`, `!www.ck`), bare ccTLD hosts, IP hosts.
+    * Hosts are a closed-form battery in doc_id so the oracle rebuilds
+    * the identical input and replays the identical rules.
+    */
+  private val PslHostBattery = Seq(
+    "www.news.bbc.co.uk", // multi-part ICANN suffix (www. strips in canon)
+    "foo.or.jp", // the or.jp case the heuristic mis-bucketed
+    "city.kawasaki.jp", // exception rule: registrable itself
+    "x.sub.kawasaki.jp", // wildcard rule: ps = sub.kawasaki.jp
+    "alice.github.io", // private suffix
+    "deep.alice.github.io", // private suffix, deeper host
+    "shop.www.ck", // exception under a wildcard ccTLD: ps = ck
+    "shop.foo.ck", // wildcard ccTLD: ps = foo.ck
+    "example.com", // default rule
+    "uk", // bare ccTLD host
+    "192.168.0.1", // IP carve-out
+    "b.example.co") // com.co listed, example.co is not a suffix
+  val urlPsl: Q = (s, d) => {
+    val idx = (pmod(col("doc_id"), lit(PslHostBattery.size)) + 1).cast("int")
+    val url = concat(lit("https://"),
+      element_at(array(PslHostBattery.map(lit): _*), idx), lit("/p"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.functions.UrlOps.urlHost(col("url")).as("host"),
+        graft.functions.UrlOps.urlDomain(col("url")).as("domain"))
+  }
+  val urlPslSql: String = {
+    val list = PslHostBattery.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH u AS (SELECT doc_id,
+       |  'https://' || ($list)[CAST(doc_id % ${PslHostBattery.size} AS INTEGER) + 1] || '/p' AS url
+       |  FROM documents)
+       |SELECT doc_id,
+       |       ${graft.functions.UrlOps.hostSql("url")} AS host,
+       |       ${graft.functions.UrlOps.domainSql("url")} AS domain
+       |FROM u""".stripMargin
+  }
 
   val queries: Map[String, Q] = Map(
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
     "q_url_blocklist" -> urlBlocklist,
+    "q_url_psl" -> urlPsl,
     "q_source_quality" -> sourceQuality,
     "q_ivf_health" -> ivfHealth,
     "q_reservoir" -> reservoir,
@@ -2460,6 +2511,7 @@ object PipelineQueries {
     "q_url_canon" -> urlCanonSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_blocklist" -> urlBlocklistSql,
+    "q_url_psl" -> urlPslSql,
     "q_source_quality" -> sourceQualitySql,
     "q_ivf_health" -> ivfHealthSql,
     "q_reservoir" -> reservoirSql,

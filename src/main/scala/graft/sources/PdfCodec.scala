@@ -279,7 +279,17 @@ object PdfCodec {
         (0 until lit.length).forall(i => (b(p + i) & 0xff) == lit.charAt(i))
   }
 
-  private def parseVal(lx: Lexer): PVal = {
+  /** Recursion cap: real documents nest a handful of levels; a crafted
+    * `[[[[…`/`<<<<…` payload would otherwise StackOverflowError — an
+    * Error, NOT caught by the entry points' `catch Exception` poison
+    * guards, i.e. a task kill at corpus scale. Exceeding the cap throws
+    * IllegalArgumentException, which those guards turn into null.
+    */
+  private val MaxParseDepth = 96
+
+  private def parseVal(lx: Lexer, depth: Int = 0): PVal = {
+    if (depth > MaxParseDepth)
+      throw new IllegalArgumentException(s"PDF parse: nesting deeper than $MaxParseDepth")
     lx.skipWs()
     lx.cur match {
       case '<' if lx.p + 1 < lx.b.length && (lx.b(lx.p + 1) & 0xff) == '<' =>
@@ -292,7 +302,7 @@ object PdfCodec {
           else {
             require(lx.cur == '/', s"PDF parse: dict key expected at ${lx.p}")
             val key = parseName(lx)
-            m(key) = parseVal(lx)
+            m(key) = parseVal(lx, depth + 1)
           }
         }
         PDict(m.toMap)
@@ -338,7 +348,7 @@ object PdfCodec {
         while (!done) {
           lx.skipWs()
           if (lx.cur == ']') { lx.p += 1; done = true }
-          else items += parseVal(lx)
+          else items += parseVal(lx, depth + 1)
         }
         PArr(items.result())
       case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
@@ -861,4 +871,20 @@ object PdfCodec {
       doc.pages.map(p => ImageCodec.encodeJpeg(
         ImageCodec.scanEffectsMinimalPx(rasterizePage(p, dpi), quality), jpegQ)).toArray
     } catch { case _: Exception => null }
+
+  /** Typed accept/reject verdict for quarantine flows: `(ok, reason)`.
+    * The raster/info entry points null-propagate on poisoned input;
+    * this is the companion that says WHY, so a curation pipeline can
+    * route rejects to a quarantine table with a groupable reason
+    * instead of silently dropping them. `reason` is null iff `ok`.
+    * Never throws (same guard layer as the other entry points).
+    */
+  def checkPdf(bytes: Array[Byte]): (Boolean, String) =
+    if (!isPdf(bytes)) (false, "not-pdf: missing %PDF header")
+    else try { parse(bytes); (true, null) }
+    catch {
+      case e: Exception =>
+        val m = if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+        (false, if (m.length > 200) m.substring(0, 200) else m)
+    }
 }

@@ -101,12 +101,20 @@ object WarcCodec {
     // survive a corrupt trailing member — the same partial-parse
     // promise the plain-.warc path already keeps.
     val out = new ByteArrayOutputStream(math.max(64, b.length * 4))
+    var in: GZIPInputStream = null
     try {
-      val in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
+      in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
     } catch { case _: Exception => () }
+    finally {
+      // release the native Inflater even on the swallowed-exception
+      // path — close() is safe after a mid-stream failure, and leaking
+      // one Inflater per corrupt payload is the same native-memory
+      // pressure the write path's finish→close avoids
+      if (in != null) try in.close() catch { case _: Exception => () }
+    }
     out.toByteArray
   }
 
