@@ -48,6 +48,7 @@ object GraftFunctions {
     // expressions the Column API builds. Mode/quality args that shape
     // the compiled transform must be literals, like dot_fold's dim.
     "image_info" -> (a => ImageOps.imageInfo(a.head)),
+    "image_pixel_sum" -> (a => ImageOps.imagePixelSum(a.head)),
     "synth_image" -> (a => ImageOps.synthImage(a.head, a(1), a(2))),
     "resize_image" -> (a => ImageOps.resizeImage(a.head, a(1), a(2))),
     "jpeg_reencode" -> (a => ImageOps.jpegReencode(a.head, litInt(a(1), "jpeg_reencode quality"))),
@@ -57,6 +58,7 @@ object GraftFunctions {
     "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),
     "pdf_compose" -> (a => PdfOps.pdfCompose(a.head, a(1), a(2))),
     "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),
+    "synth_pdf_pred" -> (a => PdfOps.synthPdfPred(a.head, a(1), a(2))),
     "wav_info" -> (a => AudioOps.wavInfo(a.head)),
     "audio_rms" -> (a => AudioOps.audioRms(a.head)),
     "audio_window_rms" -> (a => AudioOps.audioWindowRms(a.head, a(1))),

@@ -38,6 +38,47 @@ object ImageExprs {
     val px = ImageCodec.decode(bytes)
     if (px == null) null else ImageCodec.encodePng(ImageCodec.resize(px, w, h))
   }
+
+  /** Sum of all RGB channel values of a decodable image, -1 when not
+    * an image (the expression maps -1 to null). An exact, order-free
+    * pixel digest the SQL oracle can recompute in closed form for
+    * synthetic fixtures — the gate primitive for raster outputs.
+    */
+  def pixelSum(bytes: Array[Byte]): Long = {
+    val px = ImageCodec.decode(bytes)
+    if (px == null) return -1L
+    var s = 0L
+    var i = 0
+    while (i < px.rgb.length) {
+      val v = px.rgb(i)
+      s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Exact pixel-sum digest of an image payload (long); null for
+  * non-images — see [[ImageExprs.pixelSum]].
+  */
+case class ImagePixelSumExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = ImageExprs.pixelSum(b.asInstanceOf[Array[Byte]])
+    if (s < 0) null else s
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("pxSum")
+      s"""
+         |long $r = graft.functions.ImageExprs.pixelSum($b);
+         |if ($r < 0) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ImagePixelSumExpr = copy(child = c)
+  override def prettyName: String = "image_pixel_sum"
 }
 
 /** `add_scan_effects_minimal` (`fixed_signature_utils.py:369-450`) as a
@@ -211,6 +252,8 @@ object ImageOps {
       GraftExpr.toExpr(bin), GraftExpr.toExpr(w), GraftExpr.toExpr(h)))
   def imageInfo(bin: Column): Column =
     GraftExpr.toColumn(ImageInfoExpr(GraftExpr.toExpr(bin)))
+  def imagePixelSum(bin: Column): Column =
+    GraftExpr.toColumn(ImagePixelSumExpr(GraftExpr.toExpr(bin)))
   def synthImage(seed: Column, w: Column, h: Column): Column =
     GraftExpr.toColumn(SynthImageExpr(
       GraftExpr.toExpr(seed), GraftExpr.toExpr(w), GraftExpr.toExpr(h)))

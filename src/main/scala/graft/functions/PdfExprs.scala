@@ -264,6 +264,29 @@ case class SynthPdfExpr(first: Expression, second: Expression,
   override def prettyName: String = "synth_pdf"
 }
 
+/** Deterministic Flate+PNG-predictor PDF fixture
+  * ([[PdfCodec.composePredictorFixture]]): (seed, wPx, hPx) → PDF
+  * bytes whose parse metadata AND rasterized pixel sum are closed-form
+  * functions of the inputs — the oracle-gate entry for the predictor
+  * read path.
+  */
+case class SynthPdfPredExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    PdfCodec.composePredictorFixture(seed.asInstanceOf[Long],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h) =>
+      s"${ev.value} = graft.sources.PdfCodec.composePredictorFixture($seed, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthPdfPredExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_pdf_pred"
+}
+
 /** Column-level entry points. */
 object PdfOps {
   def pdfInfo(bin: Column): Column =
@@ -284,4 +307,7 @@ object PdfOps {
   def synthPdf(seed: Column, nPages: Column, wPt: Column, hPt: Column): Column =
     GraftExpr.toColumn(SynthPdfExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages),
       GraftExpr.toExpr(wPt), GraftExpr.toExpr(hPt)))
+  def synthPdfPred(seed: Column, wPx: Column, hPx: Column): Column =
+    GraftExpr.toColumn(SynthPdfPredExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
 }

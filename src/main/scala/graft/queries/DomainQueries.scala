@@ -302,6 +302,40 @@ object DomainQueries {
       |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_images
       |FROM documents""".stripMargin
 
+  /** The Flate+PNG-predictor read path under the hash gate: each
+    * document embeds a predictor-encoded image (row filter tag cycles
+    * None/Sub/Up/Average/Paeth) whose EXACT rasterized pixel sum the
+    * oracle recomputes in closed form — one wrong byte anywhere in
+    * inflate → unpredict → image decode → blit flips the sum on that
+    * row. dpi-72 rasterization is 1:1 with the MediaBox, so no
+    * resampling sits between the decoder and the digest.
+    */
+  val pdfPredictor: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      // CPU-bound codec: partition for cores, not bytes (see q_scan_effects)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfPred(col("doc_id") * 23,
+        (col("doc_id") % 8 + 12).cast("int"), (col("doc_id") % 5 + 10).cast("int")))
+      .withColumn("info", graft.functions.PdfOps.pdfInfo(col("pdf")))
+      .select(col("doc_id"),
+        col("info.n_pages").as("n_pages"),
+        col("info.w_pt_x100").as("w_pt_x100"),
+        col("info.n_images").as("n_images"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.PdfOps.pdfRasterize(col("pdf"), lit(0), lit(72))).as("px_sum"))
+  val pdfPredictorSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, sum((x*7 + y*13 + c*29 + doc_id*23) % 256) AS s
+      |  FROM documents, range(0, 20) tx(x), range(0, 15) ty(y), range(0, 3) tc(c)
+      |  WHERE x < doc_id % 8 + 12 AND y < doc_id % 5 + 10
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(1 AS BIGINT) AS n_pages,
+      |       CAST((d.doc_id % 8 + 12) * 100 AS BIGINT) AS w_pt_x100,
+      |       CAST(1 AS BIGINT) AS n_images,
+      |       CAST(px.s AS BIGINT) AS px_sum
+      |FROM documents d JOIN px USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- audio codec
   /** The WAV/PCM16 audio codec through the oracle gate: a real synth
     * → encode → parse → analyze round trip per document. The fixture
@@ -1403,6 +1437,7 @@ object DomainQueries {
     "q_scan_pipeline" -> scanPipelineQ,
     "q_sign_pipeline" -> signPipelineQ,
     "q_pdf_roundtrip" -> pdfRoundtrip,
+    "q_pdf_predictor" -> pdfPredictor,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1457,6 +1492,7 @@ object DomainQueries {
     "q_scan_effects" -> scanEffectsSql,
     "q_scan_seeded" -> scanSeededSql,
     "q_pdf_roundtrip" -> pdfRoundtripSql,
+    "q_pdf_predictor" -> pdfPredictorSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

@@ -41,11 +41,17 @@ import scala.collection.mutable
   * so the dominant real-world 1.5+ layout (compressed xref + object
   * streams) reads end to end.
   *
+  * Flate streams honor /DecodeParms predictors (TIFF 2, PNG 10-15 —
+  * Sub/Up/Average/Paeth), the layout nearly every real-world writer
+  * emits for lossless image XObjects and xref streams; DCTDecode
+  * image XObjects decode through [[ImageCodec]]'s JPEG decoder.
+  *
   * OUT of subset (documented, loud where it matters): encryption,
   * text rendering, non-axis-aligned image placement, CMYK images,
-  * ObjStm filters beyond FlateDecode. [[parse]] throws on encrypted
-  * documents rather than mis-reading them (including the 1.5 shape
-  * where /Encrypt lives in the XRef stream dict).
+  * ObjStm filters beyond FlateDecode, sub-8-bit image components.
+  * [[parse]] throws on encrypted documents rather than mis-reading
+  * them (including the 1.5 shape where /Encrypt lives in the XRef
+  * stream dict); [[checkPdf]] reports the reason as typed metadata.
   *
   * Scale shape: every entry point is bytes→bytes/struct per row — no
   * Spark state, no shuffle; it rides inside whole-stage codegen via
@@ -236,6 +242,82 @@ object PdfCodec {
     w("0000000000 65535 f \n")
     (1 until size).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Deterministic fixture for the Flate+predictor read path: one page
+    * whose image XObject is PNG-predictor-encoded Flate RGB
+    * (`/DecodeParms << /Predictor 15 /Colors 3 /Columns w >>` — the
+    * layout real-world lossless embeds use). Pixel (x,y,channel c) =
+    * `(x*7 + y*13 + c*29 + seed) mod 256`, and row `y` is filtered
+    * with tag `y mod 5`, so one document exercises every PNG filter
+    * (None/Sub/Up/Average/Paeth) and the rasterized pixel sum is a
+    * closed-form function of (seed, w, h) the SQL oracle recomputes.
+    * MediaBox is w×h POINTS, so dpi-72 rasterization is 1:1 and the
+    * blit is exact (same-size resize short-circuits).
+    */
+  def composePredictorFixture(seed: Long, wPx: Int, hPx: Int): Array[Byte] = {
+    val w0 = math.max(1, wPx)
+    val h0 = math.max(1, hPx)
+    val rowLen = w0 * 3
+    val raw = new Array[Byte](h0 * (rowLen + 1))
+    val cur = new Array[Int](rowLen)
+    val prev = new Array[Int](rowLen)
+    var pos = 0
+    var y = 0
+    while (y < h0) {
+      var i = 0
+      while (i < rowLen) {
+        val x = i / 3; val c = i % 3
+        cur(i) = (((x * 7 + y * 13 + c * 29 + seed) % 256 + 256) % 256).toInt
+        i += 1
+      }
+      val tag = y % 5
+      raw(pos) = tag.toByte; pos += 1
+      i = 0
+      while (i < rowLen) {
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = if (y > 0) prev(i) else 0
+        val ul = if (y > 0 && i >= 3) prev(i - 3) else 0
+        val enc = tag match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - ((left + up) >> 1)
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur(i) - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        raw(pos) = (enc & 0xff).toByte; pos += 1
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, rowLen)
+      y += 1
+    }
+    val data = deflate(raw)
+    val out = new ByteArrayOutputStream(data.length + 1024)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $w0 $h0] " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    val content = s"q\n$w0 0 0 $h0 0 0 cm\n/Im0 Do\nQ\n".getBytes(StandardCharsets.ISO_8859_1)
+    beginObj(4)
+    w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); w("\nendstream\nendobj\n")
+    beginObj(5)
+    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 15 /Colors 3 /Columns $w0 >> /Length ${data.length} >>\nstream\n")
+    out.write(data); w("\nendstream\nendobj\n")
+    val xrefOff = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 
@@ -557,13 +639,94 @@ object PdfCodec {
     case other => other
   }
 
-  /** Decode an object's stream through its /Filter chain. DCTDecode is
+  /** Undo a /Predictor transform on post-Flate bytes (ISO 32000
+    * §7.4.4.4): 1 = none, 2 = TIFF horizontal differencing, 10-15 =
+    * PNG row filters (None/Sub/Up/Average/Paeth, tag byte per row) —
+    * the layout nearly every real-world writer uses for Flate image
+    * XObjects and xref streams. 8-bit components only (the subset
+    * [[decodeImage]] renders); other depths throw → poison-guard null
+    * upstream. A short final row decodes as far as the bytes allow
+    * (partial-parse promise, same as the WARC/AVI codecs).
+    */
+  private[sources] def unpredict(data: Array[Byte], predictor: Int,
+                                 colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    require(bpc == 8, s"predictor: unsupported /BitsPerComponent $bpc")
+    require(colors >= 1 && columns >= 1, s"predictor: bad /Colors $colors or /Columns $columns")
+    val bpp = colors
+    val rowLen = colors * columns
+    if (predictor == 2) {
+      val out = data.clone()
+      var base = 0
+      while (base < out.length) {
+        val end = math.min(base + rowLen, out.length)
+        var i = base + bpp
+        while (i < end) { out(i) = ((out(i) + out(i - bpp)) & 0xff).toByte; i += 1 }
+        base += rowLen
+      }
+      out
+    } else {
+      val nRows = data.length / (rowLen + 1)
+      val out = new Array[Byte](nRows * rowLen)
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+          val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 => // Paeth
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+            case t => throw new IllegalArgumentException(s"predictor: bad PNG filter tag $t")
+          }
+          out(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
+  /** Predictor parameters of the DecodeParms entry aligned with filter
+    * `idx`: (predictor, colors, bpc, columns) with spec defaults.
+    */
+  private def predictorParms(doc: PdfDoc, d: PDict, idx: Int): (Int, Int, Int, Int) = {
+    val parmsVal = d.get("DecodeParms").orElse(d.get("DP")).map(v => resolve(doc, v))
+    val entry: Option[PDict] = parmsVal match {
+      case Some(pd: PDict) if idx == 0 => Some(pd)
+      case Some(PArr(es)) if idx < es.length => resolve(doc, es(idx)) match {
+        case pd: PDict => Some(pd); case _ => None
+      }
+      case _ => None
+    }
+    def num(k: String, dflt: Int) = entry.flatMap(_.get(k)).map(v => resolve(doc, v)) match {
+      case Some(PNum(n)) => n.toInt
+      case _ => dflt
+    }
+    (num("Predictor", 1), num("Colors", 1), num("BitsPerComponent", 8), num("Columns", 1))
+  }
+
+  /** Decode an object's stream through its /Filter chain, honoring
+    * per-filter /DecodeParms predictors on Flate data. DCTDecode is
     * terminal (the payload IS the JPEG); unknown filters throw.
     */
   def decodedStream(doc: PdfDoc, obj: PObj): Array[Byte] = {
     val raw = obj.rawStream.getOrElse(Array.emptyByteArray)
-    val filters: Seq[String] = obj.value match {
-      case d: PDict => resolve(doc, d.get("Filter").getOrElse(PNull)) match {
+    val dict: Option[PDict] = obj.value match { case d: PDict => Some(d); case _ => None }
+    val filters: Seq[String] = dict match {
+      case Some(d) => resolve(doc, d.get("Filter").getOrElse(PNull)) match {
         case PName(f) => Seq(f)
         case PArr(fs) => fs.map { case PName(f) => f; case other =>
           throw new IllegalArgumentException(s"bad /Filter entry: $other") }
@@ -572,10 +735,12 @@ object PdfCodec {
       }
       case _ => Seq.empty
     }
-    filters.foldLeft(raw) {
-      case (data, "FlateDecode") => inflate(data)
-      case (data, "DCTDecode") => data
-      case (_, f) => throw new IllegalArgumentException(s"unsupported stream filter /$f")
+    filters.zipWithIndex.foldLeft(raw) {
+      case (data, ("FlateDecode", i)) =>
+        val (pred, colors, bpc, columns) = dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1))
+        unpredict(inflate(data), pred, colors, bpc, columns)
+      case (data, ("DCTDecode", _)) => data
+      case (_, (f, _)) => throw new IllegalArgumentException(s"unsupported stream filter /$f")
     }
   }
 

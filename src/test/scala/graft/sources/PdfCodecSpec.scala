@@ -247,6 +247,31 @@ class PdfCodecSpec extends AnyFunSuite {
       (((samples(0) & 0xff) << 16) | ((samples(1) & 0xff) << 8) | (samples(2) & 0xff)))
   }
 
+  test("PNG predictors: unpredict inverts every filter tag; TIFF predictor 2 round-trips") {
+    // composePredictorFixture rows cycle tags 0-4; rasterize at 72 dpi is
+    // 1:1, so every decoded pixel must equal the closed-form generator
+    val seed = 99L; val w = 13; val h = 11
+    val pdf = composePredictorFixture(seed, w, h)
+    val doc = parse(pdf)
+    assert(doc.pageCount === 1)
+    val px = rasterizePage(doc.pages.head, 72)
+    assert(px.w === w && px.h === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      def ch(c: Int) = (((x * 7 + y * 13 + c * 29 + seed) % 256 + 256) % 256).toInt
+      val want = (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      assert(px.rgb(y * w + x) === want, s"pixel ($x,$y)")
+    }
+    // TIFF predictor 2: horizontal differencing round trip
+    val row = Array.tabulate(12)(i => ((i * 53 + 7) % 256).toByte)
+    val diffed = row.clone()
+    for (i <- (row.length - 1) to 3 by -1)
+      diffed(i) = ((row(i) - row(i - 3)) & 0xff).toByte
+    assert(unpredict(diffed, 2, 3, 8, 4).toSeq === row.toSeq)
+    // predictor 1 is the identity; bad bpc rejects loudly
+    assert(unpredict(row, 1, 3, 8, 4) eq row)
+    intercept[IllegalArgumentException](unpredict(row, 15, 3, 4, 4))
+  }
+
   test("pdfInfo and pageCount: SQL-reproducible integer metadata; graceful nulls") {
     val pdf = compose(Seq(
       PageImage(jpeg(81, 30, 40), 120, 160), PageImage(jpeg(82, 30, 40), 120, 160)))
