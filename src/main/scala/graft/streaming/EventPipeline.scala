@@ -22,6 +22,10 @@ case class SessionOut(user_id: Long, session_start: Long, session_end: Long, n_e
 /** Typed arrival row for the streaming domain cap. */
 case class DocArrival(doc_id: Long, source: String)
 
+/** Typed admitted-page row of the streaming frontier. */
+case class FrontierPage(doc_id: Long, url: String, canon_url: String,
+                        domain: String, rank_ppm: Long)
+
 /** Typed rows for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 case class FunnelState(times_us: Seq[Long])
@@ -428,6 +432,67 @@ object EventPipeline {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("canon_url")
     deduped.unionByName(canon.filter(col("canon_url").isNull))
+  }
+
+  /** The live curation front-door — the round-9 URL pieces composed
+    * into one streaming admission pipeline, the ingestion-time twin of
+    * the batch `q_url_dedup` → `q_url_blocklist` → domain-cap chain:
+    *
+    *   1. canonical-URL dedup at arrival ([[streamingUrlDedup]] —
+    *      bounded watermark state; non-URL rows drop here: a frontier
+    *      admits only fetchable targets);
+    *   2. registered-domain blocklist: map-side [[graft.functions
+    *      .UrlOps.urlDomain]] + broadcast stream-static LEFT ANTI join
+    *      (null domains are kept, matching the batch twin's
+    *      `IS NULL OR NOT IN` semantics — a URL whose domain cannot be
+    *      derived is not thereby blocklisted);
+    *   3. rank-aware per-domain admission: the persisted PageRank
+    *      artifact ([[graft.operators.Artifacts.loadPageRank]]) joins
+    *      in as a broadcast relation and GRANTS AUTHORITATIVE DOMAINS
+    *      PROPORTIONALLY MORE FRONTIER SLOTS — effective lifetime cap
+    *      = `k + rank_ppm / ppmPerSlot` (unranked domains get the base
+    *      `k`); within a micro-batch, lowest doc_id first, same as
+    *      [[streamingDomainCap]].
+    *
+    * State: dedup bounded by horizon × crawl rate; cap one counter per
+    * domain. Slicing-invariant outcomes (StreamingSpec pins them
+    * against the batch composition across two arrival orders): the
+    * admitted-per-domain COUNT is `min(effCap, distinct canon
+    * targets)`, blocklisted domains never appear, and the canon key
+    * set equals the batch distinct set.
+    */
+  def streamingFrontier(pages: DataFrame, blocklist: DataFrame, ranks: DataFrame,
+                        k: Int, ppmPerSlot: Long = 1000L,
+                        horizon: String = "30 minutes"): Dataset[FrontierPage] = {
+    require(k > 0, s"base cap must be positive, got $k")
+    require(ppmPerSlot > 0, s"ppmPerSlot must be positive, got $ppmPerSlot")
+    import pages.sparkSession.implicits._
+    val deduped = streamingUrlDedup(pages, horizon).filter(col("canon_url").isNotNull)
+    val domained = deduped
+      .withColumn("domain", graft.functions.UrlOps.urlDomain(col("url")))
+      .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
+    val ranked = domained
+      .join(broadcast(ranks.select(col("node").as("domain"), col("rank_ppm"))),
+        Seq("domain"), "left_outer")
+      .na.fill(0L, Seq("rank_ppm"))
+      .select($"doc_id", $"url", $"canon_url", $"domain", $"rank_ppm".cast("long").as("rank_ppm"))
+      .as[FrontierPage]
+    ranked.groupByKey(_.domain)
+      .flatMapGroupsWithState[Long, FrontierPage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, arrivals: Iterator[FrontierPage], state: GroupState[Long]) =>
+          val admitted = state.getOption.getOrElse(0L)
+          val pages = arrivals.toSeq
+          // rank is constant per domain, so the bonus reads off any row
+          val effCap = k + pages.headOption.map(_.rank_ppm / ppmPerSlot).getOrElse(0L)
+          val room = math.max(0L, effCap - admitted).toInt
+          if (room == 0) Iterator.empty
+          else {
+            val take = pages.sortBy(_.doc_id).take(room)
+            state.update(admitted + take.size)
+            take.iterator
+          }
+      }
   }
 
   /** Watermarked stream-stream join: correlate two live event streams

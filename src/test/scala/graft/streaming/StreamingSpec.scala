@@ -208,6 +208,49 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("urldedup") }
   }
 
+  test("streaming frontier: dedup → blocklist → rank-aware cap is arrival-order invariant") {
+    implicit val ctx = spark.sqlContext
+    val blocklist = Seq("sitea.com").toDF("domain")
+    // siteC.com is ranked: effCap = k(1) + 2000/1000 = 3 slots; siteB gets 1
+    val ranks = Seq(("sitec.com", 4L, 2000L)).toDF("node", "out_deg", "rank_ppm")
+    // logical input: siteA (blocklisted, 2 targets), siteB (3 distinct
+    // targets + 1 canonical duplicate), siteC (3 distinct targets), one non-URL
+    val pages = Seq(
+      (1L, "https://siteA.com/x"),
+      (2L, "https://siteA.com/y"),
+      (3L, "https://siteB.com/p1"),
+      (4L, "HTTPS://WWW.SITEB.COM:443/p1/"), // canon-dup of 3
+      (5L, "https://siteB.com/p2"),
+      (6L, "https://siteB.com/p3"),
+      (7L, "https://siteC.com/q1"),
+      (8L, "https://siteC.com/q2?utm_source=f"),
+      (9L, "https://siteC.com/q3"),
+      (10L, "not a url"))
+    def run(name: String, batches: Seq[Seq[(Long, String)]]): Map[String, Int] = {
+      val mem = MemoryStream[(Long, String, Timestamp)]
+      val q = EventPipeline.streamingFrontier(
+          mem.toDF().toDF("doc_id", "url", "ts"), blocklist, ranks, k = 1)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        batches.foreach { b =>
+          mem.addData(b.map { case (id, u) => (id, u, ts(id.toInt)) }: _*)
+          q.processAllAvailable()
+        }
+        val out = spark.table(name).as[FrontierPage].collect()
+        assert(out.forall(_.domain != "sitea.com"), "blocklisted domain admitted")
+        assert(out.map(_.canon_url).distinct.length === out.length, "duplicate canon admitted")
+        out.groupBy(_.domain).view.mapValues(_.length).toMap
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    // order 1: everything in one batch; order 2: reversed, three slices
+    val one = run("frontier1", Seq(pages))
+    val two = run("frontier2", pages.reverse.grouped(4).toSeq)
+    // slicing-invariant: per-domain admitted COUNT = min(effCap, targets)
+    val want = Map("siteb.com" -> 1, "sitec.com" -> 3)
+    assert(one === want)
+    assert(two === want)
+  }
+
   test("stream-stream join correlates events within the time window only") {
     implicit val ctx = spark.sqlContext
     val uploads = MemoryStream[Ev]
