@@ -1,0 +1,211 @@
+package graft.sources.v2
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets
+
+import graft.sources.UrlFetch
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+/** The connector's data-access seam, config-selected per read
+  * (VERDICT r9 "what's missing" #2): `transport=store` (default) reads
+  * the in-JVM [[ItemsStore]] stand-in — the oracle-gate path — while
+  * `transport=<name>` + `base_url=...` speaks a paged GraphQL-ish HTTP
+  * protocol through [[graft.sources.UrlFetch.Transports]] (the same
+  * executor-local transport registry the S7 fetch stage uses, so
+  * nothing network-shaped serializes into a task closure; `<name>` is
+  * usually "http" = the JDK HttpClient, or a seeded stub in tests).
+  *
+  * Planner calls (`/ids`, `/count`) run driver-side at partition
+  * planning; each [[ItemsPage]] then issues exactly ONE `/cells` call
+  * executor-side — so the server observes the true API-page count, and
+  * pushdown/runtime-filter pruning is measurable as requests-not-made
+  * (ItemsHttpSpec counts them).
+  *
+  * Wire semantics CANNOT fork from the store path: both backends (and
+  * the test server) call the same [[ItemsProtocol]] functions for
+  * filter evaluation, page-id planning, page slicing, and the
+  * encode/decode of every message. The write path stays store-backed —
+  * mutations ride the same seam in a production connector, but the
+  * offline harness gates reads.
+  */
+sealed trait ItemsBackend {
+  /** Distinct item ids to page over, post-filter, post-LIMIT-truncation. */
+  def pageIds(filters: Array[Filter], limit: Option[Int]): Seq[Long]
+  /** Matching-cell count (pre-limit) for planner statistics. */
+  def countMatching(filters: Array[Filter]): Long
+  /** All matching cells — the aggregate scan's single "API response". */
+  def matchingCells(filters: Array[Filter]): Seq[ItemsStore.Cell]
+  /** One API page: the cells of `ids`, filtered and limit-capped. */
+  def readPage(ids: Array[Long], filters: Array[Filter], limit: Option[Int]): Iterator[ItemsStore.Cell]
+}
+
+/** Connector options, serialized into every [[ItemsPage]] (plain
+  * strings — the backend is re-derived wherever it is used).
+  */
+case class ItemsConf(store: String, transport: String, baseUrl: String) {
+  def backend: ItemsBackend =
+    if (transport == ItemsConf.StoreTransport) new StoreBackend(store)
+    else new HttpBackend(transport, baseUrl)
+  def describe: String =
+    if (transport == ItemsConf.StoreTransport) s"store=$store"
+    else s"store=$store transport=$transport base_url=$baseUrl"
+}
+
+object ItemsConf {
+  val StoreTransport = "store"
+  def apply(options: java.util.Map[String, String]): ItemsConf = {
+    val transport = options.getOrDefault("transport", StoreTransport)
+    val base = options.getOrDefault("base_url", "")
+    require(transport == StoreTransport || base.nonEmpty,
+      s"transport '$transport' needs a base_url option")
+    ItemsConf(options.getOrDefault("store", "default"), transport, base)
+  }
+}
+
+/** The in-JVM stand-in path (unchanged semantics, now routed through
+  * the shared [[ItemsProtocol]] helpers).
+  */
+final class StoreBackend(store: String) extends ItemsBackend {
+  override def pageIds(filters: Array[Filter], limit: Option[Int]): Seq[Long] =
+    ItemsProtocol.pageIdsOf(ItemsStore.get(store), filters, limit)
+  override def countMatching(filters: Array[Filter]): Long =
+    ItemsStore.get(store).count(ItemsProtocol.keep(_, filters)).toLong
+  override def matchingCells(filters: Array[Filter]): Seq[ItemsStore.Cell] =
+    ItemsStore.get(store).filter(ItemsProtocol.keep(_, filters))
+  override def readPage(ids: Array[Long], filters: Array[Filter],
+                        limit: Option[Int]): Iterator[ItemsStore.Cell] =
+    ItemsProtocol.pageCells(ItemsStore.get(store).iterator, ids, filters, limit)
+}
+
+/** The HTTP path: every call is one GET through the named
+  * [[UrlFetch.Transports]] transport; responses are the
+  * [[ItemsProtocol]] wire format.
+  */
+final class HttpBackend(transportName: String, base: String) extends ItemsBackend {
+  private def fetch(pathAndQuery: String): String = {
+    val t = UrlFetch.Transports.open(transportName)
+    try new String(t.get(s"$base$pathAndQuery")._1, StandardCharsets.UTF_8)
+    finally t.close()
+  }
+  override def pageIds(filters: Array[Filter], limit: Option[Int]): Seq[Long] = {
+    val q = ItemsProtocol.filterQuery(filters) + limit.map(l => s"&limit=$l").getOrElse("")
+    ItemsProtocol.decodeIds(fetch(s"/ids?$q"))
+  }
+  override def countMatching(filters: Array[Filter]): Long =
+    fetch(s"/count?${ItemsProtocol.filterQuery(filters)}").trim.toLong
+  override def matchingCells(filters: Array[Filter]): Seq[ItemsStore.Cell] =
+    ItemsProtocol.decodeCells(fetch(s"/cells?${ItemsProtocol.filterQuery(filters)}")).toSeq
+  override def readPage(ids: Array[Long], filters: Array[Filter],
+                        limit: Option[Int]): Iterator[ItemsStore.Cell] = {
+    val q = s"ids=${ids.mkString(",")}&${ItemsProtocol.filterQuery(filters)}" +
+      limit.map(l => s"&limit=$l").getOrElse("")
+    ItemsProtocol.decodeCells(fetch(s"/cells?$q"))
+  }
+}
+
+/** The single source of truth for connector data semantics and the
+  * HTTP wire format. Client ([[HttpBackend]]), stand-in
+  * ([[StoreBackend]]) and the test server all call THESE functions, so
+  * the two transports cannot drift.
+  */
+object ItemsProtocol {
+
+  /** The DSv2 Filter contract allows null values inside In (and
+    * EqualTo): `IN (..., NULL)` matches nothing for the null element —
+    * it must not NPE planning or page reads.
+    */
+  def keep(c: ItemsStore.Cell, filters: Array[Filter]): Boolean = filters.forall {
+    case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
+    case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
+    case EqualTo("column_id", v) => v != null && c.columnId == v
+    case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
+    case _ => true
+  }
+
+  /** Page planning: matching cells (store order: sorted by key), LIMIT
+    * truncation on the CELL stream, then distinct sorted ids.
+    */
+  def pageIdsOf(cells: Seq[ItemsStore.Cell], filters: Array[Filter],
+                limit: Option[Int]): Seq[Long] = {
+    val matching0 = cells.filter(keep(_, filters))
+    val matching = limit.map(matching0.take).getOrElse(matching0)
+    matching.map(_.itemId).distinct.sorted
+  }
+
+  /** One page's cells: the ids' cells under `filters`, limit-capped
+    * (Spark's own Limit on top enforces the exact global count —
+    * isPartiallyPushed contract).
+    */
+  def pageCells(cells: Iterator[ItemsStore.Cell], ids: Array[Long],
+                filters: Array[Filter], limit: Option[Int]): Iterator[ItemsStore.Cell] = {
+    val idSet = ids.toSet
+    val it0 = cells.filter(c => idSet.contains(c.itemId)).filter(keep(_, filters))
+    limit.map(it0.take).getOrElse(it0)
+  }
+
+  // ------------------------------------------------------------ wire format
+  private val NullTok = "~null~"
+  private def enc(s: String): String =
+    if (s == null) NullTok else URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    if (s == NullTok) null else URLDecoder.decode(s, "UTF-8")
+
+  /** Filters → query-string params (conjunctive; only the pushable
+    * shapes exist by construction).
+    */
+  def filterQuery(filters: Array[Filter]): String =
+    filters.toSeq.map {
+      case EqualTo("item_id", v) => s"item_id_eq=${encNum(v)}"
+      case In("item_id", vs) => s"item_id_in=${vs.map(encNum).mkString(",")}"
+      case EqualTo("column_id", v) => s"column_id_eq=${enc(v.asInstanceOf[String])}"
+      case In("column_id", vs) =>
+        s"column_id_in=${vs.map(v => enc(v.asInstanceOf[String])).mkString(",")}"
+      case other => throw new IllegalArgumentException(s"unpushable filter on the wire: $other")
+    }.mkString("&")
+  private def encNum(v: Any): String =
+    if (v == null) NullTok else v.asInstanceOf[Number].longValue().toString
+
+  /** Query-string params → filters (the server side of [[filterQuery]]).
+    * `params` is the raw query string ("" for none).
+    */
+  def parseFilters(query: String): Array[Filter] = {
+    val params = query.split("&").filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) kv -> "" else kv.substring(0, i) -> kv.substring(i + 1)
+    }
+    params.collect {
+      case ("item_id_eq", v) => EqualTo("item_id", decNum(v))
+      case ("item_id_in", v) => In("item_id", v.split(",", -1).map(decNum(_): Any))
+      case ("column_id_eq", v) => EqualTo("column_id", dec(v))
+      case ("column_id_in", v) => In("column_id", v.split(",", -1).map(dec(_): Any))
+    }
+  }
+  private def decNum(s: String): Any =
+    if (s == NullTok) null else java.lang.Long.valueOf(s)
+
+  def parseLimit(query: String): Option[Int] =
+    query.split("&").find(_.startsWith("limit=")).map(_.substring(6).toInt)
+  def parseIds(query: String): Array[Long] =
+    query.split("&").find(_.startsWith("ids=")).map(_.substring(4)) match {
+      case Some("") | None => Array.empty
+      case Some(s) => s.split(",").map(_.toLong)
+    }
+
+  def encodeIds(ids: Seq[Long]): String = ids.mkString(",")
+  def decodeIds(body: String): Seq[Long] =
+    if (body.trim.isEmpty) Seq.empty else body.trim.split(",").map(_.toLong).toSeq
+
+  /** Cells ↔ lines of `item_id TAB columnEnc TAB textEnc TAB created_at`
+    * (URL-encoded fields, so tabs/newlines in values cannot break
+    * framing; null text is the [[NullTok]] marker).
+    */
+  def encodeCells(cells: Iterator[ItemsStore.Cell]): String =
+    cells.map(c => s"${c.itemId}\t${enc(c.columnId)}\t${enc(c.text)}\t${c.createdAt}")
+      .mkString("\n")
+  def decodeCells(body: String): Iterator[ItemsStore.Cell] =
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      val f = line.split("\t", -1)
+      require(f.length == 4, s"bad cell line: $line")
+      ItemsStore.Cell(f(0).toLong, dec(f(1)), dec(f(2)), f(3).toLong)
+    }
+}

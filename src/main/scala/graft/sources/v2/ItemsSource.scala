@@ -26,10 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - each input partition is one 50-id API page (the reference's
   *     chunk size), so page fetches parallelize across executors.
   *
-  * The backing store here is the in-JVM [[ItemsStore]] registry (the
-  * offline stand-in, same pattern as DriveStore); a production version
-  * swaps the reader's data lookup for the HTTP call — partition
-  * planning, pushdown and pruning are unchanged.
+  * The backing data path is config-selected per read ([[ItemsConf]]):
+  * the in-JVM [[ItemsStore]] registry (default — the offline stand-in
+  * and oracle-gate path, same pattern as DriveStore) or a paged HTTP
+  * protocol through the [[graft.sources.UrlFetch.Transports]] seam
+  * (`transport`/`base_url` options, see [[ItemsBackend]]) — partition
+  * planning, pushdown and pruning are identical either way.
   *
   * Multi-executor note: [[ItemsStore]] MODELS the external system — a
   * remote service that is shared across executors BY DEFINITION. The
@@ -101,21 +103,24 @@ class ItemsTableProvider extends TableProvider with org.apache.spark.sql.sources
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = ItemsSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new ItemsTable(properties.getOrDefault("store", "default"))
+    new ItemsTable(ItemsConf(properties))
 }
 
-class ItemsTable(store: String) extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"graft_items($store)"
+class ItemsTable(conf: ItemsConf) extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft_items(${conf.store})"
   override def schema(): StructType = ItemsSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ItemsScanBuilder(store)
+    new ItemsScanBuilder(conf)
+  // writes stay store-backed: the offline harness gates reads; a
+  // production connector routes mutations through the same transport
+  // seam (ItemsBackend scaladoc)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ItemsWriteBuilder(store, info.schema())
+    new ItemsWriteBuilder(conf.store, info.schema())
 }
 
-class ItemsScanBuilder(store: String)
+class ItemsScanBuilder(conf: ItemsConf)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
@@ -175,8 +180,8 @@ class ItemsScanBuilder(store: String)
   override def build(): Scan = pushedAgg match {
     // aggregation replaces the row scan entirely; `required` no longer
     // applies (the output schema IS the aggregate schema)
-    case Some(agg) => new ItemsAggScan(store, pushed, agg)
-    case None => new ItemsScan(store, pushed, required, pushedLimit)
+    case Some(agg) => new ItemsAggScan(conf, pushed, agg)
+    case None => new ItemsScan(conf, pushed, required, pushedLimit)
   }
 }
 
@@ -188,7 +193,7 @@ class ItemsScanBuilder(store: String)
   * connector would issue the one aggregate API call; the result rows
   * ride to the executor inside the partition handle.
   */
-class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
+class ItemsAggScan(conf: ItemsConf, pushed: Array[Filter], agg: Aggregation)
     extends Scan with Batch {
   import ItemsAggScan._
 
@@ -208,16 +213,8 @@ class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
       }})
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")} " +
+    s"graft-items ${conf.describe} pushed=${pushed.mkString("[", ", ", "]")} " +
       s"pushedAgg=[${aggFns.mkString(", ")}] groupBy=[${groupCols.mkString(", ")}]"
-
-  private def keep(c: ItemsStore.Cell): Boolean = pushed.forall {
-    case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
-    case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
-    case EqualTo("column_id", v) => v != null && c.columnId == v
-    case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
-    case _ => true
-  }
 
   private def cellValue(c: ItemsStore.Cell, col: String): Any = col match {
     case "item_id" => c.itemId
@@ -229,8 +226,12 @@ class ItemsAggScan(store: String, pushed: Array[Filter], agg: Aggregation)
   /** One partition carrying the final aggregate rows (the single API
     * response). Values are plain JVM types; the reader converts.
     */
+  // lazy: Spark may plan partitions more than once (reuse/AQE); the
+  // single "API response" is fetched once per scan instance
+  private lazy val matchingCells = conf.backend.matchingCells(pushed)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val cells = ItemsStore.get(store).filter(keep)
+    val cells = matchingCells
     val groups: Seq[(Seq[Any], Seq[ItemsStore.Cell])] =
       if (groupCols.isEmpty) Seq((Seq.empty, cells))
       else cells.groupBy(c => groupCols.map(g => cellValue(c, g)))
@@ -290,13 +291,13 @@ class ItemsAggReaderFactory extends PartitionReaderFactory {
   }
 }
 
-class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
+class ItemsScan(conf: ItemsConf, pushed: Array[Filter], required: StructType,
                 limit: Option[Int] = None)
     extends Scan with Batch with SupportsRuntimeFiltering with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-items store=$store pushed=${pushed.mkString("[", ", ", "]")}" +
+    s"graft-items ${conf.describe} pushed=${pushed.mkString("[", ", ", "]")}" +
       limit.map(l => s" pushedLimit=$l").getOrElse("")
 
   // ---- runtime (join-driven) filtering: Spark's dynamic-pruning rule
@@ -315,17 +316,6 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
       .map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
-  // The DSv2 Filter contract allows null values inside In (and EqualTo):
-  // `IN (..., NULL)` matches nothing for the null element — it must not
-  // NPE partition planning.
-  private def keep(c: ItemsStore.Cell): Boolean = (pushed ++ runtime).forall {
-    case EqualTo("item_id", v) => v != null && c.itemId == v.asInstanceOf[Number].longValue()
-    case In("item_id", vs) => vs.exists(v => v != null && c.itemId == v.asInstanceOf[Number].longValue())
-    case EqualTo("column_id", v) => v != null && c.columnId == v
-    case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
-    case _ => true
-  }
-
   /** One partition per PageSize distinct item ids — the reference's
     * chunked API paging as Spark's unit of parallelism. A pushed LIMIT
     * truncates the CELL stream (sorted by key, so deterministic) and
@@ -335,11 +325,9 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
     * list BEFORE paging.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val matching0 = ItemsStore.get(store).filter(keep)
-    val matching = limit.map(matching0.take).getOrElse(matching0)
-    val pages = matching.map(_.itemId).distinct.sorted
+    val pages = conf.backend.pageIds(pushed ++ runtime, limit)
       .grouped(ItemsSource.PageSize)
-      .map(ids => ItemsPage(store, ids.toArray, pushed ++ runtime, limit): InputPartition)
+      .map(ids => ItemsPage(conf, ids.toArray, pushed ++ runtime, limit): InputPartition)
       .toArray
     ItemsScan.lastPlannedPages.set(pages.length)
     pages
@@ -355,7 +343,7 @@ class ItemsScan(store: String, pushed: Array[Filter], required: StructType,
     * aggregate pushdown path uses.
     */
   override def estimateStatistics(): Statistics = {
-    val matched = ItemsStore.get(store).count(keep)
+    val matched = conf.backend.countMatching(pushed ++ runtime).toInt
     val n = limit.fold(matched)(l => math.min(l, matched))
     val rowBytes = required.map(_.dataType.defaultSize + 8L).sum.max(16L)
     new Statistics {
@@ -376,7 +364,7 @@ object ItemsScan {
   val pagesFetched = new java.util.concurrent.atomic.AtomicInteger(0)
 }
 
-case class ItemsPage(store: String, itemIds: Array[Long], pushed: Array[Filter],
+case class ItemsPage(conf: ItemsConf, itemIds: Array[Long], pushed: Array[Filter],
                      limit: Option[Int] = None)
     extends InputPartition
 
@@ -388,22 +376,16 @@ class ItemsReaderFactory(required: StructType) extends PartitionReaderFactory {
   }
 }
 
-/** Reads one API page. In production this is where the HTTP fetch for
-  * `page.itemIds` happens (one call per partition, executor-side).
+/** Reads one API page through the configured [[ItemsBackend]] — for
+  * an HTTP transport this IS the fetch for `page.itemIds` (one call
+  * per partition, executor-side).
   */
 class ItemsPageReader(page: ItemsPage, required: StructType)
     extends PartitionReader[InternalRow] {
-  private val ids = page.itemIds.toSet
-  private val it0 = ItemsStore.get(page.store).iterator
-    .filter(c => ids.contains(c.itemId))
-    .filter(c => page.pushed.forall {
-      case EqualTo("column_id", v) => v != null && c.columnId == v
-      case In("column_id", vs) => vs.exists(v => v != null && v == c.columnId)
-      case _ => true
-    })
-  // a pushed LIMIT caps what each page fetches (Spark's own Limit on
-  // top enforces the exact global count — isPartiallyPushed contract)
-  private val it = page.limit.map(it0.take).getOrElse(it0)
+  // ONE backend page read per partition = one API call; a pushed LIMIT
+  // caps what each page fetches (Spark's own Limit on top enforces the
+  // exact global count — isPartiallyPushed contract)
+  private val it = page.conf.backend.readPage(page.itemIds, page.pushed, page.limit)
   private var current: ItemsStore.Cell = _
 
   override def next(): Boolean = {

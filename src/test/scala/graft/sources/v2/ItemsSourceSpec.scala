@@ -170,9 +170,9 @@ class ItemsSourceSpec extends SparkSpec {
     assert(plan.contains("pushedLimit=10"), plan)
     assert(df.count() === 10)
     // page pruning, asserted at the scan itself: 6 pages unlimited, 1 limited
-    val unlimited = new ItemsScanBuilder("s_lim").build().toBatch.planInputPartitions()
+    val unlimited = new ItemsScanBuilder(ItemsConf("s_lim", ItemsConf.StoreTransport, "")).build().toBatch.planInputPartitions()
     assert(unlimited.length === 6)
-    val sb = new ItemsScanBuilder("s_lim")
+    val sb = new ItemsScanBuilder(ItemsConf("s_lim", ItemsConf.StoreTransport, ""))
     assert(sb.pushLimit(10))
     assert(sb.build().toBatch.planInputPartitions().length === 1)
     ItemsStore.drop("s_lim")
@@ -198,7 +198,7 @@ class ItemsSourceSpec extends SparkSpec {
     // 300 ids = 6 pages; a runtime IN of 3 ids must re-plan to 1 page
     // with only those ids in the API call
     ItemsStore.put("s_rt", (1L to 300L).map(i => ItemsStore.Cell(i, "c1", s"t$i", i)))
-    val scan = new ItemsScanBuilder("s_rt").build()
+    val scan = new ItemsScanBuilder(ItemsConf("s_rt", ItemsConf.StoreTransport, "")).build()
     assert(scan.asInstanceOf[ItemsScan].filterAttributes()
       .map(_.fieldNames.head).toSet === Set("item_id", "column_id"))
     assert(scan.toBatch.planInputPartitions().length === 6)
