@@ -29,35 +29,45 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
 object Bench {
   private val Runs = 3
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.local()
-    // Untimed warmup: JIT/codegen + parquet reader/footer init otherwise
-    // land on whichever query happens to read a table first (~6 s of
-    // noise that migrated between queries whenever the registry
-    // changed). Touch EVERY fixture table, not just lineitem.
+  /** Untimed warmup: JIT/codegen + parquet reader/footer init otherwise
+    * land on whichever query happens to read a table first (~6 s of
+    * noise that migrated between queries whenever the registry
+    * changed). Touch EVERY fixture table, not just lineitem.
+    */
+  private[graft] def warmup(spark: SparkSession, sfDir: String): Unit = {
     Tables.names.foreach { t =>
       Tables.table(spark, sfDir, t).foreach((_: org.apache.spark.sql.Row) => ())
     }
     Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
       .agg(sum(xxhash64(col("l_orderkey")).cast("double")).as("h")).collect()
-    // A query that throws must NEVER masquerade as a fast one: `once`
-    // returns the error alongside the elapsed time, the JSON carries an
-    // `errors` map, and the process exits non-zero if anything failed.
-    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
-      val t0 = System.nanoTime()
-      val err = try {
-        val df = fn(spark, sfDir)
-        // double sum: a long sum of 64-bit hashes overflows under ANSI.
-        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("double").as("_h"))
-          .agg(sum("_h")).collect()
-        None
-      } catch {
-        case t: Throwable =>
-          Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
-      }
-      ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  /** A query that throws must NEVER masquerade as a fast one: returns
+    * the error alongside the elapsed time; callers carry an `errors`
+    * map and exit non-zero on any failure.
+    */
+  private[graft] def timeOnce(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err = try {
+      val df = fn(spark, sfDir)
+      // double sum: a long sum of 64-bit hashes overflows under ANSI.
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("double").as("_h"))
+        .agg(sum("_h")).collect()
+      None
+    } catch {
+      case t: Throwable =>
+        Some(s"${t.getClass.getSimpleName}: ${Option(t.getMessage).getOrElse("").take(200)}")
     }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    warmup(spark, sfDir)
+    def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) =
+      timeOnce(spark, sfDir, fn)
     // Sorted-name order: queries run in a stable sequence across rounds,
     // so any residual first-touch cost stays on the same query instead
     // of reshuffling whenever the registry grows.
@@ -94,5 +104,59 @@ object Bench {
     // only — small enough that a bounded tail capture cannot cut it.
     println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions}""")
     if (ok != results.size) sys.exit(1)
+  }
+}
+
+/** Same-VM PAIRED A/B benchmark — the answer to the ±15% host-level
+  * variance that makes cross-round absolute totals unreliable
+  * (PERF.md "bench variance": five same-code runs spanned 109-143 s).
+  * Two query subsets A and B run INTERLEAVED (A₁B₁A₂B₂…) in one JVM,
+  * so every pair shares the same instantaneous host state; the paired
+  * per-round ratio cancels the common-mode noise that poisons
+  * across-run comparison. Use it to compare an operator against its
+  * rewrite (register both, name the two sets) or to bound the noise
+  * floor itself (A = B → ratios pin how much residual variance
+  * same-VM pairing leaves).
+  *
+  *   SPARK_GRAFT_AB_A=q_x,q_y SPARK_GRAFT_AB_B=q_z \
+  *     sbt "runMain graft.BenchAB"         # rounds via SPARK_GRAFT_AB_ROUNDS (default 7)
+  *
+  * Output: one compact JSON line (per-round A/B seconds, per-round
+  * ratios, median ratio) + the full artifact at `target/bench_ab.json`.
+  */
+object BenchAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def setOf(env: String): Seq[String] = sys.env.getOrElse(env,
+      sys.error(s"$env must name a comma-separated query subset")).split(",").map(_.trim).toSeq
+    val (aNames, bNames) = (setOf("SPARK_GRAFT_AB_A"), setOf("SPARK_GRAFT_AB_B"))
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_AB_ROUNDS", "7").toInt
+    val registry = SparkEntry.queries
+    (aNames ++ bNames).foreach(n => require(registry.contains(n), s"unknown query: $n"))
+    val spark = GraftSession.local()
+    Bench.warmup(spark, sfDir)
+    def timeSet(names: Seq[String]): Double = names.map { n =>
+      val (t, err) = Bench.timeOnce(spark, sfDir, registry(n))
+      err.foreach(e => { System.err.println(s"[bench-ab] $n failed: $e"); sys.exit(1) })
+      t
+    }.sum
+    // one untimed alternating pass so both sets are equally JIT-warm
+    timeSet(aNames); timeSet(bNames)
+    val pairs = (1 to rounds).map(_ => (timeSet(aNames), timeSet(bNames)))
+    val ratios = pairs.map { case (a, b) => a / b }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val line =
+      s"""{"metric":"ab_ratio","value":${median(ratios)},"unit":"a_over_b","rounds":$rounds,""" +
+        s""""a":${aNames.mkString("[\"", "\",\"", "\"]")},"b":${bNames.mkString("[\"", "\",\"", "\"]")},""" +
+        s""""a_secs":${pairs.map(_._1).mkString("[", ",", "]")},""" +
+        s""""b_secs":${pairs.map(_._2).mkString("[", ",", "]")},""" +
+        s""""ratios":${ratios.mkString("[", ",", "]")},""" +
+        s""""ratio_spread":${ratios.max - ratios.min},""" +
+        s""""sf":"$sfDir","cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}}"""
+    val out = java.nio.file.Paths.get("target/bench_ab.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    spark.stop()
+    println(line)
   }
 }
