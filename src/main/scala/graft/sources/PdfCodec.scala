@@ -44,7 +44,8 @@ import scala.collection.mutable
   * Flate streams honor /DecodeParms predictors (TIFF 2, PNG 10-15 —
   * Sub/Up/Average/Paeth), the layout nearly every real-world writer
   * emits for lossless image XObjects and xref streams; DCTDecode
-  * image XObjects decode through [[ImageCodec]]'s JPEG decoder.
+  * image XObjects decode through [[ImageCodec]]'s JPEG decoder;
+  * ASCIIHexDecode / ASCII85Decode chain ahead of either.
   *
   * OUT of subset (documented, loud where it matters): encryption,
   * text rendering, non-axis-aligned image placement, CMYK images,
@@ -718,6 +719,66 @@ object PdfCodec {
     (num("Predictor", 1), num("Colors", 1), num("BitsPerComponent", 8), num("Columns", 1))
   }
 
+  /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
+    * `>` ends data, an odd trailing digit is padded with 0.
+    */
+  private[sources] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        require(d >= 0, s"ASCIIHexDecode: bad digit '${c.toChar}' at $i")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (ISO 32000 §7.4.3): 5 chars `!`-`u` → 4 bytes,
+    * `z` → four zero bytes, whitespace ignored, `~>` ends data, a
+    * partial group of n chars decodes to n-1 bytes (pad with `u`).
+    */
+  private[sources] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(chars: Int): Unit = {
+      var v = 0L
+      var i = 0
+      while (i < 5) { v = v * 85 + (if (i < chars) grp(i) else 84); i += 1 }
+      require(v <= 0xffffffffL, "ASCII85Decode: group overflows 2^32")
+      var shift = 24
+      var emitted = 0
+      while (emitted < chars - 1) {
+        out.write(((v >> shift) & 0xff).toInt); shift -= 8; emitted += 1
+      }
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true // `~>` EOD (the '>' is not consumed; fine)
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (!isWs(c)) {
+        require(c >= '!' && c <= 'u', s"ASCII85Decode: bad char '${c.toChar}' at $i")
+        grp(n) = c - '!'
+        n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    require(n != 1, "ASCII85Decode: lone trailing char")
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
   /** Decode an object's stream through its /Filter chain, honoring
     * per-filter /DecodeParms predictors on Flate data. DCTDecode is
     * terminal (the payload IS the JPEG); unknown filters throw.
@@ -739,6 +800,8 @@ object PdfCodec {
       case (data, ("FlateDecode", i)) =>
         val (pred, colors, bpc, columns) = dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1))
         unpredict(inflate(data), pred, colors, bpc, columns)
+      case (data, ("ASCIIHexDecode", _)) => asciiHexDecode(data)
+      case (data, ("ASCII85Decode", _)) => ascii85Decode(data)
       case (data, ("DCTDecode", _)) => data
       case (_, (f, _)) => throw new IllegalArgumentException(s"unsupported stream filter /$f")
     }

@@ -272,6 +272,39 @@ class PdfCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](unpredict(row, 15, 3, 4, 4))
   }
 
+  test("ASCIIHex and ASCII85 filters: known vectors, chained with Flate, loud rejects") {
+    // ASCIIHex: whitespace ignored, '>' EOD, odd trailing digit pads 0
+    assert(asciiHexDecode("48 65 6C\n6C 6F>".getBytes).toSeq === "Hello".getBytes.toSeq)
+    assert(asciiHexDecode("7>".getBytes).toSeq === Seq(0x70.toByte))
+    intercept[IllegalArgumentException](asciiHexDecode("4G>".getBytes))
+    // ASCII85: the canonical "sure" vector; z = four zeros; partial group
+    assert(ascii85Decode("F*2M7~>".getBytes).toSeq === "sure".getBytes.toSeq)
+    assert(ascii85Decode("z~>".getBytes).toSeq === Seq[Byte](0, 0, 0, 0))
+    assert(ascii85Decode("F*2M7F(~>".getBytes).toSeq === "sures".getBytes.toSeq)
+    intercept[IllegalArgumentException](ascii85Decode("v~>".getBytes))
+    intercept[IllegalArgumentException](ascii85Decode("F~>".getBytes)) // lone trailing char
+    // chained [ASCII85, Flate]: a content stream that survives both hops
+    def encode85(bytes: Array[Byte]): Array[Byte] = { // test-local encoder, z unused
+      val out = new StringBuilder
+      bytes.grouped(4).foreach { g =>
+        var v = 0L
+        (0 until 4).foreach(i => v = (v << 8) | (if (i < g.length) g(i) & 0xff else 0))
+        val ds = new Array[Int](5)
+        (4 to 0 by -1).foreach { i => ds(i) = (v % 85).toInt; v /= 85 }
+        (0 to g.length).foreach(i => out.append(('!' + ds(i)).toChar))
+      }
+      out.append("~>").toString.getBytes
+    }
+    assert(ascii85Decode(encode85("any payload at all".getBytes)).toSeq ===
+      "any payload at all".getBytes.toSeq)
+    val content = "q\n50 0 0 50 0 0 cm\n/Im0 Do\nQ\n".getBytes
+    val doc = parse(composePredictorFixture(3L, 8, 8))
+    val obj = PObj(99, 0, PDict(Map(
+      "Filter" -> PArr(Vector(PName("ASCII85Decode"), PName("FlateDecode"))),
+      "Length" -> PNum(1))), Some(encode85(deflate(content))))
+    assert(decodedStream(doc, obj).toSeq === content.toSeq)
+  }
+
   test("pdfInfo and pageCount: SQL-reproducible integer metadata; graceful nulls") {
     val pdf = compose(Seq(
       PageImage(jpeg(81, 30, 40), 120, 160), PageImage(jpeg(82, 30, 40), 120, 160)))
