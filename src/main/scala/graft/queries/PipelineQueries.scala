@@ -2407,11 +2407,70 @@ object PipelineQueries {
        |FROM u""".stripMargin
   }
 
+  /** The batch twin of [[graft.streaming.EventPipeline.streamingFrontier]]
+    * under the hash gate: canonical dedup (min doc per canon target) →
+    * registered-domain blocklist anti-join → rank-aware per-domain
+    * admission (effective cap = base 2 + rank_ppm/1000, lowest doc ids
+    * win — hindsight's deterministic analog of the streaming first-k).
+    * Every relation is closed-form so the oracle rebuilds the identical
+    * chain; the rank table stands in for the persisted PageRank
+    * artifact (same shape, closed-form values). Shape at scale: one
+    * canon-keyed exchange + two broadcast joins + one window over the
+    * domain partitioning the earlier exchange already established.
+    */
+  val frontierAdmission: Q = (s, d) => {
+    val url = messyUrl(expr("doc_id div 3"), pmod(col("doc_id"), lit(3)))
+    val canon = Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.UrlOps.urlCanon(url).as("canon_url"),
+      graft.functions.UrlOps.urlDomain(url).as("domain"))
+    val dedup = canon.groupBy("canon_url")
+      .agg(min("doc_id").as("doc_id"), min("domain").as("domain"))
+    val bl = Seq(".com", ".co.uk", ".or.jp", ".github.io").map(suf =>
+        s.range(0, 200).filter(col("id") % 10 === 3)
+          .select(concat(lit("site"), col("id").cast("string"), lit(suf)).as("domain")))
+      .reduce(_ union _)
+    val ranks = s.range(0, 200).filter(col("id") % 7 === 0)
+      .select(concat(lit("site"), col("id").cast("string"), lit(".com")).as("domain"),
+        (col("id") * 100).as("rank_ppm"))
+    val ranked = dedup.join(broadcast(bl), Seq("domain"), "left_anti")
+      .join(broadcast(ranks), Seq("domain"), "left_outer")
+      .na.fill(0L, Seq("rank_ppm"))
+      .withColumn("eff_cap", lit(2L) + expr("rank_ppm div 1000"))
+    ranked
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain").orderBy("doc_id")))
+      .filter(col("rn") <= col("eff_cap"))
+      .select(col("doc_id"), col("domain"), col("eff_cap"))
+  }
+  val frontierAdmissionSql: String =
+    s"""WITH ${messyUrlSqlCte("doc_id // 3", "doc_id % 3")},
+       |c AS (SELECT doc_id,
+       |             ${graft.functions.UrlOps.canonSql("url")} AS canon_url,
+       |             ${graft.functions.UrlOps.domainSql("url")} AS domain
+       |      FROM u),
+       |dd AS (SELECT min(doc_id) AS doc_id, min(domain) AS domain
+       |       FROM c GROUP BY canon_url),
+       |bl AS (SELECT 'site' || r || suf AS domain
+       |       FROM range(0, 200) t(r)
+       |       CROSS JOIN (SELECT unnest(['.com', '.co.uk', '.or.jp', '.github.io']) AS suf)
+       |       WHERE r % 10 = 3),
+       |rk AS (SELECT 'site' || r || '.com' AS domain, r * 100 AS rank_ppm
+       |       FROM range(0, 200) t(r) WHERE r % 7 = 0),
+       |adm AS (SELECT dd.doc_id, dd.domain,
+       |               2 + coalesce(rk.rank_ppm, 0) // 1000 AS eff_cap,
+       |               row_number() OVER (PARTITION BY dd.domain ORDER BY dd.doc_id) AS rn
+       |        FROM dd LEFT JOIN rk USING (domain)
+       |        WHERE dd.domain IS NULL OR dd.domain NOT IN (SELECT domain FROM bl))
+       |SELECT doc_id, domain, CAST(eff_cap AS BIGINT) AS eff_cap
+       |FROM adm WHERE rn <= eff_cap""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
     "q_url_blocklist" -> urlBlocklist,
     "q_url_psl" -> urlPsl,
+    "q_frontier_admission" -> frontierAdmission,
     "q_source_quality" -> sourceQuality,
     "q_ivf_health" -> ivfHealth,
     "q_reservoir" -> reservoir,
@@ -2512,6 +2571,7 @@ object PipelineQueries {
     "q_url_dedup" -> urlDedupSql,
     "q_url_blocklist" -> urlBlocklistSql,
     "q_url_psl" -> urlPslSql,
+    "q_frontier_admission" -> frontierAdmissionSql,
     "q_source_quality" -> sourceQualitySql,
     "q_ivf_health" -> ivfHealthSql,
     "q_reservoir" -> reservoirSql,
