@@ -30,6 +30,12 @@ object UrlFetch {
   trait Transport extends AutoCloseable {
     /** Fetch a URL → (content bytes, Content-Type when the server sent one). */
     def get(url: String): (Array[Byte], Option[String])
+    /** POST a body → (response bytes, Content-Type). Only transports
+      * that back a mutation surface implement it (HTTP does; the
+      * read-only stand-ins keep the default).
+      */
+    def post(url: String, body: Array[Byte]): (Array[Byte], Option[String]) =
+      throw new UnsupportedOperationException(s"transport is read-only: cannot POST $url")
     override def close(): Unit = ()
   }
 
@@ -78,6 +84,15 @@ object UrlFetch {
     override def get(url: String): (Array[Byte], Option[String]) = {
       val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
         .timeout(java.time.Duration.ofSeconds(60)).GET().build()
+      send(url, req)
+    }
+    override def post(url: String, body: Array[Byte]): (Array[Byte], Option[String]) = {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(60))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body)).build()
+      send(url, req)
+    }
+    private def send(url: String, req: java.net.http.HttpRequest): (Array[Byte], Option[String]) = {
       val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofByteArray())
       // raise_for_status analog: 4xx/5xx is a failure, not content
       if (resp.statusCode() >= 400)

@@ -24,9 +24,9 @@ import org.apache.spark.sql.sources.{EqualTo, Filter, In}
   * Wire semantics CANNOT fork from the store path: both backends (and
   * the test server) call the same [[ItemsProtocol]] functions for
   * filter evaluation, page-id planning, page slicing, and the
-  * encode/decode of every message. The write path stays store-backed —
-  * mutations ride the same seam in a production connector, but the
-  * offline harness gates reads.
+  * encode/decode of every message. The write path rides the same seam:
+  * [[upsertBatch]] is one POST per page-grain batch of keyed upserts,
+  * idempotent by (item_id, column_id) so task retries converge.
   */
 sealed trait ItemsBackend {
   /** Distinct item ids to page over, post-filter, post-LIMIT-truncation. */
@@ -37,6 +37,11 @@ sealed trait ItemsBackend {
   def matchingCells(filters: Array[Filter]): Seq[ItemsStore.Cell]
   /** One API page: the cells of `ids`, filtered and limit-capped. */
   def readPage(ids: Array[Long], filters: Array[Filter], limit: Option[Int]): Iterator[ItemsStore.Cell]
+  /** Apply a batch of keyed upserts (the `change_column_value`
+    * mutation, batched to page grain). Idempotent by key — re-applied
+    * batches converge, which is what makes Spark task retries safe.
+    */
+  def upsertBatch(cells: Seq[ItemsStore.Cell]): Unit
 }
 
 /** Connector options, serialized into every [[ItemsPage]] (plain
@@ -75,6 +80,8 @@ final class StoreBackend(store: String) extends ItemsBackend {
   override def readPage(ids: Array[Long], filters: Array[Filter],
                         limit: Option[Int]): Iterator[ItemsStore.Cell] =
     ItemsProtocol.pageCells(ItemsStore.get(store).iterator, ids, filters, limit)
+  override def upsertBatch(cells: Seq[ItemsStore.Cell]): Unit =
+    cells.foreach(ItemsStore.upsert(store, _))
 }
 
 /** The HTTP path: every call is one GET through the named
@@ -100,6 +107,12 @@ final class HttpBackend(transportName: String, base: String) extends ItemsBacken
     val q = s"ids=${ids.mkString(",")}&${ItemsProtocol.filterQuery(filters)}" +
       limit.map(l => s"&limit=$l").getOrElse("")
     ItemsProtocol.decodeCells(fetch(s"/cells?$q"))
+  }
+  override def upsertBatch(cells: Seq[ItemsStore.Cell]): Unit = {
+    val t = UrlFetch.Transports.open(transportName)
+    try t.post(s"$base/upsert",
+      ItemsProtocol.encodeCells(cells.iterator).getBytes(StandardCharsets.UTF_8))
+    finally t.close()
   }
 }
 

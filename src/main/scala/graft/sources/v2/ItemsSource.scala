@@ -113,11 +113,8 @@ class ItemsTable(conf: ItemsConf) extends Table with SupportsRead with SupportsW
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ItemsScanBuilder(conf)
-  // writes stay store-backed: the offline harness gates reads; a
-  // production connector routes mutations through the same transport
-  // seam (ItemsBackend scaladoc)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ItemsWriteBuilder(conf.store, info.schema())
+    new ItemsWriteBuilder(conf, info.schema())
 }
 
 class ItemsScanBuilder(conf: ItemsConf)
@@ -417,42 +414,50 @@ class ItemsPageReader(page: ItemsPage, required: StructType)
   * and `abort` are therefore bookkeeping-only — the same
   * effect-idempotency contract as `graft.sinks.UploadSink`.
   */
-class ItemsWriteBuilder(store: String, schema: StructType) extends WriteBuilder {
-  override def build(): Write = new ItemsWrite(store, schema)
+class ItemsWriteBuilder(conf: ItemsConf, schema: StructType) extends WriteBuilder {
+  override def build(): Write = new ItemsWrite(conf, schema)
 }
 
-class ItemsWrite(store: String, schema: StructType) extends Write with BatchWrite {
+class ItemsWrite(conf: ItemsConf, schema: StructType) extends Write with BatchWrite {
   override def toBatch: BatchWrite = this
-  override def description(): String = s"graft-items store=$store"
+  override def description(): String = s"graft-items ${conf.describe}"
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ItemsWriterFactory(store, schema)
+    new ItemsWriterFactory(conf, schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class ItemsWriterFactory(store: String, schema: StructType) extends DataWriterFactory {
+class ItemsWriterFactory(conf: ItemsConf, schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new ItemsCellWriter(store, schema)
+    new ItemsCellWriter(conf, schema)
 }
 
 case class ItemsWriteDone(rows: Long) extends WriterCommitMessage
 
-/** Writes one partition's cells; one "API connection" per task, rows
-  * applied as keyed upserts (executor-side, no driver round-trip).
+/** Writes one partition's cells through the configured backend —
+  * executor-side, no driver round-trip. Rows buffer to PageSize-grain
+  * batches (the mutation analog of the 50-id read page), each flushed
+  * as one [[ItemsBackend.upsertBatch]]; the remainder flushes in
+  * `commit()`, BEFORE the commit message is produced, so an
+  * acknowledged task has fully applied its rows.
   */
-class ItemsCellWriter(store: String, schema: StructType) extends DataWriter[InternalRow] {
+class ItemsCellWriter(conf: ItemsConf, schema: StructType) extends DataWriter[InternalRow] {
   private val idx = ItemsSource.schema.fields.map(f => f.name -> schema.fieldIndex(f.name)).toMap
+  private val backend = conf.backend
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[ItemsStore.Cell]
   private var rows = 0L
   override def write(row: InternalRow): Unit = {
     val text = if (row.isNullAt(idx("text"))) null else row.getUTF8String(idx("text")).toString
-    ItemsStore.upsert(store, ItemsStore.Cell(
+    buf += ItemsStore.Cell(
       row.getLong(idx("item_id")),
       row.getUTF8String(idx("column_id")).toString,
       text,
-      row.getLong(idx("created_at"))))
+      row.getLong(idx("created_at")))
     rows += 1
+    if (buf.size >= ItemsSource.PageSize) flush()
   }
-  override def commit(): WriterCommitMessage = ItemsWriteDone(rows)
+  private def flush(): Unit = if (buf.nonEmpty) { backend.upsertBatch(buf.toSeq); buf.clear() }
+  override def commit(): WriterCommitMessage = { flush(); ItemsWriteDone(rows) }
   override def abort(): Unit = () // idempotent upserts: retry converges
   override def close(): Unit = ()
 }

@@ -20,29 +20,37 @@ import org.apache.spark.sql.functions._
 class ItemsHttpSpec extends SparkSpec {
   import graft.sources.v2.{ItemsStore => IS}
 
-  /** Minimal paged-API server: /ids, /count, /cells over a fixed cell
-    * seq, per-path hit counters.
+  /** Minimal paged-API server: /ids, /count, /cells reads plus /upsert
+    * mutations over a keyed cell map, per-path hit counters. All
+    * semantics delegate to ItemsProtocol (transport-only twin).
     */
-  private final class ApiServer(cells: Seq[IS.Cell]) extends AutoCloseable {
+  private final class ApiServer(seedCells: Seq[IS.Cell]) extends AutoCloseable {
     val hits = new ConcurrentHashMap[String, Integer]()
+    private val store = new ConcurrentHashMap[(Long, String), IS.Cell]()
+    seedCells.foreach(c => store.put((c.itemId, c.columnId), c))
+    private def cells: Seq[IS.Cell] = {
+      import scala.jdk.CollectionConverters._
+      store.values.asScala.toSeq.sortBy(c => (c.itemId, c.columnId))
+    }
     private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    private def handle(path: String)(body: String => String): Unit =
+    private def handle(path: String)(body: (String, Array[Byte]) => String): Unit =
       server.createContext(path, (ex: HttpExchange) => {
         hits.merge(path, 1, (a, b) => a + b)
         val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        val out = body(q).getBytes(StandardCharsets.UTF_8)
+        val reqBody = ex.getRequestBody.readAllBytes()
+        val out = body(q, reqBody).getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(200, out.length)
         ex.getResponseBody.write(out)
         ex.close()
       })
-    handle("/ids") { q =>
+    handle("/ids") { (q, _) =>
       ItemsProtocol.encodeIds(ItemsProtocol.pageIdsOf(
         cells, ItemsProtocol.parseFilters(q), ItemsProtocol.parseLimit(q)))
     }
-    handle("/count") { q =>
+    handle("/count") { (q, _) =>
       cells.count(ItemsProtocol.keep(_, ItemsProtocol.parseFilters(q))).toString
     }
-    handle("/cells") { q =>
+    handle("/cells") { (q, _) =>
       val ids = ItemsProtocol.parseIds(q)
       val filters = ItemsProtocol.parseFilters(q)
       val cellsOut =
@@ -51,9 +59,17 @@ class ItemsHttpSpec extends SparkSpec {
         else cells.iterator.filter(ItemsProtocol.keep(_, filters)) // agg-scan shape
       ItemsProtocol.encodeCells(cellsOut)
     }
+    handle("/upsert") { (_, body) =>
+      var n = 0
+      ItemsProtocol.decodeCells(new String(body, StandardCharsets.UTF_8)).foreach { c =>
+        store.put((c.itemId, c.columnId), c); n += 1
+      }
+      n.toString
+    }
     server.start()
     def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
     def hitCount(path: String): Int = hits.getOrDefault(path, 0)
+    def snapshot: Set[IS.Cell] = cells.toSet
     override def close(): Unit = server.stop(0)
   }
 
@@ -142,6 +158,32 @@ class ItemsHttpSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got === Map("name" -> 30L, "status" -> 30L))
       assert(srv.hitCount("/cells") === 1, srv.hits.toString) // the single agg response
+    } finally srv.close()
+  }
+
+  test("write path over the wire: page-grain upsert batches, idempotent redelivery") {
+    import spark.implicits._
+    val srv = new ApiServer(Seq(IS.Cell(1L, "status", "stale", 1L)))
+    try {
+      val df = (1L to 120L).map(i => (i, "status", s"v$i", 10L + i))
+        .toDF("item_id", "column_id", "text", "created_at")
+      def writeOnce(): Unit = df.coalesce(1).write.format(ItemsSource.ShortName)
+        .option("store", "unused_http_w")
+        .option("transport", "http")
+        .option("base_url", srv.base)
+        .mode("append").save()
+      writeOnce()
+      // 120 rows in one partition -> ceil(120/50) = 3 page-grain POSTs
+      assert(srv.hitCount("/upsert") === 3, srv.hits.toString)
+      assert(srv.snapshot.size === 120)
+      assert(srv.snapshot.contains(IS.Cell(1L, "status", "v1", 11L))) // upsert beat the seed
+      val before = srv.snapshot
+      writeOnce() // redelivery: re-applied upserts converge
+      assert(srv.snapshot === before)
+      // and the write is immediately readable back over the same wire
+      val got = httpDf(srv.base).filter(col("item_id") === 7L)
+        .select("text").collect().map(_.getString(0))
+      assert(got.toSeq === Seq("v7"))
     } finally srv.close()
   }
 
