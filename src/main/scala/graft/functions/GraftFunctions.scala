@@ -60,6 +60,7 @@ object GraftFunctions {
     "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),
     "synth_pdf_pred" -> (a => PdfOps.synthPdfPred(a.head, a(1), a(2))),
     "wav_info" -> (a => AudioOps.wavInfo(a.head)),
+    "robots_allowed" -> (a => RobotsOps.robotsAllowed(a.head, a(1), a(2))),
     "audio_rms" -> (a => AudioOps.audioRms(a.head)),
     "audio_window_rms" -> (a => AudioOps.audioWindowRms(a.head, a(1))),
     "audio_resample" -> (a => AudioOps.audioResample(a.head, a(1))),

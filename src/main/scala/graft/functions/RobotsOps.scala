@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** robots.txt policy evaluation (RFC 9309) — the admission rule a crawl
+  * frontier applies between URL canonicalization and the fetch: given a
+  * host's robots.txt payload, a product token, and a URL path, is the
+  * fetch allowed?
+  *
+  * Semantics implemented, per the RFC:
+  *   - groups: consecutive `User-agent:` lines share the following
+  *     rule block; the group whose agent token is the LONGEST
+  *     case-insensitive match for the product token wins; the `*`
+  *     group applies when none match; rules from same-agent groups
+  *     merge.
+  *   - rules: `Allow:` / `Disallow:` path patterns with `*` wildcards
+  *     and a `$` end anchor; an empty `Disallow:` value permits
+  *     everything (matches nothing).
+  *   - decision: among rules whose pattern matches the path, the
+  *     LONGEST pattern (by characters) wins; on a length tie Allow
+  *     wins; no matching rule → allowed. A missing/empty/unparseable
+  *     robots.txt → allowed (the RFC's unavailable-is-allow posture
+  *     for 4xx; transport-level 5xx handling is the fetch stage's
+  *     concern, not the evaluator's).
+  *
+  * Out of scope (documented): percent-encoding normalization of rule
+  * paths (inputs are assumed already canonical — [[UrlOps.urlCanon]]
+  * runs upstream), `Crawl-delay` (non-standard; surface it separately
+  * if a scheduler needs it), and Sitemap discovery.
+  *
+  * 100 TB shape: one pure function per (robots, agent, path) row inside
+  * whole-stage codegen — the robots payload rides a broadcast or a
+  * per-domain join upstream; nothing here shuffles. Matching is a
+  * two-pointer wildcard walk, no regex compilation per row.
+  */
+object RobotsOps {
+
+  // `*`/`$` pattern match against a path. An UNANCHORED robots pattern
+  // is a PREFIX rule: it matches when the pattern consumes some prefix
+  // of the path (pattern "/" + "*.php" matches "/x.phpX" via the prefix
+  // "/x.php"); a trailing `$` anchors the match to the whole path.
+  // Recursive walk with star fan-out — robots patterns are a handful of
+  // chars, so the worst case is irrelevant in practice.
+  private[functions] def ruleMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    def m(p: Int, s: Int): Boolean =
+      if (p == pat.length) !anchored || s == path.length
+      else if (pat.charAt(p) == '*') {
+        var k = s
+        var hit = false
+        while (!hit && k <= path.length) { hit = m(p + 1, k); k += 1 }
+        hit
+      } else s < path.length && pat.charAt(p) == path.charAt(s) && m(p + 1, s + 1)
+    m(0, 0)
+  }
+
+  private[functions] final case class Rule(allow: Boolean, pattern: String)
+
+  /** Parse groups and return the merged rule list applying to `agent`.
+    * Agent matching is case-insensitive substring of the product token
+    * (the practical superset of the RFC's prefix matching — documented
+    * approximation), longest token wins, `*` is the fallback; rules of
+    * every group carrying the chosen token merge.
+    */
+  private[functions] def rulesFor(robots: String, agent: String): Seq[Rule] = {
+    if (robots == null || robots.isEmpty) return Seq.empty
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // each group: (agent tokens of its User-agent block, its rules)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String], scala.collection.mutable.ArrayBuffer[Rule])]
+    var lastWasAgent = false
+    robots.linesIterator.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            val token = value.toLowerCase(java.util.Locale.ROOT)
+            if (lastWasAgent && groups.nonEmpty) groups.last._1 += token
+            else groups += ((scala.collection.mutable.ArrayBuffer(token),
+              scala.collection.mutable.ArrayBuffer.empty[Rule]))
+            lastWasAgent = true
+          case "allow" | "disallow" =>
+            // empty Disallow permits everything: drop it (matches nothing);
+            // rules before any User-agent line have no group and are ignored
+            if (groups.nonEmpty && !(key == "disallow" && value.isEmpty))
+              groups.last._2 += Rule(key == "allow", value)
+            lastWasAgent = false
+          case _ => lastWasAgent = false
+        }
+      }
+    }
+    val tokens = groups.flatMap(_._1).filter(a => a != "*" && agentLc.contains(a))
+    val chosen: Set[String] =
+      if (tokens.nonEmpty) { val best = tokens.map(_.length).max; tokens.filter(_.length == best).toSet }
+      else Set("*")
+    groups.filter(_._1.exists(chosen.contains)).flatMap(_._2).toSeq
+  }
+
+  /** The RFC 9309 decision for (robots, agent, path). */
+  def allowed(robots: String, agent: String, path: String): Boolean = {
+    val rules = rulesFor(robots, agent)
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.pattern.length >= bestLen && ruleMatches(r.pattern, path)) {
+        if (r.pattern.length > bestLen) { bestLen = r.pattern.length; bestAllow = r.allow }
+        else if (r.allow) bestAllow = true // tie: Allow wins
+      }
+    }
+    bestAllow
+  }
+
+  def allowedUtf8(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
+    allowed(if (robots == null) "" else robots.toString, agent.toString, path.toString)
+
+  def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
+    GraftExpr.toColumn(RobotsAllowedExpr(
+      GraftExpr.toExpr(robots), GraftExpr.toExpr(agent), GraftExpr.toExpr(path)))
+}
+
+/** Codegen'd robots.txt decision: boolean, null only when an input is
+  * null (a MISSING robots payload should be passed as '' — allowed —
+  * not null, so the null actually signals "no row").
+  */
+case class RobotsAllowedExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(r: Any, a: Any, p: Any): Any =
+    RobotsOps.allowedUtf8(r.asInstanceOf[UTF8String],
+      a.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, a, p) => s"graft.functions.RobotsOps.allowedUtf8($r, $a, $p)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RobotsAllowedExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "robots_allowed"
+}

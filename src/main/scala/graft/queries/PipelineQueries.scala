@@ -2465,7 +2465,55 @@ object PipelineQueries {
        |SELECT doc_id, domain, CAST(eff_cap AS BIGINT) AS eff_cap
        |FROM adm WHERE rn <= eff_cap""".stripMargin
 
+  /** robots.txt policy under the hash gate: a fixed policy document
+    * evaluated for a battery of (agent, path) cases covering every
+    * RFC 9309 decision family — default-group rules, longest-match
+    * precedence, wildcard + `$`-anchored patterns, agent-specific
+    * group replacement, multi-agent blocks, longest-token selection,
+    * case-insensitive matching. The oracle pins the hand-computed RFC
+    * truth per battery index, so engine and spec cannot drift apart
+    * silently. Pure projection — the policy document broadcasts as a
+    * literal; at scale it arrives via a per-domain join upstream.
+    */
+  private val RobotsFixture =
+    "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.pdf$\n\n" +
+      "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /only-graft/\nAllow: /\n\n" +
+      "User-agent: graftbot-images\nDisallow: /\n"
+  private val RobotsBattery = Seq(
+    ("randombot", "/private/x", false), // default group Disallow
+    ("randombot", "/private/ok-file", true), // longer Allow beats it
+    ("randombot", "/doc/file.pdf", false), // wildcard + $ anchor
+    ("randombot", "/doc/file.pdf?x=1", true), // anchor fails past the extension
+    ("graftbot", "/private/x", true), // own group replaces default
+    ("graftbot", "/only-graft/x", false),
+    ("otherbot", "/only-graft/x", false), // multi-agent block shares rules
+    ("graftbot-images", "/anything", false), // longest token wins the ban
+    ("GraftBot/2.1", "/only-graft/x", false), // case-insensitive token
+    ("randombot", "/elsewhere", true)) // no matching rule → allowed
+  val robotsPolicy: Q = (s, d) => {
+    val idx = (pmod(col("doc_id"), lit(RobotsBattery.size)) + 1).cast("int")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      element_at(array(RobotsBattery.map(b => lit(b._1)): _*), idx).as("agent"),
+      element_at(array(RobotsBattery.map(b => lit(b._2)): _*), idx).as("path"))
+      .withColumn("allowed",
+        graft.functions.RobotsOps.robotsAllowed(lit(RobotsFixture), col("agent"), col("path")))
+  }
+  val robotsPolicySql: String = {
+    def list(f: ((String, String, Boolean)) => String) =
+      RobotsBattery.map(f).mkString("[", ", ", "]")
+    val agents = list(b => "'" + b._1 + "'")
+    val paths = list(b => "'" + b._2 + "'")
+    val expected = list(b => b._3.toString)
+    s"""SELECT doc_id,
+       |       ($agents)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS agent,
+       |       ($paths)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS path,
+       |       ($expected)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS allowed
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
     "q_url_blocklist" -> urlBlocklist,
@@ -2567,6 +2615,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_blocklist" -> urlBlocklistSql,
