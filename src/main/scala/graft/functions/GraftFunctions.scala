@@ -37,6 +37,7 @@ object GraftFunctions {
     "url_canon" -> (a => UrlOps.urlCanon(a.head)),
     "url_host" -> (a => UrlOps.urlHost(a.head)),
     "url_domain" -> (a => UrlOps.urlDomain(a.head)),
+    "url_path" -> (a => UrlOps.urlPath(a.head)),
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {

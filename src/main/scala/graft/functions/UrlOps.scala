@@ -107,6 +107,23 @@ object UrlOps {
       .otherwise(host)
   }
 
+  /** Canonical path + retained query of a URL (`/a/b?x=1` — the
+    * robots.txt match target, RFC 9309 matches path AND query); null
+    * when not a URL. Same path/query rules as [[urlCanon]].
+    */
+  def urlPath(u: Column): Column = {
+    val s = stripFragment(u)
+    val pathq = regexp_replace(restOf(s), "^[^/?]*", "")
+    val path0 = regexp_extract(pathq, "^([^?]*)", 1)
+    val path1 = when(path0 === "", "/").otherwise(path0)
+    val path = coalesce(nullif(regexp_replace(path1, "/+$", ""), lit("")), lit("/"))
+    val query0 = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query0, "&"), p => p =!= "" && !p.rlike(TrackRe))
+    val query = array_join(params, "&")
+    when(validUrl(u, s),
+      concat(path, when(query =!= "", concat(lit("?"), query)).otherwise("")))
+  }
+
   /** The full canonical form; null when not a URL. */
   def urlCanon(u: Column): Column = {
     val s = stripFragment(u)

@@ -446,7 +446,14 @@ object EventPipeline {
     *      (null domains are kept, matching the batch twin's
     *      `IS NULL OR NOT IN` semantics — a URL whose domain cannot be
     *      derived is not thereby blocklisted);
-    *   3. rank-aware per-domain admission: the persisted PageRank
+    *   3. robots.txt admission ([[graft.functions.RobotsOps]], RFC
+    *      9309): the per-domain robots payload joins in as a broadcast
+    *      relation `(domain, robots_txt)` and the canonical path+query
+    *      ([[graft.functions.UrlOps.urlPath]]) is evaluated for
+    *      `agent`; a domain with no robots row is allowed (the RFC's
+    *      unavailable-is-allow posture — pass '' explicitly to get the
+    *      same);
+    *   4. rank-aware per-domain admission: the persisted PageRank
     *      artifact ([[graft.operators.Artifacts.loadPageRank]]) joins
     *      in as a broadcast relation and GRANTS AUTHORITATIVE DOMAINS
     *      PROPORTIONALLY MORE FRONTIER SLOTS — effective lifetime cap
@@ -463,14 +470,24 @@ object EventPipeline {
     */
   def streamingFrontier(pages: DataFrame, blocklist: DataFrame, ranks: DataFrame,
                         k: Int, ppmPerSlot: Long = 1000L,
-                        horizon: String = "30 minutes"): Dataset[FrontierPage] = {
+                        horizon: String = "30 minutes",
+                        robots: Option[DataFrame] = None,
+                        agent: String = "graftbot"): Dataset[FrontierPage] = {
     require(k > 0, s"base cap must be positive, got $k")
     require(ppmPerSlot > 0, s"ppmPerSlot must be positive, got $ppmPerSlot")
     import pages.sparkSession.implicits._
     val deduped = streamingUrlDedup(pages, horizon).filter(col("canon_url").isNotNull)
-    val domained = deduped
+    val blocked = deduped
       .withColumn("domain", graft.functions.UrlOps.urlDomain(col("url")))
       .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
+    val domained = robots.fold(blocked) { r =>
+      blocked
+        .join(broadcast(r.select(col("domain"), col("robots_txt"))), Seq("domain"), "left_outer")
+        .filter(graft.functions.RobotsOps.robotsAllowed(
+          coalesce(col("robots_txt"), lit("")), lit(agent),
+          graft.functions.UrlOps.urlPath(col("url"))))
+        .drop("robots_txt")
+    }
     val ranked = domained
       .join(broadcast(ranks.select(col("node").as("domain"), col("rank_ppm"))),
         Seq("domain"), "left_outer")

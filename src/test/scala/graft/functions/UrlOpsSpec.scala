@@ -67,6 +67,15 @@ class UrlOpsSpec extends SparkSpec {
       "http://192.168.0.1/x" -> "192.168.0.1")
   }
 
+  test("urlPath: canonical path+query (the robots.txt match target)") {
+    check(UrlOps.urlPath _, Seq(
+      "https://s.com" -> "/",
+      "https://s.com/a/b/" -> "/a/b",
+      "https://s.com/a?utm_source=x&ref=1#f" -> "/a?ref=1",
+      "HTTPS://WWW.S.COM:443/q2?a=1" -> "/q2?a=1",
+      "not a url" -> null))
+  }
+
   test("registered SQL surface: url_canon/url_host/url_domain callable from pure SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(

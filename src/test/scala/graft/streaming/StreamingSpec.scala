@@ -251,6 +251,30 @@ class StreamingSpec extends SparkSpec {
     assert(two === want)
   }
 
+  test("streaming frontier: robots stage drops disallowed paths before the cap") {
+    implicit val ctx = spark.sqlContext
+    val blocklist = Seq.empty[String].toDF("domain")
+    val ranks = Seq(("sitec.com", 1L, 9000L)).toDF("node", "out_deg", "rank_ppm")
+    // siteC disallows /q* except /q2; siteB has NO robots row → allowed
+    val robots = Seq(("sitec.com",
+      "User-agent: *\nDisallow: /q\nAllow: /q2\n")).toDF("domain", "robots_txt")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventPipeline.streamingFrontier(
+        mem.toDF().toDF("doc_id", "url", "ts"), blocklist, ranks, k = 5,
+        robots = Some(robots))
+      .writeStream.outputMode("append").format("memory").queryName("frontier_rb").start()
+    try {
+      mem.addData(
+        (1L, "https://siteC.com/q1", ts(1)), // disallowed
+        (2L, "https://siteC.com/q2?a=1", ts(2)), // longer Allow wins
+        (3L, "https://siteC.com/other", ts(3)), // no rule → allowed
+        (4L, "https://siteB.com/q9", ts(4))) // no robots row → allowed
+      q.processAllAvailable()
+      val got = spark.table("frontier_rb").as[FrontierPage].collect().map(_.doc_id).toSet
+      assert(got === Set(2L, 3L, 4L))
+    } finally { q.stop(); spark.catalog.dropTempView("frontier_rb") }
+  }
+
   test("stream-stream join correlates events within the time window only") {
     implicit val ctx = spark.sqlContext
     val uploads = MemoryStream[Ev]
