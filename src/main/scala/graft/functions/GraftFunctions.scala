@@ -62,6 +62,8 @@ object GraftFunctions {
     "synth_pdf_pred" -> (a => PdfOps.synthPdfPred(a.head, a(1), a(2))),
     "wav_info" -> (a => AudioOps.wavInfo(a.head)),
     "robots_allowed" -> (a => RobotsOps.robotsAllowed(a.head, a(1), a(2))),
+    "robots_crawl_delay" -> (a => RobotsOps.robotsCrawlDelay(a.head, a(1))),
+    "robots_sitemaps" -> (a => RobotsOps.robotsSitemaps(a.head)),
     "audio_rms" -> (a => AudioOps.audioRms(a.head)),
     "audio_window_rms" -> (a => AudioOps.audioWindowRms(a.head, a(1))),
     "audio_resample" -> (a => AudioOps.audioResample(a.head, a(1))),

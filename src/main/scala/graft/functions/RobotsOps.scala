@@ -27,10 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     for 4xx; transport-level 5xx handling is the fetch stage's
   *     concern, not the evaluator's).
   *
+  * Also surfaced: [[crawlDelayMs]] (the group-scoped politeness input
+  * a fetch scheduler consumes) and [[sitemaps]] (global directives).
   * Out of scope (documented): percent-encoding normalization of rule
-  * paths (inputs are assumed already canonical — [[UrlOps.urlCanon]]
-  * runs upstream), `Crawl-delay` (non-standard; surface it separately
-  * if a scheduler needs it), and Sitemap discovery.
+  * paths — inputs are assumed already canonical ([[UrlOps.urlCanon]]
+  * runs upstream).
   *
   * 100 TB shape: one pure function per (robots, agent, path) row inside
   * whole-stage codegen — the robots payload rides a broadcast or a
@@ -61,18 +62,21 @@ object RobotsOps {
 
   private[functions] final case class Rule(allow: Boolean, pattern: String)
 
-  /** Parse groups and return the merged rule list applying to `agent`.
-    * Agent matching is case-insensitive substring of the product token
-    * (the practical superset of the RFC's prefix matching — documented
-    * approximation), longest token wins, `*` is the fallback; rules of
-    * every group carrying the chosen token merge.
+  /** Parse the document into groups of (agent tokens, rules,
+    * crawl-delays). Agent matching is case-insensitive substring of
+    * the product token (the practical superset of the RFC's prefix
+    * matching — documented approximation), longest token wins, `*` is
+    * the fallback; every group carrying a chosen token merges.
     */
-  private[functions] def rulesFor(robots: String, agent: String): Seq[Rule] = {
+  private final case class Group(
+      tokens: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[Rule],
+      delays: scala.collection.mutable.ArrayBuffer[Long])
+
+  private def chosenGroups(robots: String, agent: String): Seq[Group] = {
     if (robots == null || robots.isEmpty) return Seq.empty
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    // each group: (agent tokens of its User-agent block, its rules)
-    val groups = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String], scala.collection.mutable.ArrayBuffer[Rule])]
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var lastWasAgent = false
     robots.linesIterator.foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
@@ -83,26 +87,34 @@ object RobotsOps {
         key match {
           case "user-agent" =>
             val token = value.toLowerCase(java.util.Locale.ROOT)
-            if (lastWasAgent && groups.nonEmpty) groups.last._1 += token
-            else groups += ((scala.collection.mutable.ArrayBuffer(token),
-              scala.collection.mutable.ArrayBuffer.empty[Rule]))
+            if (lastWasAgent && groups.nonEmpty) groups.last.tokens += token
+            else groups += Group(scala.collection.mutable.ArrayBuffer(token),
+              scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty)
             lastWasAgent = true
           case "allow" | "disallow" =>
             // empty Disallow permits everything: drop it (matches nothing);
             // rules before any User-agent line have no group and are ignored
             if (groups.nonEmpty && !(key == "disallow" && value.isEmpty))
-              groups.last._2 += Rule(key == "allow", value)
+              groups.last.rules += Rule(key == "allow", value)
+            lastWasAgent = false
+          case "crawl-delay" =>
+            if (groups.nonEmpty)
+              try groups.last.delays += math.round(value.toDouble * 1000)
+              catch { case _: NumberFormatException => () }
             lastWasAgent = false
           case _ => lastWasAgent = false
         }
       }
     }
-    val tokens = groups.flatMap(_._1).filter(a => a != "*" && agentLc.contains(a))
+    val tokens = groups.flatMap(_.tokens).filter(a => a != "*" && agentLc.contains(a))
     val chosen: Set[String] =
       if (tokens.nonEmpty) { val best = tokens.map(_.length).max; tokens.filter(_.length == best).toSet }
       else Set("*")
-    groups.filter(_._1.exists(chosen.contains)).flatMap(_._2).toSeq
+    groups.filter(_.tokens.exists(chosen.contains)).toSeq
   }
+
+  private[functions] def rulesFor(robots: String, agent: String): Seq[Rule] =
+    chosenGroups(robots, agent).flatMap(_.rules)
 
   /** The RFC 9309 decision for (robots, agent, path). */
   def allowed(robots: String, agent: String, path: String): Boolean = {
@@ -121,9 +133,87 @@ object RobotsOps {
   def allowedUtf8(robots: UTF8String, agent: UTF8String, path: UTF8String): Boolean =
     allowed(if (robots == null) "" else robots.toString, agent.toString, path.toString)
 
+  /** `Crawl-delay` of the group that applies to `agent` (non-standard
+    * but ubiquitous; a scheduler's politeness input), in integer
+    * MILLISECONDS so the value gates exactly cross-engine. -1 when the
+    * chosen group declares none (the expression maps it to null) —
+    * note a specific group with no delay does NOT fall back to `*`'s
+    * delay: group selection REPLACES the default group entirely, same
+    * as for rules. When merged groups declare several values, the
+    * largest (most polite) wins.
+    */
+  def crawlDelayMs(robots: String, agent: String): Long = {
+    val delays = chosenGroups(robots, agent).flatMap(_.delays)
+    if (delays.isEmpty) -1L else delays.max
+  }
+
+  /** Every `Sitemap:` URL in the document (global directives, not
+    * group-scoped per the sitemaps protocol), in order.
+    */
+  def sitemaps(robots: String): Seq[String] =
+    if (robots == null || robots.isEmpty) Seq.empty
+    else robots.linesIterator.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0 && line.substring(0, i).trim.equalsIgnoreCase("sitemap"))
+        Some(line.substring(i + 1).trim).filter(_.nonEmpty)
+      else None
+    }.toSeq
+
+  def crawlDelayUtf8(robots: UTF8String, agent: UTF8String): Long =
+    crawlDelayMs(if (robots == null) "" else robots.toString, agent.toString)
+
+  def sitemapsArray(robots: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sitemaps(if (robots == null) "" else robots.toString)
+        .map(UTF8String.fromString).toArray[Any])
+
   def robotsAllowed(robots: Column, agent: Column, path: Column): Column =
     GraftExpr.toColumn(RobotsAllowedExpr(
       GraftExpr.toExpr(robots), GraftExpr.toExpr(agent), GraftExpr.toExpr(path)))
+  def robotsCrawlDelay(robots: Column, agent: Column): Column =
+    GraftExpr.toColumn(RobotsCrawlDelayExpr(GraftExpr.toExpr(robots), GraftExpr.toExpr(agent)))
+  def robotsSitemaps(robots: Column): Column =
+    GraftExpr.toColumn(RobotsSitemapsExpr(GraftExpr.toExpr(robots)))
+}
+
+/** Group-scoped Crawl-delay in ms; null when the applicable group
+  * declares none.
+  */
+case class RobotsCrawlDelayExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def nullSafeEval(r: Any, a: Any): Any = {
+    val ms = RobotsOps.crawlDelayUtf8(r.asInstanceOf[UTF8String], a.asInstanceOf[UTF8String])
+    if (ms < 0) null else ms
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (r, a) => {
+      val v = ctx.freshName("delayMs")
+      s"""
+         |long $v = graft.functions.RobotsOps.crawlDelayUtf8($r, $a);
+         |if ($v < 0) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RobotsCrawlDelayExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "robots_crawl_delay"
+}
+
+/** All global Sitemap directives, in document order. */
+case class RobotsSitemapsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(r: Any): Any =
+    RobotsOps.sitemapsArray(r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, r => s"graft.functions.RobotsOps.sitemapsArray($r)")
+  override protected def withNewChildInternal(c: Expression): RobotsSitemapsExpr = copy(child = c)
+  override def prettyName: String = "robots_sitemaps"
 }
 
 /** Codegen'd robots.txt decision: boolean, null only when an input is

@@ -2476,20 +2476,25 @@ object PipelineQueries {
     * literal; at scale it arrives via a per-domain join upstream.
     */
   private val RobotsFixture =
-    "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.pdf$\n\n" +
-      "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /only-graft/\nAllow: /\n\n" +
-      "User-agent: graftbot-images\nDisallow: /\n"
+    "Sitemap: https://example.org/sitemap.xml\n" +
+      "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.pdf$\n" +
+      "Crawl-delay: 0.5\n\n" +
+      "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /only-graft/\nAllow: /\n" +
+      "Crawl-delay: 2\n\n" +
+      "User-agent: graftbot-images\nDisallow: /\n" +
+      "Sitemap: https://example.org/sitemap-news.xml\n"
+  // (agent, path, allowed, crawlDelayMs — -1 encodes "none declared")
   private val RobotsBattery = Seq(
-    ("randombot", "/private/x", false), // default group Disallow
-    ("randombot", "/private/ok-file", true), // longer Allow beats it
-    ("randombot", "/doc/file.pdf", false), // wildcard + $ anchor
-    ("randombot", "/doc/file.pdf?x=1", true), // anchor fails past the extension
-    ("graftbot", "/private/x", true), // own group replaces default
-    ("graftbot", "/only-graft/x", false),
-    ("otherbot", "/only-graft/x", false), // multi-agent block shares rules
-    ("graftbot-images", "/anything", false), // longest token wins the ban
-    ("GraftBot/2.1", "/only-graft/x", false), // case-insensitive token
-    ("randombot", "/elsewhere", true)) // no matching rule → allowed
+    ("randombot", "/private/x", false, 500L), // default group Disallow
+    ("randombot", "/private/ok-file", true, 500L), // longer Allow beats it
+    ("randombot", "/doc/file.pdf", false, 500L), // wildcard + $ anchor
+    ("randombot", "/doc/file.pdf?x=1", true, 500L), // anchor fails past the extension
+    ("graftbot", "/private/x", true, 2000L), // own group replaces default
+    ("graftbot", "/only-graft/x", false, 2000L),
+    ("otherbot", "/only-graft/x", false, 2000L), // multi-agent block shares rules
+    ("graftbot-images", "/anything", false, -1L), // longest token; NO delay fallback
+    ("GraftBot/2.1", "/only-graft/x", false, 2000L), // case-insensitive token
+    ("randombot", "/elsewhere", true, 500L)) // no matching rule → allowed
   val robotsPolicy: Q = (s, d) => {
     val idx = (pmod(col("doc_id"), lit(RobotsBattery.size)) + 1).cast("int")
     Tables.documents(s, d).select(
@@ -2498,17 +2503,25 @@ object PipelineQueries {
       element_at(array(RobotsBattery.map(b => lit(b._2)): _*), idx).as("path"))
       .withColumn("allowed",
         graft.functions.RobotsOps.robotsAllowed(lit(RobotsFixture), col("agent"), col("path")))
+      .withColumn("crawl_delay_ms",
+        graft.functions.RobotsOps.robotsCrawlDelay(lit(RobotsFixture), col("agent")))
+      .withColumn("n_sitemaps",
+        size(graft.functions.RobotsOps.robotsSitemaps(lit(RobotsFixture))).cast("long"))
   }
   val robotsPolicySql: String = {
-    def list(f: ((String, String, Boolean)) => String) =
+    def list(f: ((String, String, Boolean, Long)) => String) =
       RobotsBattery.map(f).mkString("[", ", ", "]")
     val agents = list(b => "'" + b._1 + "'")
     val paths = list(b => "'" + b._2 + "'")
     val expected = list(b => b._3.toString)
+    val delays = list(b => if (b._4 < 0) "NULL" else b._4.toString)
     s"""SELECT doc_id,
        |       ($agents)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS agent,
        |       ($paths)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS path,
-       |       ($expected)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS allowed
+       |       ($expected)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS allowed,
+       |       CAST(($delays)[CAST(doc_id % ${RobotsBattery.size} AS INTEGER) + 1] AS BIGINT)
+       |         AS crawl_delay_ms,
+       |       CAST(2 AS BIGINT) AS n_sitemaps
        |FROM documents""".stripMargin
   }
 
