@@ -38,6 +38,8 @@ object GraftFunctions {
     "url_host" -> (a => UrlOps.urlHost(a.head)),
     "url_domain" -> (a => UrlOps.urlDomain(a.head)),
     "url_path" -> (a => UrlOps.urlPath(a.head)),
+    "url_resolve" -> (a => UrlOps.urlResolve(a.head, a(1))),
+    "html_extract" -> (a => HtmlOps.htmlExtract(a.head)),
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML content extraction — the first content stage of a crawl
+  * pipeline (WARC response payloads ARE HTML): one single-pass,
+  * never-throws tokenizer producing the three things downstream stages
+  * consume, in one parse per document:
+  *
+  *   - `text`: visible text — tags stripped; `script`/`style`/
+  *     `noscript`/`template` subtrees and comments dropped; entities
+  *     decoded (named basics + numeric); whitespace collapsed, block
+  *     tags become newlines. This is what quality scoring, language
+  *     ID, dedup shingling and boilerplate stripping run on.
+  *   - `title`: the first `<title>` text (null when absent).
+  *   - `links`: every `<a href>`/`<area href>` value, in document
+  *     order, raw (resolve against the page URL with
+  *     [[UrlOps.urlResolve]] before handing them to the frontier).
+  *
+  * Exposed as ONE struct expression (`html_extract`) so a plan that
+  * needs text AND links parses once — the same single-parse discipline
+  * as `pdf_rasterize_all` vs the page-grain expression.
+  *
+  * This is a TOKENIZER, not a DOM: no tree, no CSS, no JS — the right
+  * tool at corpus scale where a malformed tag soup must degrade to
+  * "best-effort text" rather than an error. Total on any input.
+  */
+object HtmlOps {
+
+  val ExtractSchema: StructType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("title", StringType, nullable = true),
+    StructField("links", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  private val BlockTags = Set(
+    "p", "div", "br", "li", "ul", "ol", "tr", "td", "th", "table", "section", "article",
+    "header", "footer", "nav", "aside", "main", "form", "h1", "h2", "h3", "h4", "h5", "h6",
+    "blockquote", "pre", "hr", "dt", "dd")
+  private val SkipTags = Set("script", "style", "noscript", "template")
+
+  final case class Extracted(text: String, title: String, links: Seq[String])
+
+  /** One-pass extraction; total on any byte soup. */
+  def extract(html: String): Extracted = {
+    if (html == null) return Extracted("", null, Seq.empty)
+    val n = html.length
+    val htmlLower = html.toLowerCase(java.util.Locale.ROOT) // once, for tag scans
+    val text = new java.lang.StringBuilder(n / 4)
+    val links = Seq.newBuilder[String]
+    var title: String = null
+    var inTitle = false
+    val titleBuf = new java.lang.StringBuilder
+    var pendingSpace = false
+    var pendingBreak = false
+    var i = 0
+
+    def emit(c: Char): Unit = {
+      val sb = if (inTitle) titleBuf else text
+      if (Character.isWhitespace(c)) { if (sb.length() > 0) pendingSpace = true }
+      else {
+        if (pendingBreak) {
+          if (!inTitle && text.length() > 0) text.append('\n')
+          pendingBreak = false; pendingSpace = false
+        } else if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+    }
+
+    def decodeEntity(from: Int): (Char, Int) = {
+      // from points at '&'; returns (char, next index); bare '&' on no match
+      val semi = html.indexOf(';', from + 1)
+      if (semi < 0 || semi - from > 10) return ('&', from + 1)
+      val name = html.substring(from + 1, semi)
+      val c: Int = name match {
+        case "amp" => '&'
+        case "lt" => '<'
+        case "gt" => '>'
+        case "quot" => '"'
+        case "apos" => '\''
+        case "nbsp" => ' '
+        case _ if name.startsWith("#x") || name.startsWith("#X") =>
+          try Integer.parseInt(name.substring(2), 16) catch { case _: Exception => -1 }
+        case _ if name.startsWith("#") =>
+          try Integer.parseInt(name.substring(1)) catch { case _: Exception => -1 }
+        case _ => -1
+      }
+      if (c < 0 || c > 0x10FFFF || Character.isSurrogate(c.toChar)) ('&', from + 1)
+      else (c.toChar, semi + 1)
+    }
+
+    def tagNameAt(start: Int): String = {
+      var j = start
+      while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
+      html.substring(start, j).toLowerCase(java.util.Locale.ROOT)
+    }
+
+    /** href attribute inside tag bytes [from, to). */
+    def hrefIn(from: Int, to: Int): Option[String] = {
+      val seg = html.substring(from, math.min(to, n))
+      val lower = seg.toLowerCase(java.util.Locale.ROOT)
+      var k = 0
+      while (k >= 0) {
+        k = lower.indexOf("href", k)
+        if (k < 0) return None
+        // must be a standalone attr name followed by =
+        val before = if (k == 0) ' ' else seg.charAt(k - 1)
+        var j = k + 4
+        while (j < seg.length && Character.isWhitespace(seg.charAt(j))) j += 1
+        if (Character.isWhitespace(before) && j < seg.length && seg.charAt(j) == '=') {
+          j += 1
+          while (j < seg.length && Character.isWhitespace(seg.charAt(j))) j += 1
+          if (j < seg.length) {
+            val q = seg.charAt(j)
+            if (q == '"' || q == '\'') {
+              val e = seg.indexOf(q, j + 1)
+              return Some(seg.substring(j + 1, if (e < 0) seg.length else e))
+            }
+            var e = j
+            while (e < seg.length && !Character.isWhitespace(seg.charAt(e))) e += 1
+            return Some(seg.substring(j, e))
+          }
+          return None
+        }
+        k += 4
+      }
+      None
+    }
+
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (close) i + 2 else i + 1
+          val name = tagNameAt(nameStart)
+          val gt = html.indexOf('>', i + 1)
+          val tagEnd = if (gt < 0) n else gt
+          if (!close && SkipTags.contains(name)) {
+            // skip the whole subtree to the matching close tag
+            val found = htmlLower.indexOf(s"</$name", tagEnd)
+            i = if (found < 0) n
+            else { val g = html.indexOf('>', found); if (g < 0) n else g + 1 }
+          } else {
+            if (!close && (name == "a" || name == "area"))
+              hrefIn(nameStart + name.length, tagEnd).foreach(h => links += h)
+            if (name == "title") {
+              if (!close) { inTitle = title == null; titleBuf.setLength(0) }
+              else if (inTitle) { title = titleBuf.toString.trim; inTitle = false }
+              pendingSpace = false
+            }
+            if (BlockTags.contains(name)) pendingBreak = true
+            i = tagEnd + 1
+          }
+        }
+      } else if (c == '&') {
+        val (ch, next) = decodeEntity(i)
+        emit(ch); i = next
+      } else { emit(c); i += 1 }
+    }
+    if (inTitle) title = titleBuf.toString.trim // unclosed <title>: keep what we saw
+    Extracted(text.toString, title, links.result())
+  }
+
+  /** Boxed struct row for codegen. */
+  def extractRow(html: UTF8String): InternalRow = {
+    val e = extract(if (html == null) null else html.toString)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(e.text),
+      if (e.title == null) null else UTF8String.fromString(e.title),
+      new GenericArrayData(e.links.map(UTF8String.fromString).toArray[Any])))
+  }
+
+  def htmlExtract(html: Column): Column =
+    GraftExpr.toColumn(HtmlExtractExpr(GraftExpr.toExpr(html)))
+}
+
+/** struct(text, title, links) of an HTML payload — one parse per row. */
+case class HtmlExtractExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = HtmlOps.ExtractSchema
+  override def nullSafeEval(h: Any): Any = HtmlOps.extractRow(h.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlOps.extractRow($h)")
+  override protected def withNewChildInternal(c: Expression): HtmlExtractExpr = copy(child = c)
+  override def prettyName: String = "html_extract"
+}

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** URL canonicalization + registered-domain extraction — the key
   * primitives of crawl-scale curation that every URL-keyed stage
@@ -124,6 +125,44 @@ object UrlOps {
       concat(path, when(query =!= "", concat(lit("?"), query)).otherwise("")))
   }
 
+  /** RFC 3986 §5 reference resolution: absolutize an extracted href
+    * against its page URL — the glue between [[HtmlOps]] link
+    * extraction and the frontier. Backed by `java.net.URI.resolve`
+    * (the JDK's RFC 3986 implementation) behind a never-throws guard:
+    * refs get a whitespace cleanup (trim, inner space → %20, control
+    * chars rejected), anything still unparseable yields null. The
+    * result is a RAW absolute URL — run [[urlCanon]] on it next, which
+    * also rejects non-fetchable schemes (`javascript:`, `mailto:`).
+    */
+  def resolveRef(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    val b = base.trim
+    val r = ref.trim.replace(" ", "%20")
+    if (r.exists(_ < ' ')) return null
+    def cutAt(s: String, chars: String): String = {
+      val i = s.indexWhere(chars.contains(_))
+      if (i < 0) s else s.substring(0, i)
+    }
+    // two documented JDK deviations from RFC 3986 §5.4, fixed here:
+    // an EMPTY ref is the base minus fragment (URI.resolve drops the
+    // base path), and a QUERY-ONLY ref keeps the base path (URI.resolve
+    // resolves it against the root)
+    if (r.isEmpty) return cutAt(b, "#")
+    if (r.startsWith("?")) return cutAt(b, "?#") + r
+    try {
+      val resolved = java.net.URI.create(b).resolve(r).toString
+      if (resolved.isEmpty) null else resolved
+    } catch { case _: Exception => null }
+  }
+
+  def resolveRefUtf8(base: UTF8String, ref: UTF8String): UTF8String = {
+    val s = resolveRef(base.toString, ref.toString)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  def urlResolve(base: Column, ref: Column): Column =
+    GraftExpr.toColumn(UrlResolveExpr(GraftExpr.toExpr(base), GraftExpr.toExpr(ref)))
+
   /** The full canonical form; null when not a URL. */
   def urlCanon(u: Column): Column = {
     val s = stripFragment(u)
@@ -209,4 +248,34 @@ object UrlOps {
        |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '^([^?]*)', 1) AS path0,
        |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '\\?(.*)$$', 1) AS query0))) END""".stripMargin
   }
+}
+
+/** Codegen'd RFC 3986 reference resolution; null when unresolvable or
+  * either input is null — see [[UrlOps.resolveRef]].
+  */
+case class UrlResolveExpr(left: org.apache.spark.sql.catalyst.expressions.Expression,
+                          right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, r: Any): Any =
+    UrlOps.resolveRefUtf8(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, r) => {
+      val v = ctx.freshName("resolved")
+      s"""
+         |UTF8String $v = graft.functions.UrlOps.resolveRefUtf8($b, $r);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): UrlResolveExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "url_resolve"
 }

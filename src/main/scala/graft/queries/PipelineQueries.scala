@@ -2525,7 +2525,47 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** HTML extraction under the hash gate: closed-form synthetic pages
+    * (title, script junk to skip, entity-bearing block text, one
+    * relative + one absolute link) flow through the full content
+    * chain — `html_extract` → `url_resolve` against the page URL →
+    * `url_canon` — and every output is a closed-form string function
+    * of doc_id the oracle rebuilds. One parse per row (struct
+    * expression), pure projection.
+    */
+  val htmlExtract: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script>var x = "), id, lit(" < 9;</script></head><body>"),
+      lit("<h1>Head "), id, lit("</h1><p>Para &amp; text "), id, lit("</p>"),
+      lit("<a href=\"/p/"), id, lit("\">x</a>"),
+      lit("<a href='https://ext"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com/q?utm_source=z'>y</a></body></html>"))
+    val base = concat(lit("https://site"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit(".com/dir/page.html"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), html.as("html"), base.as("base"))
+      .withColumn("e", graft.functions.HtmlOps.htmlExtract(col("html")))
+      .select(col("doc_id"),
+        col("e.title").as("title"),
+        col("e.text").as("text"),
+        size(col("e.links")).cast("long").as("n_links"),
+        graft.functions.UrlOps.urlResolve(col("base"), element_at(col("e.links"), 1))
+          .as("resolved0"),
+        graft.functions.UrlOps.urlCanon(element_at(col("e.links"), 2)).as("canon1"))
+  }
+  val htmlExtractSql: String =
+    """SELECT doc_id,
+      |       'Doc ' || doc_id AS title,
+      |       'Head ' || doc_id || chr(10) || 'Para & text ' || doc_id || chr(10) || 'xy' AS text,
+      |       CAST(2 AS BIGINT) AS n_links,
+      |       'https://site' || (doc_id % 5) || '.com/p/' || doc_id AS resolved0,
+      |       'https://ext' || (doc_id % 7) || '.com/q' AS canon1
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_html_extract" -> htmlExtract,
     "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
@@ -2628,6 +2668,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_html_extract" -> htmlExtractSql,
     "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,
     "q_url_dedup" -> urlDedupSql,

@@ -76,6 +76,28 @@ class UrlOpsSpec extends SparkSpec {
       "not a url" -> null))
   }
 
+  test("urlResolve: RFC 3986 reference resolution incl. the JDK quirk fixes") {
+    val cases = Seq(
+      ("https://a.com/b/c", "d") -> "https://a.com/b/d",
+      ("https://a.com/b/c/", "../x") -> "https://a.com/b/x",
+      ("https://a.com/b", "//cdn.com/z") -> "https://cdn.com/z",
+      ("https://a.com/b", "?q=1") -> "https://a.com/b?q=1", // JDK would say /?q=1
+      ("https://a.com/b#old", "") -> "https://a.com/b", // JDK would say /
+      ("https://a.com/b", "#f") -> "https://a.com/b#f",
+      ("https://a.com/x/y", "/abs") -> "https://a.com/abs",
+      ("https://a.com/b", "javascript:void(0)") -> "javascript:void(0)",
+      ("https://a.com/b/", "a b") -> "https://a.com/b/a%20b",
+      ("https://a.com/b", "xy") -> null)
+    cases.foreach { case ((b, r), want) =>
+      assert(UrlOps.resolveRef(b, r) === want, s"base=$b ref=$r")
+    }
+    // the non-fetchable scheme is rejected by the NEXT stage, as documented
+    import spark.implicits._
+    val canon = Seq("x").toDF("i")
+      .select(UrlOps.urlCanon(lit("javascript:void(0)"))).head
+    assert(canon.isNullAt(0))
+  }
+
   test("registered SQL surface: url_canon/url_host/url_domain callable from pure SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
