@@ -2564,7 +2564,49 @@ object PipelineQueries {
       |       'https://ext' || (doc_id % 7) || '.com/q' AS canon1
       |FROM documents""".stripMargin
 
+  /** The crawl-to-rank feed: raw HTML → outlinks → absolute canonical
+    * URLs → registered-domain edge list `(src_domain, dst_domain,
+    * n_links)` — exactly what the PageRank operator consumes as its
+    * graph. Map-side extract/resolve/canon/domain, ONE exchange on the
+    * edge key. Same closed-form pages as q_html_extract, so the oracle
+    * regenerates the edges and aggregates them itself.
+    */
+  val linkGraph: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><script>var x = "), id, lit(" < 9;</script></head><body>"),
+      lit("<h1>Head "), id, lit("</h1><p>Para &amp; text "), id, lit("</p>"),
+      lit("<a href=\"/p/"), id, lit("\">x</a>"),
+      lit("<a href='https://ext"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com/q?utm_source=z'>y</a></body></html>"))
+    val base = concat(lit("https://site"), pmod(col("doc_id"), lit(5)).cast("string"),
+      lit(".com/dir/page.html"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), html.as("html"), base.as("base"))
+      .withColumn("e", graft.functions.HtmlOps.htmlExtract(col("html")))
+      .select(col("base"),
+        explode(col("e.links")).as("href"),
+        graft.functions.UrlOps.urlDomain(col("base")).as("src_domain"))
+      .withColumn("dst_domain", graft.functions.UrlOps.urlDomain(
+        graft.functions.UrlOps.urlResolve(col("base"), col("href"))))
+      .groupBy("src_domain", "dst_domain")
+      .agg(count(lit(1)).as("n_links"))
+  }
+  val linkGraphSql: String =
+    """WITH l AS (
+      |  SELECT 'site' || (doc_id % 5) || '.com' AS src_domain,
+      |         'site' || (doc_id % 5) || '.com' AS dst_domain
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'site' || (doc_id % 5) || '.com',
+      |         'ext' || (doc_id % 7) || '.com'
+      |  FROM documents)
+      |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
+      |FROM l GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_link_graph" -> linkGraph,
     "q_html_extract" -> htmlExtract,
     "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
@@ -2668,6 +2710,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_link_graph" -> linkGraphSql,
     "q_html_extract" -> htmlExtractSql,
     "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,
