@@ -183,6 +183,87 @@ object HtmlOps {
     GraftExpr.toColumn(HtmlExtractExpr(GraftExpr.toExpr(html)))
 }
 
+/** Sitemap XML extraction (sitemaps.org protocol) — the discovery hop
+  * between [[RobotsOps.sitemaps]] and the frontier: a `urlset` yields
+  * page URLs, a `sitemapindex` yields further sitemap URLs. One
+  * never-throws scan for `<url>`/`<sitemap>` entries' `<loc>` (+
+  * optional `<lastmod>`), entity-decoded; `is_index` disambiguates the
+  * two document kinds so a crawler knows whether to fetch or recurse.
+  * Like [[HtmlOps]], a tokenizer rather than an XML DOM — tag soup
+  * degrades to fewer entries, never an error.
+  */
+object SitemapOps {
+
+  val EntrySchema: StructType = StructType(Seq(
+    StructField("is_index", BooleanType, nullable = false),
+    StructField("locs", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("lastmods", ArrayType(StringType, containsNull = true), nullable = false)))
+
+  final case class Parsed(isIndex: Boolean, locs: Seq[String], lastmods: Seq[String])
+
+  def parse(xml: String): Parsed = {
+    if (xml == null) return Parsed(isIndex = false, Seq.empty, Seq.empty)
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+    val isIndex = lower.contains("<sitemapindex")
+    val entryTag = if (isIndex) "<sitemap" else "<url"
+    val entryClose = if (isIndex) "</sitemap>" else "</url>"
+    val locs = Seq.newBuilder[String]
+    val mods = Seq.newBuilder[String]
+    var i = 0
+    def innerText(seg: String, tag: String): Option[String] = {
+      val segLower = seg.toLowerCase(java.util.Locale.ROOT)
+      val o = segLower.indexOf(s"<$tag")
+      if (o < 0) return None
+      val gt = seg.indexOf('>', o)
+      if (gt < 0) return None
+      val c = segLower.indexOf(s"</$tag", gt)
+      if (c < 0) return None
+      Some(HtmlOps.extract(seg.substring(gt + 1, c)).text.trim).filter(_.nonEmpty)
+    }
+    while (i >= 0 && i < xml.length) {
+      i = lower.indexOf(entryTag, i)
+      if (i >= 0) {
+        // require a delimiter so "<urlset" does not read as a "<url" entry
+        val after = if (i + entryTag.length < xml.length) xml.charAt(i + entryTag.length) else ' '
+        if (after == '>' || Character.isWhitespace(after)) {
+          val end0 = lower.indexOf(entryClose, i)
+          val end = if (end0 < 0) xml.length else end0
+          val seg = xml.substring(i, end)
+          innerText(seg, "loc").foreach { loc =>
+            locs += loc
+            mods += innerText(seg, "lastmod").orNull
+          }
+          i = end + 1
+        } else i += entryTag.length
+      }
+    }
+    Parsed(isIndex, locs.result(), mods.result())
+  }
+
+  def parseRow(xml: UTF8String): InternalRow = {
+    val p = parse(if (xml == null) null else xml.toString)
+    new GenericInternalRow(Array[Any](
+      p.isIndex,
+      new GenericArrayData(p.locs.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(p.lastmods.map(m =>
+        if (m == null) null else UTF8String.fromString(m)).toArray[Any])))
+  }
+
+  def sitemapParse(xml: Column): Column =
+    GraftExpr.toColumn(SitemapParseExpr(GraftExpr.toExpr(xml)))
+}
+
+/** struct(is_index, locs, lastmods) of a sitemap XML payload. */
+case class SitemapParseExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = SitemapOps.EntrySchema
+  override def nullSafeEval(x: Any): Any = SitemapOps.parseRow(x.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SitemapOps.parseRow($x)")
+  override protected def withNewChildInternal(c: Expression): SitemapParseExpr = copy(child = c)
+  override def prettyName: String = "sitemap_parse"
+}
+
 /** struct(text, title, links) of an HTML payload — one parse per row. */
 case class HtmlExtractExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)

@@ -2605,7 +2605,48 @@ object PipelineQueries {
       |SELECT src_domain, dst_domain, CAST(count(*) AS BIGINT) AS n_links
       |FROM l GROUP BY 1, 2""".stripMargin
 
+  /** Sitemap discovery under the hash gate: even docs carry a 3-entry
+    * urlset (one entry lastmod-less), odd docs a 2-entry sitemapindex —
+    * closed-form XML whose parse (kind flag, loc list, lastmods) the
+    * oracle rebuilds per row. Pure projection; at scale these payloads
+    * arrive from the fetch stage and fan out via explode into the
+    * frontier.
+    */
+  val sitemapParse: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val urlset = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://s"), id,
+      lit(".com/a</loc><lastmod>2026-01-0"), (pmod(col("doc_id"), lit(9)) + 1).cast("string"),
+      lit("</lastmod></url><url><loc>https://s"), id,
+      lit(".com/b</loc></url><url><loc>https://s"), id,
+      lit(".com/c</loc></url></urlset>"))
+    val index = concat(
+      lit("<sitemapindex><sitemap><loc>https://s"), id,
+      lit(".com/s1.xml</loc></sitemap><sitemap><loc>https://s"), id,
+      lit(".com/s2.xml</loc></sitemap></sitemapindex>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, urlset).otherwise(index).as("xml"))
+      .withColumn("p", graft.functions.SitemapOps.sitemapParse(col("xml")))
+      .select(col("doc_id"),
+        col("p.is_index").as("is_index"),
+        size(col("p.locs")).cast("long").as("n_locs"),
+        element_at(col("p.locs"), 1).as("loc0"),
+        element_at(col("p.lastmods"), 1).as("lastmod0"),
+        element_at(col("p.lastmods"), 2).as("lastmod1"))
+  }
+  val sitemapParseSql: String =
+    """SELECT doc_id,
+      |       doc_id % 2 = 1 AS is_index,
+      |       CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_locs,
+      |       CASE WHEN doc_id % 2 = 0 THEN 'https://s' || doc_id || '.com/a'
+      |            ELSE 'https://s' || doc_id || '.com/s1.xml' END AS loc0,
+      |       CASE WHEN doc_id % 2 = 0 THEN '2026-01-0' || (doc_id % 9 + 1) END AS lastmod0,
+      |       CAST(NULL AS VARCHAR) AS lastmod1
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_sitemap_parse" -> sitemapParse,
     "q_link_graph" -> linkGraph,
     "q_html_extract" -> htmlExtract,
     "q_robots_policy" -> robotsPolicy,
@@ -2710,6 +2751,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_sitemap_parse" -> sitemapParseSql,
     "q_link_graph" -> linkGraphSql,
     "q_html_extract" -> htmlExtractSql,
     "q_robots_policy" -> robotsPolicySql,

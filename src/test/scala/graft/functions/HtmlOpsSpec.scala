@@ -49,6 +49,29 @@ class HtmlOpsSpec extends SparkSpec {
     assert(HtmlOps.extract("a &unknown; b").text === "a &unknown; b")
   }
 
+  test("sitemap: urlset locs+lastmods, index recursion flag, soup-total") {
+    val urlset =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://a.com/p1</loc><lastmod>2026-01-02</lastmod></url>
+        |  <url><loc> https://a.com/p2?x=1&amp;y=2 </loc></url>
+        |  <url><lastmod>2026-01-03</lastmod></url>
+        |</urlset>""".stripMargin
+    val p = SitemapOps.parse(urlset)
+    assert(!p.isIndex)
+    assert(p.locs === Seq("https://a.com/p1", "https://a.com/p2?x=1&y=2"))
+    assert(p.lastmods === Seq("2026-01-02", null))
+    val index =
+      """<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc></sitemap>
+        |<sitemap><loc>https://a.com/s2.xml</loc><lastmod>2026-02-01</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val pi = SitemapOps.parse(index)
+    assert(pi.isIndex && pi.locs === Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))
+    assert(pi.lastmods === Seq(null, "2026-02-01"))
+    Seq("", "<urlset>", "<url><loc>", "not xml", null).foreach(SitemapOps.parse) // total
+    assert(SitemapOps.parse("<urlset><url></url></urlset>").locs === Seq.empty)
+  }
+
   test("struct expression parses once and null-propagates") {
     import spark.implicits._
     GraftFunctions.register(spark)
