@@ -44,20 +44,29 @@ object RobotsOps {
   // is a PREFIX rule: it matches when the pattern consumes some prefix
   // of the path (pattern "/" + "*.php" matches "/x.phpX" via the prefix
   // "/x.php"); a trailing `$` anchors the match to the whole path.
-  // Recursive walk with star fan-out — robots patterns are a handful of
-  // chars, so the worst case is irrelevant in practice.
+  // Prefix-match(P, s) ⟺ full-match(P + "*", s), so both forms reduce
+  // to one FULL glob match, done with the classic ITERATIVE greedy
+  // last-star-backtracking walk: O(|path|·|pattern|) worst case, no
+  // recursion, no exponential star fan-out — a crafted robots line
+  // cannot stack-overflow or CPU-pin a task (the poison-input bar the
+  // PDF/AVI/WARC codecs already meet).
   private[functions] def ruleMatches(pattern: String, path: String): Boolean = {
     val anchored = pattern.nonEmpty && pattern.charAt(pattern.length - 1) == '$'
-    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
-    def m(p: Int, s: Int): Boolean =
-      if (p == pat.length) !anchored || s == path.length
-      else if (pat.charAt(p) == '*') {
-        var k = s
-        var hit = false
-        while (!hit && k <= path.length) { hit = m(p + 1, k); k += 1 }
-        hit
-      } else s < path.length && pat.charAt(p) == path.charAt(s) && m(p + 1, s + 1)
-    m(0, 0)
+    val pat0 = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val pat = if (anchored) pat0 else pat0 + "*"
+    var p = 0; var s = 0
+    var starP = -1; var starS = -1
+    while (s < path.length) {
+      if (p < pat.length && pat.charAt(p) != '*' && pat.charAt(p) == path.charAt(s)) {
+        p += 1; s += 1
+      } else if (p < pat.length && pat.charAt(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (starP >= 0) {
+        p = starP + 1; starS += 1; s = starS
+      } else return false
+    }
+    while (p < pat.length && pat.charAt(p) == '*') p += 1
+    p == pat.length
   }
 
   private[functions] final case class Rule(allow: Boolean, pattern: String)
