@@ -170,6 +170,52 @@ object HtmlOps {
     Extracted(text.toString, title, links.result())
   }
 
+  /** Bytes → text for crawl payloads (the WARC → [[extract]] glue):
+    * WHATWG-ish charset resolution, total on any input —
+    *   1. a BOM wins (UTF-8 / UTF-16BE / UTF-16LE);
+    *   2. else a `charset=` token in the first 1024 bytes (`<meta
+    *      charset=…>` or `…content="text/html; charset=…"`), when the
+    *      JVM knows the charset;
+    *   3. else strict UTF-8 when the payload validates;
+    *   4. else ISO-8859-1 (total: every byte sequence decodes).
+    * Transport-layer charset (the Content-Type header) is the fetch
+    * stage's concern — pass those payloads pre-decoded.
+    */
+  def decodeBytes(b: Array[Byte]): String = {
+    if (b == null) return null
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte && b(2) == 0xBF.toByte)
+      return new String(b, 3, b.length - 3, java.nio.charset.StandardCharsets.UTF_8)
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte)
+      return new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte)
+      return new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    val head = new String(b, 0, math.min(1024, b.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase(java.util.Locale.ROOT)
+    val m = "charset=['\"]?([a-z0-9_\\-]+)".r.findFirstMatchIn(head)
+    m.foreach { mm =>
+      try {
+        val cs = java.nio.charset.Charset.forName(mm.group(1))
+        return new String(b, cs)
+      } catch { case _: Exception => () } // unknown label: fall through
+    }
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(b)).toString
+    } catch {
+      case _: Exception => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  def decodeBytesUtf8(b: Array[Byte]): UTF8String = {
+    val s = decodeBytes(b)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  def htmlDecode(bytes: Column): Column =
+    GraftExpr.toColumn(HtmlDecodeExpr(GraftExpr.toExpr(bytes)))
+
   /** Boxed struct row for codegen. */
   def extractRow(html: UTF8String): InternalRow = {
     val e = extract(if (html == null) null else html.toString)
@@ -262,6 +308,20 @@ case class SitemapParseExpr(child: Expression) extends UnaryExpression with Impl
     defineCodeGen(ctx, ev, x => s"graft.functions.SitemapOps.parseRow($x)")
   override protected def withNewChildInternal(c: Expression): SitemapParseExpr = copy(child = c)
   override def prettyName: String = "sitemap_parse"
+}
+
+/** Charset-resolved decode of a raw HTML payload — see
+  * [[HtmlOps.decodeBytes]].
+  */
+case class HtmlDecodeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(b: Any): Any =
+    HtmlOps.decodeBytesUtf8(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.HtmlOps.decodeBytesUtf8($b)")
+  override protected def withNewChildInternal(c: Expression): HtmlDecodeExpr = copy(child = c)
+  override def prettyName: String = "html_decode"
 }
 
 /** struct(text, title, links) of an HTML payload — one parse per row. */

@@ -2645,7 +2645,38 @@ object PipelineQueries {
       |       CAST(NULL AS VARCHAR) AS lastmod1
       |FROM documents""".stripMargin
 
+  /** Charset resolution under the hash gate: hex-literal payloads
+    * covering each rung of the [[graft.functions.HtmlOps.decodeBytes]]
+    * ladder (UTF-8/UTF-16 BOMs, meta charset over Latin-1 bytes, bare
+    * valid UTF-8, invalid UTF-8 → Latin-1 fallback) decode per row and
+    * the oracle pins the expected strings per battery index — the
+    * WARC-payload → text glue proven byte-exact cross-engine.
+    */
+  private val CharsetBattery: Seq[(String, String)] = Seq(
+    ("efbbbfc3a9", "é"), // UTF-8 BOM
+    ("3c6d65746120636861727365743d69736f2d383835392d313e636166e9",
+      "<meta charset=iso-8859-1>café"), // meta-driven Latin-1
+    ("e4b8ade69687", "中文"), // bare valid UTF-8
+    ("3c703ee9ff", "<p>éÿ"), // invalid UTF-8 → Latin-1 fallback
+    ("feff00680069", "hi"), // UTF-16BE BOM
+    ("fffe68006900", "hi")) // UTF-16LE BOM
+  val htmlCharset: Q = (s, d) => {
+    val idx = (pmod(col("doc_id"), lit(CharsetBattery.size)) + 1).cast("int")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.HtmlOps.htmlDecode(
+        unhex(element_at(array(CharsetBattery.map(b => lit(b._1)): _*), idx)))
+        .as("decoded"))
+  }
+  val htmlCharsetSql: String = {
+    val expected = CharsetBattery.map(b => "'" + b._2 + "'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |       ($expected)[CAST(doc_id % ${CharsetBattery.size} AS INTEGER) + 1] AS decoded
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_html_charset" -> htmlCharset,
     "q_sitemap_parse" -> sitemapParse,
     "q_link_graph" -> linkGraph,
     "q_html_extract" -> htmlExtract,
@@ -2751,6 +2782,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_html_charset" -> htmlCharsetSql,
     "q_sitemap_parse" -> sitemapParseSql,
     "q_link_graph" -> linkGraphSql,
     "q_html_extract" -> htmlExtractSql,

@@ -646,8 +646,9 @@ object PdfCodec {
     * the layout nearly every real-world writer uses for Flate image
     * XObjects and xref streams. 8-bit components only (the subset
     * [[decodeImage]] renders); other depths throw → poison-guard null
-    * upstream. A short final row decodes as far as the bytes allow
-    * (partial-parse promise, same as the WARC/AVI codecs).
+    * upstream. Truncated input degrades, never throws: the TIFF path
+    * processes a short final row as far as the bytes allow; the PNG
+    * path drops an incomplete trailing (tag+row) record.
     */
   private[sources] def unpredict(data: Array[Byte], predictor: Int,
                                  colors: Int, bpc: Int, columns: Int): Array[Byte] = {

@@ -72,6 +72,34 @@ class HtmlOpsSpec extends SparkSpec {
     assert(SitemapOps.parse("<urlset><url></url></urlset>").locs === Seq.empty)
   }
 
+  test("charset resolution: BOM > meta charset > strict UTF-8 > Latin-1; total") {
+    import java.nio.charset.StandardCharsets._
+    // BOM wins even over a contradicting meta
+    val bomDoc = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<meta charset=iso-8859-1>é".getBytes(UTF_8)
+    assert(HtmlOps.decodeBytes(bomDoc) === "<meta charset=iso-8859-1>é")
+    // meta charset drives the decode of non-UTF-8 bytes
+    val latinDoc = "<meta charset=\"iso-8859-1\"><p>café".getBytes(ISO_8859_1)
+    assert(HtmlOps.decodeBytes(latinDoc) === "<meta charset=\"iso-8859-1\"><p>café")
+    val httpEquiv = ("<meta http-equiv=content-type content=\"text/html; charset=iso-8859-1\">" +
+      "café").getBytes(ISO_8859_1)
+    assert(HtmlOps.decodeBytes(httpEquiv).endsWith("café"))
+    // no meta: valid UTF-8 decodes as UTF-8 …
+    assert(HtmlOps.decodeBytes("中文 café".getBytes(UTF_8)) === "中文 café")
+    // … and invalid UTF-8 falls back to Latin-1 (total, never throws)
+    val invalid = Array[Byte](0x3c, 0x70, 0x3e, 0xE9.toByte, 0xFF.toByte)
+    assert(HtmlOps.decodeBytes(invalid) === "<p>éÿ")
+    // unknown charset label falls through to the UTF-8/Latin-1 ladder
+    assert(HtmlOps.decodeBytes("<meta charset=bogus-enc>ok".getBytes(UTF_8)).endsWith("ok"))
+    assert(HtmlOps.decodeBytes(null) === null)
+    assert(HtmlOps.decodeBytes(Array.emptyByteArray) === "")
+    // UTF-16 BOMs
+    assert(HtmlOps.decodeBytes(
+      Array[Byte](0xFE.toByte, 0xFF.toByte, 0, 'h', 0, 'i')) === "hi")
+    assert(HtmlOps.decodeBytes(
+      Array[Byte](0xFF.toByte, 0xFE.toByte, 'h', 0, 'i', 0)) === "hi")
+  }
+
   test("struct expression parses once and null-propagates") {
     import spark.implicits._
     GraftFunctions.register(spark)
