@@ -42,6 +42,7 @@ object GraftFunctions {
     "html_extract" -> (a => HtmlOps.htmlExtract(a.head)),
     "sitemap_parse" -> (a => SitemapOps.sitemapParse(a.head)),
     "html_decode" -> (a => HtmlOps.htmlDecode(a.head)),
+    "fix_mojibake" -> (a => Mojibake.fixMojibake(a.head)),
     // dot_fold(a, b, dim): dim must be an integer literal — it sizes
     // the compiled loop at plan time, exactly like the Column API.
     "dot_fold" -> (a => {

@@ -2675,7 +2675,37 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Mojibake repair under the hash gate: damaged/clean text pairs
+    * covering single damage, cp1252 punctuation damage, double damage,
+    * and the must-not-touch cases (genuine accents, CJK, ASCII) —
+    * expected outputs pinned per battery index, so the repair's
+    * precision AND its identity on clean text both gate cross-engine.
+    */
+  private val MojibakeBattery: Seq[(String, String)] = Seq(
+    ("cafÃ©", "café"),
+    ("â€™tis â€” so", "’tis — so"),
+    ("naÃ¯ve rÃ©sumÃ©", "naïve résumé"),
+    ("cafÃƒÂ©", "café"), // double-encoded: two repair passes
+    ("café", "café"), // genuine accent: untouched
+    ("中文テキスト", "中文テキスト"), // CJK: untouched
+    ("plain ascii", "plain ascii"),
+    ("€100 fine", "€100 fine")) // genuine cp1252-encodable char: untouched
+  val mojibake: Q = (s, d) => {
+    val idx = (pmod(col("doc_id"), lit(MojibakeBattery.size)) + 1).cast("int")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      graft.functions.Mojibake.fixMojibake(
+        element_at(array(MojibakeBattery.map(b => lit(b._1)): _*), idx)).as("fixed"))
+  }
+  val mojibakeSql: String = {
+    val expected = MojibakeBattery.map(b => "'" + b._2 + "'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       |       ($expected)[CAST(doc_id % ${MojibakeBattery.size} AS INTEGER) + 1] AS fixed
+       |FROM documents""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mojibake" -> mojibake,
     "q_html_charset" -> htmlCharset,
     "q_sitemap_parse" -> sitemapParse,
     "q_link_graph" -> linkGraph,
@@ -2782,6 +2812,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_mojibake" -> mojibakeSql,
     "q_html_charset" -> htmlCharsetSql,
     "q_sitemap_parse" -> sitemapParseSql,
     "q_link_graph" -> linkGraphSql,
