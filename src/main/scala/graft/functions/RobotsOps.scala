@@ -29,9 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Also surfaced: [[crawlDelayMs]] (the group-scoped politeness input
   * a fetch scheduler consumes) and [[sitemaps]] (global directives).
-  * Out of scope (documented): percent-encoding normalization of rule
-  * paths — inputs are assumed already canonical ([[UrlOps.urlCanon]]
-  * runs upstream).
+  * Percent-encoding: RFC 9309 §2.2.2 compares OCTETS, so both rule
+  * patterns and paths are normalized before matching ([[normPct]]) —
+  * escapes of unreserved characters (`%7E` → `~`) decode, every other
+  * escape uppercases its hex (`%2f` → `%2F`, which stays distinct
+  * from a literal `/`); a lone `%` or bad hex stays literal. A
+  * hostile or sloppy robots.txt can therefore no longer disagree with
+  * a canonical path over encoding alone.
   *
   * 100 TB shape: one pure function per (robots, agent, path) row inside
   * whole-stage codegen — the robots payload rides a broadcast or a
@@ -70,6 +74,41 @@ object RobotsOps {
   }
 
   private[functions] final case class Rule(allow: Boolean, pattern: String)
+
+  private def isUnreservedOctet(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') || (v >= '0' && v <= '9') ||
+      v == '-' || v == '.' || v == '_' || v == '~'
+
+  /** RFC 9309 §2.2.2 octet normalization for rule patterns AND paths:
+    * percent-escapes of unreserved characters decode (`%7E` → `~`),
+    * any other escape uppercases its hex (`%2f` → `%2F` — reserved
+    * octets stay encoded, so an escaped `/` remains distinct from a
+    * literal one); a lone `%` or non-hex digits pass through
+    * literally. `*` and `$` never come OUT of an escape (they are not
+    * unreserved), so normalization cannot conjure wildcards/anchors.
+    */
+  private[functions] def normPct(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var p = 0
+    while (p < s.length) {
+      val c = s.charAt(p)
+      if (c == '%' && p + 2 < s.length &&
+          Character.digit(s.charAt(p + 1), 16) >= 0 &&
+          Character.digit(s.charAt(p + 2), 16) >= 0) {
+        val v = (Character.digit(s.charAt(p + 1), 16) << 4) |
+          Character.digit(s.charAt(p + 2), 16)
+        if (isUnreservedOctet(v)) sb.append(v.toChar)
+        else {
+          sb.append('%')
+          sb.append(Character.toUpperCase(s.charAt(p + 1)))
+          sb.append(Character.toUpperCase(s.charAt(p + 2)))
+        }
+        p += 3
+      } else { sb.append(c); p += 1 }
+    }
+    sb.toString
+  }
 
   /** Parse the document into groups of (agent tokens, rules,
     * crawl-delays). Agent matching is case-insensitive substring of
@@ -125,14 +164,20 @@ object RobotsOps {
   private[functions] def rulesFor(robots: String, agent: String): Seq[Rule] =
     chosenGroups(robots, agent).flatMap(_.rules)
 
-  /** The RFC 9309 decision for (robots, agent, path). */
+  /** The RFC 9309 decision for (robots, agent, path). Patterns and
+    * path compare octet-normalized ([[normPct]]); longest-match
+    * precedence uses the NORMALIZED pattern length (the octet count
+    * the RFC's "most specific" rule is defined over).
+    */
   def allowed(robots: String, agent: String, path: String): Boolean = {
     val rules = rulesFor(robots, agent)
+    val p = normPct(path)
     var bestLen = -1
     var bestAllow = true
     rules.foreach { r =>
-      if (r.pattern.length >= bestLen && ruleMatches(r.pattern, path)) {
-        if (r.pattern.length > bestLen) { bestLen = r.pattern.length; bestAllow = r.allow }
+      val pat = normPct(r.pattern)
+      if (pat.length >= bestLen && ruleMatches(pat, p)) {
+        if (pat.length > bestLen) { bestLen = pat.length; bestAllow = r.allow }
         else if (r.allow) bestAllow = true // tie: Allow wins
       }
     }

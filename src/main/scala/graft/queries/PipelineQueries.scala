@@ -2478,6 +2478,7 @@ object PipelineQueries {
   private val RobotsFixture =
     "Sitemap: https://example.org/sitemap.xml\n" +
       "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nDisallow: /*.pdf$\n" +
+      "Disallow: /caf%C3%A9/\nDisallow: /%7Edocs/\n" +
       "Crawl-delay: 0.5\n\n" +
       "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /only-graft/\nAllow: /\n" +
       "Crawl-delay: 2\n\n" +
@@ -2494,7 +2495,11 @@ object PipelineQueries {
     ("otherbot", "/only-graft/x", false, 2000L), // multi-agent block shares rules
     ("graftbot-images", "/anything", false, -1L), // longest token; NO delay fallback
     ("GraftBot/2.1", "/only-graft/x", false, 2000L), // case-insensitive token
-    ("randombot", "/elsewhere", true, 500L)) // no matching rule → allowed
+    ("randombot", "/elsewhere", true, 500L), // no matching rule → allowed
+    ("randombot", "/caf%c3%a9/menu", false, 500L), // octet-normalized hex case
+    ("randombot", "/~docs/x", false, 500L), // rule's %7E decodes (unreserved)
+    ("randombot", "/%7Edocs/y", false, 500L), // path's escape decodes too
+    ("randombot", "/cafe/x", true, 500L)) // near-miss stays allowed
   val robotsPolicy: Q = (s, d) => {
     val idx = (pmod(col("doc_id"), lit(RobotsBattery.size)) + 1).cast("int")
     Tables.documents(s, d).select(

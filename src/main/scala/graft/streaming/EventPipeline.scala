@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
+import scala.collection.mutable
+
 /** Typed event row for the stateful operators. */
 case class StreamEvent(event_id: Long, item_id: Long, event_type: String,
                        ts: java.sql.Timestamp, value: Double)
@@ -499,15 +501,28 @@ object EventPipeline {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, arrivals: Iterator[FrontierPage], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
-          val pages = arrivals.toSeq
-          // rank is constant per domain, so the bonus reads off any row
-          val effCap = k + pages.headOption.map(_.rank_ppm / ppmPerSlot).getOrElse(0L)
-          val room = math.max(0L, effCap - admitted).toInt
-          if (room == 0) Iterator.empty
+          if (!arrivals.hasNext) Iterator.empty
           else {
-            val take = pages.sortBy(_.doc_id).take(room)
-            state.update(admitted + take.size)
-            take.iterator
+            // rank is constant per domain, so the bonus reads off the
+            // first arrival
+            val first = arrivals.next()
+            val effCap = k + first.rank_ppm / ppmPerSlot
+            val room = math.max(0L, math.min(effCap - admitted, Int.MaxValue.toLong)).toInt
+            if (room == 0) Iterator.empty
+            else {
+              // single-pass bounded selection of the `room` smallest
+              // doc_ids (max-heap of size ≤ room) — a hot domain's crawl
+              // burst is folded through O(room) state, never materialized
+              // whole in the task (the TopKAgg discipline)
+              val heap = mutable.PriorityQueue(first)(Ordering.by(_.doc_id))
+              arrivals.foreach { pg =>
+                if (heap.size < room) heap += pg
+                else if (pg.doc_id < heap.head.doc_id) { heap.dequeue(); heap += pg }
+              }
+              val take = heap.dequeueAll.reverse // ascending doc_id
+              state.update(admitted + take.size)
+              take.iterator
+            }
           }
       }
   }

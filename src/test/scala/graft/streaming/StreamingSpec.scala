@@ -251,6 +251,31 @@ class StreamingSpec extends SparkSpec {
     assert(two === want)
   }
 
+  test("streaming frontier: a hot-domain burst admits the `room` smallest doc_ids (bounded fold)") {
+    implicit val ctx = spark.sqlContext
+    val blocklist = Seq.empty[String].toDF("domain")
+    // effCap = k(2) + 3000/1000 = 5 slots for siteh.com
+    val ranks = Seq(("siteh.com", 1L, 3000L)).toDF("node", "out_deg", "rank_ppm")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventPipeline.streamingFrontier(
+        mem.toDF().toDF("doc_id", "url", "ts"), blocklist, ranks, k = 2)
+      .writeStream.outputMode("append").format("memory").queryName("frontier_hot").start()
+    try {
+      // one batch, one domain, 200 distinct targets in shuffled order:
+      // admissions must be exactly the 5 smallest doc_ids, emitted ascending
+      val burst = new scala.util.Random(7).shuffle((1L to 200L).toList)
+        .map(i => (i, s"https://siteH.com/p$i", ts(1)))
+      mem.addData(burst: _*)
+      q.processAllAvailable()
+      val got = spark.table("frontier_hot").as[FrontierPage].collect().map(_.doc_id).toList
+      assert(got.sorted === List(1L, 2L, 3L, 4L, 5L))
+      // a second burst admits nothing: the lifetime cap is already spent
+      mem.addData((201L to 210L).map(i => (i, s"https://siteH.com/q$i", ts(2))): _*)
+      q.processAllAvailable()
+      assert(spark.table("frontier_hot").count() === 5)
+    } finally { q.stop(); spark.catalog.dropTempView("frontier_hot") }
+  }
+
   test("streaming frontier: robots stage drops disallowed paths before the cap") {
     implicit val ctx = spark.sqlContext
     val blocklist = Seq.empty[String].toDF("domain")
