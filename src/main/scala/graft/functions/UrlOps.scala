@@ -34,6 +34,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`co|com|net|org|gov|ac|edu` under a 2-letter ccTLD) survives as
   * the fallback. All-numeric (IP) hosts return unchanged.
   *
+  * IDN hosts: a non-ASCII host maps to its ACE (punycode) form via
+  * RFC 3490 ToASCII ([[idnAscii]], JDK `java.net.IDN`) BEFORE PSL
+  * matching and before appearing in any host/domain/canon output —
+  * PSL rules are ASCII, so without this step `münchen.de` or `日本.jp`
+  * would bypass rule matching and mis-bucket every per-domain operator
+  * (the r10 PSL fix's missing axis). Pure-ASCII hosts take a scan-only
+  * fast path (identity, zero allocation); unmappable hosts (prohibited
+  * code points, over-long labels, empty labels) keep their raw form
+  * rather than nulling a row that upstream stages accepted. Twin
+  * expressibility (documented compromise): DuckDB cannot compute
+  * punycode, so the oracle battery pins hand-verified ACE forms for
+  * its IDN rows; every other gated corpus input is ASCII, where
+  * ToASCII is the identity and the twins need no change.
+  *
   * Everything is builtin string/regex/array Columns — fully inside
   * whole-stage codegen, no UDF boundary; the only HOF lambda filters
   * a handful of query params per row.
@@ -63,6 +77,34 @@ object UrlOps {
   private def rawHost(s: Column): Column =
     regexp_replace(lower(regexp_replace(hostPort(s), ":[0-9]*$", "")), "^(www\\.)+", "")
 
+  /** RFC 3490 ToASCII of a (lowercased) host: ACE/punycode form for
+    * non-ASCII hosts, identity for pure-ASCII ones (scan-only fast
+    * path) and for hosts the JDK rejects as unmappable — a total
+    * function, never throws. Scaladoc at the object head has the
+    * rationale and the oracle-twin compromise.
+    */
+  def idnAscii(host: String): String = {
+    if (host == null) return null
+    var i = 0
+    while (i < host.length) {
+      if (host.charAt(i) >= 0x80) {
+        return try java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT)
+        catch { case _: Exception => host }
+      }
+      i += 1
+    }
+    host
+  }
+
+  def idnAsciiUtf8(h: UTF8String): UTF8String = {
+    val s = h.toString
+    val r = idnAscii(s)
+    if (r eq s) h else UTF8String.fromString(r)
+  }
+
+  private def idnHost(c: Column): Column =
+    GraftExpr.toColumn(IdnHostExpr(GraftExpr.toExpr(c)))
+
   /** A URL is rejected outright when whitespace survives inside the
     * non-fragment part: beyond being invalid per RFC 3986, an embedded
     * newline makes Java's `$` (matches before a FINAL newline) and
@@ -74,19 +116,21 @@ object UrlOps {
   private def validUrl(u: Column, s: Column): Column =
     u.isNotNull && s.rlike(SchemeRe) && !s.rlike(Ws) && rawHost(s) =!= ""
 
-  /** Lowercased, `www.`-stripped host; null when not a URL. */
+  /** Lowercased, `www.`-stripped, IDN-ToASCII host; null when not a
+    * URL.
+    */
   def urlHost(u: Column): Column = {
     val s = stripFragment(u)
-    when(validUrl(u, s), rawHost(s))
+    when(validUrl(u, s), idnHost(rawHost(s)))
   }
 
-  /** Registered domain of the host: PSL-backed ([[PslDomains]]) when
-    * the rule fixture is on the classpath, the documented 7-suffix
-    * heuristic otherwise; null when not a URL.
+  /** Registered domain of the (IDN-normalized) host: PSL-backed
+    * ([[PslDomains]]) when the rule fixture is on the classpath, the
+    * documented 7-suffix heuristic otherwise; null when not a URL.
     */
   def urlDomain(u: Column): Column = {
     val s = stripFragment(u)
-    val host = rawHost(s)
+    val host = idnHost(rawHost(s))
     val reg =
       if (PslDomains.rules.nonEmpty) PslDomains.domainOfHost(host)
       else heuristicDomain(host)
@@ -163,12 +207,15 @@ object UrlOps {
   def urlResolve(base: Column, ref: Column): Column =
     GraftExpr.toColumn(UrlResolveExpr(GraftExpr.toExpr(base), GraftExpr.toExpr(ref)))
 
-  /** The full canonical form; null when not a URL. */
+  /** The full canonical form (host in IDN-ToASCII form — one canonical
+    * spelling per target, consistent with [[urlHost]]/[[urlDomain]]);
+    * null when not a URL.
+    */
   def urlCanon(u: Column): Column = {
     val s = stripFragment(u)
     val scheme = lower(regexp_extract(s, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     val hp = hostPort(s)
-    val host = rawHost(s)
+    val host = idnHost(rawHost(s))
     val port = regexp_extract(hp, ":([0-9]+)$", 1)
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") && !(scheme === "https" && port === "443")
@@ -248,6 +295,26 @@ object UrlOps {
        |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '^([^?]*)', 1) AS path0,
        |          regexp_extract(regexp_replace(${sqlRest(s)}, '^[^/?]*', ''), '\\?(.*)$$', 1) AS query0))) END""".stripMargin
   }
+}
+
+/** Codegen'd RFC 3490 ToASCII of a host string ([[UrlOps.idnAscii]]):
+  * ACE/punycode for non-ASCII hosts, identity otherwise; total, never
+  * throws.
+  */
+case class IdnHostExpr(child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{DataType, StringType}
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullSafeEval(h: Any): Any =
+    UrlOps.idnAsciiUtf8(h.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.UrlOps.idnAsciiUtf8($h)")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): IdnHostExpr = copy(child = c)
+  override def prettyName: String = "idn_host"
 }
 
 /** Codegen'd RFC 3986 reference resolution; null when unresolvable or

@@ -2386,10 +2386,29 @@ object PipelineQueries {
     "uk", // bare ccTLD host
     "192.168.0.1", // IP carve-out
     "b.example.co") // com.co listed, example.co is not a suffix
+
+  /** IDN (punycode) rows appended to the PSL battery: (unicode host,
+    * expected ACE host, expected registered domain). The ACE forms and
+    * domains are HAND-VERIFIED constants (JDK `IDN.toASCII` + the PSL
+    * algorithm on the ACE form) — DuckDB cannot compute punycode, so
+    * the oracle pins these rows instead of replaying the mapping (the
+    * robotsPolicy pinned-battery pattern; the ASCII battery above
+    * keeps the full in-SQL rule replay). UrlOpsSpec asserts the same
+    * constants against [[graft.functions.UrlOps.idnAscii]] directly.
+    */
+  private val IdnHostBattery: Seq[(String, String, String)] = Seq(
+    ("münchen.de", "xn--mnchen-3ya.de", "xn--mnchen-3ya.de"), // default rule TLD
+    ("日本語.jp", "xn--wgv71a119e.jp", "xn--wgv71a119e.jp"), // CJK label
+    ("テスト.co.uk", "xn--zckzah.co.uk", "xn--zckzah.co.uk"), // PSL match POST-IDN
+    ("sub.テスト.co.uk", "sub.xn--zckzah.co.uk", "xn--zckzah.co.uk"), // deeper host
+    ("bücher.example.com", "xn--bcher-kva.example.com", "example.com"), // ASCII suffix
+    ("xn--mnchen-3ya.de", "xn--mnchen-3ya.de", "xn--mnchen-3ya.de")) // already-ACE: identity
+
   val urlPsl: Q = (s, d) => {
-    val idx = (pmod(col("doc_id"), lit(PslHostBattery.size)) + 1).cast("int")
+    val hosts = PslHostBattery ++ IdnHostBattery.map(_._1)
+    val idx = (pmod(col("doc_id"), lit(hosts.size)) + 1).cast("int")
     val url = concat(lit("https://"),
-      element_at(array(PslHostBattery.map(lit): _*), idx), lit("/p"))
+      element_at(array(hosts.map(lit): _*), idx), lit("/p"))
     Tables.documents(s, d)
       .select(col("doc_id"), url.as("url"))
       .select(col("doc_id"),
@@ -2397,13 +2416,20 @@ object PipelineQueries {
         graft.functions.UrlOps.urlDomain(col("url")).as("domain"))
   }
   val urlPslSql: String = {
-    val list = PslHostBattery.map("'" + _ + "'").mkString("[", ", ", "]")
+    val hosts = PslHostBattery ++ IdnHostBattery.map(_._1)
+    val list = hosts.map("'" + _ + "'").mkString("[", ", ", "]")
+    val nAscii = PslHostBattery.size
+    val pinHost = IdnHostBattery.map("'" + _._2 + "'").mkString("[", ", ", "]")
+    val pinDom = IdnHostBattery.map("'" + _._3 + "'").mkString("[", ", ", "]")
     s"""WITH u AS (SELECT doc_id,
-       |  'https://' || ($list)[CAST(doc_id % ${PslHostBattery.size} AS INTEGER) + 1] || '/p' AS url
+       |  CAST(doc_id % ${hosts.size} AS INTEGER) + 1 AS idx,
+       |  'https://' || ($list)[CAST(doc_id % ${hosts.size} AS INTEGER) + 1] || '/p' AS url
        |  FROM documents)
        |SELECT doc_id,
-       |       ${graft.functions.UrlOps.hostSql("url")} AS host,
-       |       ${graft.functions.UrlOps.domainSql("url")} AS domain
+       |       CASE WHEN idx <= $nAscii THEN ${graft.functions.UrlOps.hostSql("url")}
+       |            ELSE ($pinHost)[idx - $nAscii] END AS host,
+       |       CASE WHEN idx <= $nAscii THEN ${graft.functions.UrlOps.domainSql("url")}
+       |            ELSE ($pinDom)[idx - $nAscii] END AS domain
        |FROM u""".stripMargin
   }
 

@@ -83,6 +83,21 @@ class CrawlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("idn_ascii: total, idempotent, ASCII-out-or-identity over 400 hosts") {
+    (0 until 400).foreach { i =>
+      val host = i % 3 match {
+        case 0 => garbage(40)
+        case 1 => mutate(s"sub$i.münchen.日本語.co.uk")
+        case _ => s"plain$i.example.com"
+      }
+      val a = UrlOps.idnAscii(host) // never throws
+      assert(a != null)
+      assert(UrlOps.idnAscii(a) === a, s"not idempotent: $host -> $a")
+      // either fully mapped to ASCII or left as the raw input (fallback)
+      assert(a.forall(_ < 0x80) || a == host, s"half-mapped: $host -> $a")
+    }
+  }
+
   test("url_resolve: total over 400 (base, ref) pairs; absolute refs dominate") {
     (0 until 400).foreach { i =>
       val base = if (i % 3 == 0) garbage(30) else s"https://s$i.com/a/b?x=1"

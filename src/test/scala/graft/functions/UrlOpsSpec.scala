@@ -98,6 +98,33 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon.isNullAt(0))
   }
 
+  test("idnAscii: RFC 3490 ToASCII with identity fast path and never-throws fallback") {
+    // the hand-pinned battery the q_url_psl oracle replays (same constants)
+    val pinned = Seq(
+      "münchen.de" -> "xn--mnchen-3ya.de",
+      "日本語.jp" -> "xn--wgv71a119e.jp",
+      "テスト.co.uk" -> "xn--zckzah.co.uk",
+      "sub.テスト.co.uk" -> "sub.xn--zckzah.co.uk",
+      "bücher.example.com" -> "xn--bcher-kva.example.com",
+      "xn--mnchen-3ya.de" -> "xn--mnchen-3ya.de")
+    pinned.foreach { case (in, want) => assert(UrlOps.idnAscii(in) === want, in) }
+    // pure-ASCII fast path is reference-identical (no re-allocation)
+    val ascii = "plain.example.com"
+    assert(UrlOps.idnAscii(ascii) eq ascii)
+    // unmappable hosts keep their raw form, never throw: empty label,
+    // over-long label, lone surrogate (prohibited code point)
+    val bad = Seq("a..béé", ("ü" * 70) + ".de", "\ud800x.com")
+    bad.foreach(h => assert(UrlOps.idnAscii(h) === h, h))
+    // column surface: host/domain/canon all agree on the ACE form
+    import spark.implicits._
+    val r = Seq("https://MÜNCHEN.de/p?utm_source=x").toDF("u")
+      .select(UrlOps.urlHost(col("u")), UrlOps.urlDomain(col("u")),
+        UrlOps.urlCanon(col("u"))).head
+    assert(r.getString(0) === "xn--mnchen-3ya.de")
+    assert(r.getString(1) === "xn--mnchen-3ya.de")
+    assert(r.getString(2) === "https://xn--mnchen-3ya.de/p")
+  }
+
   test("registered SQL surface: url_canon/url_host/url_domain callable from pure SQL") {
     GraftFunctions.register(spark)
     val r = spark.sql(
