@@ -28,6 +28,26 @@ case class DocArrival(doc_id: Long, source: String)
 case class FrontierPage(doc_id: Long, url: String, canon_url: String,
                         domain: String, rank_ppm: Long)
 
+/** Internal frontier-arrival row: a [[FrontierPage]] plus the event
+  * time and the domain's robots Crawl-delay (ms, 0 = none) the
+  * politeness gate consumes. `ts` stays the WATERMARKED column (the
+  * event-time timeout requires the watermark annotation to survive
+  * into the grouped input).
+  */
+case class FrontierArrival(doc_id: Long, url: String, canon_url: String,
+                           domain: String, rank_ppm: Long,
+                           delay_ms: Long, ts: java.sql.Timestamp) {
+  def page: FrontierPage = FrontierPage(doc_id, url, canon_url, domain, rank_ppm)
+  def tsUs: Long = ts.getTime * 1000L
+}
+
+/** Per-domain frontier state: lifetime admissions, the next politeness-
+  * eligible event time (µs), and the deferred (NOT dropped) arrivals
+  * still inside the delay window — bounded by the remaining cap.
+  */
+case class FrontierCapState(admitted: Long, next_us: Long,
+                            pending: Seq[FrontierArrival])
+
 /** Typed rows for the streaming funnel. */
 case class FunnelEvent(user_id: Long, event_type: String, ts: java.sql.Timestamp)
 case class FunnelState(times_us: Seq[Long])
@@ -461,14 +481,27 @@ object EventPipeline {
     *      PROPORTIONALLY MORE FRONTIER SLOTS — effective lifetime cap
     *      = `k + rank_ppm / ppmPerSlot` (unranked domains get the base
     *      `k`); within a micro-batch, lowest doc_id first, same as
-    *      [[streamingDomainCap]].
+    *      [[streamingDomainCap]];
+    *   5. politeness ([[graft.functions.RobotsOps.crawlDelayMs]]): a
+    *      domain whose robots group declares `Crawl-delay: n` admits
+    *      at most one page per n seconds of EVENT time. Arrivals
+    *      inside the delay window are DEFERRED, not dropped: they wait
+    *      in the per-domain state (bounded by the remaining cap) and
+    *      release when the watermark passes the next-eligible time —
+    *      an event-time timeout, never wall-clock, so replays are
+    *      deterministic. Domains with no delay keep the plain
+    *      single-pass bounded-heap admission (zero politeness state).
     *
-    * State: dedup bounded by horizon × crawl rate; cap one counter per
-    * domain. Slicing-invariant outcomes (StreamingSpec pins them
-    * against the batch composition across two arrival orders): the
-    * admitted-per-domain COUNT is `min(effCap, distinct canon
-    * targets)`, blocklisted domains never appear, and the canon key
-    * set equals the batch distinct set.
+    * State: dedup bounded by horizon × crawl rate; cap one counter +
+    * next-eligible time + ≤cap deferred rows per domain. Slicing-
+    * invariant outcomes (StreamingSpec pins them against the batch
+    * composition across two arrival orders): the admitted-per-domain
+    * COUNT is `min(effCap, distinct canon targets)`, blocklisted
+    * domains never appear, and the canon key set equals the batch
+    * distinct set. The batch twin (`q_frontier_admission`) models the
+    * lifetime caps; politeness is inherently a live-stream semantics
+    * (event-time spacing), gated by StreamingSpec with the delay VALUE
+    * itself cross-engine-gated in q_robots_policy.
     */
   def streamingFrontier(pages: DataFrame, blocklist: DataFrame, ranks: DataFrame,
                         k: Int, ppmPerSlot: Long = 1000L,
@@ -478,53 +511,119 @@ object EventPipeline {
     require(k > 0, s"base cap must be positive, got $k")
     require(ppmPerSlot > 0, s"ppmPerSlot must be positive, got $ppmPerSlot")
     import pages.sparkSession.implicits._
-    val deduped = streamingUrlDedup(pages, horizon).filter(col("canon_url").isNotNull)
+    // the URL branch of [[streamingUrlDedup]], inlined WITHOUT the
+    // non-URL pass-through union: a frontier admits only fetchable
+    // targets, and the politeness timeout (EventTimeTimeout) requires
+    // every upstream branch to carry the watermark — a union with the
+    // un-watermarked pass-through branch would be rejected outright
+    val deduped = pages
+      .withColumn("canon_url", graft.functions.UrlOps.urlCanon(col("url")))
+      .filter(col("canon_url").isNotNull)
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("canon_url")
     val blocked = deduped
       .withColumn("domain", graft.functions.UrlOps.urlDomain(col("url")))
       .join(broadcast(blocklist.select(col("domain"))), Seq("domain"), "left_anti")
-    val domained = robots.fold(blocked) { r =>
+    val domained = robots.fold(blocked.withColumn("delay_ms", lit(0L))) { r =>
       blocked
         .join(broadcast(r.select(col("domain"), col("robots_txt"))), Seq("domain"), "left_outer")
         .filter(graft.functions.RobotsOps.robotsAllowed(
           coalesce(col("robots_txt"), lit("")), lit(agent),
           graft.functions.UrlOps.urlPath(col("url"))))
+        .withColumn("delay_ms", coalesce(graft.functions.RobotsOps.robotsCrawlDelay(
+          coalesce(col("robots_txt"), lit("")), lit(agent)), lit(0L)))
         .drop("robots_txt")
     }
     val ranked = domained
       .join(broadcast(ranks.select(col("node").as("domain"), col("rank_ppm"))),
         Seq("domain"), "left_outer")
       .na.fill(0L, Seq("rank_ppm"))
-      .select($"doc_id", $"url", $"canon_url", $"domain", $"rank_ppm".cast("long").as("rank_ppm"))
-      .as[FrontierPage]
+      .select($"doc_id", $"url", $"canon_url", $"domain",
+        $"rank_ppm".cast("long").as("rank_ppm"),
+        $"delay_ms".cast("long").as("delay_ms"), $"ts")
+      .as[FrontierArrival]
     ranked.groupByKey(_.domain)
-      .flatMapGroupsWithState[Long, FrontierPage](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, arrivals: Iterator[FrontierPage], state: GroupState[Long]) =>
-          val admitted = state.getOption.getOrElse(0L)
-          if (!arrivals.hasNext) Iterator.empty
-          else {
-            // rank is constant per domain, so the bonus reads off the
-            // first arrival
-            val first = arrivals.next()
-            val effCap = k + first.rank_ppm / ppmPerSlot
-            val room = math.max(0L, math.min(effCap - admitted, Int.MaxValue.toLong)).toInt
-            if (room == 0) Iterator.empty
-            else {
-              // single-pass bounded selection of the `room` smallest
-              // doc_ids (max-heap of size ≤ room) — a hot domain's crawl
-              // burst is folded through O(room) state, never materialized
-              // whole in the task (the TopKAgg discipline)
-              val heap = mutable.PriorityQueue(first)(Ordering.by(_.doc_id))
-              arrivals.foreach { pg =>
-                if (heap.size < room) heap += pg
-                else if (pg.doc_id < heap.head.doc_id) { heap.dequeue(); heap += pg }
-              }
-              val take = heap.dequeueAll.reverse // ascending doc_id
-              state.update(admitted + take.size)
-              take.iterator
-            }
-          }
+      .flatMapGroupsWithState[FrontierCapState, FrontierPage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, arrivals: Iterator[FrontierArrival], state: GroupState[FrontierCapState]) =>
+          admit(k, ppmPerSlot, arrivals, state)
       }
+  }
+
+  /** The per-domain admission fold of [[streamingFrontier]] — lifetime
+    * cap + politeness, single pass, O(room) memory.
+    *
+    * No-delay domains: a bounded max-heap keeps the `room` smallest
+    * doc_ids of the micro-batch (the TopKAgg discipline — a hot
+    * domain's burst is never materialized whole), emitted ascending.
+    *
+    * Delay domains: candidates (deferred rows first, then arrivals)
+    * reduce to the `room` smallest by (ts_us, doc_id) through the same
+    * bounded heap, then fold in ascending order against the politeness
+    * gate: a page is admitted when event time has provably reached the
+    * next-eligible instant (its own timestamp, or the watermark for a
+    * deferred release), which advances the gate by the delay;
+    * otherwise it stays in `pending` and an event-time timeout at the
+    * gate's opening releases it once the watermark passes. Deferred
+    * rows never exceed the remaining cap.
+    */
+  private[streaming] def admit(k: Int, ppmPerSlot: Long,
+                               arrivals: Iterator[FrontierArrival],
+                               state: GroupState[FrontierCapState]): Iterator[FrontierPage] = {
+    val st = state.getOption.getOrElse(FrontierCapState(0L, 0L, Seq.empty))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    // rank/delay are constant per domain: read them off any candidate
+    val fromArrivals = st.pending.isEmpty && arrivals.hasNext
+    val first =
+      if (st.pending.nonEmpty) st.pending.head
+      else if (arrivals.hasNext) arrivals.next()
+      else { state.update(st); return Iterator.empty } // timeout, nothing pending
+    val effCap = k + first.rank_ppm / ppmPerSlot
+    val room = math.max(0L, math.min(effCap - st.admitted, Int.MaxValue.toLong)).toInt
+    if (room == 0) { state.update(st.copy(pending = Seq.empty)); return Iterator.empty }
+
+    if (first.delay_ms <= 0L) {
+      // no politeness: single-pass bounded selection of the `room`
+      // smallest doc_ids (max-heap of size ≤ room)
+      if (!fromArrivals && !arrivals.hasNext) { state.update(st); return Iterator.empty }
+      val heap =
+        if (fromArrivals) mutable.PriorityQueue(first)(Ordering.by(_.doc_id))
+        else mutable.PriorityQueue.empty[FrontierArrival](Ordering.by(_.doc_id))
+      arrivals.foreach { pg =>
+        if (heap.size < room) heap += pg
+        else if (pg.doc_id < heap.head.doc_id) { heap.dequeue(); heap += pg }
+      }
+      val take = heap.dequeueAll.reverse // ascending doc_id
+      state.update(FrontierCapState(st.admitted + take.size, 0L, Seq.empty))
+      take.iterator.map(_.page)
+    } else {
+      val ord: Ordering[FrontierArrival] = Ordering.by(a => (a.tsUs, a.doc_id))
+      val heap = mutable.PriorityQueue.empty[FrontierArrival](ord)
+      def offer(pg: FrontierArrival): Unit =
+        if (heap.size < room) heap += pg
+        else if (ord.lt(pg, heap.head)) { heap.dequeue(); heap += pg }
+      st.pending.foreach(offer)
+      if (fromArrivals) offer(first)
+      arrivals.foreach(offer)
+      val cands = heap.dequeueAll.reverse // ascending (ts_us, doc_id)
+      val delayUs = first.delay_ms * 1000L
+      var next = st.next_us
+      var admitted = st.admitted
+      val out = Vector.newBuilder[FrontierPage]
+      val defer = Vector.newBuilder[FrontierArrival]
+      cands.foreach { pg =>
+        if (math.max(pg.tsUs, wmUs) >= next) {
+          next = math.max(pg.tsUs, next) + delayUs
+          admitted += 1
+          out += pg.page
+        } else defer += pg
+      }
+      val pending = defer.result()
+      state.update(FrontierCapState(admitted, next, pending))
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(math.max(next / 1000L, state.getCurrentWatermarkMs() + 1))
+      out.result().iterator
+    }
   }
 
   /** Watermarked stream-stream join: correlate two live event streams

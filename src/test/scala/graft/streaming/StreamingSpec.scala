@@ -300,6 +300,40 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("frontier_rb") }
   }
 
+  test("streaming frontier: Crawl-delay spaces admissions by event time; deferred pages release, never drop") {
+    implicit val ctx = spark.sqlContext
+    val blocklist = Seq.empty[String].toDF("domain")
+    val ranks = Seq.empty[(String, Long, Long)].toDF("node", "out_deg", "rank_ppm")
+    // sited.com declares a 10-minute crawl delay; sitee.com none
+    val robots = Seq(("sited.com",
+      "User-agent: *\nAllow: /\nCrawl-delay: 600\n")).toDF("domain", "robots_txt")
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = EventPipeline.streamingFrontier(
+        mem.toDF().toDF("doc_id", "url", "ts"), blocklist, ranks, k = 5,
+        horizon = "0 seconds", robots = Some(robots))
+      .writeStream.outputMode("append").format("memory").queryName("frontier_pol").start()
+    try {
+      // one batch: pages at t=0, t=1min, t=30min. Gate: t0 admits
+      // (next-eligible 10min), t1 DEFERS (inside the window), t30
+      // admits (next-eligible 40min)
+      mem.addData(
+        (1L, "https://siteD.com/a", ts(0)),
+        (2L, "https://siteD.com/b", ts(1)),
+        (3L, "https://siteD.com/c", ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("frontier_pol").as[FrontierPage].collect()
+        .map(_.doc_id).toSet === Set(1L, 3L))
+      // advancing event time past the gate (another domain's arrival
+      // moves the watermark to 55min ≥ 40min) RELEASES the deferral —
+      // at most one page per 10min of event time, and nothing dropped
+      mem.addData((4L, "https://siteE.com/x", ts(55)))
+      q.processAllAvailable()
+      val all = spark.table("frontier_pol").as[FrontierPage].collect()
+      assert(all.map(_.doc_id).toSet === Set(1L, 2L, 3L, 4L))
+      assert(all.count(_.domain == "sited.com") === 3)
+    } finally { q.stop(); spark.catalog.dropTempView("frontier_pol") }
+  }
+
   test("stream-stream join correlates events within the time window only") {
     implicit val ctx = spark.sqlContext
     val uploads = MemoryStream[Ev]
