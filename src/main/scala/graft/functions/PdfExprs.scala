@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.sources.{ImageCodec, PdfCodec}
+import graft.sources.{ImageCodec, PdfCodec, PdfCrypt}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -287,6 +287,31 @@ case class SynthPdfPredExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_pdf_pred"
 }
 
+/** Deterministic ENCRYPTED PDF fixture
+  * ([[graft.sources.PdfCrypt.composeEncryptedFixture]]): the predictor
+  * fixture wrapped in standard-security-handler encryption — variant
+  * 0=RC4-40, 1=RC4-128, 2=AES-128 (/AESV2), 3=AES-256 (/AESV3) — so
+  * decrypt → inflate → unpredict → decode → blit all sit under one
+  * closed-form pixel-sum gate.
+  */
+case class SynthPdfEncExpr(first: Expression, second: Expression,
+                           third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any, variant: Any): Any =
+    PdfCrypt.composeEncryptedFixture(seed.asInstanceOf[Long],
+      w.asInstanceOf[Int], h.asInstanceOf[Int], variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h, v) =>
+      s"${ev.value} = graft.sources.PdfCrypt.composeEncryptedFixture($seed, $w, $h, $v);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthPdfEncExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_pdf_enc"
+}
+
 /** Column-level entry points. */
 object PdfOps {
   def pdfInfo(bin: Column): Column =
@@ -310,4 +335,7 @@ object PdfOps {
   def synthPdfPred(seed: Column, wPx: Column, hPx: Column): Column =
     GraftExpr.toColumn(SynthPdfPredExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
+  def synthPdfEnc(seed: Column, wPx: Column, hPx: Column, variant: Column): Column =
+    GraftExpr.toColumn(SynthPdfEncExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx), GraftExpr.toExpr(variant)))
 }

@@ -336,6 +336,46 @@ object DomainQueries {
       |       CAST(px.s AS BIGINT) AS px_sum
       |FROM documents d JOIN px USING (doc_id)""".stripMargin
 
+  /** The ENCRYPTED-document read path under the hash gate: each
+    * document is the predictor fixture wrapped in standard-security-
+    * handler encryption, the variant cycling RC4-40 / RC4-128 /
+    * AES-128 (/AESV2) / AES-256 (/AESV3) by doc_id. The oracle
+    * recomputes the EXACT rasterized pixel sum in closed form — a
+    * wrong key byte, a mis-stripped AES pad, or a predictor slip after
+    * decrypt flips the sum on that row; a handler that fails to verify
+    * the empty user password nulls the whole row. This is the
+    * reference's `fitz.open`-on-protected-uploads capability
+    * (`app.py:241`) under a byte-exact gate.
+    */
+  val pdfEncrypted: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      // CPU-bound codec: partition for cores, not bytes (see q_scan_effects)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfEnc(col("doc_id") * 37,
+        (col("doc_id") % 8 + 12).cast("int"), (col("doc_id") % 5 + 10).cast("int"),
+        (col("doc_id") % 4).cast("int")))
+      .withColumn("info", graft.functions.PdfOps.pdfInfo(col("pdf")))
+      .select(col("doc_id"),
+        element_at(lit(graft.sources.PdfCrypt.VariantNames.toArray),
+          (col("doc_id") % 4).cast("int") + 1).as("handler"),
+        col("info.n_pages").as("n_pages"),
+        col("info.w_pt_x100").as("w_pt_x100"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.PdfOps.pdfRasterize(col("pdf"), lit(0), lit(72))).as("px_sum"))
+  val pdfEncryptedSql: String =
+    """WITH px AS (
+      |  SELECT doc_id, sum((x*7 + y*13 + c*29 + doc_id*37) % 256) AS s
+      |  FROM documents, range(0, 20) tx(x), range(0, 15) ty(y), range(0, 3) tc(c)
+      |  WHERE x < doc_id % 8 + 12 AND y < doc_id % 5 + 10
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE d.doc_id % 4 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+      |            WHEN 2 THEN 'aes-128' ELSE 'aes-256' END AS handler,
+      |       CAST(1 AS BIGINT) AS n_pages,
+      |       CAST((d.doc_id % 8 + 12) * 100 AS BIGINT) AS w_pt_x100,
+      |       CAST(px.s AS BIGINT) AS px_sum
+      |FROM documents d JOIN px USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- audio codec
   /** The WAV/PCM16 audio codec through the oracle gate: a real synth
     * → encode → parse → analyze round trip per document. The fixture
@@ -1438,6 +1478,7 @@ object DomainQueries {
     "q_sign_pipeline" -> signPipelineQ,
     "q_pdf_roundtrip" -> pdfRoundtrip,
     "q_pdf_predictor" -> pdfPredictor,
+    "q_pdf_encrypted" -> pdfEncrypted,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1493,6 +1534,7 @@ object DomainQueries {
     "q_scan_seeded" -> scanSeededSql,
     "q_pdf_roundtrip" -> pdfRoundtripSql,
     "q_pdf_predictor" -> pdfPredictorSql,
+    "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

@@ -47,12 +47,19 @@ import scala.collection.mutable
   * image XObjects decode through [[ImageCodec]]'s JPEG decoder;
   * ASCIIHexDecode / ASCII85Decode chain ahead of either.
   *
-  * OUT of subset (documented, loud where it matters): encryption,
-  * text rendering, non-axis-aligned image placement, CMYK images,
-  * ObjStm filters beyond FlateDecode, sub-8-bit image components.
-  * [[parse]] throws on encrypted documents rather than mis-reading
-  * them (including the 1.5 shape where /Encrypt lives in the XRef
-  * stream dict); [[checkPdf]] reports the reason as typed metadata.
+  * Encrypted documents with an EMPTY user password — the dominant
+  * real-world protected shape, which the reference reads transparently
+  * via PyMuPDF (`app.py:241`) — ARE in subset: [[PdfCrypt]] implements
+  * the standard security handler (RC4-40/128, AES-128 /AESV2,
+  * AES-256 /AESV3) and [[parse]] decrypts streams/strings before
+  * filter decoding (including ObjStm containers, whose expansion is
+  * deferred until after decryption). A NON-empty user password, a
+  * non-/Standard handler, or an unknown /V is a loud typed reject.
+  *
+  * OUT of subset (documented, loud where it matters): non-empty
+  * passwords, text rendering, non-axis-aligned image placement, CMYK
+  * images, ObjStm filters beyond FlateDecode, sub-8-bit image
+  * components. [[checkPdf]] reports the reason as typed metadata.
   *
   * Scale shape: every entry point is bytes→bytes/struct per row — no
   * Spark state, no shuffle; it rides inside whole-stage codegen via
@@ -499,7 +506,17 @@ object PdfCodec {
     require(isPdf(bytes), "not a PDF (missing %PDF- header)")
     val text = new String(bytes, StandardCharsets.ISO_8859_1)
     val objects = mutable.LinkedHashMap[Int, PObj]()
-    val order = Vector.newBuilder[Int]
+    // definition positions for incremental-update last-wins: regular
+    // objects at seq<<20; ObjStm-contained objects fractionally after
+    // their container (container's seq<<20 | 1+idx) so a LATER regular
+    // definition still overrides them and vice versa
+    val firstPos = mutable.Map[Int, Long]()
+    val lastPos = mutable.Map[Int, Long]()
+    var seq = 0
+    // ObjStm containers: expansion is DEFERRED until after the scan so
+    // an encrypted container can be decrypted first (object streams are
+    // encrypted as a whole; their contained objects are not)
+    val objStms = mutable.ArrayBuffer[(Long, Int)]() // (containerPos, containerNum)
     val m = ObjHeader.matcher(text)
     var searchFrom = 0
     while (searchFrom < bytes.length && m.find(searchFrom)) {
@@ -544,42 +561,110 @@ object PdfCodec {
           val e2 = text.indexOf("endstream", end)
           lx.p = (if (e2 >= 0) e2 else end) + "endstream".length
         }
-        if (!objects.contains(num)) order += num
+        val pos = seq.toLong << 20
+        seq += 1
+        if (!firstPos.contains(num)) firstPos(num) = pos
+        lastPos(num) = pos
         objects(num) = PObj(num, gen, value, stream)
-        // PDF 1.5 object streams: compressed objects live INSIDE this
-        // stream, invisible to the header scan — expand them HERE so
-        // they take this object's position in document order (a later
-        // regular definition or later ObjStm still overrides, keeping
-        // the incremental-update last-wins semantics intact)
         value match {
           case d: PDict if d.get("Type").contains(PName("ObjStm")) && stream.nonEmpty =>
-            expandObjStm(d, stream.get).foreach { case (n, v) =>
-              if (!objects.contains(n)) order += n
-              objects(n) = PObj(n, 0, v, None)
-            }
+            objStms += ((pos, num))
           case _ =>
         }
         searchFrom = lx.p
       }
     }
     require(objects.nonEmpty, "PDF parse: no objects found")
-    // encryption guard: /Encrypt lives in the (last) trailer dictionary —
-    // only inspect that region, not stream payloads that might contain
-    // the byte string by chance
-    val trailerAt = text.lastIndexOf("trailer")
-    val trailerRegion = if (trailerAt >= 0) text.substring(trailerAt) else text.takeRight(1024)
-    require(!trailerRegion.contains("/Encrypt"), "PDF parse: encrypted documents are out of subset")
-    // PDF 1.5 files carry the trailer dict inside the /Type /XRef
-    // stream object instead of a `trailer` keyword — check it too
-    require(!objects.values.exists {
-      case PObj(_, _, d: PDict, _) =>
-        d.get("Type").contains(PName("XRef")) && d.m.contains("Encrypt")
-      case _ => false
-    }, "PDF parse: encrypted documents are out of subset")
-    val catalogNum = objects.values.toSeq.reverse.collectFirst {
-      case PObj(n, _, d: PDict, _) if d.get("Type").contains(PName("Catalog")) => n
+
+    // ---- encryption: locate /Encrypt + /ID in the trailer dict(s), or
+    // in a /Type /XRef stream dict (the PDF 1.5 trailer carrier), then
+    // decrypt every top-level stream and string BEFORE ObjStm expansion
+    // (contained objects are covered by their container's encryption)
+    val trailers = mutable.ArrayBuffer[PDict]()
+    var tAt = text.indexOf("trailer")
+    while (tAt >= 0) {
+      try {
+        val lx = new Lexer(bytes, tAt + "trailer".length)
+        parseVal(lx) match { case d: PDict => trailers += d; case _ => }
+      } catch { case _: Exception => } // "trailer" inside a payload — skip
+      tAt = text.indexOf("trailer", tAt + 1)
+    }
+    objects.valuesIterator.foreach {
+      case PObj(_, _, d: PDict, _) if d.get("Type").contains(PName("XRef")) => trailers += d
+      case _ =>
+    }
+    def resolveLocal(v: PVal): PVal = v match {
+      case PRef(n, _) => objects.get(n).map(o => resolveLocal(o.value)).getOrElse(PNull)
+      case other => other
+    }
+    val encRef = trailers.reverseIterator.flatMap(_.get("Encrypt")).find(_ != PNull)
+    val encryption: Option[PdfCrypt.Encryption] = encRef.map { ref =>
+      val (encDict, encNum) = ref match {
+        case PRef(n, _) => resolveLocal(ref) match {
+          case d: PDict => (d, n)
+          case other => throw new IllegalArgumentException(s"PDF decrypt: /Encrypt resolves to $other")
+        }
+        case d: PDict => (d, -1)
+        case other => throw new IllegalArgumentException(s"PDF decrypt: bad /Encrypt $other")
+      }
+      val id0: Array[Byte] =
+        trailers.reverseIterator.flatMap(_.get("ID")).collectFirst {
+          case PArr(items) if items.nonEmpty => resolveLocal(items.head) match {
+            case PStr(b) => b
+            case _ => Array.emptyByteArray
+          }
+        }.getOrElse(Array.emptyByteArray)
+      PdfCrypt.resolveHandler(resolveLocal, encDict, id0, encNum)
+    }
+    encryption.foreach { enc =>
+      val nums = objects.keys.toVector
+      nums.foreach { n =>
+        val obj = objects(n)
+        val isXref = obj.value match {
+          case d: PDict => d.get("Type").contains(PName("XRef"))
+          case _ => false
+        }
+        // the /Encrypt dict's own strings (O, U, …) and XRef streams
+        // are never encrypted (ISO 32000 §7.6.2)
+        if (n != enc.encryptObjNum && !isXref) {
+          def decStr(v: PVal): PVal = v match {
+            case PStr(b) if b.nonEmpty => PStr(enc.decrypt(obj.num, obj.gen, b))
+            case PArr(items) => PArr(items.map(decStr))
+            case PDict(mm) => PDict(mm.map { case (k, vv) => k -> decStr(vv) })
+            case other => other
+          }
+          objects(n) = obj.copy(
+            value = decStr(obj.value),
+            rawStream = obj.rawStream.map(s => enc.decrypt(obj.num, obj.gen, s)))
+        }
+      }
+    }
+
+    // ---- deferred ObjStm expansion with position-aware last-wins
+    objStms.foreach { case (cPos, cNum) =>
+      objects.get(cNum) match {
+        case Some(cObj @ PObj(_, _, d: PDict, Some(raw))) if lastPos(cNum) == cPos =>
+          val _ = cObj
+          expandObjStm(d, raw).zipWithIndex.foreach { case ((n, v), idx) =>
+            val pos = cPos | (1L + idx)
+            if (lastPos.get(n).forall(_ < pos)) {
+              if (!firstPos.contains(n)) firstPos(n) = pos
+              lastPos(n) = pos
+              objects(n) = PObj(n, 0, v, None)
+            }
+          }
+        case _ => // container itself was overridden by a later update — skip
+      }
+    }
+    val order = firstPos.toVector.sortBy(_._2).map(_._1)
+
+    val catalogNum = order.reverseIterator.collectFirst {
+      case n if objects.get(n).exists {
+        case PObj(_, _, d: PDict, _) => d.get("Type").contains(PName("Catalog"))
+        case _ => false
+      } => n
     }.getOrElse(-1)
-    val doc0 = PdfDoc(objects.toMap, order.result(), Vector.empty, catalogNum,
+    val doc0 = PdfDoc(objects.toMap, order, Vector.empty, catalogNum,
       if (objects.isEmpty) 0 else objects.keys.max)
     doc0.copy(pages = collectPages(doc0))
   }

@@ -68,6 +68,53 @@ class PdfFuzzSpec extends SparkSpec {
     assert(ok >= 50, s"fuzz corpus degenerate: only $ok intact documents") // the i%6==0 band
   }
 
+  test("never throws over 300 mutated ENCRYPTED payloads; tampered crypto is a typed reject") {
+    // same mutation battery, but the base document cycles the four
+    // standard-security-handler variants — a bit flip can now land in
+    // /O //U //UE (password check fails), in AES ciphertext (padding
+    // check fails), or in the /Encrypt dict itself (handler reject):
+    // every one must surface as a NULL row + pdf_check reason, never a
+    // task kill
+    val rnd = new scala.util.Random(43)
+    val bases = (0 to 3).map(v => graft.sources.PdfCrypt.composeEncryptedFixture(11L + v, 13, 10, v))
+    val corpus = (0 until 300).map { i =>
+      val base = bases(i % 4)
+      i % 5 match {
+        case 0 => base // intact
+        case 1 => base.take(1 + rnd.nextInt(base.length - 1))
+        case 2 =>
+          val b = base.clone()
+          (0 until 8).foreach { _ =>
+            val at = 8 + rnd.nextInt(b.length - 8)
+            b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          b
+        case 3 =>
+          val at = 8 + rnd.nextInt(base.length - 8)
+          val junk = Array.fill(1 + rnd.nextInt(32))(rnd.nextInt(256).toByte)
+          base.take(at) ++ junk ++ base.drop(at)
+        case _ => base.reverse // header gone → not-pdf reject
+      }
+    }
+    val rows = corpus.zipWithIndex.map { case (b, i) => (i.toLong, b) }
+      .toDF("i", "b")
+      .select(col("i"),
+        PdfOps.pdfInfo(col("b")).as("info"),
+        PdfOps.pdfCheck(col("b")).as("chk"),
+        PdfOps.pdfRasterize(col("b"), lit(0), lit(24)).as("png"))
+      .collect() // nothing throws across the whole corpus
+    var ok = 0
+    rows.foreach { r =>
+      val info = if (r.isNullAt(1)) null else r.getStruct(1)
+      val chk = r.getStruct(2)
+      val (okF, reason) = (chk.getBoolean(0), if (chk.isNullAt(1)) null else chk.getString(1))
+      assert(okF == (reason == null), s"reason must be null iff ok: $okF / $reason")
+      assert(okF == (info != null), s"pdf_check disagrees with pdf_info: $okF / $info")
+      if (okF) ok += 1
+    }
+    assert(ok >= 60, s"fuzz corpus degenerate: only $ok intact documents") // the i%5==0 band
+  }
+
   test("crafted deep nesting rejects via the depth cap instead of StackOverflowError") {
     val deepArr = ("%PDF-1.4\n1 0 obj\n" + "[" * 100000).getBytes
     val deepDict = ("%PDF-1.4\n1 0 obj\n" + "<</A " * 100000).getBytes

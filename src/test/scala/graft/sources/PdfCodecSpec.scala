@@ -95,12 +95,75 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(fake.nonEmpty) // (fixture retained for documentation)
   }
 
-  test("encrypted documents are rejected loudly") {
+  test("broken /Encrypt (dangling ref) is rejected loudly, not silently mis-read") {
     val pdf = compose(Seq(PageImage(jpeg(61, 20, 20), 20, 20)))
     val enc = pdf.dropRight("%%EOF\n".length) ++
       "trailer\n<< /Size 6 /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n".getBytes
     val e = intercept[IllegalArgumentException](parse(enc))
-    assert(e.getMessage.contains("encrypted"))
+    assert(e.getMessage.contains("PDF decrypt"))
+  }
+
+  test("encrypted round trip: all four handler variants parse + rasterize pixel-exact") {
+    for (variant <- 0 to 3) {
+      val seed = 400L + variant
+      val plain = PdfCodec.composePredictorFixture(seed, 14, 11)
+      val enc = PdfCrypt.composeEncryptedFixture(seed, 14, 11, variant)
+      // deterministic bytes — the oracle fixture contract
+      assert(enc.toSeq === PdfCrypt.composeEncryptedFixture(seed, 14, 11, variant).toSeq,
+        s"variant $variant not deterministic")
+      val got = parse(enc)
+      assert(got.pageCount === 1)
+      assert(rasterizePng(enc, 0, 72).toSeq === rasterizePng(plain, 0, 72).toSeq,
+        s"variant ${PdfCrypt.VariantNames(variant)} pixels drifted")
+    }
+  }
+
+  test("encrypted strings decrypt; /Encrypt dict's own strings stay plaintext") {
+    val plain = compose(Seq(PageImage(jpeg(62, 20, 20), 20, 20))) ++
+      "9 0 obj\n<< /Title (hello crypt) >>\nendobj\n".getBytes("ISO-8859-1")
+    for (variant <- Seq(1, 2, 3)) {
+      val enc = PdfCrypt.encryptPdf(plain, variant, 77L)
+      // ciphertext on disk: the literal must not appear in the encrypted bytes
+      assert(!new String(enc, "ISO-8859-1").contains("hello crypt"))
+      val doc = parse(enc)
+      doc.objects(9).value match {
+        case PDict(m) => m("Title") match {
+          case PStr(b) => assert(new String(b, "ISO-8859-1") === "hello crypt")
+          case other => fail(s"Title decrypted to $other")
+        }
+        case other => fail(s"object 9 parsed as $other")
+      }
+    }
+  }
+
+  test("non-empty user password and unsupported shapes are typed rejects") {
+    val plain = PdfCodec.composePredictorFixture(5L, 10, 10)
+    val enc = PdfCrypt.encryptPdf(plain, 3, 5L)
+    // flip one byte inside the /U validation hash → empty-password
+    // verification must fail with the password-protected message
+    val text = new String(enc, "ISO-8859-1")
+    val uAt = text.indexOf("/U <")
+    assert(uAt > 0)
+    val tampered = enc.clone()
+    tampered(uAt + 4) = (if (tampered(uAt + 4) == '0') '1' else '0').toByte
+    val e1 = intercept[IllegalArgumentException](parse(tampered))
+    assert(e1.getMessage.contains("password-protected"))
+    val (ok1, reason1) = checkPdf(tampered)
+    assert(!ok1 && reason1.contains("password-protected"))
+    // unsupported /V and a non-/Standard handler: loud, typed
+    def withEncryptDict(body: String): Array[Byte] = {
+      val base = compose(Seq(PageImage(jpeg(63, 20, 20), 20, 20)))
+      base.dropRight("%%EOF\n".length) ++
+        (s"9 0 obj\n$body\nendobj\n" +
+          "trailer\n<< /Size 10 /Root 1 0 R /Encrypt 9 0 R /ID [<00> <00>] >>\n%%EOF\n")
+          .getBytes("ISO-8859-1")
+    }
+    val e2 = intercept[IllegalArgumentException](
+      parse(withEncryptDict("<< /Filter /Standard /V 3 /R 3 /O <00> /U <00> /P -1 >>")))
+    assert(e2.getMessage.contains("/V"))
+    val e3 = intercept[IllegalArgumentException](
+      parse(withEncryptDict("<< /Filter /MySecretHandler /V 1 /R 2 /O <00> /U <00> /P -1 >>")))
+    assert(e3.getMessage.contains("handler"))
   }
 
   /** Repack a classic-xref document into the dominant real-world PDF
@@ -182,11 +245,59 @@ class PdfCodecSpec extends AnyFunSuite {
     assert((got.mediaW, got.mediaH) === ((240.0, 360.0))) // the appended definition won
   }
 
-  test("PDF 1.5: /Encrypt inside the XRef stream dict is rejected loudly") {
-    val classic = compose(Seq(PageImage(jpeg(94, 20, 20), 20, 20)))
-    val enc = repack15(classic, deflateObjStm = true, xrefExtra = " /Encrypt 9 0 R")
-    val e = intercept[IllegalArgumentException](parse(enc))
-    assert(e.getMessage.contains("encrypted"))
+  test("PDF 1.5 + encryption: /Encrypt in the XRef dict, ObjStm decrypted before expansion") {
+    // the dominant modern layout: AES-encrypted document whose plain
+    // objects live inside an (encrypted) ObjStm and whose trailer is a
+    // /Type /XRef stream dict — decryption must run BEFORE ObjStm
+    // expansion and the /Encrypt discovery must work without a
+    // `trailer` keyword anywhere in the file
+    val classic = compose(Seq(PageImage(jpeg(94, 24, 18), 60, 45)))
+    val doc = parse(classic)
+    val id0 = Array.tabulate[Byte](16)(i => (i * 17).toByte)
+    val idHex = id0.map(b => f"${b & 0xff}%02X").mkString
+    for (variant <- Seq(1, 2, 3)) {
+      val built = PdfCrypt.buildHandler(variant, 9000L + variant, id0, doc.maxObjNum + 3)
+      val iv = Array.tabulate[Byte](16)(i => (i * 7 + variant).toByte)
+      val objs = doc.order.map(doc.objects)
+      val (withStream, plain) = objs.partition(_.rawStream.nonEmpty)
+      val bodies = plain.map(o => serialize(o.value))
+      val offsets = bodies.scanLeft(0)(_ + _.length + 1).init
+      val headerPairs = plain.zip(offsets).map { case (o, off) => s"${o.num} $off" }.mkString(" ") + "\n"
+      val payload = (headerPairs + bodies.mkString(" ") + " ").getBytes("ISO-8859-1")
+      val stmNum = doc.maxObjNum + 1
+      val xrefNum = doc.maxObjNum + 2
+      val encNum = doc.maxObjNum + 3
+      val stm = built.enc.encrypt(stmNum, 0, iv, payload)
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+      w("%PDF-1.6\n%âãÏÓ\n")
+      w(s"$stmNum 0 obj\n<< /Type /ObjStm /N ${plain.length} /First ${headerPairs.length} " +
+        s"/Length ${stm.length} >>\nstream\n")
+      out.write(stm); w("\nendstream\nendobj\n")
+      withStream.foreach { o =>
+        val es = built.enc.encrypt(o.num, 0, iv, o.rawStream.get)
+        val dict = o.value match {
+          case PDict(m) => serialize(PDict(m.updated("Length", PNum(es.length.toDouble))))
+          case v => serialize(v)
+        }
+        w(s"${o.num} 0 obj\n$dict\nstream\n")
+        out.write(es); w("\nendstream\nendobj\n")
+      }
+      w(s"$encNum 0 obj\n${built.encDictBody}\nendobj\n")
+      val xrefBody = PdfCodec.deflate(Array.fill[Byte](3 * (xrefNum + 1))(0))
+      val xrefOff = out.size()
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size ${xrefNum + 1} /W [1 1 1] /Root ${doc.catalogNum} 0 R" +
+        s" /Encrypt $encNum 0 R /ID [<$idHex> <$idHex>]" +
+        s" /Filter /FlateDecode /Length ${xrefBody.length} >>\nstream\n")
+      out.write(xrefBody); w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+      val p15enc = out.toByteArray
+      assert(!new String(p15enc, "ISO-8859-1").contains("\ntrailer"))
+      assert(pdfInfo(p15enc).toSeq === pdfInfo(classic).toSeq,
+        s"variant ${PdfCrypt.VariantNames(variant)} metadata drifted")
+      assert(rasterizePng(p15enc, 0, 72).toSeq === rasterizePng(classic, 0, 72).toSeq,
+        s"variant ${PdfCrypt.VariantNames(variant)} pixels drifted")
+    }
   }
 
   test("rasterize: dpi geometry matches zoom = dpi/72 (app.py:256-257)") {
