@@ -33,6 +33,16 @@ object WarcExprs {
     StructField("date", StringType, nullable = false),
     StructField("body", StringType, nullable = false)))
 
+  /** Input schema of [[SynthWarcGzBinExpr]]: BINARY bodies — raw
+    * response payloads whose encoding is NOT utf-8 (the real crawl
+    * shape: charset resolution happens downstream, not at framing).
+    */
+  val InRecordBinSchema: StructType = StructType(Seq(
+    StructField("rec_type", StringType, nullable = false),
+    StructField("url", StringType, nullable = false),
+    StructField("date", StringType, nullable = false),
+    StructField("body", BinaryType, nullable = false)))
+
   /** Boxed parse for codegen: array of record structs; null when the
     * payload is not WARC.
     */
@@ -57,6 +67,22 @@ object WarcExprs {
       val row = records.getStruct(i, 4)
       WarcCodec.WarcRecord(str(row, 0), str(row, 1), str(row, 2),
         if (row.isNullAt(3)) Array.emptyByteArray else row.getUTF8String(3).getBytes)
+    }
+    WarcCodec.encodeGz(recs)
+  }
+
+  /** [[synthWarcGz]] with BINARY bodies — payload bytes pass through
+    * untouched (no utf-8 re-encode), preserving the page's original
+    * charset for downstream resolution.
+    */
+  def synthWarcGzBin(records: ArrayData): Array[Byte] = {
+    val n = records.numElements()
+    def str(row: org.apache.spark.sql.catalyst.InternalRow, i: Int): String =
+      if (row.isNullAt(i)) "" else row.getUTF8String(i).toString
+    val recs = (0 until n).map { i =>
+      val row = records.getStruct(i, 4)
+      WarcCodec.WarcRecord(str(row, 0), str(row, 1), str(row, 2),
+        if (row.isNullAt(3)) Array.emptyByteArray else row.getBinary(3))
     }
     WarcCodec.encodeGz(recs)
   }
@@ -102,10 +128,30 @@ case class SynthWarcGzExpr(child: Expression) extends UnaryExpression with Impli
   override def prettyName: String = "synth_warc_gz"
 }
 
+/** [[SynthWarcGzExpr]]'s binary-body twin: assemble a `.warc.gz`
+  * segment from records whose payloads are raw BYTES — the shape a
+  * real fetch stage produces, where the page's charset is unknown at
+  * framing time and must survive to the downstream `html_decode`.
+  */
+case class SynthWarcGzBinExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(ArrayType(WarcExprs.InRecordBinSchema))
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    WarcExprs.synthWarcGzBin(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WarcExprs.synthWarcGzBin($a);")
+  override protected def withNewChildInternal(c: Expression): SynthWarcGzBinExpr = copy(child = c)
+  override def prettyName: String = "synth_warc_gz_bin"
+}
+
 /** Column-level entry points. */
 object WarcOps {
   def warcRecords(bin: Column): Column =
     GraftExpr.toColumn(WarcRecordsExpr(GraftExpr.toExpr(bin)))
   def synthWarcGz(records: Column): Column =
     GraftExpr.toColumn(SynthWarcGzExpr(GraftExpr.toExpr(records)))
+  def synthWarcGzBin(records: Column): Column =
+    GraftExpr.toColumn(SynthWarcGzBinExpr(GraftExpr.toExpr(records)))
 }

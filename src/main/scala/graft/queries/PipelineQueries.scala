@@ -2735,7 +2735,125 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** The crawl-family capstone: the WHOLE round-10 content layer
+    * composed as one gated batch flow, so the COMPOSITION — not just
+    * each stage — sits under the cross-engine hash (the
+    * q_scan_pipeline / q_sign_pipeline treatment for crawling).
+    *
+    *   WARC segment (binary bodies, every 5th record a non-content
+    *   `request`) → `warc_records` + type filter → `html_decode`
+    *   (UTF-8-BOM vs meta-charset Latin-1, alternating) →
+    *   `fix_mojibake` (the page text carries real cp1252 damage) →
+    *   `html_extract` (title/text/links, one parse) → `url_resolve` +
+    *   `url_canon` (tracking params stripped) → PSL `url_domain` →
+    *   RFC 9309 robots gate on `url_path` → frontier admission
+    *   (canonical dedup, min-doc wins → per-domain cap 3, lowest doc
+    *   ids win) → the admitted frontier with its provenance.
+    *
+    * Every stage is closed-form in doc_id, so the oracle rebuilds the
+    * admitted rows exactly: one wrong byte in ANY stage — a charset
+    * rung misfire, an unrepaired Ã©, a link the tokenizer drops, a
+    * canon slip, a robots decision, an admission ordering — changes
+    * rows or values and trips the hash.
+    *
+    * Scale shape: framing/decode/repair/extract/resolve are map-side
+    * projections; ONE exchange keys the canonical dedup; the
+    * per-domain window rides the admission cap (WindowGroupLimit, no
+    * global window). The robots policy is a literal here; at scale it
+    * arrives via the same per-domain broadcast the streaming frontier
+    * uses.
+    */
+  private val CrawlRobotsFixture = "User-agent: *\nDisallow: /x\n"
+  val crawlPipeline: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head>"),
+      when(pmod(col("doc_id"), lit(2)) === 1, lit("<meta charset=iso-8859-1>"))
+        .otherwise(lit("")),
+      lit("<title>Doc "), id, lit("</title></head><body>"),
+      lit("<p>cafÃ© "), id, lit("</p>"),
+      lit("<a href=\"/p/"), id, lit("\">a</a>"),
+      lit("<a href='https://ext"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com/q?utm_source=z'>b</a>"),
+      lit("<a href=\"https://wide"), pmod(col("doc_id"), lit(97)).cast("string"),
+      lit(".com/w/"), id, lit("\">c</a>"),
+      lit("<a href=\"https://ext"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".com/x\">d</a>"),
+      lit("</body></html>"))
+    val payload = when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(unhex(lit("EFBBBF")), encode(html, "UTF-8")))
+      .otherwise(encode(html, "ISO-8859-1"))
+    val pages = Tables.documents(s, d)
+      .select(col("source"), struct(
+        when(col("doc_id") % 5 === 0, lit("request")).otherwise(lit("response")).as("rec_type"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".com/dir/"), id, lit("/page.html")).as("url"),
+        lit("2026-01-01T00:00:00Z").as("date"),
+        payload.as("body")).as("rec"))
+      .groupBy("source").agg(collect_list(col("rec")).as("recs"))
+      .select(explode(graft.functions.WarcOps.warcRecords(
+        graft.functions.WarcOps.synthWarcGzBin(col("recs")))).as("r"))
+      .filter(col("r.rec_type") === "response")
+      .select(col("r.url").as("base"),
+        graft.functions.Mojibake.fixMojibake(
+          graft.functions.HtmlOps.htmlDecode(col("r.body"))).as("html"))
+      .withColumn("doc_id", regexp_extract(col("base"), "/dir/(\\d+)/", 1).cast("long"))
+      .withColumn("e", graft.functions.HtmlOps.htmlExtract(col("html")))
+    val cands = pages
+      .select(col("doc_id"),
+        graft.functions.UrlOps.urlDomain(col("base")).as("src_domain"),
+        col("e.title").as("title"), col("e.text").as("page_text"),
+        explode(col("e.links")).as("href"), col("base"))
+      // materialize the resolved URL as an attribute so canon/domain/
+      // path don't each re-expand the resolve tree (the Dedup/
+      // RuleCascade pre-projection discipline)
+      .withColumn("resolved", graft.functions.UrlOps.urlResolve(col("base"), col("href")))
+      .withColumn("url", graft.functions.UrlOps.urlCanon(col("resolved")))
+      .withColumn("dst_domain", graft.functions.UrlOps.urlDomain(col("url")))
+      .filter(graft.functions.RobotsOps.robotsAllowed(lit(CrawlRobotsFixture),
+        lit("graftbot"), graft.functions.UrlOps.urlPath(col("url"))))
+    cands
+      .groupBy("url")
+      .agg(min(struct(col("doc_id"), col("dst_domain"), col("src_domain"),
+        col("title"), col("page_text"))).as("m"))
+      .select(col("url"), col("m.doc_id").as("doc_id"),
+        col("m.dst_domain").as("dst_domain"), col("m.src_domain").as("src_domain"),
+        col("m.title").as("title"), col("m.page_text").as("page_text"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("dst_domain").orderBy("doc_id", "url")))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "url", "dst_domain", "src_domain", "title", "page_text")
+  }
+  val crawlPipelineSql: String =
+    """WITH resp AS (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0),
+      |cand AS (
+      |  SELECT doc_id,
+      |         'https://site' || (doc_id % 5) || '.com/p/' || doc_id AS url,
+      |         'site' || (doc_id % 5) || '.com' AS dst_domain
+      |  FROM resp
+      |  UNION ALL
+      |  SELECT doc_id, 'https://ext' || (doc_id % 7) || '.com/q',
+      |         'ext' || (doc_id % 7) || '.com'
+      |  FROM resp
+      |  UNION ALL
+      |  SELECT doc_id,
+      |         'https://wide' || (doc_id % 97) || '.com/w/' || doc_id,
+      |         'wide' || (doc_id % 97) || '.com'
+      |  FROM resp),
+      |dd AS (SELECT url, min(doc_id) AS doc_id, min(dst_domain) AS dst_domain
+      |       FROM cand GROUP BY url),
+      |adm AS (SELECT dd.*, row_number() OVER
+      |          (PARTITION BY dst_domain ORDER BY doc_id, url) AS rn
+      |        FROM dd)
+      |SELECT doc_id, url, dst_domain,
+      |       'site' || (doc_id % 5) || '.com' AS src_domain,
+      |       'Doc ' || doc_id AS title,
+      |       'café ' || doc_id || chr(10) || 'abcd' AS page_text
+      |FROM adm WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_crawl_pipeline" -> crawlPipeline,
     "q_mojibake" -> mojibake,
     "q_html_charset" -> htmlCharset,
     "q_sitemap_parse" -> sitemapParse,
@@ -2843,6 +2961,7 @@ object PipelineQueries {
     "q_rule_fallback" -> ruleFallback)
 
   val oracleSql: Map[String, String] = Map(
+    "q_crawl_pipeline" -> crawlPipelineSql,
     "q_mojibake" -> mojibakeSql,
     "q_html_charset" -> htmlCharsetSql,
     "q_sitemap_parse" -> sitemapParseSql,
