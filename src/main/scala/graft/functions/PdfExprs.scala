@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.sources.{ImageCodec, PdfCodec, PdfCrypt}
+import graft.sources.{ImageCodec, PdfCodec, PdfCrypt, PdfText}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -65,6 +65,16 @@ object PdfExprs {
     if (pages == null) null
     else new org.apache.spark.sql.catalyst.util.GenericArrayData(
       pages.asInstanceOf[Array[Any]])
+  }
+
+  /** [[PdfText.extractAll]] boxed for codegen: per-page text array,
+    * null for unparseable bytes.
+    */
+  def pdfTextArray(bytes: Array[Byte]): ArrayData = {
+    val pages = PdfText.extractAll(bytes)
+    if (pages == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pages.map(org.apache.spark.unsafe.types.UTF8String.fromString(_): Any))
   }
 
   /** [[PdfCodec.scanPagesJpeg]] boxed for codegen (null for non-PDF
@@ -287,6 +297,50 @@ case class SynthPdfPredExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_pdf_pred"
 }
 
+/** PDF text extraction ([[graft.sources.PdfText]]): document bytes →
+  * array of per-page text strings in stream reading order. Null for
+  * unparseable bytes (same poison-guard layer as the raster exprs);
+  * decryption composes upstream in parse, so empty-user-password
+  * encrypted documents extract transparently.
+  */
+case class PdfTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    PdfExprs.pdfTextArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("pdfText")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.PdfExprs.pdfTextArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): PdfTextExpr = copy(child = c)
+  override def prettyName: String = "pdf_text"
+}
+
+/** Deterministic TEXT-document fixture
+  * ([[graft.sources.PdfText.composeTextFixture]]): (seed, nPages) →
+  * PDF bytes whose extracted per-page text is a closed-form function
+  * of the inputs — the oracle-gate entry for the text extractor.
+  */
+case class SynthPdfTextExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    PdfText.composeTextFixture(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.PdfText.composeTextFixture($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthPdfTextExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_pdf_text"
+}
+
 /** Deterministic ENCRYPTED PDF fixture
   * ([[graft.sources.PdfCrypt.composeEncryptedFixture]]): the predictor
   * fixture wrapped in standard-security-handler encryption — variant
@@ -338,4 +392,8 @@ object PdfOps {
   def synthPdfEnc(seed: Column, wPx: Column, hPx: Column, variant: Column): Column =
     GraftExpr.toColumn(SynthPdfEncExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx), GraftExpr.toExpr(variant)))
+  def pdfText(bin: Column): Column =
+    GraftExpr.toColumn(PdfTextExpr(GraftExpr.toExpr(bin)))
+  def synthPdfText(seed: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
 }

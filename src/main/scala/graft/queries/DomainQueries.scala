@@ -376,6 +376,42 @@ object DomainQueries {
       |       CAST(px.s AS BIGINT) AS px_sum
       |FROM documents d JOIN px USING (doc_id)""".stripMargin
 
+  /** PDF TEXT extraction under the hash gate — the pdf→text capability
+    * an LLM-corpus pipeline runs on every document shard. Each doc is
+    * a Helvetica/WinAnsi text fixture whose content streams exercise
+    * literal-string escapes, octal high bytes (é as \351), TJ kern
+    * spacing (space from a -250 gap, NOT from a -30 letter-kern), TD
+    * line motion and T*; the oracle rebuilds every page's exact text
+    * from doc_id. A slip anywhere — tokenizer, escape decode, WinAnsi
+    * mapping, kern threshold, line-break placement — flips a string.
+    */
+  val pdfText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfText(col("doc_id") * 41,
+        (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("txt", graft.functions.PdfOps.pdfText(col("pdf")))
+      .select(col("doc_id"),
+        size(col("txt")).cast("long").as("n_pages"),
+        element_at(col("txt"), 1).as("page1"),
+        element_at(col("txt"), size(col("txt"))).as("page_last"),
+        aggregate(transform(col("txt"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"))
+  val pdfTextSql: String =
+    """WITH t AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Doc ' || (d.doc_id * 41) || ' page ' || p.p ||
+      |           ' line one (escaped)' || chr(10) ||
+      |           'kerned words here' || chr(10) || 'café three' AS page_text
+      |  FROM documents d, generate_series(0, 2) p(p)
+      |  WHERE p.p <= d.doc_id % 3)
+      |SELECT doc_id,
+      |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+      |       min(CASE WHEN p = 0 THEN page_text END) AS page1,
+      |       min(CASE WHEN p = doc_id % 3 THEN page_text END) AS page_last,
+      |       CAST(sum(length(page_text)) AS BIGINT) AS n_chars
+      |FROM t GROUP BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- audio codec
   /** The WAV/PCM16 audio codec through the oracle gate: a real synth
     * → encode → parse → analyze round trip per document. The fixture
@@ -1479,6 +1515,7 @@ object DomainQueries {
     "q_pdf_roundtrip" -> pdfRoundtrip,
     "q_pdf_predictor" -> pdfPredictor,
     "q_pdf_encrypted" -> pdfEncrypted,
+    "q_pdf_text" -> pdfText,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1535,6 +1572,7 @@ object DomainQueries {
     "q_pdf_roundtrip" -> pdfRoundtripSql,
     "q_pdf_predictor" -> pdfPredictorSql,
     "q_pdf_encrypted" -> pdfEncryptedSql,
+    "q_pdf_text" -> pdfTextSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

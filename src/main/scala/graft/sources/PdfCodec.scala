@@ -103,7 +103,8 @@ object PdfCodec {
     */
   final case class PdfPage(mediaW: Double, mediaH: Double,
                            content: Array[Byte], images: Map[String, PdfImage],
-                           dict: PDict, objNum: Int)
+                           dict: PDict, objNum: Int,
+                           resources: Option[PVal] = None)
 
   final case class PdfDoc(objects: Map[Int, PObj], order: Vector[Int],
                           pages: Vector[PdfPage], catalogNum: Int, maxObjNum: Int) {
@@ -333,14 +334,14 @@ object PdfCodec {
   // tokenizer + value parser
   // ------------------------------------------------------------------
 
-  private def isWs(c: Int): Boolean =
+  private[sources] def isWs(c: Int): Boolean =
     c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
-  private def isDelim(c: Int): Boolean =
+  private[sources] def isDelim(c: Int): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
       c == '{' || c == '}' || c == '/' || c == '%'
 
   /** Mutable cursor over the byte buffer; all reads bounds-checked. */
-  private final class Lexer(val b: Array[Byte], var p: Int) {
+  private[sources] final class Lexer(val b: Array[Byte], var p: Int) {
     def eof: Boolean = p >= b.length
     def cur: Int = if (eof) -1 else b(p) & 0xff
     def skipWs(): Unit = {
@@ -377,7 +378,7 @@ object PdfCodec {
     */
   private val MaxParseDepth = 96
 
-  private def parseVal(lx: Lexer, depth: Int = 0): PVal = {
+  private[sources] def parseVal(lx: Lexer, depth: Int = 0): PVal = {
     if (depth > MaxParseDepth)
       throw new IllegalArgumentException(s"PDF parse: nesting deeper than $MaxParseDepth")
     lx.skipWs()
@@ -720,7 +721,7 @@ object PdfCodec {
     e
   }
 
-  private def resolve(doc: PdfDoc, v: PVal): PVal = v match {
+  private[sources] def resolve(doc: PdfDoc, v: PVal): PVal = v match {
     case PRef(n, _) => doc.objects.get(n).map(o => resolve(doc, o.value)).getOrElse(PNull)
     case other => other
   }
@@ -956,7 +957,7 @@ object PdfCodec {
         }
         case _ => Map.empty[String, PdfImage]
       }
-      PdfPage(w, h, contents, images, d, num)
+      PdfPage(w, h, contents, images, d, num, resources)
     }
     def walk(ref: PVal, inhBox: Option[(Double, Double)], inhRes: Option[PVal],
              seen: Set[Int]): Vector[PdfPage] = ref match {

@@ -51,6 +51,7 @@ class PdfFuzzSpec extends SparkSpec {
         PdfOps.pdfInfo(col("b")).as("info2"), // idempotent re-parse
         PdfOps.pdfCheck(col("b")).as("chk"),
         PdfOps.pdfRasterize(col("b"), lit(0), lit(24)).as("png"),
+        PdfOps.pdfText(col("b")).as("txt"),
         PdfOps.pdfScanPages(col("b"), lit(24), lit("medium"), lit(60)).as("scans"))
       .collect() // (a) nothing throws across the whole corpus
     var ok = 0
@@ -101,7 +102,8 @@ class PdfFuzzSpec extends SparkSpec {
       .select(col("i"),
         PdfOps.pdfInfo(col("b")).as("info"),
         PdfOps.pdfCheck(col("b")).as("chk"),
-        PdfOps.pdfRasterize(col("b"), lit(0), lit(24)).as("png"))
+        PdfOps.pdfRasterize(col("b"), lit(0), lit(24)).as("png"),
+        PdfOps.pdfText(col("b")).as("txt"))
       .collect() // nothing throws across the whole corpus
     var ok = 0
     rows.foreach { r =>
@@ -128,8 +130,8 @@ class PdfFuzzSpec extends SparkSpec {
   test("null payload null-propagates through every expression") {
     val r = Seq((1L, null: Array[Byte])).toDF("i", "b")
       .select(PdfOps.pdfInfo(col("b")), PdfOps.pdfCheck(col("b")),
-        PdfOps.pdfRasterize(col("b"), lit(0), lit(24)))
+        PdfOps.pdfRasterize(col("b"), lit(0), lit(24)), PdfOps.pdfText(col("b")))
       .head
-    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
   }
 }

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF text extraction: operator subset, string escapes, encodings
+  * (WinAnsi/MacRoman/Standard/Differences), ToUnicode CMaps (simple +
+  * Type0 Identity-H), kern-space thresholds, line-break placement, and
+  * the decrypt-then-extract composition. Pure codec — no SparkSession.
+  */
+class PdfTextSpec extends AnyFunSuite {
+  import PdfCodec._
+
+  /** One-page document with an arbitrary content stream and font
+    * dictionary bodies (`/F1`, `/F2`, …) — extra objects (ToUnicode
+    * streams, descendants) appended verbatim from `extraObjs` starting
+    * at object 10.
+    */
+  private def doc1(content: String, fonts: Map[String, String],
+                   extraObjs: Seq[String] = Nil): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n%âãÏÓ\n")
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val fontRefs = fonts.keys.zipWithIndex.map { case (name, i) => name -> (20 + i) }.toMap
+    val fontDict = fontRefs.map { case (n, num) => s"/$n $num 0 R" }.mkString(" ")
+    w(s"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 " +
+      s"/Resources << /Font << $fontDict >> >> >>\nendobj\n")
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    val c = content.getBytes(StandardCharsets.ISO_8859_1)
+    w(s"4 0 obj\n<< /Length ${c.length} >>\nstream\n"); out.write(c); w("\nendstream\nendobj\n")
+    fonts.foreach { case (n, body) => w(s"${fontRefs(n)} 0 obj\n$body\nendobj\n") }
+    extraObjs.zipWithIndex.foreach { case (body, i) => w(s"${10 + i} 0 obj\n$body\nendobj\n") }
+    w("trailer\n<< /Size 30 /Root 1 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+  private val Helv = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+  private def extract(pdf: Array[Byte]): String = {
+    val d = parse(pdf)
+    PdfText.extractPageText(d, d.pages.head)
+  }
+
+  test("fixture round trip: every page's text matches the closed form, all page counts") {
+    for (n <- 1 to 3) {
+      val pdf = PdfText.composeTextFixture(1234L + n, n)
+      val texts = PdfText.extractAll(pdf)
+      assert(texts.length === n)
+      (0 until n).foreach { p =>
+        assert(texts(p) === PdfText.expectedFixtureText(1234L + n, p), s"page $p of $n")
+      }
+    }
+  }
+
+  test("literal-string escapes, octal bytes, hex strings, WinAnsi high range") {
+    val content = "BT /F1 10 Tf 72 700 Td " +
+      "(esc \\( \\) \\\\ tab\\there) Tj " +
+      "(oct \\351\\200) Tj " + // é (WinAnsi E9) + € (WinAnsi 80)
+      "<48692E> Tj ET"
+    assert(extract(doc1(content, Map("F1" -> Helv))) ===
+      "esc ( ) \\ tab\there" + "oct é€" + "Hi.")
+  }
+
+  test("TJ kern: gap beyond the threshold is a space, letter-kern is not") {
+    // negative values are GAPS (space beyond the threshold); positive
+    // values tighten and never produce a space
+    val content = "BT /F1 10 Tf 72 700 Td [(A) -250 (B) -30 (C) -181 (D) 300 (E)] TJ ET"
+    assert(extract(doc1(content, Map("F1" -> Helv))) === "A BC DE")
+  }
+
+  test("line breaks: TD/T* vs pure-x Td; Tm baseline moves; ' operator") {
+    val content = "BT /F1 10 Tf 72 700 Td (one) Tj 200 0 Td (same) Tj " +
+      "0 -12 TD (two) Tj T* (three) Tj (four) ' ET " +
+      "BT /F1 10 Tf 1 0 0 1 72 600 Tm (five) Tj 1 0 0 1 300 600 Tm (five-b) Tj " +
+      "1 0 0 1 72 580 Tm (six) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> Helv))) ===
+      "onesame\ntwo\nthree\nfour\nfive" + "five-b\nsix")
+  }
+
+  test("Differences overlay on a base encoding; uniXXXX glyph names resolve") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      "/Encoding << /BaseEncoding /WinAnsiEncoding " +
+      "/Differences [65 /eacute /Euro 200 /uni0416] >> >>"
+    // 65→é, 66→€, 200→Ж; 67 stays WinAnsi 'C'
+    val content = "BT /F1 10 Tf 72 700 Td (ABC\\310) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font))) === "é€CЖ")
+  }
+
+  test("MacRomanEncoding decodes its high range") {
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /X /Encoding /MacRomanEncoding >>"
+    // MacRoman 0x8E = é, 0xA5 = •
+    val content = "BT /F1 10 Tf 72 700 Td (caf\\216 \\245) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font))) === "café •")
+  }
+
+  test("StandardEncoding default: curly quotes and the documented high range") {
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman >>"
+    // 39→’ 96→‘ 0xA6→ƒ 0xD0→—
+    val content = "BT /F1 10 Tf 72 700 Td (it's `q` \\246 \\320) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font))) ===
+      "it’s ‘q‘ ƒ —")
+  }
+
+  test("ToUnicode bfchar + bfrange (increment and array forms) override the table") {
+    val cmap = "/CIDInit begin 1 begincodespacerange <00> <FF> endcodespacerange\n" +
+      "2 beginbfchar <41> <0416> <42> <00670067> endbfchar\n" +
+      "1 beginbfrange <61> <63> <0430> endbfrange\n" +
+      "1 beginbfrange <70> <71> [<042F> <044F>] endbfrange\nend"
+    val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    val font = "<< /Type /Font /Subtype /Type1 /BaseFont /X " +
+      "/Encoding /WinAnsiEncoding /ToUnicode 10 0 R >>"
+    // A→Ж, B→gg (multi-char), abc→абв (range increment), pq→Яя (array), D untouched
+    val content = "BT /F1 10 Tf 72 700 Td (ABabcpqD) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(stream))) ===
+      "ЖggабвЯяD")
+  }
+
+  test("Type0 Identity-H: 2-byte codes via ToUnicode; unmapped → U+FFFD") {
+    val cmap = "2 beginbfchar <0041> <0048> <0042> <0049> endbfchar\n" +
+      "1 beginbfrange <0100> <0102> <0061> endbfrange"
+    val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H " +
+      "/DescendantFonts [11 0 R] /ToUnicode 10 0 R >>"
+    val desc = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X >>"
+    // codes 0041 0042 0100 0101 0102 00FF(unmapped)
+    val content = "BT /F1 10 Tf 72 700 Td <00410042 01000101 0102 00FF> Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(stream, desc))) ===
+      "HIabc�")
+  }
+
+  test("decrypt-then-extract: encrypted text documents extract identically") {
+    val plain = PdfText.composeTextFixture(777L, 2)
+    val want = PdfText.extractAll(plain).toSeq
+    for (variant <- 0 to 3) {
+      val enc = PdfCrypt.encryptPdf(plain, variant, 777L)
+      // the text must not be readable from the raw encrypted bytes
+      assert(!new String(enc, "ISO-8859-1").contains("page 0 line one"))
+      assert(PdfText.extractAll(enc).toSeq === want,
+        s"variant ${PdfCrypt.VariantNames(variant)}")
+    }
+  }
+
+  test("guards: non-PDF null; pageless/fontless documents degrade, never throw") {
+    assert(PdfText.extractAll(Array[Byte](1, 2, 3)) === null)
+    assert(PdfText.extractAll("%PDF-1.4 garbage".getBytes) === null)
+    // no Tf at all → StandardEncoding default path
+    val content = "BT 72 700 Td (plain) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> Helv))) === "plain")
+    // unknown font name in Tf → default font, text still extracted
+    val content2 = "BT /Nope 10 Tf 72 700 Td (still here) Tj ET"
+    assert(extract(doc1(content2, Map("F1" -> Helv))) === "still here")
+  }
+}
