@@ -297,6 +297,28 @@ case class SynthPdfPredExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_pdf_pred"
 }
 
+/** Deterministic LZW / RunLength / sub-8-bit-gray fixture
+  * ([[PdfCodec.composeFiltersFixture]]): (seed, wPx, hPx) → PDF bytes
+  * whose rasterized pixel sum is closed-form — the oracle-gate entry
+  * for the remaining real-world stream filters.
+  */
+case class SynthPdfFiltersExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    PdfCodec.composeFiltersFixture(seed.asInstanceOf[Long],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h) =>
+      s"${ev.value} = graft.sources.PdfCodec.composeFiltersFixture($seed, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthPdfFiltersExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_pdf_filters"
+}
+
 /** PDF text extraction ([[graft.sources.PdfText]]): document bytes →
   * array of per-page text strings in stream reading order. Null for
   * unparseable bytes (same poison-guard layer as the raster exprs);
@@ -394,6 +416,9 @@ object PdfOps {
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx), GraftExpr.toExpr(variant)))
   def pdfText(bin: Column): Column =
     GraftExpr.toColumn(PdfTextExpr(GraftExpr.toExpr(bin)))
+  def synthPdfFilters(seed: Column, wPx: Column, hPx: Column): Column =
+    GraftExpr.toColumn(SynthPdfFiltersExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
   def synthPdfText(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
 }

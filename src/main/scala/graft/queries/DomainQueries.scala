@@ -376,6 +376,41 @@ object DomainQueries {
       |       CAST(px.s AS BIGINT) AS px_sum
       |FROM documents d JOIN px USING (doc_id)""".stripMargin
 
+  /** The LZW / RunLength / sub-8-bit read paths under the hash gate:
+    * each document carries a 4-bit-gray LZW image behind a sub-byte
+    * PNG predictor AND a 1-bit-gray RunLength image (the fax-scan
+    * shape), and the oracle recomputes the EXACT combined pixel sum in
+    * closed form — a wrong LZW code width, a mis-timed early-change, a
+    * RunLength length slip, a bit-unpack error or a predictor-stride
+    * bug flips the sum on that row.
+    */
+  val pdfFilters: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfFilters(col("doc_id") * 43,
+        (col("doc_id") % 8 + 12).cast("int"), (col("doc_id") % 5 + 10).cast("int")))
+      .withColumn("info", graft.functions.PdfOps.pdfInfo(col("pdf")))
+      .select(col("doc_id"),
+        col("info.n_pages").as("n_pages"),
+        col("info.w_pt_x100").as("w_pt_x100"),
+        col("info.n_images").as("n_images"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.PdfOps.pdfRasterize(col("pdf"), lit(0), lit(72))).as("px_sum"))
+  val pdfFiltersSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         sum(51 * ((x*3 + y*5 + doc_id*43) % 16)
+      |             + 765 * ((x + y + doc_id*43) % 2)) AS s
+      |  FROM documents, range(0, 20) tx(x), range(0, 15) ty(y)
+      |  WHERE x < doc_id % 8 + 12 AND y < doc_id % 5 + 10
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(1 AS BIGINT) AS n_pages,
+      |       CAST((d.doc_id % 8 + 12) * 200 AS BIGINT) AS w_pt_x100,
+      |       CAST(2 AS BIGINT) AS n_images,
+      |       CAST(px.s AS BIGINT) AS px_sum
+      |FROM documents d JOIN px USING (doc_id)""".stripMargin
+
   /** PDF TEXT extraction under the hash gate — the pdf→text capability
     * an LLM-corpus pipeline runs on every document shard. Each doc is
     * a Helvetica/WinAnsi text fixture whose content streams exercise
@@ -1516,6 +1551,7 @@ object DomainQueries {
     "q_pdf_predictor" -> pdfPredictor,
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_pdf_text" -> pdfText,
+    "q_pdf_filters" -> pdfFilters,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1573,6 +1609,7 @@ object DomainQueries {
     "q_pdf_predictor" -> pdfPredictorSql,
     "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_pdf_text" -> pdfTextSql,
+    "q_pdf_filters" -> pdfFiltersSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

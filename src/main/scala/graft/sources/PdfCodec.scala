@@ -41,11 +41,15 @@ import scala.collection.mutable
   * so the dominant real-world 1.5+ layout (compressed xref + object
   * streams) reads end to end.
   *
-  * Flate streams honor /DecodeParms predictors (TIFF 2, PNG 10-15 —
-  * Sub/Up/Average/Paeth), the layout nearly every real-world writer
-  * emits for lossless image XObjects and xref streams; DCTDecode
-  * image XObjects decode through [[ImageCodec]]'s JPEG decoder;
-  * ASCIIHexDecode / ASCII85Decode chain ahead of either.
+  * Flate and LZW streams honor /DecodeParms predictors (TIFF 2, PNG
+  * 10-15 — Sub/Up/Average/Paeth, including the byte-stride-1 sub-8-bit
+  * layout), the shapes real-world writers emit for lossless image
+  * XObjects and xref streams; LZWDecode implements the §7.4.4.2
+  * variable-width early-change scheme, RunLengthDecode §7.4.5;
+  * DCTDecode image XObjects decode through [[ImageCodec]]'s JPEG
+  * decoder; ASCIIHexDecode / ASCII85Decode chain ahead of any.
+  * DeviceGray images unpack at 1/2/4/8 bits per component (the
+  * fax-scan family); DeviceRGB at 8.
   *
   * Encrypted documents with an EMPTY user password — the dominant
   * real-world protected shape, which the reference reads transparently
@@ -57,9 +61,10 @@ import scala.collection.mutable
   * non-/Standard handler, or an unknown /V is a loud typed reject.
   *
   * OUT of subset (documented, loud where it matters): non-empty
-  * passwords, text rendering, non-axis-aligned image placement, CMYK
-  * images, ObjStm filters beyond FlateDecode, sub-8-bit image
-  * components. [[checkPdf]] reports the reason as typed metadata.
+  * passwords, glyph RENDERING (text extraction is [[PdfText]]),
+  * non-axis-aligned image placement, CMYK images, CCITT/JBIG2/JPX
+  * image codecs, ObjStm filters beyond FlateDecode. [[checkPdf]]
+  * reports the reason as typed metadata.
   *
   * Scale shape: every entry point is bytes→bytes/struct per row — no
   * Spark state, no shuffle; it rides inside whole-stage codegen via
@@ -96,7 +101,8 @@ object PdfCodec {
     * for FlateDecode raw samples, already inflated).
     */
   final case class PdfImage(name: String, widthPx: Int, heightPx: Int,
-                            filter: String, colorSpace: String, data: Array[Byte])
+                            filter: String, colorSpace: String, data: Array[Byte],
+                            bpc: Int = 8)
 
   /** A resolved page: media box in points, decoded content stream,
     * images keyed by resource name.
@@ -327,6 +333,101 @@ object PdfCodec {
     w("xref\n0 6\n0000000000 65535 f \n")
     (1 to 5).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
     w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Deterministic fixture for the LZW / RunLength / sub-8-bit read
+    * paths: one page, two half-page DeviceGray images —
+    *
+    *   - Im0 (left): 4-bit samples `(x*3 + y*5 + seed) mod 16`,
+    *     PNG-predictor-filtered per row (tag cycles all five filters,
+    *     byte-stride 1 — the sub-byte predictor layout), then
+    *     LZW-encoded (/EarlyChange default);
+    *   - Im1 (right): 1-bit samples `(x + y + seed) mod 2` (the
+    *     checkerboard a fax-style scan produces), RunLength-encoded.
+    *
+    * MediaBox is (2w × h) points so dpi-72 rasterization is 1:1, and
+    * the pixel sum is closed-form: Σ 51·v₀ + Σ 765·v₁ (gray scales
+    * v·255/15 and v·255 replicate over three channels).
+    */
+  def composeFiltersFixture(seed: Long, wPx: Int, hPx: Int): Array[Byte] = {
+    val w0 = math.max(1, wPx)
+    val h0 = math.max(1, hPx)
+    // Im0: pack 4-bit rows, then PNG-filter with byte stride 1
+    val row0 = (w0 * 4 + 7) / 8
+    val packed0 = new Array[Byte](h0 * row0)
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val v = (((x * 3 + y * 5 + seed) % 16 + 16) % 16).toInt
+      val bit = x * 4
+      packed0(y * row0 + (bit >> 3)) =
+        (packed0(y * row0 + (bit >> 3)) | (v << (4 - (bit & 7)))).toByte
+    }
+    val filtered0 = new Array[Byte](h0 * (row0 + 1))
+    for (y <- 0 until h0) {
+      val tag = y % 5
+      filtered0(y * (row0 + 1)) = tag.toByte
+      for (i <- 0 until row0) {
+        val cur = packed0(y * row0 + i) & 0xff
+        val left = if (i >= 1) packed0(y * row0 + i - 1) & 0xff else 0
+        val up = if (y > 0) packed0((y - 1) * row0 + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 1) packed0((y - 1) * row0 + i - 1) & 0xff else 0
+        val enc = tag match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) >> 1)
+          case _ =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+        }
+        filtered0(y * (row0 + 1) + 1 + i) = (enc & 0xff).toByte
+      }
+    }
+    val data0 = lzwEncode(filtered0)
+    // Im1: pack 1-bit rows, RunLength-encode
+    val row1 = (w0 + 7) / 8
+    val packed1 = new Array[Byte](h0 * row1)
+    for (y <- 0 until h0; x <- 0 until w0) {
+      val v = (((x + y + seed) % 2 + 2) % 2).toInt
+      if (v == 1) {
+        val bit = x
+        packed1(y * row1 + (bit >> 3)) =
+          (packed1(y * row1 + (bit >> 3)) | (1 << (7 - (bit & 7)))).toByte
+      }
+    }
+    val data1 = runLengthEncode(packed1)
+
+    val out = new ByteArrayOutputStream(data0.length + data1.length + 1024)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 ${2 * w0} $h0] " +
+      "/Resources << /XObject << /Im0 5 0 R /Im1 6 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    val content =
+      (s"q\n$w0 0 0 $h0 0 0 cm\n/Im0 Do\nQ\nq\n$w0 0 0 $h0 $w0 0 cm\n/Im1 Do\nQ\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    beginObj(4)
+    w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); w("\nendstream\nendobj\n")
+    beginObj(5)
+    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 4 /Filter /LZWDecode " +
+      s"/DecodeParms << /Predictor 15 /Colors 1 /BitsPerComponent 4 /Columns $w0 >> " +
+      s"/Length ${data0.length} >>\nstream\n")
+    out.write(data0); w("\nendstream\nendobj\n")
+    beginObj(6)
+    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /RunLengthDecode " +
+      s"/Length ${data1.length} >>\nstream\n")
+    out.write(data1); w("\nendstream\nendobj\n")
+    val xrefOff = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 7 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 
@@ -739,10 +840,14 @@ object PdfCodec {
   private[sources] def unpredict(data: Array[Byte], predictor: Int,
                                  colors: Int, bpc: Int, columns: Int): Array[Byte] = {
     if (predictor <= 1) return data
-    require(bpc == 8, s"predictor: unsupported /BitsPerComponent $bpc")
+    require(bpc == 8 || ((bpc == 1 || bpc == 2 || bpc == 4) && predictor >= 10),
+      s"predictor: unsupported /BitsPerComponent $bpc for predictor $predictor")
     require(colors >= 1 && columns >= 1, s"predictor: bad /Colors $colors or /Columns $columns")
-    val bpp = colors
-    val rowLen = colors * columns
+    // PNG filters operate on BYTES: the per-pixel stride is the byte
+    // ceiling (min 1), and rows are padded to whole bytes — the sub-
+    // 8-bit grayscale layout 1-bit scans use
+    val bpp = math.max(1, (colors * bpc + 7) / 8)
+    val rowLen = (colors * bpc * columns + 7) / 8
     if (predictor == 2) {
       val out = data.clone()
       var base = 0
@@ -788,9 +893,10 @@ object PdfCodec {
   }
 
   /** Predictor parameters of the DecodeParms entry aligned with filter
-    * `idx`: (predictor, colors, bpc, columns) with spec defaults.
+    * `idx`: (predictor, colors, bpc, columns, earlyChange) with spec
+    * defaults (earlyChange applies to LZW only; ignored elsewhere).
     */
-  private def predictorParms(doc: PdfDoc, d: PDict, idx: Int): (Int, Int, Int, Int) = {
+  private def predictorParms(doc: PdfDoc, d: PDict, idx: Int): (Int, Int, Int, Int, Int) = {
     val parmsVal = d.get("DecodeParms").orElse(d.get("DP")).map(v => resolve(doc, v))
     val entry: Option[PDict] = parmsVal match {
       case Some(pd: PDict) if idx == 0 => Some(pd)
@@ -803,7 +909,8 @@ object PdfCodec {
       case Some(PNum(n)) => n.toInt
       case _ => dflt
     }
-    (num("Predictor", 1), num("Colors", 1), num("BitsPerComponent", 8), num("Columns", 1))
+    (num("Predictor", 1), num("Colors", 1), num("BitsPerComponent", 8), num("Columns", 1),
+      num("EarlyChange", 1))
   }
 
   /** ASCIIHexDecode (ISO 32000 §7.4.2): hex pairs, whitespace ignored,
@@ -866,9 +973,145 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** LZWDecode (ISO 32000 §7.4.4.2): MSB-first variable-width codes
+    * (9→12 bits), 256 = clear table, 257 = EOD, /EarlyChange 1 (the
+    * default — code width grows one entry early). Handles the KwKwK
+    * just-assigned-code case; a code beyond the table throws the
+    * codec's typed message. Truncated input (missing EOD) decodes as
+    * far as the bits allow — the lenient posture real-world readers
+    * take.
+    */
+  private[sources] def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3 + 16)
+    val entries = new Array[Array[Byte]](4096)
+    var tableSize = 258
+    var width = 9
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var prev: Array[Byte] = null
+    def entry(code: Int): Array[Byte] =
+      if (code < 256) Array(code.toByte) else entries(code)
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) done = true // truncated: emit what we have
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { tableSize = 258; width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val cur: Array[Byte] =
+            if (code < 256 || (code >= 258 && code < tableSize && entries(code) != null)) entry(code)
+            else if (prev != null && code == tableSize) prev :+ prev(0) // KwKwK
+            else throw new IllegalArgumentException(s"LZWDecode: bad code $code (table $tableSize)")
+          out.write(cur)
+          if (prev != null && tableSize < 4096) { entries(tableSize) = prev :+ cur(0); tableSize += 1 }
+          prev = cur
+          if (tableSize + earlyChange >= (1 << width) && width < 12) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZW encoder — fixture/spec support, timing-matched to
+    * [[lzwDecode]] (same early-change width schedule, clear at 4096).
+    */
+  private[sources] def lzwEncode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    emit(256)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          dict.put(key, Integer.valueOf(next)); next += 1
+          if (next + earlyChange - 1 >= (1 << width) && width < 12) width += 1
+          if (next == 4096) {
+            emit(256); dict.clear(); next = 258; width = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode (ISO 32000 §7.4.5): length byte L — 0..127 copy
+    * the next L+1 bytes, 129..255 repeat the next byte 257−L times,
+    * 128 = EOD. Truncated input degrades (partial copy), never throws.
+    */
+  private[sources] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2 + 16)
+    var i = 0
+    var done = false
+    while (!done && i < data.length) {
+      val l = data(i) & 0xff; i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val n = math.min(l + 1, data.length - i)
+        out.write(data, i, n); i += n
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** RunLength encoder — fixture/spec support (runs ≥ 3 compress,
+    * literals batch up to 128).
+    */
+  private[sources] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 64 + 16)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 3) {
+        out.write(257 - run); out.write(data(i)); i += run
+      } else {
+        var lit = 0
+        val start = i
+        while (i + lit < data.length && lit < 128 &&
+               !(i + lit + 2 < data.length && data(i + lit) == data(i + lit + 1) &&
+                 data(i + lit) == data(i + lit + 2))) lit += 1
+        if (lit == 0) lit = 1
+        out.write(lit - 1); out.write(data, start, lit); i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
   /** Decode an object's stream through its /Filter chain, honoring
-    * per-filter /DecodeParms predictors on Flate data. DCTDecode is
-    * terminal (the payload IS the JPEG); unknown filters throw.
+    * per-filter /DecodeParms predictors on Flate and LZW data.
+    * DCTDecode is terminal (the payload IS the JPEG); unknown filters
+    * throw.
     */
   def decodedStream(doc: PdfDoc, obj: PObj): Array[Byte] = {
     val raw = obj.rawStream.getOrElse(Array.emptyByteArray)
@@ -885,8 +1128,14 @@ object PdfCodec {
     }
     filters.zipWithIndex.foldLeft(raw) {
       case (data, ("FlateDecode", i)) =>
-        val (pred, colors, bpc, columns) = dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1))
+        val (pred, colors, bpc, columns, _) =
+          dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1, 1))
         unpredict(inflate(data), pred, colors, bpc, columns)
+      case (data, ("LZWDecode", i)) =>
+        val (pred, colors, bpc, columns, early) =
+          dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1, 1))
+        unpredict(lzwDecode(data, early), pred, colors, bpc, columns)
+      case (data, ("RunLengthDecode", _)) => runLengthDecode(data)
       case (data, ("ASCIIHexDecode", _)) => asciiHexDecode(data)
       case (data, ("ASCII85Decode", _)) => ascii85Decode(data)
       case (data, ("DCTDecode", _)) => data
@@ -948,7 +1197,10 @@ object PdfCodec {
                     val cs = resolve(doc, od.get("ColorSpace").getOrElse(PNull)) match {
                       case PName(c) => c; case _ => ""
                     }
-                    Some(name -> PdfImage(name, wpx, hpx, filt, cs, decodedStream(doc, o)))
+                    val bpc = resolve(doc, od.get("BitsPerComponent").getOrElse(PNum(8))) match {
+                      case PNum(n) => n.toInt; case _ => 8
+                    }
+                    Some(name -> PdfImage(name, wpx, hpx, filt, cs, decodedStream(doc, o), bpc))
                   case _ => None
                 }
               }
@@ -1007,10 +1259,10 @@ object PdfCodec {
     */
   def decodeImage(img: PdfImage): ImageCodec.Px = img.filter match {
     case "DCTDecode" => ImageCodec.decode(img.data)
-    case "" | "FlateDecode" =>
+    case "" | "FlateDecode" | "LZWDecode" | "RunLengthDecode" =>
       val n = img.widthPx * img.heightPx
       img.colorSpace match {
-        case "DeviceRGB" if img.data.length >= n * 3 =>
+        case "DeviceRGB" if img.bpc == 8 && img.data.length >= n * 3 =>
           val rgb = new Array[Int](n)
           var i = 0
           while (i < n) {
@@ -1019,11 +1271,36 @@ object PdfCodec {
             i += 1
           }
           ImageCodec.Px(img.widthPx, img.heightPx, rgb)
-        case "DeviceGray" if img.data.length >= n =>
+        case "DeviceGray" if img.bpc == 8 && img.data.length >= n =>
           val rgb = new Array[Int](n)
           var i = 0
           while (i < n) { val g = img.data(i) & 0xff; rgb(i) = (g << 16) | (g << 8) | g; i += 1 }
           ImageCodec.Px(img.widthPx, img.heightPx, rgb)
+        case "DeviceGray" if img.bpc == 1 || img.bpc == 2 || img.bpc == 4 =>
+          // sub-8-bit gray (1-bit scans, 4-bit shades): MSB-first bit
+          // packing, rows padded to whole bytes (ISO 32000 §8.9.3);
+          // samples scale to full range (v * 255 / (2^bpc − 1))
+          val rowBytes = (img.widthPx * img.bpc + 7) / 8
+          if (img.data.length < rowBytes * img.heightPx) null
+          else {
+            val maxV = (1 << img.bpc) - 1
+            val rgb = new Array[Int](n)
+            var y = 0
+            while (y < img.heightPx) {
+              var x = 0
+              while (x < img.widthPx) {
+                val bitPos = x * img.bpc
+                val b = img.data(y * rowBytes + (bitPos >> 3)) & 0xff
+                val shift = 8 - img.bpc - (bitPos & 7)
+                val v = (b >> shift) & maxV
+                val g = v * 255 / maxV
+                rgb(y * img.widthPx + x) = (g << 16) | (g << 8) | g
+                x += 1
+              }
+              y += 1
+            }
+            ImageCodec.Px(img.widthPx, img.heightPx, rgb)
+          }
         case _ => null
       }
     case _ => null

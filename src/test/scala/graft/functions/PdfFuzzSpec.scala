@@ -19,8 +19,13 @@ class PdfFuzzSpec extends SparkSpec {
 
   private def mutatedCorpus(n: Int): Seq[Array[Byte]] = {
     val rnd = new scala.util.Random(42)
-    val base = PdfExprs.synthPdf(7L, 2, 120, 160)
+    // alternate the DCT-page base with the LZW/RunLength/sub-byte and
+    // text-document fixtures so bit flips land in every decoder
+    val bases = Seq(PdfExprs.synthPdf(7L, 2, 120, 160),
+      PdfCodec.composeFiltersFixture(7L, 13, 10),
+      graft.sources.PdfText.composeTextFixture(7L, 2))
     (0 until n).map { i =>
+      val base = bases(i % bases.length)
       i % 6 match {
         case 0 => base // intact
         case 1 => base.take(1 + rnd.nextInt(base.length - 1)) // truncation

@@ -383,6 +383,77 @@ class PdfCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](unpredict(row, 15, 3, 4, 4))
   }
 
+  test("LZWDecode: PDF-spec example vector, encoder round trips, truncation degrades") {
+    // the ISO 32000 §7.4.4.2 example input, with its LZW code sequence
+    // hand-derived (256 clear, 45, 258, 258, 65, 261, 66, 263, 257 EOD)
+    // and bit-packed INDEPENDENTLY of the codec's own encoder — the
+    // decoder is validated against a stream it didn't produce
+    def pack9(codes: Seq[Int]): Array[Byte] = {
+      val bits = codes.flatMap(c => (8 to 0 by -1).map(i => (c >> i) & 1))
+      bits.padTo((bits.length + 7) / 8 * 8, 0).grouped(8)
+        .map(g => g.foldLeft(0)((a, b) => (a << 1) | b).toByte).toArray
+    }
+    val specInput = Array[Byte](0x45, 0x45, 0x45, 0x45, 0x45, 0x65, 0x65, 0x65, 0x66, 0x66, 0x66)
+    val specCodes = Seq(256, 0x45, 258, 258, 0x65, 261, 0x66, 263, 257)
+    assert(PdfCodec.lzwDecode(pack9(specCodes)).toSeq === specInput.toSeq)
+    // and the codec's encoder produces a stream carrying the same codes
+    assert(PdfCodec.lzwEncode(specInput).toSeq === pack9(specCodes).toSeq)
+    // encoder/decoder alignment across width growth + table clear:
+    // enough distinct pairs to push past 9→10→11-bit codes
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 5, 300, 5000, 60000)) {
+      val data = Array.fill(n)(rnd.nextInt(7).toByte) // low-entropy → deep table
+      assert(PdfCodec.lzwDecode(PdfCodec.lzwEncode(data)).toSeq === data.toSeq, s"n=$n")
+    }
+    val hi = Array.fill(9000)(rnd.nextInt(256).toByte) // high-entropy → fast width growth
+    assert(PdfCodec.lzwDecode(PdfCodec.lzwEncode(hi)).toSeq === hi.toSeq)
+    // truncation: decodes the intact prefix, never throws
+    val enc = PdfCodec.lzwEncode("repetition repetition repetition".getBytes)
+    val partial = PdfCodec.lzwDecode(enc.take(enc.length / 2))
+    assert(partial.nonEmpty && partial.length < 32)
+    // a code beyond the table is the loud typed reject
+    val e = intercept[IllegalArgumentException](
+      PdfCodec.lzwDecode(Array(0x7F.toByte, 0xFF.toByte, 0xFF.toByte)))
+    assert(e.getMessage.contains("LZW"))
+  }
+
+  test("RunLengthDecode: known vector, encoder round trips, EOD honored") {
+    val enc = Array[Byte](2, 1, 2, 3, (257 - 5).toByte, 9, 0, 7, 0x80.toByte, 99)
+    // literal(3)=1,2,3 ; run 5×9 ; literal(1)=7 ; EOD (99 ignored)
+    assert(PdfCodec.runLengthDecode(enc).toSeq ===
+      Seq[Byte](1, 2, 3, 9, 9, 9, 9, 9, 7))
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 130, 4096)) {
+      val runs = Array.fill(n)(if (rnd.nextBoolean()) 0.toByte else rnd.nextInt(256).toByte)
+      assert(PdfCodec.runLengthDecode(PdfCodec.runLengthEncode(runs)).toSeq === runs.toSeq, s"n=$n")
+    }
+  }
+
+  test("sub-8-bit gray: 1/2/4-bit unpack scales to full range; filters fixture pixel-exact") {
+    // 4-bit: two pixels per byte, MSB first; 0xF0 → 255,0
+    val img4 = PdfImage("I", 2, 1, "", "DeviceGray", Array(0xF0.toByte), bpc = 4)
+    assert(decodeImage(img4).rgb.toSeq === Seq(0xFFFFFF, 0x000000))
+    // 1-bit: 0b10100000 over 3 px → 255,0,255
+    val img1 = PdfImage("I", 3, 1, "", "DeviceGray", Array(0xA0.toByte), bpc = 1)
+    assert(decodeImage(img1).rgb.toSeq === Seq(0xFFFFFF, 0x000000, 0xFFFFFF))
+    // 2-bit: 0b11_01_00_10 → 255, 85, 0, 170
+    val img2 = PdfImage("I", 4, 1, "", "DeviceGray", Array(0xD2.toByte), bpc = 2)
+    assert(decodeImage(img2).rgb.toSeq === Seq(0xFFFFFF, 0x555555, 0x000000, 0xAAAAAA))
+    // the whole fixture chain: LZW + sub-byte predictor + RunLength,
+    // rasterized sum equals the closed form the oracle uses
+    val (wpx, hpx, seed) = (13, 11, 91L)
+    val pdf = PdfCodec.composeFiltersFixture(seed, wpx, hpx)
+    assert(pdf.toSeq === PdfCodec.composeFiltersFixture(seed, wpx, hpx).toSeq) // deterministic
+    val doc = parse(pdf)
+    val px = rasterizePage(doc.pages.head, 72)
+    val got = px.rgb.map(v => ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)).map(_.toLong).sum
+    var want = 0L
+    for (y <- 0 until hpx; x <- 0 until wpx) {
+      want += 51L * ((x * 3 + y * 5 + seed) % 16) + 765L * ((x + y + seed) % 2)
+    }
+    assert(got === want)
+  }
+
   test("ASCIIHex and ASCII85 filters: known vectors, chained with Flate, loud rejects") {
     // ASCIIHex: whitespace ignored, '>' EOD, odd trailing digit pads 0
     assert(asciiHexDecode("48 65 6C\n6C 6F>".getBytes).toSeq === "Hello".getBytes.toSeq)
