@@ -68,6 +68,7 @@ object GraftFunctions {
     "synth_pdf_enc" -> (a => PdfOps.synthPdfEnc(a.head, a(1), a(2), a(3))),
     "pdf_text" -> (a => PdfOps.pdfText(a.head)),
     "synth_pdf_filters" -> (a => PdfOps.synthPdfFilters(a.head, a(1), a(2))),
+    "synth_pdf_ccitt" -> (a => PdfOps.synthPdfCcitt(a.head, a(1), a(2))),
     "synth_pdf_text" -> (a => PdfOps.synthPdfText(a.head, a(1))),
     "wav_info" -> (a => AudioOps.wavInfo(a.head)),
     "robots_allowed" -> (a => RobotsOps.robotsAllowed(a.head, a(1), a(2))),

@@ -319,6 +319,27 @@ case class SynthPdfFiltersExpr(first: Expression, second: Expression, third: Exp
   override def prettyName: String = "synth_pdf_filters"
 }
 
+/** Deterministic CCITT G4 fixture ([[PdfCodec.composeCcittFixture]]):
+  * (seed, wPx, hPx) → PDF bytes with a shifting-stripe 1-bit fax image
+  * whose rasterized pixel sum is closed-form.
+  */
+case class SynthPdfCcittExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    PdfCodec.composeCcittFixture(seed.asInstanceOf[Long],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h) =>
+      s"${ev.value} = graft.sources.PdfCodec.composeCcittFixture($seed, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthPdfCcittExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_pdf_ccitt"
+}
+
 /** PDF text extraction ([[graft.sources.PdfText]]): document bytes →
   * array of per-page text strings in stream reading order. Null for
   * unparseable bytes (same poison-guard layer as the raster exprs);
@@ -418,6 +439,9 @@ object PdfOps {
     GraftExpr.toColumn(PdfTextExpr(GraftExpr.toExpr(bin)))
   def synthPdfFilters(seed: Column, wPx: Column, hPx: Column): Column =
     GraftExpr.toColumn(SynthPdfFiltersExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
+  def synthPdfCcitt(seed: Column, wPx: Column, hPx: Column): Column =
+    GraftExpr.toColumn(SynthPdfCcittExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
   def synthPdfText(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))

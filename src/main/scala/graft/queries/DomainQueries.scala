@@ -411,6 +411,40 @@ object DomainQueries {
       |       CAST(px.s AS BIGINT) AS px_sum
       |FROM documents d JOIN px USING (doc_id)""".stripMargin
 
+  /** The CCITT G4 (fax/MMR) read path under the hash gate — the image
+    * codec scanned-document corpora actually carry. Each document is a
+    * shifting-stripe 1-bit G4 image (stripe width seed-derived, every
+    * 11th row all-white so the ≥64 makeup codes fire), and the oracle
+    * recomputes the EXACT rasterized pixel sum: a wrong T.4 table
+    * entry, a mis-chosen coding mode, or a reference-line slip flips
+    * the sum on that row.
+    */
+  val pdfCcitt: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfCcitt(col("doc_id") * 47,
+        (col("doc_id") % 32 + 64).cast("int"), (col("doc_id") % 6 + 10).cast("int")))
+      .withColumn("info", graft.functions.PdfOps.pdfInfo(col("pdf")))
+      .select(col("doc_id"),
+        col("info.n_pages").as("n_pages"),
+        col("info.w_pt_x100").as("w_pt_x100"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.PdfOps.pdfRasterize(col("pdf"), lit(0), lit(72))).as("px_sum"))
+  val pdfCcittSql: String =
+    """WITH px AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN y % 11 = 0
+      |                    OR (x // ((doc_id * 47) % 7 + 3) + y) % 2 = 1
+      |                  THEN 765 ELSE 0 END) AS s
+      |  FROM documents, range(0, 96) tx(x), range(0, 16) ty(y)
+      |  WHERE x < doc_id % 32 + 64 AND y < doc_id % 6 + 10
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CAST(1 AS BIGINT) AS n_pages,
+      |       CAST((d.doc_id % 32 + 64) * 100 AS BIGINT) AS w_pt_x100,
+      |       CAST(px.s AS BIGINT) AS px_sum
+      |FROM documents d JOIN px USING (doc_id)""".stripMargin
+
   /** PDF TEXT extraction under the hash gate — the pdf→text capability
     * an LLM-corpus pipeline runs on every document shard. Each doc is
     * a Helvetica/WinAnsi text fixture whose content streams exercise
@@ -1552,6 +1586,7 @@ object DomainQueries {
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_pdf_text" -> pdfText,
     "q_pdf_filters" -> pdfFilters,
+    "q_pdf_ccitt" -> pdfCcitt,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1610,6 +1645,7 @@ object DomainQueries {
     "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_pdf_text" -> pdfTextSql,
     "q_pdf_filters" -> pdfFiltersSql,
+    "q_pdf_ccitt" -> pdfCcittSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

@@ -431,6 +431,55 @@ object PdfCodec {
     out.toByteArray
   }
 
+  /** Deterministic fixture for the CCITT G4 read path: one page, one
+    * full-page 1-bit image of vertical stripes that shift by one
+    * stripe each row — `v(x, y) = ((x / rw + y) mod 2)` with stripe
+    * width `rw = seed mod 7 + 3` (white = 1), with every 11th row
+    * forced all-white — a pattern that exercises vertical-mode coding,
+    * horizontal runs at the stripe width, row-over-row reference
+    * coding, AND the ≥64 makeup codes (the all-white rows emit a
+    * full-width white run against a striped reference). MediaBox is
+    * (w × h) points, so the dpi-72 pixel sum is closed-form:
+    * `765 · |{(x,y) : y mod 11 = 0 ∨ (x/rw + y) mod 2 = 1}|`.
+    */
+  def composeCcittFixture(seed: Long, wPx: Int, hPx: Int): Array[Byte] = {
+    val w0 = math.max(1, wPx)
+    val h0 = math.max(1, hPx)
+    val rw = (((seed % 7) + 7) % 7 + 3).toInt
+    val rowBytes = (w0 + 7) / 8
+    val packed = new Array[Byte](h0 * rowBytes)
+    for (y <- 0 until h0; x <- 0 until w0) {
+      if (y % 11 == 0 || (x / rw + y) % 2 == 1) {
+        packed(y * rowBytes + (x >> 3)) =
+          (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+      }
+    }
+    val data = CcittCodec.encodeG4(packed, w0, h0)
+    val out = new ByteArrayOutputStream(data.length + 1024)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3)
+    w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 $w0 $h0] " +
+      "/Resources << /XObject << /Im0 5 0 R >> >> /Contents 4 0 R >>\nendobj\n")
+    val content = s"q\n$w0 0 0 $h0 0 0 cm\n/Im0 Do\nQ\n".getBytes(StandardCharsets.ISO_8859_1)
+    beginObj(4)
+    w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content); w("\nendstream\nendobj\n")
+    beginObj(5)
+    w(s"<< /Type /XObject /Subtype /Image /Width $w0 /Height $h0 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+      s"/DecodeParms << /K -1 /Columns $w0 /Rows $h0 >> /Length ${data.length} >>\nstream\n")
+    out.write(data); w("\nendstream\nendobj\n")
+    val xrefOff = out.size()
+    w("xref\n0 6\n0000000000 65535 f \n")
+    (1 to 5).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // tokenizer + value parser
   // ------------------------------------------------------------------
@@ -892,23 +941,35 @@ object PdfCodec {
     }
   }
 
-  /** Predictor parameters of the DecodeParms entry aligned with filter
-    * `idx`: (predictor, colors, bpc, columns, earlyChange) with spec
-    * defaults (earlyChange applies to LZW only; ignored elsewhere).
-    */
-  private def predictorParms(doc: PdfDoc, d: PDict, idx: Int): (Int, Int, Int, Int, Int) = {
+  /** The /DecodeParms (or /DP) dict aligned with filter `idx`. */
+  private def parmsEntry(doc: PdfDoc, d: PDict, idx: Int): Option[PDict] = {
     val parmsVal = d.get("DecodeParms").orElse(d.get("DP")).map(v => resolve(doc, v))
-    val entry: Option[PDict] = parmsVal match {
+    parmsVal match {
       case Some(pd: PDict) if idx == 0 => Some(pd)
       case Some(PArr(es)) if idx < es.length => resolve(doc, es(idx)) match {
         case pd: PDict => Some(pd); case _ => None
       }
       case _ => None
     }
-    def num(k: String, dflt: Int) = entry.flatMap(_.get(k)).map(v => resolve(doc, v)) match {
+  }
+  private def parmNum(doc: PdfDoc, entry: Option[PDict], k: String, dflt: Int): Int =
+    entry.flatMap(_.get(k)).map(v => resolve(doc, v)) match {
       case Some(PNum(n)) => n.toInt
       case _ => dflt
     }
+  private def parmBool(doc: PdfDoc, entry: Option[PDict], k: String, dflt: Boolean): Boolean =
+    entry.flatMap(_.get(k)).map(v => resolve(doc, v)) match {
+      case Some(PBool(b)) => b
+      case _ => dflt
+    }
+
+  /** Predictor parameters of the DecodeParms entry aligned with filter
+    * `idx`: (predictor, colors, bpc, columns, earlyChange) with spec
+    * defaults (earlyChange applies to LZW only; ignored elsewhere).
+    */
+  private def predictorParms(doc: PdfDoc, d: PDict, idx: Int): (Int, Int, Int, Int, Int) = {
+    val entry = parmsEntry(doc, d, idx)
+    def num(k: String, dflt: Int) = parmNum(doc, entry, k, dflt)
     (num("Predictor", 1), num("Colors", 1), num("BitsPerComponent", 8), num("Columns", 1),
       num("EarlyChange", 1))
   }
@@ -1136,6 +1197,16 @@ object PdfCodec {
           dict.map(predictorParms(doc, _, i)).getOrElse((1, 1, 8, 1, 1))
         unpredict(lzwDecode(data, early), pred, colors, bpc, columns)
       case (data, ("RunLengthDecode", _)) => runLengthDecode(data)
+      case (data, ("CCITTFaxDecode", i)) =>
+        val entry = dict.flatMap(parmsEntry(doc, _, i))
+        val k = parmNum(doc, entry, "K", 0)
+        require(k < 0, s"CCITTFaxDecode: /K $k (G3) is out of subset (G4 /K < 0 only)")
+        val columns = parmNum(doc, entry, "Columns", 1728)
+        val rows = parmNum(doc, entry, "Rows", parmNum(doc, dict, "Height", 0))
+        require(rows >= 1, "CCITTFaxDecode: no /Rows and no /Height")
+        CcittCodec.decodeG4(data, columns, rows,
+          blackIs1 = parmBool(doc, entry, "BlackIs1", dflt = false),
+          byteAlign = parmBool(doc, entry, "EncodedByteAlign", dflt = false))
       case (data, ("ASCIIHexDecode", _)) => asciiHexDecode(data)
       case (data, ("ASCII85Decode", _)) => ascii85Decode(data)
       case (data, ("DCTDecode", _)) => data
@@ -1259,7 +1330,7 @@ object PdfCodec {
     */
   def decodeImage(img: PdfImage): ImageCodec.Px = img.filter match {
     case "DCTDecode" => ImageCodec.decode(img.data)
-    case "" | "FlateDecode" | "LZWDecode" | "RunLengthDecode" =>
+    case "" | "FlateDecode" | "LZWDecode" | "RunLengthDecode" | "CCITTFaxDecode" =>
       val n = img.widthPx * img.heightPx
       img.colorSpace match {
         case "DeviceRGB" if img.bpc == 8 && img.data.length >= n * 3 =>

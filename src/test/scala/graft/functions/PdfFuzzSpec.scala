@@ -23,6 +23,7 @@ class PdfFuzzSpec extends SparkSpec {
     // text-document fixtures so bit flips land in every decoder
     val bases = Seq(PdfExprs.synthPdf(7L, 2, 120, 160),
       PdfCodec.composeFiltersFixture(7L, 13, 10),
+      PdfCodec.composeCcittFixture(7L, 70, 12),
       graft.sources.PdfText.composeTextFixture(7L, 2))
     (0 until n).map { i =>
       val base = bases(i % bases.length)

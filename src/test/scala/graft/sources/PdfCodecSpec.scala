@@ -454,6 +454,24 @@ class PdfCodecSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("CCITT fixture: parse + rasterize matches the closed form; /K >= 0 rejects loudly") {
+    val (wpx, hpx, seed) = (70, 13, 23L)
+    val pdf = PdfCodec.composeCcittFixture(seed, wpx, hpx)
+    val doc = parse(pdf)
+    val px = rasterizePage(doc.pages.head, 72)
+    val got = px.rgb.map(v => ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)).map(_.toLong).sum
+    val rw = (seed % 7 + 3).toInt
+    var want = 0L
+    for (y <- 0 until hpx; x <- 0 until wpx)
+      if (y % 11 == 0 || (x / rw + y) % 2 == 1) want += 765L
+    assert(got === want)
+    // G3 (/K >= 0) is a loud typed reject, not a silent mis-read
+    val g3 = new String(pdf, "ISO-8859-1").replace("/K -1", "/K 0")
+      .getBytes("ISO-8859-1")
+    val (ok, reason) = checkPdf(g3)
+    assert(!ok && reason.contains("G3"))
+  }
+
   test("ASCIIHex and ASCII85 filters: known vectors, chained with Flate, loud rejects") {
     // ASCIIHex: whitespace ignored, '>' EOD, odd trailing digit pads 0
     assert(asciiHexDecode("48 65 6C\n6C 6F>".getBytes).toSeq === "Hello".getBytes.toSeq)
