@@ -61,6 +61,7 @@ object GraftFunctions {
     "scan_seeded" -> (a => ImageOps.scanSeeded(a.head, a(1), litString(a(2), "scan_seeded quality"))),
     "pdf_info" -> (a => PdfOps.pdfInfo(a.head)),
     "pdf_check" -> (a => PdfOps.pdfCheck(a.head)),
+    "pdf_meta" -> (a => PdfOps.pdfMeta(a.head)),
     "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),
     "pdf_compose" -> (a => PdfOps.pdfCompose(a.head, a(1), a(2))),
     "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),

@@ -46,6 +46,29 @@ object PdfExprs {
     PdfCodec.compose(pages, deflateContents = true)
   }
 
+  val MetaSchema: StructType = StructType(
+    Seq("title", "author", "subject", "keywords", "creator", "producer",
+      "creation_date", "mod_date").map(f => StructField(f, StringType, nullable = true)))
+
+  /** [[PdfCodec.docMeta]] boxed for codegen: struct of the /Info
+    * fields; null for unparseable bytes.
+    */
+  def pdfMetaRow(bytes: Array[Byte]): InternalRow = {
+    val m = PdfCodec.docMeta(bytes)
+    if (m == null) null
+    else new GenericInternalRow(m.map(s =>
+      (if (s == null) null
+       else org.apache.spark.unsafe.types.UTF8String.fromString(s)): Any))
+  }
+
+  /** [[SynthPdfTextEncExpr]]'s eval: text fixture, encrypted for
+    * variants 0-3, plaintext otherwise.
+    */
+  def synthPdfTextEnc(seed: Long, nPages: Int, variant: Int): Array[Byte] = {
+    val plain = PdfText.composeTextFixture(seed, nPages)
+    if (variant >= 0 && variant <= 3) PdfCrypt.encryptPdf(plain, variant, seed) else plain
+  }
+
   val CheckSchema: StructType = StructType(Seq(
     StructField("ok", BooleanType, nullable = false),
     StructField("reason", StringType, nullable = true)))
@@ -126,6 +149,28 @@ case class PdfInfoExpr(child: Expression) extends UnaryExpression with ImplicitC
     })
   override protected def withNewChildInternal(c: Expression): PdfInfoExpr = copy(child = c)
   override def prettyName: String = "pdf_info"
+}
+
+/** Document metadata of a PDF payload (/Info dict): struct(title,
+  * author, subject, keywords, creator, producer, creation_date,
+  * mod_date), each null when absent; null for unparseable bytes.
+  * Strings arrive decrypted on empty-user-password documents.
+  */
+case class PdfMetaExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = PdfExprs.MetaSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = PdfExprs.pdfMetaRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("pdfMeta")
+      s"""
+         |InternalRow $r = graft.functions.PdfExprs.pdfMetaRow($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): PdfMetaExpr = copy(child = c)
+  override def prettyName: String = "pdf_meta"
 }
 
 /** Accept/reject verdict of a PDF payload with a groupable reject
@@ -384,6 +429,28 @@ case class SynthPdfTextExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_pdf_text"
 }
 
+/** Text-document fixture with OPTIONAL encryption: variant 0-3 wraps
+  * [[graft.sources.PdfText.composeTextFixture]] in the corresponding
+  * standard-security-handler shape ([[PdfCrypt]]); any other variant
+  * stays plaintext — the mixed shard a real document corpus is.
+  */
+case class SynthPdfTextEncExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any, variant: Any): Any =
+    PdfExprs.synthPdfTextEnc(seed.asInstanceOf[Long], n.asInstanceOf[Int],
+      variant.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n, v) =>
+      s"${ev.value} = graft.functions.PdfExprs.synthPdfTextEnc($seed, $n, $v);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthPdfTextEncExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_pdf_text_enc"
+}
+
 /** Deterministic ENCRYPTED PDF fixture
   * ([[graft.sources.PdfCrypt.composeEncryptedFixture]]): the predictor
   * fixture wrapped in standard-security-handler encryption — variant
@@ -415,6 +482,8 @@ object PdfOps {
     GraftExpr.toColumn(PdfInfoExpr(GraftExpr.toExpr(bin)))
   def pdfCheck(bin: Column): Column =
     GraftExpr.toColumn(PdfCheckExpr(GraftExpr.toExpr(bin)))
+  def pdfMeta(bin: Column): Column =
+    GraftExpr.toColumn(PdfMetaExpr(GraftExpr.toExpr(bin)))
   def pdfRasterize(bin: Column, page: Column, dpi: Column): Column =
     GraftExpr.toColumn(PdfRasterizeExpr(
       GraftExpr.toExpr(bin), GraftExpr.toExpr(page), GraftExpr.toExpr(dpi)))
@@ -445,4 +514,7 @@ object PdfOps {
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
   def synthPdfText(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
+  def synthPdfTextEnc(seed: Column, nPages: Column, variant: Column): Column =
+    GraftExpr.toColumn(SynthPdfTextEncExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(nPages), GraftExpr.toExpr(variant)))
 }

@@ -460,12 +460,18 @@ object DomainQueries {
       .withColumn("pdf", graft.functions.PdfOps.synthPdfText(col("doc_id") * 41,
         (col("doc_id") % 3 + 1).cast("int")))
       .withColumn("txt", graft.functions.PdfOps.pdfText(col("pdf")))
+      .withColumn("meta", graft.functions.PdfOps.pdfMeta(col("pdf")))
       .select(col("doc_id"),
         size(col("txt")).cast("long").as("n_pages"),
         element_at(col("txt"), 1).as("page1"),
         element_at(col("txt"), size(col("txt"))).as("page_last"),
         aggregate(transform(col("txt"), t => length(t).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("n_chars"))
+          lit(0L), (acc, x) => acc + x).as("n_chars"),
+        col("meta.title").as("title"),
+        col("meta.author").as("author"),
+        col("meta.producer").as("producer"),
+        col("meta.creation_date").as("creation_date"),
+        col("meta.subject").as("subject"))
   val pdfTextSql: String =
     """WITH t AS (
       |  SELECT d.doc_id, p.p,
@@ -478,8 +484,53 @@ object DomainQueries {
       |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
       |       min(CASE WHEN p = 0 THEN page_text END) AS page1,
       |       min(CASE WHEN p = doc_id % 3 THEN page_text END) AS page_last,
-      |       CAST(sum(length(page_text)) AS BIGINT) AS n_chars
+      |       CAST(sum(length(page_text)) AS BIGINT) AS n_chars,
+      |       'Doc ' || (doc_id * 41) || ' — fixture' AS title,
+      |       'Graft Pipeline' AS author,
+      |       'graft-pdf ' || (doc_id * 41) % 10 AS producer,
+      |       'D:20260101000000Z' AS creation_date,
+      |       CAST(NULL AS VARCHAR) AS subject
       |FROM t GROUP BY doc_id""".stripMargin
+
+  /** The document-corpus capstone: a MIXED shard of plaintext and
+    * encrypted text PDFs (variant cycles RC4-40/RC4-128/AES-128/
+    * AES-256/plain by doc_id) flows decrypt → parse → text-extract →
+    * page-join → token metrics — the pdf→training-text path end to
+    * end under one hash gate. The oracle rebuilds the extracted text
+    * closed-form and applies the SAME token expressions, so a slip in
+    * any stage (a handler that fails to verify, a dropped page, a
+    * kern-space drift, a tokenizer change) flips counts on that row.
+    */
+  val pdfCorpus: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfTextEnc(col("doc_id") * 53,
+        (col("doc_id") % 3 + 1).cast("int"), (col("doc_id") % 5).cast("int")))
+      .select(col("doc_id"),
+        array_join(graft.functions.PdfOps.pdfText(col("pdf")), "\n").as("text"))
+    graft.operators.TextAnalysis.withTokenCounts(base, "doc_id", "text")
+      .withColumn("handler",
+        element_at(lit((graft.sources.PdfCrypt.VariantNames :+ "plain").toArray),
+          (col("doc_id") % 5).cast("int") + 1))
+  }
+  val pdfCorpusSql: String =
+    """WITH t AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Doc ' || (d.doc_id * 53) || ' page ' || p.p ||
+      |           ' line one (escaped)' || chr(10) ||
+      |           'kerned words here' || chr(10) || 'café three' AS pt
+      |  FROM documents d, generate_series(0, 2) p(p)
+      |  WHERE p.p <= d.doc_id % 3),
+      |j AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
+      |      FROM t GROUP BY doc_id)
+      |SELECT doc_id,
+      |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+      |         AS INTEGER) AS n_re_tokens,
+      |       CAST(length(text) AS INTEGER) AS n_chars,
+      |       CASE doc_id % 5 WHEN 0 THEN 'rc4-40' WHEN 1 THEN 'rc4-128'
+      |            WHEN 2 THEN 'aes-128' WHEN 3 THEN 'aes-256' ELSE 'plain' END AS handler
+      |FROM j""".stripMargin
 
   // ---------------------------------------------------------------- audio codec
   /** The WAV/PCM16 audio codec through the oracle gate: a real synth
@@ -1587,6 +1638,7 @@ object DomainQueries {
     "q_pdf_text" -> pdfText,
     "q_pdf_filters" -> pdfFilters,
     "q_pdf_ccitt" -> pdfCcitt,
+    "q_pdf_corpus" -> pdfCorpus,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1646,6 +1698,7 @@ object DomainQueries {
     "q_pdf_text" -> pdfTextSql,
     "q_pdf_filters" -> pdfFiltersSql,
     "q_pdf_ccitt" -> pdfCcittSql,
+    "q_pdf_corpus" -> pdfCorpusSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

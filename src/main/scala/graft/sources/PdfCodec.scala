@@ -113,9 +113,21 @@ object PdfCodec {
                            resources: Option[PVal] = None)
 
   final case class PdfDoc(objects: Map[Int, PObj], order: Vector[Int],
-                          pages: Vector[PdfPage], catalogNum: Int, maxObjNum: Int) {
+                          pages: Vector[PdfPage], catalogNum: Int, maxObjNum: Int,
+                          infoDict: Option[PDict] = None, infoNum: Int = -1) {
     def pageCount: Int = pages.length
   }
+
+  /** Decode a PDF text string (ISO 32000 §7.9.2.2): UTF-16BE when the
+    * BOM leads, UTF-8 when ITS BOM leads (PDF 2.0), PDFDocEncoding
+    * otherwise (≈ Latin-1 over the ranges /Info values use).
+    */
+  private[sources] def pdfTextString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xef && (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf)
+      new String(b, 3, b.length - 3, StandardCharsets.UTF_8)
+    else new String(b, StandardCharsets.ISO_8859_1)
 
   def isPdf(b: Array[Byte]): Boolean =
     b != null && b.length > 5 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F' && b(4) == '-'
@@ -809,6 +821,19 @@ object PdfCodec {
     }
     val order = firstPos.toVector.sortBy(_._2).map(_._1)
 
+    // /Info (document metadata): resolve AFTER decryption so its
+    // strings arrive plaintext; the last trailer that names one wins
+    val infoRef = trailers.reverseIterator.flatMap(_.get("Info")).collectFirst {
+      case r: PRef => r
+      case d: PDict => d
+    }
+    val infoNum = infoRef match { case Some(PRef(n, _)) => n; case _ => -1 }
+    val infoDict: Option[PDict] = infoRef.flatMap {
+      case PRef(n, _) => objects.get(n).map(_.value)
+      case d: PDict => Some(d)
+      case _ => None
+    }.collect { case d: PDict => d }
+
     val catalogNum = order.reverseIterator.collectFirst {
       case n if objects.get(n).exists {
         case PObj(_, _, d: PDict, _) => d.get("Type").contains(PName("Catalog"))
@@ -816,7 +841,7 @@ object PdfCodec {
       } => n
     }.getOrElse(-1)
     val doc0 = PdfDoc(objects.toMap, order, Vector.empty, catalogNum,
-      if (objects.isEmpty) 0 else objects.keys.max)
+      if (objects.isEmpty) 0 else objects.keys.max, infoDict, infoNum)
     doc0.copy(pages = collectPages(doc0))
   }
 
@@ -1533,6 +1558,25 @@ object PdfCodec {
       val doc = parse(bytes)
       doc.pages.map(p => ImageCodec.encodeJpeg(
         ImageCodec.scanEffectsMinimalPx(rasterizePage(p, dpi), quality), jpegQ)).toArray
+    } catch { case _: Exception => null }
+
+  /** Document metadata from the /Info dictionary, in corpus-pipeline
+    * field order: title, author, subject, keywords, creator, producer,
+    * creation date, mod date (raw `D:…` form). Entries absent from
+    * the document are null; null for unparseable bytes. Strings
+    * decode per §7.9.2.2 (UTF-16BE / UTF-8 BOMs, PDFDocEncoding
+    * fallback) and arrive decrypted on protected documents.
+    */
+  def docMeta(bytes: Array[Byte]): Array[String] =
+    if (!isPdf(bytes)) null
+    else try {
+      val doc = parse(bytes)
+      Array("Title", "Author", "Subject", "Keywords", "Creator", "Producer",
+        "CreationDate", "ModDate").map { k =>
+        doc.infoDict.flatMap(_.get(k)).map(v => resolve(doc, v)).collect {
+          case PStr(b) => pdfTextString(b)
+        }.orNull
+      }
     } catch { case _: Exception => null }
 
   /** Typed accept/reject verdict for quarantine flows: `(ok, reason)`.

@@ -500,8 +500,9 @@ object PdfCrypt {
       }
     }
     val idHex = id0.map(b => f"${b & 0xff}%02X").mkString
+    val infoEntry = if (doc.infoNum >= 0) s"/Info ${doc.infoNum} 0 R " else ""
     w(s"trailer\n<< /Size $size /Root ${doc.catalogNum} 0 R /Encrypt $encNum 0 R " +
-      s"/ID [<$idHex> <$idHex>] >>\nstartxref\n$xrefOff\n%%EOF\n")
+      s"$infoEntry/ID [<$idHex> <$idHex>] >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
 

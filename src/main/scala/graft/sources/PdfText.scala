@@ -442,13 +442,26 @@ object PdfText {
       w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content)
       w("\nendstream\nendobj\n")
     }
-    val size = 4 + 2 * n
+    // /Info: the title rides as a BOM'd UTF-16BE hex string (the form
+    // real writers emit for non-ASCII), the rest as PDFDocEncoding
+    val infoNum = 4 + 2 * n
+    beginObj(infoNum)
+    val titleHex = ("\uFEFF" + expectedFixtureTitle(seed))
+      .getBytes(StandardCharsets.UTF_16BE).map(b => f"${b & 0xff}%02X").mkString
+    w(s"<< /Title <$titleHex> /Author (Graft Pipeline) " +
+      s"/Producer (graft-pdf ${seed % 10}) /CreationDate (D:20260101000000Z) >>\nendobj\n")
+    val size = 5 + 2 * n
     val xrefOff = out.size()
     w(s"xref\n0 $size\n0000000000 65535 f \n")
     (1 until size).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
-    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    w(s"trailer\n<< /Size $size /Root 1 0 R /Info $infoNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
+
+  /** The /Info /Title [[composeTextFixture]] embeds (UTF-16BE with an
+    * em dash, proving the §7.9.2.2 BOM path end to end).
+    */
+  def expectedFixtureTitle(seed: Long): String = s"Doc $seed — fixture"
 
   /** The text [[composeTextFixture]] extracts for page `p` of seed
     * `seed` — the closed form the oracle (and the specs) pin.

@@ -139,6 +139,27 @@ class PdfTextSpec extends AnyFunSuite {
     }
   }
 
+  test("docMeta: UTF-16BE title, PDFDocEncoding fields, absent keys null; decrypts") {
+    val plain = PdfText.composeTextFixture(321L, 1)
+    val m = PdfCodec.docMeta(plain)
+    assert(m(0) === PdfText.expectedFixtureTitle(321L)) // BOM consumed, em dash intact
+    assert(m(1) === "Graft Pipeline")
+    assert(m(5) === "graft-pdf 1")
+    assert(m(6) === "D:20260101000000Z")
+    assert(m(2) == null && m(3) == null && m(4) == null && m(7) == null) // absent keys
+    // /Info strings are encrypted on protected documents — and decrypt
+    for (variant <- Seq(0, 2, 3)) {
+      val enc = PdfCrypt.encryptPdf(plain, variant, 321L)
+      assert(!new String(enc, "ISO-8859-1").contains("Graft Pipeline"))
+      assert(PdfCodec.docMeta(enc).toSeq === m.toSeq,
+        s"variant ${PdfCrypt.VariantNames(variant)}")
+    }
+    // no /Info at all → all-null struct, not a throw
+    val noInfo = PdfCodec.composePredictorFixture(5L, 8, 8)
+    assert(PdfCodec.docMeta(noInfo).forall(_ == null))
+    assert(PdfCodec.docMeta(Array[Byte](9, 9)) === null)
+  }
+
   test("guards: non-PDF null; pageless/fontless documents degrade, never throw") {
     assert(PdfText.extractAll(Array[Byte](1, 2, 3)) === null)
     assert(PdfText.extractAll("%PDF-1.4 garbage".getBytes) === null)
