@@ -62,6 +62,13 @@ object GraftFunctions {
     "pdf_info" -> (a => PdfOps.pdfInfo(a.head)),
     "pdf_check" -> (a => PdfOps.pdfCheck(a.head)),
     "pdf_meta" -> (a => PdfOps.pdfMeta(a.head)),
+    "zip_entries" -> (a => OfficeOps.zipEntries(a.head)),
+    "docx_text" -> (a => OfficeOps.docxText(a.head)),
+    "xlsx_cells" -> (a => OfficeOps.xlsxCells(a.head)),
+    "pptx_text" -> (a => OfficeOps.pptxText(a.head)),
+    "synth_docx" -> (a => OfficeOps.synthDocx(a.head, a(1))),
+    "synth_xlsx" -> (a => OfficeOps.synthXlsx(a.head, a(1))),
+    "synth_pptx" -> (a => OfficeOps.synthPptx(a.head, a(1))),
     "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),
     "pdf_compose" -> (a => PdfOps.pdfCompose(a.head, a(1), a(2))),
     "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),

@@ -1,0 +1,201 @@
+package graft.functions
+
+import graft.sources.{OfficeCodec, ZipCodec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expressions over [[graft.sources.ZipCodec]] and
+  * [[graft.sources.OfficeCodec]] — ZIP containers and Office Open XML
+  * text extraction as codegen'd projections, the same posture as the
+  * PDF/WARC codec surfaces (null-propagating poison guards, struct/
+  * array outputs, deterministic synth fixtures for the oracle gate).
+  */
+object OfficeExprs {
+
+  val ZipEntrySchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("method", IntegerType, nullable = false),
+    StructField("size_c", LongType, nullable = false),
+    StructField("size_u", LongType, nullable = false)))
+
+  def zipEntriesArray(bytes: Array[Byte]): ArrayData =
+    if (!ZipCodec.isZip(bytes)) null
+    else try {
+      new GenericArrayData(ZipCodec.entries(bytes).map { e =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(e.name), e.method, e.sizeC, e.sizeU)): Any
+      }.toArray)
+    } catch { case _: Exception => null }
+
+  def docxTextStr(bytes: Array[Byte]): UTF8String = {
+    val s = OfficeCodec.docxText(bytes)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  val XlsxCellSchema: StructType = StructType(Seq(
+    StructField("sheet", IntegerType, nullable = false),
+    StructField("ref", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  def xlsxCellsArray(bytes: Array[Byte]): ArrayData = {
+    val cells = OfficeCodec.xlsxCells(bytes)
+    if (cells == null) null
+    else new GenericArrayData(cells.map { case (sheet, ref, value) =>
+      new GenericInternalRow(Array[Any](
+        sheet, UTF8String.fromString(ref), UTF8String.fromString(value))): Any
+    }.toArray)
+  }
+
+  def pptxTextArray(bytes: Array[Byte]): ArrayData = {
+    val slides = OfficeCodec.pptxText(bytes)
+    if (slides == null) null
+    else new GenericArrayData(slides.map(UTF8String.fromString(_): Any))
+  }
+}
+
+/** ZIP central-directory listing: array of (name, method, size_c,
+  * size_u); null for non-ZIP or malformed archives.
+  */
+case class ZipEntriesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(OfficeExprs.ZipEntrySchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.zipEntriesArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("zipEntries")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.zipEntriesArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): ZipEntriesExpr = copy(child = c)
+  override def prettyName: String = "zip_entries"
+}
+
+/** DOCX body text (paragraph-joined); null when not a DOCX. */
+case class DocxTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.docxTextStr(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("docxText")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |UTF8String $r = graft.functions.OfficeExprs.docxTextStr($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): DocxTextExpr = copy(child = c)
+  override def prettyName: String = "docx_text"
+}
+
+/** XLSX cells: array of (sheet, ref, value); null when not an XLSX. */
+case class XlsxCellsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(OfficeExprs.XlsxCellSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.xlsxCellsArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("xlsxCells")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.xlsxCellsArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): XlsxCellsExpr = copy(child = c)
+  override def prettyName: String = "xlsx_cells"
+}
+
+/** PPTX per-slide text; null when not a PPTX. */
+case class PptxTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.pptxTextArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("pptxText")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.pptxTextArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): PptxTextExpr = copy(child = c)
+  override def prettyName: String = "pptx_text"
+}
+
+/** Deterministic DOCX fixture: (seed, nParas) → real archive whose
+  * extracted text is closed-form.
+  */
+case class SynthDocxExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    OfficeCodec.composeDocx(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.OfficeCodec.composeDocx($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthDocxExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_docx"
+}
+
+/** Deterministic XLSX fixture: (seed, nRows). */
+case class SynthXlsxExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    OfficeCodec.composeXlsx(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.OfficeCodec.composeXlsx($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthXlsxExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_xlsx"
+}
+
+/** Deterministic PPTX fixture: (seed, nSlides). */
+case class SynthPptxExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    OfficeCodec.composePptx(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.OfficeCodec.composePptx($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthPptxExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_pptx"
+}
+
+/** Column-level entry points. */
+object OfficeOps {
+  def zipEntries(bin: Column): Column =
+    GraftExpr.toColumn(ZipEntriesExpr(GraftExpr.toExpr(bin)))
+  def docxText(bin: Column): Column =
+    GraftExpr.toColumn(DocxTextExpr(GraftExpr.toExpr(bin)))
+  def xlsxCells(bin: Column): Column =
+    GraftExpr.toColumn(XlsxCellsExpr(GraftExpr.toExpr(bin)))
+  def pptxText(bin: Column): Column =
+    GraftExpr.toColumn(PptxTextExpr(GraftExpr.toExpr(bin)))
+  def synthDocx(seed: Column, nParas: Column): Column =
+    GraftExpr.toColumn(SynthDocxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nParas)))
+  def synthXlsx(seed: Column, nRows: Column): Column =
+    GraftExpr.toColumn(SynthXlsxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nRows)))
+  def synthPptx(seed: Column, nSlides: Column): Column =
+    GraftExpr.toColumn(SynthPptxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nSlides)))
+}

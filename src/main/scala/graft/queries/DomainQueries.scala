@@ -532,6 +532,86 @@ object DomainQueries {
       |            WHEN 2 THEN 'aes-128' WHEN 3 THEN 'aes-256' ELSE 'plain' END AS handler
       |FROM j""".stripMargin
 
+  // ---------------------------------------------------------------- office docs
+  /** DOCX text extraction under the hash gate: real ZIP archives (the
+    * codec's own deterministic writer — central directory, deflate
+    * members) whose `word/document.xml` paragraphs, runs, entities,
+    * tabs and xml:space-preserved spacing the oracle rebuilds
+    * closed-form. `n_parts` rides the ZIP central-directory listing
+    * so the container walk is gated alongside the XML scan.
+    */
+  val docxText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("docx", graft.functions.OfficeOps.synthDocx(col("doc_id") * 59,
+        (col("doc_id") % 4 + 1).cast("int")))
+      .select(col("doc_id"),
+        graft.functions.OfficeOps.docxText(col("docx")).as("text"),
+        size(graft.functions.OfficeOps.zipEntries(col("docx"))).cast("long").as("n_parts"))
+      .withColumn("n_paras", size(split(col("text"), "\n", -1)).cast("long"))
+  val docxTextSql: String =
+    """WITH t AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Para ' || p.p || ' of doc ' || (d.doc_id * 59) ||
+      |           ' — café & tab:' || chr(9) || 'end' AS pt
+      |  FROM documents d, generate_series(0, 3) p(p)
+      |  WHERE p.p <= d.doc_id % 4)
+      |SELECT doc_id,
+      |       string_agg(pt, chr(10) ORDER BY p) AS text,
+      |       CAST(2 AS BIGINT) AS n_parts,
+      |       CAST(doc_id % 4 + 1 AS BIGINT) AS n_paras
+      |FROM t GROUP BY doc_id""".stripMargin
+
+  /** XLSX cell extraction under the hash gate, exploded to cell grain:
+    * shared strings (multi-run `<si>` concatenation), raw numerics and
+    * inline strings all resolve per row — the spreadsheet-side
+    * structured-data feed (the reference's P5 domain carries .xlsx
+    * attachments; this is what reading them takes).
+    */
+  val xlsxCells: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("xlsx", graft.functions.OfficeOps.synthXlsx(col("doc_id") * 61,
+        (col("doc_id") % 5 + 1).cast("int")))
+      .select(col("doc_id"),
+        explode(graft.functions.OfficeOps.xlsxCells(col("xlsx"))).as("c"))
+      .select(col("doc_id"), col("c.sheet").as("sheet"), col("c.ref").as("ref"),
+        col("c.value").as("value"))
+  val xlsxCellsSql: String =
+    """WITH rows_ AS (
+      |  SELECT d.doc_id, r.r
+      |  FROM documents d, generate_series(1, 5) r(r)
+      |  WHERE r.r <= d.doc_id % 5 + 1)
+      |SELECT doc_id, CAST(0 AS INTEGER) AS sheet, 'A' || r AS ref,
+      |       'sv' || (doc_id * 61 + r - 1) AS value
+      |FROM rows_
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS INTEGER), 'B' || r,
+      |       CAST((doc_id * 61 + r - 1) * 3 AS VARCHAR)
+      |FROM rows_
+      |UNION ALL
+      |SELECT doc_id, CAST(0 AS INTEGER), 'C' || r, 'in' || (r - 1)
+      |FROM rows_""".stripMargin
+
+  /** PPTX slide-text extraction under the hash gate, exploded to slide
+    * grain: `<a:p>` paragraph joins and multi-run `<a:t>`
+    * concatenation per slide in slide order.
+    */
+  val pptxText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pptx", graft.functions.OfficeOps.synthPptx(col("doc_id") * 67,
+        (col("doc_id") % 3 + 1).cast("int")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.OfficeOps.pptxText(col("pptx"))).as(Seq("slide", "slide_text")))
+      .select(col("doc_id"), col("slide").cast("long").as("slide"), col("slide_text"))
+  val pptxTextSql: String =
+    """SELECT d.doc_id, CAST(s.s AS BIGINT) AS slide,
+      |       'Slide ' || s.s || ' of deck ' || (d.doc_id * 67) || chr(10) ||
+      |         'bullet & point ' || (d.doc_id * 67) % 100 AS slide_text
+      |FROM documents d, generate_series(0, 2) s(s)
+      |WHERE s.s <= d.doc_id % 3""".stripMargin
+
   // ---------------------------------------------------------------- audio codec
   /** The WAV/PCM16 audio codec through the oracle gate: a real synth
     * → encode → parse → analyze round trip per document. The fixture
@@ -1639,6 +1719,9 @@ object DomainQueries {
     "q_pdf_filters" -> pdfFilters,
     "q_pdf_ccitt" -> pdfCcitt,
     "q_pdf_corpus" -> pdfCorpus,
+    "q_docx_text" -> docxText,
+    "q_xlsx_cells" -> xlsxCells,
+    "q_pptx_text" -> pptxText,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1699,6 +1782,9 @@ object DomainQueries {
     "q_pdf_filters" -> pdfFiltersSql,
     "q_pdf_ccitt" -> pdfCcittSql,
     "q_pdf_corpus" -> pdfCorpusSql,
+    "q_docx_text" -> docxTextSql,
+    "q_xlsx_cells" -> xlsxCellsSql,
+    "q_pptx_text" -> pptxTextSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,
