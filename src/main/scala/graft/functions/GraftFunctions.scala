@@ -69,6 +69,9 @@ object GraftFunctions {
     "synth_docx" -> (a => OfficeOps.synthDocx(a.head, a(1))),
     "synth_xlsx" -> (a => OfficeOps.synthXlsx(a.head, a(1))),
     "synth_pptx" -> (a => OfficeOps.synthPptx(a.head, a(1))),
+    "format_detect" -> (a => OfficeOps.formatDetect(a.head)),
+    "tar_entries" -> (a => OfficeOps.tarEntries(a.head)),
+    "synth_tar" -> (a => OfficeOps.synthTar(a.head, a(1))),
     "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),
     "pdf_compose" -> (a => PdfOps.pdfCompose(a.head, a(1), a(2))),
     "synth_pdf" -> (a => PdfOps.synthPdf(a.head, a(1), a(2), a(3))),

@@ -56,6 +56,29 @@ object OfficeExprs {
     if (slides == null) null
     else new GenericArrayData(slides.map(UTF8String.fromString(_): Any))
   }
+
+  val TarEntrySchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("size", LongType, nullable = false)))
+
+  def tarEntriesArray(bytes: Array[Byte]): ArrayData =
+    if (!graft.sources.TarCodec.isTar(bytes)) null
+    else try {
+      new GenericArrayData(graft.sources.TarCodec.entries(bytes).map { e =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(e.name), e.size)): Any
+      }.toArray)
+    } catch { case _: Exception => null }
+
+  /** Closed-form TAR fixture: file i is `f<i>.txt`, `10 + (seed+i) mod
+    * 23` bytes of the byte value `(seed+i) mod 251`.
+    */
+  def synthTar(seed: Long, nFiles: Int): Array[Byte] = {
+    val n = math.max(1, nFiles)
+    graft.sources.TarCodec.build((0 until n).map { i =>
+      val len = (10 + (((seed + i) % 23) + 23) % 23).toInt
+      s"f$i.txt" -> Array.fill(len)(((((seed + i) % 251) + 251) % 251).toByte)
+    })
+  }
 }
 
 /** ZIP central-directory listing: array of (name, method, size_c,
@@ -182,6 +205,61 @@ case class SynthPptxExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_pptx"
 }
 
+/** Content-based format label ([[graft.sources.FormatDetect]]):
+  * magic-byte detection with one level of container refinement
+  * (zip→docx/xlsx/pptx, gzip→warc-gz); total — null only for null.
+  */
+case class FormatDetectExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    UTF8String.fromString(graft.sources.FormatDetect.detect(b.asInstanceOf[Array[Byte]]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = UTF8String.fromString(graft.sources.FormatDetect.detect($b));")
+  override protected def withNewChildInternal(c: Expression): FormatDetectExpr = copy(child = c)
+  override def prettyName: String = "format_detect"
+}
+
+/** TAR (ustar) entry listing: array of (name, size); null for non-TAR
+  * or damaged archives.
+  */
+case class TarEntriesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(OfficeExprs.TarEntrySchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.tarEntriesArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("tarEntries")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.tarEntriesArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): TarEntriesExpr = copy(child = c)
+  override def prettyName: String = "tar_entries"
+}
+
+/** Deterministic TAR fixture: (seed, nFiles) → ustar archive with
+  * closed-form names/sizes/content.
+  */
+case class SynthTarExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    OfficeExprs.synthTar(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.functions.OfficeExprs.synthTar($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthTarExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_tar"
+}
+
 /** Column-level entry points. */
 object OfficeOps {
   def zipEntries(bin: Column): Column =
@@ -198,4 +276,10 @@ object OfficeOps {
     GraftExpr.toColumn(SynthXlsxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nRows)))
   def synthPptx(seed: Column, nSlides: Column): Column =
     GraftExpr.toColumn(SynthPptxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nSlides)))
+  def formatDetect(bin: Column): Column =
+    GraftExpr.toColumn(FormatDetectExpr(GraftExpr.toExpr(bin)))
+  def tarEntries(bin: Column): Column =
+    GraftExpr.toColumn(TarEntriesExpr(GraftExpr.toExpr(bin)))
+  def synthTar(seed: Column, nFiles: Column): Column =
+    GraftExpr.toColumn(SynthTarExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nFiles)))
 }

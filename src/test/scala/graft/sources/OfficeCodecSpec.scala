@@ -109,6 +109,66 @@ class OfficeCodecSpec extends AnyFunSuite {
     assert(OfficeCodec.pptxText(ZipCodec.build(Seq("a" -> "x".getBytes))) === null)
   }
 
+  test("TAR: build/entries/extract round trip, checksum and extension guards") {
+    val files = Seq("a.txt" -> "alpha".getBytes,
+      "sub/b.bin" -> Array.tabulate[Byte](700)(i => (i * 7).toByte), // spans 2 blocks
+      "z" -> Array.emptyByteArray)
+    val tar = TarCodec.build(files)
+    assert(tar.toSeq === TarCodec.build(files).toSeq) // deterministic
+    assert(TarCodec.isTar(tar))
+    assert(TarCodec.entries(tar).map(e => (e.name, e.size)) ===
+      files.map { case (n, d) => (n, d.length.toLong) }.toVector)
+    files.foreach { case (n, d) => assert(TarCodec.extract(tar, n).toSeq === d.toSeq, n) }
+    // checksum corruption → typed reject
+    val bad = tar.clone(); bad(0) = 'X'
+    val e1 = intercept[IllegalArgumentException](TarCodec.entries(bad))
+    assert(e1.getMessage.contains("checksum"))
+    // truncation mid-DATA → typed overrun reject (truncation at an
+    // entry boundary is a clean data-end stop by contract)
+    val e2 = intercept[IllegalArgumentException](TarCodec.entries(tar.take(515)))
+    assert(e2.getMessage.contains("TAR"))
+    assert(TarCodec.entries(tar.take(1024)).map(_.name) === Vector("a.txt"))
+    // GNU long-name extension header → loud out-of-subset
+    val ext = tar.clone(); ext(156) = 'L'
+    // recompute the checksum so only the typeflag check can fire
+    var sum = 0L
+    (0 until 512).foreach(i => sum += (if (i >= 148 && i < 156) ' '.toInt else ext(i) & 0xff))
+    val cs = ("0" * 6 + java.lang.Long.toOctalString(sum)).takeRight(6)
+    cs.zipWithIndex.foreach { case (c, i) => ext(148 + i) = c.toByte }
+    ext(154) = 0; ext(155) = ' '
+    val e3 = intercept[IllegalArgumentException](TarCodec.entries(ext))
+    assert(e3.getMessage.contains("extension"))
+  }
+
+  test("FormatDetect: magic-byte labels with container refinement, extensions lie") {
+    import FormatDetect.detect
+    assert(detect(OfficeCodec.composeDocx(1L, 1)) === "docx")
+    assert(detect(OfficeCodec.composeXlsx(1L, 1)) === "xlsx")
+    assert(detect(OfficeCodec.composePptx(1L, 1)) === "pptx")
+    assert(detect(ZipCodec.build(Seq("just/a.file" -> "x".getBytes))) === "zip")
+    assert(detect(PdfText.composeTextFixture(1L, 1)) === "pdf")
+    assert(detect(TarCodec.build(Seq("f" -> "x".getBytes))) === "tar")
+    assert(detect("WARC/1.0\r\n".getBytes) === "warc")
+    // gzip refinement: a warc.gz member vs a plain gzip member
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close(); bos.toByteArray
+    }
+    assert(detect(gz("WARC/1.0\r\nWARC-Type: response\r\n".getBytes)) === "warc-gz")
+    assert(detect(gz("not a warc at all".getBytes)) === "gzip")
+    assert(detect("<!DOCTYPE html><html></html>".getBytes) === "html")
+    assert(detect("  \n<html><body>x</body>".getBytes) === "html")
+    assert(detect("<?xml version=\"1.0\"?><r/>".getBytes) === "xml")
+    assert(detect("ordinary prose about nothing".getBytes) === "text")
+    assert(detect(Array[Byte](0, 1, 2, 3)) === "binary")
+    assert(detect(Array.emptyByteArray) === "empty")
+    assert(detect(null) === null)
+    // a damaged zip container degrades to "zip", never throws
+    val broken = OfficeCodec.composeDocx(1L, 1).take(40)
+    assert(detect(broken) === "zip")
+  }
+
   test("mutated-archive battery: extractors never throw, null or degrade") {
     val rnd = new scala.util.Random(17)
     val bases = Seq(OfficeCodec.composeDocx(1L, 2), OfficeCodec.composeXlsx(2L, 2),
