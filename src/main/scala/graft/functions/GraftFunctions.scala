@@ -70,6 +70,8 @@ object GraftFunctions {
     "synth_xlsx" -> (a => OfficeOps.synthXlsx(a.head, a(1))),
     "synth_pptx" -> (a => OfficeOps.synthPptx(a.head, a(1))),
     "format_detect" -> (a => OfficeOps.formatDetect(a.head)),
+    "epub_text" -> (a => OfficeOps.epubText(a.head)),
+    "synth_epub" -> (a => OfficeOps.synthEpub(a.head, a(1))),
     "tar_entries" -> (a => OfficeOps.tarEntries(a.head)),
     "synth_tar" -> (a => OfficeOps.synthTar(a.head, a(1))),
     "pdf_rasterize" -> (a => PdfOps.pdfRasterize(a.head, a(1), a(2))),

@@ -57,6 +57,13 @@ object OfficeExprs {
     else new GenericArrayData(slides.map(UTF8String.fromString(_): Any))
   }
 
+  /** [[OfficeCodec.epubText]] boxed for codegen. */
+  def epubTextArray(bytes: Array[Byte]): ArrayData = {
+    val chapters = OfficeCodec.epubText(bytes)
+    if (chapters == null) null
+    else new GenericArrayData(chapters.map(UTF8String.fromString(_): Any))
+  }
+
   val TarEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false)))
@@ -205,6 +212,46 @@ case class SynthPptxExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_pptx"
 }
 
+/** EPUB per-chapter text in spine order
+  * ([[graft.sources.OfficeCodec.epubText]]); null when not an EPUB.
+  */
+case class EpubTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    OfficeExprs.epubTextArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("epubText")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.epubTextArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): EpubTextExpr = copy(child = c)
+  override def prettyName: String = "epub_text"
+}
+
+/** Deterministic EPUB fixture: (seed, nChapters) — chapter file names
+  * deliberately sort AGAINST reading order so the spine path is the
+  * only one that passes the gate.
+  */
+case class SynthEpubExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    OfficeCodec.composeEpub(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.OfficeCodec.composeEpub($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthEpubExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_epub"
+}
+
 /** Content-based format label ([[graft.sources.FormatDetect]]):
   * magic-byte detection with one level of container refinement
   * (zip→docx/xlsx/pptx, gzip→warc-gz); total — null only for null.
@@ -278,6 +325,10 @@ object OfficeOps {
     GraftExpr.toColumn(SynthPptxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nSlides)))
   def formatDetect(bin: Column): Column =
     GraftExpr.toColumn(FormatDetectExpr(GraftExpr.toExpr(bin)))
+  def epubText(bin: Column): Column =
+    GraftExpr.toColumn(EpubTextExpr(GraftExpr.toExpr(bin)))
+  def synthEpub(seed: Column, nChapters: Column): Column =
+    GraftExpr.toColumn(SynthEpubExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nChapters)))
   def tarEntries(bin: Column): Column =
     GraftExpr.toColumn(TarEntriesExpr(GraftExpr.toExpr(bin)))
   def synthTar(seed: Column, nFiles: Column): Column =

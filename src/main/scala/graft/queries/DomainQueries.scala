@@ -612,29 +612,52 @@ object DomainQueries {
       |FROM documents d, generate_series(0, 2) s(s)
       |WHERE s.s <= d.doc_id % 3""".stripMargin
 
-  /** Content-based format routing under the hash gate: a 14-way
+  /** EPUB text extraction under the hash gate, chapter grain: chapter
+    * FILE NAMES sort against reading order in the fixture, so only the
+    * container→OPF→spine path (not the name-order fallback) produces
+    * the gated sequence; chapter bodies ride the crawl layer's HTML
+    * extractor (entities, block joins).
+    */
+  val epubText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("epub", graft.functions.OfficeOps.synthEpub(col("doc_id") * 83,
+        (col("doc_id") % 4 + 1).cast("int")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.OfficeOps.epubText(col("epub"))).as(Seq("chapter", "chapter_text")))
+      .select(col("doc_id"), col("chapter").cast("long").as("chapter"), col("chapter_text"))
+  val epubTextSql: String =
+    """SELECT d.doc_id, CAST(c.c AS BIGINT) AS chapter,
+      |       'Chapter ' || c.c || chr(10) || 'Book ' || (d.doc_id * 83) ||
+      |         ' prose & café line ' || c.c || '.' AS chapter_text
+      |FROM documents d, generate_series(0, 3) c(c)
+      |WHERE c.c <= d.doc_id % 4""".stripMargin
+
+  /** Content-based format routing under the hash gate: a 15-way
     * battery of REAL payloads from every synth writer in the engine
-    * (PDF, the three Office formats, TAR, WAV, GIF, AVI, PNG, HTML,
-    * XML, text, binary, empty) classified per row by `format_detect` —
-    * magic bytes + container refinement, never extensions. The CASE
-    * chain evaluates only the branch a row needs (no 14× synth cost).
+    * (PDF, the three Office formats, EPUB, TAR, WAV, GIF, AVI, PNG,
+    * HTML, XML, text, binary, empty) classified per row by
+    * `format_detect` — magic bytes + container refinement, never
+    * extensions. The CASE chain evaluates only the branch a row needs
+    * (no 15× synth cost).
     */
   val formatDetect: Q = (s, d) => {
     val seed = col("doc_id") * 71
-    val idx = pmod(col("doc_id"), lit(14))
+    val idx = pmod(col("doc_id"), lit(15))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(1)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(1)))
       .when(idx === 2, graft.functions.OfficeOps.synthXlsx(seed, lit(1)))
       .when(idx === 3, graft.functions.OfficeOps.synthPptx(seed, lit(1)))
-      .when(idx === 4, graft.functions.OfficeOps.synthTar(seed, lit(2)))
-      .when(idx === 5, graft.functions.AudioOps.synthWav(seed, lit(50), lit(8000), lit(0)))
-      .when(idx === 6, graft.functions.GifOps.synthGif(seed, lit(2), lit(8), lit(8)))
-      .when(idx === 7, graft.functions.AviOps.synthAvi(seed, lit(2), lit(16), lit(8)))
-      .when(idx === 8, graft.functions.ImageOps.synthImage(seed, lit(8), lit(8)))
-      .when(idx === 9, encode(lit("<!DOCTYPE html><html><body>x</body></html>"), "UTF-8"))
-      .when(idx === 10, encode(lit("<?xml version=\"1.0\"?><r/>"), "UTF-8"))
-      .when(idx === 11, encode(lit("plain text payload, nothing else\n"), "UTF-8"))
-      .when(idx === 12, unhex(lit("00FF01FE00")))
+      .when(idx === 4, graft.functions.OfficeOps.synthEpub(seed, lit(1)))
+      .when(idx === 5, graft.functions.OfficeOps.synthTar(seed, lit(2)))
+      .when(idx === 6, graft.functions.AudioOps.synthWav(seed, lit(50), lit(8000), lit(0)))
+      .when(idx === 7, graft.functions.GifOps.synthGif(seed, lit(2), lit(8), lit(8)))
+      .when(idx === 8, graft.functions.AviOps.synthAvi(seed, lit(2), lit(16), lit(8)))
+      .when(idx === 9, graft.functions.ImageOps.synthImage(seed, lit(8), lit(8)))
+      .when(idx === 10, encode(lit("<!DOCTYPE html><html><body>x</body></html>"), "UTF-8"))
+      .when(idx === 11, encode(lit("<?xml version=\"1.0\"?><r/>"), "UTF-8"))
+      .when(idx === 12, encode(lit("plain text payload, nothing else\n"), "UTF-8"))
+      .when(idx === 13, unhex(lit("00FF01FE00")))
       .otherwise(unhex(lit("")))
     Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -643,9 +666,9 @@ object DomainQueries {
   }
   val formatDetectSql: String =
     """SELECT doc_id,
-      |       (['pdf', 'docx', 'xlsx', 'pptx', 'tar', 'wav', 'gif', 'avi', 'png',
-      |         'html', 'xml', 'text', 'binary', 'empty'])
-      |         [CAST(doc_id % 14 AS INTEGER) + 1] AS format
+      |       (['pdf', 'docx', 'xlsx', 'pptx', 'epub', 'tar', 'wav', 'gif', 'avi',
+      |         'png', 'html', 'xml', 'text', 'binary', 'empty'])
+      |         [CAST(doc_id % 15 AS INTEGER) + 1] AS format
       |FROM documents""".stripMargin
 
   /** TAR listing under the hash gate: real ustar archives (the codec's
@@ -676,30 +699,16 @@ object DomainQueries {
     */
   val corpusDispatch: Q = (s, d) => {
     val seed = col("doc_id") * 79
-    val idx = pmod(col("doc_id"), lit(3))
+    val idx = pmod(col("doc_id"), lit(4))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(2)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(2)))
-      .otherwise(graft.functions.OfficeOps.synthPptx(seed, lit(2)))
-    val base = Tables.documents(s, d).select("doc_id")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .withColumn("payload", payload)
-      .withColumn("format", graft.functions.OfficeOps.formatDetect(col("payload")))
-      .withColumn("text",
-        when(col("format") === "pdf",
-          array_join(graft.functions.PdfOps.pdfText(col("payload")), "\n"))
-          .when(col("format") === "docx", graft.functions.OfficeOps.docxText(col("payload")))
-          .when(col("format") === "pptx",
-            array_join(graft.functions.OfficeOps.pptxText(col("payload")), "\n")))
-      .select(col("doc_id"), col("format"), col("text"))
-    // token metrics inlined (same expressions as TextAnalysis
-    // .withTokenCounts) so `format` projects through without a
-    // payload-recomputing self-join
-    base.select(col("doc_id"),
-      size(graft.functions.Hashing.words(col("text"))).as("n_ws_tokens"),
-      size(regexp_extract_all(col("text"),
-        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).as("n_re_tokens"),
-      length(col("text")).as("n_chars"),
-      col("format"))
+      .when(idx === 2, graft.functions.OfficeOps.synthPptx(seed, lit(2)))
+      .otherwise(graft.functions.OfficeOps.synthEpub(seed, lit(2)))
+    graft.operators.CorpusIngest.withDocMetrics(
+      Tables.documents(s, d).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("payload", payload),
+      "doc_id", "payload")
   }
   val corpusDispatchSql: String =
     """WITH pdfp AS (
@@ -708,28 +717,36 @@ object DomainQueries {
       |           ' line one (escaped)' || chr(10) ||
       |           'kerned words here' || chr(10) || 'café three' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 3 = 0),
+      |  WHERE d.doc_id % 4 = 0),
       |docxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Para ' || p.p || ' of doc ' || (d.doc_id * 79) ||
       |           ' — café & tab:' || chr(9) || 'end' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 3 = 1),
+      |  WHERE d.doc_id % 4 = 1),
       |pptxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Slide ' || p.p || ' of deck ' || (d.doc_id * 79) || chr(10) ||
       |           'bullet & point ' || (d.doc_id * 79) % 100 AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 3 = 2),
-      |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp UNION ALL SELECT * FROM pptxp),
+      |  WHERE d.doc_id % 4 = 2),
+      |epubp AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Chapter ' || p.p || chr(10) || 'Book ' || (d.doc_id * 79) ||
+      |           ' prose & café line ' || p.p || '.' AS pt
+      |  FROM documents d, generate_series(0, 1) p(p)
+      |  WHERE d.doc_id % 4 = 3),
+      |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp
+      |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp),
       |j AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
       |      FROM allp GROUP BY doc_id)
       |SELECT doc_id,
+      |       CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+      |            WHEN 2 THEN 'pptx' ELSE 'epub' END AS format,
       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
       |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
       |         AS INTEGER) AS n_re_tokens,
-      |       CAST(length(text) AS INTEGER) AS n_chars,
-      |       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' ELSE 'pptx' END AS format
+      |       CAST(length(text) AS INTEGER) AS n_chars
       |FROM j""".stripMargin
 
   // ---------------------------------------------------------------- audio codec
@@ -1845,6 +1862,7 @@ object DomainQueries {
     "q_format_detect" -> formatDetect,
     "q_tar_entries" -> tarEntries,
     "q_corpus_dispatch" -> corpusDispatch,
+    "q_epub_text" -> epubText,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1911,6 +1929,7 @@ object DomainQueries {
     "q_format_detect" -> formatDetectSql,
     "q_tar_entries" -> tarEntriesSql,
     "q_corpus_dispatch" -> corpusDispatchSql,
+    "q_epub_text" -> epubTextSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

@@ -10,8 +10,8 @@ import java.nio.charset.StandardCharsets
   * archive, a gzip member sniffs for WARC. Pure function of the
   * bytes; total (any input maps to a label, null only for null).
   *
-  * Labels: pdf, docx, xlsx, pptx, zip, warc, warc-gz, gzip, tar,
-  * jpeg, png, gif, wav, avi, html, xml, text, binary, empty.
+  * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
+  * tar, jpeg, png, gif, wav, avi, html, xml, text, binary, empty.
   */
 object FormatDetect {
 
@@ -53,6 +53,7 @@ object FormatDetect {
       // refine by central directory; a damaged archive stays "zip"
       val names = try ZipCodec.entries(b).map(_.name) catch { case _: Exception => Vector.empty[String] }
       if (names.contains("word/document.xml")) return "docx"
+      if (names.contains("META-INF/container.xml") || names.contains("mimetype")) return "epub"
       if (names.exists(n => n.startsWith("xl/"))) return "xlsx"
       if (names.exists(n => n.startsWith("ppt/"))) return "pptx"
       return "zip"

@@ -277,6 +277,63 @@ object OfficeCodec {
     } catch { case _: Exception => null }
 
   // ------------------------------------------------------------------
+  // EPUB
+  // ------------------------------------------------------------------
+
+  /** Per-chapter text in SPINE order (EPUB OCF: `META-INF/
+    * container.xml` → OPF rootfile → manifest hrefs keyed by the
+    * spine's idrefs, resolved relative to the OPF directory), each
+    * chapter through the crawl layer's HTML extractor. Falls back to
+    * every `.xhtml`/`.html` part in name order when the container or
+    * OPF is damaged — a torn book still yields its text. Null for
+    * non-ZIP input or an archive with no chapters.
+    */
+  def epubText(bytes: Array[Byte]): Array[String] =
+    if (!ZipCodec.isZip(bytes)) null
+    else try {
+      val names = ZipCodec.entries(bytes).map(_.name)
+      val spineHrefs: Vector[String] = try {
+        val container = new String(
+          ZipCodec.extract(bytes, "META-INF/container.xml"), StandardCharsets.UTF_8)
+        var opfPath: String = null
+        var p = 0
+        var t = nextTag(container, p)
+        while (t != null && opfPath == null) {
+          if (!t.closing && t.name == "rootfile") opfPath = attr(t.attrs, "full-path")
+          p = t.end; t = nextTag(container, p)
+        }
+        val opfDir = {
+          val i = opfPath.lastIndexOf('/')
+          if (i < 0) "" else opfPath.substring(0, i + 1)
+        }
+        val opf = new String(ZipCodec.extract(bytes, opfPath), StandardCharsets.UTF_8)
+        val hrefById = mutable.Map[String, String]()
+        val spineIds = Vector.newBuilder[String]
+        p = 0; t = nextTag(opf, p)
+        while (t != null) {
+          if (!t.closing && t.name == "item") {
+            val id = attr(t.attrs, "id"); val href = attr(t.attrs, "href")
+            if (id != null && href != null) hrefById(id) = href
+          } else if (!t.closing && t.name == "itemref") {
+            val idref = attr(t.attrs, "idref")
+            if (idref != null) spineIds += idref
+          }
+          p = t.end; t = nextTag(opf, p)
+        }
+        spineIds.result().flatMap(id => hrefById.get(id)).map(opfDir + _)
+      } catch { case _: Exception => // damaged container/OPF: name-order fallback
+        names.filter(n => n.endsWith(".xhtml") || n.endsWith(".html")).sorted
+      }
+      val chapters = spineHrefs.flatMap { href =>
+        Option(ZipCodec.extract(bytes, href)).map { part =>
+          graft.functions.HtmlOps.extract(
+            new String(part, StandardCharsets.UTF_8)).text
+        }
+      }
+      if (chapters.isEmpty) null else chapters.toArray
+    } catch { case _: Exception => null }
+
+  // ------------------------------------------------------------------
   // fixture writers (deterministic)
   // ------------------------------------------------------------------
 
@@ -354,4 +411,42 @@ object OfficeCodec {
   /** The slide text [[composePptx]] yields for slide `s`. */
   def expectedPptxSlide(seed: Long, s: Int): String =
     s"Slide $s of deck $seed\nbullet & point ${seed % 100}"
+
+  /** `nChapters` chapters; chapter file names are REVERSE-alphabetical
+    * (`zch0` sorts after `ych1` …) while the spine lists them in
+    * reading order — extraction must follow the SPINE, and the
+    * name-order fallback would give a different (wrong) order, so the
+    * gate distinguishes the two paths.
+    */
+  def composeEpub(seed: Long, nChapters: Int): Array[Byte] = {
+    val n = math.max(1, nChapters)
+    // 'z','y','x'… prefixes invert lexicographic order vs reading order
+    def chapName(i: Int) = s"OEBPS/${('z' - i).toChar}ch$i.xhtml"
+    val container =
+      "<?xml version=\"1.0\"?><container version=\"1.0\" " +
+        "xmlns=\"urn:oasis:names:tc:opendocument:xmlns:container\">" +
+        "<rootfiles><rootfile full-path=\"OEBPS/content.opf\" " +
+        "media-type=\"application/oebps-package+xml\"/></rootfiles></container>"
+    val manifest = (0 until n).map(i =>
+      s"<item id=\"c$i\" href=\"${chapName(i).stripPrefix("OEBPS/")}\" " +
+        "media-type=\"application/xhtml+xml\"/>").mkString
+    val spine = (0 until n).map(i => s"<itemref idref=\"c$i\"/>").mkString
+    val opf =
+      "<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/2007/opf\" version=\"3.0\">" +
+        s"<manifest>$manifest</manifest><spine>$spine</spine></package>"
+    val chapters = (0 until n).map { i =>
+      chapName(i) ->
+        (s"<html><head><title>Ch $i</title></head><body><h1>Chapter $i</h1>" +
+          s"<p>Book $seed prose &amp; caf&#233; line $i.</p></body></html>")
+          .getBytes(StandardCharsets.UTF_8)
+    }
+    ZipCodec.build(Seq(
+      "mimetype" -> "application/epub+zip".getBytes(StandardCharsets.US_ASCII),
+      "META-INF/container.xml" -> container.getBytes(StandardCharsets.UTF_8),
+      "OEBPS/content.opf" -> opf.getBytes(StandardCharsets.UTF_8)) ++ chapters)
+  }
+
+  /** The chapter text [[composeEpub]] yields for chapter `i`. */
+  def expectedEpubChapter(seed: Long, i: Int): String =
+    s"Chapter $i\nBook $seed prose & café line $i."
 }

@@ -892,4 +892,16 @@ object EventPipeline {
         ()
       }
       .start()
+
+  /** Streaming document ingest: the [[graft.operators.CorpusIngest]]
+    * front door (content-sniff → route to pdf/docx/pptx/html/text
+    * extractors → token metrics) applied to a STREAM of (doc_id,
+    * payload) rows. Every stage is a stateless projection, so the
+    * batch capstone (`q_corpus_dispatch`) and this stream share ONE
+    * transform — StreamingSpec proves the micro-batch output equals
+    * the batch run on the same rows. Scale shape: pure map work; the
+    * knob is payload bytes per micro-batch, not state.
+    */
+  def streamingCorpus(docs: DataFrame): DataFrame =
+    graft.operators.CorpusIngest.withDocMetrics(docs, "doc_id", "payload")
 }

@@ -109,6 +109,23 @@ class OfficeCodecSpec extends AnyFunSuite {
     assert(OfficeCodec.pptxText(ZipCodec.build(Seq("a" -> "x".getBytes))) === null)
   }
 
+  test("EPUB: spine order beats file-name order; fallback covers a torn container") {
+    val epub = OfficeCodec.composeEpub(55L, 3)
+    // spine path: chapters in READING order even though their file
+    // names sort in reverse
+    assert(OfficeCodec.epubText(epub).toSeq ===
+      (0 until 3).map(OfficeCodec.expectedEpubChapter(55L, _)))
+    // tear out the container: the name-order fallback still extracts,
+    // but in (reverse) name order — proving the two paths differ
+    val names = ZipCodec.entries(epub).map(_.name).filterNot(_ == "META-INF/container.xml")
+    val torn = ZipCodec.build(names.map(n => n -> ZipCodec.extract(epub, n)))
+    val fallback = OfficeCodec.epubText(torn).toSeq
+    assert(fallback.toSet === (0 until 3).map(OfficeCodec.expectedEpubChapter(55L, _)).toSet)
+    assert(fallback !== (0 until 3).map(OfficeCodec.expectedEpubChapter(55L, _)))
+    assert(FormatDetect.detect(epub) === "epub")
+    assert(OfficeCodec.epubText("not a zip".getBytes) === null)
+  }
+
   test("TAR: build/entries/extract round trip, checksum and extension guards") {
     val files = Seq("a.txt" -> "alpha".getBytes,
       "sub/b.bin" -> Array.tabulate[Byte](700)(i => (i * 7).toByte), // spans 2 blocks

@@ -807,4 +807,44 @@ class StreamingSpec extends SparkSpec {
       assert(out === Set((3L, "srcA"), (5L, "srcA"), (7L, "srcB"), (2L, "srcB")))
     } finally q.stop()
   }
+
+  test("streaming corpus ingest: micro-batch output equals the batch transform") {
+    implicit val ctx = spark.sqlContext
+    // a mixed shard: pdf / docx / pptx / html / plain text / binary
+    val payloads: Seq[(Long, Array[Byte])] = Seq(
+      1L -> graft.sources.PdfText.composeTextFixture(101L, 2),
+      2L -> graft.sources.OfficeCodec.composeDocx(102L, 2),
+      3L -> graft.sources.OfficeCodec.composePptx(103L, 2),
+      4L -> "<html><head><title>T</title></head><body><p>hello web</p></body></html>".getBytes("UTF-8"),
+      5L -> "plain cafÃ© text".getBytes("UTF-8"), // mojibake repair on the text path
+      6L -> Array[Byte](0, 1, 2, 3)) // binary: labeled, null metrics
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val stream = EventPipeline.streamingCorpus(
+      mem.toDF().toDF("doc_id", "payload"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_ing").start()
+    try {
+      mem.addData(payloads.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(payloads.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_ing").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(4)) -1 else r.getInt(4)))
+        .toSet
+      val batch = graft.operators.CorpusIngest.withDocMetrics(
+        payloads.toDF("doc_id", "payload"), "doc_id", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), if (r.isNullAt(4)) -1 else r.getInt(4)))
+        .toSet
+      assert(streamed === batch)
+      val byId = spark.table("corpus_ing").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(byId === Map(1L -> "pdf", 2L -> "docx", 3L -> "pptx",
+        4L -> "html", 5L -> "text", 6L -> "binary"))
+      // the repaired text path actually repaired: n_chars of doc 5
+      val doc5 = spark.table("corpus_ing").collect().find(_.getLong(0) == 5L).get
+      assert(doc5.getInt(4) === "plain café text".length)
+    } finally q.stop()
+  }
 }
