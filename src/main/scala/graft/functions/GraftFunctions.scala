@@ -71,6 +71,8 @@ object GraftFunctions {
     "synth_pptx" -> (a => OfficeOps.synthPptx(a.head, a(1))),
     "format_detect" -> (a => OfficeOps.formatDetect(a.head)),
     "epub_text" -> (a => OfficeOps.epubText(a.head)),
+    "mbox_messages" -> (a => OfficeOps.mboxMessages(a.head)),
+    "synth_mbox" -> (a => OfficeOps.synthMbox(a.head, a(1))),
     "synth_epub" -> (a => OfficeOps.synthEpub(a.head, a(1))),
     "tar_entries" -> (a => OfficeOps.tarEntries(a.head)),
     "synth_tar" -> (a => OfficeOps.synthTar(a.head, a(1))),

@@ -64,6 +64,23 @@ object OfficeExprs {
     else new GenericArrayData(chapters.map(UTF8String.fromString(_): Any))
   }
 
+  val MailSchema: StructType = StructType(Seq(
+    StructField("subject", StringType, nullable = true),
+    StructField("from", StringType, nullable = true),
+    StructField("date", StringType, nullable = true),
+    StructField("text", StringType, nullable = false)))
+
+  /** [[graft.sources.MailCodec.parseMbox]] boxed for codegen. */
+  def mboxArray(bytes: Array[Byte]): ArrayData = {
+    val msgs = graft.sources.MailCodec.parseMbox(bytes)
+    if (msgs == null) null
+    else new GenericArrayData(msgs.map { m =>
+      def s(v: String) = if (v == null) null else UTF8String.fromString(v)
+      new GenericInternalRow(Array[Any](s(m.subject), s(m.from), s(m.date),
+        UTF8String.fromString(m.text))): Any
+    })
+  }
+
   val TarEntrySchema: StructType = StructType(Seq(
     StructField("name", StringType, nullable = false),
     StructField("size", LongType, nullable = false)))
@@ -307,6 +324,46 @@ case class SynthTarExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_tar"
 }
 
+/** MBOX archive → messages ([[graft.sources.MailCodec]]): RFC 5322
+  * headers (2047 encoded-words decoded), MIME multipart recursion,
+  * base64/quoted-printable transfer decoding, html-part fallback
+  * through the crawl extractor. Null when the bytes aren't an mbox.
+  */
+case class MboxMessagesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(OfficeExprs.MailSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.mboxArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("mbox")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |ArrayData $r = graft.functions.OfficeExprs.mboxArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): MboxMessagesExpr = copy(child = c)
+  override def prettyName: String = "mbox_messages"
+}
+
+/** Deterministic MBOX fixture: (seed, nMsgs) cycling QP / base64 /
+  * multipart-alternative decode paths with 2047-encoded subjects.
+  */
+case class SynthMboxExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    graft.sources.MailCodec.composeMbox(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.MailCodec.composeMbox($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthMboxExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_mbox"
+}
+
 /** Column-level entry points. */
 object OfficeOps {
   def zipEntries(bin: Column): Column =
@@ -329,6 +386,10 @@ object OfficeOps {
     GraftExpr.toColumn(EpubTextExpr(GraftExpr.toExpr(bin)))
   def synthEpub(seed: Column, nChapters: Column): Column =
     GraftExpr.toColumn(SynthEpubExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nChapters)))
+  def mboxMessages(bin: Column): Column =
+    GraftExpr.toColumn(MboxMessagesExpr(GraftExpr.toExpr(bin)))
+  def synthMbox(seed: Column, nMsgs: Column): Column =
+    GraftExpr.toColumn(SynthMboxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMsgs)))
   def tarEntries(bin: Column): Column =
     GraftExpr.toColumn(TarEntriesExpr(GraftExpr.toExpr(bin)))
   def synthTar(seed: Column, nFiles: Column): Column =

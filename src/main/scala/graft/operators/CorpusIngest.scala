@@ -29,6 +29,8 @@ object CorpusIngest {
           array_join(graft.functions.OfficeOps.pptxText(payload), "\n"))
         .when(format === "epub",
           array_join(graft.functions.OfficeOps.epubText(payload), "\n"))
+        .when(format === "mbox",
+          array_join(graft.functions.OfficeOps.mboxMessages(payload).getField("text"), "\n"))
         .when(format === "html" || format === "text",
           graft.functions.Mojibake.fixMojibake(
             when(format === "html",

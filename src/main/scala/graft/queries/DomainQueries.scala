@@ -633,17 +633,49 @@ object DomainQueries {
       |FROM documents d, generate_series(0, 3) c(c)
       |WHERE c.c <= d.doc_id % 4""".stripMargin
 
-  /** Content-based format routing under the hash gate: a 15-way
+  /** Email extraction under the hash gate, message grain: real MBOX
+    * archives whose messages cycle the three decode paths —
+    * quoted-printable Latin-1 (incl. a soft line break), base64 UTF-8,
+    * and multipart/alternative where the html part comes FIRST but the
+    * text/plain part must win — with RFC 2047 encoded-word subjects
+    * (base64, non-ASCII en dash). The oracle rebuilds every header and
+    * body closed-form; a slip in mbox framing, header folding, word
+    * decoding, boundary walking or either transfer decoding flips a
+    * row.
+    */
+  val mboxText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("mbox", graft.functions.OfficeOps.synthMbox(col("doc_id") * 89,
+        (col("doc_id") % 5 + 1).cast("int")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.OfficeOps.mboxMessages(col("mbox"))).as(Seq("msg", "m")))
+      .select(col("doc_id"), col("msg").cast("long").as("msg"),
+        col("m.subject").as("subject"), col("m.from").as("sender"),
+        col("m.date").as("date"), col("m.text").as("text"))
+  val mboxTextSql: String =
+    """SELECT d.doc_id, CAST(m.m AS BIGINT) AS msg,
+      |       'Report ' || (d.doc_id * 89) || '–' || m.m AS subject,
+      |       'Sender ' || m.m || ' <sender' || m.m || '@example.com>' AS sender,
+      |       'Thu, 0' || (m.m % 9 + 1) || ' Jan 2026 00:00:00 +0000' AS date,
+      |       CASE m.m % 3
+      |         WHEN 0 THEN 'café note ' || (d.doc_id * 89) || ' line ' || m.m || ' joined'
+      |         WHEN 1 THEN 'body ' || (d.doc_id * 89) || ' of message ' || m.m || ' — unicode ok'
+      |         ELSE 'plain ' || (d.doc_id * 89) || ' wins ' || m.m END AS text
+      |FROM documents d, generate_series(0, 4) m(m)
+      |WHERE m.m <= d.doc_id % 5""".stripMargin
+
+  /** Content-based format routing under the hash gate: a 16-way
     * battery of REAL payloads from every synth writer in the engine
     * (PDF, the three Office formats, EPUB, TAR, WAV, GIF, AVI, PNG,
     * HTML, XML, text, binary, empty) classified per row by
     * `format_detect` — magic bytes + container refinement, never
     * extensions. The CASE chain evaluates only the branch a row needs
-    * (no 15× synth cost).
+    * (no 16× synth cost).
     */
   val formatDetect: Q = (s, d) => {
     val seed = col("doc_id") * 71
-    val idx = pmod(col("doc_id"), lit(15))
+    val idx = pmod(col("doc_id"), lit(16))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(1)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(1)))
       .when(idx === 2, graft.functions.OfficeOps.synthXlsx(seed, lit(1)))
@@ -658,6 +690,7 @@ object DomainQueries {
       .when(idx === 11, encode(lit("<?xml version=\"1.0\"?><r/>"), "UTF-8"))
       .when(idx === 12, encode(lit("plain text payload, nothing else\n"), "UTF-8"))
       .when(idx === 13, unhex(lit("00FF01FE00")))
+      .when(idx === 14, graft.functions.OfficeOps.synthMbox(seed, lit(1)))
       .otherwise(unhex(lit("")))
     Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -667,8 +700,8 @@ object DomainQueries {
   val formatDetectSql: String =
     """SELECT doc_id,
       |       (['pdf', 'docx', 'xlsx', 'pptx', 'epub', 'tar', 'wav', 'gif', 'avi',
-      |         'png', 'html', 'xml', 'text', 'binary', 'empty'])
-      |         [CAST(doc_id % 15 AS INTEGER) + 1] AS format
+      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'empty'])
+      |         [CAST(doc_id % 16 AS INTEGER) + 1] AS format
       |FROM documents""".stripMargin
 
   /** TAR listing under the hash gate: real ustar archives (the codec's
@@ -1863,6 +1896,7 @@ object DomainQueries {
     "q_tar_entries" -> tarEntries,
     "q_corpus_dispatch" -> corpusDispatch,
     "q_epub_text" -> epubText,
+    "q_mbox_text" -> mboxText,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1930,6 +1964,7 @@ object DomainQueries {
     "q_tar_entries" -> tarEntriesSql,
     "q_corpus_dispatch" -> corpusDispatchSql,
     "q_epub_text" -> epubTextSql,
+    "q_mbox_text" -> mboxTextSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

@@ -11,7 +11,8 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
-  * tar, jpeg, png, gif, wav, avi, html, xml, text, binary, empty.
+  * tar, mbox, jpeg, png, gif, wav, avi, html, xml, text, binary,
+  * empty.
   */
 object FormatDetect {
 
@@ -78,6 +79,13 @@ object FormatDetect {
     if (startsWith(b, "RIFF") && startsWith(b, "WAVE", 8)) return "wav"
     if (startsWith(b, "RIFF") && startsWith(b, "AVI ", 8)) return "avi"
     if (startsWith(b, "ustar", 257)) return "tar"
+    if (startsWith(b, "From ")) {
+      // mbox needs a header line shortly after the separator — plain
+      // prose starting with "From " must stay "text"
+      val probe = asciiPrefixLower(b, 512)
+      if (probe.contains("\nfrom:") || probe.contains("\nsubject:") ||
+          probe.contains("\ndate:")) return "mbox"
+    }
     val head = asciiPrefixLower(b, 256)
     val trimmed = head.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
       c == 0xef.toChar || c == 0xbb.toChar || c == 0xbf.toChar) // incl. UTF-8 BOM bytes
