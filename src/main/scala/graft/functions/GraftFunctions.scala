@@ -73,6 +73,8 @@ object GraftFunctions {
     "epub_text" -> (a => OfficeOps.epubText(a.head)),
     "mbox_messages" -> (a => OfficeOps.mboxMessages(a.head)),
     "synth_mbox" -> (a => OfficeOps.synthMbox(a.head, a(1))),
+    "rtf_text" -> (a => OfficeOps.rtfText(a.head)),
+    "synth_rtf" -> (a => OfficeOps.synthRtf(a.head, a(1))),
     "synth_epub" -> (a => OfficeOps.synthEpub(a.head, a(1))),
     "tar_entries" -> (a => OfficeOps.tarEntries(a.head)),
     "synth_tar" -> (a => OfficeOps.synthTar(a.head, a(1))),

@@ -70,6 +70,13 @@ object OfficeExprs {
     StructField("date", StringType, nullable = true),
     StructField("text", StringType, nullable = false)))
 
+  /** [[graft.sources.RtfCodec.extractText]] boxed for codegen. */
+  def rtfTextStr(bytes: Array[Byte]): UTF8String = {
+    val s = try graft.sources.RtfCodec.extractText(bytes)
+            catch { case _: Exception => null }
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
   /** [[graft.sources.MailCodec.parseMbox]] boxed for codegen. */
   def mboxArray(bytes: Array[Byte]): ArrayData = {
     val msgs = graft.sources.MailCodec.parseMbox(bytes)
@@ -364,6 +371,42 @@ case class SynthMboxExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_mbox"
 }
 
+/** RTF text extraction ([[graft.sources.RtfCodec]]); null when the
+  * bytes don't open an RTF group.
+  */
+case class RtfTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = OfficeExprs.rtfTextStr(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("rtfText")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |UTF8String $r = graft.functions.OfficeExprs.rtfTextStr($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): RtfTextExpr = copy(child = c)
+  override def prettyName: String = "rtf_text"
+}
+
+/** Deterministic RTF fixture: (seed, nParas). */
+case class SynthRtfExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    graft.sources.RtfCodec.composeRtf(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.RtfCodec.composeRtf($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthRtfExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_rtf"
+}
+
 /** Column-level entry points. */
 object OfficeOps {
   def zipEntries(bin: Column): Column =
@@ -390,6 +433,10 @@ object OfficeOps {
     GraftExpr.toColumn(MboxMessagesExpr(GraftExpr.toExpr(bin)))
   def synthMbox(seed: Column, nMsgs: Column): Column =
     GraftExpr.toColumn(SynthMboxExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMsgs)))
+  def rtfText(bin: Column): Column =
+    GraftExpr.toColumn(RtfTextExpr(GraftExpr.toExpr(bin)))
+  def synthRtf(seed: Column, nParas: Column): Column =
+    GraftExpr.toColumn(SynthRtfExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nParas)))
   def tarEntries(bin: Column): Column =
     GraftExpr.toColumn(TarEntriesExpr(GraftExpr.toExpr(bin)))
   def synthTar(seed: Column, nFiles: Column): Column =

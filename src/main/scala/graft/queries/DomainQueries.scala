@@ -665,17 +665,41 @@ object DomainQueries {
       |FROM documents d, generate_series(0, 4) m(m)
       |WHERE m.m <= d.doc_id % 5""".stripMargin
 
-  /** Content-based format routing under the hash gate: a 16-way
+  /** RTF extraction under the hash gate: control-word tokenization,
+    * cp1252 hex bytes, unicode escapes with fallback skipping,
+    * special-character words and destination-group skipping, all
+    * closed-form per row.
+    */
+  val rtfText: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("rtf", graft.functions.OfficeOps.synthRtf(col("doc_id") * 97,
+        (col("doc_id") % 4 + 1).cast("int")))
+      .select(col("doc_id"),
+        graft.functions.OfficeOps.rtfText(col("rtf")).as("text"))
+      .withColumn("n_paras", size(split(col("text"), "\n", -1)).cast("long"))
+  val rtfTextSql: String =
+    """WITH t AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Note ' || p.p || ' of ' || (d.doc_id * 97) ||
+      |           ': café —dash ' || chr(9) || 'end' AS pt
+      |  FROM documents d, generate_series(0, 3) p(p)
+      |  WHERE p.p <= d.doc_id % 4)
+      |SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text,
+      |       CAST(doc_id % 4 + 1 AS BIGINT) AS n_paras
+      |FROM t GROUP BY doc_id""".stripMargin
+
+  /** Content-based format routing under the hash gate: a 17-way
     * battery of REAL payloads from every synth writer in the engine
     * (PDF, the three Office formats, EPUB, TAR, WAV, GIF, AVI, PNG,
     * HTML, XML, text, binary, empty) classified per row by
     * `format_detect` — magic bytes + container refinement, never
     * extensions. The CASE chain evaluates only the branch a row needs
-    * (no 16× synth cost).
+    * (no 17× synth cost).
     */
   val formatDetect: Q = (s, d) => {
     val seed = col("doc_id") * 71
-    val idx = pmod(col("doc_id"), lit(16))
+    val idx = pmod(col("doc_id"), lit(17))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(1)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(1)))
       .when(idx === 2, graft.functions.OfficeOps.synthXlsx(seed, lit(1)))
@@ -691,6 +715,7 @@ object DomainQueries {
       .when(idx === 12, encode(lit("plain text payload, nothing else\n"), "UTF-8"))
       .when(idx === 13, unhex(lit("00FF01FE00")))
       .when(idx === 14, graft.functions.OfficeOps.synthMbox(seed, lit(1)))
+      .when(idx === 15, graft.functions.OfficeOps.synthRtf(seed, lit(1)))
       .otherwise(unhex(lit("")))
     Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -700,8 +725,8 @@ object DomainQueries {
   val formatDetectSql: String =
     """SELECT doc_id,
       |       (['pdf', 'docx', 'xlsx', 'pptx', 'epub', 'tar', 'wav', 'gif', 'avi',
-      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'empty'])
-      |         [CAST(doc_id % 16 AS INTEGER) + 1] AS format
+      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'rtf', 'empty'])
+      |         [CAST(doc_id % 17 AS INTEGER) + 1] AS format
       |FROM documents""".stripMargin
 
   /** TAR listing under the hash gate: real ustar archives (the codec's
@@ -1897,6 +1922,7 @@ object DomainQueries {
     "q_corpus_dispatch" -> corpusDispatch,
     "q_epub_text" -> epubText,
     "q_mbox_text" -> mboxText,
+    "q_rtf_text" -> rtfText,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1965,6 +1991,7 @@ object DomainQueries {
     "q_corpus_dispatch" -> corpusDispatchSql,
     "q_epub_text" -> epubTextSql,
     "q_mbox_text" -> mboxTextSql,
+    "q_rtf_text" -> rtfTextSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,

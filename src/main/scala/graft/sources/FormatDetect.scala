@@ -11,8 +11,9 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
-  * tar, mbox, jpeg, png, gif, wav, avi, html, xml, text, binary,
-  * empty.
+  * tar, rtf, ole (legacy .doc/.xls/.msg — classified for quarantine,
+  * no extractor), mbox, jpeg, png, gif, wav, avi, html, xml, text,
+  * binary, empty.
   */
 object FormatDetect {
 
@@ -79,6 +80,9 @@ object FormatDetect {
     if (startsWith(b, "RIFF") && startsWith(b, "WAVE", 8)) return "wav"
     if (startsWith(b, "RIFF") && startsWith(b, "AVI ", 8)) return "avi"
     if (startsWith(b, "ustar", 257)) return "tar"
+    if (startsWith(b, "{\\rtf")) return "rtf"
+    if (b.length >= 4 && (b(0) & 0xff) == 0xd0 && (b(1) & 0xff) == 0xcf &&
+        (b(2) & 0xff) == 0x11 && (b(3) & 0xff) == 0xe0) return "ole" // legacy .doc/.xls/.msg
     if (startsWith(b, "From ")) {
       // mbox needs a header line shortly after the separator — plain
       // prose starting with "From " must stay "text"

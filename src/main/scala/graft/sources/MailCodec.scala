@@ -299,3 +299,149 @@ object MailCodec {
     case _ => s"plain $seed wins $m"
   }
 }
+
+/** RTF text extraction — the legacy word-processor format that still
+  * surfaces in enterprise shares and email attachments. Single-pass,
+  * never-throws tokenizer over the control structure:
+  *
+  *   - control words `\word[-]N ` (trailing space consumed), with
+  *     `\par`/`\line` → newline, `\tab` → TAB, `\'xx` hex bytes in
+  *     cp1252, `\uN` unicode (negative = 65536+N) honoring the `\ucN`
+  *     fallback-skip count, `\\ \{ \}` escapes, `\~` NBSP;
+  *   - destination groups (`{\*…}`, fonttbl, colortbl, stylesheet,
+  *     info, pict, header, footer) skipped whole, brace depth
+  *     tracked with the `\uc` state scoped per group.
+  *
+  * Out of subset (degrade): embedded objects, fields beyond their
+  * result text, themes. Null when the bytes don't open `{\rtf`.
+  */
+object RtfCodec {
+
+  private val SkipDests = Set("fonttbl", "colortbl", "stylesheet", "info", "pict",
+    "header", "footer", "headerl", "headerr", "footerl", "footerr", "ftnsep",
+    "generator", "themedata", "colorschememapping", "datastore", "xmlnstbl")
+
+  def isRtf(b: Array[Byte]): Boolean =
+    b != null && b.length > 5 && b(0) == '{' && b(1) == '\\' &&
+      b(2) == 'r' && b(3) == 't' && b(4) == 'f'
+
+  def extractText(bytes: Array[Byte]): String = {
+    if (!isRtf(bytes)) return null
+    val s = new String(bytes, StandardCharsets.ISO_8859_1)
+    val out = new StringBuilder
+    // pending cp1252 bytes flush as a unit so multi-byte \'xx runs
+    // decode coherently
+    val pend = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (pend.size() > 0) {
+      out.append(new String(pend.toByteArray, Charset.forName("windows-1252")))
+      pend.reset()
+    }
+    var i = 0
+    var depth = 0
+    var skipDepth = -1 // skipping while depth > skipDepth
+    val ucStack = mutable.Stack[Int]()
+    var uc = 1
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c == '{') { depth += 1; ucStack.push(uc); i += 1 }
+      else if (c == '}') {
+        depth -= 1
+        if (ucStack.nonEmpty) uc = ucStack.pop()
+        if (skipDepth >= 0 && depth <= skipDepth) skipDepth = -1
+        if (depth <= 0) done = true
+        i += 1
+      } else if (c == '\\') {
+        if (i + 1 >= s.length) done = true
+        else {
+          val n = s.charAt(i + 1)
+          if (n == '\\' || n == '{' || n == '}') {
+            if (skipDepth < 0) { flush(); out.append(n) }; i += 2
+          } else if (n == '\'') {
+            if (i + 3 < s.length) {
+              val hi = Character.digit(s.charAt(i + 2), 16)
+              val lo = Character.digit(s.charAt(i + 3), 16)
+              if (skipDepth < 0 && hi >= 0 && lo >= 0) pend.write((hi << 4) | lo)
+              i += 4
+            } else done = true
+          } else if (n == '~') { if (skipDepth < 0) { flush(); out.append(' ') }; i += 2 }
+          else if (n == '*') {
+            // {\*\dest …}: unknown destination — skip the group
+            if (skipDepth < 0) skipDepth = depth - 1
+            i += 2
+          } else if (n.isLetter) {
+            var j = i + 1
+            while (j < s.length && s.charAt(j).isLetter) j += 1
+            val word = s.substring(i + 1, j)
+            var k = j
+            var neg = false
+            if (k < s.length && s.charAt(k) == '-') { neg = true; k += 1 }
+            var num = 0L
+            var hasNum = false
+            while (k < s.length && s.charAt(k).isDigit) {
+              num = num * 10 + (s.charAt(k) - '0'); hasNum = true; k += 1
+            }
+            if (k < s.length && s.charAt(k) == ' ') k += 1 // delimiter space
+            val value = if (neg) -num else num
+            word match {
+              case _ if skipDepth >= 0 => // inside a skipped group
+              case "par" | "line" | "sect" | "page" =>
+                flush()
+                while (out.nonEmpty && out.charAt(out.length - 1) == ' ')
+                  out.setLength(out.length - 1)
+                out.append('\n')
+              case "tab" => flush(); out.append('\t')
+              case "emdash" => flush(); out.append('—')
+              case "endash" => flush(); out.append('–')
+              case "lquote" => flush(); out.append('‘')
+              case "rquote" => flush(); out.append('’')
+              case "ldblquote" => flush(); out.append('“')
+              case "rdblquote" => flush(); out.append('”')
+              case "uc" if hasNum => uc = value.toInt
+              case "u" if hasNum =>
+                flush()
+                val cp = if (value < 0) 65536 + value else value
+                if (cp >= 0 && cp <= 0x10FFFF)
+                  out.appendAll(Character.toChars(cp.toInt))
+                // skip the `uc` fallback chars (either raw or \'xx)
+                var skip = uc
+                while (skip > 0 && k < s.length) {
+                  if (s.charAt(k) == '\\' && k + 3 < s.length && s.charAt(k + 1) == '\'') {
+                    k += 4; skip -= 1
+                  } else if (s.charAt(k) == '\\' || s.charAt(k) == '{' || s.charAt(k) == '}') {
+                    skip = 0 // structural char: fallback run ended early
+                  } else { k += 1; skip -= 1 }
+                }
+              case w if SkipDests.contains(w) => skipDepth = depth - 1
+              case _ => // formatting word: ignored
+            }
+            i = k
+          } else i += 2 // unknown control symbol
+        }
+      } else {
+        if (skipDepth < 0 && c != '\r' && c != '\n') { flush(); out.append(c) }
+        i += 1
+      }
+    }
+    flush()
+    while (out.nonEmpty && (out.charAt(out.length - 1) == '\n' || out.charAt(out.length - 1) == ' '))
+      out.setLength(out.length - 1)
+    out.toString
+  }
+
+  /** Deterministic fixture: `nParas` paragraphs exercising hex bytes,
+    * unicode escapes with fallbacks, special-char words and a skipped
+    * font table. Expected text per para: [[expectedRtfPara]].
+    */
+  def composeRtf(seed: Long, nParas: Int): Array[Byte] = {
+    val n = math.max(1, nParas)
+    val paras = (0 until n).map { i =>
+      s"\\pard Note $i of $seed: caf\\'e9 \\u8212 ?dash \\tab end\\par\n"
+    }.mkString
+    ("{\\rtf1\\ansi\\deff0{\\fonttbl{\\f0 Helvetica;}}" +
+      "{\\*\\generator graft 1.0;}" + paras + "}").getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  def expectedRtfPara(seed: Long, i: Int): String =
+    s"Note $i of $seed: café —dash \tend"
+}

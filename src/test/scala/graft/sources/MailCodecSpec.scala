@@ -86,6 +86,34 @@ class MailCodecSpec extends AnyFunSuite {
     assert(m.subject === null && m.text.nonEmpty)
   }
 
+  test("RTF: fixture closed form, unicode fallbacks, destination skipping, guards") {
+    for (n <- 1 to 3) {
+      val got = RtfCodec.extractText(RtfCodec.composeRtf(40L + n, n))
+      val want = (0 until n).map(RtfCodec.expectedRtfPara(40L + n, _)).mkString("\n")
+      assert(got === want, s"n=$n")
+    }
+    def rtf(body: String): String =
+      RtfCodec.extractText(s"{\\rtf1\\ansi $body}".getBytes("ISO-8859-1"))
+    // \uc2: TWO fallback chars skipped; negative \u wraps mod 65536
+    assert(rtf("\\uc2 a\\u26085 ??b\\uc1 \\u-1279 ?c") === "a日bﬁc") // -1279 → U+FB01
+    // escapes and special-character words: \~ is a control SYMBOL (no
+    // delimiter space eaten, and it emits a true NBSP), while
+    // \lquote/\endash are control WORDS eating their delimiter space
+    assert(rtf("\\{x\\} \\\\ \\~ \\lquote q\\rquote \\endash") === "{x} \\   ‘q’–")
+    // destination groups vanish whole, nested braces inside them too
+    // groups vanish but the literal spaces AROUND them survive (3 here)
+    assert(rtf("keep {\\*\\unknowndest {nested} gone} {\\fonttbl{\\f0 X;}} end") === "keep   end")
+    // stray bytes / not-rtf
+    assert(RtfCodec.extractText("plain".getBytes) === null)
+    assert(RtfCodec.extractText(Array.emptyByteArray) === null)
+    // truncated rtf never throws
+    val base = RtfCodec.composeRtf(5L, 2)
+    (1 until base.length by 7).foreach(k => RtfCodec.extractText(base.take(k)))
+    assert(FormatDetect.detect(base) === "rtf")
+    assert(FormatDetect.detect(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1)
+      .map(_.toByte)) === "ole")
+  }
+
   test("mutated battery: parser never throws over 200 damaged archives") {
     val rnd = new scala.util.Random(23)
     val base = MailCodec.composeMbox(9L, 4)
