@@ -665,6 +665,40 @@ object DomainQueries {
       |FROM documents d, generate_series(0, 4) m(m)
       |WHERE m.m <= d.doc_id % 5""".stripMargin
 
+  /** Jupyter-notebook cell extraction — deliberately PURE Catalyst
+    * (hand-assembled `.ipynb` JSON parsed with `from_json`, cells
+    * exploded, source arrays joined) as the native-path counterpoint
+    * to the custom codecs: notebooks are JSON, so the engine's own
+    * JSON machinery IS the right extractor, and the gate proves the
+    * schema/parse/explode chain against the closed form. Cell mix per
+    * doc: one markdown title + code cells with multi-line sources.
+    */
+  val ipynbCells: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val nbJson = concat(
+      lit("{\"cells\":[{\"cell_type\":\"markdown\",\"source\":[\"# Title "), id,
+      lit("\"]},{\"cell_type\":\"code\",\"source\":[\"x = "), id,
+      lit("\\n\",\"print(x)\"],\"outputs\":[]},{\"cell_type\":\"code\",\"source\":[\"y = "),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("\"]}],\"nbformat\":4,\"nbformat_minor\":5}"))
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("nb", nbJson)
+      .withColumn("parsed", from_json(col("nb"),
+        lit("struct<cells: array<struct<cell_type:string, source:array<string>>>, nbformat:int>")))
+      .select(col("doc_id"),
+        posexplode(col("parsed.cells")).as(Seq("cell", "c")))
+      .select(col("doc_id"), col("cell").cast("long").as("cell"),
+        col("c.cell_type").as("cell_type"),
+        concat_ws("", col("c.source")).as("source"))
+  }
+  val ipynbCellsSql: String =
+    """SELECT d.doc_id, CAST(c.c AS BIGINT) AS cell,
+      |       CASE c.c WHEN 0 THEN 'markdown' ELSE 'code' END AS cell_type,
+      |       CASE c.c WHEN 0 THEN '# Title ' || d.doc_id
+      |                WHEN 1 THEN 'x = ' || d.doc_id || chr(10) || 'print(x)'
+      |                ELSE 'y = ' || (d.doc_id % 7) END AS source
+      |FROM documents d, generate_series(0, 2) c(c)""".stripMargin
+
   /** RTF extraction under the hash gate: control-word tokenization,
     * cp1252 hex bytes, unicode escapes with fallback skipping,
     * special-character words and destination-group skipping, all
@@ -1923,6 +1957,7 @@ object DomainQueries {
     "q_epub_text" -> epubText,
     "q_mbox_text" -> mboxText,
     "q_rtf_text" -> rtfText,
+    "q_ipynb_cells" -> ipynbCells,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
     "q_audio_resample" -> audioResampleQ,
@@ -1992,6 +2027,7 @@ object DomainQueries {
     "q_epub_text" -> epubTextSql,
     "q_mbox_text" -> mboxTextSql,
     "q_rtf_text" -> rtfTextSql,
+    "q_ipynb_cells" -> ipynbCellsSql,
     "q_scan_pipeline" -> scanPipelineSql,
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,
