@@ -1,0 +1,166 @@
+package graft.functions
+
+import graft.sources.{CodeCodec, MarkupCodec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst surface over [[graft.sources.CodeCodec]] and
+  * [[graft.sources.MarkupCodec]] — the code-corpus curation stages
+  * (language ID, comment stripping, quality metrics, license
+  * detection) and the Markdown/LaTeX extractors as codegen'd
+  * projections: pure per-row functions inside whole-stage codegen,
+  * null-propagating, never throwing, no state and no join — the shape
+  * that scales to a 100 TB code shard exactly like the crawl layer's
+  * `html_extract`. Multi-output stages return ONE struct so a plan
+  * needing code + comment density scans once.
+  */
+object CodeExprs {
+
+  val MetricsSchema: StructType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("max_line", LongType, nullable = false),
+    StructField("avg_line_x100", LongType, nullable = false),
+    StructField("alnum_ppm", LongType, nullable = false),
+    StructField("alpha_ppm", LongType, nullable = false),
+    StructField("digit_ppm", LongType, nullable = false),
+    StructField("autogen", BooleanType, nullable = false)))
+
+  val StripSchema: StructType = StructType(Seq(
+    StructField("code", StringType, nullable = false),
+    StructField("comment_ppm", LongType, nullable = false)))
+
+  def codeLangStr(path: UTF8String, content: UTF8String): UTF8String =
+    UTF8String.fromString(CodeCodec.detectLang(
+      if (path == null) null else path.toString,
+      if (content == null) null else content.toString))
+
+  def metricsRow(text: UTF8String): InternalRow = {
+    val m = CodeCodec.metrics(text.toString)
+    new GenericInternalRow(Array[Any](
+      m.nLines, m.maxLine, m.avgLineX100, m.alnumPpm, m.alphaPpm, m.digitPpm, m.autogen))
+  }
+
+  def stripRow(text: UTF8String, lang: UTF8String): InternalRow = {
+    val t = text.toString
+    val s = CodeCodec.stripComments(t, if (lang == null) "" else lang.toString)
+    val total = t.codePointCount(0, t.length)
+    val ppm = if (total == 0) 0L else s.removedCp * 1000000L / total
+    new GenericInternalRow(Array[Any](UTF8String.fromString(s.code), ppm))
+  }
+
+  def licenseStr(text: UTF8String): UTF8String =
+    UTF8String.fromString(CodeCodec.detectLicense(text.toString))
+
+  def markdownStr(text: UTF8String): UTF8String =
+    UTF8String.fromString(MarkupCodec.markdownText(text.toString))
+
+  def latexStr(text: UTF8String): UTF8String =
+    UTF8String.fromString(MarkupCodec.latexText(text.toString))
+}
+
+/** `code_lang(path, content)` → language id; null when either input is
+  * null (pass empty strings for "don't know", the detector treats them
+  * as absent).
+  */
+case class CodeLangExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(p: Any, c: Any): Any =
+    CodeExprs.codeLangStr(p.asInstanceOf[UTF8String], c.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, c) =>
+      s"${ev.value} = graft.functions.CodeExprs.codeLangStr($p, $c);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CodeLangExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "code_lang"
+}
+
+/** `code_metrics(text)` → struct (see [[CodeExprs.MetricsSchema]]). */
+case class CodeMetricsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = CodeExprs.MetricsSchema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.metricsRow(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.metricsRow($t);")
+  override protected def withNewChildInternal(c: Expression): CodeMetricsExpr = copy(child = c)
+  override def prettyName: String = "code_metrics"
+}
+
+/** `strip_comments(text, lang)` → struct{code, comment_ppm}. */
+case class StripCommentsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType)
+  override def dataType: DataType = CodeExprs.StripSchema
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(t: Any, l: Any): Any =
+    CodeExprs.stripRow(t.asInstanceOf[UTF8String], l.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, l) =>
+      s"${ev.value} = graft.functions.CodeExprs.stripRow($t, $l);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StripCommentsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "strip_comments"
+}
+
+/** `license_detect(text)` → SPDX-style id or "unknown". */
+case class LicenseDetectExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.licenseStr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.licenseStr($t);")
+  override protected def withNewChildInternal(c: Expression): LicenseDetectExpr = copy(child = c)
+  override def prettyName: String = "license_detect"
+}
+
+/** `markdown_text(md)` → plain text ([[graft.sources.MarkupCodec]]). */
+case class MarkdownTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.markdownStr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.markdownStr($t);")
+  override protected def withNewChildInternal(c: Expression): MarkdownTextExpr = copy(child = c)
+  override def prettyName: String = "markdown_text"
+}
+
+/** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
+case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.latexStr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.latexStr($t);")
+  override protected def withNewChildInternal(c: Expression): LatexTextExpr = copy(child = c)
+  override def prettyName: String = "latex_text"
+}
+
+/** Column-level entry points. */
+object CodeOps {
+  def codeLang(path: Column, content: Column): Column =
+    GraftExpr.toColumn(CodeLangExpr(GraftExpr.toExpr(path), GraftExpr.toExpr(content)))
+  def codeMetrics(text: Column): Column =
+    GraftExpr.toColumn(CodeMetricsExpr(GraftExpr.toExpr(text)))
+  def stripComments(text: Column, lang: Column): Column =
+    GraftExpr.toColumn(StripCommentsExpr(GraftExpr.toExpr(text), GraftExpr.toExpr(lang)))
+  def licenseDetect(text: Column): Column =
+    GraftExpr.toColumn(LicenseDetectExpr(GraftExpr.toExpr(text)))
+  def markdownText(md: Column): Column =
+    GraftExpr.toColumn(MarkdownTextExpr(GraftExpr.toExpr(md)))
+  def latexText(tex: Column): Column =
+    GraftExpr.toColumn(LatexTextExpr(GraftExpr.toExpr(tex)))
+}

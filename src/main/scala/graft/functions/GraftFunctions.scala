@@ -100,6 +100,13 @@ object GraftFunctions {
     "gif_frame_motion" -> (a => GifOps.frameMotion(a.head)),
     "gif_analyze" -> (a => GifOps.analyze(a.head)),
     "synth_gif" -> (a => GifOps.synthGif(a.head, a(1), a(2), a(3))),
+    // -------------------------------------------- code/markup curation
+    "code_lang" -> (a => CodeOps.codeLang(a.head, a(1))),
+    "code_metrics" -> (a => CodeOps.codeMetrics(a.head)),
+    "strip_comments" -> (a => CodeOps.stripComments(a.head, a(1))),
+    "license_detect" -> (a => CodeOps.licenseDetect(a.head)),
+    "markdown_text" -> (a => CodeOps.markdownText(a.head)),
+    "latex_text" -> (a => CodeOps.latexText(a.head)),
     "avi_info" -> (a => AviOps.aviInfo(a.head)),
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),

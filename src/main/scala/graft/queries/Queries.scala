@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Queries {
   type Q = (SparkSession, String) => DataFrame
 
-  def all: Map[String, Q] = ParityQueries.queries ++ PipelineQueries.queries ++ DomainQueries.queries
+  def all: Map[String, Q] = ParityQueries.queries ++ PipelineQueries.queries ++
+    DomainQueries.queries ++ CodeQueries.queries
 
-  def oracles: Map[String, String] = ParityQueries.oracleSql ++ PipelineQueries.oracleSql ++ DomainQueries.oracleSql
+  def oracles: Map[String, String] = ParityQueries.oracleSql ++ PipelineQueries.oracleSql ++
+    DomainQueries.oracleSql ++ CodeQueries.oracleSql
 }
