@@ -60,6 +60,22 @@ object CodeExprs {
 
   def latexStr(text: UTF8String): UTF8String =
     UTF8String.fromString(MarkupCodec.latexText(text.toString))
+
+  val CsvSchema: StructType = StructType(Seq(
+    StructField("delim", StringType, nullable = false),
+    StructField("quote", StringType, nullable = false),
+    StructField("header", BooleanType, nullable = false),
+    StructField("n_cols", IntegerType, nullable = false)))
+
+  def csvSniffRow(text: UTF8String): InternalRow = {
+    val d = graft.sources.CsvSniff.sniff(text.toString)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(d.delim), UTF8String.fromString(d.quote), d.header, d.nCols))
+  }
+
+  def sentSplitArray(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MarkupCodec.sentenceSplit(text.toString).map(UTF8String.fromString(_): Any))
 }
 
 /** `code_lang(path, content)` → language id; null when either input is
@@ -149,6 +165,36 @@ case class LatexTextExpr(child: Expression) extends UnaryExpression with Implici
   override def prettyName: String = "latex_text"
 }
 
+/** `csv_sniff(text)` → struct{delim, quote, header, n_cols}
+  * ([[graft.sources.CsvSniff]]).
+  */
+case class CsvSniffExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = CodeExprs.CsvSchema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.csvSniffRow(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.csvSniffRow($t);")
+  override protected def withNewChildInternal(c: Expression): CsvSniffExpr = copy(child = c)
+  override def prettyName: String = "csv_sniff"
+}
+
+/** `sent_split(text)` → array of trimmed sentences
+  * ([[graft.sources.MarkupCodec.sentenceSplit]]).
+  */
+case class SentSplitExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.sentSplitArray(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.sentSplitArray($t);")
+  override protected def withNewChildInternal(c: Expression): SentSplitExpr = copy(child = c)
+  override def prettyName: String = "sent_split"
+}
+
 /** Column-level entry points. */
 object CodeOps {
   def codeLang(path: Column, content: Column): Column =
@@ -163,4 +209,8 @@ object CodeOps {
     GraftExpr.toColumn(MarkdownTextExpr(GraftExpr.toExpr(md)))
   def latexText(tex: Column): Column =
     GraftExpr.toColumn(LatexTextExpr(GraftExpr.toExpr(tex)))
+  def csvSniff(text: Column): Column =
+    GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))
+  def sentSplit(text: Column): Column =
+    GraftExpr.toColumn(SentSplitExpr(GraftExpr.toExpr(text)))
 }

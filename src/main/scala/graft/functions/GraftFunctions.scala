@@ -107,6 +107,8 @@ object GraftFunctions {
     "license_detect" -> (a => CodeOps.licenseDetect(a.head)),
     "markdown_text" -> (a => CodeOps.markdownText(a.head)),
     "latex_text" -> (a => CodeOps.latexText(a.head)),
+    "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
+    "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "avi_info" -> (a => AviOps.aviInfo(a.head)),
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),

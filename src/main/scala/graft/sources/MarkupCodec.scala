@@ -290,4 +290,62 @@ object MarkupCodec {
 
   private def skipOptArgs(tex: String, start: Int): Int =
     skipArgs(tex, start, all = false)
+
+  // ------------------------------------------------------------------
+  // sentence segmentation
+
+  /** Words whose trailing period is an abbreviation, not a sentence
+    * end (single letters — initials and the e.g./i.e. tails — are
+    * guarded separately).
+    */
+  private val Abbrevs = Set("mr", "mrs", "ms", "dr", "prof", "st", "no",
+    "vs", "etc", "fig", "al", "jr", "sr")
+
+  /** Deterministic sentence segmentation — the sequence-packing and
+    * per-sentence-dedup precursor. A run of `.!?` ends a sentence iff
+    * it is followed by whitespace + an uppercase letter or digit (or
+    * end of text), and — for a single `.` — the preceding word is not
+    * a known abbreviation or single letter (initials, "e.g."). The
+    * lowercase-following rule alone silently guards most abbreviation
+    * traps ("e.g. a test" never splits). Sentences are trimmed;
+    * empties dropped. One pass, never throws; null → null.
+    */
+  def sentenceSplit(text: String): Seq[String] = {
+    if (text == null) return null
+    val out = Seq.newBuilder[String]
+    val n = text.length
+    var start = 0
+    var i = 0
+    def emit(endEx: Int): Unit = {
+      val s = text.substring(start, endEx).trim
+      if (s.nonEmpty) out += s
+    }
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?') {
+        var j = i + 1
+        while (j < n && (text.charAt(j) == '.' || text.charAt(j) == '!' ||
+                         text.charAt(j) == '?')) j += 1
+        var k = j
+        while (k < n && Character.isWhitespace(text.charAt(k))) k += 1
+        val boundary = k >= n ||
+          (k > j && (Character.isUpperCase(text.charAt(k)) ||
+                     (text.charAt(k) >= '0' && text.charAt(k) <= '9')))
+        val abbrev = c == '.' && j - i == 1 && isAbbrevBefore(text, i)
+        if (boundary && !abbrev) { emit(j); start = k; i = k }
+        else i = j
+      } else i += 1
+    }
+    if (start < n) emit(n)
+    out.result()
+  }
+
+  private def isAbbrevBefore(text: String, dot: Int): Boolean = {
+    var b = dot
+    while (b > 0 && Character.isLetter(text.charAt(b - 1))) b -= 1
+    val len = dot - b
+    if (len == 0) return false
+    if (len == 1) return true // initials, e.g./i.e. tails
+    Abbrevs.contains(CodeCodec.asciiLower(text.substring(b, dot)))
+  }
 }
