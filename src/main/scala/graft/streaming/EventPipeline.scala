@@ -190,6 +190,32 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming code-corpus filter: each arriving micro-batch of
+    * (path, content) files runs the SAME
+    * [[graft.operators.CodeCuration.curate]] transform as the batch
+    * capstone `q_code_pipeline` — detect language, route to the
+    * matching extractor, measure, keep quality survivors — and appends
+    * them to `outPath` with their language and extracted text.
+    *
+    * The transform is a pure per-row projection (no state, no join),
+    * so the union of per-batch outputs EQUALS the one-shot batch run
+    * on the concatenated input: arrival slicing cannot change the
+    * result (StreamingSpec proves it), and per-batch cost is linear in
+    * the batch.
+    */
+  def startCodeFilter(newFiles: DataFrame, maxLine: Long,
+                      outPath: String): StreamingQuery =
+    newFiles.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CodeCuration.curate(batch, "path", "content", maxLine)
+          .filter(col("kept"))
+          .select(col("doc_id"), col("path"), col("lang"), col("text"),
+            col("m.n_lines").as("n_lines"))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** [[startQualityFilter]] under the exactly-once ledger: redelivered
     * documents are anti-joined away against the persisted
     * [[ProcessedLedger]] BEFORE scoring, survivors append

@@ -637,6 +637,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming code filter equals batch curation on any slicing; autogen files drop") {
+    implicit val ctx = spark.sqlContext
+    val files = Seq(
+      (1L, "a.py", "# c\nx = 1  # t\nprint(x)\n"), // kept
+      (2L, "gen.go", "// Code generated by tool. DO NOT EDIT.\npackage p\n"), // autogen → dropped
+      (3L, "README.md", "# Title\n\nBody with [link](u).\n"), // kept, markdown route
+      (4L, "wide.js", "var x = 1; // " + ("y" * 200) + "\nvar z = \"" + ("w" * 200) + "\";\n")) // >120-char line survives stripping → dropped
+    val mem = MemoryStream[(Long, String, String)]
+    val out = java.nio.file.Files.createTempDirectory("codefilter").toString
+    val q = EventPipeline.startCodeFilter(
+      mem.toDF().toDF("doc_id", "path", "content"), maxLine = 120L, outPath = out)
+    try {
+      mem.addData(files.take(1): _*)
+      q.processAllAvailable()
+      mem.addData(files.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "path", "lang", "text", "n_lines")
+        .as[(Long, String, String, String, Long)].collect().toSet
+      val batch = graft.operators.CodeCuration
+        .curate(files.toDF("doc_id", "path", "content"), "path", "content", 120L)
+        .filter($"kept")
+        .select($"doc_id", $"path", $"lang", $"text", $"m.n_lines".as("n_lines"))
+        .as[(Long, String, String, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(1L, 3L))
+      assert(streamed.map(r => r._1 -> r._3).toMap === Map(1L -> "python", 3L -> "markdown"))
+    } finally q.stop()
+  }
+
   test("ledgered classify router: redelivered docs route once, buckets match batch argmax") {
     val base = java.nio.file.Files.createTempDirectory("cls_route").toString
     val input = s"$base/in"; val chk = s"$base/chk"
