@@ -76,6 +76,19 @@ object CodeExprs {
   def sentSplitArray(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       MarkupCodec.sentenceSplit(text.toString).map(UTF8String.fromString(_): Any))
+
+  val SecretSchema: StructType = StructType(Seq(
+    StructField("redacted", StringType, nullable = false),
+    StructField("n_secrets", LongType, nullable = false),
+    StructField("kinds", ArrayType(StringType, containsNull = false), nullable = false)))
+
+  def secretScanRow(text: UTF8String): InternalRow = {
+    val s = graft.sources.SecretScan.scan(text.toString)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(s.redacted), s.kinds.length.toLong,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        s.kinds.map(UTF8String.fromString(_): Any))))
+  }
 }
 
 /** `code_lang(path, content)` → language id; null when either input is
@@ -195,6 +208,22 @@ case class SentSplitExpr(child: Expression) extends UnaryExpression with Implici
   override def prettyName: String = "sent_split"
 }
 
+/** `secret_scan(text)` → struct{redacted, n_secrets, kinds}
+  * ([[graft.sources.SecretScan]]) — credential redaction for corpus
+  * sanitization.
+  */
+case class SecretScanExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = CodeExprs.SecretSchema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.secretScanRow(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.secretScanRow($t);")
+  override protected def withNewChildInternal(c: Expression): SecretScanExpr = copy(child = c)
+  override def prettyName: String = "secret_scan"
+}
+
 /** Column-level entry points. */
 object CodeOps {
   def codeLang(path: Column, content: Column): Column =
@@ -213,4 +242,6 @@ object CodeOps {
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))
   def sentSplit(text: Column): Column =
     GraftExpr.toColumn(SentSplitExpr(GraftExpr.toExpr(text)))
+  def secretScan(text: Column): Column =
+    GraftExpr.toColumn(SecretScanExpr(GraftExpr.toExpr(text)))
 }

@@ -109,6 +109,7 @@ object GraftFunctions {
     "latex_text" -> (a => CodeOps.latexText(a.head)),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
+    "secret_scan" -> (a => CodeOps.secretScan(a.head)),
     "avi_info" -> (a => AviOps.aviInfo(a.head)),
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),
