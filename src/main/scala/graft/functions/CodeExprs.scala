@@ -82,6 +82,10 @@ object CodeExprs {
     StructField("n_secrets", LongType, nullable = false),
     StructField("kinds", ArrayType(StringType, containsNull = false), nullable = false)))
 
+  def unicodeNorm(text: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      text.toString, java.text.Normalizer.Form.valueOf(form)))
+
   def secretScanRow(text: UTF8String): InternalRow = {
     val s = graft.sources.SecretScan.scan(text.toString)
     new GenericInternalRow(Array[Any](
@@ -224,6 +228,32 @@ case class SecretScanExpr(child: Expression) extends UnaryExpression with Implic
   override def prettyName: String = "secret_scan"
 }
 
+/** `unicode_norm(text, form)` — canonical/compatibility Unicode
+  * normalization (NFC/NFD/NFKC/NFKD via `java.text.Normalizer`). The
+  * exact-dedup prerequisite: visually identical text with different
+  * codepoint sequences (composed vs decomposed accents, compatibility
+  * ligatures) must hash equal before any fingerprint. `form` is a
+  * plan-time literal — it selects the compiled transform, like
+  * `scan_seeded`'s quality.
+  */
+case class UnicodeNormExpr(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(Set("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"unicode_norm: unknown form $form")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any =
+    CodeExprs.unicodeNorm(t.asInstanceOf[UTF8String], form)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val f = ctx.addReferenceObj("form", form, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.unicodeNorm($t, $f);")
+  }
+  override protected def withNewChildInternal(c: Expression): UnicodeNormExpr = copy(child = c)
+  override def prettyName: String = "unicode_norm"
+}
+
 /** Column-level entry points. */
 object CodeOps {
   def codeLang(path: Column, content: Column): Column =
@@ -244,4 +274,6 @@ object CodeOps {
     GraftExpr.toColumn(SentSplitExpr(GraftExpr.toExpr(text)))
   def secretScan(text: Column): Column =
     GraftExpr.toColumn(SecretScanExpr(GraftExpr.toExpr(text)))
+  def unicodeNorm(text: Column, form: String): Column =
+    GraftExpr.toColumn(UnicodeNormExpr(GraftExpr.toExpr(text), form))
 }

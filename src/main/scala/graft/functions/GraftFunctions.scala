@@ -110,6 +110,7 @@ object GraftFunctions {
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),
+    "unicode_norm" -> (a => CodeOps.unicodeNorm(a.head, litString(a(1), "unicode_norm form"))),
     "avi_info" -> (a => AviOps.aviInfo(a.head)),
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),
