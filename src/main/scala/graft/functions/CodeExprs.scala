@@ -82,6 +82,18 @@ object CodeExprs {
     StructField("n_secrets", LongType, nullable = false),
     StructField("kinds", ArrayType(StringType, containsNull = false), nullable = false)))
 
+  val DiffStatSchema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("added", LongType, nullable = false),
+    StructField("removed", LongType, nullable = false)))
+
+  def diffStatsArray(text: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.sources.DiffCodec.stats(text.toString).map { s =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(s.file), s.added, s.removed)): Any
+      })
+
   def unicodeNorm(text: UTF8String, form: String): UTF8String =
     UTF8String.fromString(java.text.Normalizer.normalize(
       text.toString, java.text.Normalizer.Form.valueOf(form)))
@@ -254,6 +266,21 @@ case class UnicodeNormExpr(child: Expression, form: String)
   override def prettyName: String = "unicode_norm"
 }
 
+/** `diff_stats(text)` → array of per-file {file, added, removed}
+  * entries of a unified diff ([[graft.sources.DiffCodec]]).
+  */
+case class DiffStatsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(CodeExprs.DiffStatSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.diffStatsArray(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.diffStatsArray($t);")
+  override protected def withNewChildInternal(c: Expression): DiffStatsExpr = copy(child = c)
+  override def prettyName: String = "diff_stats"
+}
+
 /** Column-level entry points. */
 object CodeOps {
   def codeLang(path: Column, content: Column): Column =
@@ -276,4 +303,6 @@ object CodeOps {
     GraftExpr.toColumn(SecretScanExpr(GraftExpr.toExpr(text)))
   def unicodeNorm(text: Column, form: String): Column =
     GraftExpr.toColumn(UnicodeNormExpr(GraftExpr.toExpr(text), form))
+  def diffStats(text: Column): Column =
+    GraftExpr.toColumn(DiffStatsExpr(GraftExpr.toExpr(text)))
 }

@@ -111,6 +111,7 @@ object GraftFunctions {
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),
     "unicode_norm" -> (a => CodeOps.unicodeNorm(a.head, litString(a(1), "unicode_norm form"))),
+    "diff_stats" -> (a => CodeOps.diffStats(a.head)),
     "avi_info" -> (a => AviOps.aviInfo(a.head)),
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),
