@@ -1309,6 +1309,65 @@ object DomainQueries {
       |       count(DISTINCT lang) AS n_langs
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- orc round trip
+  /** ORC egress → ingest round trip — the second columnar format large
+    * warehouses actually exchange. Same gate shape as
+    * [[jsonlRoundtrip]]: any loss (type mapping, nulls, unicode)
+    * against the parquet-read oracle flips the hash. Grouped by lang
+    * so the two roundtrips don't share an aggregation plan.
+    */
+  val orcRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_orc_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    docs.write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        countDistinct("source").as("n_sources"))
+  }
+  val orcRoundtripSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       count(DISTINCT source) AS n_sources
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- csv round trip
+  /** CSV egress → ingest round trip with the hard parts ON: document
+    * text carries embedded newlines, quotes and commas, so the writer
+    * must quote/escape and the reader must run multiLine record
+    * assembly (a naive line-splitter corrupts the corpus silently —
+    * this gate catches exactly that). `nullValue=\N` disambiguates
+    * NULL from empty string, the classic CSV loss. Oracle aggregates
+    * the parquet table directly.
+    */
+  val csvRoundtrip: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_csv_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    docs.write.mode("overwrite")
+      .option("header", "true").option("nullValue", "\\N").option("escape", "\"")
+      .csv(path)
+    s.read.schema(docs.schema)
+      .option("header", "true").option("nullValue", "\\N").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_text_len"),
+        sum(when(col("text").contains("\n"), 1L).otherwise(0L)).as("n_multiline"),
+        min("doc_id").as("min_id"))
+  }
+  val csvRoundtripSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+      |       CAST(sum(CASE WHEN contains(text, chr(10)) THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+      |       min(doc_id) AS min_id
+      |FROM documents GROUP BY 1""".stripMargin
+
   // ---------------------------------------------------------------- schema evolution
   /** Schema drift across parquet generations — the 100 TB reality that
     * a corpus is written over months by evolving jobs: generation 1
@@ -1972,6 +2031,8 @@ object DomainQueries {
     "q_zorder" -> zorder,
     "q_user_features" -> userFeatures,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
+    "q_orc_roundtrip" -> orcRoundtrip,
+    "q_csv_roundtrip" -> csvRoundtrip,
     "q_schema_evolution" -> schemaEvolution,
     "q_snapshot_diff" -> snapshotDiff,
     "q_fk_audit" -> fkAudit,
@@ -2003,6 +2064,8 @@ object DomainQueries {
     "q_zorder" -> zorderSql,
     "q_user_features" -> userFeaturesSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
+    "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_csv_roundtrip" -> csvRoundtripSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_fk_audit" -> fkAuditSql,
