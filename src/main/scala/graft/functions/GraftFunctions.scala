@@ -40,6 +40,7 @@ object GraftFunctions {
     "url_path" -> (a => UrlOps.urlPath(a.head)),
     "url_resolve" -> (a => UrlOps.urlResolve(a.head, a(1))),
     "html_extract" -> (a => HtmlOps.htmlExtract(a.head)),
+    "html_meta" -> (a => HtmlOps.htmlMetaCol(a.head)),
     "sitemap_parse" -> (a => SitemapOps.sitemapParse(a.head)),
     "html_decode" -> (a => HtmlOps.htmlDecode(a.head)),
     "fix_mojibake" -> (a => Mojibake.fixMojibake(a.head)),

@@ -227,6 +227,116 @@ object HtmlOps {
 
   def htmlExtract(html: Column): Column =
     GraftExpr.toColumn(HtmlExtractExpr(GraftExpr.toExpr(html)))
+
+  // ------------------------------------------------------------------
+  // indexability metadata
+
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("noindex", BooleanType, nullable = false),
+    StructField("nofollow", BooleanType, nullable = false),
+    StructField("canonical", StringType, nullable = true)))
+
+  final case class Meta(noindex: Boolean, nofollow: Boolean, canonical: String)
+
+  /** Crawl-indexability metadata in one pass: `<meta name=robots>`
+    * directives (`noindex`, `nofollow`, `none` = both; any attribute
+    * order, quote style and case) and the FIRST `<link rel=canonical>`
+    * href — the page's self-declared dedup key, which a crawl pipeline
+    * resolves against the fetch URL and clusters on. Comments are
+    * skipped so commented-out tags cannot leak directives. Total on
+    * any tag soup.
+    */
+  def htmlMeta(html: String): Meta = {
+    if (html == null) return Meta(noindex = false, nofollow = false, null)
+    val n = html.length
+    var noindex = false
+    var nofollow = false
+    var canonical: String = null
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          var j = i + 1
+          while (j < n && Character.isLetter(html.charAt(j))) j += 1
+          val tag = html.substring(i + 1, j).toLowerCase(java.util.Locale.ROOT)
+          if (tag == "meta" || tag == "link") {
+            val (attrs, after) = parseAttrs(html, j)
+            if (tag == "meta") {
+              val name = attrs.getOrElse("name", attrs.getOrElse("http-equiv", ""))
+              if (name.equalsIgnoreCase("robots")) {
+                val content = attrs.getOrElse("content", "").toLowerCase(java.util.Locale.ROOT)
+                val toks = content.split("[,\\s]+")
+                if (toks.contains("noindex") || toks.contains("none")) noindex = true
+                if (toks.contains("nofollow") || toks.contains("none")) nofollow = true
+              }
+            } else {
+              val rel = attrs.getOrElse("rel", "")
+              if (rel.equalsIgnoreCase("canonical") && canonical == null)
+                attrs.get("href") match {
+                  case Some(h) if h.nonEmpty => canonical = h
+                  case _ =>
+                }
+            }
+            i = after
+          } else i = j
+        }
+      } else i += 1
+    }
+    Meta(noindex, nofollow, canonical)
+  }
+
+  /** Attribute map of one tag starting after its name; returns
+    * (lowercased-name → raw value, index after `>`). Quote-aware,
+    * tolerant of bare values and missing `>` (stops at EOS).
+    */
+  private def parseAttrs(html: String, start: Int): (Map[String, String], Int) = {
+    val attrs = Map.newBuilder[String, String]
+    val n = html.length
+    var i = start
+    var done = false
+    while (i < n && !done) {
+      val c = html.charAt(i)
+      if (c == '>') { i += 1; done = true }
+      else if (c == '/' || Character.isWhitespace(c)) i += 1
+      else {
+        val ns = i
+        while (i < n && html.charAt(i) != '=' && html.charAt(i) != '>' &&
+               html.charAt(i) != '/' && !Character.isWhitespace(html.charAt(i))) i += 1
+        val name = html.substring(ns, i).toLowerCase(java.util.Locale.ROOT)
+        var value = ""
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(html.charAt(i))) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i)
+            val e = html.indexOf(q, i + 1)
+            if (e < 0) { value = html.substring(i + 1); i = n }
+            else { value = html.substring(i + 1, e); i = e + 1 }
+          } else {
+            val vs = i
+            while (i < n && html.charAt(i) != '>' && !Character.isWhitespace(html.charAt(i))) i += 1
+            value = html.substring(vs, i)
+          }
+        }
+        if (name.nonEmpty) attrs += (name -> value)
+      }
+    }
+    (attrs.result(), i)
+  }
+
+  /** Boxed struct row for codegen. */
+  def htmlMetaRow(html: UTF8String): InternalRow = {
+    val m = htmlMeta(if (html == null) null else html.toString)
+    new GenericInternalRow(Array[Any](m.noindex, m.nofollow,
+      if (m.canonical == null) null else UTF8String.fromString(m.canonical)))
+  }
+
+  def htmlMetaCol(html: Column): Column =
+    GraftExpr.toColumn(HtmlMetaExpr(GraftExpr.toExpr(html)))
 }
 
 /** Sitemap XML extraction (sitemaps.org protocol) — the discovery hop
@@ -322,6 +432,17 @@ case class HtmlDecodeExpr(child: Expression) extends UnaryExpression with Implic
     defineCodeGen(ctx, ev, b => s"graft.functions.HtmlOps.decodeBytesUtf8($b)")
   override protected def withNewChildInternal(c: Expression): HtmlDecodeExpr = copy(child = c)
   override def prettyName: String = "html_decode"
+}
+
+/** struct(noindex, nofollow, canonical) of an HTML payload. */
+case class HtmlMetaExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = HtmlOps.MetaSchema
+  override def nullSafeEval(h: Any): Any = HtmlOps.htmlMetaRow(h.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlOps.htmlMetaRow($h)")
+  override protected def withNewChildInternal(c: Expression): HtmlMetaExpr = copy(child = c)
+  override def prettyName: String = "html_meta"
 }
 
 /** struct(text, title, links) of an HTML payload — one parse per row. */

@@ -2595,6 +2595,79 @@ object PipelineQueries {
       |       'https://ext' || (doc_id % 7) || '.com/q' AS canon1
       |FROM documents""".stripMargin
 
+  /** Indexability metadata battery: robots meta directives (`noindex`,
+    * `nofollow`, `none` = both) across attribute order, quote style and
+    * case; the first `rel=canonical` link (quoted and BARE attribute
+    * values); a commented-out directive that must NOT leak; and a
+    * non-robots meta that must not match.
+    */
+  val htmlMetaQ: Q = (s, d) => {
+    val idx = pmod(col("doc_id"), lit(6))
+    val id50 = (col("doc_id") % 50).cast("string")
+    val id7 = (col("doc_id") % 7).cast("string")
+    val html = when(idx === 0, concat(
+        lit("<html><head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+          "<link rel=\"canonical\" href=\"https://ex.com/p/"), id50,
+        lit("\"></head><body>x</body></html>")))
+      .when(idx === 1, lit("<meta name='robots' content='NOINDEX'><p>b</p>"))
+      .when(idx === 2, lit("<META NAME=\"ROBOTS\" CONTENT=\"none\">"))
+      .when(idx === 3, concat(lit("<link rel=canonical href=/canon/"), id7, lit("><p>c</p>")))
+      .when(idx === 4, lit("<!-- <meta name=\"robots\" content=\"noindex\"> --><p>ok</p>"))
+      .otherwise(lit("<meta name=\"description\" content=\"noindex nothing\">"))
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("m", graft.functions.HtmlOps.htmlMetaCol(html))
+      .select(col("doc_id"), col("m.noindex").as("noindex"),
+        col("m.nofollow").as("nofollow"), col("m.canonical").as("canonical"))
+  }
+  val htmlMetaSql: String =
+    """SELECT doc_id,
+      |       (doc_id % 6) IN (0, 1, 2) AS noindex,
+      |       (doc_id % 6) IN (0, 2) AS nofollow,
+      |       CASE doc_id % 6
+      |         WHEN 0 THEN 'https://ex.com/p/' || (doc_id % 50)
+      |         WHEN 3 THEN '/canon/' || (doc_id % 7)
+      |         ELSE NULL END AS canonical
+      |FROM documents""".stripMargin
+
+  /** Canonical-aware page dedup — the crawl stage `rel=canonical`
+    * exists FOR: three fetch variants of one logical page (tracking
+    * query param, a different path entirely, a relative `../` hop)
+    * each declare the same canonical target; `html_meta` →
+    * `url_resolve` against the fetch URL → one exchange on the
+    * canonical key clusters them. The oracle rebuilds the resolved key
+    * closed-form, so a slip in meta extraction OR RFC 3986 resolution
+    * (dot segments!) flips the hash.
+    */
+  val canonicalDedup: Q = (s, d) => {
+    val k = expr("doc_id DIV 3")
+    val h = pmod(k, lit(50)).cast("string")
+    val ks = k.cast("string")
+    val v = pmod(col("doc_id"), lit(3))
+    val page = when(v === 0, concat(lit("https://s"), h, lit(".example.com/item/"), ks, lit("?ref=0")))
+      .when(v === 1, concat(lit("https://s"), h, lit(".example.com/other")))
+      .otherwise(concat(lit("https://s"), h, lit(".example.com/sub/page")))
+    val canon = when(v === 0, concat(lit("/item/"), ks))
+      .when(v === 1, concat(lit("https://s"), h, lit(".example.com/item/"), ks))
+      .otherwise(concat(lit("../item/"), ks))
+    val html = concat(lit("<html><head><link rel=\"canonical\" href=\""), canon,
+      lit("\"></head><body>p</body></html>"))
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), page.as("page"), html.as("html"))
+      .withColumn("m", graft.functions.HtmlOps.htmlMetaCol(col("html")))
+      .withColumn("key", graft.functions.UrlOps.urlResolve(col("page"), col("m.canonical")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n_pages"), min("doc_id").as("keeper"))
+  }
+  val canonicalDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         'https://s' || ((doc_id // 3) % 50) || '.example.com/item/' || (doc_id // 3) AS key
+      |  FROM documents)
+      |SELECT key, CAST(count(*) AS BIGINT) AS n_pages,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper
+      |FROM t GROUP BY key""".stripMargin
+
   /** The crawl-to-rank feed: raw HTML → outlinks → absolute canonical
     * URLs → registered-domain edge list `(src_domain, dst_domain,
     * n_links)` — exactly what the PageRank operator consumes as its
@@ -2859,6 +2932,8 @@ object PipelineQueries {
     "q_sitemap_parse" -> sitemapParse,
     "q_link_graph" -> linkGraph,
     "q_html_extract" -> htmlExtract,
+    "q_html_meta" -> htmlMetaQ,
+    "q_canonical_dedup" -> canonicalDedup,
     "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
     "q_url_dedup" -> urlDedup,
@@ -2967,6 +3042,8 @@ object PipelineQueries {
     "q_sitemap_parse" -> sitemapParseSql,
     "q_link_graph" -> linkGraphSql,
     "q_html_extract" -> htmlExtractSql,
+    "q_html_meta" -> htmlMetaSql,
+    "q_canonical_dedup" -> canonicalDedupSql,
     "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,
     "q_url_dedup" -> urlDedupSql,

@@ -115,4 +115,24 @@ class HtmlOpsSpec extends SparkSpec {
       .select(HtmlOps.htmlExtract(col("h"))).head
     assert(nul.isNullAt(0))
   }
+
+  test("htmlMeta: robots directives, canonical precedence, comments don't leak") {
+    val m0 = HtmlOps.htmlMeta(
+      "<head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+      "<link rel=\"canonical\" href=\"https://ex.com/p/1\">" +
+      "<link rel=\"canonical\" href=\"https://ex.com/p/2\"></head>")
+    assert(m0 === HtmlOps.Meta(noindex = true, nofollow = true, "https://ex.com/p/1"))
+    assert(HtmlOps.htmlMeta("<meta content='NOFOLLOW' name='ROBOTS'>") ===
+      HtmlOps.Meta(noindex = false, nofollow = true, null)) // attr order + case
+    assert(HtmlOps.htmlMeta("<META NAME=\"robots\" CONTENT=\"none\">").noindex)
+    assert(HtmlOps.htmlMeta("<META NAME=\"robots\" CONTENT=\"none\">").nofollow)
+    assert(HtmlOps.htmlMeta("<link rel=canonical href=/c/7>").canonical === "/c/7") // bare values
+    assert(HtmlOps.htmlMeta("<!-- <meta name=\"robots\" content=\"noindex\"> -->") ===
+      HtmlOps.Meta(noindex = false, nofollow = false, null))
+    assert(HtmlOps.htmlMeta("<meta name=\"description\" content=\"noindex\">") ===
+      HtmlOps.Meta(noindex = false, nofollow = false, null))
+    assert(HtmlOps.htmlMeta("<link rel=canonical href=") === // truncated tag, never throws
+      HtmlOps.Meta(noindex = false, nofollow = false, null))
+    assert(HtmlOps.htmlMeta(null) === HtmlOps.Meta(noindex = false, nofollow = false, null))
+  }
 }
