@@ -559,7 +559,92 @@ object ParityQueries {
   val compactionPlanSql: String =
     graft.sources.Layout.compactionPlanSql("documents", "source", "doc_id", "n_chars", CompactionTarget)
 
+  // ---------------------------------------------------------------- OLAP joins
+  /** TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    * date-filtered orders ⋈ date-filtered lineitems, revenue per open
+    * order. Revenue in exact integer micro-units
+    * (`round(price*100) * round((1-disc)*100)`) so partition-order
+    * summation cannot drift from DuckDB. Filters sit ON the scans
+    * (pushdown), the join keys are the natural shuffle keys, and the
+    * customer side reduces to a key list before joining — the plan
+    * Catalyst should pick at 100 TB, stated declaratively.
+    */
+  val tpchQ3: Q = (s, d) => {
+    val cutoff = lit("1998-01-01").cast("timestamp_ntz")
+    val c = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, d).where(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev_micro"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum("rev_micro").as("revenue_micro"))
+  }
+  val tpchQ3Sql: String =
+    """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q5 shape (local supplier volume): the six-table star —
+    * customer ⋈ orders ⋈ lineitem ⋈ supplier (with the local-supplier
+    * twist `c_nationkey = s_nationkey`) ⋈ nation ⋈ region — revenue per
+    * nation in one year and one region. `nation`/`region` are
+    * explicitly broadcast (25/5 rows — never worth a shuffle at any
+    * scale); the fact-side joins shuffle on their natural keys.
+    */
+  val tpchQ5: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1997-01-01").cast("timestamp_ntz")
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val asiaNations = broadcast(n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev_micro"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum("rev_micro").as("revenue_micro"))
+  }
+  val tpchQ5Sql: String =
+    """SELECT n.n_name,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q5" -> tpchQ5,
     "q_scd2" -> scd2,
     "q_compaction_plan" -> compactionPlan,
     "q_pick_latest" -> pickLatest,
@@ -589,6 +674,8 @@ object ParityQueries {
     "q_ts_anomaly" -> tsAnomaly)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q5" -> tpchQ5Sql,
     "q_scd2" -> scd2Sql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_pick_latest" -> pickLatestSql,
