@@ -41,6 +41,7 @@ object GraftFunctions {
     "url_resolve" -> (a => UrlOps.urlResolve(a.head, a(1))),
     "html_extract" -> (a => HtmlOps.htmlExtract(a.head)),
     "html_meta" -> (a => HtmlOps.htmlMetaCol(a.head)),
+    "html_tables" -> (a => HtmlOps.htmlTablesCol(a.head)),
     "sitemap_parse" -> (a => SitemapOps.sitemapParse(a.head)),
     "html_decode" -> (a => HtmlOps.htmlDecode(a.head)),
     "fix_mojibake" -> (a => Mojibake.fixMojibake(a.head)),

@@ -328,6 +328,129 @@ object HtmlOps {
     (attrs.result(), i)
   }
 
+  // ------------------------------------------------------------------
+  // table extraction (the WebTables corpus modality)
+
+  val TableCellSchema: StructType = StructType(Seq(
+    StructField("table", IntegerType, nullable = false),
+    StructField("row", IntegerType, nullable = false),
+    StructField("col", IntegerType, nullable = false),
+    StructField("header", BooleanType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  final case class TableCell(table: Int, row: Int, col: Int, header: Boolean, text: String)
+
+  /** Every `<td>`/`<th>` cell of every `<table>`, addressed
+    * (table, row, col), header-flagged, text entity-decoded and
+    * whitespace-collapsed — relational data embedded in pages is its
+    * own corpus modality (the WebTables family) and this is its
+    * extraction grain. Flat subset, documented: a `<table>` opening
+    * inside an open cell flushes that cell (nested tables become
+    * sequential tables); cells outside a `<tr>` are ignored;
+    * script/style subtrees and comments drop. Single pass, total on
+    * tag soup.
+    */
+  def htmlTables(html: String): Seq[TableCell] = {
+    if (html == null) return Seq.empty
+    val n = html.length
+    val htmlLower = html.toLowerCase(java.util.Locale.ROOT)
+    val out = Seq.newBuilder[TableCell]
+    var table = -1
+    var row = -1
+    var col = -1
+    var inCell = false
+    var header = false
+    val buf = new java.lang.StringBuilder
+    var pendingSpace = false
+    def emitChar(c: Char): Unit = if (inCell) {
+      if (Character.isWhitespace(c)) { if (buf.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { buf.append(' '); pendingSpace = false }
+        buf.append(c)
+      }
+    }
+    def flush(): Unit = if (inCell) {
+      out += TableCell(table, row, col, header, buf.toString)
+      buf.setLength(0); pendingSpace = false; inCell = false
+    }
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.regionMatches(i, "<!--", 0, 4)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else {
+          val close = i + 1 < n && html.charAt(i + 1) == '/'
+          val nameStart = if (close) i + 2 else i + 1
+          var j = nameStart
+          while (j < n && (html.charAt(j).isLetterOrDigit || html.charAt(j) == '-')) j += 1
+          val name = html.substring(nameStart, j).toLowerCase(java.util.Locale.ROOT)
+          val gt = html.indexOf('>', i + 1)
+          val tagEnd = if (gt < 0) n else gt
+          if (!close && (name == "script" || name == "style")) {
+            val found = htmlLower.indexOf(s"</$name", tagEnd)
+            i = if (found < 0) n
+            else { val g = html.indexOf('>', found); if (g < 0) n else g + 1 }
+          } else {
+            name match {
+              case "table" if !close => flush(); table += 1; row = -1; col = -1
+              case "table" => flush()
+              case "tr" if !close && table >= 0 => flush(); row += 1; col = -1
+              case "tr" => flush()
+              case "td" | "th" if !close && table >= 0 && row >= 0 =>
+                flush(); col += 1; inCell = true; header = name == "th"
+              case "td" | "th" => flush()
+              case _ =>
+            }
+            i = tagEnd + 1
+          }
+        }
+      } else if (c == '&') {
+        val (ch, next) = decodeEntityAt(html, i)
+        emitChar(ch); i = next
+      } else { emitChar(c); i += 1 }
+    }
+    flush()
+    out.result()
+  }
+
+  /** `from` points at `&`; returns (char, next index); bare `&` on no
+    * match (the same rules as the extractor's inline decoder).
+    */
+  private def decodeEntityAt(html: String, from: Int): (Char, Int) = {
+    val semi = html.indexOf(';', from + 1)
+    if (semi < 0 || semi - from > 10) return ('&', from + 1)
+    val name = html.substring(from + 1, semi)
+    val c: Int = name match {
+      case "amp" => '&'
+      case "lt" => '<'
+      case "gt" => '>'
+      case "quot" => '"'
+      case "apos" => '\''
+      case "nbsp" => ' '
+      case _ if name.startsWith("#x") || name.startsWith("#X") =>
+        try Integer.parseInt(name.substring(2), 16) catch { case _: Exception => -1 }
+      case _ if name.startsWith("#") =>
+        try Integer.parseInt(name.substring(1)) catch { case _: Exception => -1 }
+      case _ => -1
+    }
+    if (c < 0 || c > 0x10FFFF || Character.isSurrogate(c.toChar)) ('&', from + 1)
+    else (c.toChar, semi + 1)
+  }
+
+  /** Boxed array for codegen. */
+  def htmlTablesArray(html: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cells = htmlTables(if (html == null) null else html.toString)
+    new GenericArrayData(cells.map { t =>
+      new GenericInternalRow(Array[Any](t.table, t.row, t.col, t.header,
+        UTF8String.fromString(t.text))): Any
+    }.toArray)
+  }
+
+  def htmlTablesCol(html: Column): Column =
+    GraftExpr.toColumn(HtmlTablesExpr(GraftExpr.toExpr(html)))
+
   /** Boxed struct row for codegen. */
   def htmlMetaRow(html: UTF8String): InternalRow = {
     val m = htmlMeta(if (html == null) null else html.toString)
@@ -432,6 +555,17 @@ case class HtmlDecodeExpr(child: Expression) extends UnaryExpression with Implic
     defineCodeGen(ctx, ev, b => s"graft.functions.HtmlOps.decodeBytesUtf8($b)")
   override protected def withNewChildInternal(c: Expression): HtmlDecodeExpr = copy(child = c)
   override def prettyName: String = "html_decode"
+}
+
+/** array of (table, row, col, header, text) cells of an HTML payload. */
+case class HtmlTablesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(HtmlOps.TableCellSchema, containsNull = false)
+  override def nullSafeEval(h: Any): Any = HtmlOps.htmlTablesArray(h.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.HtmlOps.htmlTablesArray($h)")
+  override protected def withNewChildInternal(c: Expression): HtmlTablesExpr = copy(child = c)
+  override def prettyName: String = "html_tables"
 }
 
 /** struct(noindex, nofollow, canonical) of an HTML payload. */

@@ -2668,6 +2668,40 @@ object PipelineQueries {
       |       CAST(min(doc_id) AS BIGINT) AS keeper
       |FROM t GROUP BY key""".stripMargin
 
+  /** Table extraction at cell grain (the WebTables modality): a page
+    * with a 2×2 headed table (entity in a header, whitespace slop in a
+    * body cell) and a second one-cell table; every cell lands addressed
+    * (table, row, col) with its header flag, and surrounding prose does
+    * NOT leak into cells.
+    */
+  val htmlTablesQ: Q = (s, d) => {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<h1>Prose "), id,
+      lit("</h1><table><tr><th>name</th><th>qty &amp; price</th></tr><tr><td>item "),
+      pmod(col("doc_id"), lit(7)).cast("string"),
+      lit("</td><td>  "), pmod(col("doc_id"), lit(13)).cast("string"),
+      lit(" </td></tr></table><p>between</p><table><tr><td>x"),
+      pmod(col("doc_id"), lit(3)).cast("string"),
+      lit("</td></tr></table>"))
+    Tables.documents(s, d).select("doc_id")
+      .select(col("doc_id"),
+        explode(graft.functions.HtmlOps.htmlTablesCol(html)).as("c"))
+      .select(col("doc_id"), col("c.table").as("tbl"), col("c.row").as("row"),
+        col("c.col").as("col"), col("c.header").as("header"), col("c.text").as("text"))
+  }
+  val htmlTablesSql: String =
+    """SELECT d.doc_id,
+      |       CAST(CASE WHEN g.g <= 3 THEN 0 ELSE 1 END AS INTEGER) AS tbl,
+      |       CAST(CASE WHEN g.g <= 1 OR g.g = 4 THEN 0 ELSE 1 END AS INTEGER) AS row,
+      |       CAST(CASE WHEN g.g IN (0, 2, 4) THEN 0 ELSE 1 END AS INTEGER) AS col,
+      |       g.g <= 1 AS header,
+      |       CASE g.g WHEN 0 THEN 'name' WHEN 1 THEN 'qty & price'
+      |                WHEN 2 THEN 'item ' || (d.doc_id % 7)
+      |                WHEN 3 THEN CAST(d.doc_id % 13 AS VARCHAR)
+      |                ELSE 'x' || (d.doc_id % 3) END AS text
+      |FROM documents d, generate_series(0, 4) g(g)""".stripMargin
+
   /** The crawl-to-rank feed: raw HTML → outlinks → absolute canonical
     * URLs → registered-domain edge list `(src_domain, dst_domain,
     * n_links)` — exactly what the PageRank operator consumes as its
@@ -2933,6 +2967,7 @@ object PipelineQueries {
     "q_link_graph" -> linkGraph,
     "q_html_extract" -> htmlExtract,
     "q_html_meta" -> htmlMetaQ,
+    "q_html_tables" -> htmlTablesQ,
     "q_canonical_dedup" -> canonicalDedup,
     "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
@@ -3043,6 +3078,7 @@ object PipelineQueries {
     "q_link_graph" -> linkGraphSql,
     "q_html_extract" -> htmlExtractSql,
     "q_html_meta" -> htmlMetaSql,
+    "q_html_tables" -> htmlTablesSql,
     "q_canonical_dedup" -> canonicalDedupSql,
     "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,

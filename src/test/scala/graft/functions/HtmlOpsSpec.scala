@@ -135,4 +135,25 @@ class HtmlOpsSpec extends SparkSpec {
       HtmlOps.Meta(noindex = false, nofollow = false, null))
     assert(HtmlOps.htmlMeta(null) === HtmlOps.Meta(noindex = false, nofollow = false, null))
   }
+
+  test("htmlTables: addressed cells, headers, entities, nesting flushes, soup-total") {
+    val cells = HtmlOps.htmlTables(
+      "<p>pre</p><table><tr><th>h &amp; x</th><td>  a  b </td></tr>" +
+      "<tr><td>c</td></tr></table><table><tr><td>d</td></tr></table>")
+    assert(cells === Seq(
+      HtmlOps.TableCell(0, 0, 0, header = true, "h & x"),
+      HtmlOps.TableCell(0, 0, 1, header = false, "a b"),
+      HtmlOps.TableCell(0, 1, 0, header = false, "c"),
+      HtmlOps.TableCell(1, 0, 0, header = false, "d")))
+    // cells outside a <tr> are ignored; script content never leaks
+    assert(HtmlOps.htmlTables("<table><td>stray</td></table>") === Seq.empty)
+    assert(HtmlOps.htmlTables(
+      "<table><tr><td><script>var t = '<td>no</td>';</script>yes</td></tr></table>")
+      .map(_.text) === Seq("yes"))
+    // unclosed soup is total; prose without tables yields nothing
+    assert(HtmlOps.htmlTables("<table><tr><td>open") ===
+      Seq(HtmlOps.TableCell(0, 0, 0, header = false, "open")))
+    assert(HtmlOps.htmlTables("just prose") === Seq.empty)
+    assert(HtmlOps.htmlTables(null) === Seq.empty)
+  }
 }
