@@ -39,6 +39,24 @@ class CrawlFuzzSpec extends SparkSpec {
     }
   }
 
+  test("html_meta + html_tables: total over 400 soups; addresses stay sane") {
+    val seed = "<head><meta name=\"robots\" content=\"noindex, nofollow\">" +
+      "<link rel=\"canonical\" href=\"https://e.com/p\"></head>" +
+      "<table><tr><th>h</th><td>a &amp; b</td></tr><tr><td>c</td></tr></table>"
+    (0 until 400).foreach { i =>
+      val in = if (i % 2 == 0) mutate(seed) else garbage(80)
+      val m = HtmlOps.htmlMeta(in) // never throws
+      assert(m.canonical == null || m.canonical.nonEmpty)
+      val cells = HtmlOps.htmlTables(in) // never throws
+      cells.foreach { c =>
+        assert(c.table >= 0 && c.row >= 0 && c.col >= 0 && c.text != null)
+      }
+      // addresses are strictly increasing in document order
+      val keys = cells.map(c => (c.table, c.row, c.col))
+      assert(keys === keys.sorted)
+    }
+  }
+
   test("sitemap_parse: total over 400 soups; locs/lastmods stay aligned") {
     val seed = "<urlset><url><loc>https://a.com/1</loc><lastmod>2026-01-01</lastmod></url>" +
       "<url><loc>https://a.com/2</loc></url></urlset>"
