@@ -41,6 +41,26 @@ object Packing {
           .as("n_chunks"))
   }
 
+  /** [[packSequences]] over an EXTERNAL per-document token count — the
+    * composition point for a REAL tokenizer (BPE counts instead of
+    * whitespace words). Same one-shuffle prefix-sum formulation; the
+    * count column is whatever the upstream tokenizer produced.
+    */
+  def packCounts(counts: DataFrame, idCol: String, countCol: String,
+                 shards: Int, budgetTokens: Int): DataFrame = {
+    require(shards > 0 && budgetTokens > 0, s"shards=$shards budget=$budgetTokens must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    counts.select(col(idCol).as("doc_id"),
+        pmod(Hashing.stableHash60(col(idCol).cast("string")), lit(shards.toLong)).as("shard"),
+        col(countCol).cast("int").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("_cum") - col("n_tokens")).as("start_tok"),
+        expr(s"(_cum - n_tokens) div $budgetTokens").as("first_chunk"),
+        expr(s"((_cum - 1) div $budgetTokens) - ((_cum - n_tokens) div $budgetTokens) + 1")
+          .as("n_chunks"))
+  }
+
   /** Per-document sliding-window chunk spans (the RAG / long-context
     * preprocessing shape — WITHIN a doc, unlike [[packSequences]]'
     * cross-doc concat): chunks of `chunkTokens` tokens starting every

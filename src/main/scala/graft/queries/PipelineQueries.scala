@@ -1997,6 +1997,39 @@ object PipelineQueries {
        |  SELECT cnt, unnest(string_split(trim(sym), '  ')) AS tok FROM w$BpeSteps) GROUP BY 1)
        |SELECT tok, freq FROM toks ORDER BY freq DESC, tok LIMIT $BpeVocabK""".stripMargin
 
+  /** The training-batch assembly capstone: BPE-tokenize every document
+    * under the trained merges, then pack the REAL token counts into
+    * fixed-budget sequences ([[graft.operators.Packing.packCounts]]) —
+    * tokenizer → counts → one hash-shard shuffle → prefix-sum
+    * placement, the end-to-end path a GPT-style data loader runs. The
+    * oracle replays the whole chain: the unrolled BPE training CTEs
+    * feed the same window arithmetic.
+    */
+  private val TokenPackShards = 8
+  private val TokenPackBudget = 256
+  val tokenPipeline: Q = (s, d) => {
+    val (_, vocab) = bpeModel(s, d)
+    val counts = graft.operators.Bpe.tokenize(Tables.documents(s, d), "doc_id", "text", vocab)
+    graft.operators.Packing.packCounts(counts, "doc_id", "n_bpe",
+      TokenPackShards, TokenPackBudget)
+  }
+  val tokenPipelineSql: String =
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |v AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$BpeSteps),
+       |tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS word FROM documents),
+       |counts AS (SELECT doc_id, CAST(sum(v.n_sym) AS INTEGER) AS n_tokens
+       |           FROM tok JOIN v USING (word) GROUP BY 1),
+       |t AS (SELECT doc_id,
+       |             ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % ${TokenPackShards}::BIGINT AS shard,
+       |             n_tokens FROM counts),
+       |c AS (SELECT doc_id, shard, n_tokens,
+       |             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+       |      FROM t)
+       |SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_tok,
+       |       (cum - n_tokens) // $TokenPackBudget AS first_chunk,
+       |       ((cum - 1) // $TokenPackBudget) - ((cum - n_tokens) // $TokenPackBudget) + 1 AS n_chunks
+       |FROM c""".stripMargin
+
   /** Tokenizer INFERENCE on a table the model never saw: merges learned
     * on `documents` segment `part.p_name` words (unseen words fall back
     * to finer pieces — the deployment behavior). One codegen'd
@@ -3039,6 +3072,7 @@ object PipelineQueries {
     "q_tfidf_topk" -> tfdfTopk,
     "q_collocations" -> collocations,
     "q_seq_pack" -> seqPack,
+    "q_token_pipeline" -> tokenPipeline,
     "q_chunk_spans" -> chunkSpans,
     "q_fuzzy_keyword" -> fuzzyKeyword,
     "q_ann_topk_agg" -> annTopKAgg,
@@ -3150,6 +3184,7 @@ object PipelineQueries {
     "q_tfidf_topk" -> tfdfTopkSql,
     "q_collocations" -> collocationsSql,
     "q_seq_pack" -> seqPackSql,
+    "q_token_pipeline" -> tokenPipelineSql,
     "q_chunk_spans" -> chunkSpansSql,
     "q_fuzzy_keyword" -> fuzzyKeywordSql,
     "q_ann_topk_agg" -> annTopKSql,
