@@ -1,0 +1,144 @@
+package graft.functions
+
+import graft.sources.{ImageCodec, TiffCodec}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, QuaternaryExpression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.types._
+
+/** Catalyst expressions over [[graft.sources.TiffCodec]] — TIFF
+  * container parse / decode as codegen'd projections, mirroring
+  * [[PdfExprs]]. Null-in → null-out; a non-TIFF payload evaluates to
+  * null rather than throwing (poison-guard), so mixed-format corpus
+  * queries can quarantine instead of dying. The reference reads TIFF
+  * uploads transparently through PyMuPDF (`app.py:241`); here the
+  * container is a from-scratch IFD walk routed to the repo's own
+  * strip decoders.
+  */
+object TiffExprs {
+
+  val InfoSchema: StructType = StructType(Seq(
+    "width", "height", "bits", "spp", "compression", "photometric",
+    "n_strips", "rows_per_strip", "predictor", "n_ifds")
+    .map(f => StructField(f, LongType, nullable = false)))
+
+  /** Static parse-metadata helper boxed for codegen; null on any
+    * parse failure.
+    */
+  def tiffInfoRow(bytes: Array[Byte]): InternalRow =
+    try {
+      val i = TiffCodec.tiffInfo(bytes)
+      new GenericInternalRow(Array[Any](
+        i.width.toLong, i.height.toLong, i.bits.toLong, i.spp.toLong,
+        i.compression.toLong, i.photometric.toLong, i.nStrips.toLong,
+        i.rowsPerStrip.toLong, i.predictor.toLong, i.nIfds.toLong))
+    } catch { case _: Exception => null }
+
+  /** Decode the first IFD to PNG bytes (so the downstream raster
+    * operators — pixel sum, resize, effects — compose unchanged);
+    * null on any parse/decode failure.
+    */
+  def tiffToPng(bytes: Array[Byte]): Array[Byte] =
+    try ImageCodec.encodePng(TiffCodec.decode(bytes))
+    catch { case _: Exception => null }
+}
+
+/** Parse metadata of a TIFF payload: struct(width, height, bits, spp,
+  * compression, photometric, n_strips, rows_per_strip, predictor,
+  * n_ifds); null for non-TIFF or malformed bytes.
+  */
+case class TiffInfoExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = TiffExprs.InfoSchema
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = TiffExprs.tiffInfoRow(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("tiffInfo")
+      s"""
+         |InternalRow $r = graft.functions.TiffExprs.tiffInfoRow($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): TiffInfoExpr = copy(child = c)
+  override def prettyName: String = "tiff_info"
+}
+
+/** Decode the first IFD of a TIFF payload to PNG bytes; null for
+  * non-TIFF, out-of-subset, or corrupt strips.
+  */
+case class TiffDecodeExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = TiffExprs.tiffToPng(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("tiffPng")
+      s"""
+         |byte[] $r = graft.functions.TiffExprs.tiffToPng($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): TiffDecodeExpr = copy(child = c)
+  override def prettyName: String = "tiff_decode"
+}
+
+/** Deterministic gray-8 multi-strip TIFF fixture
+  * ([[TiffCodec.synthTiff]]): (seed, w, h, variant) → TIFF bytes whose
+  * decoded pixel sum is closed-form; `variant % 4` cycles
+  * none/LZW+predictor/PackBits/Deflate+predictor, seed parity cycles
+  * byte order.
+  */
+case class SynthTiffExpr(first: Expression, second: Expression,
+                         third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any, v: Any): Any =
+    TiffCodec.synthTiff(seed.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h, v) =>
+      s"${ev.value} = graft.sources.TiffCodec.synthTiff($seed, $w, $h, $v);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthTiffExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_tiff"
+}
+
+/** Deterministic bilevel CCITT G4 multi-strip TIFF fixture
+  * ([[TiffCodec.synthTiffG4]]): (seed, w, h) → TIFF bytes (photometric
+  * 0, the fax polarity) whose decoded pixel sum is closed-form.
+  */
+case class SynthTiffG4Expr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    TiffCodec.synthTiffG4(seed.asInstanceOf[Long], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h) =>
+      s"${ev.value} = graft.sources.TiffCodec.synthTiffG4($seed, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthTiffG4Expr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_tiff_g4"
+}
+
+/** Column-API wrappers (see [[PdfOps]] for the convention). */
+object TiffOps {
+  def tiffInfo(bin: Column): Column =
+    GraftExpr.toColumn(TiffInfoExpr(GraftExpr.toExpr(bin)))
+  def tiffDecode(bin: Column): Column =
+    GraftExpr.toColumn(TiffDecodeExpr(GraftExpr.toExpr(bin)))
+  def synthTiff(seed: Column, w: Column, h: Column, variant: Column): Column =
+    GraftExpr.toColumn(SynthTiffExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h), GraftExpr.toExpr(variant)))
+  def synthTiffG4(seed: Column, w: Column, h: Column): Column =
+    GraftExpr.toColumn(SynthTiffG4Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h)))
+}

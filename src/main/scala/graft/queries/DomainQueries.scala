@@ -445,6 +445,81 @@ object DomainQueries {
       |       CAST(px.s AS BIGINT) AS px_sum
       |FROM documents d JOIN px USING (doc_id)""".stripMargin
 
+  /** TIFF container metadata under the hash gate — the IFD/tag walk
+    * over REAL multi-strip files from the codec's own writer, cycling
+    * all four non-fax compressions (none / LZW+predictor-2 / PackBits
+    * / Deflate+predictor-2) and BOTH byte orders (seed parity flips
+    * II/MM). Every surfaced field is a closed-form function of
+    * doc_id, so a mis-read tag type, a wrong inline/offset decision,
+    * or an endian slip flips a row.
+    */
+  val tiffMeta: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tiff", graft.functions.TiffOps.synthTiff(col("doc_id") * 53,
+        (col("doc_id") % 9 + 11).cast("int"), (col("doc_id") % 7 + 9).cast("int"),
+        pmod(col("doc_id"), lit(4)).cast("int")))
+      .withColumn("info", graft.functions.TiffOps.tiffInfo(col("tiff")))
+      .select(col("doc_id"),
+        col("info.width").as("width"),
+        col("info.height").as("height"),
+        col("info.bits").as("bits"),
+        col("info.compression").as("compression"),
+        col("info.n_strips").as("n_strips"),
+        col("info.rows_per_strip").as("rows_per_strip"),
+        col("info.predictor").as("predictor"))
+  val tiffMetaSql: String =
+    """SELECT doc_id,
+      |       CAST(doc_id % 9 + 11 AS BIGINT) AS width,
+      |       CAST(doc_id % 7 + 9 AS BIGINT) AS height,
+      |       CAST(8 AS BIGINT) AS bits,
+      |       CAST(CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 5
+      |            WHEN 2 THEN 32773 ELSE 8 END AS BIGINT) AS compression,
+      |       CAST((doc_id % 7 + 9 + 4) // 5 AS BIGINT) AS n_strips,
+      |       CAST(5 AS BIGINT) AS rows_per_strip,
+      |       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 2 ELSE 1 END AS BIGINT)
+      |         AS predictor
+      |FROM documents""".stripMargin
+
+  /** TIFF strip DECODE under the hash gate: each document carries a
+    * gray-8 multi-strip image (compression cycling through the
+    * four baseline codecs) AND a bilevel CCITT G4 fax image
+    * (photometric 0, 7-row strips with per-strip reference-line
+    * reset), and the oracle recomputes BOTH exact pixel sums in
+    * closed form. A wrong LZW code width, a PackBits length slip, a
+    * horizontal-differencing stride bug, a strip-boundary off-by-one
+    * or a G4 polarity error flips a sum on that row.
+    */
+  val tiffDecode: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tiff", graft.functions.TiffOps.synthTiff(col("doc_id") * 53,
+        (col("doc_id") % 9 + 11).cast("int"), (col("doc_id") % 7 + 9).cast("int"),
+        pmod(col("doc_id"), lit(4)).cast("int")))
+      .withColumn("fax", graft.functions.TiffOps.synthTiffG4(col("doc_id") * 59,
+        (col("doc_id") % 24 + 40).cast("int"), (col("doc_id") % 9 + 12).cast("int")))
+      .select(col("doc_id"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.TiffOps.tiffDecode(col("tiff"))).as("px_gray"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.TiffOps.tiffDecode(col("fax"))).as("px_fax"))
+  val tiffDecodeSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, sum(3 * ((x*3 + y*7 + doc_id*53) % 256)) AS s
+      |  FROM documents, range(0, 20) tx(x), range(0, 16) ty(y)
+      |  WHERE x < doc_id % 9 + 11 AND y < doc_id % 7 + 9
+      |  GROUP BY doc_id),
+      |f AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN y % 11 = 0
+      |                    OR (x // ((doc_id * 59) % 7 + 3) + y) % 2 = 1
+      |                  THEN 765 ELSE 0 END) AS s
+      |  FROM documents, range(0, 64) tx(x), range(0, 21) ty(y)
+      |  WHERE x < doc_id % 24 + 40 AND y < doc_id % 9 + 12
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(g.s AS BIGINT) AS px_gray, CAST(f.s AS BIGINT) AS px_fax
+      |FROM documents d JOIN g USING (doc_id) JOIN f USING (doc_id)""".stripMargin
+
   /** PDF TEXT extraction under the hash gate — the pdf→text capability
     * an LLM-corpus pipeline runs on every document shard. Each doc is
     * a Helvetica/WinAnsi text fixture whose content streams exercise
@@ -723,17 +798,17 @@ object DomainQueries {
       |       CAST(doc_id % 4 + 1 AS BIGINT) AS n_paras
       |FROM t GROUP BY doc_id""".stripMargin
 
-  /** Content-based format routing under the hash gate: a 17-way
+  /** Content-based format routing under the hash gate: an 18-way
     * battery of REAL payloads from every synth writer in the engine
     * (PDF, the three Office formats, EPUB, TAR, WAV, GIF, AVI, PNG,
-    * HTML, XML, text, binary, empty) classified per row by
+    * TIFF, HTML, XML, text, binary, empty) classified per row by
     * `format_detect` — magic bytes + container refinement, never
     * extensions. The CASE chain evaluates only the branch a row needs
-    * (no 17× synth cost).
+    * (no 18× synth cost).
     */
   val formatDetect: Q = (s, d) => {
     val seed = col("doc_id") * 71
-    val idx = pmod(col("doc_id"), lit(17))
+    val idx = pmod(col("doc_id"), lit(18))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(1)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(1)))
       .when(idx === 2, graft.functions.OfficeOps.synthXlsx(seed, lit(1)))
@@ -750,6 +825,8 @@ object DomainQueries {
       .when(idx === 13, unhex(lit("00FF01FE00")))
       .when(idx === 14, graft.functions.OfficeOps.synthMbox(seed, lit(1)))
       .when(idx === 15, graft.functions.OfficeOps.synthRtf(seed, lit(1)))
+      .when(idx === 16, graft.functions.TiffOps.synthTiff(seed, lit(16), lit(12),
+        pmod(col("doc_id"), lit(4)).cast("int")))
       .otherwise(unhex(lit("")))
     Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -759,8 +836,8 @@ object DomainQueries {
   val formatDetectSql: String =
     """SELECT doc_id,
       |       (['pdf', 'docx', 'xlsx', 'pptx', 'epub', 'tar', 'wav', 'gif', 'avi',
-      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'rtf', 'empty'])
-      |         [CAST(doc_id % 17 AS INTEGER) + 1] AS format
+      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'rtf', 'tiff', 'empty'])
+      |         [CAST(doc_id % 18 AS INTEGER) + 1] AS format
       |FROM documents""".stripMargin
 
   /** TAR listing under the hash gate: real ustar archives (the codec's
@@ -2006,6 +2083,8 @@ object DomainQueries {
     "q_pdf_text" -> pdfText,
     "q_pdf_filters" -> pdfFilters,
     "q_pdf_ccitt" -> pdfCcitt,
+    "q_tiff_meta" -> tiffMeta,
+    "q_tiff_decode" -> tiffDecode,
     "q_pdf_corpus" -> pdfCorpus,
     "q_docx_text" -> docxText,
     "q_xlsx_cells" -> xlsxCells,
@@ -2080,6 +2159,8 @@ object DomainQueries {
     "q_pdf_text" -> pdfTextSql,
     "q_pdf_filters" -> pdfFiltersSql,
     "q_pdf_ccitt" -> pdfCcittSql,
+    "q_tiff_meta" -> tiffMetaSql,
+    "q_tiff_decode" -> tiffDecodeSql,
     "q_pdf_corpus" -> pdfCorpusSql,
     "q_docx_text" -> docxTextSql,
     "q_xlsx_cells" -> xlsxCellsSql,

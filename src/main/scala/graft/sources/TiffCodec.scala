@@ -1,0 +1,463 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM TIFF 6.0 container codec — the IFD/tag walker that routes
+  * strips to the compression decoders the repo already owns (CCITT G4
+  * via [[CcittCodec]], LZW / Deflate / predictors via [[PdfCodec]],
+  * PackBits here). Scanned-document corpora ship TIFF next to PDF;
+  * the reference opens them transparently through PyMuPDF
+  * (reference `app.py:241` — `fitz.open` on arbitrary uploads). Here
+  * the container is parsed from scratch against the public TIFF 6.0
+  * spec.
+  *
+  * Subset (loud on everything else): baseline gray 1/8-bit and RGB
+  * 8-bit, strip-organized (no tiles), compressions 1 (none),
+  * 4 (CCITT T.6/G4), 5 (LZW, TIFF early-change), 8 (Deflate/zlib),
+  * 32773 (PackBits), predictor 1/2 (horizontal differencing),
+  * photometric 0/1/2. Both byte orders (`II*`, `MM*`). First IFD
+  * only (multi-page TIFF reads page 0 — the corpus-dispatch grain;
+  * `n_ifds` still counts the chain for metadata). Parse errors throw
+  * typed messages; expression wrappers null-guard upstream.
+  */
+object TiffCodec {
+
+  def isTiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+       (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))
+
+  /** Integer-only parse metadata (SQL-reproducible). */
+  final case class TiffInfo(width: Int, height: Int, bits: Int, spp: Int,
+                            compression: Int, photometric: Int,
+                            nStrips: Int, rowsPerStrip: Int, predictor: Int,
+                            nIfds: Int)
+
+  // ---------------------------------------------------------------
+  // IFD walk
+  // ---------------------------------------------------------------
+
+  private final class Reader(val b: Array[Byte], val le: Boolean) {
+    def u8(at: Int): Int = {
+      require(at >= 0 && at < b.length, s"TIFF: u8 out of bounds at $at")
+      b(at) & 0xff
+    }
+    def u16(at: Int): Int = {
+      require(at >= 0 && at + 2 <= b.length, s"TIFF: u16 out of bounds at $at")
+      if (le) (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+      else ((b(at) & 0xff) << 8) | (b(at + 1) & 0xff)
+    }
+    def u32(at: Int): Long = {
+      require(at >= 0 && at + 4 <= b.length, s"TIFF: u32 out of bounds at $at")
+      if (le) (b(at) & 0xffL) | ((b(at + 1) & 0xffL) << 8) |
+        ((b(at + 2) & 0xffL) << 16) | ((b(at + 3) & 0xffL) << 24)
+      else ((b(at) & 0xffL) << 24) | ((b(at + 1) & 0xffL) << 16) |
+        ((b(at + 2) & 0xffL) << 8) | (b(at + 3) & 0xffL)
+    }
+  }
+
+  /** One IFD entry's integral values (BYTE/SHORT/LONG); RATIONAL and
+    * friends are skipped by the caller.
+    */
+  private def entryValues(r: Reader, at: Int): (Int, Array[Long]) = {
+    val tag = r.u16(at)
+    val typ = r.u16(at + 2)
+    val count = r.u32(at + 4)
+    require(count <= (1L << 20), s"TIFF: implausible entry count $count for tag $tag")
+    val elemSize = typ match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8 => 2         // SHORT/SSHORT
+      case 4 | 9 => 4         // LONG/SLONG
+      case 5 | 10 => 8        // RATIONAL
+      case _ => return (tag, null) // unknown type: skip
+    }
+    if (elemSize == 8) return (tag, null) // rationals not needed in subset
+    val total = elemSize * count
+    val base = if (total <= 4) at + 8 else r.u32(at + 8).toInt
+    val out = new Array[Long](count.toInt)
+    var i = 0
+    while (i < count) {
+      out(i) = elemSize match {
+        case 1 => r.u8(base + i).toLong
+        case 2 => r.u16(base + i * 2).toLong
+        case 4 => r.u32(base + i * 4)
+      }
+      i += 1
+    }
+    (tag, out)
+  }
+
+  private final case class Ifd(tags: Map[Int, Array[Long]], next: Long)
+
+  private def readIfd(r: Reader, bytes: Array[Byte], off: Int): Ifd = {
+    require(off >= 0 && off + 2 <= bytes.length, s"TIFF: IFD offset $off out of bounds")
+    val n = r.u16(off)
+    require(n >= 1 && n <= 512, s"TIFF: implausible IFD entry count $n")
+    var tags = Map.empty[Int, Array[Long]]
+    var i = 0
+    while (i < n) {
+      val (tag, vals) = entryValues(r, off + 2 + i * 12)
+      if (vals != null) tags += tag -> vals
+      i += 1
+    }
+    Ifd(tags, r.u32(off + 2 + n * 12))
+  }
+
+  private def parse(bytes: Array[Byte]): (Reader, Ifd, Int) = {
+    require(isTiff(bytes), "TIFF: bad magic")
+    val r = new Reader(bytes, bytes(0) == 'I')
+    val first = r.u32(4).toInt
+    val ifd0 = readIfd(r, bytes, first)
+    // count the IFD chain (bounded walk — a cycle or runaway stops loud)
+    var nIfds = 1
+    var next = ifd0.next
+    while (next != 0 && nIfds < 64) {
+      val ifd = readIfd(r, bytes, next.toInt)
+      nIfds += 1
+      next = ifd.next
+    }
+    require(next == 0 || nIfds < 64, "TIFF: IFD chain too long (cycle?)")
+    (r, ifd0, nIfds)
+  }
+
+  private def one(ifd: Ifd, tag: Int, dflt: Long = -1L): Long =
+    ifd.tags.get(tag).filter(_.nonEmpty).map(_(0)).getOrElse {
+      require(dflt >= 0, s"TIFF: required tag $tag missing"); dflt
+    }
+
+  def tiffInfo(bytes: Array[Byte]): TiffInfo = {
+    val (_, ifd, nIfds) = parse(bytes)
+    val w = one(ifd, 256).toInt
+    val h = one(ifd, 257).toInt
+    val spp = one(ifd, 277, 1).toInt
+    val bitsArr = ifd.tags.getOrElse(258, Array(1L))
+    require(bitsArr.forall(_ == bitsArr(0)), "TIFF: heterogeneous BitsPerSample")
+    val bits = bitsArr(0).toInt
+    val comp = one(ifd, 259, 1).toInt
+    val photo = one(ifd, 262).toInt
+    val offsets = ifd.tags.getOrElse(273, Array.empty[Long])
+    require(offsets.nonEmpty, "TIFF: no StripOffsets (tiled TIFF out of subset)")
+    val rps = one(ifd, 278, h.toLong).toInt
+    val pred = one(ifd, 317, 1).toInt
+    TiffInfo(w, h, bits, spp, comp, photo, offsets.length,
+      math.min(rps, h), pred, nIfds)
+  }
+
+  // ---------------------------------------------------------------
+  // Decode (first IFD) → packed-RGB raster
+  // ---------------------------------------------------------------
+
+  def decode(bytes: Array[Byte]): ImageCodec.Px = {
+    val (_, ifd, _) = parse(bytes)
+    val info = tiffInfo(bytes)
+    require(info.bits == 1 || info.bits == 8,
+      s"TIFF: BitsPerSample ${info.bits} out of subset (1/8)")
+    require(info.spp == 1 || info.spp == 3,
+      s"TIFF: SamplesPerPixel ${info.spp} out of subset (1/3)")
+    require(info.photometric <= 2, s"TIFF: photometric ${info.photometric} out of subset")
+    if (info.bits == 1) require(info.spp == 1, "TIFF: bilevel must be 1 sample/pixel")
+    val offsets = ifd.tags(273)
+    val counts = ifd.tags.getOrElse(279,
+      { require(info.compression == 1, "TIFF: StripByteCounts required when compressed")
+        // uncompressed: infer from geometry
+        val rowBytes = (info.width * info.spp * info.bits + 7) / 8
+        offsets.indices.map { s =>
+          val rows = math.min(info.rowsPerStrip, info.height - s * info.rowsPerStrip)
+          (rowBytes * rows).toLong
+        }.toArray })
+    require(offsets.length == counts.length, "TIFF: strip offset/count length mismatch")
+    val rowBytes = (info.width * info.spp * info.bits + 7) / 8
+    val raster = new Array[Byte](rowBytes * info.height)
+    var strip = 0
+    var rowBase = 0
+    while (strip < offsets.length) {
+      val rows = math.min(info.rowsPerStrip, info.height - rowBase)
+      require(rows > 0, "TIFF: more strips than rows")
+      val off = offsets(strip).toInt
+      val len = counts(strip).toInt
+      require(off >= 0 && len >= 0 && off + len <= bytes.length,
+        s"TIFF: strip $strip out of bounds")
+      val comp = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      val plain: Array[Byte] = info.compression match {
+        case 1 => comp
+        case 4 =>
+          // G4 decoder emits 1 = white; convert to sample polarity below
+          CcittCodec.decodeG4(comp, info.width, rows)
+        case 5 =>
+          PdfCodec.unpredict(PdfCodec.lzwDecode(comp), info.predictor,
+            info.spp, info.bits, info.width)
+        case 8 =>
+          PdfCodec.unpredict(PdfCodec.inflate(comp), info.predictor,
+            info.spp, info.bits, info.width)
+        case 32773 => packBitsDecode(comp)
+        case c => throw new IllegalArgumentException(s"TIFF: compression $c out of subset")
+      }
+      val need = rowBytes * rows
+      require(plain.length >= need, s"TIFF: strip $strip short (${plain.length} < $need)")
+      System.arraycopy(plain, 0, raster, rowBase * rowBytes, need)
+      rowBase += rows
+      strip += 1
+    }
+    require(rowBase == info.height, s"TIFF: strips cover $rowBase of ${info.height} rows")
+    // materialize packed RGB
+    val out = new Array[Int](info.width * info.height)
+    var y = 0
+    while (y < info.height) {
+      var x = 0
+      while (x < info.width) {
+        val v: Int =
+          if (info.bits == 1) {
+            val bit = (raster(y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+            if (info.compression == 4)
+              // decoder emits 1 = white regardless of stored polarity
+              if (bit == 1) 255 else 0
+            else if (info.photometric == 0) (if (bit == 1) 0 else 255)
+            else (if (bit == 1) 255 else 0)
+          } else if (info.spp == 1) {
+            val g = raster(y * rowBytes + x) & 0xff
+            if (info.photometric == 0) 255 - g else g
+          } else -1
+        out(y * info.width + x) =
+          if (info.spp == 3) {
+            val p = y * rowBytes + x * 3
+            ((raster(p) & 0xff) << 16) | ((raster(p + 1) & 0xff) << 8) | (raster(p + 2) & 0xff)
+          } else (v << 16) | (v << 8) | v
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Px(info.width, info.height, out)
+  }
+
+  // ---------------------------------------------------------------
+  // PackBits (TIFF 6.0 §9)
+  // ---------------------------------------------------------------
+
+  def packBitsDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    while (i < data.length) {
+      val n = data(i)
+      i += 1
+      if (n >= 0) { // literal run of n+1
+        val len = n + 1
+        require(i + len <= data.length, "PackBits: truncated literal run")
+        out.write(data, i, len)
+        i += len
+      } else if (n != -128) { // replicate next byte 1-n times
+        require(i < data.length, "PackBits: truncated replicate run")
+        val len = 1 - n
+        val b = data(i); i += 1
+        var k = 0
+        while (k < len) { out.write(b); k += 1 }
+      } // -128: no-op
+    }
+    out.toByteArray
+  }
+
+  def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      // find a replicate run (>= 3 repeats pays off)
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 3) {
+        out.write(1 - run)
+        out.write(data(i))
+        i += run
+      } else {
+        // literal run up to the next >=3 repeat or 128 bytes
+        var j = i
+        var lit = 0
+        var done = false
+        while (!done && j < data.length && lit < 128) {
+          var r = 1
+          while (j + r < data.length && data(j + r) == data(j) && r < 3) r += 1
+          if (r >= 3) done = true
+          else { j += 1; lit += 1 }
+        }
+        out.write(lit - 1)
+        out.write(data, i, lit)
+        i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Fixture writers (deterministic, multi-strip, both byte orders)
+  // ---------------------------------------------------------------
+
+  /** Gray-8 value at (x, y): the SQL-reproducible fixture pattern. */
+  def grayAt(seed: Long, x: Int, y: Int): Int =
+    (((x.toLong * 3 + y.toLong * 7 + seed) % 256 + 256) % 256).toInt
+
+  /** Bilevel fixture predicate (same stripe family as the PDF CCITT
+    * fixture): white when `y % 11 == 0` or `(x/stripe + y)` is odd.
+    */
+  def whiteAt(seed: Long, x: Int, y: Int): Boolean = {
+    val stripe = (((seed % 7) + 7) % 7 + 3).toInt
+    y % 11 == 0 || ((x / stripe + y) % 2 == 1)
+  }
+
+  private def writeIfd(out: ByteArrayOutputStream, le: Boolean,
+                       entries: Seq[(Int, Int, Array[Long])],
+                       strips: Seq[Array[Byte]]): Array[Byte] = {
+    // layout: header(8) | IFD | overflow values | strip data
+    val head = out // alias for clarity
+    def putU16(buf: ByteArrayOutputStream, v: Int): Unit =
+      if (le) { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+      else { buf.write((v >> 8) & 0xff); buf.write(v & 0xff) }
+    def putU32(buf: ByteArrayOutputStream, v: Long): Unit =
+      if (le) { buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+                buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt) }
+      else { buf.write(((v >> 24) & 0xff).toInt); buf.write(((v >> 16) & 0xff).toInt)
+             buf.write(((v >> 8) & 0xff).toInt); buf.write((v & 0xff).toInt) }
+    head.write(if (le) 'I' else 'M'); head.write(if (le) 'I' else 'M')
+    putU16(head, 42)
+    putU32(head, 8) // IFD right after the header
+    val n = entries.length
+    val ifdSize = 2 + n * 12 + 4
+    var overflowAt = 8 + ifdSize
+    // pre-compute overflow placement
+    val overflow = new ByteArrayOutputStream()
+    val placed = entries.sortBy(_._1).map { case (tag, typ, vals) =>
+      val elem = typ match { case 3 => 2; case 4 => 4; case _ => 1 }
+      val total = elem * vals.length
+      if (total <= 4) (tag, typ, vals, -1L)
+      else {
+        val at = overflowAt + overflow.size()
+        vals.foreach(v => if (elem == 2) putU16(overflow, v.toInt) else putU32(overflow, v))
+        if (overflow.size() % 2 == 1) overflow.write(0)
+        (tag, typ, vals, at.toLong)
+      }
+    }
+    val stripBase = overflowAt + overflow.size()
+    putU16(head, n)
+    placed.foreach { case (tag, typ, vals, at) =>
+      putU16(head, tag); putU16(head, typ); putU32(head, vals.length.toLong)
+      if (at >= 0) putU32(head, at)
+      else {
+        // inline (left-justified within the 4-byte field)
+        val cell = new ByteArrayOutputStream()
+        vals.foreach(v => if (typ == 3) putU16(cell, v.toInt) else putU32(cell, v))
+        val raw = cell.toByteArray
+        head.write(raw, 0, raw.length)
+        var pad = 4 - raw.length
+        while (pad > 0) { head.write(0); pad -= 1 }
+      }
+    }
+    putU32(head, 0) // no next IFD
+    head.write(overflow.toByteArray)
+    strips.foreach(head.write)
+    head.toByteArray
+  }
+
+  /** Deterministic gray-8 fixture: `w`×`h`, strips of 5 rows,
+    * compression by `variant % 4`: 0 = none, 1 = LZW + predictor 2,
+    * 2 = PackBits, 3 = Deflate + predictor 2. Odd seeds write
+    * big-endian (`MM`) so both byte orders stay exercised.
+    */
+  def synthTiff(seed: Long, w: Int, h: Int, variant: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096, "synthTiff: bad dims")
+    val rps = 5
+    val nStrips = (h + rps - 1) / rps
+    val pred = if (variant % 4 == 1 || variant % 4 == 3) 2 else 1
+    val comp = variant % 4 match {
+      case 0 => 1; case 1 => 5; case 2 => 32773; case _ => 8
+    }
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = new Array[Byte](w * rows)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < w) { raw(y * w + x) = grayAt(seed, x, s * rps + y).toByte; x += 1 }
+        y += 1
+      }
+      val filtered = if (pred == 2) predict2(raw, 1, w) else raw
+      comp match {
+        case 1 => filtered
+        case 5 => PdfCodec.lzwEncode(filtered)
+        case 8 => PdfCodec.deflate(filtered)
+        case 32773 => packBitsEncode(filtered)
+      }
+    }
+    compose(seed, w, h, bits = 8, comp, photometric = 1, rps, pred, strips)
+  }
+
+  /** Deterministic bilevel G4 fixture (photometric 0, the fax
+    * polarity), strips of 7 rows.
+    */
+  def synthTiffG4(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096, "synthTiffG4: bad dims")
+    val rps = 7
+    val nStrips = (h + rps - 1) / rps
+    val rowBytes = (w + 7) / 8
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val packed = new Array[Byte](rowBytes * rows)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < w) {
+          if (whiteAt(seed, x, s * rps + y))
+            packed(y * rowBytes + (x >> 3)) =
+              (packed(y * rowBytes + (x >> 3)) | (1 << (7 - (x & 7)))).toByte
+          x += 1
+        }
+        y += 1
+      }
+      CcittCodec.encodeG4(packed, w, rows)
+    }
+    compose(seed, w, h, bits = 1, compression = 4, photometric = 0, rps,
+      predictor = 1, strips)
+  }
+
+  /** TIFF horizontal differencing (forward direction, fixture side). */
+  private def predict2(data: Array[Byte], spp: Int, columns: Int): Array[Byte] = {
+    val rowLen = spp * columns
+    val out = data.clone()
+    var base = 0
+    while (base < out.length) {
+      val end = math.min(base + rowLen, out.length)
+      var i = end - 1
+      while (i >= base + spp) { out(i) = ((data(i) - data(i - spp)) & 0xff).toByte; i -= 1 }
+      base += rowLen
+    }
+    out
+  }
+
+  private def compose(seed: Long, w: Int, h: Int, bits: Int, compression: Int,
+                      photometric: Int, rps: Int, predictor: Int,
+                      strips: Seq[Array[Byte]]): Array[Byte] = {
+    val le = seed % 2 == 0
+    val out = new ByteArrayOutputStream()
+    // strip offsets are relative to stripBase, computed by a dry run:
+    // build the IFD once with zero offsets to learn the base, then for
+    // real. Entry count is fixed, so layout is identical both passes.
+    def entries(offsets: Array[Long]): Seq[(Int, Int, Array[Long])] = {
+      val counts = strips.map(_.length.toLong).toArray
+      Seq(
+        (256, 4, Array(w.toLong)),
+        (257, 4, Array(h.toLong)),
+        (258, 3, Array(bits.toLong)),
+        (259, 3, Array(compression.toLong)),
+        (262, 3, Array(photometric.toLong)),
+        (273, 4, offsets),
+        (277, 3, Array(1L)),
+        (278, 3, Array(rps.toLong)),
+        (279, 4, counts)) ++
+        (if (predictor != 1) Seq((317, 3, Array(predictor.toLong))) else Nil)
+    }
+    val zeros = new Array[Long](strips.length)
+    val dry = writeIfd(new ByteArrayOutputStream(), le, entries(zeros), strips)
+    val stripBase = dry.length - strips.map(_.length).sum
+    val offsets = new Array[Long](strips.length)
+    var at = stripBase.toLong
+    var i = 0
+    while (i < strips.length) { offsets(i) = at; at += strips(i).length; i += 1 }
+    writeIfd(out, le, entries(offsets), strips)
+  }
+}

@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TIFF container codec: fixture round trips across all four gray
+  * compressions and both byte orders, multi-strip G4 with per-strip
+  * reference-line reset, a hand-built RGB file (the decode path the
+  * gray fixtures don't reach), PackBits vectors from the TIFF 6.0
+  * spec, format routing, and hostile-input guards (never a crash —
+  * typed throws only, which the expression layer null-guards).
+  */
+class TiffCodecSpec extends AnyFunSuite {
+
+  private def grayExpected(seed: Long, w: Int, h: Int): Long =
+    (for (y <- 0 until h; x <- 0 until w)
+      yield 3L * TiffCodec.grayAt(seed, x, y)).sum
+
+  test("gray fixture round trips across all four compressions") {
+    for (variant <- 0 to 3; seed <- Seq(40L, 41L)) { // both byte orders
+      val bytes = TiffCodec.synthTiff(seed, 13, 11, variant)
+      val info = TiffCodec.tiffInfo(bytes)
+      assert(info.width === 13)
+      assert(info.height === 11)
+      assert(info.bits === 8)
+      assert(info.nStrips === 3) // 11 rows / 5 per strip
+      assert(info.compression === Seq(1, 5, 32773, 8)(variant))
+      assert(info.predictor === (if (variant == 1 || variant == 3) 2 else 1))
+      val px = TiffCodec.decode(bytes)
+      assert(px.w === 13 && px.h === 11)
+      var sum = 0L
+      px.rgb.foreach { p =>
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      }
+      assert(sum === grayExpected(seed, 13, 11), s"variant $variant seed $seed")
+    }
+  }
+
+  test("all four compressions of the same seed decode identically") {
+    val rasters = (0 to 3).map(v => TiffCodec.decode(TiffCodec.synthTiff(7L, 17, 9, v)))
+    for (v <- 1 to 3) assert(rasters(v).rgb.toSeq === rasters(0).rgb.toSeq)
+  }
+
+  test("G4 fixture: multi-strip bilevel with per-strip reference reset") {
+    for (seed <- Seq(12L, 13L)) {
+      val bytes = TiffCodec.synthTiffG4(seed, 41, 16)
+      val info = TiffCodec.tiffInfo(bytes)
+      assert(info.bits === 1 && info.compression === 4 && info.photometric === 0)
+      assert(info.nStrips === 3) // 16 rows / 7 per strip
+      val px = TiffCodec.decode(bytes)
+      for (y <- 0 until 16; x <- 0 until 41) {
+        val want = if (TiffCodec.whiteAt(seed, x, y)) 0xffffff else 0
+        assert(px.rgb(y * 41 + x) === want, s"($x,$y) seed $seed")
+      }
+    }
+  }
+
+  test("hand-built RGB uncompressed file decodes (both byte orders)") {
+    // 2×2 RGB8, single strip, built by hand so the RGB interleave path
+    // is pinned independently of the fixture writers
+    def build(le: Boolean): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit =
+        if (le) { out.write(v & 0xff); out.write(v >> 8) }
+        else { out.write(v >> 8); out.write(v & 0xff) }
+      def u32(v: Int): Unit =
+        if (le) { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+                  out.write((v >> 16) & 0xff); out.write(v >>> 24) }
+        else { out.write(v >>> 24); out.write((v >> 16) & 0xff)
+               out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+      u16(42); u32(8)
+      val n = 8
+      u16(n)
+      val ifdEnd = 8 + 2 + n * 12 + 4
+      def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+        u16(tag); u16(typ); u32(count)
+        // value field: inline SHORT left-justified, or a LONG offset
+        // when the payload exceeds 4 bytes (BitsPerSample below)
+        if (typ == 3 && count == 1) { u16(value); u16(0) } else u32(value)
+      }
+      entry(256, 4, 1, 2); entry(257, 4, 1, 2)
+      entry(258, 3, 3, ifdEnd) // BitsPerSample [8,8,8] out of line
+      entry(259, 3, 1, 1); entry(262, 3, 1, 2)
+      entry(273, 4, 1, ifdEnd + 6); entry(277, 3, 1, 3); entry(279, 4, 1, 12)
+      u32(0) // next IFD
+      u16(8); u16(8); u16(8) // the out-of-line BitsPerSample
+      // pixel data: R G B per pixel
+      val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30)
+      px.foreach(out.write)
+      out.toByteArray
+    }
+    for (le <- Seq(true, false)) {
+      val px = TiffCodec.decode(build(le))
+      assert(px.w === 2 && px.h === 2)
+      assert(px.rgb.toSeq === Seq(0xff0000, 0x00ff00, 0x0000ff, 0x0a141e))
+    }
+  }
+
+  test("PackBits: hand-packed vector with replicate, literal, and no-op runs") {
+    val enc = Array[Byte](-2, 0xAA.toByte, 2, 0x80.toByte, 0x00, 0x2A,
+      -3, 0xAA.toByte, 3, 0x80.toByte, 0x00, 0x2A, 0x22, -2, 0xAA.toByte,
+      -2, 0xAA.toByte, -2, 0xAA.toByte, -128, 2, 0x00, 0x2A, 0x22.toByte)
+    val dec = TiffCodec.packBitsDecode(enc)
+    val want = Array(0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+      0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA,
+      0xAA, 0x00, 0x2A, 0x22).map(_.toByte)
+    assert(dec.toSeq === want.toSeq)
+  }
+
+  test("PackBits: encode/decode round trips on pattern families") {
+    val rnd = new java.util.Random(99)
+    val cases = Seq(
+      Array.fill[Byte](300)(7),                       // one long run
+      Array.tabulate[Byte](257)(i => i.toByte),       // pure literal > 128
+      Array.emptyByteArray,
+      Array.tabulate[Byte](500)(i => if ((i / 3) % 2 == 0) 0 else i.toByte),
+      { val a = new Array[Byte](1000); rnd.nextBytes(a); a })
+    for (c <- cases)
+      assert(TiffCodec.packBitsDecode(TiffCodec.packBitsEncode(c)).toSeq === c.toSeq)
+  }
+
+  test("format_detect routes TIFF both byte orders; corrupt stays non-tiff") {
+    assert(FormatDetect.detect(TiffCodec.synthTiff(2L, 8, 8, 0)) === "tiff")
+    assert(FormatDetect.detect(TiffCodec.synthTiff(3L, 8, 8, 1)) === "tiff")
+    assert(FormatDetect.detect("II..not tiff".getBytes) === "text")
+  }
+
+  test("hostile inputs throw typed messages, never crash") {
+    val good = TiffCodec.synthTiff(5L, 12, 10, 1)
+    // truncations at every prefix length parse-fail loud or succeed
+    for (n <- 0 until good.length) {
+      val cut = java.util.Arrays.copyOf(good, n)
+      try { TiffCodec.decode(cut); () }
+      catch { case e: Exception => assert(e.getMessage != null) }
+    }
+    // single-byte mutations: decode either succeeds or throws typed
+    val rnd = new java.util.Random(7)
+    for (_ <- 0 until 300) {
+      val mut = good.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      try { TiffCodec.decode(mut); () }
+      catch { case e: Exception => assert(e.getMessage != null) }
+    }
+  }
+
+  test("expression layer null-guards corrupt payloads") {
+    assert(graft.functions.TiffExprs.tiffInfoRow("not a tiff".getBytes) === null)
+    assert(graft.functions.TiffExprs.tiffToPng(Array[Byte](1, 2, 3)) === null)
+    val good = TiffCodec.synthTiff(9L, 10, 10, 2)
+    assert(graft.functions.TiffExprs.tiffInfoRow(good) !== null)
+    assert(graft.functions.TiffExprs.tiffToPng(good) !== null)
+  }
+
+  test("IFD chain counting is bounded (no cycle hang)") {
+    // splice a next-IFD pointer back to itself: offset 4 points at the
+    // first IFD; patch its next pointer to 8 (self) — must throw, not
+    // spin
+    val good = TiffCodec.synthTiff(4L, 8, 8, 0) // little-endian (even seed)
+    val nEntries = (good(8) & 0xff) | ((good(9) & 0xff) << 8)
+    val nextAt = 8 + 2 + nEntries * 12
+    val bad = good.clone()
+    bad(nextAt) = 8; bad(nextAt + 1) = 0; bad(nextAt + 2) = 0; bad(nextAt + 3) = 0
+    val e = intercept[IllegalArgumentException](TiffCodec.tiffInfo(bad))
+    assert(e.getMessage.contains("IFD chain"))
+  }
+}
