@@ -402,7 +402,10 @@ object EventPipeline {
     * rule is first-k). State is ONE counter per domain — bounded by
     * domain cardinality, not by stream length — and admission within a
     * micro-batch is by ascending doc id, so a given batch slicing
-    * admits a deterministic set (StreamingSpec pins it).
+    * admits a deterministic set (StreamingSpec pins it). Selection is
+    * the same single-pass bounded max-heap as [[admit]]'s no-delay
+    * arm: O(room) memory and O(g log room) work, so a hot domain's
+    * burst is never materialized or sorted whole.
     */
   def streamingDomainCap(docs: Dataset[DocArrival], k: Int): Dataset[DocArrival] = {
     require(k > 0, s"cap must be positive, got $k")
@@ -413,11 +416,15 @@ object EventPipeline {
         (_: String, arrivals: Iterator[DocArrival], state: GroupState[Long]) =>
           val admitted = state.getOption.getOrElse(0L)
           val room = math.max(0L, k - admitted).toInt
-          // a saturated hot domain would otherwise pay an O(g log g)
-          // sort of every micro-batch group forever
           if (room == 0) Iterator.empty
           else {
-            val take = arrivals.toSeq.sortBy(_.doc_id).take(room)
+            // bounded max-heap of the `room` smallest doc_ids
+            val heap = mutable.PriorityQueue.empty[DocArrival](Ordering.by(_.doc_id))
+            arrivals.foreach { a =>
+              if (heap.size < room) heap += a
+              else if (a.doc_id < heap.head.doc_id) { heap.dequeue(); heap += a }
+            }
+            val take = heap.dequeueAll.reverse // ascending doc_id
             state.update(admitted + take.size)
             take.iterator
           }

@@ -838,6 +838,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming domain cap: bounded-heap admission equals sort-take on a hot-domain burst") {
+    // a single domain floods one micro-batch with 5,000 shuffled
+    // arrivals against k = 7 — the heap fold must admit exactly the
+    // set the old O(g log g) sort-then-take admitted (the 7 smallest
+    // doc_ids), in ascending order
+    implicit val ctx = spark.sqlContext
+    val rnd = new scala.util.Random(42)
+    val burst = rnd.shuffle((1L to 5000L).toVector).map(DocArrival(_, "hot"))
+    val mem = MemoryStream[DocArrival]
+    val q = EventPipeline.streamingDomainCap(mem.toDS(), k = 7)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dom_cap_burst").start()
+    try {
+      mem.addData(burst: _*)
+      q.processAllAvailable()
+      val out = spark.table("dom_cap_burst").as[DocArrival].collect().map(_.doc_id)
+      assert(out.toSeq === burst.map(_.doc_id).sorted.take(7))
+      // a second burst is fully rejected: the domain is saturated
+      mem.addData(DocArrival(0L, "hot"))
+      q.processAllAvailable()
+      assert(spark.table("dom_cap_burst").count() === 7)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest: micro-batch output equals the batch transform") {
     implicit val ctx = spark.sqlContext
     // a mixed shard: pdf / docx / pptx / html / plain text / binary
