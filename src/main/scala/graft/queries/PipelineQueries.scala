@@ -2075,6 +2075,51 @@ object PipelineQueries {
   }
   val bpeArtifactSql: String = bpeTokenizeSql
 
+  /** Unigram-LM (SentencePiece-style) tokenizer
+    * ([[graft.operators.Unigram]]) — the other subword family:
+    * q_unigram_vocab is the trained model itself (pieces with
+    * integer frequencies and fixed-point-log2 costs after seeding +
+    * hard-EM), q_unigram_segment the per-document Viterbi
+    * segmentation stats under that model. The oracle re-trains the
+    * whole model in SQL — seed substring counts, the repeated-
+    * squaring fplog2 chain, and the unrolled per-position DP — so a
+    * drift anywhere (seed tie-break, a log bit, an EM count, a
+    * Viterbi tie) flips rows on both queries.
+    */
+  private def unigramModel(s: SparkSession, d: String): Seq[graft.operators.Unigram.Piece] =
+    memoized("unigram_model", s, d) {
+      graft.operators.Unigram.train(Tables.documents(s, d), "text")
+    }
+  val unigramVocab: Q = (s, d) => {
+    val model = unigramModel(s, d)
+    import s.implicits._
+    model.map(p => (p.piece, p.freq, p.cost)).toDF("piece", "freq", "cost_u")
+  }
+  val unigramVocabSql: String =
+    s"""WITH ${graft.operators.Unigram.trainCtes("documents", "text")}
+       |SELECT piece, CAST(freq AS BIGINT) AS freq, CAST(cost AS BIGINT) AS cost_u
+       |FROM uv${graft.operators.Unigram.DefaultRounds}""".stripMargin
+
+  val unigramSegment: Q = (s, d) => {
+    val model = unigramModel(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(words(col("text")), w => length(w) > 0)).as("word"))
+      .select(col("doc_id"),
+        graft.operators.Unigram.segmentExpr(col("word"), model).as("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("seg.k")).as("n_pieces"),
+        sum(col("seg.c")).as("cost_u"))
+  }
+  val unigramSegmentSql: String =
+    s"""WITH ${graft.operators.Unigram.trainCtes("documents", "text")},
+       |utok AS (SELECT doc_id, unnest(list_filter(${wordsSql("text")}, x -> length(x) > 0)) AS word FROM documents)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(sg.dp.k) AS BIGINT) AS n_pieces,
+       |       CAST(sum(sg.dp.c) AS BIGINT) AS cost_u
+       |FROM utok JOIN useg_final sg USING (word) GROUP BY 1""".stripMargin
+
   /** Trained linear quality probe ([[graft.operators.Probe]]): 12 steps
     * of exact-integer full-batch GD separating embeddings with label 0
     * from the rest (measured binned AUC ≈ 0.81 vs the 0.82 float
@@ -3032,6 +3077,8 @@ object PipelineQueries {
     "q_probe_auc" -> probeAuc,
     "q_probe_artifact" -> probeArtifact,
     "q_bpe_segment" -> bpeSegment,
+    "q_unigram_vocab" -> unigramVocab,
+    "q_unigram_segment" -> unigramSegment,
     "q_bpe_artifact" -> bpeArtifact,
     "q_authority_sample" -> authoritySample,
     "q_triangles" -> triangles,
@@ -3144,6 +3191,8 @@ object PipelineQueries {
     "q_probe_auc" -> probeAucSql,
     "q_probe_artifact" -> probeArtifactSql,
     "q_bpe_segment" -> bpeSegmentSql,
+    "q_unigram_vocab" -> unigramVocabSql,
+    "q_unigram_segment" -> unigramSegmentSql,
     "q_bpe_artifact" -> bpeArtifactSql,
     "q_authority_sample" -> authoritySampleSql,
     "q_triangles" -> trianglesSql,
