@@ -798,17 +798,17 @@ object DomainQueries {
       |       CAST(doc_id % 4 + 1 AS BIGINT) AS n_paras
       |FROM t GROUP BY doc_id""".stripMargin
 
-  /** Content-based format routing under the hash gate: an 18-way
+  /** Content-based format routing under the hash gate: a 19-way
     * battery of REAL payloads from every synth writer in the engine
     * (PDF, the three Office formats, EPUB, TAR, WAV, GIF, AVI, PNG,
-    * TIFF, HTML, XML, text, binary, empty) classified per row by
-    * `format_detect` — magic bytes + container refinement, never
+    * TIFF, Avro, HTML, XML, text, binary, empty) classified per row
+    * by `format_detect` — magic bytes + container refinement, never
     * extensions. The CASE chain evaluates only the branch a row needs
-    * (no 18× synth cost).
+    * (no 19× synth cost).
     */
   val formatDetect: Q = (s, d) => {
     val seed = col("doc_id") * 71
-    val idx = pmod(col("doc_id"), lit(18))
+    val idx = pmod(col("doc_id"), lit(19))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(1)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(1)))
       .when(idx === 2, graft.functions.OfficeOps.synthXlsx(seed, lit(1)))
@@ -827,6 +827,7 @@ object DomainQueries {
       .when(idx === 15, graft.functions.OfficeOps.synthRtf(seed, lit(1)))
       .when(idx === 16, graft.functions.TiffOps.synthTiff(seed, lit(16), lit(12),
         pmod(col("doc_id"), lit(4)).cast("int")))
+      .when(idx === 17, graft.functions.AvroOps.synthAvro(seed, lit(3)))
       .otherwise(unhex(lit("")))
     Tables.documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -836,8 +837,9 @@ object DomainQueries {
   val formatDetectSql: String =
     """SELECT doc_id,
       |       (['pdf', 'docx', 'xlsx', 'pptx', 'epub', 'tar', 'wav', 'gif', 'avi',
-      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'rtf', 'tiff', 'empty'])
-      |         [CAST(doc_id % 18 AS INTEGER) + 1] AS format
+      |         'png', 'html', 'xml', 'text', 'binary', 'mbox', 'rtf', 'tiff', 'avro',
+      |         'empty'])
+      |         [CAST(doc_id % 19 AS INTEGER) + 1] AS format
       |FROM documents""".stripMargin
 
   /** TAR listing under the hash gate: real ustar archives (the codec's
@@ -1362,13 +1364,21 @@ object DomainQueries {
     * PARQUET table directly, so any loss in the round trip (encoding,
     * escaping, null handling, numeric text) flips the hash.
     */
+  /** One OVERWRITTEN scratch dir per (jvm tmp, Spark application, sf
+    * dir): stable within a session (repeated bench/verify runs reuse
+    * it instead of littering a corpus-sized copy per invocation) but
+    * unique across concurrent applications, so two runs over the same
+    * dataset can never overwrite-then-read each other's half-written
+    * copy.
+    */
+  private def scratchDir(s: SparkSession, kind: String, d: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_" + kind + "_" + s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+
   val jsonlRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // one OVERWRITTEN scratch dir per (jvm tmp, sf dir) — repeated
-    // bench/verify runs reuse it instead of littering a corpus-sized
-    // JSON copy per invocation
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_jsonl_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val path = scratchDir(s, "jsonl", d)
     docs.write.mode("overwrite").json(path)
     s.read.schema(docs.schema).json(path)
       .groupBy(col("source"))
@@ -1395,8 +1405,7 @@ object DomainQueries {
     */
   val orcRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_orc_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val path = scratchDir(s, "orc", d)
     docs.write.mode("overwrite").orc(path)
     s.read.orc(path)
       .groupBy(col("lang"))
@@ -1412,6 +1421,61 @@ object DomainQueries {
       |       count(DISTINCT source) AS n_sources
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------- avro round trip
+  /** Avro object-container round trip ([[graft.sources.AvroCodec]]) —
+    * the remaining common interchange format, produced and parsed
+    * pure-JVM from the public spec. Each document carries a REAL
+    * container (zigzag varints, union-prefixed nullable strings,
+    * little-endian doubles, 2-record blocks, seed-derived sync
+    * markers; RAW-deflate codec on odd ids) and every surfaced
+    * aggregate is a closed-form function of doc_id. Scores compare as
+    * exact integers (score·4 is integral by construction), so no
+    * float summation rides the gate. A varint slip, a union-index
+    * bug, a block-boundary error or a sync mismatch flips a row.
+    */
+  val avroRoundtrip: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("avro", graft.functions.AvroOps.synthAvro(col("doc_id") * 61,
+        (col("doc_id") % 5 + 2).cast("int")))
+      .withColumn("meta", graft.functions.AvroOps.avroMeta(col("avro")))
+      .withColumn("recs", graft.functions.AvroOps.avroRecords(col("avro")))
+      .select(col("doc_id"),
+        col("meta.schema_name").as("schema_name"),
+        col("meta.codec").as("codec"),
+        col("meta.n_blocks").as("n_blocks"),
+        col("meta.n_records").as("n_records"),
+        aggregate(transform(col("recs"), r => r.getField("id")),
+          lit(0L), (a, x) => a + x).as("sum_id"),
+        size(filter(col("recs"), r => r.getField("name").isNull)).cast("long")
+          .as("n_null_names"),
+        array_join(transform(filter(col("recs"), r => r.getField("name").isNotNull),
+          r => r.getField("name")), ",").as("name_cat"),
+        aggregate(transform(col("recs"),
+          r => (r.getField("score") * 4).cast("long")), lit(0L), (a, x) => a + x)
+          .as("sum_score4"),
+        size(filter(col("recs"), r => r.getField("flag"))).cast("long").as("n_flags"),
+        aggregate(transform(col("recs"), r => r.getField("payload_sum")),
+          lit(0L), (a, x) => a + x).as("sum_payload"))
+  val avroRoundtripSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id * 61 AS seed, doc_id % 5 + 2 AS n FROM documents),
+      |names AS (
+      |  SELECT p.doc_id, string_agg('n' || (p.seed + i.i), ',' ORDER BY i.i) AS cat
+      |  FROM p, range(0, 7) i(i) WHERE i.i < p.n AND i.i % 3 <> 0 GROUP BY 1)
+      |SELECT p.doc_id,
+      |       'doc' AS schema_name,
+      |       CASE WHEN p.doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+      |       CAST((p.n + 1) // 2 AS BIGINT) AS n_blocks,
+      |       CAST(p.n AS BIGINT) AS n_records,
+      |       CAST(p.seed * 10 * p.n + p.n * (p.n - 1) // 2 AS BIGINT) AS sum_id,
+      |       CAST((p.n + 2) // 3 AS BIGINT) AS n_null_names,
+      |       coalesce(names.cat, '') AS name_cat,
+      |       CAST(4 * p.seed * p.n + p.n * (p.n - 1) // 2 AS BIGINT) AS sum_score4,
+      |       CAST((p.n + 1) // 2 AS BIGINT) AS n_flags,
+      |       CAST(p.n * (p.n - 1) // 2 + p.n * (p.seed % 251 + 7) AS BIGINT) AS sum_payload
+      |FROM p LEFT JOIN names USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- csv round trip
   /** CSV egress → ingest round trip with the hard parts ON: document
     * text carries embedded newlines, quotes and commas, so the writer
@@ -1423,8 +1487,7 @@ object DomainQueries {
     */
   val csvRoundtrip: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_csv_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val path = scratchDir(s, "csv", d)
     docs.write.mode("overwrite")
       .option("header", "true").option("nullValue", "\\N").option("escape", "\"")
       .csv(path)
@@ -1458,8 +1521,7 @@ object DomainQueries {
     */
   val schemaEvolution: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_schemaevo_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val root = scratchDir(s, "schemaevo", d)
     // gen 1: the original writer's narrow schema (even ids)
     docs.filter(col("doc_id") % 2 === 0)
       .select("doc_id", "source", "n_chars")
@@ -1497,8 +1559,7 @@ object DomainQueries {
     */
   val snapshotDiff: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_snapdiff_" + d.replaceAll("[^a-zA-Z0-9]", "_")).getAbsolutePath
+    val root = scratchDir(s, "snapdiff", d)
     docs.filter(col("doc_id") <= 400).select("doc_id", "text")
       .write.mode("overwrite").parquet(root + "/snap_a")
     docs.filter(col("doc_id").between(201, 600))
@@ -2111,6 +2172,7 @@ object DomainQueries {
     "q_user_features" -> userFeatures,
     "q_jsonl_roundtrip" -> jsonlRoundtrip,
     "q_orc_roundtrip" -> orcRoundtrip,
+    "q_avro_roundtrip" -> avroRoundtrip,
     "q_csv_roundtrip" -> csvRoundtrip,
     "q_schema_evolution" -> schemaEvolution,
     "q_snapshot_diff" -> snapshotDiff,
@@ -2144,6 +2206,7 @@ object DomainQueries {
     "q_user_features" -> userFeaturesSql,
     "q_jsonl_roundtrip" -> jsonlRoundtripSql,
     "q_orc_roundtrip" -> orcRoundtripSql,
+    "q_avro_roundtrip" -> avroRoundtripSql,
     "q_csv_roundtrip" -> csvRoundtripSql,
     "q_schema_evolution" -> schemaEvolutionSql,
     "q_snapshot_diff" -> snapshotDiffSql,

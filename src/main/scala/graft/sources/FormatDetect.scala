@@ -80,6 +80,7 @@ object FormatDetect {
     if (startsWith(b, "RIFF") && startsWith(b, "WAVE", 8)) return "wav"
     if (startsWith(b, "RIFF") && startsWith(b, "AVI ", 8)) return "avi"
     if (TiffCodec.isTiff(b)) return "tiff"
+    if (AvroCodec.isAvro(b)) return "avro"
     if (startsWith(b, "ustar", 257)) return "tar"
     if (startsWith(b, "{\\rtf")) return "rtf"
     if (b.length >= 4 && (b(0) & 0xff) == 0xd0 && (b(1) & 0xff) == 0xcf &&
