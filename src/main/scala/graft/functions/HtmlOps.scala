@@ -44,13 +44,28 @@ object HtmlOps {
     "blockquote", "pre", "hr", "dt", "dd")
   private val SkipTags = Set("script", "style", "noscript", "template")
 
+  /** First case-insensitive occurrence of `needle` at or after `from`,
+    * scanning the ORIGINAL string — indexing positions found in a
+    * `toLowerCase` copy is wrong because lowercasing can change string
+    * LENGTH (U+0130 İ → 'i' + U+0307), silently drifting every
+    * position after such a char.
+    */
+  private def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
+    val last = html.length - needle.length
+    var i = math.max(0, from)
+    while (i <= last) {
+      if (html.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
+
   final case class Extracted(text: String, title: String, links: Seq[String])
 
   /** One-pass extraction; total on any byte soup. */
   def extract(html: String): Extracted = {
     if (html == null) return Extracted("", null, Seq.empty)
     val n = html.length
-    val htmlLower = html.toLowerCase(java.util.Locale.ROOT) // once, for tag scans
     val text = new java.lang.StringBuilder(n / 4)
     val links = Seq.newBuilder[String]
     var title: String = null
@@ -146,7 +161,7 @@ object HtmlOps {
           val tagEnd = if (gt < 0) n else gt
           if (!close && SkipTags.contains(name)) {
             // skip the whole subtree to the matching close tag
-            val found = htmlLower.indexOf(s"</$name", tagEnd)
+            val found = indexOfIgnoreCase(html, s"</$name", tagEnd)
             i = if (found < 0) n
             else { val g = html.indexOf('>', found); if (g < 0) n else g + 1 }
           } else {
@@ -346,18 +361,19 @@ object HtmlOps {
     * own corpus modality (the WebTables family) and this is its
     * extraction grain. Flat subset, documented: a `<table>` opening
     * inside an open cell flushes that cell (nested tables become
-    * sequential tables); cells outside a `<tr>` are ignored;
-    * script/style subtrees and comments drop. Single pass, total on
-    * tag soup.
+    * sequential tables); cells outside a `<tr>` are ignored; after a
+    * `</table>` closes, stray `tr`/`td` emit nothing until a new
+    * `<table>` opens; script/style subtrees and comments drop. Single
+    * pass, total on tag soup.
     */
   def htmlTables(html: String): Seq[TableCell] = {
     if (html == null) return Seq.empty
     val n = html.length
-    val htmlLower = html.toLowerCase(java.util.Locale.ROOT)
     val out = Seq.newBuilder[TableCell]
     var table = -1
     var row = -1
     var col = -1
+    var open = false
     var inCell = false
     var header = false
     val buf = new java.lang.StringBuilder
@@ -389,14 +405,15 @@ object HtmlOps {
           val gt = html.indexOf('>', i + 1)
           val tagEnd = if (gt < 0) n else gt
           if (!close && (name == "script" || name == "style")) {
-            val found = htmlLower.indexOf(s"</$name", tagEnd)
+            val found = indexOfIgnoreCase(html, s"</$name", tagEnd)
             i = if (found < 0) n
             else { val g = html.indexOf('>', found); if (g < 0) n else g + 1 }
           } else {
             name match {
-              case "table" if !close => flush(); table += 1; row = -1; col = -1
-              case "table" => flush()
-              case "tr" if !close && table >= 0 => flush(); row += 1; col = -1
+              case "table" if !close =>
+                flush(); table += 1; row = -1; col = -1; open = true
+              case "table" => flush(); row = -1; col = -1; open = false
+              case "tr" if !close && table >= 0 && open => flush(); row += 1; col = -1
               case "tr" => flush()
               case "td" | "th" if !close && table >= 0 && row >= 0 =>
                 flush(); col += 1; inCell = true; header = name == "th"

@@ -27,6 +27,7 @@ object DiffCodec {
     var added = 0L
     var removed = 0L
     var sawBody = false
+    var inHunk = false
     def flush(): Unit = {
       if (open && (file != null || sawBody))
         out += FileStat(if (file == null) "" else file, added, removed)
@@ -39,18 +40,22 @@ object DiffCodec {
       if (line.startsWith("diff --git ")) {
         flush()
         open = true
+        inHunk = false
         // "diff --git a/x b/x" → second operand, b/ stripped
         val sp = line.lastIndexOf(' ')
         if (sp > 0 && sp + 1 < line.length) {
           val op = line.substring(sp + 1)
           file = if (op.startsWith("b/")) op.substring(2) else op
         }
-      } else if (line.startsWith("+++ ")) {
+      } else if (line.startsWith("+++ ") && !inHunk) {
+        // only a header OUTSIDE a hunk: inside one, a body line whose
+        // content starts with "++ " renders as "+++ " and must count
+        // as an added line, not overwrite the file path
         open = true
         val p = line.substring(4)
         if (p != "/dev/null")
           file = if (p.startsWith("b/")) p.substring(2) else p
-      } else if (line.startsWith("--- ")) {
+      } else if (line.startsWith("--- ") && !inHunk) {
         open = true
         if (file == null) {
           val p = line.substring(4)
@@ -60,6 +65,7 @@ object DiffCodec {
       } else if (line.startsWith("@@")) {
         open = true
         sawBody = true
+        inHunk = true
       } else if (line.startsWith("+")) {
         if (open) { added += 1; sawBody = true }
       } else if (line.startsWith("-")) {

@@ -36,6 +36,8 @@ object SecretScan {
     var i = 0
     def isAlnum(c: Char): Boolean =
       (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    def isHexDigit(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
     def boundedBefore(p: Int): Boolean = p == 0 || !isAlnum(text.charAt(p - 1))
     def boundedAfter(p: Int): Boolean = p >= n || !isAlnum(text.charAt(p))
 
@@ -78,12 +80,12 @@ object SecretScan {
         }
       }
 
-      // hex_secret
-      if (!matched && c >= 'a' && c <= 'f' || !matched && c >= '0' && c <= '9') {
+      // hex_secret — any case: uppercase and mixed-case 32+ char hex
+      // digests (SHA dumps, API secrets) redact too
+      if (!matched && (isHexDigit(c))) {
         if (boundedBefore(i)) {
           var j = i
-          while (j < n && ((text.charAt(j) >= '0' && text.charAt(j) <= '9') ||
-                           (text.charAt(j) >= 'a' && text.charAt(j) <= 'f'))) j += 1
+          while (j < n && isHexDigit(text.charAt(j))) j += 1
           if (j - i >= 32 && boundedAfter(j)) {
             sb.append("[REDACTED:hex_secret]"); kinds += "hex_secret"; i = j; matched = true
           }

@@ -156,4 +156,23 @@ class HtmlOpsSpec extends SparkSpec {
     assert(HtmlOps.htmlTables("just prose") === Seq.empty)
     assert(HtmlOps.htmlTables(null) === Seq.empty)
   }
+
+  test("htmlTables: stray tr/td after </table> emit nothing until a new table opens") {
+    val cells = HtmlOps.htmlTables(
+      "<table><tr><td>in</td></tr></table><tr><td>orphan</td></tr>" +
+      "<table><tr><td>next</td></tr></table>")
+    assert(cells === Seq(
+      HtmlOps.TableCell(0, 0, 0, header = false, "in"),
+      HtmlOps.TableCell(1, 0, 0, header = false, "next")))
+  }
+
+  test("length-changing lowercase chars (U+0130) cannot drift script/style scan positions") {
+    // 'İ'.toLowerCase is TWO chars ('i' + U+0307): indexing the
+    // original via positions from a lowercased copy would land one
+    // short per İ and misextract; the region scan must not
+    val html = "<p>İİİ</p><table><tr><td><script>var x='<td>no</td>';</SCRIPT>ok</td></tr></table>"
+    assert(HtmlOps.htmlTables(html).map(_.text) === Seq("ok"))
+    val ex = HtmlOps.extract("<p>İİ</p><script>junk()</SCRIPT><p>tail</p>")
+    assert(ex.text.contains("tail") && !ex.text.contains("junk"))
+  }
 }
