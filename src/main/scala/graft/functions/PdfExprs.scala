@@ -429,6 +429,27 @@ case class SynthPdfTextExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_pdf_text"
 }
 
+/** Width-kerned justified-text fixture
+  * ([[graft.sources.PdfText.composeWidthFixture]]): (seed, nPages) →
+  * PDF bytes whose word spaces are encoded ONLY as sub-threshold TJ
+  * kerns and same-line Td pen jumps over /Widths-bearing fonts — the
+  * oracle-gate entry for glyph-width-driven spacing.
+  */
+case class SynthPdfWidthsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    PdfText.composeWidthFixture(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.PdfText.composeWidthFixture($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthPdfWidthsExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_pdf_widths"
+}
+
 /** Text-document fixture with OPTIONAL encryption: variant 0-3 wraps
   * [[graft.sources.PdfText.composeTextFixture]] in the corresponding
   * standard-security-handler shape ([[PdfCrypt]]); any other variant
@@ -514,6 +535,8 @@ object PdfOps {
       GraftExpr.toExpr(wPx), GraftExpr.toExpr(hPx)))
   def synthPdfText(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
+  def synthPdfWidths(seed: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthPdfWidthsExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
   def synthPdfTextEnc(seed: Column, nPages: Column, variant: Column): Column =
     GraftExpr.toColumn(SynthPdfTextEncExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(nPages), GraftExpr.toExpr(variant)))

@@ -385,20 +385,38 @@ object TextAnalysis {
       .withColumn("keep",
         col("wc_ok") && col("wlen_ok") && col("rep_ok") && col("stop_ok"))
 
+  /** Composable CTE chain for [[gopherRulesSql]]: `${p}w → ${p}c →
+    * ${p}d`, the per-doc aggregate a caller's keep-filter reads. The
+    * prefix keeps the names collision-free when embedded in a larger
+    * oracle (the pretrain capstone runs this over a survivor CTE).
+    */
+  def gopherRulesCtes(p: String, table: String, idCol: String, textCol: String): String = {
+    val stopList = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""${p}w AS (SELECT $idCol AS doc_id,
+       |                  unnest(list_filter(string_split($textCol, ' '), x -> strlen(x) > 0)) AS w
+       |           FROM $table),
+       |${p}c AS (SELECT doc_id, w, count(*) AS c FROM ${p}w GROUP BY 1, 2),
+       |${p}d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_word_n,
+       |             CAST(sum(c * strlen(w)) AS BIGINT) AS sum_len,
+       |             count(DISTINCT CASE WHEN list_contains($stopList, w) THEN w END) AS n_stop
+       |      FROM ${p}c GROUP BY 1)""".stripMargin
+  }
+
+  /** The keep predicate over a `gopherRulesCtes` `${p}d` row. */
+  def gopherKeepSql(minWords: Long, maxWords: Long,
+                    minMeanLen: Long, maxMeanLen: Long,
+                    repDen: Long, minStopwords: Long): String =
+    s"""(n_words >= $minWords AND n_words <= $maxWords)
+       |         AND (sum_len >= n_words * $minMeanLen AND sum_len <= n_words * $maxMeanLen)
+       |         AND (max_word_n * $repDen <= n_words)
+       |         AND (n_stop >= $minStopwords)""".stripMargin
+
   /** DuckDB twin of [[gopherRules]] (same integer cross-multiplies). */
   def gopherRulesSql(table: String, idCol: String, textCol: String,
                      minWords: Long, maxWords: Long,
                      minMeanLen: Long, maxMeanLen: Long,
                      repDen: Long, minStopwords: Long): String = {
-    val stopList = EnStopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH w AS (SELECT $idCol AS doc_id,
-       |                  unnest(list_filter(string_split($textCol, ' '), x -> strlen(x) > 0)) AS w
-       |           FROM $table),
-       |c AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
-       |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, max(c) AS max_word_n,
-       |             CAST(sum(c * strlen(w)) AS BIGINT) AS sum_len,
-       |             count(DISTINCT CASE WHEN list_contains($stopList, w) THEN w END) AS n_stop
-       |      FROM c GROUP BY 1)
+    s"""WITH ${gopherRulesCtes("", table, idCol, textCol)}
        |SELECT doc_id, n_words, max_word_n,
        |       n_words >= $minWords AND n_words <= $maxWords AS wc_ok,
        |       sum_len >= n_words * $minMeanLen AND sum_len <= n_words * $maxMeanLen AS wlen_ok,

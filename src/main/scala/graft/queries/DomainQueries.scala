@@ -567,6 +567,42 @@ object DomainQueries {
       |       CAST(NULL AS VARCHAR) AS subject
       |FROM t GROUP BY doc_id""".stripMargin
 
+  /** Glyph-width-driven spacing gate: the [[graft.sources.PdfText
+    * .composeWidthFixture]] pages encode EVERY inter-word space as
+    * either a sub-fixed-threshold TJ kern over a condensed /Widths
+    * font, a super-threshold letter kern over a wide font (which must
+    * NOT split), or a same-line Td pen jump with no kern at all — so
+    * the row hashes only match when the extractor resolves /Widths,
+    * scales the break threshold to the space glyph, and models pen
+    * advance. The oracle replays the closed form.
+    */
+  val pdfWidths: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfWidths(col("doc_id") * 29,
+        (col("doc_id") % 3 + 1).cast("int")))
+      .withColumn("txt", graft.functions.PdfOps.pdfText(col("pdf")))
+      .select(col("doc_id"),
+        size(col("txt")).cast("long").as("n_pages"),
+        element_at(col("txt"), 1).as("page1"),
+        element_at(col("txt"), size(col("txt"))).as("page_last"),
+        aggregate(transform(col("txt"), t => length(t).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"))
+  val pdfWidthsSql: String =
+    """WITH t AS (
+      |  SELECT d.doc_id, p.p,
+      |         'alpha beta gamma' || chr(10) || 'Wide font line' || chr(10) ||
+      |           'gap joined' || chr(10) ||
+      |           'W ' || (d.doc_id * 29) || ' p ' || p.p || ' end' AS page_text
+      |  FROM documents d, generate_series(0, 2) p(p)
+      |  WHERE p.p <= d.doc_id % 3)
+      |SELECT doc_id,
+      |       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+      |       min(CASE WHEN p = 0 THEN page_text END) AS page1,
+      |       min(CASE WHEN p = doc_id % 3 THEN page_text END) AS page_last,
+      |       CAST(sum(length(page_text)) AS BIGINT) AS n_chars
+      |FROM t GROUP BY doc_id""".stripMargin
+
   /** The document-corpus capstone: a MIXED shard of plaintext and
     * encrypted text PDFs (variant cycles RC4-40/RC4-128/AES-128/
     * AES-256/plain by doc_id) flows decrypt → parse → text-extract →
@@ -2142,6 +2178,7 @@ object DomainQueries {
     "q_pdf_predictor" -> pdfPredictor,
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_pdf_text" -> pdfText,
+    "q_pdf_widths" -> pdfWidths,
     "q_pdf_filters" -> pdfFilters,
     "q_pdf_ccitt" -> pdfCcitt,
     "q_tiff_meta" -> tiffMeta,
@@ -2220,6 +2257,7 @@ object DomainQueries {
     "q_pdf_predictor" -> pdfPredictorSql,
     "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_pdf_text" -> pdfTextSql,
+    "q_pdf_widths" -> pdfWidthsSql,
     "q_pdf_filters" -> pdfFiltersSql,
     "q_pdf_ccitt" -> pdfCcittSql,
     "q_tiff_meta" -> tiffMetaSql,

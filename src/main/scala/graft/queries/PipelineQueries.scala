@@ -2030,6 +2030,143 @@ object PipelineQueries {
        |       ((cum - 1) // $TokenPackBudget) - ((cum - n_tokens) // $TokenPackBudget) + 1 AS n_chunks
        |FROM c""".stripMargin
 
+  /** The pretraining-corpus MEGA-capstone: every family of the 100 TB
+    * story chained end-to-end under ONE hash gate —
+    *
+    *   mixed binary shard (PDF/DOCX/PPTX/EPUB payloads, groups of 3
+    *   doc_ids sharing one payload so exact duplicates genuinely
+    *   exist) → magic-byte dispatch + per-format TEXT extraction
+    *   ([[graft.operators.CorpusIngest.dispatch]]) → exact dedup
+    *   (md5 keep-oldest) → Gopher quality rules (the min-word-count /
+    *   word-length / repetition battery — on this template corpus the
+    *   load-bearing rule is the ≥[[PretrainMinWords]]-word floor,
+    *   which drops the 1-page docx/pptx/epub shards; a mean-score
+    *   bucketing would be degenerate here because template docs
+    *   collapse to near-identical scores) → per-format domain cap
+    *   (top-[[PretrainCapK]] by n_chars) → BPE tokenization under the
+    *   `documents`-trained merges → fixed-budget sequence packing.
+    *
+    * Each stage is the SAME operator its standalone query gates, but
+    * applied to the previous stage's survivors — so a drift anywhere
+    * (a codec byte, a dedup key, a quality threshold, a cap ordering,
+    * a merge rank, a prefix sum) flips rows here. The oracle rebuilds
+    * the extracted text closed-form and replays the whole funnel in
+    * SQL. Scale shape: extraction/dedup-key/tokenize are map-side
+    * projections; ONE exchange for the dedup window, one bounded
+    * histogram for quality, a 4-partition WindowGroupLimit for the
+    * cap, one hash-shard exchange for packing — no global windows.
+    */
+  private val PretrainCapK = 20
+  private val PretrainMinWords = 10L
+  val pretrainCorpus: Q = (s, d) => {
+    val (merges, _) = bpeModel(s, d)
+    val grp = expr("doc_id div 3")
+    val seed = grp * lit(101L)
+    // page count varies on grp div 4 so it is UNCORRELATED with the
+    // format (= grp % 4): every format gets both 1- and 2-page docs,
+    // and the quality word-floor cuts within each format, not a
+    // format wholesale
+    val pages = (pmod(expr("doc_id div 12"), lit(2)) + lit(1)).cast("int")
+    val idx = pmod(grp, lit(4))
+    val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, pages))
+      .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, pages))
+      .when(idx === 2, graft.functions.OfficeOps.synthPptx(seed, pages))
+      .otherwise(graft.functions.OfficeOps.synthEpub(seed, pages))
+    val (format, text) = graft.operators.CorpusIngest.dispatch(col("payload"))
+    val extracted = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("payload", payload)
+      .select(col("doc_id"), format.as("format"), text.as("text"))
+      .withColumn("n_chars", length(col("text")))
+    val s1 = extracted
+      .withColumn("_keeper", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("_keeper")).drop("_keeper")
+    val s2 = s1.join(
+      TextAnalysis.gopherRules(s1, "doc_id", "text", PretrainMinWords, 1000L, 2L, 20L, 2L, 0L)
+        .filter(col("keep")).select("doc_id"),
+      "doc_id")
+    val s3 = s2
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("format")).orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("_rk") <= PretrainCapK).drop("_rk")
+    val counts = s3
+      .select(col("doc_id"),
+        explode(filter(words(col("text")), w => length(w) > 0)).as("word"))
+      .select(col("doc_id"),
+        size(graft.operators.Bpe.segmentExpr(col("word"), merges)).as("n_sym"))
+      .groupBy("doc_id").agg(sum("n_sym").as("n_bpe"))
+    graft.operators.Packing.packCounts(counts, "doc_id", "n_bpe",
+        TokenPackShards, TokenPackBudget)
+      .withColumn("format", expr(
+        "CASE (doc_id div 3) % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx' " +
+          "WHEN 2 THEN 'pptx' ELSE 'epub' END"))
+  }
+  val pretrainCorpusSql: String = {
+    val segChain = graft.operators.Bpe.segmentSql(
+      graft.operators.Bpe.spacedSql("word"), BpeSteps)
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |g AS (SELECT doc_id, doc_id // 3 AS grp FROM documents),
+       |pdfp AS (
+       |  SELECT g.doc_id, p.p,
+       |         'Doc ' || (g.grp * 101) || ' page ' || p.p ||
+       |           ' line one (escaped)' || chr(10) ||
+       |           'kerned words here' || chr(10) || 'café three' AS pt
+       |  FROM g, generate_series(0, 1) p(p)
+       |  WHERE g.grp % 4 = 0 AND p.p <= (g.grp // 4) % 2),
+       |docxp AS (
+       |  SELECT g.doc_id, p.p,
+       |         'Para ' || p.p || ' of doc ' || (g.grp * 101) ||
+       |           ' — café & tab:' || chr(9) || 'end' AS pt
+       |  FROM g, generate_series(0, 1) p(p)
+       |  WHERE g.grp % 4 = 1 AND p.p <= (g.grp // 4) % 2),
+       |pptxp AS (
+       |  SELECT g.doc_id, p.p,
+       |         'Slide ' || p.p || ' of deck ' || (g.grp * 101) || chr(10) ||
+       |           'bullet & point ' || (g.grp * 101) % 100 AS pt
+       |  FROM g, generate_series(0, 1) p(p)
+       |  WHERE g.grp % 4 = 2 AND p.p <= (g.grp // 4) % 2),
+       |epubp AS (
+       |  SELECT g.doc_id, p.p,
+       |         'Chapter ' || p.p || chr(10) || 'Book ' || (g.grp * 101) ||
+       |           ' prose & café line ' || p.p || '.' AS pt
+       |  FROM g, generate_series(0, 1) p(p)
+       |  WHERE g.grp % 4 = 3 AND p.p <= (g.grp // 4) % 2),
+       |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp
+       |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp),
+       |ext AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
+       |        FROM allp GROUP BY 1),
+       |meta AS (SELECT doc_id, text,
+       |                CASE (doc_id // 3) % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+       |                     WHEN 2 THEN 'pptx' ELSE 'epub' END AS format,
+       |                length(text) AS n_chars FROM ext),
+       |s1 AS (SELECT * FROM (
+       |         SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM meta)
+       |       WHERE doc_id = keeper),
+       |${TextAnalysis.gopherRulesCtes("gq", "s1", "doc_id", "text")},
+       |gqkeep AS (SELECT doc_id FROM gqd
+       |           WHERE ${TextAnalysis.gopherKeepSql(PretrainMinWords, 1000L, 2L, 20L, 2L, 0L)}),
+       |s2 AS (SELECT s1.* FROM s1 JOIN gqkeep USING (doc_id)),
+       |s3 AS (SELECT * FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY (doc_id // 3) % 4
+       |                     ORDER BY n_chars DESC, doc_id) AS rk FROM s2)
+       |       WHERE rk <= $PretrainCapK),
+       |tw AS (SELECT doc_id, unnest(list_filter(${wordsSql("text")}, x -> length(x) > 0)) AS word FROM s3),
+       |seg AS (SELECT doc_id, len(string_split(trim($segChain), '  ')) AS n_sym FROM tw),
+       |cnts AS (SELECT doc_id, CAST(sum(n_sym) AS INTEGER) AS n_tokens FROM seg GROUP BY 1),
+       |sh1 AS (SELECT doc_id,
+       |               ${stableHash60Sql("CAST(doc_id AS VARCHAR)")} % ${TokenPackShards}::BIGINT AS shard,
+       |               n_tokens FROM cnts),
+       |pk AS (SELECT doc_id, shard, n_tokens,
+       |              CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+       |       FROM sh1)
+       |SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_tok,
+       |       (cum - n_tokens) // $TokenPackBudget AS first_chunk,
+       |       ((cum - 1) // $TokenPackBudget) - ((cum - n_tokens) // $TokenPackBudget) + 1 AS n_chunks,
+       |       CASE (doc_id // 3) % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+       |            WHEN 2 THEN 'pptx' ELSE 'epub' END AS format
+       |FROM pk""".stripMargin
+  }
+
   /** Tokenizer INFERENCE on a table the model never saw: merges learned
     * on `documents` segment `part.p_name` words (unseen words fall back
     * to finer pieces — the deployment behavior). One codegen'd
@@ -3120,6 +3257,7 @@ object PipelineQueries {
     "q_collocations" -> collocations,
     "q_seq_pack" -> seqPack,
     "q_token_pipeline" -> tokenPipeline,
+    "q_pretrain_corpus" -> pretrainCorpus,
     "q_chunk_spans" -> chunkSpans,
     "q_fuzzy_keyword" -> fuzzyKeyword,
     "q_ann_topk_agg" -> annTopKAgg,
@@ -3234,6 +3372,7 @@ object PipelineQueries {
     "q_collocations" -> collocationsSql,
     "q_seq_pack" -> seqPackSql,
     "q_token_pipeline" -> tokenPipelineSql,
+    "q_pretrain_corpus" -> pretrainCorpusSql,
     "q_chunk_spans" -> chunkSpansSql,
     "q_fuzzy_keyword" -> fuzzyKeywordSql,
     "q_ann_topk_agg" -> annTopKSql,

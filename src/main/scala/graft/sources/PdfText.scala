@@ -32,12 +32,25 @@ import PdfCodec._
   * empty-user-password encrypted document extracts identically to its
   * plaintext twin (spec-pinned).
   *
+  * Glyph-width-driven spacing: when a font carries width data
+  * (/Widths + /FirstChar for simple fonts, /W + /DW on the descendant
+  * for Type0), the TJ word-break threshold becomes width-RELATIVE —
+  * half the font's space-glyph width — instead of the fixed
+  * [[SpaceKern]] fallback, so a condensed font's −120 space kern
+  * still breaks words and a display font's −200 letter kern no
+  * longer does. The same widths drive a pen-x model (advance
+  * accumulated per show, Tc/Tw honored), so a positive same-line
+  * Td/TD/Tm x-jump past the pen wider than the threshold reads as an
+  * inter-word space — the other way justified writers encode spaces.
+  * Fonts with no width data keep the fixed-threshold behavior and
+  * skip the pen model (advance unknowable).
+  *
   * Out of subset (documented): vertical writing (Identity-V), CID
-  * CMaps other than Identity, glyph-width-driven spacing (spaces come
-  * from explicit space chars + TJ kerns), cross-column reading-order
-  * reconstruction. The goal is linear reading order of the stream,
-  * which is what every corpus extractor (incl. the reference's
-  * PyMuPDF "text" mode) emits for single-column documents.
+  * CMaps other than Identity, Tz horizontal scaling in the pen
+  * model, cross-column reading-order reconstruction. The goal is
+  * linear reading order of the stream, which is what every corpus
+  * extractor (incl. the reference's PyMuPDF "text" mode) emits for
+  * single-column documents.
   *
   * Scale shape: bytes → string per row, no Spark state; rides inside
   * codegen via `graft.functions.PdfOps.pdfText` like the other codec
@@ -46,11 +59,21 @@ import PdfCodec._
   */
 object PdfText {
 
-  /** TJ kern threshold in text-space thousandths: a gap wider than
-    * this reads as an inter-word space (PDF writers emit ~-250 for a
-    * space-width kern at normal tracking; letter-kerns are < ~100).
+  /** Fallback TJ kern threshold in text-space thousandths, used only
+    * when the font declares no widths: a gap wider than this reads as
+    * an inter-word space (PDF writers emit ~-250 for a space-width
+    * kern at normal tracking; letter-kerns are < ~100). Fonts WITH
+    * widths use half their space-glyph width instead — see
+    * [[spaceThreshold]].
     */
   val SpaceKern = 180.0
+
+  /** Width-relative word-break fraction: a gap wider than this times
+    * the font's space-glyph width is an inter-word space (the
+    * heuristic PDFBox/pdf.js-family extractors converge on — real
+    * writers never kern letters past half a space).
+    */
+  val SpaceFraction = 0.5
 
   // ------------------------------------------------------------------
   // encodings
@@ -154,12 +177,87 @@ object PdfText {
   // ------------------------------------------------------------------
 
   /** A resolved font: byte-code decode table (simple fonts), the
-    * /ToUnicode overrides, and the code width.
+    * /ToUnicode overrides, the code width, and glyph advances in
+    * thousandths of em — `widths` (simple, per byte code; null =
+    * font declared none), `cidW`+`dw` (Type0), and `spaceW` (the
+    * space glyph's advance; 0 = unknown → [[SpaceKern]] fallback).
     */
   private final case class Font(table: Array[Int], toUnicode: Map[Int, String],
-                                twoByte: Boolean)
+                                twoByte: Boolean, widths: Array[Double] = null,
+                                cidW: Map[Int, Double] = Map.empty, dw: Double = 1000.0,
+                                spaceW: Double = 0.0)
 
   private val DefaultFont = Font(null, Map.empty, twoByte = false)
+
+  /** /Widths + /FirstChar → per-byte-code advance table (thousandths);
+    * null when the font declares no widths (the pen model then stays
+    * off for this font).
+    */
+  private def parseWidths(doc: PdfDoc, d: PDict): Array[Double] =
+    resolve(doc, d.get("Widths").getOrElse(PNull)) match {
+      case PArr(ws) =>
+        val first = resolve(doc, d.get("FirstChar").getOrElse(PNull)) match {
+          case PNum(n) => n.toInt; case _ => 0
+        }
+        val t = new Array[Double](256)
+        var i = 0
+        while (i < ws.length && first + i < 256) {
+          if (first + i >= 0) resolve(doc, ws(i)) match {
+            case PNum(n) => t(first + i) = n
+            case _ =>
+          }
+          i += 1
+        }
+        t
+      case _ => null
+    }
+
+  /** Type0 /DescendantFonts[0] → (/W CID-width map, /DW default).
+    * /W alternates `c [w…]` and `cFirst cLast w` runs; entry count is
+    * capped so a hostile /W can't balloon the map.
+    */
+  private def parseCidWidths(doc: PdfDoc, d: PDict): (Map[Int, Double], Double) = {
+    val desc = resolve(doc, d.get("DescendantFonts").getOrElse(PNull)) match {
+      case PArr(items) if items.nonEmpty => resolve(doc, items.head) match {
+        case dd: PDict => dd; case _ => null
+      }
+      case _ => null
+    }
+    if (desc == null) return (Map.empty, 1000.0)
+    val dw = resolve(doc, desc.get("DW").getOrElse(PNull)) match {
+      case PNum(n) => n; case _ => 1000.0
+    }
+    val m = Map.newBuilder[Int, Double]
+    var entries = 0
+    resolve(doc, desc.get("W").getOrElse(PNull)) match {
+      case PArr(items) =>
+        var i = 0
+        while (i < items.length && entries < 65536) {
+          (resolve(doc, items(i)), if (i + 1 < items.length) resolve(doc, items(i + 1)) else PNull) match {
+            case (PNum(c), PArr(ws)) =>
+              ws.zipWithIndex.foreach { case (wv, j) =>
+                resolve(doc, wv) match {
+                  case PNum(w) if entries < 65536 => m += (c.toInt + j) -> w; entries += 1
+                  case _ =>
+                }
+              }
+              i += 2
+            case (PNum(lo), PNum(hi)) if i + 2 < items.length =>
+              resolve(doc, items(i + 2)) match {
+                case PNum(w) =>
+                  var c = lo.toInt
+                  val top = math.min(hi.toInt, lo.toInt + 65535)
+                  while (c <= top && entries < 65536) { m += c -> w; entries += 1; c += 1 }
+                case _ =>
+              }
+              i += 3
+            case _ => i += 1
+          }
+        }
+      case _ =>
+    }
+    (m.result(), dw)
+  }
 
   private def buildFont(doc: PdfDoc, v: PVal): Font = resolve(doc, v) match {
     case d: PDict =>
@@ -167,8 +265,14 @@ object PdfText {
         case PName(s) => s; case _ => ""
       }
       val toUni = parseToUnicode(doc, d)
-      if (subtype == "Type0") Font(null, toUni, twoByte = true)
-      else {
+      if (subtype == "Type0") {
+        val (cidW, dw) = parseCidWidths(doc, d)
+        // the space glyph's advance = width of the LOWEST code
+        // /ToUnicode maps to " " (deterministic under map ordering)
+        val spaceCodes = toUni.collect { case (c, s) if s == " " => c }
+        val spaceW = if (spaceCodes.isEmpty) 0.0 else cidW.getOrElse(spaceCodes.min, dw)
+        Font(null, toUni, twoByte = true, cidW = cidW, dw = dw, spaceW = spaceW)
+      } else {
         val table: Array[Int] = resolve(doc, d.get("Encoding").getOrElse(PNull)) match {
           case PName("WinAnsiEncoding") => winAnsi
           case PName("MacRomanEncoding") => macRoman
@@ -199,7 +303,9 @@ object PdfText {
             }
           case _ => standard
         }
-        Font(table, toUni, twoByte = false)
+        val widths = parseWidths(doc, d)
+        val spaceW = if (widths != null && widths(32) > 0) widths(32) else 0.0
+        Font(table, toUni, twoByte = false, widths = widths, spaceW = spaceW)
       }
     case _ => DefaultFont
   }
@@ -278,6 +384,44 @@ object PdfText {
   // the extractor
   // ------------------------------------------------------------------
 
+  /** The word-break threshold for this font, in thousandths of em:
+    * width-relative when the font declares a space width, the fixed
+    * [[SpaceKern]] otherwise.
+    */
+  private def spaceThreshold(font: Font): Double = {
+    val f = if (font == null) DefaultFont else font
+    if (f.spaceW > 0) SpaceFraction * f.spaceW else SpaceKern
+  }
+
+  /** Advance of a show string in thousandths of em, plus glyph and
+    * space-code counts (for Tc/Tw). Advance is −1 ("unknown") for a
+    * simple font with no /Widths — Type0 always resolves through /DW.
+    */
+  private def showAdvance(font: Font, bytes: Array[Byte]): (Double, Int, Int) = {
+    val f = if (font == null) DefaultFont else font
+    if (f.twoByte) {
+      var adv = 0.0; var n = 0
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+        adv += f.cidW.getOrElse(code, f.dw); n += 1
+        i += 2
+      }
+      (adv, n, 0) // Tw applies only to byte 32 of 1-byte codes (ISO 32000 §9.3.3)
+    } else if (f.widths == null) (-1.0, bytes.length, 0)
+    else {
+      var adv = 0.0; var spaces = 0
+      var i = 0
+      while (i < bytes.length) {
+        val code = bytes(i) & 0xff
+        adv += f.widths(code)
+        if (code == 32) spaces += 1
+        i += 1
+      }
+      (adv, bytes.length, spaces)
+    }
+  }
+
   private def decodeShow(font: Font, bytes: Array[Byte], out: StringBuilder): Unit = {
     val f = if (font == null) DefaultFont else font
     if (f.twoByte) {
@@ -325,6 +469,12 @@ object PdfText {
     var curY = 0.0
     var haveY = false
     var leading = 0.0
+    // pen model (only live while the current font has widths):
+    var fontSize = 0.0
+    var charSpace = 0.0 // Tc, text units
+    var wordSpace = 0.0 // Tw, text units
+    var curX = Double.NaN // pen x in text units; NaN = unknowable
+    var lineX = 0.0 // line-matrix origin x (Td/TD translate relative to it)
     def newline(): Unit = {
       while (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
@@ -333,6 +483,24 @@ object PdfText {
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != ' ' && sb.charAt(sb.length - 1) != '\n')
         sb.append(' ')
     def num(v: PVal): Double = v match { case PNum(n) => n; case _ => 0.0 }
+    /** Advance the pen over a shown string (NaN-sticky when the font
+      * has no widths — a later Td gap can't be judged then).
+      */
+    def penShow(bytes: Array[Byte]): Unit = if (!curX.isNaN) {
+      val (adv, glyphs, spaces) = showAdvance(font, bytes)
+      if (adv < 0 || fontSize <= 0) curX = Double.NaN
+      else curX += adv / 1000.0 * fontSize + glyphs * charSpace + spaces * wordSpace
+    }
+    /** Same-line x-reposition: a positive gap past the pen wider than
+      * the font's word-break threshold is an encoded space.
+      */
+    def penJump(newX: Double): Unit = {
+      if (!curX.isNaN && fontSize > 0) {
+        val gapThousandths = (newX - curX) * 1000.0 / fontSize
+        if (gapThousandths > spaceThreshold(font)) space()
+      }
+      curX = newX
+    }
 
     val lx = new Lexer(page.content, 0)
     val operands = mutable.ArrayBuffer[PVal]()
@@ -349,37 +517,64 @@ object PdfText {
               case PName(n) => font = fonts.getOrElse(n, DefaultFont)
               case _ =>
             }
+            fontSize = num(operands.last)
+          case "Tc" if operands.nonEmpty => charSpace = num(operands.last)
+          case "Tw" if operands.nonEmpty => wordSpace = num(operands.last)
           case "Td" if operands.length >= 2 =>
+            val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
-            if (ty != 0.0) { newline(); curY += ty }
+            lineX += tx
+            if (ty != 0.0) { newline(); curY += ty; curX = lineX }
+            else penJump(lineX)
           case "TD" if operands.length >= 2 =>
+            val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
             leading = -ty
-            if (ty != 0.0) { newline(); curY += ty }
+            lineX += tx
+            if (ty != 0.0) { newline(); curY += ty; curX = lineX }
+            else penJump(lineX)
           case "TL" if operands.nonEmpty => leading = num(operands.last)
-          case "T*" => newline(); curY -= leading
+          case "T*" => newline(); curY -= leading; curX = lineX
           case "Tm" if operands.length >= 6 =>
             val y = num(operands.last)
-            if (haveY && math.abs(y - curY) > 1e-6) newline()
+            val x = num(operands(operands.length - 2))
+            val sameLine = haveY && math.abs(y - curY) <= 1e-6
+            if (haveY && !sameLine) newline()
             curY = y; haveY = true
+            lineX = x
+            if (sameLine) penJump(x) else curX = x
           case "Tj" if operands.nonEmpty =>
-            operands.last match { case PStr(b) => decodeShow(font, b, sb); case _ => }
-          case "'" if operands.nonEmpty =>
-            newline(); curY -= leading
-            operands.last match { case PStr(b) => decodeShow(font, b, sb); case _ => }
-          case "\"" if operands.nonEmpty =>
-            newline(); curY -= leading
-            operands.last match { case PStr(b) => decodeShow(font, b, sb); case _ => }
-          case "TJ" if operands.nonEmpty =>
             operands.last match {
-              case PArr(items) => items.foreach {
-                case PStr(b) => decodeShow(font, b, sb)
-                case PNum(n) => if (n < -SpaceKern) space()
-                case _ =>
-              }
+              case PStr(b) => decodeShow(font, b, sb); penShow(b)
               case _ =>
             }
-          case "BT" => curY = 0.0; haveY = true; leading = 0.0
+          case "'" if operands.nonEmpty =>
+            newline(); curY -= leading; curX = lineX
+            operands.last match {
+              case PStr(b) => decodeShow(font, b, sb); penShow(b)
+              case _ =>
+            }
+          case "\"" if operands.nonEmpty =>
+            newline(); curY -= leading; curX = lineX
+            operands.last match {
+              case PStr(b) => decodeShow(font, b, sb); penShow(b)
+              case _ =>
+            }
+          case "TJ" if operands.nonEmpty =>
+            operands.last match {
+              case PArr(items) =>
+                val thr = spaceThreshold(font)
+                items.foreach {
+                  case PStr(b) => decodeShow(font, b, sb); penShow(b)
+                  case PNum(n) =>
+                    if (-n > thr) space()
+                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize
+                  case _ =>
+                }
+              case _ =>
+            }
+          case "BT" =>
+            curY = 0.0; haveY = true; leading = 0.0; lineX = 0.0; curX = 0.0
           case "ET" =>
           case "" => lx.p += 1
           case _ =>
@@ -457,6 +652,73 @@ object PdfText {
     w(s"trailer\n<< /Size $size /Root 1 0 R /Info $infoNum 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
+
+  /** Width-kerned justified-text fixture: `nPages` pages over TWO
+    * /Widths-bearing fonts chosen to defeat any fixed kern threshold —
+    * a condensed face (space 200: its −120 word kerns sit BELOW the
+    * old fixed 180) and a wide face (space 600: its −200 letter kerns
+    * sit ABOVE it) — plus a line whose spaces are encoded purely as
+    * same-line Td pen jumps with NO kern and NO space character.
+    * Extracting it correctly requires the width-relative threshold
+    * and the pen model; the extracted text is the closed form
+    * [[expectedWidthText]] pins (and the oracle recomputes in SQL).
+    */
+  def composeWidthFixture(seed: Long, nPages: Int): Array[Byte] = {
+    val n = math.max(1, nPages)
+    val out = new java.io.ByteArrayOutputStream(1024 * n)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val pageNums = (0 until n).map(i => 5 + 2 * i)
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] " +
+      s"/Count $n /Resources << /Font << /F2 3 0 R /F3 4 0 R >> >> >>\nendobj\n")
+    // condensed: space=200, every printable glyph 450 (codes 32..126)
+    beginObj(3)
+    w("<< /Type /Font /Subtype /TrueType /BaseFont /CondSans " +
+      "/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 " +
+      s"/Widths [200 ${Array.fill(94)("450").mkString(" ")}] >>\nendobj\n")
+    // wide: space=600, every printable glyph 700
+    beginObj(4)
+    w("<< /Type /Font /Subtype /TrueType /BaseFont /WideSans " +
+      "/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 " +
+      s"/Widths [600 ${Array.fill(94)("700").mkString(" ")}] >>\nendobj\n")
+    (0 until n).foreach { p =>
+      val (pn, cn) = (5 + 2 * p, 6 + 2 * p)
+      beginObj(pn)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $cn 0 R >>\nendobj\n")
+      // line 1 (F2, thr=100): −120/−130 are spaces, −60/−99 are kerns
+      // line 2 (F3, thr=300): −350/−301 are spaces, −200 is a kern
+      // line 3 (F2): "gap"=3×450=1350‰ → 16.2u at 12pt; Td 20 jumps
+      //   3.8u=316‰>100 → space; "jo"=900‰ → 10.8u; Td 10.8 abuts → none
+      val content =
+        ("BT\n/F2 12 Tf\n72 720 Td\n" +
+          "[(alpha) -120 (be) -60 (ta) -130 (gam) -99 (ma)] TJ\n" +
+          "/F3 12 Tf\n0 -14 TD\n" +
+          "[(Wi) -200 (de) -350 (font) -301 (line)] TJ\n" +
+          "/F2 12 Tf\nT*\n(gap) Tj\n20 0 Td\n(jo) Tj\n10.8 0 Td\n(ined) Tj\n" +
+          s"0 -14 Td\n(W $seed p $p end) Tj\nET\n")
+          .getBytes(StandardCharsets.ISO_8859_1)
+      beginObj(cn)
+      w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content)
+      w("\nendstream\nendobj\n")
+    }
+    val size = 5 + 2 * n
+    val xrefOff = out.size()
+    w(s"xref\n0 $size\n0000000000 65535 f \n")
+    (1 until size).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The text [[composeWidthFixture]] extracts for page `p` of seed
+    * `seed` — a pure function of the inputs, so the oracle can
+    * recompute it in SQL.
+    */
+  def expectedWidthText(seed: Long, p: Int): String =
+    s"alpha beta gamma\nWide font line\ngap joined\nW $seed p $p end"
 
   /** The /Info /Title [[composeTextFixture]] embeds (UTF-16BE with an
     * em dash, proving the §7.9.2.2 BOM path end to end).

@@ -24,7 +24,8 @@ class PdfFuzzSpec extends SparkSpec {
     val bases = Seq(PdfExprs.synthPdf(7L, 2, 120, 160),
       PdfCodec.composeFiltersFixture(7L, 13, 10),
       PdfCodec.composeCcittFixture(7L, 70, 12),
-      graft.sources.PdfText.composeTextFixture(7L, 2))
+      graft.sources.PdfText.composeTextFixture(7L, 2),
+      graft.sources.PdfText.composeWidthFixture(7L, 2))
     (0 until n).map { i =>
       val base = bases(i % bases.length)
       i % 6 match {

@@ -127,6 +127,74 @@ class PdfTextSpec extends AnyFunSuite {
       "HIabc�")
   }
 
+  private val Cond = "<< /Type /Font /Subtype /TrueType /BaseFont /CondSans " +
+    "/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 " +
+    s"/Widths [200 ${Seq.fill(94)("450").mkString(" ")}] >>"
+  private val Wide = "<< /Type /Font /Subtype /TrueType /BaseFont /WideSans " +
+    "/Encoding /WinAnsiEncoding /FirstChar 32 /LastChar 126 " +
+    s"/Widths [600 ${Seq.fill(94)("700").mkString(" ")}] >>"
+
+  test("width fixture round trip: every page matches the closed form") {
+    for (n <- 1 to 3) {
+      val pdf = PdfText.composeWidthFixture(55L + n, n)
+      val texts = PdfText.extractAll(pdf)
+      assert(texts.length === n)
+      (0 until n).foreach { p =>
+        assert(texts(p) === PdfText.expectedWidthText(55L + n, p), s"page $p of $n")
+      }
+    }
+  }
+
+  test("width-relative kern: condensed font splits words on kerns below the fixed threshold") {
+    // space glyph = 200 → threshold 100; a fixed-180 heuristic would
+    // run this justified line together
+    val content = "BT /F1 12 Tf 72 700 Td [(alpha) -120 (be) -60 (ta) -130 (gamma)] TJ ET"
+    assert(extract(doc1(content, Map("F1" -> Cond))) === "alpha beta gamma")
+  }
+
+  test("width-relative kern: wide font keeps aggressive letter-kerns joined") {
+    // space glyph = 600 → threshold 300; a fixed-180 heuristic would
+    // split the -200 letter kern
+    val content = "BT /F1 12 Tf 72 700 Td [(Wi) -200 (de) -350 (open)] TJ ET"
+    assert(extract(doc1(content, Map("F1" -> Wide))) === "Wide open")
+  }
+
+  test("pen model: same-line Td jump past the pen is a space, abutting Td is not") {
+    // "gap" = 3×450 = 1350‰ → 16.2u at 12pt; Td 20 leaves a 316‰ gap
+    // (space), then Td 10.8 exactly abuts "jo" = 900‰ (no space)
+    val content = "BT /F1 12 Tf 72 700 Td (gap) Tj 20 0 Td (jo) Tj 10.8 0 Td (ined) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> Cond))) === "gap joined")
+    // a widthless font can't judge the same jump — no phantom space
+    val content2 = "BT /F1 12 Tf 72 700 Td (gap) Tj 20 0 Td (joined) Tj ET"
+    assert(extract(doc1(content2, Map("F1" -> Helv))) === "gapjoined")
+  }
+
+  test("pen model: Tc character spacing counts toward the pen position") {
+    // 3 glyphs of "gap" at Tc=2 add 6u: pen = 72+16.2+6 = 94.2; Td 24
+    // (→96) leaves 1.8u = 150‰ > 100 → space. Td 18.5 (→90.5) lands
+    // BEHIND the Tc-advanced pen (no space) — a Tc-blind pen (88.2)
+    // would read it as a 191‰ gap and split.
+    val spaced = "BT /F1 12 Tf 2 Tc 72 700 Td (gap) Tj 24 0 Td (X) Tj ET"
+    assert(extract(doc1(spaced, Map("F1" -> Cond))) === "gap X")
+    val behind = "BT /F1 12 Tf 2 Tc 72 700 Td (gap) Tj 18.5 0 Td (X) Tj ET"
+    assert(extract(doc1(behind, Map("F1" -> Cond))) === "gapX")
+  }
+
+  test("CID /W widths: threshold scales to the mapped space glyph") {
+    val cmap = "3 beginbfchar <0020> <0020> <0041> <0041> <0042> <0042> endbfchar"
+    val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-H " +
+      "/DescendantFonts [11 0 R] /ToUnicode 10 0 R >>"
+    // narrow space (200 via /W) → threshold 100 → -120 splits
+    val descNarrow = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X " +
+      "/DW 1000 /W [32 [200] 65 66 500] >>"
+    val content = "BT /F1 12 Tf 72 700 Td [<0041> -120 <0042>] TJ ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(stream, descNarrow))) === "A B")
+    // no /W entry for the space → /DW 1000 → threshold 500 → -120 joins
+    val descWideDefault = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X /DW 1000 >>"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(stream, descWideDefault))) === "AB")
+  }
+
   test("decrypt-then-extract: encrypted text documents extract identically") {
     val plain = PdfText.composeTextFixture(777L, 2)
     val want = PdfText.extractAll(plain).toSeq
