@@ -2056,8 +2056,8 @@ object PipelineQueries {
     * histogram for quality, a 4-partition WindowGroupLimit for the
     * cap, one hash-shard exchange for packing — no global windows.
     */
-  private val PretrainCapK = 20
-  private val PretrainMinWords = 10L
+  private[queries] val PretrainCapK = 20
+  private[queries] val PretrainMinWords = 10L
   val pretrainCorpus: Q = (s, d) => {
     val (merges, _) = bpeModel(s, d)
     val grp = expr("doc_id div 3")
