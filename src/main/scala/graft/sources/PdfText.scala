@@ -191,7 +191,9 @@ object PdfText {
 
   /** /Widths + /FirstChar → per-byte-code advance table (thousandths);
     * null when the font declares no widths (the pen model then stays
-    * off for this font).
+    * off for this font). Codes outside [FirstChar, LastChar] advance
+    * by /FontDescriptor /MissingWidth (default 0, per ISO 32000
+    * §9.8.1) rather than silently zero when a descriptor declares one.
     */
   private def parseWidths(doc: PdfDoc, d: PDict): Array[Double] =
     resolve(doc, d.get("Widths").getOrElse(PNull)) match {
@@ -199,7 +201,13 @@ object PdfText {
         val first = resolve(doc, d.get("FirstChar").getOrElse(PNull)) match {
           case PNum(n) => n.toInt; case _ => 0
         }
-        val t = new Array[Double](256)
+        val missing = resolve(doc, d.get("FontDescriptor").getOrElse(PNull)) match {
+          case fd: PDict => resolve(doc, fd.get("MissingWidth").getOrElse(PNull)) match {
+            case PNum(n) => n; case _ => 0.0
+          }
+          case _ => 0.0
+        }
+        val t = Array.fill(256)(missing)
         var i = 0
         while (i < ws.length && first + i < 256) {
           if (first + i >= 0) resolve(doc, ws(i)) match {

@@ -180,6 +180,22 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(behind, Map("F1" -> Cond))) === "gapX")
   }
 
+  test("/MissingWidth fills codes outside [FirstChar, LastChar]") {
+    // widths declared only for 65..66 (500 each), space implied by
+    // /MissingWidth 200 → threshold 100, so a -120 kern still splits
+    val font = "<< /Type /Font /Subtype /TrueType /BaseFont /Partial " +
+      "/Encoding /WinAnsiEncoding /FirstChar 65 /LastChar 66 " +
+      "/Widths [500 500] /FontDescriptor 10 0 R >>"
+    val fd = "<< /Type /FontDescriptor /FontName /Partial /MissingWidth 200 >>"
+    val content = "BT /F1 12 Tf 72 700 Td [(A) -120 (B)] TJ ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(fd))) === "A B")
+    // without the descriptor, the space width is unknown → fixed-180
+    // threshold → the same kern joins
+    val bare = "<< /Type /Font /Subtype /TrueType /BaseFont /Partial " +
+      "/Encoding /WinAnsiEncoding /FirstChar 65 /LastChar 66 /Widths [500 500] >>"
+    assert(extract(doc1(content, Map("F1" -> bare))) === "AB")
+  }
+
   test("CID /W widths: threshold scales to the mapped space glyph") {
     val cmap = "3 beginbfchar <0020> <0020> <0041> <0041> <0042> <0042> endbfchar"
     val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
