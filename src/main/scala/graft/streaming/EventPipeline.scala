@@ -216,6 +216,45 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming front door of the pretraining capstone: each arriving
+    * micro-batch of (doc_id, payload) BINARY documents runs the SAME
+    * per-document stages as `q_pretrain_corpus` — magic-byte dispatch
+    * ([[graft.operators.CorpusIngest.dispatch]]), per-format text
+    * extraction, and the Gopher quality rules — appending survivors
+    * as (doc_id, format, text, n_words). Text-less or unparseable
+    * payloads extract to null and drop at the quality join, the same
+    * poison posture as the batch path. ([[streamingCorpus]] is the
+    * metrics-only sibling: same dispatch, no quality filter, no
+    * survivor text — the observability tap vs this, the ingest sink.)
+    *
+    * Per-document work only: the extraction is a per-row projection
+    * and the Gopher aggregate is keyed by doc_id over the doc's OWN
+    * words, so the union of per-batch outputs EQUALS the one-shot
+    * batch run regardless of arrival slicing (StreamingSpec proves
+    * it). The CROSS-document stages — exact dedup, domain cap,
+    * packing — stay downstream batch compactions over the appended
+    * survivors, the split a production ingest actually runs:
+    * per-document curation at arrival, corpus-wide dedup at
+    * compaction (the ledgered/bounded streaming dedups cover the
+    * arrival-time variant when redelivery matters).
+    */
+  def startCorpusIngest(newDocs: DataFrame, minWords: Long,
+                        outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (format, text) = graft.operators.CorpusIngest.dispatch(col("payload"))
+        val extracted = batch
+          .select(col("doc_id"), format.as("format"), text.as("text"))
+        extracted.join(
+            graft.operators.TextAnalysis
+              .gopherRules(extracted, "doc_id", "text", minWords, 1000L, 2L, 20L, 2L, 0L)
+              .filter(col("keep")).select(col("doc_id"), col("n_words")),
+            "doc_id")
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** [[startQualityFilter]] under the exactly-once ledger: redelivered
     * documents are anti-joined away against the persisted
     * [[ProcessedLedger]] BEFORE scoring, survivors append

@@ -667,6 +667,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus ingest equals batch dispatch+extract+quality on any slicing") {
+    implicit val ctx = spark.sqlContext
+    import graft.sources.{OfficeCodec, PdfText}
+    // mixed shard: 2-page docs pass the 10-word floor, 1-page
+    // docx/pptx fail it, garbage bytes extract to null and drop
+    val docs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> PdfText.composeTextFixture(11L, 2),
+      2L -> OfficeCodec.composeDocx(22L, 2),
+      3L -> OfficeCodec.composePptx(33L, 1), // 8 words → quality-dropped
+      4L -> OfficeCodec.composeEpub(44L, 2),
+      5L -> Array[Byte](0, 1, 2, 3), // binary → null text → dropped
+      6L -> OfficeCodec.composeDocx(66L, 1)) // 9 words → quality-dropped
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val out = java.nio.file.Files.createTempDirectory("corpusingest").toString
+    val q = EventPipeline.startCorpusIngest(
+      mem.toDF().toDF("doc_id", "payload"), minWords = 10L, outPath = out)
+    try {
+      mem.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .select("doc_id", "format", "text", "n_words")
+        .as[(Long, String, String, Long)].collect().toSet
+      val (format, text) = graft.operators.CorpusIngest.dispatch($"payload")
+      val extracted = docs.toDF("doc_id", "payload")
+        .select($"doc_id", format.as("format"), text.as("text"))
+      val batch = extracted.join(
+          graft.operators.TextAnalysis
+            .gopherRules(extracted, "doc_id", "text", 10L, 1000L, 2L, 20L, 2L, 0L)
+            .filter($"keep").select($"doc_id", $"n_words"),
+          "doc_id")
+        .as[(Long, String, String, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set(1L, 2L, 4L))
+      assert(streamed.map(r => r._1 -> r._2).toMap ===
+        Map(1L -> "pdf", 2L -> "docx", 4L -> "epub"))
+    } finally q.stop()
+  }
+
   test("ledgered classify router: redelivered docs route once, buckets match batch argmax") {
     val base = java.nio.file.Files.createTempDirectory("cls_route").toString
     val input = s"$base/in"; val chk = s"$base/chk"
