@@ -642,8 +642,79 @@ object ParityQueries {
       |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY 1""".stripMargin
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-side
+    * aggregate — one table, three pushed filters, no join, no window.
+    * The discount band compares on `round(disc*100)` integers so the
+    * predicate can't straddle a float ulp differently in the two
+    * engines; revenue = Σ price_cents × disc_cents in exact integer
+    * micro-units. At 100 TB this is the query that proves the scan
+    * path: every filter lands in PushedFilters, the projection reads
+    * three columns, and the aggregate is a two-phase partial/final.
+    */
+  val tpchQ6: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1997-01-01").cast("timestamp_ntz")
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_quantity") < 24)
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("_price_c"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("_disc_c"))
+      .where(col("_disc_c") >= 5 && col("_disc_c") <= 7)
+      .agg(sum(col("_price_c") * col("_disc_c")).as("revenue_micro"))
+  }
+  val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_quantity < 24
+      |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting): customers who returned
+    * goods in a quarter, ranked by lost revenue — lineitem(returnflag)
+    * ⋈ date-windowed orders ⋈ customer ⋈ broadcast nation, grouped at
+    * customer grain. The fixture's customer table carries no
+    * address/phone/comment, so the output is the key/name/acctbal/
+    * nation/revenue core of the Q10 row. Same integer micro-unit
+    * revenue; nation broadcast (25 rows); fact joins shuffle on their
+    * natural keys.
+    */
+  val tpchQ10: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1996-04-01").cast("timestamp_ntz")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev_micro"))
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum("rev_micro").as("revenue_micro"))
+  }
+  val tpchQ10Sql: String =
+    """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_micro
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE l.l_returnflag = 'R'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q6" -> tpchQ6,
+    "q_tpch_q10" -> tpchQ10,
     "q_tpch_q5" -> tpchQ5,
     "q_scd2" -> scd2,
     "q_compaction_plan" -> compactionPlan,
@@ -675,6 +746,8 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q6" -> tpchQ6Sql,
+    "q_tpch_q10" -> tpchQ10Sql,
     "q_tpch_q5" -> tpchQ5Sql,
     "q_scd2" -> scd2Sql,
     "q_compaction_plan" -> compactionPlanSql,
