@@ -119,6 +119,13 @@ object GraftFunctions {
     "avi_frame_lumas" -> (a => AviOps.frameLumas(a.head)),
     "avi_analyze" -> (a => AviOps.analyze(a.head)),
     "avi_to_mjpeg" -> (a => AviOps.toMjpeg(a.head, a(1))),
+    "tiff_info" -> (a => TiffOps.tiffInfo(a.head)),
+    "tiff_decode" -> (a => TiffOps.tiffDecode(a.head)),
+    "synth_tiff" -> (a => TiffOps.synthTiff(a.head, a(1), a(2), a(3))),
+    "synth_tiff_g4" -> (a => TiffOps.synthTiffG4(a.head, a(1), a(2))),
+    "avro_meta" -> (a => AvroOps.avroMeta(a.head)),
+    "avro_records" -> (a => AvroOps.avroRecords(a.head)),
+    "synth_avro" -> (a => AvroOps.synthAvro(a.head, a(1))),
     "synth_avi" -> (a => AviOps.synthAvi(a.head, a(1), a(2), a(3))))
 
   private def litInt(c: Column, what: String): Int = {

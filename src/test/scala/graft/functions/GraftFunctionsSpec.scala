@@ -54,6 +54,23 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(r.getLong(8) === 8000L)
   }
 
+  test("TIFF/Avro container functions are callable from pure SQL, matching the Column API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT tiff_info(synth_tiff(CAST(5 AS BIGINT), 16, 12, 1)).compression AS t_comp,
+        |       tiff_decode(synth_tiff(CAST(5 AS BIGINT), 16, 12, 1)) AS t_px,
+        |       tiff_info(synth_tiff_g4(CAST(7 AS BIGINT), 64, 16)).width AS g4_w,
+        |       avro_meta(synth_avro(CAST(9 AS BIGINT), 4)).n_records AS a_n,
+        |       avro_records(synth_avro(CAST(9 AS BIGINT), 4)) AS a_rows
+        |""".stripMargin).head
+    // same decode-to-PNG as the Column/static API
+    val png = TiffExprs.tiffToPng(graft.sources.TiffCodec.synthTiff(5L, 16, 12, 1))
+    assert(r.getAs[Array[Byte]](1).toSeq === png.toSeq)
+    assert(r.getLong(2) === 64L)
+    assert(r.getLong(3) === 4L)
+    assert(r.getSeq[org.apache.spark.sql.Row](4).length === 4)
+  }
+
   test("natural SQL literals work across the registry: INT seeds, DECIMAL geometry") {
     // A SQL user writes synth_pdf(9, 2, 120.0, 160.0) — an INTEGER
     // seed and DECIMAL dims, not the BIGINT/DOUBLE the Column API
