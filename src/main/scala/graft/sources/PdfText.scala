@@ -45,12 +45,15 @@ import PdfCodec._
   * Fonts with no width data keep the fixed-threshold behavior and
   * skip the pen model (advance unknowable).
   *
-  * Out of subset (documented): vertical writing (Identity-V), CID
-  * CMaps other than Identity, Tz horizontal scaling in the pen
-  * model, cross-column reading-order reconstruction. The goal is
-  * linear reading order of the stream, which is what every corpus
-  * extractor (incl. the reference's PyMuPDF "text" mode) emits for
-  * single-column documents.
+  * Out of subset (documented): non-Identity CID CMaps (predefined
+  * CJK CMap tables), Tz horizontal scaling in the pen model,
+  * vertical PEN advances (Identity-V text still DECODES correctly in
+  * stream order — spec-pinned — since Type0 decode routes through
+  * /ToUnicode regardless of writing mode; only the spacing model is
+  * horizontal-only), cross-column reading-order reconstruction. The
+  * goal is linear reading order of the stream, which is what every
+  * corpus extractor (incl. the reference's PyMuPDF "text" mode)
+  * emits for single-column documents.
   *
   * Scale shape: bytes → string per row, no Spark state; rides inside
   * codegen via `graft.functions.PdfOps.pdfText` like the other codec

@@ -211,6 +211,21 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(content, Map("F1" -> font), Seq(stream, descWideDefault))) === "AB")
   }
 
+  test("Identity-V (vertical writing) decodes in stream order via ToUnicode") {
+    // decode is encoding-form-independent for Type0: the 2-byte codes
+    // map through ToUnicode whether the CMap is -H or -V; the emitted
+    // order is stream order (what corpus extractors emit for vertical
+    // text too — only the PEN semantics differ, and those are width
+    // features, not decode features)
+    val cmap = "3 beginbfchar <0041> <7E41> <0042> <7E42> <0043> <7E43> endbfchar"
+    val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding /Identity-V " +
+      "/DescendantFonts [11 0 R] /ToUnicode 10 0 R >>"
+    val desc = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X >>"
+    val content = "BT /F1 10 Tf 72 700 Td <004100420043> Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(stream, desc))) === "繁繂繃")
+  }
+
   test("decrypt-then-extract: encrypted text documents extract identically") {
     val plain = PdfText.composeTextFixture(777L, 2)
     val want = PdfText.extractAll(plain).toSeq
