@@ -46,8 +46,7 @@ import PdfCodec._
   * skip the pen model (advance unknowable).
   *
   * Out of subset (documented): non-Identity CID CMaps (predefined
-  * CJK CMap tables), Tz horizontal scaling in the pen model,
-  * vertical PEN advances (Identity-V text still DECODES correctly in
+  * CJK CMap tables), vertical PEN advances (Identity-V text still DECODES correctly in
   * stream order — spec-pinned — since Type0 decode routes through
   * /ToUnicode regardless of writing mode; only the spacing model is
   * horizontal-only), cross-column reading-order reconstruction. The
@@ -484,6 +483,7 @@ object PdfText {
     var fontSize = 0.0
     var charSpace = 0.0 // Tc, text units
     var wordSpace = 0.0 // Tw, text units
+    var hScale = 1.0 // Tz / 100: scales every horizontal advance
     var curX = Double.NaN // pen x in text units; NaN = unknowable
     var lineX = 0.0 // line-matrix origin x (Td/TD translate relative to it)
     def newline(): Unit = {
@@ -500,14 +500,19 @@ object PdfText {
     def penShow(bytes: Array[Byte]): Unit = if (!curX.isNaN) {
       val (adv, glyphs, spaces) = showAdvance(font, bytes)
       if (adv < 0 || fontSize <= 0) curX = Double.NaN
-      else curX += adv / 1000.0 * fontSize + glyphs * charSpace + spaces * wordSpace
+      else curX +=
+        (adv / 1000.0 * fontSize + glyphs * charSpace + spaces * wordSpace) * hScale
     }
     /** Same-line x-reposition: a positive gap past the pen wider than
-      * the font's word-break threshold is an encoded space.
+      * the font's word-break threshold is an encoded space. The
+      * threshold comparison happens in RENDERED units — Tz scales the
+      * space glyph and the gap alike inside TJ (so kern decisions are
+      * Tz-invariant), but a Td jump is in unscaled text space, so the
+      * pen and the rendered space width must both carry hScale here.
       */
     def penJump(newX: Double): Unit = {
-      if (!curX.isNaN && fontSize > 0) {
-        val gapThousandths = (newX - curX) * 1000.0 / fontSize
+      if (!curX.isNaN && fontSize > 0 && hScale > 0) {
+        val gapThousandths = (newX - curX) * 1000.0 / (fontSize * hScale)
         if (gapThousandths > spaceThreshold(font)) space()
       }
       curX = newX
@@ -531,6 +536,7 @@ object PdfText {
             fontSize = num(operands.last)
           case "Tc" if operands.nonEmpty => charSpace = num(operands.last)
           case "Tw" if operands.nonEmpty => wordSpace = num(operands.last)
+          case "Tz" if operands.nonEmpty => hScale = num(operands.last) / 100.0
           case "Td" if operands.length >= 2 =>
             val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
@@ -579,7 +585,7 @@ object PdfText {
                   case PStr(b) => decodeShow(font, b, sb); penShow(b)
                   case PNum(n) =>
                     if (-n > thr) space()
-                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize
+                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize * hScale
                   case _ =>
                 }
               case _ =>

@@ -196,6 +196,29 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(content, Map("F1" -> bare))) === "AB")
   }
 
+  test("Tz horizontal scaling: condensed rendering halves advances; Td gaps judged in rendered units") {
+    // ISO 32000 §9.4.4: tx = ((w/1000)·Tfs + Tc + Tw)·Th. At Tz 50,
+    // "gap" advances 8.1u (not 16.2): pen = 80.1. Td 20 (→92) leaves
+    // an 11.9u rendered gap over a 1.2u rendered space → space; a
+    // Tz-blind pen (88.2) would see 3.8u — still a space here, so pin
+    // the abutting case instead: Td 8.1 exactly abuts under Tz 50
+    // (no space) but would read as a 6.75‰·12pt backward jump… i.e. a
+    // Tz-blind model puts the pen at 88.2 PAST 80.1 and never spaces
+    // either — the DISCRIMINATING case is the wide gap below.
+    val abut = "BT /F1 12 Tf 50 Tz 72 700 Td (gap) Tj 8.1 0 Td (X) Tj ET"
+    assert(extract(doc1(abut, Map("F1" -> Cond))) === "gapX")
+    // Td 12 (→84) leaves 3.9u over the Tz-halved pen; rendered-space
+    // width is 0.5·200‰·12pt·0.5 = 100‰ threshold against
+    // 3.9·1000/(12·0.5) = 650‰ → space. A Tz-blind pen (88.2) sees a
+    // NEGATIVE gap and wrongly joins.
+    val spaced = "BT /F1 12 Tf 50 Tz 72 700 Td (gap) Tj 12 0 Td (X) Tj ET"
+    assert(extract(doc1(spaced, Map("F1" -> Cond))) === "gap X")
+    // TJ kern decisions are Tz-invariant: the same -120/-60 pattern
+    // splits identically at Tz 50
+    val kerns = "BT /F1 12 Tf 50 Tz 72 700 Td [(alpha) -120 (be) -60 (ta)] TJ ET"
+    assert(extract(doc1(kerns, Map("F1" -> Cond))) === "alpha beta")
+  }
+
   test("CID /W widths: threshold scales to the mapped space glyph") {
     val cmap = "3 beginbfchar <0020> <0020> <0041> <0041> <0042> <0042> endbfchar"
     val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
