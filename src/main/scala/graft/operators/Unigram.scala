@@ -278,12 +278,24 @@ object Unigram {
       }.mkString("\n    ")
       val cands = ls.map { l =>
         val prev = s"dp${j - l}"
-        s"""CASE WHEN v$l.piece IS NOT NULL AND b.$prev IS NOT NULL THEN
-           |      {'c': CAST(b.$prev.c + v$l.cost AS BIGINT),
-           |       'k': CAST(b.$prev.k + 1 AS BIGINT),
-           |       'p': CASE WHEN b.$prev.p = '' THEN v$l.piece
-           |                 ELSE b.$prev.p || ' ' || v$l.piece END}
-           |      END AS cand$l""".stripMargin
+        if (l == 1)
+          // single chars always segment: unknown ones cost UnkCost
+          // with the char itself as the piece — [[viterbi]]'s
+          // fallback, so inference over words with characters the
+          // training corpus never saw agrees between engines
+          s"""CASE WHEN b.$prev IS NOT NULL THEN
+             |      {'c': CAST(b.$prev.c + coalesce(v1.cost, $UnkCost) AS BIGINT),
+             |       'k': CAST(b.$prev.k + 1 AS BIGINT),
+             |       'p': CASE WHEN b.$prev.p = '' THEN substr(b.word, $j, 1)
+             |                 ELSE b.$prev.p || ' ' || substr(b.word, $j, 1) END}
+             |      END AS cand$l""".stripMargin
+        else
+          s"""CASE WHEN v$l.piece IS NOT NULL AND b.$prev IS NOT NULL THEN
+             |      {'c': CAST(b.$prev.c + v$l.cost AS BIGINT),
+             |       'k': CAST(b.$prev.k + 1 AS BIGINT),
+             |       'p': CASE WHEN b.$prev.p = '' THEN v$l.piece
+             |                 ELSE b.$prev.p || ' ' || v$l.piece END}
+             |      END AS cand$l""".stripMargin
       }.mkString(",\n      ")
       // lexicographic min of the nullable candidate structs
       val minExpr = ls.map(l => s"cand$l").reduceLeft { (a, b) =>
@@ -306,6 +318,16 @@ object Unigram {
     sb.append(s"$tag AS MATERIALIZED (SELECT word, cnt, list_value($dps)[wlen] AS dp FROM $tag$MaxWordLen)")
     sb.toString
   }
+
+  /** Inference DP over an ARBITRARY words CTE under the trained final
+    * vocabulary `uv$rounds` — compose after [[trainCtes]] to segment a
+    * table the model never saw (the deployment shape, mirroring
+    * [[graft.operators.Bpe.segmentSql]]'s role for BPE). `wordsCte`
+    * must provide (word, cnt); the result CTE `tag` yields
+    * (word, cnt, dp struct(c, k, p)).
+    */
+  def inferCtes(tag: String, wordsCte: String, rounds: Int = DefaultRounds): String =
+    dpCtes(tag, wordsCte, s"uv$rounds")
 
   /** Full training CTE chain mirroring [[train]]: `uwc` word counts,
     * `cand` seed pieces, `v0..v$rounds` vocabularies with integer

@@ -2257,6 +2257,39 @@ object PipelineQueries {
        |       CAST(sum(sg.dp.c) AS BIGINT) AS cost_u
        |FROM utok JOIN useg_final sg USING (word) GROUP BY 1""".stripMargin
 
+  /** Unigram-LM INFERENCE on a table the model never saw: the
+    * `documents`-trained pieces Viterbi-segment `part.p_name` words —
+    * unseen multi-char pieces never fire, unseen single chars cost
+    * [[graft.operators.Unigram.UnkCost]] (the deployment behavior,
+    * mirroring q_bpe_segment's role for BPE). The oracle re-trains
+    * the model and runs the SAME per-position DP over the part
+    * vocabulary via [[graft.operators.Unigram.inferCtes]], so path
+    * string, piece count, and integer cost are all engine-exact.
+    */
+  val unigramInfer: Q = (s, d) => {
+    val model = unigramModel(s, d)
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        explode(filter(words(col("p_name")), w => length(w) > 0)).as("word"))
+      .select(col("p_partkey"), col("word"),
+        graft.operators.Unigram.segmentExpr(col("word"), model).as("seg"))
+      .select(col("p_partkey"), col("word"),
+        col("seg.p").as("pieces"),
+        col("seg.k").cast("long").as("n_pieces"),
+        col("seg.c").cast("long").as("cost_u"))
+  }
+  val unigramInferSql: String =
+    s"""WITH ${graft.operators.Unigram.trainCtes("documents", "text")},
+       |pwc AS (SELECT word, count(*) AS cnt FROM (
+       |  SELECT unnest(list_filter(${wordsSql("p_name")}, x -> length(x) > 0)) AS word
+       |  FROM part) GROUP BY 1),
+       |${graft.operators.Unigram.inferCtes("pinf", "pwc")},
+       |ptok AS (SELECT p_partkey, unnest(list_filter(${wordsSql("p_name")}, x -> length(x) > 0)) AS word FROM part)
+       |SELECT p_partkey, word, i.dp.p AS pieces,
+       |       CAST(i.dp.k AS BIGINT) AS n_pieces,
+       |       CAST(i.dp.c AS BIGINT) AS cost_u
+       |FROM ptok JOIN pinf i USING (word)""".stripMargin
+
   /** Trained linear quality probe ([[graft.operators.Probe]]): 12 steps
     * of exact-integer full-batch GD separating embeddings with label 0
     * from the rest (measured binned AUC ≈ 0.81 vs the 0.82 float
@@ -3216,6 +3249,7 @@ object PipelineQueries {
     "q_bpe_segment" -> bpeSegment,
     "q_unigram_vocab" -> unigramVocab,
     "q_unigram_segment" -> unigramSegment,
+    "q_unigram_infer" -> unigramInfer,
     "q_bpe_artifact" -> bpeArtifact,
     "q_authority_sample" -> authoritySample,
     "q_triangles" -> triangles,
@@ -3331,6 +3365,7 @@ object PipelineQueries {
     "q_bpe_segment" -> bpeSegmentSql,
     "q_unigram_vocab" -> unigramVocabSql,
     "q_unigram_segment" -> unigramSegmentSql,
+    "q_unigram_infer" -> unigramInferSql,
     "q_bpe_artifact" -> bpeArtifactSql,
     "q_authority_sample" -> authoritySampleSql,
     "q_triangles" -> trianglesSql,
