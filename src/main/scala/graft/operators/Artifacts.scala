@@ -224,6 +224,27 @@ object Artifacts {
       .map(r => Bpe.Merge(r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
 
+  /** The unigram-LM piece table is the model, same contract as the
+    * BPE merges: a ≤vocab-size row set of (piece, freq, cost) —
+    * kilobytes — persisted once after EM, loaded as literals into the
+    * codegen'd Viterbi projection ([[Unigram.segmentExpr]]). NOT
+    * additive: costs renormalize over the whole vocabulary, so an
+    * updated corpus retrains.
+    */
+  def saveUnigramModel(model: Seq[Unigram.Piece], spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    model.toDF("piece", "freq", "cost")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pieces")
+  }
+
+  def loadUnigramModel(spark: SparkSession, path: String): Seq[Unigram.Piece] =
+    spark.read.parquet(s"$path/pieces")
+      // deterministic order is part of the contract: segmentExpr bakes
+      // the pieces into a literal map, but spec/debug dumps compare Seqs
+      .orderBy("piece").collect()
+      .map(r => Unigram.Piece(r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+
   /** PageRank domain ranks `(node, out_deg, rank_ppm)`: the shingle-
     * overlap graph + iteration chain is THE expensive pass (a full
     * corpus tokenize plus 10 join rounds), while the output is one row

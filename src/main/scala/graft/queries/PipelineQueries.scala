@@ -2257,6 +2257,30 @@ object PipelineQueries {
        |       CAST(sum(sg.dp.c) AS BIGINT) AS cost_u
        |FROM utok JOIN useg_final sg USING (word) GROUP BY 1""".stripMargin
 
+  /** The unigram model as a PERSISTED artifact: train, save the piece
+    * table, load, segment the training corpus from the LOADED model —
+    * proving the artifact round trip is lossless exactly as
+    * q_bpe_artifact does for merges. The oracle recomputes via the
+    * training chain, so a drift in save/load (a dropped piece, a cost
+    * bit) flips rows.
+    */
+  val unigramArtifact: Q = (s, d) => {
+    val model = unigramModel(s, d)
+    val path = java.nio.file.Files.createTempDirectory("graft_unigram").toFile.getAbsolutePath
+    Artifacts.saveUnigramModel(model, s, path)
+    val loaded = Artifacts.loadUnigramModel(s, path)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(filter(words(col("text")), w => length(w) > 0)).as("word"))
+      .select(col("doc_id"),
+        graft.operators.Unigram.segmentExpr(col("word"), loaded).as("seg"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("seg.k")).as("n_pieces"),
+        sum(col("seg.c")).as("cost_u"))
+  }
+  val unigramArtifactSql: String = unigramSegmentSql
+
   /** Unigram-LM INFERENCE on a table the model never saw: the
     * `documents`-trained pieces Viterbi-segment `part.p_name` words —
     * unseen multi-char pieces never fire, unseen single chars cost
@@ -3250,6 +3274,7 @@ object PipelineQueries {
     "q_unigram_vocab" -> unigramVocab,
     "q_unigram_segment" -> unigramSegment,
     "q_unigram_infer" -> unigramInfer,
+    "q_unigram_artifact" -> unigramArtifact,
     "q_bpe_artifact" -> bpeArtifact,
     "q_authority_sample" -> authoritySample,
     "q_triangles" -> triangles,
@@ -3366,6 +3391,7 @@ object PipelineQueries {
     "q_unigram_vocab" -> unigramVocabSql,
     "q_unigram_segment" -> unigramSegmentSql,
     "q_unigram_infer" -> unigramInferSql,
+    "q_unigram_artifact" -> unigramArtifactSql,
     "q_bpe_artifact" -> bpeArtifactSql,
     "q_authority_sample" -> authoritySampleSql,
     "q_triangles" -> trianglesSql,
