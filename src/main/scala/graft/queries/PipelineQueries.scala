@@ -2257,6 +2257,55 @@ object PipelineQueries {
        |       CAST(sum(sg.dp.c) AS BIGINT) AS cost_u
        |FROM utok JOIN useg_final sg USING (word) GROUP BY 1""".stripMargin
 
+  /** Side-by-side tokenizer evaluation — the fertility/compression
+    * numbers a team reads when choosing between the two trained
+    * subword models: per tokenizer, corpus word/piece/char totals and
+    * the integer ratios pieces-per-1000-words (fertility) and
+    * chars-per-piece×100 (compression). Both segmenters run over the
+    * SAME distinct-word table with occurrence weights, so the compare
+    * is one pass over the vocabulary, not the corpus; the oracle
+    * replays BOTH training chains and the same integer ratios.
+    */
+  val tokenizerEval: Q = (s, d) => {
+    val (merges, _) = bpeModel(s, d)
+    val uni = unigramModel(s, d)
+    val base = Tables.documents(s, d)
+      .select(explode(filter(words(col("text")), x => length(x) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val bpe = base.select(lit("bpe").as("tokenizer"), col("cnt"),
+      length(col("word")).as("len"),
+      size(graft.operators.Bpe.segmentExpr(col("word"), merges)).as("k"))
+    val ug = base.select(lit("unigram").as("tokenizer"), col("cnt"),
+      length(col("word")).as("len"),
+      graft.operators.Unigram.segmentExpr(col("word"), uni)
+        .getField("k").cast("int").as("k"))
+    bpe.unionAll(ug)
+      .groupBy("tokenizer")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("k")).as("n_pieces"),
+        sum(col("cnt") * col("len")).as("n_chars"))
+      .withColumn("pieces_per_1k_words", expr("n_pieces * 1000 div n_words"))
+      .withColumn("chars_per_piece_x100", expr("n_chars * 100 div n_pieces"))
+  }
+  val tokenizerEvalSql: String =
+    s"""WITH ${graft.operators.Bpe.trainCtes("documents", "text", BpeSteps)},
+       |${graft.operators.Unigram.trainCtes("documents", "text")},
+       |bv AS (SELECT word, len(string_split(trim(sym), '  ')) AS k FROM w$BpeSteps),
+       |tstats AS (
+       |  SELECT 'bpe' AS tokenizer, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |         CAST(sum(cnt * k) AS BIGINT) AS n_pieces,
+       |         CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars
+       |  FROM wc JOIN bv USING (word)
+       |  UNION ALL
+       |  SELECT 'unigram', CAST(sum(cnt) AS BIGINT),
+       |         CAST(sum(cnt * dp.k) AS BIGINT),
+       |         CAST(sum(cnt * length(word)) AS BIGINT)
+       |  FROM useg_final)
+       |SELECT tokenizer, n_words, n_pieces, n_chars,
+       |       n_pieces * 1000 // n_words AS pieces_per_1k_words,
+       |       n_chars * 100 // n_pieces AS chars_per_piece_x100
+       |FROM tstats""".stripMargin
+
   /** The unigram model as a PERSISTED artifact: train, save the piece
     * table, load, segment the training corpus from the LOADED model —
     * proving the artifact round trip is lossless exactly as
@@ -3275,6 +3324,7 @@ object PipelineQueries {
     "q_unigram_segment" -> unigramSegment,
     "q_unigram_infer" -> unigramInfer,
     "q_unigram_artifact" -> unigramArtifact,
+    "q_tokenizer_eval" -> tokenizerEval,
     "q_bpe_artifact" -> bpeArtifact,
     "q_authority_sample" -> authoritySample,
     "q_triangles" -> triangles,
@@ -3392,6 +3442,7 @@ object PipelineQueries {
     "q_unigram_segment" -> unigramSegmentSql,
     "q_unigram_infer" -> unigramInferSql,
     "q_unigram_artifact" -> unigramArtifactSql,
+    "q_tokenizer_eval" -> tokenizerEvalSql,
     "q_bpe_artifact" -> bpeArtifactSql,
     "q_authority_sample" -> authoritySampleSql,
     "q_triangles" -> trianglesSql,
