@@ -671,6 +671,37 @@ object ParityQueries {
       |  AND l_quantity < 24
       |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): orders in a quarter
+    * with AT LEAST ONE late lineitem, counted per priority — the
+    * EXISTS correlated subquery, which must plan as a LEFT SEMI join
+    * (one probe per order, no fan-out from multi-line matches), not an
+    * inner join + distinct. The late-line predicate pushes to the
+    * lineitem scan.
+    */
+  val tpchQ4: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1996-04-01").cast("timestamp_ntz")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderpriority")
+    // fixture lineitem has no commitdate/receiptdate; "late" = shipped
+    // after the quarter closed, the same exists-one-line shape
+    val late = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= hi).select("l_orderkey")
+    o.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+  val tpchQ4Sql: String =
+    """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate >= TIMESTAMP '1996-04-01')
+      |GROUP BY 1""".stripMargin
+
   /** TPC-H Q10 shape (returned-item reporting): customers who returned
     * goods in a quarter, ranked by lost revenue — lineitem(returnflag)
     * ⋈ date-windowed orders ⋈ customer ⋈ broadcast nation, grouped at
@@ -713,6 +744,7 @@ object ParityQueries {
 
   val queries: Map[String, Q] = Map(
     "q_tpch_q3" -> tpchQ3,
+    "q_tpch_q4" -> tpchQ4,
     "q_tpch_q6" -> tpchQ6,
     "q_tpch_q10" -> tpchQ10,
     "q_tpch_q5" -> tpchQ5,
@@ -746,6 +778,7 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q3" -> tpchQ3Sql,
+    "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q6" -> tpchQ6Sql,
     "q_tpch_q10" -> tpchQ10Sql,
     "q_tpch_q5" -> tpchQ5Sql,
