@@ -243,15 +243,52 @@ object EventPipeline {
     newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (format, text) = graft.operators.CorpusIngest.dispatch(col("payload"))
-        val extracted = batch
-          .select(col("doc_id"), format.as("format"), text.as("text"))
-        extracted.join(
-            graft.operators.TextAnalysis
-              .gopherRules(extracted, "doc_id", "text", minWords, 1000L, 2L, 20L, 2L, 0L)
-              .filter(col("keep")).select(col("doc_id"), col("n_words")),
-            "doc_id")
+        corpusIngestBatch(batch, minWords)
           .write.mode("append").parquet(outPath)
+      }
+      .start()
+
+  /** The per-batch transform [[startCorpusIngest]] and
+    * [[startLedgeredCorpusIngest]] share: dispatch → extract →
+    * Gopher-quality keep, returning survivors
+    * (doc_id, format, text, n_words).
+    */
+  private[streaming] def corpusIngestBatch(batch: DataFrame, minWords: Long): DataFrame = {
+    val (format, text) = graft.operators.CorpusIngest.dispatch(col("payload"))
+    val extracted = batch
+      .select(col("doc_id"), format.as("format"), text.as("text"))
+    extracted.join(
+      graft.operators.TextAnalysis
+        .gopherRules(extracted, "doc_id", "text", minWords, 1000L, 2L, 20L, 2L, 0L)
+        .filter(col("keep")).select(col("doc_id"), col("n_words")),
+      "doc_id")
+  }
+
+  /** [[startCorpusIngest]] under the exactly-once ledger — the
+    * at-least-once-source composition a production document ingest
+    * runs: redelivered payloads anti-join away against the persisted
+    * [[ProcessedLedger]] BEFORE the (expensive) extraction, survivors
+    * write per-batch-overwrite (crash-window idempotent), and every
+    * fresh doc — kept or quality-dropped — marks processed, so a
+    * redelivery can neither duplicate the output nor re-extract a
+    * rejected document. Same contract as
+    * [[startLedgeredQualityFilter]], applied to the binary front door.
+    */
+  def startLedgeredCorpusIngest(newDocs: DataFrame, minWords: Long, checkpoint: String,
+                                ledgerPath: String, outPath: String): StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val fresh = ProcessedLedger
+          .fresh(ProcessedLedger.canonicalPerKey(batch.toDF(), "doc_id"), ledgerPath, "doc_id")
+          .localCheckpoint(true)
+        if (!fresh.isEmpty) {
+          corpusIngestBatch(fresh, minWords)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          ProcessedLedger.mark(fresh.select("doc_id"), ledgerPath, batchId, "doc_id")
+        }
+        ()
       }
       .start()
 

@@ -707,6 +707,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ledgered corpus ingest: redelivered payloads extract once; rejects stay rejected") {
+    import graft.sources.{OfficeCodec, PdfText}
+    val base = java.nio.file.Files.createTempDirectory("corpus_ledger").toString
+    val input = s"$base/in"; val chk = s"$base/chk"
+    val ledger = s"$base/ledger"; val out = s"$base/kept"
+    val docs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> PdfText.composeTextFixture(11L, 2),
+      2L -> OfficeCodec.composeDocx(22L, 2),
+      3L -> OfficeCodec.composePptx(33L, 1), // quality-dropped, must still ledger
+      4L -> OfficeCodec.composeEpub(44L, 2))
+    def arrive(slice: Seq[(Long, Array[Byte])]): Unit =
+      slice.toDF("doc_id", "payload").coalesce(1).write.mode("append").parquet(input)
+    def drain(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType, true)))
+      val q = EventPipeline.startLedgeredCorpusIngest(
+        spark.readStream.schema(schema).parquet(input), minWords = 10L, chk, ledger, out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(docs.take(3))
+    drain()
+    // docs 2 and 3 REDELIVERED alongside the new doc 4: the ledger
+    // must re-extract neither the kept 2 nor the rejected 3
+    arrive(docs.drop(1))
+    drain()
+    val kept = spark.read.parquet(out)
+      .select("doc_id", "format", "n_words")
+      .as[(Long, String, Long)].collect()
+    assert(kept.length === 3) // 1, 2, 4 exactly once; 3 quality-dropped
+    assert(kept.map(_._1).toSet === Set(1L, 2L, 4L))
+    assert(kept.map(r => r._1 -> r._2).toMap ===
+      Map(1L -> "pdf", 2L -> "docx", 4L -> "epub"))
+    // the rejected doc is ledgered (processed once, not retried)
+    val ledgered = spark.read.parquet(ledger).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ledgered === Set(1L, 2L, 3L, 4L))
+  }
+
   test("ledgered classify router: redelivered docs route once, buckets match batch argmax") {
     val base = java.nio.file.Files.createTempDirectory("cls_route").toString
     val input = s"$base/in"; val chk = s"$base/chk"
