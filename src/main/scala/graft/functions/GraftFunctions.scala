@@ -123,6 +123,8 @@ object GraftFunctions {
     "tiff_decode" -> (a => TiffOps.tiffDecode(a.head)),
     "synth_tiff" -> (a => TiffOps.synthTiff(a.head, a(1), a(2), a(3))),
     "synth_tiff_g4" -> (a => TiffOps.synthTiffG4(a.head, a(1), a(2))),
+    "synth_tiff_multi" -> (a => TiffOps.synthTiffMulti(a.head, a(1), a(2), a(3))),
+    "tiff_page_sums" -> (a => TiffOps.tiffPageSums(a.head)),
     "avro_meta" -> (a => AvroOps.avroMeta(a.head)),
     "avro_records" -> (a => AvroOps.avroRecords(a.head)),
     "synth_avro" -> (a => AvroOps.synthAvro(a.head, a(1))),

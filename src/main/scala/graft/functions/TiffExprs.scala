@@ -42,6 +42,26 @@ object TiffExprs {
   def tiffToPng(bytes: Array[Byte]): Array[Byte] =
     try ImageCodec.encodePng(TiffCodec.decode(bytes))
     catch { case _: Exception => null }
+
+  /** Per-PAGE R+G+B pixel sums of a multi-page document (same fold as
+    * [[ImageExprs.pixelSum]], one element per chained IFD); null on
+    * any parse/decode failure — one bad page poisons the document,
+    * the whole-doc contract every codec entry point keeps.
+    */
+  def tiffPageSums(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    try {
+      val sums = TiffCodec.decodeAll(bytes).map { px =>
+        var s = 0L
+        var i = 0
+        while (i < px.rgb.length) {
+          val v = px.rgb(i)
+          s += ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff)
+          i += 1
+        }
+        s: Any
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sums.toArray)
+    } catch { case _: Exception => null }
 }
 
 /** Parse metadata of a TIFF payload: struct(width, height, bits, spp,
@@ -129,6 +149,52 @@ case class SynthTiffG4Expr(first: Expression, second: Expression, third: Express
   override def prettyName: String = "synth_tiff_g4"
 }
 
+/** Deterministic MULTI-PAGE gray-8 TIFF fixture
+  * ([[TiffCodec.composeMultiTiff]]): (seed, w, h, nPages) → chained
+  * IFDs, page k drawing grayAt(seed+k) pixels under compression
+  * variant (seed+k) % 4 — one document mixing all four strip codecs.
+  */
+case class SynthTiffMultiExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any, n: Any): Any =
+    TiffCodec.composeMultiTiff(seed.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h, n) =>
+      s"${ev.value} = graft.sources.TiffCodec.composeMultiTiff($seed, $w, $h, $n);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthTiffMultiExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_tiff_multi"
+}
+
+/** Per-page pixel sums of a (possibly multi-page) TIFF
+  * ([[TiffExprs.tiffPageSums]]): array of one R+G+B sum per chained
+  * IFD; null for unparseable or partially-undecodable documents.
+  */
+case class TiffPageSumsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    TiffExprs.tiffPageSums(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("tiffSums")
+    nullSafeCodeGen(ctx, ev, b =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.TiffExprs.tiffPageSums($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin)
+  }
+  override protected def withNewChildInternal(c: Expression): TiffPageSumsExpr = copy(child = c)
+  override def prettyName: String = "tiff_page_sums"
+}
+
 /** Column-API wrappers (see [[PdfOps]] for the convention). */
 object TiffOps {
   def tiffInfo(bin: Column): Column =
@@ -141,4 +207,9 @@ object TiffOps {
   def synthTiffG4(seed: Column, w: Column, h: Column): Column =
     GraftExpr.toColumn(SynthTiffG4Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
       GraftExpr.toExpr(h)))
+  def synthTiffMulti(seed: Column, w: Column, h: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthTiffMultiExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h), GraftExpr.toExpr(nPages)))
+  def tiffPageSums(bin: Column): Column =
+    GraftExpr.toColumn(TiffPageSumsExpr(GraftExpr.toExpr(bin)))
 }

@@ -503,6 +503,32 @@ object DomainQueries {
           graft.functions.TiffOps.tiffDecode(col("tiff"))).as("px_gray"),
         graft.functions.ImageOps.imagePixelSum(
           graft.functions.TiffOps.tiffDecode(col("fax"))).as("px_fax"))
+  /** Multi-page TIFF at PAGE grain: every chained IFD of a document
+    * mixing all four strip codecs across its pages decodes to an
+    * exact per-page pixel sum — the IFD-chain walk, per-page strip
+    * assembly, and cross-page codec routing under one hash gate
+    * (page k uses compression (seed+k) % 4, so each document
+    * exercises none/LZW/PackBits/Deflate in one file).
+    */
+  val tiffPages: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tiff", graft.functions.TiffOps.synthTiffMulti(col("doc_id") * 61,
+        (col("doc_id") % 9 + 11).cast("int"), (col("doc_id") % 7 + 9).cast("int"),
+        (col("doc_id") % 3 + 2).cast("int")))
+      .select(col("doc_id"),
+        graft.functions.TiffOps.tiffInfo(col("tiff")).getField("n_ifds").as("n_pages"),
+        posexplode(graft.functions.TiffOps.tiffPageSums(col("tiff"))).as(Seq("page", "px_sum")))
+  val tiffPagesSql: String =
+    """SELECT d.doc_id,
+      |       CAST(d.doc_id % 3 + 2 AS BIGINT) AS n_pages,
+      |       CAST(pg.page AS INTEGER) AS page,
+      |       CAST(sum(3 * ((x*3 + y*7 + d.doc_id*61 + pg.page) % 256)) AS BIGINT) AS px_sum
+      |FROM documents d, range(0, 4) pg(page), range(0, 20) tx(x), range(0, 16) ty(y)
+      |WHERE pg.page < d.doc_id % 3 + 2
+      |  AND x < d.doc_id % 9 + 11 AND y < d.doc_id % 7 + 9
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val tiffDecodeSql: String =
     """WITH g AS (
       |  SELECT doc_id, sum(3 * ((x*3 + y*7 + doc_id*53) % 256)) AS s
@@ -2183,6 +2209,7 @@ object DomainQueries {
     "q_pdf_ccitt" -> pdfCcitt,
     "q_tiff_meta" -> tiffMeta,
     "q_tiff_decode" -> tiffDecode,
+    "q_tiff_pages" -> tiffPages,
     "q_pdf_corpus" -> pdfCorpus,
     "q_docx_text" -> docxText,
     "q_xlsx_cells" -> xlsxCells,
@@ -2262,6 +2289,7 @@ object DomainQueries {
     "q_pdf_ccitt" -> pdfCcittSql,
     "q_tiff_meta" -> tiffMetaSql,
     "q_tiff_decode" -> tiffDecodeSql,
+    "q_tiff_pages" -> tiffPagesSql,
     "q_pdf_corpus" -> pdfCorpusSql,
     "q_docx_text" -> docxTextSql,
     "q_xlsx_cells" -> xlsxCellsSql,

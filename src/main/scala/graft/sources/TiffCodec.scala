@@ -125,8 +125,27 @@ object TiffCodec {
       require(dflt >= 0, s"TIFF: required tag $tag missing"); dflt
     }
 
+  /** Every IFD of the chain (the multi-page walk — the same bounded
+    * traversal [[parse]] counts).
+    */
+  private def allIfds(bytes: Array[Byte]): Seq[Ifd] = {
+    val (r, ifd0, _) = parse(bytes)
+    val out = scala.collection.mutable.ArrayBuffer(ifd0)
+    var next = ifd0.next
+    while (next != 0 && out.length < 64) {
+      val ifd = readIfd(r, bytes, next.toInt)
+      out += ifd
+      next = ifd.next
+    }
+    out.toSeq
+  }
+
   def tiffInfo(bytes: Array[Byte]): TiffInfo = {
     val (_, ifd, nIfds) = parse(bytes)
+    infoOf(ifd, nIfds)
+  }
+
+  private def infoOf(ifd: Ifd, nIfds: Int): TiffInfo = {
     val w = one(ifd, 256).toInt
     val h = one(ifd, 257).toInt
     val spp = one(ifd, 277, 1).toInt
@@ -148,8 +167,21 @@ object TiffCodec {
   // ---------------------------------------------------------------
 
   def decode(bytes: Array[Byte]): ImageCodec.Px = {
-    val (_, ifd, _) = parse(bytes)
-    val info = tiffInfo(bytes)
+    val (_, ifd, nIfds) = parse(bytes)
+    decodeIfd(bytes, ifd, infoOf(ifd, nIfds))
+  }
+
+  /** Decode EVERY page of a multi-page document, in chain order — the
+    * shape scanned-document corpora actually ship (multi-page fax /
+    * scanner output). Each IFD decodes independently, so pages may mix
+    * compressions, as real scanner output does.
+    */
+  def decodeAll(bytes: Array[Byte]): Seq[ImageCodec.Px] = {
+    val ifds = allIfds(bytes)
+    ifds.map(ifd => decodeIfd(bytes, ifd, infoOf(ifd, ifds.length)))
+  }
+
+  private def decodeIfd(bytes: Array[Byte], ifd: Ifd, info: TiffInfo): ImageCodec.Px = {
     require(info.bits == 1 || info.bits == 8,
       s"TIFF: BitsPerSample ${info.bits} out of subset (1/8)")
     require(info.spp == 1 || info.spp == 3,
@@ -301,25 +333,28 @@ object TiffCodec {
     y % 11 == 0 || ((x / stripe + y) % 2 == 1)
   }
 
-  private def writeIfd(out: ByteArrayOutputStream, le: Boolean,
-                       entries: Seq[(Int, Int, Array[Long])],
-                       strips: Seq[Array[Byte]]): Array[Byte] = {
-    // layout: header(8) | IFD | overflow values | strip data
-    val head = out // alias for clarity
-    def putU16(buf: ByteArrayOutputStream, v: Int): Unit =
-      if (le) { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
-      else { buf.write((v >> 8) & 0xff); buf.write(v & 0xff) }
-    def putU32(buf: ByteArrayOutputStream, v: Long): Unit =
-      if (le) { buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
-                buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt) }
-      else { buf.write(((v >> 24) & 0xff).toInt); buf.write(((v >> 16) & 0xff).toInt)
-             buf.write(((v >> 8) & 0xff).toInt); buf.write((v & 0xff).toInt) }
-    head.write(if (le) 'I' else 'M'); head.write(if (le) 'I' else 'M')
-    putU16(head, 42)
-    putU32(head, 8) // IFD right after the header
+  private def putU16(buf: ByteArrayOutputStream, le: Boolean, v: Int): Unit =
+    if (le) { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    else { buf.write((v >> 8) & 0xff); buf.write(v & 0xff) }
+  private def putU32(buf: ByteArrayOutputStream, le: Boolean, v: Long): Unit =
+    if (le) { buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+              buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt) }
+    else { buf.write(((v >> 24) & 0xff).toInt); buf.write(((v >> 16) & 0xff).toInt)
+           buf.write(((v >> 8) & 0xff).toInt); buf.write((v & 0xff).toInt) }
+
+  /** One [IFD | overflow values | strip data] block whose internal
+    * pointers are absolute file offsets computed from `base` (the
+    * block's own absolute position) — the unit a multi-page chain
+    * concatenates. `nextIfd` is the absolute offset of the next
+    * page's IFD (0 terminates the chain). Block length is independent
+    * of the offset VALUES, so a zero-offset dry run measures layout.
+    */
+  private def ifdBlock(le: Boolean, entries: Seq[(Int, Int, Array[Long])],
+                       strips: Seq[Array[Byte]], base: Long, nextIfd: Long): Array[Byte] = {
+    val block = new ByteArrayOutputStream()
     val n = entries.length
     val ifdSize = 2 + n * 12 + 4
-    var overflowAt = 8 + ifdSize
+    val overflowAt = base + ifdSize
     // pre-compute overflow placement
     val overflow = new ByteArrayOutputStream()
     val placed = entries.sortBy(_._1).map { case (tag, typ, vals) =>
@@ -328,30 +363,40 @@ object TiffCodec {
       if (total <= 4) (tag, typ, vals, -1L)
       else {
         val at = overflowAt + overflow.size()
-        vals.foreach(v => if (elem == 2) putU16(overflow, v.toInt) else putU32(overflow, v))
+        vals.foreach(v => if (elem == 2) putU16(overflow, le, v.toInt) else putU32(overflow, le, v))
         if (overflow.size() % 2 == 1) overflow.write(0)
-        (tag, typ, vals, at.toLong)
+        (tag, typ, vals, at)
       }
     }
-    val stripBase = overflowAt + overflow.size()
-    putU16(head, n)
+    putU16(block, le, n)
     placed.foreach { case (tag, typ, vals, at) =>
-      putU16(head, tag); putU16(head, typ); putU32(head, vals.length.toLong)
-      if (at >= 0) putU32(head, at)
+      putU16(block, le, tag); putU16(block, le, typ); putU32(block, le, vals.length.toLong)
+      if (at >= 0) putU32(block, le, at)
       else {
         // inline (left-justified within the 4-byte field)
         val cell = new ByteArrayOutputStream()
-        vals.foreach(v => if (typ == 3) putU16(cell, v.toInt) else putU32(cell, v))
+        vals.foreach(v => if (typ == 3) putU16(cell, le, v.toInt) else putU32(cell, le, v))
         val raw = cell.toByteArray
-        head.write(raw, 0, raw.length)
+        block.write(raw, 0, raw.length)
         var pad = 4 - raw.length
-        while (pad > 0) { head.write(0); pad -= 1 }
+        while (pad > 0) { block.write(0); pad -= 1 }
       }
     }
-    putU32(head, 0) // no next IFD
-    head.write(overflow.toByteArray)
-    strips.foreach(head.write)
-    head.toByteArray
+    putU32(block, le, nextIfd)
+    block.write(overflow.toByteArray)
+    strips.foreach(block.write)
+    block.toByteArray
+  }
+
+  private def writeIfd(out: ByteArrayOutputStream, le: Boolean,
+                       entries: Seq[(Int, Int, Array[Long])],
+                       strips: Seq[Array[Byte]]): Array[Byte] = {
+    // layout: header(8) | IFD | overflow values | strip data
+    out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+    putU16(out, le, 42)
+    putU32(out, le, 8) // IFD right after the header
+    out.write(ifdBlock(le, entries, strips, 8L, 0L))
+    out.toByteArray
   }
 
   /** Deterministic gray-8 fixture: `w`×`h`, strips of 5 rows,
@@ -367,7 +412,17 @@ object TiffCodec {
     val comp = variant % 4 match {
       case 0 => 1; case 1 => 5; case 2 => 32773; case _ => 8
     }
-    val strips = (0 until nStrips).map { s =>
+    compose(seed, w, h, bits = 8, comp, photometric = 1, rps, pred,
+      gray8Strips(seed, w, h, rps, comp, pred))
+  }
+
+  /** The gray-8 fixture's encoded strips (shared by the single- and
+    * multi-page composers).
+    */
+  private def gray8Strips(seed: Long, w: Int, h: Int, rps: Int,
+                          comp: Int, pred: Int): Seq[Array[Byte]] = {
+    val nStrips = (h + rps - 1) / rps
+    (0 until nStrips).map { s =>
       val rows = math.min(rps, h - s * rps)
       val raw = new Array[Byte](w * rows)
       var y = 0
@@ -384,7 +439,55 @@ object TiffCodec {
         case 32773 => packBitsEncode(filtered)
       }
     }
-    compose(seed, w, h, bits = 8, comp, photometric = 1, rps, pred, strips)
+  }
+
+  /** Deterministic MULTI-PAGE gray-8 fixture: `nPages` chained IFDs,
+    * page `k` drawing [[grayAt]]`(seed + k, …)` pixels under
+    * compression variant `(seed + k) % 4` — one document mixing all
+    * four strip codecs across its pages, the shape multi-page
+    * scanner/fax output ships. Layout: header | block₀ | block₁ | …,
+    * each block's IFD pointing at the next.
+    */
+  def composeMultiTiff(seed: Long, w: Int, h: Int, nPages: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096, "composeMultiTiff: bad dims")
+    require(nPages >= 1 && nPages <= 32, s"composeMultiTiff: bad page count $nPages")
+    val le = seed % 2 == 0
+    val rps = 5
+    val out = new ByteArrayOutputStream()
+    out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+    putU16(out, le, 42)
+    putU32(out, le, 8)
+    var base = 8L
+    (0 until nPages).foreach { k =>
+      val variant = (((seed + k) % 4 + 4) % 4).toInt
+      val pred = if (variant == 1 || variant == 3) 2 else 1
+      val comp = variant match { case 0 => 1; case 1 => 5; case 2 => 32773; case _ => 8 }
+      val strips = gray8Strips(seed + k, w, h, rps, comp, pred)
+      val counts = strips.map(_.length.toLong).toArray
+      def entries(offsets: Array[Long]): Seq[(Int, Int, Array[Long])] =
+        Seq(
+          (256, 4, Array(w.toLong)),
+          (257, 4, Array(h.toLong)),
+          (258, 3, Array(8L)),
+          (259, 3, Array(comp.toLong)),
+          (262, 3, Array(1L)),
+          (273, 4, offsets),
+          (277, 3, Array(1L)),
+          (278, 3, Array(rps.toLong)),
+          (279, 4, counts)) ++
+          (if (pred != 1) Seq((317, 3, Array(pred.toLong))) else Nil)
+      val zeros = new Array[Long](strips.length)
+      val blockLen = ifdBlock(le, entries(zeros), strips, base, 0L).length
+      val stripBase = base + blockLen - counts.sum
+      val offsets = new Array[Long](strips.length)
+      var at = stripBase
+      var i = 0
+      while (i < strips.length) { offsets(i) = at; at += counts(i); i += 1 }
+      val next = if (k == nPages - 1) 0L else base + blockLen
+      out.write(ifdBlock(le, entries(offsets), strips, base, next))
+      base += blockLen
+    }
+    out.toByteArray
   }
 
   /** Deterministic bilevel G4 fixture (photometric 0, the fax

@@ -15,6 +15,32 @@ class TiffCodecSpec extends AnyFunSuite {
     (for (y <- 0 until h; x <- 0 until w)
       yield 3L * TiffCodec.grayAt(seed, x, y)).sum
 
+  test("multi-page chain: every IFD decodes, pages mix codecs, counts agree") {
+    for (seed <- Seq(70L, 71L); n <- Seq(1, 3, 5)) { // both byte orders
+      val bytes = TiffCodec.composeMultiTiff(seed, 14, 12, n)
+      assert(TiffCodec.tiffInfo(bytes).nIfds === n, s"seed $seed n $n")
+      val pages = TiffCodec.decodeAll(bytes)
+      assert(pages.length === n)
+      pages.zipWithIndex.foreach { case (px, k) =>
+        assert(px.w === 14 && px.h === 12)
+        val sum = px.rgb.map(v => ((v >> 16) & 0xff) + ((v >> 8) & 0xff) + (v & 0xff).toLong).sum
+        assert(sum === grayExpected(seed + k, 14, 12), s"page $k of $n, seed $seed")
+      }
+      // first-IFD decode unchanged by the chain
+      assert(TiffCodec.decode(bytes).rgb.toSeq === pages.head.rgb.toSeq)
+    }
+  }
+
+  test("multi-page: truncating the second page's strips fails loud, first page intact") {
+    val bytes = TiffCodec.composeMultiTiff(70L, 14, 12, 2)
+    val cut = bytes.take(bytes.length - 20)
+    // the chain walk itself parses (IFDs precede their strips)…
+    intercept[Exception](TiffCodec.decodeAll(cut))
+    // …and the expression layer null-guards the whole document
+    assert(graft.functions.TiffExprs.tiffPageSums(cut) === null)
+    assert(graft.functions.TiffExprs.tiffPageSums(bytes).numElements() === 2)
+  }
+
   test("gray fixture round trips across all four compressions") {
     for (variant <- 0 to 3; seed <- Seq(40L, 41L)) { // both byte orders
       val bytes = TiffCodec.synthTiff(seed, 13, 11, variant)
