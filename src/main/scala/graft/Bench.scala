@@ -98,11 +98,14 @@ object Bench {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
     }
-    // ms precision on the compact stdout line: a 225-query map at full
+    // ms precision on the per-query map: a 230-query map at full
     // double precision is ~7 KB and the driver's bounded tail capture
     // has truncated it mid-map three rounds running; 4 decimals halves
-    // it (the full-precision copy lives in target/bench.json).
-    def ms(t: Double): String = f"$t%.4f"
+    // it (full precision survives in the `runs` arrays of
+    // target/bench.json). Locale.ROOT is load-bearing: the default
+    // locale may render a comma decimal separator, which would make
+    // the emitted JSON unparseable.
+    def ms(t: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
     val qs = results.map { case (k, (ts, _)) => s"\"" + k + "\":" + ms(ts.min) }
       .mkString("{", ",", "}")
     val meds = results.map { case (k, (ts, _)) => s"\"" + k + "\":" + median(ts) }

@@ -572,6 +572,13 @@ object PdfText {
               case _ =>
             }
           case "\"" if operands.nonEmpty =>
+            // aw ac string " — sets word and char spacing BEFORE the
+            // show (ISO 32000 §9.4.3), so the pen stays honest for
+            // this and every later show
+            if (operands.length >= 3) {
+              wordSpace = num(operands(operands.length - 3))
+              charSpace = num(operands(operands.length - 2))
+            }
             newline(); curY -= leading; curX = lineX
             operands.last match {
               case PStr(b) => decodeShow(font, b, sb); penShow(b)

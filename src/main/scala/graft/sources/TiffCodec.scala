@@ -103,42 +103,33 @@ object TiffCodec {
     Ifd(tags, r.u32(off + 2 + n * 12))
   }
 
-  private def parse(bytes: Array[Byte]): (Reader, Ifd, Int) = {
+  /** ONE bounded walk of the whole IFD chain — every entry point
+    * (info, first-page decode, all-pages decode) shares it, so no
+    * caller parses an IFD twice. A cycle or runaway chain stops loud.
+    */
+  private def walkIfds(bytes: Array[Byte]): (Reader, Seq[Ifd]) = {
     require(isTiff(bytes), "TIFF: bad magic")
     val r = new Reader(bytes, bytes(0) == 'I')
-    val first = r.u32(4).toInt
-    val ifd0 = readIfd(r, bytes, first)
-    // count the IFD chain (bounded walk — a cycle or runaway stops loud)
-    var nIfds = 1
-    var next = ifd0.next
-    while (next != 0 && nIfds < 64) {
+    val out = scala.collection.mutable.ArrayBuffer(readIfd(r, bytes, r.u32(4).toInt))
+    var next = out.head.next
+    while (next != 0 && out.length < 64) {
       val ifd = readIfd(r, bytes, next.toInt)
-      nIfds += 1
+      out += ifd
       next = ifd.next
     }
-    require(next == 0 || nIfds < 64, "TIFF: IFD chain too long (cycle?)")
-    (r, ifd0, nIfds)
+    require(next == 0 || out.length < 64, "TIFF: IFD chain too long (cycle?)")
+    (r, out.toSeq)
+  }
+
+  private def parse(bytes: Array[Byte]): (Reader, Ifd, Int) = {
+    val (r, ifds) = walkIfds(bytes)
+    (r, ifds.head, ifds.length)
   }
 
   private def one(ifd: Ifd, tag: Int, dflt: Long = -1L): Long =
     ifd.tags.get(tag).filter(_.nonEmpty).map(_(0)).getOrElse {
       require(dflt >= 0, s"TIFF: required tag $tag missing"); dflt
     }
-
-  /** Every IFD of the chain (the multi-page walk — the same bounded
-    * traversal [[parse]] counts).
-    */
-  private def allIfds(bytes: Array[Byte]): Seq[Ifd] = {
-    val (r, ifd0, _) = parse(bytes)
-    val out = scala.collection.mutable.ArrayBuffer(ifd0)
-    var next = ifd0.next
-    while (next != 0 && out.length < 64) {
-      val ifd = readIfd(r, bytes, next.toInt)
-      out += ifd
-      next = ifd.next
-    }
-    out.toSeq
-  }
 
   def tiffInfo(bytes: Array[Byte]): TiffInfo = {
     val (_, ifd, nIfds) = parse(bytes)
@@ -177,7 +168,7 @@ object TiffCodec {
     * compressions, as real scanner output does.
     */
   def decodeAll(bytes: Array[Byte]): Seq[ImageCodec.Px] = {
-    val ifds = allIfds(bytes)
+    val (_, ifds) = walkIfds(bytes)
     ifds.map(ifd => decodeIfd(bytes, ifd, infoOf(ifd, ifds.length)))
   }
 

@@ -229,14 +229,17 @@ object EventPipeline {
     *
     * Per-document work only: the extraction is a per-row projection
     * and the Gopher aggregate is keyed by doc_id over the doc's OWN
-    * words, so the union of per-batch outputs EQUALS the one-shot
-    * batch run regardless of arrival slicing (StreamingSpec proves
-    * it). The CROSS-document stages — exact dedup, domain cap,
-    * packing — stay downstream batch compactions over the appended
-    * survivors, the split a production ingest actually runs:
-    * per-document curation at arrival, corpus-wide dedup at
-    * compaction (the ledgered/bounded streaming dedups cover the
-    * arrival-time variant when redelivery matters).
+    * words, so for UNIQUE doc_ids the union of per-batch outputs
+    * EQUALS the one-shot batch run regardless of arrival slicing
+    * (StreamingSpec proves it). Same-id rows WITHIN one micro-batch
+    * collapse to a deterministic canonical row before the aggregate
+    * (a doubled payload would otherwise double the word count and
+    * fan out the join); CROSS-batch redelivery needs the ledgered
+    * sibling below. The CROSS-document stages — exact dedup, domain
+    * cap, packing — stay downstream batch compactions over the
+    * appended survivors, the split a production ingest actually
+    * runs: per-document curation at arrival, corpus-wide dedup at
+    * compaction.
     */
   def startCorpusIngest(newDocs: DataFrame, minWords: Long,
                         outPath: String): StreamingQuery =
@@ -255,7 +258,7 @@ object EventPipeline {
     */
   private[streaming] def corpusIngestBatch(batch: DataFrame, minWords: Long): DataFrame = {
     val (format, text) = graft.operators.CorpusIngest.dispatch(col("payload"))
-    val extracted = batch
+    val extracted = ProcessedLedger.canonicalPerKey(batch, "doc_id")
       .select(col("doc_id"), format.as("format"), text.as("text"))
     extracted.join(
       graft.operators.TextAnalysis

@@ -219,6 +219,15 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(kerns, Map("F1" -> Cond))) === "alpha beta")
   }
 
+  test("the \" operator sets Tw/Tc before showing — the pen stays honest afterwards") {
+    // 0 2 (gap) " sets Tc=2: pen = 72 + 16.2 + 3·2 = 94.2; Td 18.5
+    // (→90.5) lands BEHIND the pen → no space. A model that ignored
+    // the " operands would keep Tc=0, put the pen at 88.2, read a
+    // 191‰ gap and emit a phantom space.
+    val content = "BT /F1 12 Tf 72 700 Td 0 2 (gap) \" 18.5 0 Td (X) Tj ET"
+    assert(extract(doc1(content, Map("F1" -> Cond))) === "gapX")
+  }
+
   test("CID /W widths: threshold scales to the mapped space glyph") {
     val cmap = "3 beginbfchar <0020> <0020> <0041> <0041> <0042> <0042> endbfchar"
     val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"

@@ -688,6 +688,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       mem.addData(docs.drop(2): _*)
       q.processAllAvailable()
+      // a same-id duplicate INSIDE one micro-batch must collapse to one
+      // canonical row, not double the word count past the floor
+      mem.addData(docs(2), docs(2))
+      q.processAllAvailable()
       val streamed = spark.read.parquet(out)
         .select("doc_id", "format", "text", "n_words")
         .as[(Long, String, String, Long)].collect().toSet
