@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract wants the emitted JSON line to be the LAST
+// stdout line — sbt's "[success] Total time: …" epilogue after a
+// runMain otherwise lands between the artifact and the driver's
+// bounded tail capture (adjudicated: BENCH parsed=null every round).
+Global / showSuccess := false
 // local-cluster[...] tests: the standalone Worker builds executor
 // commands in-JVM (WorkerCommandBuilder), which resolves the Scala
 // version from this env var when $SPARK_HOME has no build dirs.

@@ -721,16 +721,21 @@ object ParityQueries {
       .select(col("l_orderkey"),
         (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
           expr("CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev_micro"))
-    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    // acctbal rides as exact integer cents like every other money
+    // column in the parity suite — a raw DOUBLE group key would hang
+    // the hash gate on cross-engine float formatting.
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_c"), col("c_nationkey"))
     val n = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
       .join(n, col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .groupBy(col("c_custkey"), col("c_name"), col("acctbal_c"), col("n_name"))
       .agg(sum("rev_micro").as("revenue_micro"))
   }
   val tpchQ10Sql: String =
-    """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+    """SELECT c.c_custkey, c.c_name,
+      |       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_c, n.n_name,
       |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
       |                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_micro
       |FROM lineitem l

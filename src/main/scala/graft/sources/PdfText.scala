@@ -484,8 +484,16 @@ object PdfText {
     var charSpace = 0.0 // Tc, text units
     var wordSpace = 0.0 // Tw, text units
     var hScale = 1.0 // Tz / 100: scales every horizontal advance
-    var curX = Double.NaN // pen x in text units; NaN = unknowable
-    var lineX = 0.0 // line-matrix origin x (Td/TD translate relative to it)
+    // Tm's horizontal scale (the `a` entry): generators that set the
+    // size in the matrix (`1 Tf` + `12 0 0 12 x y Tm`) keep fontSize
+    // at 1, so pen math must fold `a` into the effective size or every
+    // Td gap is judged against a 12×-wrong em. Axis-aligned positive
+    // scale folds in; a rotated/skewed/negative Tm sets NaN — the pen
+    // is unknowable in that frame and NaN poisons every later pen
+    // compare (no phantom spaces) until the next axis-aligned Tm/BT.
+    var tmA = 1.0
+    var curX = Double.NaN // pen x in RENDERED units (text units × tmA); NaN = unknowable
+    var lineX = 0.0 // line-matrix origin x, rendered units (Td tx scales by tmA)
     def newline(): Unit = {
       while (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
@@ -501,7 +509,7 @@ object PdfText {
       val (adv, glyphs, spaces) = showAdvance(font, bytes)
       if (adv < 0 || fontSize <= 0) curX = Double.NaN
       else curX +=
-        (adv / 1000.0 * fontSize + glyphs * charSpace + spaces * wordSpace) * hScale
+        (adv / 1000.0 * fontSize + glyphs * charSpace + spaces * wordSpace) * hScale * tmA
     }
     /** Same-line x-reposition: a positive gap past the pen wider than
       * the font's word-break threshold is an encoded space. The
@@ -511,11 +519,11 @@ object PdfText {
       * pen and the rendered space width must both carry hScale here.
       */
     def penJump(newX: Double): Unit = {
-      if (!curX.isNaN && fontSize > 0 && hScale > 0) {
-        val gapThousandths = (newX - curX) * 1000.0 / (fontSize * hScale)
+      if (!curX.isNaN && fontSize > 0 && hScale > 0 && tmA > 0) {
+        val gapThousandths = (newX - curX) * 1000.0 / (fontSize * hScale * tmA)
         if (gapThousandths > spaceThreshold(font)) space()
       }
-      curX = newX
+      curX = if (tmA.isNaN) Double.NaN else newX
     }
 
     val lx = new Lexer(page.content, 0)
@@ -540,26 +548,30 @@ object PdfText {
           case "Td" if operands.length >= 2 =>
             val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
-            lineX += tx
+            lineX += tx * tmA // Td translates the LINE matrix: rendered Δx = tx·a
             if (ty != 0.0) { newline(); curY += ty; curX = lineX }
             else penJump(lineX)
           case "TD" if operands.length >= 2 =>
             val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
             leading = -ty
-            lineX += tx
+            lineX += tx * tmA
             if (ty != 0.0) { newline(); curY += ty; curX = lineX }
             else penJump(lineX)
           case "TL" if operands.nonEmpty => leading = num(operands.last)
           case "T*" => newline(); curY -= leading; curX = lineX
           case "Tm" if operands.length >= 6 =>
+            val a = num(operands(operands.length - 6))
+            val bSkew = num(operands(operands.length - 5))
+            val cSkew = num(operands(operands.length - 4))
             val y = num(operands.last)
             val x = num(operands(operands.length - 2))
+            tmA = if (bSkew == 0.0 && cSkew == 0.0 && a > 0) a else Double.NaN
             val sameLine = haveY && math.abs(y - curY) <= 1e-6
             if (haveY && !sameLine) newline()
             curY = y; haveY = true
             lineX = x
-            if (sameLine) penJump(x) else curX = x
+            if (sameLine) penJump(x) else curX = if (tmA.isNaN) Double.NaN else x
           case "Tj" if operands.nonEmpty =>
             operands.last match {
               case PStr(b) => decodeShow(font, b, sb); penShow(b)
@@ -592,13 +604,13 @@ object PdfText {
                   case PStr(b) => decodeShow(font, b, sb); penShow(b)
                   case PNum(n) =>
                     if (-n > thr) space()
-                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize * hScale
+                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize * hScale * tmA
                   case _ =>
                 }
               case _ =>
             }
           case "BT" =>
-            curY = 0.0; haveY = true; leading = 0.0; lineX = 0.0; curX = 0.0
+            curY = 0.0; haveY = true; leading = 0.0; lineX = 0.0; curX = 0.0; tmA = 1.0
           case "ET" =>
           case "" => lx.p += 1
           case _ =>

@@ -13,8 +13,8 @@ package graft.sources
   *   - `github_token`: `ghp_` + 36 × [A-Za-z0-9], word-bounded.
   *   - `private_key`: a `-----BEGIN …PRIVATE KEY-----` header line,
   *     redacted through the closing `…PRIVATE KEY-----` (or EOS).
-  *   - `hex_secret`: ≥ 32 contiguous lowercase-hex chars, word-bounded
-  *     (digest-shaped API secrets).
+  *   - `hex_secret`: ≥ 32 contiguous hex chars, any case (upper,
+  *     lower, or mixed), word-bounded (digest-shaped API secrets).
   *   - `generic_token`: `password|secret|token|api_key|apikey` (any
   *     case, word-bounded) + `=`/`:` + a quoted value of ≥ 8 chars —
   *     only the quoted VALUE is redacted.

@@ -27,7 +27,11 @@ object TiffCodec {
       ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))
 
-  /** Integer-only parse metadata (SQL-reproducible). */
+  /** Integer-only parse metadata (SQL-reproducible). `nIfds` is
+    * CHAIN-GLOBAL — every page's info carries the whole document's
+    * IFD count, not a per-page value (it answers "how many pages does
+    * this document have", the corpus-dispatch question).
+    */
   final case class TiffInfo(width: Int, height: Int, bits: Int, spp: Int,
                             compression: Int, photometric: Int,
                             nStrips: Int, rowsPerStrip: Int, predictor: Int,

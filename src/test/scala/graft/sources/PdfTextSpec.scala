@@ -219,6 +219,35 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(kerns, Map("F1" -> Cond))) === "alpha beta")
   }
 
+  test("Tm scale: font size carried in the matrix (1 Tf + 12 0 0 12 Tm) folds into pen math") {
+    // generator style: fontSize=1, matrix scale 12. "gap" = 1350‰ →
+    // 16.2 rendered units; a same-line Tm to exactly-abutting x=88.2
+    // must NOT space (a scale-blind pen sits at 73.35 and reads a
+    // phantom 14850‰ gap), while x=92.4 leaves 4.2u = 350‰ → space.
+    val abut = "BT /F1 1 Tf 12 0 0 12 72 700 Tm (gap) Tj 12 0 0 12 88.2 700 Tm (X) Tj ET"
+    assert(extract(doc1(abut, Map("F1" -> Cond))) === "gapX")
+    val spaced = "BT /F1 1 Tf 12 0 0 12 72 700 Tm (gap) Tj 12 0 0 12 92.4 700 Tm (X) Tj ET"
+    assert(extract(doc1(spaced, Map("F1" -> Cond))) === "gap X")
+    // Td under a scaled Tm translates in LINE space: 1.35 text units
+    // = 16.2 rendered units — exactly abutting, no space
+    val tdAbut = "BT /F1 1 Tf 12 0 0 12 72 700 Tm (gap) Tj 1.35 0 Td (X) Tj ET"
+    assert(extract(doc1(tdAbut, Map("F1" -> Cond))) === "gapX")
+    val tdSpaced = "BT /F1 1 Tf 12 0 0 12 72 700 Tm (gap) Tj 1.7 0 Td (X) Tj ET"
+    assert(extract(doc1(tdSpaced, Map("F1" -> Cond))) === "gap X")
+  }
+
+  test("rotated/skewed Tm: pen unknowable — no phantom spaces, decode order intact") {
+    // 90°-rotated matrix: same-baseline reposition must not be judged
+    // against an unknowable pen (no phantom space), and text decodes
+    // in stream order
+    val rot = "BT /F1 12 Tf 0 12 -12 0 72 700 Tm (ro) Tj 0 12 -12 0 200 700 Tm (tated) Tj ET"
+    assert(extract(doc1(rot, Map("F1" -> Cond))) === "rotated")
+    // recovery: a later axis-aligned Tm re-arms the pen on its line
+    val recover = "BT /F1 12 Tf 0 12 -12 0 72 700 Tm (a) Tj " +
+      "1 0 0 1 72 600 Tm (gap) Tj 20 0 Td (X) Tj ET"
+    assert(extract(doc1(recover, Map("F1" -> Cond))) === "a\ngap X")
+  }
+
   test("the \" operator sets Tw/Tc before showing — the pen stays honest afterwards") {
     // 0 2 (gap) " sets Tc=2: pen = 72 + 16.2 + 3·2 = 94.2; Td 18.5
     // (→90.5) lands BEHIND the pen → no space. A model that ignored
