@@ -58,6 +58,35 @@ object CodeExprs {
   def markdownStr(text: UTF8String): UTF8String =
     UTF8String.fromString(MarkupCodec.markdownText(text.toString))
 
+  def wikitextStr(text: UTF8String): UTF8String =
+    UTF8String.fromString(graft.sources.WikiCodec.wikitextText(text.toString))
+
+  val WikiPageSchema: StructType = StructType(Seq(
+    StructField("title", StringType, nullable = false),
+    StructField("ns", IntegerType, nullable = false),
+    StructField("page_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  def wikiPagesArray(xml: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.sources.WikiCodec.dumpPages(xml.toString).map { p =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p.title), p.ns, p.pageId,
+          UTF8String.fromString(p.text))): Any
+      })
+
+  /** Dump shard → ONE text blob: main-namespace pages extracted and
+    * newline-joined — the `CorpusIngest.dispatch` branch for
+    * `mediawiki` payloads (a single codegen-friendly projection, no
+    * interpreted HOF lambda).
+    */
+  def wikiDumpTextStr(xml: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.sources.WikiCodec.dumpPages(xml.toString)
+        .filter(_.ns == 0)
+        .map(p => graft.sources.WikiCodec.wikitextText(p.text))
+        .mkString("\n"))
+
   def latexStr(text: UTF8String): UTF8String =
     UTF8String.fromString(MarkupCodec.latexText(text.toString))
 
@@ -181,6 +210,87 @@ case class MarkdownTextExpr(child: Expression) extends UnaryExpression with Impl
   override def prettyName: String = "markdown_text"
 }
 
+/** `wikitext_text(wt)` → plain text ([[graft.sources.WikiCodec]]). */
+case class WikitextTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.wikitextStr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.wikitextStr($t);")
+  override protected def withNewChildInternal(c: Expression): WikitextTextExpr = copy(child = c)
+  override def prettyName: String = "wikitext_text"
+}
+
+/** `wiki_pages(xml)` → array of {title, ns, page_id, text} — MediaWiki
+  * dump-XML page framing ([[graft.sources.WikiCodec.dumpPages]]); text
+  * is RAW wikitext (route through `wikitext_text` next).
+  */
+case class WikiPagesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(CodeExprs.WikiPageSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.wikiPagesArray(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.wikiPagesArray($t);")
+  override protected def withNewChildInternal(c: Expression): WikiPagesExpr = copy(child = c)
+  override def prettyName: String = "wiki_pages"
+}
+
+/** `wiki_dump_text(xml)` → main-namespace pages extracted and joined —
+  * the one-projection dispatch branch for dump shards.
+  */
+case class WikiDumpTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.wikiDumpTextStr(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.wikiDumpTextStr($t);")
+  override protected def withNewChildInternal(c: Expression): WikiDumpTextExpr = copy(child = c)
+  override def prettyName: String = "wiki_dump_text"
+}
+
+/** `synth_wikitext(seed)` — deterministic all-rules wikitext fixture
+  * ([[graft.sources.WikiCodec.synthWikitext]]).
+  */
+case class SynthWikitextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(seed: Any): Any =
+    UTF8String.fromString(graft.sources.WikiCodec.synthWikitext(seed.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.sources.WikiCodec.synthWikitext($s));")
+  override protected def withNewChildInternal(c: Expression): SynthWikitextExpr = copy(child = c)
+  override def prettyName: String = "synth_wikitext"
+}
+
+/** `synth_wiki_dump(seed, n_pages)` — deterministic MediaWiki dump-XML
+  * shard ([[graft.sources.WikiCodec.synthWikiDump]]).
+  */
+case class SynthWikiDumpExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    UTF8String.fromString(graft.sources.WikiCodec.synthWikiDump(
+      seed.asInstanceOf[Long], n.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, n) =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.sources.WikiCodec.synthWikiDump($s, $n));")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthWikiDumpExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_wiki_dump"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -295,6 +405,16 @@ object CodeOps {
     GraftExpr.toColumn(MarkdownTextExpr(GraftExpr.toExpr(md)))
   def latexText(tex: Column): Column =
     GraftExpr.toColumn(LatexTextExpr(GraftExpr.toExpr(tex)))
+  def wikitextText(wt: Column): Column =
+    GraftExpr.toColumn(WikitextTextExpr(GraftExpr.toExpr(wt)))
+  def wikiPages(xml: Column): Column =
+    GraftExpr.toColumn(WikiPagesExpr(GraftExpr.toExpr(xml)))
+  def wikiDumpText(xml: Column): Column =
+    GraftExpr.toColumn(WikiDumpTextExpr(GraftExpr.toExpr(xml)))
+  def synthWikitext(seed: Column): Column =
+    GraftExpr.toColumn(SynthWikitextExpr(GraftExpr.toExpr(seed)))
+  def synthWikiDump(seed: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthWikiDumpExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
   def csvSniff(text: Column): Column =
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))
   def sentSplit(text: Column): Column =

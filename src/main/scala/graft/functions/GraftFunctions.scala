@@ -110,6 +110,11 @@ object GraftFunctions {
     "license_detect" -> (a => CodeOps.licenseDetect(a.head)),
     "markdown_text" -> (a => CodeOps.markdownText(a.head)),
     "latex_text" -> (a => CodeOps.latexText(a.head)),
+    "wikitext_text" -> (a => CodeOps.wikitextText(a.head)),
+    "wiki_pages" -> (a => CodeOps.wikiPages(a.head)),
+    "wiki_dump_text" -> (a => CodeOps.wikiDumpText(a.head)),
+    "synth_wikitext" -> (a => CodeOps.synthWikitext(a.head)),
+    "synth_wiki_dump" -> (a => CodeOps.synthWikiDump(a.head, a(1))),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),
@@ -125,6 +130,9 @@ object GraftFunctions {
     "synth_tiff_g4" -> (a => TiffOps.synthTiffG4(a.head, a(1), a(2))),
     "synth_tiff_multi" -> (a => TiffOps.synthTiffMulti(a.head, a(1), a(2), a(3))),
     "tiff_page_sums" -> (a => TiffOps.tiffPageSums(a.head)),
+    "synth_tiff_tiled" -> (a => TiffOps.synthTiffTiled(a.head, a(1), a(2), a(3))),
+    "synth_tiff_jpeg" -> (a => TiffOps.synthTiffJpeg(a.head, a(1), a(2), a(3))),
+    "tiff_jpeg_err" -> (a => TiffOps.tiffJpegErr(a.head, a(1), a(2))),
     "avro_meta" -> (a => AvroOps.avroMeta(a.head)),
     "avro_records" -> (a => AvroOps.avroRecords(a.head)),
     "synth_avro" -> (a => AvroOps.synthAvro(a.head, a(1))),

@@ -20,11 +20,14 @@ object TiffExprs {
 
   val InfoSchema: StructType = StructType(Seq(
     "width", "height", "bits", "spp", "compression", "photometric",
-    "n_strips", "rows_per_strip", "predictor", "n_ifds")
+    "n_strips", "rows_per_strip", "predictor", "n_ifds",
+    "tile_width", "tile_length")
     .map(f => StructField(f, LongType, nullable = false)))
 
   /** Static parse-metadata helper boxed for codegen; null on any
-    * parse failure.
+    * parse failure. For tiled layouts `n_strips` counts TILES and
+    * `rows_per_strip` is the tile length; `tile_width`/`tile_length`
+    * are 0 on strip-organized documents.
     */
   def tiffInfoRow(bytes: Array[Byte]): InternalRow =
     try {
@@ -32,8 +35,18 @@ object TiffExprs {
       new GenericInternalRow(Array[Any](
         i.width.toLong, i.height.toLong, i.bits.toLong, i.spp.toLong,
         i.compression.toLong, i.photometric.toLong, i.nStrips.toLong,
-        i.rowsPerStrip.toLong, i.predictor.toLong, i.nIfds.toLong))
+        i.rowsPerStrip.toLong, i.predictor.toLong, i.nIfds.toLong,
+        i.tileWidth.toLong, i.tileLength.toLong))
     } catch { case _: Exception => null }
+
+  /** [[TiffCodec.jpegFixtureMaxErr]] boxed for codegen; 999 (not
+    * null) on parse/decode failure so the gate column stays non-null
+    * and a broken fixture FAILS the `<= bound` compare instead of
+    * disappearing.
+    */
+  def tiffJpegErr(bytes: Array[Byte], mode: Int, seed: Long): Long =
+    try TiffCodec.jpegFixtureMaxErr(bytes, mode, seed)
+    catch { case _: Exception => 999L }
 
   /** Decode the first IFD to PNG bytes (so the downstream raster
     * operators — pixel sum, resize, effects — compose unchanged);
@@ -172,6 +185,72 @@ case class SynthTiffMultiExpr(first: Expression, second: Expression,
   override def prettyName: String = "synth_tiff_multi"
 }
 
+/** Deterministic TILED gray-8 TIFF fixture
+  * ([[TiffCodec.synthTiffTiled]]): 16×16 tiles, same pixel formula and
+  * compression cycle as `synth_tiff`, so one closed form gates both
+  * layouts.
+  */
+case class SynthTiffTiledExpr(first: Expression, second: Expression,
+                              third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any, v: Any): Any =
+    TiffCodec.synthTiffTiled(seed.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h, v) =>
+      s"${ev.value} = graft.sources.TiffCodec.synthTiffTiled($seed, $w, $h, $v);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthTiffTiledExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_tiff_tiled"
+}
+
+/** JPEG-in-TIFF fixture ([[TiffCodec.synthTiffJpeg]]): mode 0 =
+  * new-style strips, 1 = strips + shared JPEGTables, 2 = 16×16 tiles,
+  * 3 = old-style JPEGInterchangeFormat.
+  */
+case class SynthTiffJpegExpr(first: Expression, second: Expression,
+                             third: Expression, fourth: Expression)
+    extends QuaternaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any, m: Any): Any =
+    TiffCodec.synthTiffJpeg(seed.asInstanceOf[Long], w.asInstanceOf[Int],
+      h.asInstanceOf[Int], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h, m) =>
+      s"${ev.value} = graft.sources.TiffCodec.synthTiffJpeg($seed, $w, $h, $m);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): SynthTiffJpegExpr =
+    copy(first = f, second = s, third = t, fourth = q)
+  override def prettyName: String = "synth_tiff_jpeg"
+}
+
+/** Max per-channel deviation of a decoded [[TiffCodec.synthTiffJpeg]]
+  * fixture from its closed-form flat pattern ([[TiffExprs.tiffJpegErr]];
+  * 999 on failure — the gate compares `<= bound`).
+  */
+case class TiffJpegErrExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = first.nullable || second.nullable || third.nullable
+  override def nullSafeEval(b: Any, m: Any, seed: Any): Any =
+    TiffExprs.tiffJpegErr(b.asInstanceOf[Array[Byte]], m.asInstanceOf[Int],
+      seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, m, seed) =>
+      s"${ev.value} = graft.functions.TiffExprs.tiffJpegErr($b, $m, $seed);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): TiffJpegErrExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "tiff_jpeg_err"
+}
+
 /** Per-page pixel sums of a (possibly multi-page) TIFF
   * ([[TiffExprs.tiffPageSums]]): array of one R+G+B sum per chained
   * IFD; null for unparseable or partially-undecodable documents.
@@ -212,4 +291,13 @@ object TiffOps {
       GraftExpr.toExpr(h), GraftExpr.toExpr(nPages)))
   def tiffPageSums(bin: Column): Column =
     GraftExpr.toColumn(TiffPageSumsExpr(GraftExpr.toExpr(bin)))
+  def synthTiffTiled(seed: Column, w: Column, h: Column, variant: Column): Column =
+    GraftExpr.toColumn(SynthTiffTiledExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h), GraftExpr.toExpr(variant)))
+  def synthTiffJpeg(seed: Column, w: Column, h: Column, mode: Column): Column =
+    GraftExpr.toColumn(SynthTiffJpegExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h), GraftExpr.toExpr(mode)))
+  def tiffJpegErr(bin: Column, mode: Column, seed: Column): Column =
+    GraftExpr.toColumn(TiffJpegErrExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(mode),
+      GraftExpr.toExpr(seed)))
 }

@@ -31,6 +31,8 @@ object CorpusIngest {
           array_join(graft.functions.OfficeOps.epubText(payload), "\n"))
         .when(format === "mbox",
           array_join(graft.functions.OfficeOps.mboxMessages(payload).getField("text"), "\n"))
+        .when(format === "mediawiki",
+          graft.functions.CodeOps.wikiDumpText(decode(payload, "UTF-8")))
         .when(format === "html" || format === "text",
           graft.functions.Mojibake.fixMojibake(
             when(format === "html",

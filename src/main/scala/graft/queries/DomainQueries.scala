@@ -529,6 +529,57 @@ object DomainQueries {
       |  AND x < d.doc_id % 9 + 11 AND y < d.doc_id % 7 + 9
       |GROUP BY 1, 2, 3""".stripMargin
 
+  /** Tiled TIFF + JPEG-in-TIFF under the hash gate — the dominant
+    * GeoTIFF/modern-scanner layouts that were documented-absent in
+    * round 12. Per doc: (a) a TILED gray-8 image (16×16 grid, edge
+    * tiles clipped, compression cycling the four baseline codecs) with
+    * an EXACT pixel-sum oracle — same closed form as the strip fixture
+    * because the pixel formula is global-coordinate; (b) a
+    * JPEG-compressed TIFF cycling all four JPEG layouts (new-style
+    * strips, strips + shared JPEGTables, 16×16 JPEG tiles, old-style
+    * JPEGInterchangeFormat) — flat-region fixtures decoded through
+    * ImageIO, gated on exact geometry plus a ≤4/255 max-deviation
+    * boolean (JPEG DC quantization is not SQL-reproducible; the bound
+    * is pinned tighter in TiffCodecSpec).
+    */
+  val tiffTiles: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("tiled", graft.functions.TiffOps.synthTiffTiled(col("doc_id") * 67,
+        (col("doc_id") % 21 + 20).cast("int"), (col("doc_id") % 13 + 18).cast("int"),
+        pmod(col("doc_id"), lit(4)).cast("int")))
+      .withColumn("jpeg", graft.functions.TiffOps.synthTiffJpeg(col("doc_id") * 71,
+        (col("doc_id") % 17 + 24).cast("int"), (col("doc_id") % 11 + 16).cast("int"),
+        pmod(col("doc_id"), lit(4)).cast("int")))
+      .withColumn("ti", graft.functions.TiffOps.tiffInfo(col("tiled")))
+      .withColumn("ji", graft.functions.TiffOps.tiffInfo(col("jpeg")))
+      .select(col("doc_id"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.TiffOps.tiffDecode(col("tiled"))).as("px_tiled"),
+        col("ti.n_strips").as("n_tiles"),
+        col("ti.tile_width").as("tile_w"),
+        col("ti.tile_length").as("tile_h"),
+        col("ji.width").as("jpg_w"),
+        col("ji.height").as("jpg_h"),
+        col("ji.compression").as("jpg_comp"),
+        (graft.functions.TiffOps.tiffJpegErr(col("jpeg"),
+          pmod(col("doc_id"), lit(4)).cast("int"), col("doc_id") * 71) <= 4).as("jpg_ok"))
+  val tiffTilesSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, sum(3 * ((x*3 + y*7 + doc_id*67) % 256)) AS s
+      |  FROM documents, range(0, 40) tx(x), range(0, 31) ty(y)
+      |  WHERE x < doc_id % 21 + 20 AND y < doc_id % 13 + 18
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(t.s AS BIGINT) AS px_tiled,
+      |       CAST(((d.doc_id % 21 + 20 + 15) // 16) * ((d.doc_id % 13 + 18 + 15) // 16) AS BIGINT) AS n_tiles,
+      |       CAST(16 AS BIGINT) AS tile_w,
+      |       CAST(16 AS BIGINT) AS tile_h,
+      |       CAST(d.doc_id % 17 + 24 AS BIGINT) AS jpg_w,
+      |       CAST(d.doc_id % 11 + 16 AS BIGINT) AS jpg_h,
+      |       CAST(CASE WHEN d.doc_id % 4 = 3 THEN 6 ELSE 7 END AS BIGINT) AS jpg_comp,
+      |       true AS jpg_ok
+      |FROM documents d JOIN t USING (doc_id)""".stripMargin
+
   val tiffDecodeSql: String =
     """WITH g AS (
       |  SELECT doc_id, sum(3 * ((x*3 + y*7 + doc_id*53) % 256)) AS s
@@ -2210,6 +2261,7 @@ object DomainQueries {
     "q_tiff_meta" -> tiffMeta,
     "q_tiff_decode" -> tiffDecode,
     "q_tiff_pages" -> tiffPages,
+    "q_tiff_tiles" -> tiffTiles,
     "q_pdf_corpus" -> pdfCorpus,
     "q_docx_text" -> docxText,
     "q_xlsx_cells" -> xlsxCells,
@@ -2290,6 +2342,7 @@ object DomainQueries {
     "q_tiff_meta" -> tiffMetaSql,
     "q_tiff_decode" -> tiffDecodeSql,
     "q_tiff_pages" -> tiffPagesSql,
+    "q_tiff_tiles" -> tiffTilesSql,
     "q_pdf_corpus" -> pdfCorpusSql,
     "q_docx_text" -> docxTextSql,
     "q_xlsx_cells" -> xlsxCellsSql,

@@ -12,8 +12,8 @@ import java.nio.charset.StandardCharsets
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
   * tar, rtf, ole (legacy .doc/.xls/.msg — classified for quarantine,
-  * no extractor), mbox, jpeg, png, gif, wav, avi, html, xml, text,
-  * binary, empty.
+  * no extractor), mbox, jpeg, png, gif, tiff, avro, wav, avi, html,
+  * mediawiki (dump-XML shards), xml, text, binary, empty.
   */
 object FormatDetect {
 
@@ -96,6 +96,10 @@ object FormatDetect {
     val trimmed = head.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
       c == 0xef.toChar || c == 0xbb.toChar || c == 0xbf.toChar) // incl. UTF-8 BOM bytes
     if (trimmed.startsWith("<!doctype html") || trimmed.startsWith("<html")) return "html"
+    // MediaWiki dump shards: the root element (with or without an XML
+    // prolog) identifies the format — route to the wikitext extractor
+    if (trimmed.startsWith("<mediawiki") ||
+        (trimmed.startsWith("<?xml") && head.contains("<mediawiki"))) return "mediawiki"
     if (trimmed.startsWith("<?xml")) return "xml"
     if (looksTextual(b)) return "text"
     "binary"

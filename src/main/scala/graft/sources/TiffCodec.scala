@@ -12,13 +12,19 @@ import java.io.ByteArrayOutputStream
   * spec.
   *
   * Subset (loud on everything else): baseline gray 1/8-bit and RGB
-  * 8-bit, strip-organized (no tiles), compressions 1 (none),
-  * 4 (CCITT T.6/G4), 5 (LZW, TIFF early-change), 8 (Deflate/zlib),
-  * 32773 (PackBits), predictor 1/2 (horizontal differencing),
-  * photometric 0/1/2. Both byte orders (`II*`, `MM*`). First IFD
-  * only (multi-page TIFF reads page 0 — the corpus-dispatch grain;
-  * `n_ifds` still counts the chain for metadata). Parse errors throw
-  * typed messages; expression wrappers null-guard upstream.
+  * 8-bit; strip-organized AND tiled layouts (TileWidth/TileLength/
+  * TileOffsets assembly with edge-tile clipping); compressions 1
+  * (none), 4 (CCITT T.6/G4), 5 (LZW, TIFF early-change), 6 (old-style
+  * JPEG via JPEGInterchangeFormat), 7 (new-style JPEG — self-contained
+  * strip/tile streams and the JPEGTables-abbreviated form, merged and
+  * routed to the ImageIO JPEG decoder [[ImageCodec]] already owns),
+  * 8 (Deflate/zlib), 32773 (PackBits), predictor 1/2 (horizontal
+  * differencing), photometric 0/1/2 (+ 6 on the JPEG paths, where the
+  * JPEG stream itself carries color). Both byte orders (`II*`,
+  * `MM*`). First IFD only (multi-page TIFF reads page 0 — the
+  * corpus-dispatch grain; `n_ifds` still counts the chain for
+  * metadata). Parse errors throw typed messages; expression wrappers
+  * null-guard upstream.
   */
 object TiffCodec {
 
@@ -35,7 +41,10 @@ object TiffCodec {
   final case class TiffInfo(width: Int, height: Int, bits: Int, spp: Int,
                             compression: Int, photometric: Int,
                             nStrips: Int, rowsPerStrip: Int, predictor: Int,
-                            nIfds: Int)
+                            nIfds: Int, tileWidth: Int = 0, tileLength: Int = 0) {
+    /** Tiled layout (nStrips then counts TILES, rowsPerStrip = TileLength). */
+    def tiled: Boolean = tileWidth > 0
+  }
 
   // ---------------------------------------------------------------
   // IFD walk
@@ -150,11 +159,24 @@ object TiffCodec {
     val comp = one(ifd, 259, 1).toInt
     val photo = one(ifd, 262).toInt
     val offsets = ifd.tags.getOrElse(273, Array.empty[Long])
-    require(offsets.nonEmpty, "TIFF: no StripOffsets (tiled TIFF out of subset)")
-    val rps = one(ifd, 278, h.toLong).toInt
+    val tileOffs = ifd.tags.getOrElse(324, Array.empty[Long])
     val pred = one(ifd, 317, 1).toInt
-    TiffInfo(w, h, bits, spp, comp, photo, offsets.length,
-      math.min(rps, h), pred, nIfds)
+    if (tileOffs.nonEmpty) {
+      val tw = one(ifd, 322).toInt
+      val tl = one(ifd, 323).toInt
+      require(tw > 0 && tl > 0, "TIFF: bad tile geometry")
+      TiffInfo(w, h, bits, spp, comp, photo, tileOffs.length,
+        math.min(tl, h), pred, nIfds, tw, tl)
+    } else if (offsets.nonEmpty) {
+      val rps = one(ifd, 278, h.toLong).toInt
+      TiffInfo(w, h, bits, spp, comp, photo, offsets.length,
+        math.min(rps, h), pred, nIfds)
+    } else {
+      // old-style JPEG: one whole-IFD stream at JPEGInterchangeFormat
+      require(comp == 6 && ifd.tags.contains(513),
+        "TIFF: no StripOffsets/TileOffsets (and not old-style JPEG)")
+      TiffInfo(w, h, bits, spp, comp, photo, 1, h, pred, nIfds)
+    }
   }
 
   // ---------------------------------------------------------------
@@ -177,12 +199,15 @@ object TiffCodec {
   }
 
   private def decodeIfd(bytes: Array[Byte], ifd: Ifd, info: TiffInfo): ImageCodec.Px = {
+    if (info.compression == 6) return decodeOldJpeg(bytes, ifd, info)
+    if (info.compression == 7) return decodeNewJpeg(bytes, ifd, info)
     require(info.bits == 1 || info.bits == 8,
       s"TIFF: BitsPerSample ${info.bits} out of subset (1/8)")
     require(info.spp == 1 || info.spp == 3,
       s"TIFF: SamplesPerPixel ${info.spp} out of subset (1/3)")
     require(info.photometric <= 2, s"TIFF: photometric ${info.photometric} out of subset")
     if (info.bits == 1) require(info.spp == 1, "TIFF: bilevel must be 1 sample/pixel")
+    if (info.tiled) return decodeTiled(bytes, ifd, info)
     val offsets = ifd.tags(273)
     val counts = ifd.tags.getOrElse(279,
       { require(info.compression == 1, "TIFF: StripByteCounts required when compressed")
@@ -226,7 +251,11 @@ object TiffCodec {
       strip += 1
     }
     require(rowBase == info.height, s"TIFF: strips cover $rowBase of ${info.height} rows")
-    // materialize packed RGB
+    materialize(info, raster, rowBytes)
+  }
+
+  /** Sample raster → packed RGB (shared by the strip and tile paths). */
+  private def materialize(info: TiffInfo, raster: Array[Byte], rowBytes: Int): ImageCodec.Px = {
     val out = new Array[Int](info.width * info.height)
     var y = 0
     while (y < info.height) {
@@ -254,6 +283,161 @@ object TiffCodec {
       y += 1
     }
     ImageCodec.Px(info.width, info.height, out)
+  }
+
+  // ---------------------------------------------------------------
+  // Tiled layout (TIFF 6.0 §15): decode each tile, clip into place
+  // ---------------------------------------------------------------
+
+  private def tileGrid(info: TiffInfo): (Int, Int) =
+    ((info.width + info.tileWidth - 1) / info.tileWidth,
+      (info.height + info.tileLength - 1) / info.tileLength)
+
+  private def decodeTiled(bytes: Array[Byte], ifd: Ifd, info: TiffInfo): ImageCodec.Px = {
+    val offsets = ifd.tags(324)
+    val counts = ifd.tags.getOrElse(325,
+      { require(info.compression == 1, "TIFF: TileByteCounts required when compressed")
+        val tileBytes = ((info.tileWidth * info.spp * info.bits + 7) / 8).toLong * info.tileLength
+        Array.fill(offsets.length)(tileBytes) })
+    require(offsets.length == counts.length, "TIFF: tile offset/count length mismatch")
+    val (across, down) = tileGrid(info)
+    require(offsets.length == across * down,
+      s"TIFF: ${offsets.length} tiles for a ${across}x$down grid")
+    // bit-addressed copies stay byte-aligned because TileWidth must be
+    // a multiple of 16 (spec) — enforce it rather than mis-assemble
+    if (info.bits == 1) require(info.tileWidth % 16 == 0,
+      "TIFF: TileWidth must be a multiple of 16")
+    val tileRowBytes = (info.tileWidth * info.spp * info.bits + 7) / 8
+    val rowBytes = (info.width * info.spp * info.bits + 7) / 8
+    val raster = new Array[Byte](rowBytes * info.height)
+    var t = 0
+    while (t < offsets.length) {
+      val off = offsets(t).toInt
+      val len = counts(t).toInt
+      require(off >= 0 && len >= 0 && off + len <= bytes.length, s"TIFF: tile $t out of bounds")
+      val comp = java.util.Arrays.copyOfRange(bytes, off, off + len)
+      val plain: Array[Byte] = info.compression match {
+        case 1 => comp
+        case 4 => CcittCodec.decodeG4(comp, info.tileWidth, info.tileLength)
+        case 5 => PdfCodec.unpredict(PdfCodec.lzwDecode(comp), info.predictor,
+          info.spp, info.bits, info.tileWidth)
+        case 8 => PdfCodec.unpredict(PdfCodec.inflate(comp), info.predictor,
+          info.spp, info.bits, info.tileWidth)
+        case 32773 => packBitsDecode(comp)
+        case c => throw new IllegalArgumentException(s"TIFF: compression $c out of subset")
+      }
+      require(plain.length >= tileRowBytes * info.tileLength,
+        s"TIFF: tile $t short (${plain.length} < ${tileRowBytes * info.tileLength})")
+      val x0 = (t % across) * info.tileWidth
+      val y0 = (t / across) * info.tileLength
+      val visRows = math.min(info.tileLength, info.height - y0)
+      val visBytes = (math.min(info.tileWidth, info.width - x0) * info.spp * info.bits + 7) / 8
+      var y = 0
+      while (y < visRows) {
+        System.arraycopy(plain, y * tileRowBytes,
+          raster, (y0 + y) * rowBytes + x0 * info.spp * info.bits / 8, visBytes)
+        y += 1
+      }
+      t += 1
+    }
+    materialize(info, raster, rowBytes)
+  }
+
+  // ---------------------------------------------------------------
+  // JPEG-in-TIFF (compressions 7 and 6) → ImageIO decode
+  // ---------------------------------------------------------------
+
+  /** Tag 347 JPEGTables (abbreviated-stream form): shared DQT/DHT
+    * tables as `SOI tables EOI`. A strip/tile stream merges as
+    * `SOI + tables-middle + strip-after-SOI` (ISO 10918 abbreviated
+    * format; what libtiff writes by default).
+    */
+  private def jpegTables(ifd: Ifd): Array[Byte] =
+    ifd.tags.get(347).map(ls => ls.map(_.toByte)).orNull
+
+  private def mergeJpeg(tables: Array[Byte], strip: Array[Byte]): Array[Byte] = {
+    require(strip.length >= 2 && (strip(0) & 0xff) == 0xFF && (strip(1) & 0xff) == 0xD8,
+      "TIFF: JPEG strip without SOI")
+    if (tables == null) return strip
+    require(tables.length >= 4 && (tables(0) & 0xff) == 0xFF && (tables(1) & 0xff) == 0xD8,
+      "TIFF: JPEGTables without SOI")
+    // tables end with EOI (FFD9); middle = between SOI and EOI
+    val tEnd = if ((tables(tables.length - 2) & 0xff) == 0xFF &&
+                   (tables(tables.length - 1) & 0xff) == 0xD9) tables.length - 2
+               else tables.length
+    val out = new Array[Byte](2 + (tEnd - 2) + (strip.length - 2))
+    out(0) = 0xFF.toByte; out(1) = 0xD8.toByte
+    System.arraycopy(tables, 2, out, 2, tEnd - 2)
+    System.arraycopy(strip, 2, out, tEnd, strip.length - 2)
+    out
+  }
+
+  private def jpegDecode(data: Array[Byte]): ImageCodec.Px = {
+    val px = ImageCodec.decode(data)
+    require(px != null, "TIFF: undecodable JPEG stream")
+    px
+  }
+
+  /** New-style JPEG (compression 7): every strip/tile is its own JPEG
+    * stream (JPEGTables merged when present), decoded by ImageIO and
+    * clipped into place. Geometry comes from the TIFF tags; the JPEG
+    * streams may be MCU-padded past the visible region.
+    */
+  private def decodeNewJpeg(bytes: Array[Byte], ifd: Ifd, info: TiffInfo): ImageCodec.Px = {
+    val tables = jpegTables(ifd)
+    val offsets = ifd.tags.getOrElse(if (info.tiled) 324 else 273, Array.empty[Long])
+    val counts = ifd.tags.getOrElse(if (info.tiled) 325 else 279, Array.empty[Long])
+    require(offsets.nonEmpty && offsets.length == counts.length,
+      "TIFF: JPEG strip/tile offsets and counts required")
+    val out = new Array[Int](info.width * info.height)
+    val (across, segW, segH) =
+      if (info.tiled) { val (a, d) = tileGrid(info)
+        require(offsets.length == a * d, s"TIFF: ${offsets.length} tiles for ${a}x$d grid")
+        (a, info.tileWidth, info.tileLength) }
+      else (1, info.width, info.rowsPerStrip)
+    var t = 0
+    while (t < offsets.length) {
+      val off = offsets(t).toInt
+      val len = counts(t).toInt
+      require(off >= 0 && len >= 2 && off + len <= bytes.length, s"TIFF: JPEG seg $t out of bounds")
+      val px = jpegDecode(mergeJpeg(tables, java.util.Arrays.copyOfRange(bytes, off, off + len)))
+      val x0 = (t % across) * segW
+      val y0 = (t / across) * segH
+      val visW = math.min(math.min(segW, px.w), info.width - x0)
+      val visH = math.min(math.min(segH, px.h), info.height - y0)
+      require(visW > 0 && visH > 0, s"TIFF: JPEG seg $t outside the image")
+      var y = 0
+      while (y < visH) {
+        System.arraycopy(px.rgb, y * px.w, out, (y0 + y) * info.width + x0, visW)
+        y += 1
+      }
+      t += 1
+    }
+    ImageCodec.Px(info.width, info.height, out)
+  }
+
+  /** Old-style JPEG (compression 6): one whole-IFD stream at
+    * JPEGInterchangeFormat/-Length (tags 513/514). The fragmented
+    * strip form of old-style JPEG (no 513) is out of subset — loud.
+    */
+  private def decodeOldJpeg(bytes: Array[Byte], ifd: Ifd, info: TiffInfo): ImageCodec.Px = {
+    val off = one(ifd, 513).toInt
+    val len = one(ifd, 514, (bytes.length - off).toLong).toInt
+    require(off >= 0 && len >= 2 && off + len <= bytes.length,
+      "TIFF: JPEGInterchangeFormat out of bounds")
+    val px = jpegDecode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+    require(px.w >= info.width && px.h >= info.height,
+      s"TIFF: old-JPEG stream ${px.w}x${px.h} smaller than ${info.width}x${info.height}")
+    if (px.w == info.width && px.h == info.height) px
+    else { // MCU padding: clip to the tagged geometry
+      val out = new Array[Int](info.width * info.height)
+      var y = 0
+      while (y < info.height) {
+        System.arraycopy(px.rgb, y * px.w, out, y * info.width, info.width)
+        y += 1
+      }
+      ImageCodec.Px(info.width, info.height, out)
+    }
   }
 
   // ---------------------------------------------------------------
@@ -352,13 +536,18 @@ object TiffCodec {
     val overflowAt = base + ifdSize
     // pre-compute overflow placement
     val overflow = new ByteArrayOutputStream()
+    def putVal(buf: ByteArrayOutputStream, elem: Int, v: Long): Unit = elem match {
+      case 1 => buf.write((v & 0xff).toInt)
+      case 2 => putU16(buf, le, v.toInt)
+      case _ => putU32(buf, le, v)
+    }
     val placed = entries.sortBy(_._1).map { case (tag, typ, vals) =>
-      val elem = typ match { case 3 => 2; case 4 => 4; case _ => 1 }
+      val elem = typ match { case 1 | 2 | 6 | 7 => 1; case 3 => 2; case _ => 4 }
       val total = elem * vals.length
       if (total <= 4) (tag, typ, vals, -1L)
       else {
         val at = overflowAt + overflow.size()
-        vals.foreach(v => if (elem == 2) putU16(overflow, le, v.toInt) else putU32(overflow, le, v))
+        vals.foreach(v => putVal(overflow, elem, v))
         if (overflow.size() % 2 == 1) overflow.write(0)
         (tag, typ, vals, at)
       }
@@ -370,7 +559,8 @@ object TiffCodec {
       else {
         // inline (left-justified within the 4-byte field)
         val cell = new ByteArrayOutputStream()
-        vals.foreach(v => if (typ == 3) putU16(cell, le, v.toInt) else putU32(cell, le, v))
+        val elem = typ match { case 1 | 2 | 6 | 7 => 1; case 3 => 2; case _ => 4 }
+        vals.foreach(v => putVal(cell, elem, v))
         val raw = cell.toByteArray
         block.write(raw, 0, raw.length)
         var pad = 4 - raw.length
@@ -529,13 +719,8 @@ object TiffCodec {
 
   private def compose(seed: Long, w: Int, h: Int, bits: Int, compression: Int,
                       photometric: Int, rps: Int, predictor: Int,
-                      strips: Seq[Array[Byte]]): Array[Byte] = {
-    val le = seed % 2 == 0
-    val out = new ByteArrayOutputStream()
-    // strip offsets are relative to stripBase, computed by a dry run:
-    // build the IFD once with zero offsets to learn the base, then for
-    // real. Entry count is fixed, so layout is identical both passes.
-    def entries(offsets: Array[Long]): Seq[(Int, Int, Array[Long])] = {
+                      strips: Seq[Array[Byte]]): Array[Byte] =
+    composeGeneric(seed % 2 == 0, offsets => {
       val counts = strips.map(_.length.toLong).toArray
       Seq(
         (256, 4, Array(w.toLong)),
@@ -548,14 +733,215 @@ object TiffCodec {
         (278, 3, Array(rps.toLong)),
         (279, 4, counts)) ++
         (if (predictor != 1) Seq((317, 3, Array(predictor.toLong))) else Nil)
-    }
-    val zeros = new Array[Long](strips.length)
-    val dry = writeIfd(new ByteArrayOutputStream(), le, entries(zeros), strips)
-    val stripBase = dry.length - strips.map(_.length).sum
-    val offsets = new Array[Long](strips.length)
-    var at = stripBase.toLong
+    }, strips)
+
+  /** Single-IFD writer over arbitrary tag sets and data blocks: the
+    * entries builder receives each block's ABSOLUTE file offset
+    * (strip/tile offsets, JPEGInterchangeFormat). Offsets come from a
+    * zero-offset dry run — entry count and sizes are offset-
+    * independent, so both passes lay out identically.
+    */
+  private def composeGeneric(le: Boolean,
+                             entries: Array[Long] => Seq[(Int, Int, Array[Long])],
+                             blocks: Seq[Array[Byte]]): Array[Byte] = {
+    val zeros = new Array[Long](blocks.length)
+    val dry = writeIfd(new ByteArrayOutputStream(), le, entries(zeros), blocks)
+    val blockBase = dry.length - blocks.map(_.length).sum
+    val offsets = new Array[Long](blocks.length)
+    var at = blockBase.toLong
     var i = 0
-    while (i < strips.length) { offsets(i) = at; at += strips(i).length; i += 1 }
-    writeIfd(out, le, entries(offsets), strips)
+    while (i < blocks.length) { offsets(i) = at; at += blocks(i).length; i += 1 }
+    writeIfd(new ByteArrayOutputStream(), le, entries(offsets), blocks)
+  }
+
+  // ---------------------------------------------------------------
+  // Tiled + JPEG fixtures
+  // ---------------------------------------------------------------
+
+  /** Deterministic TILED gray-8 fixture: 16×16 tiles (the spec's
+    * multiple-of-16 grid), compression by `variant % 4` like
+    * [[synthTiff]]. Pixel (x,y) = [[grayAt]] inside the image; edge
+    * padding draws from the same formula (decode clips it), so the
+    * visible pixel sum is the SAME closed form as the strip fixture —
+    * one SQL oracle covers both layouts.
+    */
+  def synthTiffTiled(seed: Long, w: Int, h: Int, variant: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096, "synthTiffTiled: bad dims")
+    val (tw, tl) = (16, 16)
+    val across = (w + tw - 1) / tw
+    val down = (h + tl - 1) / tl
+    val pred = if (variant % 4 == 1 || variant % 4 == 3) 2 else 1
+    val comp = variant % 4 match { case 0 => 1; case 1 => 5; case 2 => 32773; case _ => 8 }
+    val tiles = (0 until across * down).map { t =>
+      val x0 = (t % across) * tw
+      val y0 = (t / across) * tl
+      val raw = new Array[Byte](tw * tl)
+      var y = 0
+      while (y < tl) {
+        var x = 0
+        while (x < tw) { raw(y * tw + x) = grayAt(seed, x0 + x, y0 + y).toByte; x += 1 }
+        y += 1
+      }
+      val filtered = if (pred == 2) predict2(raw, 1, tw) else raw
+      comp match {
+        case 1 => filtered
+        case 5 => PdfCodec.lzwEncode(filtered)
+        case 8 => PdfCodec.deflate(filtered)
+        case 32773 => packBitsEncode(filtered)
+      }
+    }
+    composeGeneric(seed % 2 == 0, offsets => Seq(
+      (256, 4, Array(w.toLong)),
+      (257, 4, Array(h.toLong)),
+      (258, 3, Array(8L)),
+      (259, 3, Array(comp.toLong)),
+      (262, 3, Array(1L)),
+      (277, 3, Array(1L)),
+      (322, 3, Array(tw.toLong)),
+      (323, 3, Array(tl.toLong)),
+      (324, 4, offsets),
+      (325, 4, tiles.map(_.length.toLong).toArray)) ++
+      (if (pred != 1) Seq((317, 3, Array(pred.toLong))) else Nil), tiles)
+  }
+
+  /** Split a full JFIF stream into (JPEGTables stream, abbreviated
+    * stream): DQT/DHT segments move to the tables side (`SOI tables
+    * EOI`), everything else (APPn/SOF/SOS/entropy data) stays — the
+    * layout libtiff writes by default for compression 7.
+    */
+  private[sources] def splitJpegTables(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require(full.length >= 4 && (full(0) & 0xff) == 0xFF && (full(1) & 0xff) == 0xD8,
+      "splitJpegTables: not a JPEG")
+    val tables = new ByteArrayOutputStream()
+    val rest = new ByteArrayOutputStream()
+    tables.write(0xFF); tables.write(0xD8)
+    rest.write(0xFF); rest.write(0xD8)
+    var i = 2
+    var done = false
+    while (!done && i + 4 <= full.length) {
+      require((full(i) & 0xff) == 0xFF, s"splitJpegTables: expected marker at $i")
+      val marker = full(i + 1) & 0xff
+      if (marker == 0xDA) { // SOS: entropy data through EOI stays abbreviated
+        rest.write(full, i, full.length - i)
+        done = true
+      } else {
+        val len = ((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)
+        require(i + 2 + len <= full.length, "splitJpegTables: truncated segment")
+        (if (marker == 0xDB || marker == 0xC4) tables else rest).write(full, i, 2 + len)
+        i += 2 + len
+      }
+    }
+    tables.write(0xFF); tables.write(0xD9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
+  /** JPEG-in-TIFF fixture family, `mode` selects the layout:
+    *   0 = new-style strips (8-row, self-contained streams),
+    *   1 = new-style strips + shared JPEGTables (tag 347, abbreviated),
+    *   2 = new-style 16×16 tiles,
+    *   3 = old-style (compression 6, one JPEGInterchangeFormat stream).
+    * Every strip/tile/band is a FLAT gray region (strip s / tile t =
+    * grayAt(seed, s|t, 0); old-style: 8-px vertical bands grayAt(seed,
+    * x/8, 1) aligned to JPEG blocks), so decoded values sit within a
+    * small quantization bound of the closed form —
+    * [[jpegFixtureMaxErr]] measures the actual max deviation.
+    */
+  def synthTiffJpeg(seed: Long, w: Int, h: Int, mode: Int): Array[Byte] = {
+    require(w >= 8 && h >= 8 && w <= 4096 && h <= 4096, "synthTiffJpeg: bad dims")
+    require(mode >= 0 && mode <= 3, s"synthTiffJpeg: bad mode $mode")
+    val le = seed % 2 == 0
+    def flat(wp: Int, hp: Int, g: Int): Array[Byte] =
+      ImageCodec.encodeJpeg(ImageCodec.Px(wp, hp,
+        Array.fill(wp * hp)((g << 16) | (g << 8) | g)), 95)
+    def baseTags(comp: Int): Seq[(Int, Int, Array[Long])] = Seq(
+      (256, 4, Array(w.toLong)),
+      (257, 4, Array(h.toLong)),
+      (258, 3, Array(8L, 8L, 8L)),
+      (259, 3, Array(comp.toLong)),
+      (262, 3, Array(6L)), // YCbCr — the JPEG stream carries color
+      (277, 3, Array(3L)))
+    mode match {
+      case 0 | 1 =>
+        val rps = 8
+        val nStrips = (h + rps - 1) / rps
+        val fulls = (0 until nStrips).map { s =>
+          flat(w, math.min(rps, h - s * rps), grayAt(seed, s, 0))
+        }
+        val (strips, tableTag) =
+          if (mode == 0) (fulls, Nil)
+          else {
+            val split = fulls.map(splitJpegTables)
+            val tables = split.head._1
+            require(split.forall(_._1.sameElements(tables)),
+              "synthTiffJpeg: same-quality strips must share tables")
+            (split.map(_._2),
+              Seq((347, 7, tables.map(b => (b & 0xff).toLong))))
+          }
+        composeGeneric(le, offsets => baseTags(7) ++ Seq(
+          (273, 4, offsets),
+          (278, 3, Array(rps.toLong)),
+          (279, 4, strips.map(_.length.toLong).toArray)) ++ tableTag, strips)
+      case 2 =>
+        val (tw, tl) = (16, 16)
+        val across = (w + tw - 1) / tw
+        val down = (h + tl - 1) / tl
+        val tiles = (0 until across * down).map(t => flat(tw, tl, grayAt(seed, t, 0)))
+        composeGeneric(le, offsets => baseTags(7) ++ Seq(
+          (322, 3, Array(tw.toLong)),
+          (323, 3, Array(tl.toLong)),
+          (324, 4, offsets),
+          (325, 4, tiles.map(_.length.toLong).toArray)), tiles)
+      case _ =>
+        val rgb = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = grayAt(seed, x / 8, 1)
+            rgb(y * w + x) = (g << 16) | (g << 8) | g
+            x += 1
+          }
+          y += 1
+        }
+        val jpeg = ImageCodec.encodeJpeg(ImageCodec.Px(w, h, rgb), 95)
+        composeGeneric(le, offsets => baseTags(6) ++ Seq(
+          (513, 4, Array(offsets(0))),
+          (514, 4, Array(jpeg.length.toLong))), Seq(jpeg))
+    }
+  }
+
+  /** Max |decoded − expected| over a [[synthTiffJpeg]] fixture's
+    * visible pixels (all three channels): the lossy-path gate — the
+    * oracle pins `max_err <= bound` as a boolean since JPEG DC
+    * quantization is not SQL-reproducible, while geometry and tile
+    * counts stay exact. Throws on non-fixture geometry (it is a
+    * fixture verifier, not a general operator).
+    */
+  def jpegFixtureMaxErr(bytes: Array[Byte], mode: Int, seed: Long): Long = {
+    val info = tiffInfo(bytes)
+    val px = decode(bytes)
+    val across = (info.width + 15) / 16
+    var maxErr = 0L
+    var y = 0
+    while (y < px.h) {
+      var x = 0
+      while (x < px.w) {
+        val g = mode match {
+          case 0 | 1 => grayAt(seed, y / 8, 0)
+          case 2 => grayAt(seed, (y / 16) * across + (x / 16), 0)
+          case _ => grayAt(seed, x / 8, 1)
+        }
+        val v = px.rgb(y * px.w + x)
+        var c = 0
+        while (c < 3) {
+          val err = math.abs(((v >> (8 * c)) & 0xff) - g).toLong
+          if (err > maxErr) maxErr = err
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    maxErr
   }
 }

@@ -177,6 +177,90 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(graft.functions.TiffExprs.tiffToPng(good) !== null)
   }
 
+  test("tiled fixture round trips across all four compressions and both byte orders") {
+    for (variant <- 0 to 3; seed <- Seq(80L, 81L)) {
+      // 20×18 → 2×2 grid of 16×16 tiles, right/bottom edges clipped
+      val bytes = TiffCodec.synthTiffTiled(seed, 20, 18, variant)
+      val info = TiffCodec.tiffInfo(bytes)
+      assert(info.tiled && info.tileWidth === 16 && info.tileLength === 16)
+      assert(info.nStrips === 4) // tile count rides the strip-count slot
+      assert(info.compression === Seq(1, 5, 32773, 8)(variant))
+      val px = TiffCodec.decode(bytes)
+      assert(px.w === 20 && px.h === 18)
+      var sum = 0L
+      px.rgb.foreach(p => sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+      assert(sum === grayExpected(seed, 20, 18), s"variant $variant seed $seed")
+    }
+  }
+
+  test("tiled and strip layouts of the same pixels decode identically") {
+    val strip = TiffCodec.decode(TiffCodec.synthTiff(5L, 33, 21, 1))
+    val tiled = TiffCodec.decode(TiffCodec.synthTiffTiled(5L, 33, 21, 3))
+    assert(tiled.rgb.toSeq === strip.rgb.toSeq)
+    // exact-multiple dims: no clipping path
+    val t2 = TiffCodec.decode(TiffCodec.synthTiffTiled(6L, 32, 16, 0))
+    assert(t2.w === 32 && t2.h === 16)
+  }
+
+  test("tile grid mismatch and bad geometry throw typed") {
+    val good = TiffCodec.synthTiffTiled(8L, 20, 18, 0) // little-endian
+    // drop one tile offset: count disagrees with the grid
+    intercept[IllegalArgumentException] {
+      // corrupt TileWidth (tag 322) by patching the IFD value to 0:
+      // find entry by scanning the 12-byte entries
+      val n = (good(8) & 0xff) | ((good(9) & 0xff) << 8)
+      val bad = good.clone()
+      var e = 0
+      while (e < n) {
+        val at = 10 + e * 12
+        val tag = (bad(at) & 0xff) | ((bad(at + 1) & 0xff) << 8)
+        if (tag == 322) { bad(at + 8) = 0; bad(at + 9) = 0 }
+        e += 1
+      }
+      TiffCodec.decode(bad)
+    }
+  }
+
+  test("JPEG-in-TIFF: all four layouts decode within the quantization bound") {
+    for (mode <- 0 to 3; seed <- Seq(90L, 91L)) {
+      val bytes = TiffCodec.synthTiffJpeg(seed, 26, 19, mode)
+      val info = TiffCodec.tiffInfo(bytes)
+      assert(info.width === 26 && info.height === 19)
+      assert(info.compression === (if (mode == 3) 6 else 7), s"mode $mode")
+      if (mode == 2) assert(info.tiled)
+      val px = TiffCodec.decode(bytes)
+      assert(px.w === 26 && px.h === 19)
+      val err = TiffCodec.jpegFixtureMaxErr(bytes, mode, seed)
+      assert(err >= 0 && err <= 4, s"mode $mode seed $seed err $err")
+    }
+  }
+
+  test("JPEGTables split/merge: abbreviated strips lack DQT/DHT, merge restores them") {
+    val full = ImageCodec.encodeJpeg(ImageCodec.Px(16, 16,
+      Array.fill(256)(0x808080)), 95)
+    val (tables, rest) = TiffCodec.splitJpegTables(full)
+    def hasMarker(b: Array[Byte], m: Int): Boolean =
+      b.sliding(2).exists(p => (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == m)
+    assert(hasMarker(tables, 0xDB) && hasMarker(tables, 0xC4))
+    assert(!rest.take(rest.length - 2).sliding(4).exists(p =>
+      (p(0) & 0xff) == 0xFF && (p(1) & 0xff) == 0xDB)) // no DQT before SOS data
+    // the abbreviated stream alone is not decodable by ImageIO…
+    // (some decoders default tables; don't assert failure) …but the
+    // tables+strip fixture decodes equal to the self-contained one
+    val plainPx = TiffCodec.decode(TiffCodec.synthTiffJpeg(33L, 24, 16, 0))
+    val mergedPx = TiffCodec.decode(TiffCodec.synthTiffJpeg(33L, 24, 16, 1))
+    assert(plainPx.rgb.toSeq === mergedPx.rgb.toSeq)
+  }
+
+  test("JPEG fixture verifier fails loud on corrupt payloads (999 sentinel, not a pass)") {
+    assert(graft.functions.TiffExprs.tiffJpegErr("junk".getBytes, 0, 1L) === 999L)
+    val good = TiffCodec.synthTiffJpeg(12L, 24, 16, 0)
+    assert(graft.functions.TiffExprs.tiffJpegErr(good, 0, 12L) <= 4L)
+    // wrong seed → expected pattern disagrees by (200−12) mod 256 →
+    // large error, gate fails
+    assert(graft.functions.TiffExprs.tiffJpegErr(good, 0, 200L) > 4L)
+  }
+
   test("IFD chain counting is bounded (no cycle hang)") {
     // splice a next-IFD pointer back to itself: offset 4 points at the
     // first IFD; patch its next pointer to 8 (self) — must throw, not

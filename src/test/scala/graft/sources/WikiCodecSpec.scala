@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Wikitext extraction rules, MediaWiki dump framing, and the
+  * never-throws totality contract. Pure codec — no SparkSession.
+  */
+class WikiCodecSpec extends AnyFunSuite {
+  import WikiCodec._
+
+  test("fixture round trip: extracted text matches the closed form across seeds") {
+    for (seed <- Seq(0L, 1L, 7L, 36L, 12345L, 999999937L))
+      assert(wikitextText(synthWikitext(seed)) === expectedWikiText(seed), s"seed $seed")
+  }
+
+  test("templates: nesting, params, unterminated swallow to EOF") {
+    assert(wikitextText("a {{t|x={{inner|y}}}} b") === "a  b")
+    assert(wikitextText("a {{{param|default}}} b") === "a  b")
+    assert(wikitextText("a {{never closed") === "a ")
+  }
+
+  test("tables drop whole, nest, and eat the closer's line; inline braces survive") {
+    assert(wikitextText("before\n{| class=x\n|-\n| cell\n|}\nafter") === "before\nafter")
+    assert(wikitextText("x\n{| outer\n{| inner\n| c\n|}\n| still outer\n|}\ny") === "x\ny")
+    assert(wikitextText("x\n{| never closed\n| cell") === "x\n")
+    assert(wikitextText("f(x) = {x | x > 0}") === "f(x) = {x | x > 0}")
+  }
+
+  test("links: pipes, nested captions, namespaces, anchors") {
+    assert(wikitextText("[[Page]]") === "Page")
+    assert(wikitextText("[[Page|shown]]") === "shown")
+    assert(wikitextText("[[Help:Contents]]") === "Help:Contents")
+    assert(wikitextText("[[File:X.png|thumb|cap]]") === "")
+    assert(wikitextText("[[image:X.png|cap]]") === "")
+    assert(wikitextText("[[Category:Y]]") === "")
+    // nested link inside a caption: last TOP-LEVEL pipe wins; the
+    // nested link's own markup is emitted raw (re-rendering nested
+    // caption markup is out of subset, documented)
+    assert(wikitextText("[[a|b [[c|d]] e]]") === "b [[c|d]] e")
+    assert(wikitextText("[[unterminated") === "")
+  }
+
+  test("external links and quote runs") {
+    assert(wikitextText("see [https://x.org/p the label] end") === "see the label end")
+    assert(wikitextText("see [https://x.org/p] end") === "see  end")
+    assert(wikitextText("see [ftp://x.org/p f] end") === "see f end")
+    assert(wikitextText("[just brackets]") === "[just brackets]")
+    assert(wikitextText("'''bold''' ''it'' '''''both''''' don't") === "bold it both don't")
+  }
+
+  test("line-start markers: headings, lists, rules") {
+    assert(wikitextText("== T ==\nbody") === "T\nbody")
+    assert(wikitextText("=== Deep ===") === "Deep")
+    assert(wikitextText("= T") === "T") // unclosed heading keeps content
+    assert(wikitextText("* a\n** b\n# c\n; term\n: def") === "a\nb\nc\nterm\ndef")
+    assert(wikitextText("----\nx") === "x")
+    assert(wikitextText("---- not a rule\nx") === "---- not a rule\nx")
+    assert(wikitextText("a = b\nx") === "a = b\nx") // '=' mid-line is prose
+  }
+
+  test("refs, comments, nowiki, generic tags, entities") {
+    assert(wikitextText("a<ref>cite</ref>b") === "ab")
+    assert(wikitextText("a<ref name=\"x\" />b") === "ab")
+    assert(wikitextText("a<ref>never closed") === "a")
+    assert(wikitextText("a<!-- c -->b") === "ab")
+    assert(wikitextText("a<!-- never closed") === "a")
+    assert(wikitextText("<nowiki>''kept''</nowiki>") === "''kept''")
+    assert(wikitextText("<span class=x>in</span>") === "in")
+    assert(wikitextText("&amp; &lt; &#65; &#x; &bogus; 1 &lt 2") === "& < A &#x; &bogus; 1 &lt 2")
+  }
+
+  test("dump framing: titles unescaped, ns, page ids, extraction composes") {
+    val xml = synthWikiDump(9L, 4)
+    assert(isWikiDump(xml))
+    val pages = dumpPages(xml)
+    assert(pages.length === 4)
+    assert(pages.map(_.title) === Seq("Article 9 & co", "Article 10 & co",
+      "Article 11 & co", "Article 12 & co"))
+    assert(pages.map(_.ns) === Seq(0, 0, 14, 0))
+    assert(pages.map(_.pageId) === Seq(900L, 901L, 902L, 903L))
+    pages.zipWithIndex.foreach { case (p, k) =>
+      assert(wikitextText(p.text) === expectedWikiText(9L + k), s"page $k")
+    }
+  }
+
+  test("dump framing: malformed pages skip; self-closed text; not a dump") {
+    val xml = "<mediawiki>\n<page><title>Ok</title><ns>0</ns><id>5</id>" +
+      "<revision><text>body</text></revision></page>\n" +
+      "<page><ns>0</ns><id>6</id></page>\n" + // no title/text: skipped
+      "<page><title>Empty</title><ns>bad</ns><text/></page>\n" +
+      "</mediawiki>"
+    val pages = dumpPages(xml)
+    assert(pages.map(_.title) === Seq("Ok", "Empty"))
+    assert(pages(1).text === "")
+    assert(pages(1).ns === 0) // unparseable ns defaults
+    assert(pages(1).pageId === -1L)
+    assert(!isWikiDump("<html><body>no</body></html>"))
+    // unterminated <text> never closes → the page is malformed → skipped
+    assert(dumpPages("<page><title>t</title><text>x").isEmpty)
+  }
+
+  test("totality fuzz: random garbage and every truncation of the fixture never throw") {
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val s = rnd.nextString(rnd.nextInt(300))
+      wikitextText(s); dumpPages(s) // must not throw
+    }
+    val wiki = synthWikitext(77L)
+    (0 to wiki.length by 7).foreach(k => wikitextText(wiki.substring(0, k)))
+    val dump = synthWikiDump(77L, 3)
+    (0 to dump.length by 31).foreach(k => dumpPages(dump.substring(0, k)))
+    // markup-dense adversarial strings
+    Seq("{{{{{{", "}}}}", "[[[[", "]]]]", "<ref", "<!--", "{|{|{|", "''''''''",
+        "&#99999999;", "&#1114112;", "[https://", "== ==", "<nowiki>").foreach { s =>
+      wikitextText(s); wikitextText(s + "\n" + s)
+    }
+    assert(wikitextText(null) == null && dumpPages(null) == null)
+  }
+}
