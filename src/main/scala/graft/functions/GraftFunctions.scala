@@ -98,6 +98,12 @@ object GraftFunctions {
     "audio_window_rms" -> (a => AudioOps.audioWindowRms(a.head, a(1))),
     "audio_resample" -> (a => AudioOps.audioResample(a.head, a(1))),
     "synth_wav" -> (a => AudioOps.synthWav(a.head, a(1), a(2), a(3))),
+    "flac_info" -> (a => SpeechOps.flacInfo(a.head)),
+    "flac_to_wav" -> (a => SpeechOps.flacToWav(a.head)),
+    "synth_flac" -> (a => SpeechOps.synthFlac(a.head, a(1), a(2), a(3))),
+    "parse_cues" -> (a => SpeechOps.parseCues(a.head)),
+    "synth_srt" -> (a => SpeechOps.synthSrt(a.head, a(1))),
+    "synth_vtt" -> (a => SpeechOps.synthVtt(a.head, a(1))),
     "gif_info" -> (a => GifOps.gifInfo(a.head)),
     "gif_frame_lumas" -> (a => GifOps.frameLumas(a.head)),
     "gif_frame_motion" -> (a => GifOps.frameMotion(a.head)),

@@ -1089,6 +1089,127 @@ object DomainQueries {
       |            ELSE CAST(1000 + (d.doc_id * 31) % 9000 AS BIGINT) END AS win_rms
       |FROM documents d, generate_series(0, 7) t(win)""".stripMargin
 
+  // ---------------------------------------------------------------- flac codec
+  /** FLAC STREAMINFO through the gate: rate/channel/bit/duration
+    * metadata of the encoded square-wave fixture, closed-form per doc
+    * (odd docs stereo — the encoder emits mid/side frames there).
+    */
+  val flacMeta: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("flac", graft.functions.SpeechOps.synthFlac(col("doc_id") * 31,
+        (lit(250) + col("doc_id") % 250).cast("int"),
+        (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"), lit(0)))
+      .withColumn("info", graft.functions.SpeechOps.flacInfo(col("flac")))
+      .select(col("doc_id"),
+        col("info.n_samples").as("n_samples"),
+        col("info.sample_rate").as("sample_rate"),
+        col("info.channels").as("channels"),
+        col("info.bits").as("bits"),
+        col("info.duration_ms").as("duration_ms"))
+  val flacMetaSql: String =
+    """SELECT doc_id,
+      |       CAST(8 * (250 + doc_id % 250) AS BIGINT) AS n_samples,
+      |       CAST(8000 + (doc_id % 3) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |       CAST(16 AS BIGINT) AS bits,
+      |       CAST((8 * (250 + doc_id % 250) * 1000) // (8000 + (doc_id % 3) * 4000) AS BIGINT) AS duration_ms
+      |FROM documents""".stripMargin
+
+  /** FLAC DECODE under the hash gate: encode the square-wave fixture
+    * (subframe types rotating CONSTANT/FIXED-2/VERBATIM/LPC across
+    * frames, mid/side on odd docs), decode it back (CRC-8/16
+    * verified), and prove the samples exactly via the VAD window-RMS
+    * closed form — every window is amp-or-0, so one wrong warm-up
+    * sample, Rice parameter, predictor tap, or decorrelation shift
+    * flips a row. The wavInfo n_samples column gates the container
+    * round trip.
+    */
+  val flacDecode: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("w", (lit(100) + col("doc_id") % 100).cast("int"))
+      .withColumn("flac", graft.functions.SpeechOps.synthFlac(col("doc_id") * 31,
+        col("w"), lit(16000), (col("doc_id") % 256).cast("int")))
+      .withColumn("wav", graft.functions.SpeechOps.flacToWav(col("flac")))
+      .withColumn("n_samples",
+        graft.functions.AudioOps.wavInfo(col("wav")).getField("n_samples"))
+      .select(col("doc_id"), col("n_samples"),
+        posexplode(graft.functions.AudioOps.audioWindowRms(col("wav"),
+          (col("w") * (lit(1) + pmod(col("doc_id"), lit(2)))).cast("int")))
+          .as(Seq("win", "win_rms")))
+      .select(col("doc_id"), col("n_samples"), col("win").cast("long").as("win"),
+        col("win_rms"))
+  val flacDecodeSql: String =
+    """SELECT d.doc_id,
+      |       CAST(8 * (100 + d.doc_id % 100) * (1 + d.doc_id % 2) AS BIGINT) AS n_samples,
+      |       t.win,
+      |       CASE WHEN ((d.doc_id % 256) >> CAST(t.win AS INTEGER)) & 1 = 1
+      |            THEN CAST(0 AS BIGINT)
+      |            ELSE CAST(1000 + (d.doc_id * 31) % 9000 AS BIGINT) END AS win_rms
+      |FROM documents d, generate_series(0, 7) t(win)""".stripMargin
+
+  /** Speech-corpus alignment capstone: FLAC → decode → VAD windows,
+    * SRT/VTT transcript (parity-alternating container, shared cue
+    * schedule) → cue grain, then a per-doc equi-join computing the
+    * voiced∩cued overlap in integer ms. Cues run past the audio (the
+    * realistic shape) so the clipping path is load-bearing; the
+    * oracle replays windows × cues with genuine SQL.
+    */
+  val transcriptAlign: Q = (s, d) => {
+    val base = Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val wins = base
+      .withColumn("flac", graft.functions.SpeechOps.synthFlac(col("doc_id") * 31,
+        lit(800), lit(8000), (col("doc_id") % 256).cast("int")))
+      .withColumn("wav", graft.functions.SpeechOps.flacToWav(col("flac")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.AudioOps.audioWindowRms(col("wav"),
+          (lit(800) * (lit(1) + pmod(col("doc_id"), lit(2)))).cast("int")))
+          .as(Seq("win", "win_rms")))
+    val cues = base
+      .withColumn("n_cues", (col("doc_id") % 3 + 2).cast("int"))
+      .withColumn("transcript",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          graft.functions.SpeechOps.synthSrt(col("doc_id") * 43, col("n_cues")))
+          .otherwise(graft.functions.SpeechOps.synthVtt(col("doc_id") * 43, col("n_cues"))))
+      .select(col("doc_id"), explode(graft.functions.SpeechOps.parseCues(col("transcript"))).as("c"))
+      .select(col("doc_id"), col("c.idx").as("cue_idx"),
+        col("c.start_ms").as("start_ms"), col("c.end_ms").as("end_ms"))
+    wins.join(cues, Seq("doc_id"))
+      .withColumn("ov", greatest(lit(0L),
+        least(col("end_ms"), (col("win") + 1) * 100L) -
+          greatest(col("start_ms"), col("win") * 100L)))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("cue_idx")).as("n_cues"),
+        countDistinct(when(col("win_rms") > 0, col("win"))).as("voiced_wins"),
+        coalesce(sum(when(col("win_rms") > 0, col("ov")).otherwise(0L)), lit(0L))
+          .as("voiced_cued_ms"))
+  }
+  val transcriptAlignSql: String =
+    """WITH wins AS (
+      |  SELECT d.doc_id, t.win,
+      |         CASE WHEN ((d.doc_id % 256) >> CAST(t.win AS INTEGER)) & 1 = 1
+      |              THEN 0 ELSE 1 END AS voiced
+      |  FROM documents d, generate_series(0, 7) t(win)),
+      |cues AS (
+      |  SELECT d.doc_id, c.j,
+      |         (d.doc_id * 43) % 7 * 10 + c.j * 350 AS start_ms,
+      |         (d.doc_id * 43) % 7 * 10 + c.j * 350 + 200 + (c.j % 3) * 50 AS end_ms
+      |  FROM documents d, generate_series(0, 4) c(j)
+      |  WHERE c.j < d.doc_id % 3 + 2),
+      |pairs AS (
+      |  SELECT w.doc_id, w.win, w.voiced, c.j,
+      |         greatest(0, least(c.end_ms, (w.win + 1) * 100)
+      |                     - greatest(c.start_ms, w.win * 100)) AS ov
+      |  FROM wins w JOIN cues c USING (doc_id))
+      |SELECT doc_id,
+      |       CAST(count(DISTINCT j) AS BIGINT) AS n_cues,
+      |       CAST(count(DISTINCT CASE WHEN voiced = 1 THEN win END) AS BIGINT) AS voiced_wins,
+      |       CAST(coalesce(sum(CASE WHEN voiced = 1 THEN ov ELSE 0 END), 0) AS BIGINT) AS voiced_cued_ms
+      |FROM pairs GROUP BY doc_id""".stripMargin
+
   /** Exact-rational resampling through the gate: synth at a
     * doc_id-derived rate, resample to 16 kHz, parse the OUTPUT
     * container back. Output length n·16000/src (floor) and the
@@ -2275,6 +2396,9 @@ object DomainQueries {
     "q_ipynb_cells" -> ipynbCells,
     "q_audio_meta" -> audioMeta,
     "q_audio_vad" -> audioVad,
+    "q_flac_meta" -> flacMeta,
+    "q_flac_decode" -> flacDecode,
+    "q_transcript_align" -> transcriptAlign,
     "q_audio_resample" -> audioResampleQ,
     "q_gif_frames" -> gifFrames,
     "q_gif_scene" -> gifScene,
@@ -2358,6 +2482,9 @@ object DomainQueries {
     "q_sign_pipeline" -> signPipelineSql,
     "q_audio_meta" -> audioMetaSql,
     "q_audio_vad" -> audioVadSql,
+    "q_flac_meta" -> flacMetaSql,
+    "q_flac_decode" -> flacDecodeSql,
+    "q_transcript_align" -> transcriptAlignSql,
     "q_audio_resample" -> audioResampleSql,
     "q_gif_frames" -> gifFramesSql,
     "q_gif_scene" -> gifSceneSql,

@@ -12,7 +12,7 @@ import java.nio.charset.StandardCharsets
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
   * tar, rtf, ole (legacy .doc/.xls/.msg — classified for quarantine,
-  * no extractor), mbox, jpeg, png, gif, tiff, avro, wav, avi, html,
+  * no extractor), mbox, jpeg, png, gif, tiff, avro, wav, flac, avi, html,
   * mediawiki (dump-XML shards), xml, text, binary, empty.
   */
 object FormatDetect {
@@ -78,6 +78,7 @@ object FormatDetect {
     if (b.length >= 4 && (b(0) & 0xff) == 0x89 && startsWith(b, "PNG", 1)) return "png"
     if (startsWith(b, "GIF8")) return "gif"
     if (startsWith(b, "RIFF") && startsWith(b, "WAVE", 8)) return "wav"
+    if (FlacCodec.isFlac(b)) return "flac"
     if (startsWith(b, "RIFF") && startsWith(b, "AVI ", 8)) return "avi"
     if (TiffCodec.isTiff(b)) return "tiff"
     if (AvroCodec.isAvro(b)) return "avro"
