@@ -90,6 +90,7 @@ object GraftFunctions {
     "synth_pdf_ccitt" -> (a => PdfOps.synthPdfCcitt(a.head, a(1), a(2))),
     "synth_pdf_text" -> (a => PdfOps.synthPdfText(a.head, a(1))),
     "synth_pdf_widths" -> (a => PdfOps.synthPdfWidths(a.head, a(1))),
+    "synth_pdf_cjk" -> (a => PdfOps.synthPdfCjk(a.head, a(1))),
     "wav_info" -> (a => AudioOps.wavInfo(a.head)),
     "robots_allowed" -> (a => RobotsOps.robotsAllowed(a.head, a(1), a(2))),
     "robots_crawl_delay" -> (a => RobotsOps.robotsCrawlDelay(a.head, a(1))),

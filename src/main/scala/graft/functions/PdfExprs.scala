@@ -450,6 +450,26 @@ case class SynthPdfWidthsExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_pdf_widths"
 }
 
+/** CJK fixture ([[graft.sources.PdfText.composeCjkFixture]]): (seed,
+  * nPages) → PDF bytes over predefined UniGB-UCS2-H / UniJIS-UCS2-V
+  * CMaps with NO /ToUnicode — the oracle-gate entry for UCS2 decode
+  * and the vertical pen model.
+  */
+case class SynthPdfCjkExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    PdfText.composeCjkFixture(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.PdfText.composeCjkFixture($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthPdfCjkExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_pdf_cjk"
+}
+
 /** Text-document fixture with OPTIONAL encryption: variant 0-3 wraps
   * [[graft.sources.PdfText.composeTextFixture]] in the corresponding
   * standard-security-handler shape ([[PdfCrypt]]); any other variant
@@ -537,6 +557,8 @@ object PdfOps {
     GraftExpr.toColumn(SynthPdfTextExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
   def synthPdfWidths(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthPdfWidthsExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
+  def synthPdfCjk(seed: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthPdfCjkExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
   def synthPdfTextEnc(seed: Column, nPages: Column, variant: Column): Column =
     GraftExpr.toColumn(SynthPdfTextEncExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(nPages), GraftExpr.toExpr(variant)))

@@ -680,6 +680,29 @@ object DomainQueries {
       |       CAST(sum(length(page_text)) AS BIGINT) AS n_chars
       |FROM t GROUP BY doc_id""".stripMargin
 
+  /** CJK extraction under the hash gate: predefined UniGB-UCS2-H /
+    * UniJIS-UCS2-V CMaps with NO /ToUnicode (2-byte codes decode as
+    * BMP code points), a sub-threshold horizontal kern that must NOT
+    * split, and a two-column vertical block whose /DW2 pen turns the
+    * encoded Td gap into exactly one space and the column change into
+    * a line break. The oracle replays the full extracted text of
+    * every page closed-form.
+    */
+  val pdfCjk: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("pdf", graft.functions.PdfOps.synthPdfCjk(col("doc_id") * 23,
+        (col("doc_id") % 3 + 1).cast("int")))
+      .select(col("doc_id"),
+        posexplode(graft.functions.PdfOps.pdfText(col("pdf"))).as(Seq("p", "text")))
+      .select(col("doc_id"), col("p").cast("long").as("p"), col("text"))
+  val pdfCjkSql: String =
+    """SELECT d.doc_id, CAST(p.p AS BIGINT) AS p,
+      |       '中文测试OK' || (d.doc_id * 23 + p.p) % 10 || chr(10) ||
+      |       '繁体字 下一' || chr(10) || '列' AS text
+      |FROM documents d, generate_series(0, 2) p(p)
+      |WHERE p.p <= d.doc_id % 3""".stripMargin
+
   /** The document-corpus capstone: a MIXED shard of plaintext and
     * encrypted text PDFs (variant cycles RC4-40/RC4-128/AES-128/
     * AES-256/plain by doc_id) flows decrypt → parse → text-extract →
@@ -2377,6 +2400,7 @@ object DomainQueries {
     "q_pdf_encrypted" -> pdfEncrypted,
     "q_pdf_text" -> pdfText,
     "q_pdf_widths" -> pdfWidths,
+    "q_pdf_cjk" -> pdfCjk,
     "q_pdf_filters" -> pdfFilters,
     "q_pdf_ccitt" -> pdfCcitt,
     "q_tiff_meta" -> tiffMeta,
@@ -2461,6 +2485,7 @@ object DomainQueries {
     "q_pdf_encrypted" -> pdfEncryptedSql,
     "q_pdf_text" -> pdfTextSql,
     "q_pdf_widths" -> pdfWidthsSql,
+    "q_pdf_cjk" -> pdfCjkSql,
     "q_pdf_filters" -> pdfFiltersSql,
     "q_pdf_ccitt" -> pdfCcittSql,
     "q_tiff_meta" -> tiffMetaSql,

@@ -45,14 +45,22 @@ import PdfCodec._
   * Fonts with no width data keep the fixed-threshold behavior and
   * skip the pen model (advance unknowable).
   *
-  * Out of subset (documented): non-Identity CID CMaps (predefined
-  * CJK CMap tables), vertical PEN advances (Identity-V text still DECODES correctly in
-  * stream order — spec-pinned — since Type0 decode routes through
-  * /ToUnicode regardless of writing mode; only the spacing model is
-  * horizontal-only), cross-column reading-order reconstruction. The
-  * goal is linear reading order of the stream, which is what every
-  * corpus extractor (incl. the reference's PyMuPDF "text" mode)
-  * emits for single-column documents.
+  * CJK: the predefined Uni{GB,CNS,JIS,KS}-UCS2-{H,V} CMap families
+  * decode WITHOUT /ToUnicode — their code space is UCS-2, so the
+  * 2-byte code IS the BMP code point (the compact-table fact that
+  * makes these CMaps shippable). Vertical (-V) fonts get a vertical
+  * PEN: shows advance down the column by the descendant's /DW2
+  * magnitude, same-column y-jumps past the pen read as gaps, and
+  * x-motion opens a new column (newline) — so vertical CJK extracts
+  * in column order with sane breaks.
+  *
+  * Out of subset (documented): predefined -UTF16 and CID-keyed
+  * (non-UCS2) CMap tables, per-CID /W2 vertical widths (only /DW2),
+  * vertical pens under a scaled Tm, cross-column reading-order
+  * reconstruction beyond stream order. The goal is linear reading
+  * order of the stream, which is what every corpus extractor (incl.
+  * the reference's PyMuPDF "text" mode) emits for single-column
+  * documents.
   *
   * Scale shape: bytes → string per row, no Spark state; rides inside
   * codegen via `graft.functions.PdfOps.pdfText` like the other codec
@@ -183,11 +191,17 @@ object PdfText {
     * thousandths of em — `widths` (simple, per byte code; null =
     * font declared none), `cidW`+`dw` (Type0), and `spaceW` (the
     * space glyph's advance; 0 = unknown → [[SpaceKern]] fallback).
+    * `ucs2` marks the predefined Uni*-UCS2 CMap families, whose
+    * 2-byte codes ARE BMP code points (decode without /ToUnicode);
+    * `vertical` marks a -V writing mode (pen advances down the
+    * column by `dw2` — the descendant's /DW2 magnitude, default
+    * 1000 per ISO 32000 §9.7.4.3).
     */
   private final case class Font(table: Array[Int], toUnicode: Map[Int, String],
                                 twoByte: Boolean, widths: Array[Double] = null,
                                 cidW: Map[Int, Double] = Map.empty, dw: Double = 1000.0,
-                                spaceW: Double = 0.0)
+                                spaceW: Double = 0.0, ucs2: Boolean = false,
+                                vertical: Boolean = false, dw2: Double = 1000.0)
 
   private val DefaultFont = Font(null, Map.empty, twoByte = false)
 
@@ -220,6 +234,24 @@ object PdfText {
         }
         t
       case _ => null
+    }
+
+  /** Magnitude of the descendant's /DW2 vertical displacement (the
+    * second array element, typically −1000); 1000 when absent.
+    */
+  private def parseDw2(doc: PdfDoc, d: PDict): Double =
+    resolve(doc, d.get("DescendantFonts").getOrElse(PNull)) match {
+      case PArr(items) if items.nonEmpty => resolve(doc, items.head) match {
+        case dd: PDict => resolve(doc, dd.get("DW2").getOrElse(PNull)) match {
+          case PArr(vals) if vals.length >= 2 => resolve(doc, vals(1)) match {
+            case PNum(w1) => math.abs(w1)
+            case _ => 1000.0
+          }
+          case _ => 1000.0
+        }
+        case _ => 1000.0
+      }
+      case _ => 1000.0
     }
 
   /** Type0 /DescendantFonts[0] → (/W CID-width map, /DW default).
@@ -277,11 +309,25 @@ object PdfText {
       val toUni = parseToUnicode(doc, d)
       if (subtype == "Type0") {
         val (cidW, dw) = parseCidWidths(doc, d)
+        val encName = resolve(doc, d.get("Encoding").getOrElse(PNull)) match {
+          case PName(s) => s; case _ => ""
+        }
+        // Uni{GB,CNS,JIS,KS}-UCS2-{H,V}: the code space IS UCS-2, so
+        // codes decode to BMP code points with no /ToUnicode needed —
+        // the compact-table fact that makes predefined CJK CMaps
+        // shippable (the -UTF16/CID-keyed families stay out of subset)
+        val ucs2 = encName.startsWith("Uni") && encName.contains("-UCS2-")
+        val vertical = encName.endsWith("-V")
         // the space glyph's advance = width of the LOWEST code
-        // /ToUnicode maps to " " (deterministic under map ordering)
+        // /ToUnicode maps to " " (deterministic under map ordering);
+        // UCS2 fonts know the space code outright
         val spaceCodes = toUni.collect { case (c, s) if s == " " => c }
-        val spaceW = if (spaceCodes.isEmpty) 0.0 else cidW.getOrElse(spaceCodes.min, dw)
-        Font(null, toUni, twoByte = true, cidW = cidW, dw = dw, spaceW = spaceW)
+        val spaceW =
+          if (spaceCodes.nonEmpty) cidW.getOrElse(spaceCodes.min, dw)
+          else if (ucs2) cidW.getOrElse(32, dw)
+          else 0.0
+        Font(null, toUni, twoByte = true, cidW = cidW, dw = dw, spaceW = spaceW,
+          ucs2 = ucs2, vertical = vertical, dw2 = parseDw2(doc, d))
       } else {
         val table: Array[Int] = resolve(doc, d.get("Encoding").getOrElse(PNull)) match {
           case PName("WinAnsiEncoding") => winAnsi
@@ -438,7 +484,14 @@ object PdfText {
       var i = 0
       while (i + 1 < bytes.length) {
         val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
-        out.append(f.toUnicode.getOrElse(code, "�"))
+        f.toUnicode.get(code) match {
+          case Some(s) => out.append(s)
+          case None =>
+            // UCS2 CMaps: the code IS the BMP code point (surrogate
+            // range is not a character — keep the replacement contract)
+            if (f.ucs2 && !(code >= 0xD800 && code <= 0xDFFF)) out.append(code.toChar)
+            else out.append('�')
+        }
         i += 2
       }
     } else {
@@ -494,6 +547,14 @@ object PdfText {
     var tmA = 1.0
     var curX = Double.NaN // pen x in RENDERED units (text units × tmA); NaN = unknowable
     var lineX = 0.0 // line-matrix origin x, rendered units (Td tx scales by tmA)
+    // vertical-writing (-V CMap) pen: text flows DOWN a column, so the
+    // pen advances along −y by dw2-scaled glyph counts; a same-column
+    // y-jump past the pen is an encoded gap (space), an x-motion is a
+    // new column (newline). Scaled/rotated Tm is out of subset for the
+    // vertical pen (curYv goes NaN like the horizontal one).
+    var curYv = Double.NaN // vertical pen y; NaN = unknowable
+    var lineY = 0.0 // line-matrix origin y (vertical blocks)
+    def isVert: Boolean = font != null && font.vertical
     def newline(): Unit = {
       while (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
       if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
@@ -525,6 +586,25 @@ object PdfText {
       }
       curX = if (tmA.isNaN) Double.NaN else newX
     }
+    /** Vertical pen: advance DOWN by dw2·fontSize per glyph (Tc adds
+      * along the column, ISO 32000 §9.3.2).
+      */
+    def penShowV(bytes: Array[Byte]): Unit = if (!curYv.isNaN) {
+      val (_, glyphs, _) = showAdvance(font, bytes)
+      if (fontSize <= 0 || tmA.isNaN || tmA != 1.0)
+        curYv = Double.NaN // scaled Tm + vertical pen: out of subset
+      else curYv -= glyphs * (font.dw2 / 1000.0 * fontSize) + glyphs * charSpace
+    }
+    /** Same-column y-reposition: a DOWNWARD jump past the vertical pen
+      * wider than the word-break threshold reads as a gap.
+      */
+    def penJumpV(newY: Double): Unit = {
+      if (!curYv.isNaN && fontSize > 0) {
+        val gapThousandths = (curYv - newY) * 1000.0 / fontSize
+        if (gapThousandths > spaceThreshold(font)) space()
+      }
+      curYv = if (tmA.isNaN || tmA != 1.0) Double.NaN else newY
+    }
 
     val lx = new Lexer(page.content, 0)
     val operands = mutable.ArrayBuffer[PVal]()
@@ -545,21 +625,26 @@ object PdfText {
           case "Tc" if operands.nonEmpty => charSpace = num(operands.last)
           case "Tw" if operands.nonEmpty => wordSpace = num(operands.last)
           case "Tz" if operands.nonEmpty => hScale = num(operands.last) / 100.0
-          case "Td" if operands.length >= 2 =>
+          case "Td" | "TD" if operands.length >= 2 =>
             val tx = num(operands(operands.length - 2))
             val ty = num(operands.last)
-            lineX += tx * tmA // Td translates the LINE matrix: rendered Δx = tx·a
-            if (ty != 0.0) { newline(); curY += ty; curX = lineX }
-            else penJump(lineX)
-          case "TD" if operands.length >= 2 =>
-            val tx = num(operands(operands.length - 2))
-            val ty = num(operands.last)
-            leading = -ty
-            lineX += tx * tmA
-            if (ty != 0.0) { newline(); curY += ty; curX = lineX }
-            else penJump(lineX)
+            if (op == "TD") leading = -ty
+            if (isVert) {
+              // vertical: y-motion advances down the COLUMN (gap
+              // check), x-motion opens a new column (line break)
+              lineX += tx
+              lineY += ty
+              if (tx != 0.0) { newline(); curYv = lineY }
+              else penJumpV(lineY)
+            } else {
+              lineX += tx * tmA // Td translates the LINE matrix: rendered Δx = tx·a
+              if (ty != 0.0) { newline(); curY += ty; curX = lineX }
+              else penJump(lineX)
+            }
           case "TL" if operands.nonEmpty => leading = num(operands.last)
-          case "T*" => newline(); curY -= leading; curX = lineX
+          case "T*" =>
+            newline(); curY -= leading; curX = lineX
+            curYv = Double.NaN // vertical leading is out of subset
           case "Tm" if operands.length >= 6 =>
             val a = num(operands(operands.length - 6))
             val bSkew = num(operands(operands.length - 5))
@@ -567,20 +652,33 @@ object PdfText {
             val y = num(operands.last)
             val x = num(operands(operands.length - 2))
             tmA = if (bSkew == 0.0 && cSkew == 0.0 && a > 0) a else Double.NaN
-            val sameLine = haveY && math.abs(y - curY) <= 1e-6
-            if (haveY && !sameLine) newline()
-            curY = y; haveY = true
-            lineX = x
-            if (sameLine) penJump(x) else curX = if (tmA.isNaN) Double.NaN else x
+            if (isVert) {
+              // vertical: the COLUMN is identified by x; same column →
+              // judge the y-jump against the pen, new column → newline
+              val sameCol = haveY && math.abs(x - lineX) <= 1e-6
+              if (haveY && !sameCol) newline()
+              curY = y; haveY = true
+              lineX = x; lineY = y
+              if (sameCol) penJumpV(y)
+              else curYv = if (tmA.isNaN || tmA != 1.0) Double.NaN else y
+            } else {
+              val sameLine = haveY && math.abs(y - curY) <= 1e-6
+              if (haveY && !sameLine) newline()
+              curY = y; haveY = true
+              lineX = x; lineY = y
+              if (sameLine) penJump(x) else curX = if (tmA.isNaN) Double.NaN else x
+            }
           case "Tj" if operands.nonEmpty =>
             operands.last match {
-              case PStr(b) => decodeShow(font, b, sb); penShow(b)
+              case PStr(b) => decodeShow(font, b, sb)
+                if (isVert) penShowV(b) else penShow(b)
               case _ =>
             }
           case "'" if operands.nonEmpty =>
-            newline(); curY -= leading; curX = lineX
+            newline(); curY -= leading; curX = lineX; curYv = Double.NaN
             operands.last match {
-              case PStr(b) => decodeShow(font, b, sb); penShow(b)
+              case PStr(b) => decodeShow(font, b, sb)
+                if (isVert) penShowV(b) else penShow(b)
               case _ =>
             }
           case "\"" if operands.nonEmpty =>
@@ -591,9 +689,10 @@ object PdfText {
               wordSpace = num(operands(operands.length - 3))
               charSpace = num(operands(operands.length - 2))
             }
-            newline(); curY -= leading; curX = lineX
+            newline(); curY -= leading; curX = lineX; curYv = Double.NaN
             operands.last match {
-              case PStr(b) => decodeShow(font, b, sb); penShow(b)
+              case PStr(b) => decodeShow(font, b, sb)
+                if (isVert) penShowV(b) else penShow(b)
               case _ =>
             }
           case "TJ" if operands.nonEmpty =>
@@ -601,16 +700,22 @@ object PdfText {
               case PArr(items) =>
                 val thr = spaceThreshold(font)
                 items.foreach {
-                  case PStr(b) => decodeShow(font, b, sb); penShow(b)
+                  case PStr(b) => decodeShow(font, b, sb)
+                    if (isVert) penShowV(b) else penShow(b)
                   case PNum(n) =>
                     if (-n > thr) space()
-                    if (!curX.isNaN && fontSize > 0) curX -= n / 1000.0 * fontSize * hScale * tmA
+                    if (isVert) {
+                      // vertical kern translates along the column
+                      if (!curYv.isNaN && fontSize > 0) curYv += n / 1000.0 * fontSize
+                    } else if (!curX.isNaN && fontSize > 0)
+                      curX -= n / 1000.0 * fontSize * hScale * tmA
                   case _ =>
                 }
               case _ =>
             }
           case "BT" =>
             curY = 0.0; haveY = true; leading = 0.0; lineX = 0.0; curX = 0.0; tmA = 1.0
+            lineY = 0.0; curYv = 0.0
           case "ET" =>
           case "" => lx.p += 1
           case _ =>
@@ -755,6 +860,70 @@ object PdfText {
     */
   def expectedWidthText(seed: Long, p: Int): String =
     s"alpha beta gamma\nWide font line\ngap joined\nW $seed p $p end"
+
+  /** CJK fixture: `nPages` pages over two Type0 fonts on PREDEFINED
+    * UCS2 CMaps with NO /ToUnicode — a horizontal UniGB-UCS2-H line
+    * (2-byte codes decode as BMP code points; a −100 kern sits below
+    * the dw-derived threshold and must NOT split) and a vertical
+    * UniJIS-UCS2-V block over two columns: three glyphs advance the
+    * vertical pen by /DW2, a 0 −86 Td jump past the pen is an encoded
+    * gap (space), an exactly-abutting 0 −12 Td is not, and the
+    * column change (new Tm x) is a line break. Extracted text is
+    * [[expectedCjkText]], a pure function of (seed, page).
+    */
+  def composeCjkFixture(seed: Long, nPages: Int): Array[Byte] = {
+    val n = math.max(1, nPages)
+    val out = new java.io.ByteArrayOutputStream(1024 * n)
+    val offsets = mutable.Map[Int, Int]()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    def beginObj(num: Int): Unit = { offsets(num) = out.size(); w(s"$num 0 obj\n") }
+    w("%PDF-1.4\n%âãÏÓ\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val pageNums = (0 until n).map(i => 7 + 2 * i)
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] " +
+      s"/Count $n /Resources << /Font << /F6 3 0 R /F7 5 0 R >> >> >>\nendobj\n")
+    beginObj(3)
+    w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftGB " +
+      "/Encoding /UniGB-UCS2-H /DescendantFonts [4 0 R] >>\nendobj\n")
+    beginObj(4)
+    w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /GraftGB /DW 1000 >>\nendobj\n")
+    beginObj(5)
+    w("<< /Type /Font /Subtype /Type0 /BaseFont /GraftJP " +
+      "/Encoding /UniJIS-UCS2-V /DescendantFonts [6 0 R] >>\nendobj\n")
+    beginObj(6)
+    w("<< /Type /Font /Subtype /CIDFontType0 /BaseFont /GraftJP " +
+      "/DW 1000 /DW2 [880 -1000] >>\nendobj\n")
+    (0 until n).foreach { p =>
+      val (pn, cn) = (7 + 2 * p, 8 + 2 * p)
+      beginObj(pn)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $cn 0 R >>\nendobj\n")
+      val digit = ((seed + p) % 10 + 10) % 10
+      val content =
+        (s"BT\n/F6 12 Tf\n72 700 Td\n<4E2D6587> Tj\n" +
+          f"[<6D4B8BD5> -100 <004F004B${0x30 + digit}%04X>] TJ\nET\n" +
+          "BT\n/F7 12 Tf\n1 0 0 1 300 700 Tm\n<7E414F535B57> Tj\n" +
+          "0 -86 Td\n<4E0B> Tj\n0 -12 Td\n<4E00> Tj\n" +
+          "1 0 0 1 280 700 Tm\n<5217> Tj\nET\n")
+          .getBytes(StandardCharsets.ISO_8859_1)
+      beginObj(cn)
+      w(s"<< /Length ${content.length} >>\nstream\n"); out.write(content)
+      w("\nendstream\nendobj\n")
+    }
+    val size = 7 + 2 * n
+    val xrefOff = out.size()
+    w(s"xref\n0 $size\n0000000000 65535 f \n")
+    (1 until size).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $size /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** The text [[composeCjkFixture]] extracts for page `p` of seed
+    * `seed`: the UCS2-decoded horizontal line (kern joined) and the
+    * vertical block in column order with the Td-gap space.
+    */
+  def expectedCjkText(seed: Long, p: Int): String =
+    s"中文测试OK${((seed + p) % 10 + 10) % 10}\n繁体字 下一\n列"
 
   /** The /Info /Title [[composeTextFixture]] embeds (UTF-16BE with an
     * em dash, proving the §7.9.2.2 BOM path end to end).

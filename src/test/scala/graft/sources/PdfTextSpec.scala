@@ -287,6 +287,50 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(content, Map("F1" -> font), Seq(stream, desc))) === "繁繂繃")
   }
 
+  test("CJK fixture round trip: UCS2 decode + vertical pen, all page counts") {
+    for (n <- 1 to 3) {
+      val pdf = PdfText.composeCjkFixture(23L + n, n)
+      val texts = PdfText.extractAll(pdf)
+      assert(texts.length === n)
+      (0 until n).foreach { p =>
+        assert(texts(p) === PdfText.expectedCjkText(23L + n, p), s"page $p of $n")
+      }
+    }
+  }
+
+  test("UCS2 CMap decode: no ToUnicode needed; explicit ToUnicode still overrides") {
+    val desc = "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X >>"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /UniKS-UCS2-H /DescendantFonts [10 0 R] >>"
+    val content = "BT /F1 10 Tf 72 700 Td <D55CAE00> Tj ET" // 한글
+    assert(extract(doc1(content, Map("F1" -> font), Seq(desc))) === "한글")
+    // surrogate-range codes are not characters → replacement
+    val bad = "BT /F1 10 Tf 72 700 Td <D800> Tj ET"
+    assert(extract(doc1(bad, Map("F1" -> font), Seq(desc))) === "�")
+    // a ToUnicode CMap wins over the UCS2 identity
+    val cmap = "1 beginbfchar <D55C> <0041> endbfchar"
+    val stream = s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream"
+    val font2 = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /UniKS-UCS2-H /DescendantFonts [11 0 R] /ToUnicode 10 0 R >>"
+    assert(extract(doc1("BT /F1 10 Tf 72 700 Td <D55CAE00> Tj ET",
+      Map("F1" -> font2), Seq(stream, desc))) === "A글")
+  }
+
+  test("vertical pen: DW2 advances, same-column gap spaces, abutting jump does not") {
+    val desc = "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X /DW2 [880 -500] >>"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /UniJIS-UCS2-V /DescendantFonts [10 0 R] >>"
+    // DW2 magnitude 500 → each glyph advances 5u at 10pt. Two glyphs
+    // from y=700 → pen 690. Td 0 -10 abuts (no space); then one glyph
+    // → 685; Td 0 -40 → 650 jumps 35u = 3500‰ > 500 → space.
+    val content = "BT /F1 10 Tf 1 0 0 1 300 700 Tm <4E2D6587> Tj " +
+      "0 -10 Td <4E00> Tj 0 -40 Td <4E8C> Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(desc))) === "中文一 二")
+    // vertical TJ kern: -n past the threshold is a gap, small kern is not
+    val kern = "BT /F1 10 Tf 1 0 0 1 300 700 Tm [<4E2D> -100 <6587> -900 <4E00>] TJ ET"
+    assert(extract(doc1(kern, Map("F1" -> font), Seq(desc))) === "中文 一")
+  }
+
   test("decrypt-then-extract: encrypted text documents extract identically") {
     val plain = PdfText.composeTextFixture(777L, 2)
     val want = PdfText.extractAll(plain).toSeq
