@@ -291,6 +291,76 @@ case class SynthWikiDumpExpr(left: Expression, right: Expression)
   override def prettyName: String = "synth_wiki_dump"
 }
 
+/** `gunzip_text(bin)` → UTF-8 text of all concatenated gzip members
+  * ([[graft.sources.GzipShard.gunzipAll]]); null for non-gzip bytes.
+  */
+case class GunzipTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val raw = graft.sources.GzipShard.gunzipAll(b.asInstanceOf[Array[Byte]])
+    if (raw == null) null else UTF8String.fromBytes(raw)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("gz")
+      s"""
+         |byte[] $r = graft.sources.GzipShard.gunzipAll($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): GunzipTextExpr = copy(child = c)
+  override def prettyName: String = "gunzip_text"
+}
+
+/** `jsonl_gz_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.gz` shard ([[graft.sources.GzipShard.jsonlGzText]]) — the
+  * dispatch branch for pretraining shards.
+  */
+case class JsonlGzTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.GzipShard.jsonlGzText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jl")
+      s"""
+         |String $r = graft.sources.GzipShard.jsonlGzText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlGzTextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_gz_text"
+}
+
+/** `synth_jsonl_gz(seed, n_members, lines_per)` — deterministic
+  * multi-member `.jsonl.gz` fixture ([[graft.sources.GzipShard]]).
+  */
+case class SynthJsonlGzExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.GzipShard.synthJsonlGz(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.GzipShard.synthJsonlGz($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlGzExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_gz"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -415,6 +485,13 @@ object CodeOps {
     GraftExpr.toColumn(SynthWikitextExpr(GraftExpr.toExpr(seed)))
   def synthWikiDump(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthWikiDumpExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
+  def gunzipText(bin: Column): Column =
+    GraftExpr.toColumn(GunzipTextExpr(GraftExpr.toExpr(bin)))
+  def jsonlGzText(bin: Column): Column =
+    GraftExpr.toColumn(JsonlGzTextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlGz(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlGzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
   def csvSniff(text: Column): Column =
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))
   def sentSplit(text: Column): Column =

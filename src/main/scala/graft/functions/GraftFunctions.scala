@@ -122,6 +122,9 @@ object GraftFunctions {
     "wiki_dump_text" -> (a => CodeOps.wikiDumpText(a.head)),
     "synth_wikitext" -> (a => CodeOps.synthWikitext(a.head)),
     "synth_wiki_dump" -> (a => CodeOps.synthWikiDump(a.head, a(1))),
+    "gunzip_text" -> (a => CodeOps.gunzipText(a.head)),
+    "jsonl_gz_text" -> (a => CodeOps.jsonlGzText(a.head)),
+    "synth_jsonl_gz" -> (a => CodeOps.synthJsonlGz(a.head, a(1), a(2))),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),

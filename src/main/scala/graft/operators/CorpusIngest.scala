@@ -33,6 +33,7 @@ object CorpusIngest {
           array_join(graft.functions.OfficeOps.mboxMessages(payload).getField("text"), "\n"))
         .when(format === "mediawiki",
           graft.functions.CodeOps.wikiDumpText(decode(payload, "UTF-8")))
+        .when(format === "jsonl-gz", graft.functions.CodeOps.jsonlGzText(payload))
         .when(format === "html" || format === "text",
           graft.functions.Mojibake.fixMojibake(
             when(format === "html",

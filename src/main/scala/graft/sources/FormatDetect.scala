@@ -10,7 +10,7 @@ import java.nio.charset.StandardCharsets
   * archive, a gzip member sniffs for WARC. Pure function of the
   * bytes; total (any input maps to a label, null only for null).
   *
-  * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, gzip,
+  * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
   * tar, rtf, ole (legacy .doc/.xls/.msg — classified for quarantine,
   * no extractor), mbox, jpeg, png, gif, tiff, avro, wav, flac, avi, html,
   * mediawiki (dump-XML shards), xml, text, binary, empty.
@@ -70,7 +70,11 @@ object FormatDetect {
         in.close()
         if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
       } catch { case _: Exception => Array.emptyByteArray }
-      return if (startsWith(head, "WARC/")) "warc-gz" else "gzip"
+      // JSON-object-per-line shards (the Pile/RedPajama form) open
+      // with '{' — refine so dispatch can route to the jsonl extractor
+      return if (startsWith(head, "WARC/")) "warc-gz"
+      else if (head.nonEmpty && head(0) == '{') "jsonl-gz"
+      else "gzip"
     }
     if (startsWith(b, "WARC/")) return "warc"
     if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)

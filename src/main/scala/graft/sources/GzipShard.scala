@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Gzipped-JSONL shard ingestion — the Pile/RedPajama shard form
+  * (`.jsonl.gz`: one JSON object per line, the whole file one or more
+  * concatenated gzip members). Reuses the WARC layer's
+  * member-iterating `GZIPInputStream` discipline ([[WarcCodec]]);
+  * the `text`-field convention is what public pretraining shards use.
+  * zstd/xz shard compression is absent-by-constraint (no pure-JDK
+  * decoder; zero-egress build), documented next to the video codecs.
+  *
+  * Scale shape: one shard = one row = one member-iterating
+  * decompress — embarrassingly parallel across shards, no Spark
+  * state; at 100 TB the shard grain IS the parallelism grain
+  * (RedPajama ships ~GB-sized shards), so `maxPartitionBytes` on the
+  * scan is the only knob.
+  */
+object GzipShard {
+
+  def isGzip(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Concatenated-member decompress; damaged trailing members yield
+    * the bytes decoded so far (the WARC partial-parse promise). Null
+    * for non-gzip input.
+    */
+  def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    if (!isGzip(b)) return null
+    val out = new ByteArrayOutputStream(math.max(64, b.length * 4))
+    var in: GZIPInputStream = null
+    try {
+      in = new GZIPInputStream(new ByteArrayInputStream(b), 8192)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+    } catch { case _: Exception => () }
+    finally {
+      if (in != null) try in.close() catch { case _: Exception => () }
+    }
+    out.toByteArray
+  }
+
+  /** One gzip member per part, concatenated (close() per member —
+    * finish() alone leaks the native Deflater, see WarcCodec).
+    */
+  def gzipMembers(parts: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    parts.foreach { p =>
+      val gz = new GZIPOutputStream(out)
+      gz.write(p)
+      gz.close()
+    }
+    out.toByteArray
+  }
+
+  /** Extract one top-level `"text"` string member from a JSON line —
+    * a bounded scanner with full JSON string-escape handling, not a
+    * whole-document parse (the dispatch hot path wants one codegen'd
+    * pass; the oracle-gated q_jsonl_gz uses the engine's real
+    * `from_json` for the schema-true read). Null when the line has no
+    * parseable text member.
+    */
+  private[sources] def textField(line: String): String = {
+    val key = "\"text\""
+    var at = line.indexOf(key)
+    while (at >= 0) {
+      var i = at + key.length
+      val n = line.length
+      while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+      if (i < n && line.charAt(i) == ':') {
+        i += 1
+        while (i < n && (line.charAt(i) == ' ' || line.charAt(i) == '\t')) i += 1
+        if (i < n && line.charAt(i) == '"') {
+          i += 1
+          val sb = new java.lang.StringBuilder()
+          while (i < n) {
+            val c = line.charAt(i)
+            if (c == '"') return sb.toString
+            else if (c == '\\' && i + 1 < n) {
+              line.charAt(i + 1) match {
+                case '"' => sb.append('"'); i += 2
+                case '\\' => sb.append('\\'); i += 2
+                case '/' => sb.append('/'); i += 2
+                case 'n' => sb.append('\n'); i += 2
+                case 't' => sb.append('\t'); i += 2
+                case 'r' => sb.append('\r'); i += 2
+                case 'b' => sb.append('\b'); i += 2
+                case 'f' => sb.append('\f'); i += 2
+                case 'u' if i + 5 < n =>
+                  try {
+                    sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+                    i += 6
+                  } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+                case _ => sb.append(c); i += 1
+              }
+            } else { sb.append(c); i += 1 }
+          }
+          return null // unterminated string
+        }
+      }
+      at = line.indexOf(key, at + 1)
+    }
+    null
+  }
+
+  /** `.jsonl.gz` shard → newline-joined `text` fields of its lines —
+    * the one-projection dispatch branch (lines without a text member
+    * skip).
+    */
+  def jsonlGzText(b: Array[Byte]): String = {
+    val raw = gunzipAll(b)
+    if (raw == null) return null
+    new String(raw, UTF_8).split("\n")
+      .iterator.map(textField).filter(_ != null).mkString("\n")
+  }
+
+  /** Deterministic `.jsonl.gz` fixture: `nMembers` gzip members, each
+    * `linesPer` JSON lines — line l of member m carries id
+    * `seed·1000 + m·10 + l`, a text with an escaped quote and tab
+    * (exercising string unescape both in `from_json` and the
+    * dispatch scanner), a 2-way lang, and an integer score.
+    */
+  def synthJsonlGz(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val parts = (0 until math.max(1, nMembers)).map { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      sb.toString.getBytes(UTF_8)
+    }
+    gzipMembers(parts)
+  }
+}

@@ -513,19 +513,37 @@ object EventPipeline {
   /** Exactly-once WITHIN the engine: event-id dedup as managed state
     * (flatMapGroupsWithState) — redelivered ids produce no output, so
     * downstream sinks see each event once without any external
-    * registry. State is per event-id; at scale give it a timeout
-    * matched to the source's redelivery horizon.
+    * registry. State is per event-id and EVICTED by an event-time
+    * timeout once the watermark passes the event's time plus
+    * `horizon` (the source's redelivery window) — so state size is
+    * bounded by horizon × event rate, matching what this function's
+    * production twin ([[statefulDedupBounded]]) and the ledger path
+    * already guarantee. An id redelivered PAST the horizon re-admits
+    * exactly once per horizon window — the documented contract of
+    * every at-least-once source with a bounded redelivery window.
     */
-  def statefulDedup(events: Dataset[StreamEvent]): Dataset[StreamEvent] = {
+  def statefulDedup(events: Dataset[StreamEvent],
+                    horizon: String = "30 minutes"): Dataset[StreamEvent] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.event_id)
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.event_id)
       .flatMapGroupsWithState[Boolean, StreamEvent](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, evs: Iterator[StreamEvent], state: GroupState[Boolean]) =>
-          if (state.exists) Iterator.empty
+          if (state.hasTimedOut) {
+            // watermark passed first-delivery time + horizon: the
+            // source can no longer redeliver this id — evict
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) Iterator.empty
           else {
-            state.update(true)
-            evs.take(1)
+            val first = evs.take(1).toSeq
+            first.foreach { e =>
+              state.update(true)
+              // horizon anchors at FIRST delivery's event time
+              state.setTimeoutTimestamp(e.ts.getTime, horizon)
+            }
+            first.iterator
           }
       }
   }

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** .jsonl.gz shard layer: multi-member round trip, text-field scanner
+  * escapes, damaged-member partial reads, format routing, totality.
+  */
+class GzipShardSpec extends AnyFunSuite {
+  import GzipShard._
+
+  test("multi-member fixture round trips; members concatenate in order") {
+    val gz = synthJsonlGz(9L, 3, 2)
+    val text = new String(gunzipAll(gz), "UTF-8")
+    val lines = text.split("\n").filter(_.nonEmpty)
+    assert(lines.length === 6)
+    assert(lines.head.contains("\"id\": 9000"))
+    assert(lines.last.contains("\"id\": 9021"))
+  }
+
+  test("jsonlGzText extracts text fields with unescaping, skips textless lines") {
+    val gz = synthJsonlGz(3L, 1, 2)
+    val t = jsonlGzText(gz)
+    assert(t === "doc 3 m0 l0 say \"hi\"\tok\ndoc 3 m0 l1 say \"hi\"\tok")
+    val mixed = gzipMembers(Seq(
+      "{\"id\": 1}\n{\"text\": \"uni \\u00e9 ok\", \"id\": 2}\n".getBytes("UTF-8")))
+    assert(jsonlGzText(mixed) === "uni é ok")
+  }
+
+  test("textField scanner: escapes, nesting bait, absent/unterminated") {
+    assert(textField("""{"text": "a\nb\\c\"d"}""") === "a\nb\\c\"d")
+    // a "text" key inside ANOTHER string value must not fool the
+    // scanner into garbage — it lands on the later real key
+    assert(textField("""{"meta": "not \"text\": here", "text": "real"}""") === "real")
+    assert(textField("""{"id": 5}""") === null)
+    assert(textField("""{"text": "unterminated""") === null)
+    assert(textField("""{"text": 42}""") === null)
+  }
+
+  test("damaged trailing member keeps intact leading members (WARC promise)") {
+    val gz = synthJsonlGz(7L, 2, 2)
+    // find the second member's header (1f 8b) and corrupt past it
+    var second = -1
+    for (i <- 2 until gz.length - 1 if second < 0)
+      if ((gz(i) & 0xff) == 0x1f && (gz(i + 1) & 0xff) == 0x8b) second = i
+    assert(second > 0)
+    val cut = gz.take(second + 6) // truncated second member
+    val text = new String(gunzipAll(cut), "UTF-8")
+    assert(text.contains("\"id\": 7000") && !text.contains("\"id\": 7010"))
+    assert(gunzipAll("nope".getBytes) === null)
+  }
+
+  test("format routing: jsonl-gz vs gzip vs warc-gz") {
+    assert(FormatDetect.detect(synthJsonlGz(1L, 1, 1)) === "jsonl-gz")
+    assert(FormatDetect.detect(gzipMembers(Seq("plain prose".getBytes))) === "gzip")
+  }
+}

@@ -162,6 +162,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("statefulDedup evicts per-id state at the redelivery horizon; past it, exactly-once re-admission") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.statefulDedup(mem.toDF().as[StreamEvent], "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("hdedup").start()
+    try {
+      mem.addData(Ev(5, 100, "a", ts(1), 1.0), Ev(1, 100, "a", ts(1), 1.0))
+      q.processAllAvailable() // watermark still before ts(1)+10
+      mem.addData(Ev(6, 200, "a", ts(30), 1.0), Ev(1, 100, "a", ts(2), 1.0)) // 1 redelivered in-horizon
+      q.processAllAvailable() // watermark → 10:20, past id 5/1's 10:11 deadline
+      mem.addData(Ev(7, 200, "a", ts(31), 1.0)) // drives the timeout batch
+      q.processAllAvailable()
+      mem.addData(Ev(5, 100, "a", ts(25), 1.0)) // past-horizon redelivery: state evicted → re-admits ONCE
+      q.processAllAvailable()
+      mem.addData(Ev(5, 100, "a", ts(26), 1.0)) // second redelivery inside the NEW horizon: suppressed
+      q.processAllAvailable()
+      val ids = spark.table("hdedup").select("event_id").as[Long].collect().toSeq.sorted
+      assert(ids === Seq(1L, 5L, 5L, 6L, 7L))
+    } finally q.stop()
+  }
+
   private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
 
   test("bounded-state dedup drops redeliveries within the watermark horizon") {
