@@ -996,21 +996,27 @@ object DomainQueries {
       |FROM documents d, generate_series(0, 3) i(i)
       |WHERE i.i <= d.doc_id % 4""".stripMargin
 
-  /** The mixed-format ingest capstone: one shard carrying PDFs, DOCX
-    * and PPTX payloads routes each row through `format_detect`, then
-    * DISPATCHES to the matching extractor — pdf_text / docx_text /
-    * pptx_text — into one unified text column feeding the token
-    * metrics. This is the corpus front door (detect → route → extract
-    * → measure) as a single gated flow; the oracle rebuilds each
-    * branch's text closed-form and applies identical metrics.
+  /** The mixed-format ingest capstone: one shard carrying PDF, DOCX,
+    * PPTX, EPUB, MediaWiki dump-XML, and `.jsonl.gz` payloads routes
+    * each row through `format_detect`, then DISPATCHES to the matching
+    * extractor — pdf_text / docx_text / pptx_text / epub_text /
+    * wiki_dump_text / jsonl_gz_text — into one unified text column
+    * feeding the token metrics. This is the corpus front door (detect
+    * → route → extract → measure) as a single gated flow; the oracle
+    * rebuilds each branch's text closed-form and applies identical
+    * metrics.
     */
   val corpusDispatch: Q = (s, d) => {
     val seed = col("doc_id") * 79
-    val idx = pmod(col("doc_id"), lit(4))
+    val idx = pmod(col("doc_id"), lit(6))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(2)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(2)))
       .when(idx === 2, graft.functions.OfficeOps.synthPptx(seed, lit(2)))
-      .otherwise(graft.functions.OfficeOps.synthEpub(seed, lit(2)))
+      .when(idx === 3, graft.functions.OfficeOps.synthEpub(seed, lit(2)))
+      .when(idx === 4, encode(
+        graft.functions.CodeOps.synthWikiDump(seed, lit(2).cast("int")), "UTF-8"))
+      .otherwise(graft.functions.CodeOps.synthJsonlGz(seed,
+        lit(2).cast("int"), lit(2).cast("int")))
     graft.operators.CorpusIngest.withDocMetrics(
       Tables.documents(s, d).select("doc_id")
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -1024,32 +1030,54 @@ object DomainQueries {
       |           ' line one (escaped)' || chr(10) ||
       |           'kerned words here' || chr(10) || 'café three' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 4 = 0),
+      |  WHERE d.doc_id % 6 = 0),
       |docxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Para ' || p.p || ' of doc ' || (d.doc_id * 79) ||
       |           ' — café & tab:' || chr(9) || 'end' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 4 = 1),
+      |  WHERE d.doc_id % 6 = 1),
       |pptxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Slide ' || p.p || ' of deck ' || (d.doc_id * 79) || chr(10) ||
       |           'bullet & point ' || (d.doc_id * 79) % 100 AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 4 = 2),
+      |  WHERE d.doc_id % 6 = 2),
       |epubp AS (
       |  SELECT d.doc_id, p.p,
       |         'Chapter ' || p.p || chr(10) || 'Book ' || (d.doc_id * 79) ||
       |           ' prose & café line ' || p.p || '.' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 4 = 3),
+      |  WHERE d.doc_id % 6 = 3),
+      |wikip AS (
+      |  SELECT d.doc_id, p.p,
+      |         'Heading ' || (d.doc_id * 79 + p.p) || chr(10) ||
+      |         'Intro bold and italic with link text and Plain ' ||
+      |           (d.doc_id * 79 + p.p) % 5 || '.' || chr(10) || chr(10) ||
+      |         'item one ' || (d.doc_id * 79 + p.p) % 5 || chr(10) ||
+      |         'item two' || chr(10) ||
+      |         'A claim stays.' || chr(10) ||
+      |         'Visible & kept é.' || chr(10) ||
+      |         'External site label and .' || chr(10) || chr(10) || chr(10) ||
+      |         'kept ''''raw'''' ' || (d.doc_id * 79 + p.p) ||
+      |           ' tail span text – done ' || (d.doc_id * 79 + p.p) % 11 || '.' || chr(10) AS pt
+      |  FROM documents d, generate_series(0, 1) p(p)
+      |  WHERE d.doc_id % 6 = 4),
+      |jsonlp AS (
+      |  SELECT d.doc_id, m.m * 2 + l.l AS p,
+      |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
+      |           ' say "hi"' || chr(9) || 'ok' AS pt
+      |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
+      |  WHERE d.doc_id % 6 = 5),
       |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp
-      |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp),
+      |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp
+      |         UNION ALL SELECT * FROM wikip UNION ALL SELECT * FROM jsonlp),
       |j AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
       |      FROM allp GROUP BY doc_id)
       |SELECT doc_id,
-      |       CASE doc_id % 4 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
-      |            WHEN 2 THEN 'pptx' ELSE 'epub' END AS format,
+      |       CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+      |            WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub'
+      |            WHEN 4 THEN 'mediawiki' ELSE 'jsonl-gz' END AS format,
       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
       |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
       |         AS INTEGER) AS n_re_tokens,
