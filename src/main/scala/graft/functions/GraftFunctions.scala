@@ -143,6 +143,7 @@ object GraftFunctions {
     "synth_tiff_tiled" -> (a => TiffOps.synthTiffTiled(a.head, a(1), a(2), a(3))),
     "synth_tiff_jpeg" -> (a => TiffOps.synthTiffJpeg(a.head, a(1), a(2), a(3))),
     "tiff_jpeg_err" -> (a => TiffOps.tiffJpegErr(a.head, a(1), a(2))),
+    "synth_tiff_palette" -> (a => TiffOps.synthTiffPalette(a.head, a(1), a(2))),
     "avro_meta" -> (a => AvroOps.avroMeta(a.head)),
     "avro_records" -> (a => AvroOps.avroRecords(a.head)),
     "synth_avro" -> (a => AvroOps.synthAvro(a.head, a(1))),

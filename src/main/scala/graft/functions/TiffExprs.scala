@@ -251,6 +251,26 @@ case class TiffJpegErrExpr(first: Expression, second: Expression, third: Express
   override def prettyName: String = "tiff_jpeg_err"
 }
 
+/** Deterministic PALETTE TIFF fixture
+  * ([[TiffCodec.synthTiffPalette]]): photometric 3 with a 768-entry
+  * ColorMap whose channels are closed-form in the index.
+  */
+case class SynthTiffPaletteExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, w: Any, h: Any): Any =
+    TiffCodec.synthTiffPalette(seed.asInstanceOf[Long], w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, w, h) =>
+      s"${ev.value} = graft.sources.TiffCodec.synthTiffPalette($seed, $w, $h);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthTiffPaletteExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_tiff_palette"
+}
+
 /** Per-page pixel sums of a (possibly multi-page) TIFF
   * ([[TiffExprs.tiffPageSums]]): array of one R+G+B sum per chained
   * IFD; null for unparseable or partially-undecodable documents.
@@ -300,4 +320,7 @@ object TiffOps {
   def tiffJpegErr(bin: Column, mode: Column, seed: Column): Column =
     GraftExpr.toColumn(TiffJpegErrExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(mode),
       GraftExpr.toExpr(seed)))
+  def synthTiffPalette(seed: Column, w: Column, h: Column): Column =
+    GraftExpr.toColumn(SynthTiffPaletteExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(w),
+      GraftExpr.toExpr(h)))
 }

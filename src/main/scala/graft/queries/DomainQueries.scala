@@ -498,11 +498,15 @@ object DomainQueries {
         pmod(col("doc_id"), lit(4)).cast("int")))
       .withColumn("fax", graft.functions.TiffOps.synthTiffG4(col("doc_id") * 59,
         (col("doc_id") % 24 + 40).cast("int"), (col("doc_id") % 9 + 12).cast("int")))
+      .withColumn("pal", graft.functions.TiffOps.synthTiffPalette(col("doc_id") * 83,
+        (col("doc_id") % 13 + 9).cast("int"), (col("doc_id") % 5 + 7).cast("int")))
       .select(col("doc_id"),
         graft.functions.ImageOps.imagePixelSum(
           graft.functions.TiffOps.tiffDecode(col("tiff"))).as("px_gray"),
         graft.functions.ImageOps.imagePixelSum(
-          graft.functions.TiffOps.tiffDecode(col("fax"))).as("px_fax"))
+          graft.functions.TiffOps.tiffDecode(col("fax"))).as("px_fax"),
+        graft.functions.ImageOps.imagePixelSum(
+          graft.functions.TiffOps.tiffDecode(col("pal"))).as("px_palette"))
   /** Multi-page TIFF at PAGE grain: every chained IFD of a document
     * mixing all four strip codecs across its pages decodes to an
     * exact per-page pixel sum — the IFD-chain walk, per-page strip
@@ -593,9 +597,18 @@ object DomainQueries {
       |                  THEN 765 ELSE 0 END) AS s
       |  FROM documents, range(0, 64) tx(x), range(0, 21) ty(y)
       |  WHERE x < doc_id % 24 + 40 AND y < doc_id % 9 + 12
+      |  GROUP BY doc_id),
+      |p AS (
+      |  SELECT doc_id,
+      |         sum(((x*3 + y*7 + doc_id*83) % 256 * 3 + 7) % 256
+      |           + ((x*3 + y*7 + doc_id*83) % 256 * 5 + 11) % 256
+      |           + ((x*3 + y*7 + doc_id*83) % 256 * 7 + 13) % 256) AS s
+      |  FROM documents, range(0, 22) tx(x), range(0, 12) ty(y)
+      |  WHERE x < doc_id % 13 + 9 AND y < doc_id % 5 + 7
       |  GROUP BY doc_id)
-      |SELECT d.doc_id, CAST(g.s AS BIGINT) AS px_gray, CAST(f.s AS BIGINT) AS px_fax
-      |FROM documents d JOIN g USING (doc_id) JOIN f USING (doc_id)""".stripMargin
+      |SELECT d.doc_id, CAST(g.s AS BIGINT) AS px_gray, CAST(f.s AS BIGINT) AS px_fax,
+      |       CAST(p.s AS BIGINT) AS px_palette
+      |FROM documents d JOIN g USING (doc_id) JOIN f USING (doc_id) JOIN p USING (doc_id)""".stripMargin
 
   /** PDF TEXT extraction under the hash gate — the pdf→text capability
     * an LLM-corpus pipeline runs on every document shard. Each doc is

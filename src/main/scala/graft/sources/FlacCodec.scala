@@ -428,8 +428,9 @@ object FlacCodec {
     * per-frame subframe rotation: silence → CONSTANT, else frame
     * index mod 3 picks FIXED-2 / VERBATIM / an LPC encoding of the
     * fixed-2 predictor (coefs [2, −1], shift 0 — identical residuals,
-    * genuine LPC bitstream). Stereo frames alternate independent and
-    * mid/side decorrelation.
+    * genuine LPC bitstream). Stereo frames rotate through ALL FOUR
+    * channel layouts (independent, mid/side, left/side, right/side)
+    * so every decorrelation decode path carries fixture traffic.
     */
   def encodeFlac(pcm: AudioCodec.Pcm, blockSize: Int = 256): Array[Byte] = {
     require(pcm.channels >= 1 && pcm.channels <= 2, "encodeFlac: 1-2 channels")
@@ -458,13 +459,18 @@ object FlacCodec {
       val chData: Seq[Array[Long]] = (0 until nCh).map { c =>
         Array.tabulate(bs)(i => pcm.samples((base + i) * nCh + c).toLong)
       }
-      val midSide = nCh == 2 && frameIdx % 2 == 1
+      // stereo decorrelation rotates per frame so every decoder path
+      // (independent, mid/side, left/side, right/side) carries fixture
+      // traffic: 0 independent, 1 mid/side, 2 left/side, 3 right/side
+      val stereoMode = if (nCh == 2) frameIdx % 4 else 0
       val w = new BitWriter
       w.u(0x3FFE, 14)
       w.u(0, 1); w.u(0, 1) // reserved, fixed-blocksize strategy
       w.u(7, 4) // block size: 16-bit at end (covers the short last frame)
       w.u(0, 4) // sample rate: streaminfo
-      w.u(if (midSide) 10L else (nCh - 1).toLong, 4)
+      w.u(stereoMode match {
+        case 1 => 10L; case 2 => 8L; case 3 => 9L; case _ => (nCh - 1).toLong
+      }, 4)
       w.u(4, 3) // 16-bit samples
       w.u(0, 1)
       // frame number, UTF-8 coded (general multi-byte form: lead byte
@@ -514,12 +520,18 @@ object FlacCodec {
         }
       }
 
-      if (midSide) {
+      if (stereoMode != 0) {
         val l = chData(0); val rt = chData(1)
-        val mid = Array.tabulate(bs)(i => (l(i) + rt(i)) >> 1)
         val side = Array.tabulate(bs)(i => l(i) - rt(i))
-        writeSub(mid, 16)
-        writeSub(side, 17)
+        stereoMode match {
+          case 1 =>
+            writeSub(Array.tabulate(bs)(i => (l(i) + rt(i)) >> 1), 16) // mid
+            writeSub(side, 17)
+          case 2 =>
+            writeSub(l, 16); writeSub(side, 17) // left/side
+          case _ =>
+            writeSub(side, 17); writeSub(rt, 16) // right/side: side FIRST
+        }
       } else chData.foreach(s => writeSub(s, 16))
       w2.alignToByte()
       val body = w2.toByteArray

@@ -205,8 +205,10 @@ object TiffCodec {
       s"TIFF: BitsPerSample ${info.bits} out of subset (1/8)")
     require(info.spp == 1 || info.spp == 3,
       s"TIFF: SamplesPerPixel ${info.spp} out of subset (1/3)")
-    require(info.photometric <= 2, s"TIFF: photometric ${info.photometric} out of subset")
+    require(info.photometric <= 3, s"TIFF: photometric ${info.photometric} out of subset")
     if (info.bits == 1) require(info.spp == 1, "TIFF: bilevel must be 1 sample/pixel")
+    if (info.photometric == 3)
+      require(info.bits == 8 && info.spp == 1, "TIFF: palette must be 8-bit single-sample")
     if (info.tiled) return decodeTiled(bytes, ifd, info)
     val offsets = ifd.tags(273)
     val counts = ifd.tags.getOrElse(279,
@@ -251,11 +253,27 @@ object TiffCodec {
       strip += 1
     }
     require(rowBase == info.height, s"TIFF: strips cover $rowBase of ${info.height} rows")
-    materialize(info, raster, rowBytes)
+    materialize(info, raster, rowBytes, colorMap(ifd, info))
   }
 
-  /** Sample raster → packed RGB (shared by the strip and tile paths). */
-  private def materialize(info: TiffInfo, raster: Array[Byte], rowBytes: Int): ImageCodec.Px = {
+  /** Palette (photometric 3): /ColorMap tag 320 — 3 planes of 2^bits
+    * 16-bit values (R plane, G plane, B plane); required then.
+    */
+  private def colorMap(ifd: Ifd, info: TiffInfo): Array[Long] =
+    if (info.photometric != 3) null
+    else {
+      val cm = ifd.tags.getOrElse(320,
+        throw new IllegalArgumentException("TIFF: palette image without ColorMap"))
+      require(cm.length == 3 * 256, s"TIFF: ColorMap has ${cm.length} entries, want 768")
+      cm
+    }
+
+  /** Sample raster → packed RGB (shared by the strip and tile paths).
+    * `cmap` is the 768-entry ColorMap for photometric 3 (16-bit
+    * values; the high byte is the 8-bit channel).
+    */
+  private def materialize(info: TiffInfo, raster: Array[Byte], rowBytes: Int,
+                          cmap: Array[Long] = null): ImageCodec.Px = {
     val out = new Array[Int](info.width * info.height)
     var y = 0
     while (y < info.height) {
@@ -277,6 +295,11 @@ object TiffCodec {
           if (info.spp == 3) {
             val p = y * rowBytes + x * 3
             ((raster(p) & 0xff) << 16) | ((raster(p + 1) & 0xff) << 8) | (raster(p + 2) & 0xff)
+          } else if (info.photometric == 3) {
+            val idx = v // spp-1 branch left the palette index untouched
+            ((((cmap(idx) >> 8) & 0xff) << 16) |
+              (((cmap(256 + idx) >> 8) & 0xff) << 8) |
+              ((cmap(512 + idx) >> 8) & 0xff)).toInt
           } else (v << 16) | (v << 8) | v
         x += 1
       }
@@ -340,7 +363,7 @@ object TiffCodec {
       }
       t += 1
     }
-    materialize(info, raster, rowBytes)
+    materialize(info, raster, rowBytes, colorMap(ifd, info))
   }
 
   // ---------------------------------------------------------------
@@ -802,6 +825,50 @@ object TiffCodec {
       (324, 4, offsets),
       (325, 4, tiles.map(_.length.toLong).toArray)) ++
       (if (pred != 1) Seq((317, 3, Array(pred.toLong))) else Nil), tiles)
+  }
+
+  /** Deterministic PALETTE fixture (photometric 3 — the screenshot/
+    * scanned-map family): 8-bit indices in the [[grayAt]] pattern,
+    * PackBits strips of 5 rows, and a 768-entry ColorMap whose 8-bit
+    * channels are `(i·3+7) % 256` / `(i·5+11) % 256` / `(i·7+13) % 256`
+    * (stored ×257 so the 16-bit high byte IS the channel) — the
+    * decoded pixel sum is closed-form in (seed, x, y) for the SQL
+    * oracle.
+    */
+  def synthTiffPalette(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && w <= 4096 && h <= 4096, "synthTiffPalette: bad dims")
+    val rps = 5
+    val nStrips = (h + rps - 1) / rps
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, h - s * rps)
+      val raw = new Array[Byte](w * rows)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < w) { raw(y * w + x) = grayAt(seed, x, s * rps + y).toByte; x += 1 }
+        y += 1
+      }
+      packBitsEncode(raw)
+    }
+    val cmap = new Array[Long](768)
+    var i = 0
+    while (i < 256) {
+      cmap(i) = ((i * 3 + 7) % 256).toLong * 257
+      cmap(256 + i) = ((i * 5 + 11) % 256).toLong * 257
+      cmap(512 + i) = ((i * 7 + 13) % 256).toLong * 257
+      i += 1
+    }
+    composeGeneric(seed % 2 == 0, offsets => Seq(
+      (256, 4, Array(w.toLong)),
+      (257, 4, Array(h.toLong)),
+      (258, 3, Array(8L)),
+      (259, 3, Array(32773L)),
+      (262, 3, Array(3L)),
+      (273, 4, offsets),
+      (277, 3, Array(1L)),
+      (278, 3, Array(rps.toLong)),
+      (279, 4, strips.map(_.length.toLong).toArray),
+      (320, 3, cmap)), strips)
   }
 
   /** Split a full JFIF stream into (JPEGTables stream, abbreviated

@@ -21,7 +21,7 @@ class FlacCodecSpec extends AnyFunSuite {
     }
   }
 
-  test("stereo mid/side round trip is lossless (right = inverted left)") {
+  test("stereo round trip is lossless across ALL FOUR channel layouts (8 frames rotate independent/mid-side/left-side/right-side)") {
     for (seed <- Seq(1L, 7L); w <- Seq(64, 128); mask <- Seq(0, 0xA1)) {
       val flac = FlacCodec.synthFlac(seed, w, 8000, mask, stereo = true)
       val pcm = FlacCodec.decodeFlac(flac)

@@ -252,6 +252,34 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(plainPx.rgb.toSeq === mergedPx.rgb.toSeq)
   }
 
+  test("palette (photometric 3) round trips through the ColorMap closed form; missing map throws") {
+    for (seed <- Seq(100L, 101L)) { // both byte orders
+      val bytes = TiffCodec.synthTiffPalette(seed, 15, 11)
+      val info = TiffCodec.tiffInfo(bytes)
+      assert(info.photometric === 3 && info.compression === 32773)
+      val px = TiffCodec.decode(bytes)
+      assert(px.w === 15 && px.h === 11)
+      var sum = 0L
+      px.rgb.foreach(p => sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+      val want = (for (y <- 0 until 11; x <- 0 until 15) yield {
+        val idx = TiffCodec.grayAt(seed, x, y)
+        ((idx * 3 + 7) % 256 + (idx * 5 + 11) % 256 + (idx * 7 + 13) % 256).toLong
+      }).sum
+      assert(sum === want, s"seed $seed")
+    }
+    // a photometric-3 document WITHOUT a ColorMap must throw typed:
+    // patch a gray fixture's photometric tag (262) to 3
+    val gray = TiffCodec.synthTiff(4L, 10, 10, 0) // little-endian
+    val n = (gray(8) & 0xff) | ((gray(9) & 0xff) << 8)
+    val bad = gray.clone()
+    (0 until n).foreach { e =>
+      val at = 10 + e * 12
+      if (((bad(at) & 0xff) | ((bad(at + 1) & 0xff) << 8)) == 262) bad(at + 8) = 3
+    }
+    val err = intercept[IllegalArgumentException](TiffCodec.decode(bad))
+    assert(err.getMessage.contains("ColorMap"))
+  }
+
   test("JPEG fixture verifier fails loud on corrupt payloads (999 sentinel, not a pass)") {
     assert(graft.functions.TiffExprs.tiffJpegErr("junk".getBytes, 0, 1L) === 999L)
     val good = TiffCodec.synthTiffJpeg(12L, 24, 16, 0)
