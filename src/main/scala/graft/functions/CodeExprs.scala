@@ -75,17 +75,22 @@ object CodeExprs {
           UTF8String.fromString(p.text))): Any
       })
 
-  /** Dump shard → ONE text blob: main-namespace pages extracted and
-    * newline-joined — the `CorpusIngest.dispatch` branch for
-    * `mediawiki` payloads (a single codegen-friendly projection, no
-    * interpreted HOF lambda).
+  /** Dump shard → ONE text blob: main-namespace NON-REDIRECT pages
+    * extracted and newline-joined — the `CorpusIngest.dispatch` branch
+    * for `mediawiki` payloads (a single codegen-friendly projection,
+    * no interpreted HOF lambda). Redirects carry no prose; a large
+    * wiki is ~half redirects, so dropping them here is the token-stats
+    * hygiene every dump pipeline applies.
     */
   def wikiDumpTextStr(xml: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.sources.WikiCodec.dumpPages(xml.toString)
-        .filter(_.ns == 0)
+        .filter(p => p.ns == 0 && !graft.sources.WikiCodec.isRedirect(p.text))
         .map(p => graft.sources.WikiCodec.wikitextText(p.text))
         .mkString("\n"))
+
+  def wikiIsRedirect(wt: UTF8String): Boolean =
+    graft.sources.WikiCodec.isRedirect(wt.toString)
 
   def latexStr(text: UTF8String): UTF8String =
     UTF8String.fromString(MarkupCodec.latexText(text.toString))
@@ -239,8 +244,22 @@ case class WikiPagesExpr(child: Expression) extends UnaryExpression with Implici
   override def prettyName: String = "wiki_pages"
 }
 
-/** `wiki_dump_text(xml)` → main-namespace pages extracted and joined —
-  * the one-projection dispatch branch for dump shards.
+/** `wiki_is_redirect(wt)` → leading-#REDIRECT page classifier. */
+case class WikiIsRedirectExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.wikiIsRedirect(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.wikiIsRedirect($t);")
+  override protected def withNewChildInternal(c: Expression): WikiIsRedirectExpr = copy(child = c)
+  override def prettyName: String = "wiki_is_redirect"
+}
+
+/** `wiki_dump_text(xml)` → main-namespace non-redirect pages extracted
+  * and joined — the one-projection dispatch branch for dump shards.
   */
 case class WikiDumpTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -481,6 +500,8 @@ object CodeOps {
     GraftExpr.toColumn(WikiPagesExpr(GraftExpr.toExpr(xml)))
   def wikiDumpText(xml: Column): Column =
     GraftExpr.toColumn(WikiDumpTextExpr(GraftExpr.toExpr(xml)))
+  def wikiIsRedirect(wt: Column): Column =
+    GraftExpr.toColumn(WikiIsRedirectExpr(GraftExpr.toExpr(wt)))
   def synthWikitext(seed: Column): Column =
     GraftExpr.toColumn(SynthWikitextExpr(GraftExpr.toExpr(seed)))
   def synthWikiDump(seed: Column, nPages: Column): Column =

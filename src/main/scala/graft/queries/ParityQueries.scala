@@ -747,7 +747,78 @@ object ParityQueries {
       |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
       |GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** TPC-H Q12 shape (shipping-mode priority): lineitem date-windowed
+    * and bucketed, orders joined at fact grain, HIGH (1-URGENT/2-HIGH)
+    * vs lower priority counted per bucket — the classic conditional
+    * two-way count over a fact⋈fact join. The fixture lineitem has no
+    * shipmode column; `l_returnflag` plays the mode (same substitution
+    * posture as Q4's shipdate-for-commitdate). Date predicate pushes
+    * to the lineitem scan; the join shuffles on the order key.
+    */
+  val tpchQ12: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1997-01-01").cast("timestamp_ntz")
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        col("l_returnflag").isin("A", "R"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+  }
+  val tpchQ12Sql: String =
+    """SELECT l.l_returnflag,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l.l_returnflag IN ('A', 'R')
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): lineitem ⋈ broadcast-able
+    * part dimension, promo revenue vs total in one pass. Emitted as
+    * exact integer micro-unit NUMERATOR and DENOMINATOR (the suite's
+    * float-free discipline — the percentage division is the consumer's
+    * one cheap op, not a hash-gate hazard). `p_type LIKE 'ECO%'`
+    * stands in for `PROMO%` on the fixture's type vocabulary.
+    */
+  val tpchQ14: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1996-02-01").cast("timestamp_ntz")
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_partkey"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round((1 - l_discount) * 100) AS BIGINT)")).as("rev_micro"))
+    val p = broadcast(Tables.part(s, d).select(col("p_partkey"),
+      col("p_type").startsWith("ECO").as("is_promo")))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), col("rev_micro")).otherwise(0L)).as("promo_micro"),
+        sum(col("rev_micro")).as("total_micro"))
+  }
+  val tpchQ14Sql: String =
+    """SELECT CAST(sum(CASE WHEN p.p_type LIKE 'ECO%'
+      |                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+      |                     ELSE 0 END) AS BIGINT) AS promo_micro,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_micro
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q12" -> tpchQ12,
+    "q_tpch_q14" -> tpchQ14,
     "q_tpch_q3" -> tpchQ3,
     "q_tpch_q4" -> tpchQ4,
     "q_tpch_q6" -> tpchQ6,
@@ -782,6 +853,8 @@ object ParityQueries {
     "q_ts_anomaly" -> tsAnomaly)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q12" -> tpchQ12Sql,
+    "q_tpch_q14" -> tpchQ14Sql,
     "q_tpch_q3" -> tpchQ3Sql,
     "q_tpch_q4" -> tpchQ4Sql,
     "q_tpch_q6" -> tpchQ6Sql,

@@ -55,9 +55,8 @@ import PdfCodec._
   * in column order with sane breaks.
   *
   * Out of subset (documented): predefined -UTF16 and CID-keyed
-  * (non-UCS2) CMap tables, per-CID /W2 vertical widths (only /DW2),
-  * vertical pens under a scaled Tm, cross-column reading-order
-  * reconstruction beyond stream order. The goal is linear reading
+  * (non-UCS2) CMap tables, vertical pens under a scaled Tm,
+  * cross-column reading-order reconstruction beyond stream order. The goal is linear reading
   * order of the stream, which is what every corpus extractor (incl.
   * the reference's PyMuPDF "text" mode) emits for single-column
   * documents.
@@ -194,14 +193,16 @@ object PdfText {
     * `ucs2` marks the predefined Uni*-UCS2 CMap families, whose
     * 2-byte codes ARE BMP code points (decode without /ToUnicode);
     * `vertical` marks a -V writing mode (pen advances down the
-    * column by `dw2` — the descendant's /DW2 magnitude, default
+    * column per glyph by its /W2 displacement magnitude from
+    * `cidW2`, falling back to `dw2` — the descendant's /DW2, default
     * 1000 per ISO 32000 §9.7.4.3).
     */
   private final case class Font(table: Array[Int], toUnicode: Map[Int, String],
                                 twoByte: Boolean, widths: Array[Double] = null,
                                 cidW: Map[Int, Double] = Map.empty, dw: Double = 1000.0,
                                 spaceW: Double = 0.0, ucs2: Boolean = false,
-                                vertical: Boolean = false, dw2: Double = 1000.0)
+                                vertical: Boolean = false, dw2: Double = 1000.0,
+                                cidW2: Map[Int, Double] = Map.empty)
 
   private val DefaultFont = Font(null, Map.empty, twoByte = false)
 
@@ -236,23 +237,62 @@ object PdfText {
       case _ => null
     }
 
-  /** Magnitude of the descendant's /DW2 vertical displacement (the
-    * second array element, typically −1000); 1000 when absent.
+  /** Vertical metrics off the descendant: (/DW2 magnitude — the second
+    * array element, typically −1000; 1000 when absent) and the per-CID
+    * /W2 displacement magnitudes (both the `c [w v v …]` triplet form
+    * and the `cFirst cLast w v v` range form; entry count capped like
+    * /W).
     */
-  private def parseDw2(doc: PdfDoc, d: PDict): Double =
-    resolve(doc, d.get("DescendantFonts").getOrElse(PNull)) match {
+  private def parseVerticalMetrics(doc: PdfDoc, d: PDict): (Double, Map[Int, Double]) = {
+    val desc = resolve(doc, d.get("DescendantFonts").getOrElse(PNull)) match {
       case PArr(items) if items.nonEmpty => resolve(doc, items.head) match {
-        case dd: PDict => resolve(doc, dd.get("DW2").getOrElse(PNull)) match {
-          case PArr(vals) if vals.length >= 2 => resolve(doc, vals(1)) match {
-            case PNum(w1) => math.abs(w1)
-            case _ => 1000.0
-          }
-          case _ => 1000.0
-        }
+        case dd: PDict => dd; case _ => null
+      }
+      case _ => null
+    }
+    if (desc == null) return (1000.0, Map.empty)
+    val dw2 = resolve(doc, desc.get("DW2").getOrElse(PNull)) match {
+      case PArr(vals) if vals.length >= 2 => resolve(doc, vals(1)) match {
+        case PNum(w1) => math.abs(w1)
         case _ => 1000.0
       }
       case _ => 1000.0
     }
+    val m = Map.newBuilder[Int, Double]
+    var entries = 0
+    resolve(doc, desc.get("W2").getOrElse(PNull)) match {
+      case PArr(items) =>
+        var i = 0
+        while (i < items.length && entries < 65536) {
+          (resolve(doc, items(i)), if (i + 1 < items.length) resolve(doc, items(i + 1)) else PNull) match {
+            case (PNum(c), PArr(triples)) =>
+              // triplets (w1y v1x v1y) per consecutive CID; a trailing
+              // partial triple is ignored
+              var j = 0
+              while (j + 2 < triples.length && entries < 65536) {
+                resolve(doc, triples(j)) match {
+                  case PNum(w) => m += (c.toInt + j / 3) -> math.abs(w); entries += 1
+                  case _ =>
+                }
+                j += 3
+              }
+              i += 2
+            case (PNum(lo), PNum(hi)) if i + 4 < items.length =>
+              resolve(doc, items(i + 2)) match {
+                case PNum(w) =>
+                  var c = lo.toInt
+                  val top = math.min(hi.toInt, lo.toInt + 65535)
+                  while (c <= top && entries < 65536) { m += c -> math.abs(w); entries += 1; c += 1 }
+                case _ =>
+              }
+              i += 5 // cFirst cLast w1y v1x v1y
+            case _ => i += 1
+          }
+        }
+      case _ =>
+    }
+    (dw2, m.result())
+  }
 
   /** Type0 /DescendantFonts[0] → (/W CID-width map, /DW default).
     * /W alternates `c [w…]` and `cFirst cLast w` runs; entry count is
@@ -326,8 +366,9 @@ object PdfText {
           if (spaceCodes.nonEmpty) cidW.getOrElse(spaceCodes.min, dw)
           else if (ucs2) cidW.getOrElse(32, dw)
           else 0.0
+        val (dw2, cidW2) = parseVerticalMetrics(doc, d)
         Font(null, toUni, twoByte = true, cidW = cidW, dw = dw, spaceW = spaceW,
-          ucs2 = ucs2, vertical = vertical, dw2 = parseDw2(doc, d))
+          ucs2 = ucs2, vertical = vertical, dw2 = dw2, cidW2 = cidW2)
       } else {
         val table: Array[Int] = resolve(doc, d.get("Encoding").getOrElse(PNull)) match {
           case PName("WinAnsiEncoding") => winAnsi
@@ -586,14 +627,25 @@ object PdfText {
       }
       curX = if (tmA.isNaN) Double.NaN else newX
     }
-    /** Vertical pen: advance DOWN by dw2·fontSize per glyph (Tc adds
-      * along the column, ISO 32000 §9.3.2).
+    /** Vertical pen: advance DOWN per glyph by its /W2 displacement
+      * (falling back to /DW2); Tc adds along the column (ISO 32000
+      * §9.3.2).
       */
     def penShowV(bytes: Array[Byte]): Unit = if (!curYv.isNaN) {
-      val (_, glyphs, _) = showAdvance(font, bytes)
       if (fontSize <= 0 || tmA.isNaN || tmA != 1.0)
         curYv = Double.NaN // scaled Tm + vertical pen: out of subset
-      else curYv -= glyphs * (font.dw2 / 1000.0 * fontSize) + glyphs * charSpace
+      else {
+        var i = 0
+        var adv = 0.0
+        var glyphs = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          adv += font.cidW2.getOrElse(code, font.dw2)
+          glyphs += 1
+          i += 2
+        }
+        curYv -= adv / 1000.0 * fontSize + glyphs * charSpace
+      }
     }
     /** Same-column y-reposition: a DOWNWARD jump past the vertical pen
       * wider than the word-break threshold reads as a gap.

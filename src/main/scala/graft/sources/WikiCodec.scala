@@ -234,6 +234,18 @@ object WikiCodec {
     probe.contains("<mediawiki")
   }
 
+  /** MediaWiki redirect page: leading `#REDIRECT` (any case, optional
+    * leading whitespace) — the dedup-relevant page class a corpus
+    * pipeline excludes before token statistics (a large wiki is ~half
+    * redirects).
+    */
+  def isRedirect(wt: String): Boolean = {
+    if (wt == null) return false
+    var i = 0
+    while (i < wt.length && Character.isWhitespace(wt.charAt(i))) i += 1
+    wt.regionMatches(true, i, "#REDIRECT", 0, 9)
+  }
+
   /** XML entity unescape for dump payloads (the five XML entities plus
     * decimal/hex character references); lenient, one pass.
     */
@@ -361,8 +373,10 @@ object WikiCodec {
   /** Deterministic MediaWiki dump-XML shard: `nPages` pages, page `k`
     * titled `Article <seed+k> &`-escaped, ns alternating 0/0/14
     * (14 = Category — the grain a dispatcher filters on), body =
-    * [[synthWikitext]]`(seed + k)` XML-escaped. Page ids are
-    * `seed*100 + k`.
+    * [[synthWikitext]]`(seed + k)` XML-escaped — except every FOURTH
+    * page (`k % 4 == 3`), which is a `#REDIRECT [[Article <seed> &
+    * co]]` page (the class a corpus pipeline must detect and drop).
+    * Page ids are `seed*100 + k`.
     */
   def synthWikiDump(seed: Long, nPages: Int): String = {
     val sb = new java.lang.StringBuilder()
@@ -387,7 +401,8 @@ object WikiCodec {
       sb.append("    <revision>\n")
       sb.append(s"      <id>${seed * 1000 + k}</id>\n")
       sb.append("      <text bytes=\"0\" xml:space=\"preserve\">")
-      sb.append(esc(synthWikitext(seed + k)))
+      sb.append(esc(if (k % 4 == 3) s"#REDIRECT [[Article $seed & co]]\n"
+                    else synthWikitext(seed + k)))
       sb.append("</text>\n")
       sb.append("    </revision>\n")
       sb.append("  </page>\n")

@@ -331,6 +331,27 @@ class PdfTextSpec extends AnyFunSuite {
     assert(extract(doc1(kern, Map("F1" -> font), Seq(desc))) === "中文 一")
   }
 
+  test("/W2 per-CID vertical widths override /DW2 (both array and range forms)") {
+    // 中 (20013) advances 500 via the triplet form, 一/丁 (19968-19969)
+    // 250 via the range form, everything else /DW2 1000
+    val desc = "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /X " +
+      "/DW2 [880 -1000] /W2 [20013 [-500 0 0] 19968 19969 -250 0 0] >>"
+    val font = "<< /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /UniJIS-UCS2-V /DescendantFonts [10 0 R] >>"
+    // at 10pt: 中一 advance = 5 + 2.5 = 7.5u → pen 692.5; Td 0 -7.5
+    // abuts (no space); then 文 (DW2) = 10u → 682.5; Td 0 -40 → 652.5
+    // jumps 30u = 3000‰ > 500 → space
+    val content = "BT /F1 10 Tf 1 0 0 1 300 700 Tm <4E2D4E00> Tj " +
+      "0 -7.5 Td <6587> Tj 0 -40 Td <4E8C> Tj ET"
+    assert(extract(doc1(content, Map("F1" -> font), Seq(desc))) === "中一文 二")
+    // a DW2-only pen (advance 20u for 中一) would overshoot the 0 -7.5
+    // jump and never space... pin the discriminating case: with W2, a
+    // Td 0 -20 after 中一 (pen 692.5 → 680) is a 12.5u gap = space; a
+    // DW2-only pen sits at 680 exactly and would NOT space
+    val disc = "BT /F1 10 Tf 1 0 0 1 300 700 Tm <4E2D4E00> Tj 0 -20 Td <4E8C> Tj ET"
+    assert(extract(doc1(disc, Map("F1" -> font), Seq(desc))) === "中一 二")
+  }
+
   test("decrypt-then-extract: encrypted text documents extract identically") {
     val plain = PdfText.composeTextFixture(777L, 2)
     val want = PdfText.extractAll(plain).toSeq

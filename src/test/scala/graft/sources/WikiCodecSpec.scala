@@ -69,7 +69,7 @@ class WikiCodecSpec extends AnyFunSuite {
     assert(wikitextText("&amp; &lt; &#65; &#x; &bogus; 1 &lt 2") === "& < A &#x; &bogus; 1 &lt 2")
   }
 
-  test("dump framing: titles unescaped, ns, page ids, extraction composes") {
+  test("dump framing: titles unescaped, ns, page ids, redirects, extraction composes") {
     val xml = synthWikiDump(9L, 4)
     assert(isWikiDump(xml))
     val pages = dumpPages(xml)
@@ -78,9 +78,15 @@ class WikiCodecSpec extends AnyFunSuite {
       "Article 11 & co", "Article 12 & co"))
     assert(pages.map(_.ns) === Seq(0, 0, 14, 0))
     assert(pages.map(_.pageId) === Seq(900L, 901L, 902L, 903L))
+    assert(pages.map(p => isRedirect(p.text)) === Seq(false, false, false, true))
     pages.zipWithIndex.foreach { case (p, k) =>
-      assert(wikitextText(p.text) === expectedWikiText(9L + k), s"page $k")
+      if (k == 3) assert(wikitextText(p.text) === "REDIRECT Article 9 & co\n")
+      else assert(wikitextText(p.text) === expectedWikiText(9L + k), s"page $k")
     }
+    assert(isRedirect("  #redirect [[x]]") && isRedirect("#REDIRECT [[y]]"))
+    assert(!isRedirect("body mentions #REDIRECT later")) // leading-only
+    assert(!isRedirect("prose first\n#REDIRECT [[x]]"))
+    assert(!isRedirect(null))
   }
 
   test("dump framing: malformed pages skip; self-closed text; not a dump") {
