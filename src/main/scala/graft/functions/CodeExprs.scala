@@ -92,6 +92,69 @@ object CodeExprs {
   def wikiIsRedirect(wt: UTF8String): Boolean =
     graft.sources.WikiCodec.isRedirect(wt.toString)
 
+  val ScriptSchema: StructType = StructType(
+    Seq("n_cp", "latin_ppm", "han_ppm", "kana_ppm", "hangul_ppm",
+      "cyrillic_ppm", "arabic_ppm", "digit_ppm", "other_ppm")
+      .map(f => StructField(f, LongType, nullable = false)) ++
+      Seq(StructField("script", StringType, nullable = false),
+        StructField("lang", StringType, nullable = false)))
+
+  /** Unicode-script distribution over non-whitespace code points —
+    * the first-pass classifier every real language-ID runs before
+    * n-grams, and the only one that separates zh/ja/ko (marker words
+    * can't see script). Buckets (BMP subset, documented): basic +
+    * extended Latin letters, CJK Unified (4E00–9FFF), kana
+    * (3040–30FF), Hangul (AC00–D7AF + jamo 1100–11FF), Cyrillic
+    * (0400–04FF), Arabic (0600–06FF), ASCII digits, other. `script` =
+    * first-max bucket; `lang` = ja when kana ≥ 5%, else the ≥ 50%
+    * script's language (ko/zh/ru/ar/latin), else "und". Integer ppm,
+    * SQL-recomputable with independent regexp counts.
+    */
+  def scriptProfileRow(text: UTF8String): InternalRow = {
+    val s = text.toString
+    val counts = new Array[Long](8) // latin han kana hangul cyr ar digit other
+    var total = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      if (!Character.isWhitespace(cp)) {
+        total += 1
+        val b =
+          if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+              (cp >= 0xC0 && cp <= 0x24F)) 0
+          else if (cp >= 0x4E00 && cp <= 0x9FFF) 1
+          else if (cp >= 0x3040 && cp <= 0x30FF) 2
+          else if ((cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF)) 3
+          else if (cp >= 0x400 && cp <= 0x4FF) 4
+          else if (cp >= 0x600 && cp <= 0x6FF) 5
+          else if (cp >= '0' && cp <= '9') 6
+          else 7
+        counts(b) += 1
+      }
+    }
+    def ppm(c: Long): Long = if (total == 0) 0L else c * 1000000L / total
+    val names = Array("latin", "han", "kana", "hangul", "cyrillic", "arabic",
+      "digit", "other")
+    var best = 0
+    var bi = 1
+    while (bi < 8) { if (counts(bi) > counts(best)) best = bi; bi += 1 }
+    val script = if (total == 0) "none" else names(best)
+    val lang =
+      if (total == 0) "und"
+      else if (ppm(counts(2)) >= 50000) "ja"
+      else if (ppm(counts(3)) >= 500000) "ko"
+      else if (ppm(counts(1)) >= 500000) "zh"
+      else if (ppm(counts(4)) >= 500000) "ru"
+      else if (ppm(counts(5)) >= 500000) "ar"
+      else if (ppm(counts(0)) >= 500000) "latin"
+      else "und"
+    new GenericInternalRow(Array[Any](
+      total, ppm(counts(0)), ppm(counts(1)), ppm(counts(2)), ppm(counts(3)),
+      ppm(counts(4)), ppm(counts(5)), ppm(counts(6)), ppm(counts(7)),
+      UTF8String.fromString(script), UTF8String.fromString(lang)))
+  }
+
   def latexStr(text: UTF8String): UTF8String =
     UTF8String.fromString(MarkupCodec.latexText(text.toString))
 
@@ -256,6 +319,21 @@ case class WikiIsRedirectExpr(child: Expression)
       s"${ev.value} = graft.functions.CodeExprs.wikiIsRedirect($t);")
   override protected def withNewChildInternal(c: Expression): WikiIsRedirectExpr = copy(child = c)
   override def prettyName: String = "wiki_is_redirect"
+}
+
+/** `script_profile(text)` → struct (see [[CodeExprs.ScriptSchema]]):
+  * per-script code-point ppm, dominant script, script-derived lang.
+  */
+case class ScriptProfileExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = CodeExprs.ScriptSchema
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.scriptProfileRow(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.scriptProfileRow($t);")
+  override protected def withNewChildInternal(c: Expression): ScriptProfileExpr = copy(child = c)
+  override def prettyName: String = "script_profile"
 }
 
 /** `wiki_dump_text(xml)` → main-namespace non-redirect pages extracted
@@ -502,6 +580,8 @@ object CodeOps {
     GraftExpr.toColumn(WikiDumpTextExpr(GraftExpr.toExpr(xml)))
   def wikiIsRedirect(wt: Column): Column =
     GraftExpr.toColumn(WikiIsRedirectExpr(GraftExpr.toExpr(wt)))
+  def scriptProfile(text: Column): Column =
+    GraftExpr.toColumn(ScriptProfileExpr(GraftExpr.toExpr(text)))
   def synthWikitext(seed: Column): Column =
     GraftExpr.toColumn(SynthWikitextExpr(GraftExpr.toExpr(seed)))
   def synthWikiDump(seed: Column, nPages: Column): Column =

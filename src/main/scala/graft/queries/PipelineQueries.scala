@@ -758,6 +758,118 @@ object PipelineQueries {
        |  (SELECT doc_id, $scores FROM (SELECT doc_id, ${wordsSql("text")} AS w FROM documents)))""".stripMargin
   }
 
+  /** Script-range language ID — the classifier that separates zh/ja/ko
+    * where marker words can't see script: per-script code-point ppm
+    * over a six-script fixture battery (Latin, Han, Han+kana, Hangul,
+    * Cyrillic, Arabic), dominant script by first-max, lang by the
+    * documented thresholds. The oracle recomputes every count with its
+    * OWN regexp ranges (`\x{4E00}-\x{9FFF}` etc.) — two independent
+    * script classifiers under one hash gate, the `q_unicode_norm`
+    * cross-check posture.
+    */
+  val scriptId: Q = (s, d) => {
+    val idx = pmod(col("doc_id"), lit(6))
+    val num = (col("doc_id") % 97).cast("string")
+    val text = when(idx === 0, concat(lit("the quick brown fox number "), num))
+      .when(idx === 1, concat(lit("中文语料质量检测第"), num, lit("篇")))
+      .when(idx === 2, concat(lit("日本語のテキストです第"), num, lit("回")))
+      .when(idx === 3, concat(lit("한국어 말뭉치 문서 "), num))
+      .when(idx === 4, concat(lit("Русский текст номер "), num))
+      .otherwise(concat(lit("نص عربي رقم "), num))
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("p", graft.functions.CodeOps.scriptProfile(text))
+      .select(col("doc_id"), col("p.n_cp").as("n_cp"),
+        col("p.latin_ppm").as("latin_ppm"), col("p.han_ppm").as("han_ppm"),
+        col("p.kana_ppm").as("kana_ppm"), col("p.hangul_ppm").as("hangul_ppm"),
+        col("p.cyrillic_ppm").as("cyrillic_ppm"), col("p.arabic_ppm").as("arabic_ppm"),
+        col("p.digit_ppm").as("digit_ppm"), col("p.other_ppm").as("other_ppm"),
+        col("p.script").as("script"), col("p.lang").as("lang"))
+  }
+  val scriptIdSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE doc_id % 6
+      |      WHEN 0 THEN 'the quick brown fox number ' || (doc_id % 97)
+      |      WHEN 1 THEN '中文语料质量检测第' || (doc_id % 97) || '篇'
+      |      WHEN 2 THEN '日本語のテキストです第' || (doc_id % 97) || '回'
+      |      WHEN 3 THEN '한국어 말뭉치 문서 ' || (doc_id % 97)
+      |      WHEN 4 THEN 'Русский текст номер ' || (doc_id % 97)
+      |      ELSE 'نص عربي رقم ' || (doc_id % 97) END AS text
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS total,
+      |    length(regexp_replace(text, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS latin,
+      |    length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS han,
+      |    length(regexp_replace(text, '[^\x{3040}-\x{30FF}]', '', 'g')) AS kana,
+      |    length(regexp_replace(text, '[^\x{AC00}-\x{D7AF}\x{1100}-\x{11FF}]', '', 'g')) AS hangul,
+      |    length(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g')) AS cyr,
+      |    length(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g')) AS ar,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit
+      |  FROM t),
+      |p AS (SELECT *, total - latin - han - kana - hangul - cyr - ar - digit AS other FROM c)
+      |SELECT doc_id, CAST(total AS BIGINT) AS n_cp,
+      |  CAST(latin * 1000000 // total AS BIGINT) AS latin_ppm,
+      |  CAST(han * 1000000 // total AS BIGINT) AS han_ppm,
+      |  CAST(kana * 1000000 // total AS BIGINT) AS kana_ppm,
+      |  CAST(hangul * 1000000 // total AS BIGINT) AS hangul_ppm,
+      |  CAST(cyr * 1000000 // total AS BIGINT) AS cyrillic_ppm,
+      |  CAST(ar * 1000000 // total AS BIGINT) AS arabic_ppm,
+      |  CAST(digit * 1000000 // total AS BIGINT) AS digit_ppm,
+      |  CAST(other * 1000000 // total AS BIGINT) AS other_ppm,
+      |  CASE WHEN latin >= han AND latin >= kana AND latin >= hangul AND latin >= cyr
+      |            AND latin >= ar AND latin >= digit AND latin >= other THEN 'latin'
+      |       WHEN han >= kana AND han >= hangul AND han >= cyr AND han >= ar
+      |            AND han >= digit AND han >= other THEN 'han'
+      |       WHEN kana >= hangul AND kana >= cyr AND kana >= ar AND kana >= digit
+      |            AND kana >= other THEN 'kana'
+      |       WHEN hangul >= cyr AND hangul >= ar AND hangul >= digit AND hangul >= other THEN 'hangul'
+      |       WHEN cyr >= ar AND cyr >= digit AND cyr >= other THEN 'cyrillic'
+      |       WHEN ar >= digit AND ar >= other THEN 'arabic'
+      |       WHEN digit >= other THEN 'digit'
+      |       ELSE 'other' END AS script,
+      |  CASE WHEN kana * 1000000 // total >= 50000 THEN 'ja'
+      |       WHEN hangul * 1000000 // total >= 500000 THEN 'ko'
+      |       WHEN han * 1000000 // total >= 500000 THEN 'zh'
+      |       WHEN cyr * 1000000 // total >= 500000 THEN 'ru'
+      |       WHEN ar * 1000000 // total >= 500000 THEN 'ar'
+      |       WHEN latin * 1000000 // total >= 500000 THEN 'latin'
+      |       ELSE 'und' END AS lang
+      |FROM p""".stripMargin
+
+  /** Edit distance cross-engine: both engines run their OWN
+    * Levenshtein DP (Spark's `levenshtein`, DuckDB's `levenshtein`)
+    * over a rotation-corrupted hypothesis — a non-trivial
+    * insert/delete/substitute mix, so the two independent DPs must
+    * agree cell for cell. The CER (character error rate, ppm) is the
+    * ASR-eval primitive a speech corpus pipeline runs against its
+    * transcripts.
+    */
+  val editDistance: Q = (s, d) =>
+    Tables.documents(s, d).select("doc_id")
+      .withColumn("_ref", concat(lit("the quick brown fox "),
+        col("doc_id").cast("string"), lit(" jumps over "),
+        (col("doc_id") % 7).cast("string"), lit(" lazy dogs")))
+      .withColumn("_k", (pmod(col("doc_id"), lit(10)) + 2).cast("int"))
+      .withColumn("_hyp", expr("concat(substring(_ref, _k + 1), substring(_ref, 1, _k))"))
+      .select(col("doc_id"),
+        length(col("_ref")).cast("long").as("len_ref"),
+        levenshtein(col("_ref"), col("_hyp")).cast("long").as("dist"),
+        expr("CAST(levenshtein(_ref, _hyp) AS BIGINT) * 1000000 div length(_ref)")
+          .as("cer_ppm"))
+  val editDistanceSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         'the quick brown fox ' || doc_id || ' jumps over ' || (doc_id % 7)
+      |           || ' lazy dogs' AS ref,
+      |         CAST(doc_id % 10 + 2 AS INTEGER) AS k
+      |  FROM documents),
+      |h AS (SELECT doc_id, ref, substr(ref, k + 1) || substr(ref, 1, k) AS hyp FROM t)
+      |SELECT doc_id, CAST(length(ref) AS BIGINT) AS len_ref,
+      |       CAST(levenshtein(ref, hyp) AS BIGINT) AS dist,
+      |       CAST(levenshtein(ref, hyp) * 1000000 // length(ref) AS BIGINT) AS cer_ppm
+      |FROM h""".stripMargin
+
   /** Zipf frequency spectrum of the corpus vocabulary. */
   val freqSpectrum: Q = (s, d) =>
     TextAnalysis.freqSpectrum(Tables.documents(s, d), "text")
@@ -3352,6 +3464,8 @@ object PipelineQueries {
     "q_quality_score" -> qualityScore,
     "q_gopher_rules" -> gopherRules,
     "q_lang_id" -> langId,
+    "q_script_id" -> scriptId,
+    "q_edit_distance" -> editDistance,
     "q_repetition" -> repetition,
     "q_decontaminate" -> decontaminate,
     "q_redact" -> redact,
@@ -3470,6 +3584,8 @@ object PipelineQueries {
     "q_quality_score" -> qualityScoreSql,
     "q_gopher_rules" -> gopherRulesSql,
     "q_lang_id" -> langIdSql,
+    "q_script_id" -> scriptIdSql,
+    "q_edit_distance" -> editDistanceSql,
     "q_repetition" -> repetitionSql,
     "q_decontaminate" -> decontaminateSql,
     "q_redact" -> redactSql,
