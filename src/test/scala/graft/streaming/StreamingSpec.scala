@@ -690,16 +690,20 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming corpus ingest equals batch dispatch+extract+quality on any slicing") {
     implicit val ctx = spark.sqlContext
-    import graft.sources.{OfficeCodec, PdfText}
+    import graft.sources.{GzipShard, OfficeCodec, PdfText, WikiCodec}
     // mixed shard: 2-page docs pass the 10-word floor, 1-page
-    // docx/pptx fail it, garbage bytes extract to null and drop
+    // docx/pptx fail it, garbage bytes extract to null and drop; the
+    // round-13 formats (MediaWiki dump, .jsonl.gz) ride the SAME
+    // dispatch, so the batch-equality proof covers them for free
     val docs: Seq[(Long, Array[Byte])] = Seq(
       1L -> PdfText.composeTextFixture(11L, 2),
       2L -> OfficeCodec.composeDocx(22L, 2),
       3L -> OfficeCodec.composePptx(33L, 1), // 8 words → quality-dropped
       4L -> OfficeCodec.composeEpub(44L, 2),
       5L -> Array[Byte](0, 1, 2, 3), // binary → null text → dropped
-      6L -> OfficeCodec.composeDocx(66L, 1)) // 9 words → quality-dropped
+      6L -> OfficeCodec.composeDocx(66L, 1), // 9 words → quality-dropped
+      7L -> WikiCodec.synthWikiDump(77L, 2).getBytes("UTF-8"),
+      8L -> GzipShard.synthJsonlGz(88L, 2, 3))
     val mem = MemoryStream[(Long, Array[Byte])]
     val out = java.nio.file.Files.createTempDirectory("corpusingest").toString
     val q = EventPipeline.startCorpusIngest(
@@ -726,9 +730,10 @@ class StreamingSpec extends SparkSpec {
           "doc_id")
         .as[(Long, String, String, Long)].collect().toSet
       assert(streamed === batch)
-      assert(streamed.map(_._1) === Set(1L, 2L, 4L))
+      assert(streamed.map(_._1) === Set(1L, 2L, 4L, 7L, 8L))
       assert(streamed.map(r => r._1 -> r._2).toMap ===
-        Map(1L -> "pdf", 2L -> "docx", 4L -> "epub"))
+        Map(1L -> "pdf", 2L -> "docx", 4L -> "epub",
+          7L -> "mediawiki", 8L -> "jsonl-gz"))
     } finally q.stop()
   }
 
