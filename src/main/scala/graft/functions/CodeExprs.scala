@@ -92,6 +92,23 @@ object CodeExprs {
   def wikiIsRedirect(wt: UTF8String): Boolean =
     graft.sources.WikiCodec.isRedirect(wt.toString)
 
+  val WikiSectionSchema: StructType = StructType(Seq(
+    StructField("level", IntegerType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Sections with title AND body already extracted to plain text —
+    * one codegen projection per document, no interpreted HOF.
+    */
+  def wikiSectionsArray(wt: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.sources.WikiCodec.sections(wt.toString).map { s =>
+        new GenericInternalRow(Array[Any](
+          s.level,
+          UTF8String.fromString(graft.sources.WikiCodec.wikitextText(s.title)),
+          UTF8String.fromString(graft.sources.WikiCodec.wikitextText(s.body)))): Any
+      })
+
   val ScriptSchema: StructType = StructType(
     Seq("n_cp", "latin_ppm", "han_ppm", "kana_ppm", "hangul_ppm",
       "cyrillic_ppm", "arabic_ppm", "digit_ppm", "other_ppm")
@@ -319,6 +336,22 @@ case class WikiIsRedirectExpr(child: Expression)
       s"${ev.value} = graft.functions.CodeExprs.wikiIsRedirect($t);")
   override protected def withNewChildInternal(c: Expression): WikiIsRedirectExpr = copy(child = c)
   override def prettyName: String = "wiki_is_redirect"
+}
+
+/** `wiki_sections(wt)` → array of {level, title, text} — heading-split
+  * sections with title and body extracted to plain text (the RAG/
+  * long-context chunk grain).
+  */
+case class WikiSectionsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(CodeExprs.WikiSectionSchema, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(t: Any): Any = CodeExprs.wikiSectionsArray(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.CodeExprs.wikiSectionsArray($t);")
+  override protected def withNewChildInternal(c: Expression): WikiSectionsExpr = copy(child = c)
+  override def prettyName: String = "wiki_sections"
 }
 
 /** `script_profile(text)` → struct (see [[CodeExprs.ScriptSchema]]):
@@ -582,6 +615,8 @@ object CodeOps {
     GraftExpr.toColumn(WikiIsRedirectExpr(GraftExpr.toExpr(wt)))
   def scriptProfile(text: Column): Column =
     GraftExpr.toColumn(ScriptProfileExpr(GraftExpr.toExpr(text)))
+  def wikiSections(wt: Column): Column =
+    GraftExpr.toColumn(WikiSectionsExpr(GraftExpr.toExpr(wt)))
   def synthWikitext(seed: Column): Column =
     GraftExpr.toColumn(SynthWikitextExpr(GraftExpr.toExpr(seed)))
   def synthWikiDump(seed: Column, nPages: Column): Column =

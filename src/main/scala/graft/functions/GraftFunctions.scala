@@ -122,6 +122,7 @@ object GraftFunctions {
     "wiki_dump_text" -> (a => CodeOps.wikiDumpText(a.head)),
     "wiki_is_redirect" -> (a => CodeOps.wikiIsRedirect(a.head)),
     "script_profile" -> (a => CodeOps.scriptProfile(a.head)),
+    "wiki_sections" -> (a => CodeOps.wikiSections(a.head)),
     "synth_wikitext" -> (a => CodeOps.synthWikitext(a.head)),
     "synth_wiki_dump" -> (a => CodeOps.synthWikiDump(a.head, a(1))),
     "gunzip_text" -> (a => CodeOps.gunzipText(a.head)),

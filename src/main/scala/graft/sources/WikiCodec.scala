@@ -234,6 +234,49 @@ object WikiCodec {
     probe.contains("<mediawiki")
   }
 
+  /** One document section: heading level (0 = preamble before any
+    * heading), RAW title wikitext, RAW body wikitext (extraction is
+    * the caller's next step — [[wikitextText]] composes).
+    */
+  final case class WikiSection(level: Int, title: String, body: String)
+
+  /** Split raw wikitext into sections at line-start `=`-fenced heading
+    * lines — the chunk grain RAG-style and long-context training
+    * pipelines feed (a Wikipedia article is a bundle of sections, not
+    * one blob). Line grain, total; trailing blank lines drop from each
+    * body; a non-empty preamble becomes a level-0 section. Subset
+    * (documented): the splitter does not track table/template state
+    * across lines, so a heading-shaped line inside a table splits —
+    * headings inside tables are markup abuse and survive extraction
+    * anyway.
+    */
+  def sections(wt: String): Seq[WikiSection] = {
+    if (wt == null) return null
+    val lines = wt.split("\n", -1)
+    val out = Seq.newBuilder[WikiSection]
+    var level = 0
+    var title = ""
+    val body = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = {
+      while (body.nonEmpty && body.last.isEmpty) body.remove(body.length - 1)
+      if (level > 0 || body.nonEmpty) out += WikiSection(level, title, body.mkString("\n"))
+      body.clear()
+    }
+    lines.foreach { line =>
+      if (line.nonEmpty && line.charAt(0) == '=') {
+        var n = 0
+        while (n < line.length && n < 6 && line.charAt(n) == '=') n += 1
+        flush()
+        level = n
+        var end = line.length
+        while (end > n && (line.charAt(end - 1) == '=' || line.charAt(end - 1) == ' ')) end -= 1
+        title = line.substring(n, end).trim
+      } else body += line
+    }
+    flush()
+    out.result()
+  }
+
   /** MediaWiki redirect page: leading `#REDIRECT` (any case, optional
     * leading whitespace) — the dedup-relevant page class a corpus
     * pipeline excludes before token statistics (a large wiki is ~half

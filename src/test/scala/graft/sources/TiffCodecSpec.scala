@@ -289,6 +289,31 @@ class TiffCodecSpec extends AnyFunSuite {
     assert(graft.functions.TiffExprs.tiffJpegErr(good, 0, 200L) > 4L)
   }
 
+  test("tiled/JPEG/palette payloads under mutation: typed throws or identical decode, never a crash") {
+    val fixtures = Seq(
+      TiffCodec.synthTiffTiled(8L, 20, 18, 1),
+      TiffCodec.synthTiffJpeg(9L, 24, 16, 1), // JPEGTables form
+      TiffCodec.synthTiffJpeg(9L, 24, 16, 2), // JPEG tiles
+      TiffCodec.synthTiffJpeg(9L, 24, 16, 3), // old-style
+      TiffCodec.synthTiffPalette(10L, 15, 11))
+    val rnd = new java.util.Random(13)
+    fixtures.foreach { good =>
+      for (_ <- 0 until 120) {
+        val mut = good.clone()
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+        try { TiffCodec.decode(mut); () }
+        catch { case e: Exception => assert(e.getMessage != null) }
+        // the expression layer must null-guard whatever decode threw on
+        graft.functions.TiffExprs.tiffToPng(mut)
+      }
+      // truncations walk every boundary family (IFD, overflow, data)
+      for (cut <- Seq(8, good.length / 4, good.length / 2, good.length - 3)) {
+        try { TiffCodec.decode(good.take(cut)); () }
+        catch { case e: Exception => assert(e.getMessage != null) }
+      }
+    }
+  }
+
   test("IFD chain counting is bounded (no cycle hang)") {
     // splice a next-IFD pointer back to itself: offset 4 points at the
     // first IFD; patch its next pointer to 8 (self) — must throw, not

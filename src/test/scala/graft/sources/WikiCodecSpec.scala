@@ -105,6 +105,24 @@ class WikiCodecSpec extends AnyFunSuite {
     assert(dumpPages("<page><title>t</title><text>x").isEmpty)
   }
 
+  test("sections: preamble, nesting, empty bodies, trailing blanks, no headings") {
+    val wt = "intro line\n== A ==\na body\n\n=== A.1 ===\nnested\n== B ==\n"
+    val s = sections(wt)
+    assert(s.map(x => (x.level, x.title)) ===
+      Seq((0, ""), (2, "A"), (3, "A.1"), (2, "B")))
+    assert(s(0).body === "intro line")
+    assert(s(1).body === "a body") // trailing blank line dropped
+    assert(s(3).body === "") // empty trailing section still emits
+    assert(sections("just prose\ntwo lines") ===
+      Seq(WikiSection(0, "", "just prose\ntwo lines")))
+    assert(sections("") === Seq.empty)
+    assert(sections("== only heading ==") === Seq(WikiSection(2, "only heading", "")))
+    assert(sections(null) == null)
+    // titles carry markup: extraction composes
+    val m = sections("== '''Bold''' [[x|title]] ==\nbody")
+    assert(wikitextText(m.head.title) === "Bold title")
+  }
+
   test("totality fuzz: random garbage and every truncation of the fixture never throw") {
     val rnd = new scala.util.Random(42)
     (0 until 200).foreach { _ =>
