@@ -56,7 +56,15 @@ object Bench {
             lit(36), lit("light"), lit(60)).as("s"),
           graft.functions.ImageOps.compressImage(
             graft.functions.ImageOps.synthImage(lit(7L), lit(32), lit(32)),
-            "light").as("c"))
+            "light").as("c"),
+          // FLAC decode + subtitle parse: without this the FLAC JIT cost
+          // landed on the alphabetically-first FLAC query (driver r13:
+          // q_transcript_align 6.55 s cold vs 0.80 s warm — the same
+          // failure mode the PDF warmup row killed in r11).
+          graft.functions.SpeechOps.flacToWav(
+            graft.functions.SpeechOps.synthFlac(lit(7L), lit(512), lit(8000), lit(3))).as("f"),
+          graft.functions.SpeechOps.parseCues(
+            graft.functions.SpeechOps.synthSrt(lit(7L), lit(4))).as("cu"))
         .foreach((_: org.apache.spark.sql.Row) => ())
     } catch { case _: Exception => } // warmup must never fail the bench
   }
@@ -134,6 +142,12 @@ object Bench {
     // still holds total/ok/failed intact.
     val summary = s""""summary":{"value":$total,"median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok}}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,$summary}""")
+    // Then ONE more, truly final line holding ONLY the ~150-byte summary:
+    // the compact line above is ~6 KB at 247 queries and the driver's
+    // bounded tail capture has cut its head mid-`queries` every round
+    // since r10, leaving BENCH_r{N}.json with `"parsed": null`. A bounded
+    // tail always contains this complete, parseable line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"sf":"$sfDir","cpus":$cpus}""")
     if (ok != results.size) sys.exit(1)
   }
 }

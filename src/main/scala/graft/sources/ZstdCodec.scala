@@ -1,0 +1,1178 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Pure-JVM Zstandard codec (RFC 8878), written from scratch against
+  * the public spec — the compression modern corpus releases actually
+  * ship (Dolma, RedPajama-v2, and most `.jsonl.zst` shard sets; the
+  * gzip-era shards stay on [[GzipShard]]). Decode side is COMPLETE for
+  * dictionary-less frames: frame headers (all FCS forms, single-
+  * segment, window descriptor), raw/RLE/compressed blocks, all four
+  * literal forms (raw, RLE, Huffman-compressed with direct OR
+  * FSE-compressed weight descriptions, treeless reuse), sequences
+  * under all four symbol-compression modes (predefined, RLE,
+  * FSE-described, repeat), the three-slot repeat-offset history with
+  * the literals-length-0 shift, cross-block window matches, skippable
+  * frames, concatenated frames, and XXH64 content-checksum
+  * verification (from-scratch XXH64 too). Loud on damage, like every
+  * codec here; [[decompressTolerant]] gives the WARC-style
+  * partial-parse promise for real-world shard tails.
+  *
+  * Out of subset (loud): dictionaries (`Dictionary_ID != 0`), window
+  * sizes over 128 MiB, and frames whose decoded size exceeds the
+  * caller's cap (zip-bomb guard; default 256 MiB per call).
+  *
+  * Write side is a deterministic FIXTURE encoder in the
+  * [[FlacCodec.synthFlac]] tradition: real frames (accepted by any
+  * conformant decoder) that rotate block strategies so every decode
+  * path carries traffic — raw blocks, RLE blocks, and compressed
+  * blocks with a greedy hash-chain LZ matcher, predefined-FSE-coded
+  * sequences, and raw / RLE / single-stream / four-stream
+  * Huffman-coded literals (canonical weights from a real Huffman
+  * build, direct-form serialization). The sequence bitstream writer
+  * is a true FSE encoder driven by inverting the decode table. The
+  * spec verifies BOTH directions against the real zstd on the Spark
+  * classpath: frames built here must round-trip through zstd-jni, and
+  * zstd-jni frames at several levels must decode byte-exact here.
+  *
+  * Scale shape: one shard = one row = one bounded decode, no Spark
+  * state — embarrassingly parallel across shards exactly like
+  * [[GzipShard]]; at 100 TB the shard grain is the parallelism grain.
+  */
+object ZstdCodec {
+
+  private val FrameMagic = 0xFD2FB528
+  private val SkippableMagicMask = 0xFFFFFFF0
+  private val SkippableMagic = 0x184D2A50
+  private val MaxWindow = 1L << 27 // 128 MiB subset cap
+  private val BlockMax = 128 * 1024
+
+  def isZstd(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && le32(b, 0) == FrameMagic
+
+  @inline private def le16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  @inline private def le24(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8) | ((b(at + 2) & 0xff) << 16)
+  @inline private def le32(b: Array[Byte], at: Int): Int =
+    le24(b, at) | ((b(at + 3) & 0xff) << 24)
+  @inline private def highBit(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+
+  private def fail(msg: String): Nothing = throw new IllegalArgumentException("zstd: " + msg)
+
+  // ------------------------------------------------------------------
+  // XXH64 — frame content checksums are the low 32 bits of XXH64(seed 0)
+  // ------------------------------------------------------------------
+
+  private val P1 = 0x9E3779B185EBCA87L
+  private val P2 = 0xC2B2AE3D27D4EB4FL
+  private val P3 = 0x165667B19E3779F9L
+  private val P4 = 0x85EBCA77C2B2AE63L
+  private val P5 = 0x27D4EB2F165667C5L
+
+  def xxh64(b: Array[Byte], off: Int, len: Int, seed: Long): Long = {
+    @inline def ld64(at: Int): Long = {
+      var v = 0L; var i = 7
+      while (i >= 0) { v = (v << 8) | (b(at + i) & 0xffL); i -= 1 }
+      v
+    }
+    @inline def ld32(at: Int): Long = le32(b, at) & 0xffffffffL
+    @inline def round(acc: Long, in: Long): Long =
+      java.lang.Long.rotateLeft(acc + in * P2, 31) * P1
+    var p = off
+    val end = off + len
+    var h = if (len >= 32) {
+      var v1 = seed + P1 + P2; var v2 = seed + P2; var v3 = seed; var v4 = seed - P1
+      while (p + 32 <= end) {
+        v1 = round(v1, ld64(p)); v2 = round(v2, ld64(p + 8))
+        v3 = round(v3, ld64(p + 16)); v4 = round(v4, ld64(p + 24))
+        p += 32
+      }
+      var x = java.lang.Long.rotateLeft(v1, 1) + java.lang.Long.rotateLeft(v2, 7) +
+        java.lang.Long.rotateLeft(v3, 12) + java.lang.Long.rotateLeft(v4, 18)
+      x = (x ^ round(0L, v1)) * P1 + P4
+      x = (x ^ round(0L, v2)) * P1 + P4
+      x = (x ^ round(0L, v3)) * P1 + P4
+      x = (x ^ round(0L, v4)) * P1 + P4
+      x
+    } else seed + P5
+    h += len.toLong
+    while (p + 8 <= end) {
+      h = java.lang.Long.rotateLeft(h ^ round(0L, ld64(p)), 27) * P1 + P4
+      p += 8
+    }
+    if (p + 4 <= end) {
+      h = java.lang.Long.rotateLeft(h ^ (ld32(p) * P1), 23) * P2 + P3
+      p += 4
+    }
+    while (p < end) {
+      h = java.lang.Long.rotateLeft(h ^ ((b(p) & 0xffL) * P5), 11) * P1
+      p += 1
+    }
+    h ^= h >>> 33; h *= P2; h ^= h >>> 29; h *= P3; h ^= h >>> 32
+    h
+  }
+
+  // ------------------------------------------------------------------
+  // bit IO
+  // ------------------------------------------------------------------
+
+  /** Backward bitstream over `b[from, to)` — the FSE/Huffman payload
+    * form: written little-endian, read from the top; the highest set
+    * bit of the last byte is the sentinel. Reads past the start
+    * zero-pad (`pos` goes negative) — that is how the interleaved
+    * two-state Huffman-weight loop terminates; exact-consumption
+    * contexts require `pos == 0` afterwards.
+    */
+  private[sources] final class BackBits(b: Array[Byte], from: Int, to: Int) {
+    if (to <= from) fail("empty backward bitstream")
+    private val lastByte = b(to - 1) & 0xff
+    if (lastByte == 0) fail("backward bitstream has no sentinel bit")
+    var pos: Int = (to - from) * 8 - 1 - (7 - highBit(lastByte))
+    def read(n: Int): Long = {
+      var v = 0L
+      var j = n - 1
+      while (j >= 0) {
+        val i = pos - n + j
+        val bit = if (i < 0) 0 else (b(from + (i >> 3)) >> (i & 7)) & 1
+        v = (v << 1) | bit
+        j -= 1
+      }
+      pos -= n
+      v
+    }
+    def readInt(n: Int): Int = read(n).toInt
+  }
+
+  /** Forward little-endian bit reader — the FSE table-description
+    * form. Reads past the end zero-pad (the descriptor is validated by
+    * its own `remaining == 1` invariant, not by length).
+    */
+  private final class FwdBits(b: Array[Byte], from: Int, val to: Int) {
+    var pos: Int = 0 // bits from `from`
+    private val lim = (to - from) * 8
+    @inline private def bit(i: Int): Int =
+      if (i >= lim) 0 else (b(from + (i >> 3)) >> (i & 7)) & 1
+    def peek(n: Int): Int = {
+      var v = 0; var j = 0
+      while (j < n) { v |= bit(pos + j) << j; j += 1 }
+      v
+    }
+    def skip(n: Int): Unit = pos += n
+    def read(n: Int): Int = { val v = peek(n); pos += n; v }
+    def byteAligned: Int = from + ((pos + 7) >> 3) // absolute offset after align
+  }
+
+  // ------------------------------------------------------------------
+  // FSE
+  // ------------------------------------------------------------------
+
+  /** Decode table: `state -> (symbol, nbBits, baseline)`; RLE mode is
+    * the degenerate tableLog-0 table (one state, zero bits read).
+    */
+  private[sources] final class FseTable(val tableLog: Int, val symbol: Array[Int],
+      val nbBits: Array[Int], val base: Array[Int]) {
+    def size: Int = symbol.length
+  }
+
+  /** Build the decode table from normalized counts (RFC 8878
+    * §4.1.1): "less than one" (-1) symbols take slots at the high
+    * end, positive counts spread with step 5/8·size + 3.
+    */
+  private[sources] def buildFse(counts: Array[Int], tableLog: Int): FseTable = {
+    val tableSize = 1 << tableLog
+    val symbols = new Array[Int](tableSize)
+    val symbolNext = new Array[Int](counts.length)
+    var highThreshold = tableSize - 1
+    var s = 0
+    while (s < counts.length) {
+      if (counts(s) == -1) {
+        if (highThreshold < 0) fail("FSE: too many low-prob symbols")
+        symbols(highThreshold) = s; highThreshold -= 1; symbolNext(s) = 1
+      } else {
+        if (counts(s) < -1) fail("FSE: count below -1")
+        symbolNext(s) = counts(s)
+      }
+      s += 1
+    }
+    val step = (tableSize >> 1) + (tableSize >> 3) + 3
+    var pos = 0
+    s = 0
+    while (s < counts.length) {
+      var k = 0
+      while (k < counts(s)) {
+        symbols(pos) = s
+        pos = (pos + step) & (tableSize - 1)
+        while (pos > highThreshold) pos = (pos + step) & (tableSize - 1)
+        k += 1
+      }
+      s += 1
+    }
+    if (pos != 0) fail("FSE: symbol spread did not close")
+    val nb = new Array[Int](tableSize)
+    val base = new Array[Int](tableSize)
+    var u = 0
+    while (u < tableSize) {
+      val sym = symbols(u)
+      val next = symbolNext(sym); symbolNext(sym) = next + 1
+      nb(u) = tableLog - highBit(next)
+      base(u) = (next << nb(u)) - tableSize
+      u += 1
+    }
+    new FseTable(tableLog, symbols, nb, base)
+  }
+
+  private def rleFse(sym: Int): FseTable =
+    new FseTable(0, Array(sym), Array(0), Array(0))
+
+  /** FSE table description (forward bitstream): variable-width counts
+    * with the small-value one-bit saving and zero-run flags — the
+    * `FSE_readNCount` algorithm as specified in RFC 8878 §4.1.1.
+    * Returns the table and the byte offset just past the (aligned)
+    * description.
+    */
+  private[sources] def readFseDesc(b: Array[Byte], from: Int, to: Int,
+      maxLog: Int, maxSym: Int): (FseTable, Int) = {
+    val fw = new FwdBits(b, from, to)
+    val tableLog = fw.read(4) + 5
+    if (tableLog > maxLog) fail(s"FSE: accuracy log $tableLog over max $maxLog")
+    val tableSize = 1 << tableLog
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = tableLog + 1
+    val counts = new Array[Int](maxSym + 1)
+    var charnum = 0
+    var prev0 = false
+    while (remaining > 1 && charnum <= maxSym) {
+      if (prev0) {
+        var rep = fw.read(2)
+        while (rep == 3) {
+          charnum += 3
+          if (charnum > maxSym) fail("FSE: zero-run past alphabet")
+          rep = fw.read(2)
+        }
+        charnum += rep
+        if (charnum > maxSym) fail("FSE: zero-run past alphabet")
+        prev0 = false
+      }
+      if (remaining > 1 && charnum <= maxSym) {
+        val max = (2 * threshold - 1) - remaining
+        val peek = fw.peek(nbBits)
+        var count =
+          if ((peek & (threshold - 1)) < max) { fw.skip(nbBits - 1); peek & (threshold - 1) }
+          else {
+            fw.skip(nbBits)
+            val c = peek & (2 * threshold - 1)
+            if (c >= threshold) c - max else c
+          }
+        count -= 1
+        if (count < -1) fail("FSE: bad count")
+        remaining -= math.abs(count)
+        if (remaining < 1) fail("FSE: counts overflow the table")
+        counts(charnum) = count
+        charnum += 1
+        prev0 = count == 0
+        while (remaining < threshold) { nbBits -= 1; threshold >>= 1 }
+      }
+    }
+    if (remaining != 1) fail("FSE: table description does not sum to table size")
+    (buildFse(counts, tableLog), fw.byteAligned)
+  }
+
+  // Predefined distributions (RFC 8878 §3.1.1.3.2.2).
+  private val LLDefault = Array(
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+    -1, -1, -1, -1)
+  private val MLDefault = Array(
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+    -1, -1, -1, -1, -1)
+  private val OFDefault = Array(
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1)
+  private[sources] lazy val LLPredef = buildFse(LLDefault, 6)
+  private[sources] lazy val MLPredef = buildFse(MLDefault, 6)
+  private[sources] lazy val OFPredef = buildFse(OFDefault, 5)
+
+  // Literal-length / match-length code tables (RFC 8878 §3.1.1.3.2.1.1).
+  private[sources] val LLBase = Array(
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096,
+    8192, 16384, 32768, 65536)
+  private[sources] val LLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+    13, 14, 15, 16)
+  private[sources] val MLBase = Array(
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539)
+  private[sources] val MLBits = Array(
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+    12, 13, 14, 15, 16)
+
+  // ------------------------------------------------------------------
+  // Huffman
+  // ------------------------------------------------------------------
+
+  /** Flat decode table: peek `tableLog` bits -> (symbol, code length). */
+  private[sources] final class HufTable(val tableLog: Int, val symbol: Array[Byte],
+      val len: Array[Int])
+
+  /** Build from COMPLETE weights (derived last included): symbols
+    * sorted by (weight asc, symbol asc) fill 2^(w-1) slots each.
+    */
+  private[sources] def buildHuf(weights: Array[Int]): HufTable = {
+    var total = 0L
+    var maxW = 0
+    var i = 0
+    while (i < weights.length) {
+      val w = weights(i)
+      if (w < 0 || w > 11) fail(s"huffman: weight $w out of range")
+      if (w > 0) { total += 1L << (w - 1); if (w > maxW) maxW = w }
+      i += 1
+    }
+    if (total == 0) fail("huffman: empty weights")
+    val tableLog = highBit(total.toInt)
+    if ((1L << tableLog) != total) fail("huffman: weights do not sum to a power of two")
+    if (tableLog > 11 || tableLog < 1) fail(s"huffman: table log $tableLog out of range")
+    if (maxW > tableLog) fail("huffman: weight exceeds table log")
+    val size = 1 << tableLog
+    val syms = new Array[Byte](size)
+    val lens = new Array[Int](size)
+    var pos = 0
+    var w = 1
+    while (w <= tableLog) {
+      var s = 0
+      while (s < weights.length) {
+        if (weights(s) == w) {
+          val run = 1 << (w - 1)
+          val nb = tableLog + 1 - w
+          var k = 0
+          while (k < run) { syms(pos + k) = s.toByte; lens(pos + k) = nb; k += 1 }
+          pos += run
+        }
+        s += 1
+      }
+      w += 1
+    }
+    if (pos != size) fail("huffman: table fill incomplete")
+    new HufTable(tableLog, syms, lens)
+  }
+
+  /** Parse a Huffman tree description at `b(at)`: direct 4-bit weights
+    * (header >= 128) or FSE-compressed weights decoded with the
+    * interleaved two-state loop (header < 128). Returns the table and
+    * the offset just past the description.
+    */
+  private[sources] def readHufDesc(b: Array[Byte], at: Int, to: Int): (HufTable, Int) = {
+    if (at >= to) fail("huffman: truncated tree description")
+    val hb = b(at) & 0xff
+    var weightsExpl: Array[Int] = null
+    var next = 0
+    if (hb >= 128) {
+      val n = hb - 127
+      val bytes = (n + 1) / 2
+      if (at + 1 + bytes > to) fail("huffman: truncated direct weights")
+      weightsExpl = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        val by = b(at + 1 + (i >> 1)) & 0xff
+        weightsExpl(i) = if ((i & 1) == 0) by >> 4 else by & 0xf
+        i += 1
+      }
+      next = at + 1 + bytes
+    } else {
+      if (at + 1 + hb > to) fail("huffman: truncated FSE weights")
+      val (wt, bitFrom) = readFseDesc(b, at + 1, at + 1 + hb, maxLog = 6, maxSym = 15)
+      val back = new BackBits(b, bitFrom, at + 1 + hb)
+      var s1 = back.readInt(wt.tableLog)
+      var s2 = back.readInt(wt.tableLog)
+      if (back.pos < 0) fail("huffman: FSE weight stream too short")
+      val buf = new scala.collection.mutable.ArrayBuffer[Int](64)
+      var done = false
+      while (!done) {
+        buf += wt.symbol(s1)
+        s1 = wt.base(s1) + back.readInt(wt.nbBits(s1))
+        if (back.pos < 0) { buf += wt.symbol(s2); done = true }
+        else {
+          buf += wt.symbol(s2)
+          s2 = wt.base(s2) + back.readInt(wt.nbBits(s2))
+          if (back.pos < 0) { buf += wt.symbol(s1); done = true }
+        }
+        if (buf.length > 255) fail("huffman: over 255 weights")
+      }
+      weightsExpl = buf.toArray
+      next = at + 1 + hb
+    }
+    // derive the last weight: explicit total tops up to the next power of two
+    var total = 0L
+    var i = 0
+    while (i < weightsExpl.length) {
+      val w = weightsExpl(i)
+      if (w > 11) fail("huffman: weight over 11")
+      if (w > 0) total += 1L << (w - 1)
+      i += 1
+    }
+    if (total == 0) fail("huffman: all-zero explicit weights")
+    val tableLog = highBit(total.toInt) + 1
+    if (tableLog > 11) fail("huffman: derived table log over 11")
+    val rest = (1L << tableLog) - total
+    if (rest <= 0 || (rest & (rest - 1)) != 0) fail("huffman: weights not completable")
+    val full = new Array[Int](weightsExpl.length + 1)
+    System.arraycopy(weightsExpl, 0, full, 0, weightsExpl.length)
+    full(weightsExpl.length) = highBit(rest.toInt) + 1
+    (buildHuf(full), next)
+  }
+
+  /** Decode `count` symbols from one backward Huffman stream; requires
+    * exact consumption (real encoders write whole codes; leftover bits
+    * mean corruption).
+    */
+  private def hufDecodeStream(t: HufTable, b: Array[Byte], from: Int, to: Int,
+      out: Array[Byte], outAt: Int, count: Int): Unit = {
+    val back = new BackBits(b, from, to)
+    var i = 0
+    while (i < count) {
+      // peek tableLog bits (zero-padded near the start), consume the code length
+      val save = back.pos
+      val idx = back.readInt(t.tableLog)
+      back.pos = save - t.len(idx)
+      out(outAt + i) = t.symbol(idx)
+      i += 1
+    }
+    if (back.pos != 0) fail("huffman: literal stream not exactly consumed")
+  }
+
+  // ------------------------------------------------------------------
+  // Frame decode
+  // ------------------------------------------------------------------
+
+  private final class Out(var buf: Array[Byte], var len: Int, val cap: Int) {
+    def ensure(extra: Int): Unit = {
+      if (len + extra > cap) fail(s"decoded output over cap $cap")
+      if (len + extra > buf.length) {
+        var n = math.max(buf.length * 2, 64)
+        while (n < len + extra) n *= 2
+        buf = java.util.Arrays.copyOf(buf, math.min(n.toLong, cap.toLong).toInt)
+      }
+    }
+  }
+
+  /** Per-frame mutable decode state: repeat offsets, last Huffman
+    * table (treeless literals), last FSE tables (repeat mode).
+    */
+  private final class FrameCtx {
+    var rep0 = 1; var rep1 = 4; var rep2 = 8
+    var huf: HufTable = null
+    var ll: FseTable = null
+    var of: FseTable = null
+    var ml: FseTable = null
+  }
+
+  /** Decode all frames in `b`; loud on any damage. `maxOut` caps the
+    * total decoded size (zip-bomb guard).
+    */
+  def decompress(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    if (b == null) return null
+    val out = new Out(new Array[Byte](math.min(math.max(64, b.length * 3), maxOut)), 0, maxOut)
+    var p = 0
+    while (p < b.length) p = decodeTopLevel(b, p, out)
+    java.util.Arrays.copyOf(out.buf, out.len)
+  }
+
+  /** Best-effort decode: bytes recovered before the first damage (the
+    * WARC partial-parse promise for real shard tails).
+    */
+  def decompressTolerant(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    if (b == null) return null
+    val out = new Out(new Array[Byte](math.min(math.max(64, b.length * 3), maxOut)), 0, maxOut)
+    var p = 0
+    try {
+      while (p < b.length) p = decodeTopLevel(b, p, out)
+    } catch { case _: Exception => () }
+    java.util.Arrays.copyOf(out.buf, out.len)
+  }
+
+  private def decodeTopLevel(b: Array[Byte], at: Int, out: Out): Int = {
+    if (at + 4 > b.length) fail("truncated magic")
+    val magic = le32(b, at)
+    if ((magic & SkippableMagicMask) == SkippableMagic) {
+      if (at + 8 > b.length) fail("truncated skippable frame")
+      val sz = le32(b, at + 4).toLong & 0xffffffffL
+      val next = at + 8 + sz
+      if (next > b.length) fail("skippable frame overruns input")
+      next.toInt
+    } else if (magic == FrameMagic) {
+      decodeFrame(b, at + 4, out)
+    } else fail(f"bad magic 0x$magic%08x")
+  }
+
+  private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out): Int = {
+    var p = hdrAt
+    if (p >= b.length) fail("truncated frame header")
+    val fhd = b(p) & 0xff; p += 1
+    if ((fhd & 0x08) != 0) fail("reserved frame-header bit set")
+    val fcsFlag = fhd >> 6
+    val singleSeg = (fhd & 0x20) != 0
+    val hasChecksum = (fhd & 0x04) != 0
+    val dictFlag = fhd & 3
+    var windowSize = 0L
+    if (!singleSeg) {
+      if (p >= b.length) fail("truncated window descriptor")
+      val wd = b(p) & 0xff; p += 1
+      val base = 1L << (10 + (wd >> 3))
+      windowSize = base + (base / 8) * (wd & 7)
+    }
+    if (dictFlag != 0) {
+      val n = dictFlag match { case 1 => 1; case 2 => 2; case _ => 4 }
+      if (p + n > b.length) fail("truncated dictionary id")
+      var id = 0L
+      var i = 0
+      while (i < n) { id |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
+      p += n
+      if (id != 0) fail("dictionaries are out of subset")
+    }
+    var fcs = -1L
+    val fcsBytes = fcsFlag match {
+      case 0 => if (singleSeg) 1 else 0
+      case 1 => 2
+      case 2 => 4
+      case _ => 8
+    }
+    if (fcsBytes > 0) {
+      if (p + fcsBytes > b.length) fail("truncated frame content size")
+      fcs = 0L
+      var i = 0
+      while (i < fcsBytes) { fcs |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
+      if (fcsBytes == 2) fcs += 256
+      p += fcsBytes
+    }
+    if (singleSeg) windowSize = math.max(0L, fcs)
+    if (windowSize > MaxWindow) fail(s"window $windowSize over subset cap $MaxWindow")
+    if (fcs >= 0 && fcs > out.cap - out.len) fail("frame content size over output cap")
+    val frameStart = out.len
+    val ctx = new FrameCtx
+    var last = false
+    while (!last) {
+      if (p + 3 > b.length) fail("truncated block header")
+      val hdr = le24(b, p); p += 3
+      last = (hdr & 1) != 0
+      val btype = (hdr >> 1) & 3
+      val bsize = hdr >> 3
+      btype match {
+        case 0 => // raw
+          if (p + bsize > b.length) fail("raw block overruns input")
+          out.ensure(bsize)
+          System.arraycopy(b, p, out.buf, out.len, bsize)
+          out.len += bsize; p += bsize
+        case 1 => // RLE
+          if (p >= b.length) fail("RLE block missing byte")
+          out.ensure(bsize)
+          java.util.Arrays.fill(out.buf, out.len, out.len + bsize, b(p))
+          out.len += bsize; p += 1
+        case 2 =>
+          if (bsize > BlockMax) fail("compressed block over 128 KiB")
+          if (p + bsize > b.length) fail("compressed block overruns input")
+          decodeCompressedBlock(b, p, p + bsize, out, frameStart, ctx)
+          p += bsize
+        case _ => fail("reserved block type")
+      }
+    }
+    if (fcs >= 0 && (out.len - frameStart).toLong != fcs)
+      fail(s"frame decoded ${out.len - frameStart} bytes, header said $fcs")
+    if (hasChecksum) {
+      if (p + 4 > b.length) fail("truncated content checksum")
+      val want = le32(b, p); p += 4
+      val got = (xxh64(out.buf, frameStart, out.len - frameStart, 0L) & 0xffffffffL).toInt
+      if (got != want) fail(f"content checksum mismatch (got 0x$got%08x want 0x$want%08x)")
+    }
+    p
+  }
+
+  private def decodeCompressedBlock(b: Array[Byte], from: Int, to: Int, out: Out,
+      frameStart: Int, ctx: FrameCtx): Unit = {
+    // ---- literals section
+    if (from >= to) fail("empty compressed block")
+    val h0 = b(from) & 0xff
+    val litType = h0 & 3
+    val sizeFormat = (h0 >> 2) & 3
+    var litLen = 0
+    var lits: Array[Byte] = null
+    var p = from
+    if (litType <= 1) { // raw / RLE
+      sizeFormat match {
+        case 0 | 2 => litLen = h0 >> 3; p += 1
+        case 1 =>
+          if (p + 2 > to) fail("truncated literals header")
+          litLen = (h0 >> 4) | ((b(p + 1) & 0xff) << 4); p += 2
+        case _ =>
+          if (p + 3 > to) fail("truncated literals header")
+          litLen = (h0 >> 4) | ((b(p + 1) & 0xff) << 4) | ((b(p + 2) & 0xff) << 12); p += 3
+      }
+      if (litLen > BlockMax) fail("literals over block max")
+      lits = new Array[Byte](litLen)
+      if (litType == 0) {
+        if (p + litLen > to) fail("raw literals overrun block")
+        System.arraycopy(b, p, lits, 0, litLen); p += litLen
+      } else {
+        if (p >= to) fail("RLE literals missing byte")
+        java.util.Arrays.fill(lits, b(p)); p += 1
+      }
+    } else { // Huffman-compressed (2) / treeless (3)
+      var streams4 = true
+      var regSize = 0
+      var compSize = 0
+      sizeFormat match {
+        case 0 | 1 =>
+          if (p + 3 > to) fail("truncated literals header")
+          val h = le24(b, p)
+          regSize = (h >> 4) & 0x3ff; compSize = (h >> 14) & 0x3ff
+          streams4 = sizeFormat == 1
+          p += 3
+        case 2 =>
+          if (p + 4 > to) fail("truncated literals header")
+          val h = le32(b, p)
+          regSize = (h >> 4) & 0x3fff; compSize = (h >>> 18) & 0x3fff
+          p += 4
+        case _ =>
+          if (p + 5 > to) fail("truncated literals header")
+          val h = le32(b, p)
+          regSize = (h >> 4) & 0x3ffff
+          compSize = ((h >>> 22) & 0x3ff) | ((b(p + 4) & 0xff) << 10)
+          p += 5
+      }
+      if (regSize > BlockMax) fail("literals over block max")
+      val sectionEnd = p + compSize
+      if (sectionEnd > to) fail("literal streams overrun block")
+      if (litType == 2) {
+        val (t, after) = readHufDesc(b, p, sectionEnd)
+        ctx.huf = t
+        p = after
+      } else if (ctx.huf == null) fail("treeless literals with no previous table")
+      val t = ctx.huf
+      lits = new Array[Byte](regSize)
+      litLen = regSize
+      if (!streams4) {
+        hufDecodeStream(t, b, p, sectionEnd, lits, 0, regSize)
+      } else {
+        if (p + 6 > sectionEnd) fail("truncated literal jump table")
+        val s1 = le16(b, p); val s2 = le16(b, p + 2); val s3 = le16(b, p + 4)
+        val base = p + 6
+        val s4 = sectionEnd - (base + s1 + s2 + s3)
+        if (s4 <= 0) fail("literal stream sizes overrun section")
+        val cs = (regSize + 3) / 4
+        val c4 = regSize - 3 * cs
+        if (c4 <= 0) fail("four-stream literals smaller than four symbols")
+        hufDecodeStream(t, b, base, base + s1, lits, 0, cs)
+        hufDecodeStream(t, b, base + s1, base + s1 + s2, lits, cs, cs)
+        hufDecodeStream(t, b, base + s1 + s2, base + s1 + s2 + s3, lits, 2 * cs, cs)
+        hufDecodeStream(t, b, base + s1 + s2 + s3, sectionEnd, lits, 3 * cs, c4)
+      }
+      p = sectionEnd
+    }
+
+    // ---- sequences section
+    if (p >= to) fail("missing sequences section")
+    val b0 = b(p) & 0xff; p += 1
+    var nbSeq = 0
+    if (b0 == 0) nbSeq = 0
+    else if (b0 < 128) nbSeq = b0
+    else if (b0 < 255) {
+      if (p >= to) fail("truncated sequence count")
+      nbSeq = ((b0 - 128) << 8) + (b(p) & 0xff); p += 1
+    } else {
+      if (p + 2 > to) fail("truncated sequence count")
+      nbSeq = le16(b, p) + 0x7f00; p += 2
+    }
+    if (nbSeq == 0) {
+      if (p != to) fail("trailing bytes after empty sequences section")
+      out.ensure(litLen)
+      System.arraycopy(lits, 0, out.buf, out.len, litLen)
+      out.len += litLen
+      return
+    }
+    if (p >= to) fail("missing compression modes byte")
+    val modes = b(p) & 0xff; p += 1
+    if ((modes & 3) != 0) fail("reserved compression-mode bits set")
+    def table(mode: Int, prev: FseTable, predef: FseTable, maxLog: Int, maxSym: Int,
+        what: String): FseTable = mode match {
+      case 0 => predef
+      case 1 =>
+        if (p >= to) fail(s"truncated RLE symbol for $what")
+        val sym = b(p) & 0xff; p += 1
+        if (sym > maxSym) fail(s"$what RLE symbol $sym over max $maxSym")
+        rleFse(sym)
+      case 2 =>
+        val (t, after) = readFseDesc(b, p, to, maxLog, maxSym)
+        p = after
+        t
+      case _ =>
+        if (prev == null) fail(s"repeat mode for $what with no previous table")
+        prev
+    }
+    val llT = table(modes >> 6, ctx.ll, LLPredef, 9, 35, "literal-length")
+    val ofT = table((modes >> 4) & 3, ctx.of, OFPredef, 8, 31, "offset")
+    val mlT = table((modes >> 2) & 3, ctx.ml, MLPredef, 9, 52, "match-length")
+    ctx.ll = llT; ctx.of = ofT; ctx.ml = mlT
+
+    val back = new BackBits(b, p, to)
+    var llS = back.readInt(llT.tableLog)
+    var ofS = back.readInt(ofT.tableLog)
+    var mlS = back.readInt(mlT.tableLog)
+    if (back.pos < 0) fail("sequence bitstream too short for initial states")
+    var litAt = 0
+    var produced = out.len // block-regenerated bound check
+    var i = 0
+    while (i < nbSeq) {
+      val ofCode = ofT.symbol(ofS)
+      if (ofCode > 31) fail(s"offset code $ofCode over 31")
+      val ofVal = (1L << ofCode) + back.read(ofCode)
+      val mlCode = mlT.symbol(mlS)
+      val ml = MLBase(mlCode) + back.readInt(MLBits(mlCode))
+      val llCode = llT.symbol(llS)
+      val ll = LLBase(llCode) + back.readInt(LLBits(llCode))
+      // repeat-offset history (RFC 8878 §3.1.1.5)
+      var offset = 0
+      if (ofVal > 3) {
+        offset = (ofVal - 3).toInt
+        if (ofVal - 3 > Int.MaxValue) fail("offset over 2^31")
+        ctx.rep2 = ctx.rep1; ctx.rep1 = ctx.rep0; ctx.rep0 = offset
+      } else {
+        val idx = ofVal.toInt + (if (ll == 0) 1 else 0) // 1..4
+        if (idx == 1) offset = ctx.rep0
+        else {
+          offset = idx match {
+            case 2 => ctx.rep1
+            case 3 => ctx.rep2
+            case _ => ctx.rep0 - 1
+          }
+          if (offset <= 0) fail("repeat offset underflow (corrupt)")
+          if (idx > 2) ctx.rep2 = ctx.rep1
+          ctx.rep1 = ctx.rep0
+          ctx.rep0 = offset
+        }
+      }
+      if (i < nbSeq - 1) {
+        llS = llT.base(llS) + back.readInt(llT.nbBits(llS))
+        mlS = mlT.base(mlS) + back.readInt(mlT.nbBits(mlS))
+        ofS = ofT.base(ofS) + back.readInt(ofT.nbBits(ofS))
+        if (llS >= llT.size || mlS >= mlT.size || ofS >= ofT.size || back.pos < -64)
+          fail("sequence state out of table")
+      }
+      // execute
+      if (litAt + ll > litLen) fail("sequence literals overrun literal section")
+      out.ensure(ll + ml)
+      System.arraycopy(lits, litAt, out.buf, out.len, ll)
+      litAt += ll; out.len += ll
+      if (offset > out.len - frameStart) fail(s"match offset $offset reaches before frame start")
+      var k = 0
+      var src = out.len - offset
+      while (k < ml) { // overlapping copy must run byte-by-byte
+        out.buf(out.len + k) = out.buf(src + k)
+        k += 1
+      }
+      out.len += ml
+      if (out.len - produced > BlockMax) fail("block regenerates over 128 KiB")
+      i += 1
+    }
+    if (back.pos != 0) fail("sequence bitstream not exactly consumed")
+    val rest = litLen - litAt
+    out.ensure(rest)
+    System.arraycopy(lits, litAt, out.buf, out.len, rest)
+    out.len += rest
+    if (out.len - produced > BlockMax) fail("block regenerates over 128 KiB")
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture encoder
+  // ------------------------------------------------------------------
+
+  /** Backward bitstream writer: append in REVERSE decoder-read order
+    * (first append = read last); finish() adds the sentinel bit and
+    * zero-pads to a byte.
+    */
+  private final class BackWriter {
+    private var buf = new Array[Byte](64)
+    private var pos = 0 // bit position
+    def append(v: Long, n: Int): Unit = {
+      var j = 0
+      while (j < n) {
+        val i = pos + j
+        if ((i >> 3) >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        if (((v >> j) & 1L) != 0) buf(i >> 3) = (buf(i >> 3) | (1 << (i & 7))).toByte
+        j += 1
+      }
+      pos += n
+    }
+    def finish(): Array[Byte] = {
+      if ((pos >> 3) >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      buf(pos >> 3) = (buf(pos >> 3) | (1 << (pos & 7))).toByte
+      pos += 1
+      java.util.Arrays.copyOf(buf, (pos + 7) >> 3)
+    }
+  }
+
+  /** FSE encoder as the inverse of the decode table: for a symbol and
+    * the decode state that must FOLLOW it, find the state emitting the
+    * symbol and the bits the decoder will read to land on the next
+    * state.
+    */
+  private final class FseEncoder(t: FseTable) {
+    private val statesBySym: Map[Int, Array[Int]] =
+      (0 until t.size).groupBy(t.symbol(_)).map { case (s, xs) => s -> xs.toArray.sorted }
+    private val effCount: Map[Int, Int] = statesBySym.map { case (s, xs) => s -> xs.length }
+    def anyState(sym: Int): Int = statesBySym.getOrElse(sym,
+      fail(s"fse-encode: symbol $sym has no state")).head
+    /** (stateForSym, bitsValue, nbBits) such that decode(stateForSym) + bits = next. */
+    def transition(sym: Int, next: Int): (Int, Long, Int) = {
+      val c = effCount.getOrElse(sym, fail(s"fse-encode: symbol $sym has no state"))
+      val v = next + t.size
+      var nb = highBit(v) - highBit(c)
+      if ((v >> nb) < c) nb -= 1
+      val k = (v >> nb) - c
+      val st = statesBySym(sym)(k)
+      (st, (v & ((1L << nb) - 1)), nb)
+    }
+  }
+
+  private lazy val LLEnc = new FseEncoder(LLPredef)
+  private lazy val OFEnc = new FseEncoder(OFPredef)
+  private lazy val MLEnc = new FseEncoder(MLPredef)
+
+  private def llCodeOf(v: Int): Int = {
+    var c = LLBase.length - 1
+    while (LLBase(c) > v) c -= 1
+    c
+  }
+  private def mlCodeOf(v: Int): Int = {
+    var c = MLBase.length - 1
+    while (MLBase(c) > v) c -= 1
+    c
+  }
+
+  private final case class Seq3(ll: Int, offset: Int, ml: Int)
+
+  /** Greedy hash-table LZ matcher over one block: 4-byte probes,
+    * most-recent candidate, min match 4.
+    */
+  private def findSequences(d: Array[Byte], from: Int, to: Int): (Vector[Seq3], Array[Byte]) = {
+    val tab = new Array[Int](1 << 15)
+    java.util.Arrays.fill(tab, -1)
+    @inline def hash(at: Int): Int =
+      ((le32(d, at) * -1640531527) >>> 17) & 0x7fff
+    val seqs = Vector.newBuilder[Seq3]
+    val lits = new java.io.ByteArrayOutputStream()
+    var i = from
+    var anchor = from
+    while (i + 4 <= to) {
+      val h = hash(i)
+      val cand = tab(h)
+      tab(h) = i
+      if (cand >= from && cand < i && le32(d, cand) == le32(d, i)) {
+        var m = 4
+        while (i + m < to && d(cand + m) == d(i + m)) m += 1
+        seqs += Seq3(i - anchor, i - cand, m)
+        lits.write(d, anchor, i - anchor)
+        i += m
+        anchor = i
+      } else i += 1
+    }
+    lits.write(d, anchor, to - anchor)
+    (seqs.result(), lits.toByteArray)
+  }
+
+  /** Encode the sequence section bitstream with the predefined tables. */
+  private def encodeSequences(seqs: Vector[Seq3]): Array[Byte] = {
+    val n = seqs.length
+    val codes = seqs.map { s =>
+      val ofVal = s.offset + 3L
+      (llCodeOf(s.ll), highBit(ofVal.toInt), mlCodeOf(s.ml))
+    }
+    // choose decode states backward
+    val llStates = new Array[Int](n); val ofStates = new Array[Int](n); val mlStates = new Array[Int](n)
+    val llTrans = new Array[(Long, Int)](n); val ofTrans = new Array[(Long, Int)](n); val mlTrans = new Array[(Long, Int)](n)
+    llStates(n - 1) = LLEnc.anyState(codes(n - 1)._1)
+    ofStates(n - 1) = OFEnc.anyState(codes(n - 1)._2)
+    mlStates(n - 1) = MLEnc.anyState(codes(n - 1)._3)
+    var i = n - 2
+    while (i >= 0) {
+      val (ls, lv, ln) = LLEnc.transition(codes(i)._1, llStates(i + 1))
+      val (os, ov, on) = OFEnc.transition(codes(i)._2, ofStates(i + 1))
+      val (ms, mv, mn) = MLEnc.transition(codes(i)._3, mlStates(i + 1))
+      llStates(i) = ls; llTrans(i) = (lv, ln)
+      ofStates(i) = os; ofTrans(i) = (ov, on)
+      mlStates(i) = ms; mlTrans(i) = (mv, mn)
+      i -= 1
+    }
+    val w = new BackWriter
+    // decoder read order reversed: vals(n-1), then for i=n-2..0: upd(i), vals(i); then initML, initOF, initLL
+    def appendVals(i: Int): Unit = {
+      val s = seqs(i); val (llC, ofC, mlC) = codes(i)
+      w.append((s.ll - LLBase(llC)).toLong, LLBits(llC))
+      w.append((s.ml - MLBase(mlC)).toLong, MLBits(mlC))
+      w.append((s.offset + 3L) - (1L << ofC), ofC)
+    }
+    appendVals(n - 1)
+    i = n - 2
+    while (i >= 0) {
+      w.append(ofTrans(i)._1, ofTrans(i)._2)
+      w.append(mlTrans(i)._1, mlTrans(i)._2)
+      w.append(llTrans(i)._1, llTrans(i)._2)
+      appendVals(i)
+      i -= 1
+    }
+    w.append(mlStates(0).toLong, MLPredef.tableLog)
+    w.append(ofStates(0).toLong, OFPredef.tableLog)
+    w.append(llStates(0).toLong, LLPredef.tableLog)
+    w.finish()
+  }
+
+  /** Canonical Huffman build for the fixture encoder: plain two-least
+    * merge, then weights `maxBits + 1 - len`; Kraft equality of a full
+    * tree guarantees the weight-sum power-of-two property the decoder
+    * checks. Returns null when the data cannot use the direct-form
+    * subset (one distinct symbol, symbol over 127, or depth over 11).
+    */
+  private def hufBuildWeights(data: Array[Byte]): Array[Int] = {
+    val freq = new Array[Long](256)
+    data.foreach(x => freq(x & 0xff) += 1)
+    val present = (0 until 256).filter(freq(_) > 0)
+    if (present.length < 2 || present.last > 127) return null
+    // two-least merge over (weight, set-of-symbols)
+    var nodes = present.map(s => (freq(s), List(s))).sortBy(_._1).toList
+    val depth = new Array[Int](256)
+    while (nodes.length > 1) {
+      val a :: b2 :: rest = nodes: @unchecked
+      (a._2 ++ b2._2).foreach(s => depth(s) += 1)
+      nodes = ((a._1 + b2._1, a._2 ++ b2._2) :: rest).sortBy(_._1)
+    }
+    val maxBits = present.map(depth).max
+    if (maxBits > 11) return null
+    val weights = new Array[Int](present.last + 1)
+    present.foreach(s => weights(s) = maxBits + 1 - depth(s))
+    weights
+  }
+
+  /** Encode one backward Huffman stream (codes from the same fill rule
+    * the decoder uses: table index range, top bits).
+    */
+  private def hufEncodeStream(data: Array[Byte], from: Int, until: Int,
+      code: Array[Int], len: Array[Int]): Array[Byte] = {
+    val w = new BackWriter
+    var i = until - 1
+    while (i >= from) {
+      val s = data(i) & 0xff
+      w.append(code(s).toLong, len(s))
+      i -= 1
+    }
+    w.finish()
+  }
+
+  /** Codes per symbol from complete weights, matching the decode-table
+    * fill order exactly.
+    */
+  private def hufCodes(weights: Array[Int]): (Array[Int], Array[Int], Int) = {
+    var total = 0L
+    weights.foreach(w => if (w > 0) total += 1L << (w - 1))
+    val tableLog = highBit(total.toInt)
+    require((1L << tableLog) == total, "huf encode: weights not a power of two")
+    val code = new Array[Int](256); val len = new Array[Int](256)
+    var pos = 0
+    var w = 1
+    while (w <= tableLog) {
+      var s = 0
+      while (s < weights.length) {
+        if (weights(s) == w) {
+          val run = 1 << (w - 1)
+          require(pos % run == 0, "huf encode: canonical misalignment")
+          len(s) = tableLog + 1 - w
+          code(s) = pos >> (w - 1)
+          pos += run
+        }
+        s += 1
+      }
+      w += 1
+    }
+    (code, len, tableLog)
+  }
+
+  /** One complete frame (single-segment, XXH64 checksum) around
+    * `data`, with the requested block strategy:
+    *   - "raw": raw blocks only (the store path);
+    *   - "rle": RLE blocks for uniform runs, raw otherwise;
+    *   - "seq": greedy LZ + predefined-FSE sequences + raw literals;
+    *   - "huf": like "seq" with Huffman-coded literals (single stream
+    *     up to 1023 literals, four streams above).
+    */
+  def compressFrame(data: Array[Byte], mode: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def wLE(v: Long, n: Int): Unit = { var i = 0; while (i < n) { w8((v >> (8 * i)).toInt); i += 1 } }
+    wLE(FrameMagic.toLong, 4)
+    // single-segment; FCS field sized to content; checksum on
+    val n = data.length
+    val (fcsFlag, fcsBytes, fcsStore) =
+      if (n <= 255) (0, 1, n.toLong)
+      else if (n - 256 <= 0xffff) (1, 2, (n - 256).toLong)
+      else (2, 4, n.toLong)
+    w8((fcsFlag << 6) | 0x20 | 0x04)
+    wLE(fcsStore, fcsBytes)
+    val blockCap = 64 * 1024
+    var at = 0
+    if (n == 0) { wLE(1L, 3) } // one empty raw last block
+    while (at < n) {
+      val end = math.min(n, at + blockCap)
+      val isLast = end == n
+      val (btype, payload) = buildBlock(data, at, end, mode)
+      // RLE block headers carry the REGENERATED size; raw/compressed the payload size
+      val hdrSize = if (btype == 1) end - at else payload.length
+      wLE((hdrSize.toLong << 3) | (btype.toLong << 1) | (if (isLast) 1L else 0L), 3)
+      out.write(payload)
+      at = end
+    }
+    val chk = xxh64(data, 0, n, 0L)
+    wLE(chk & 0xffffffffL, 4)
+    out.toByteArray
+  }
+
+  /** Block payload for `data[from, end)`: (blockType, payloadBytes). */
+  private def buildBlock(data: Array[Byte], from: Int, end: Int, mode: String): (Int, Array[Byte]) = {
+    val len = end - from
+    def raw: (Int, Array[Byte]) = (0, java.util.Arrays.copyOfRange(data, from, end))
+    mode match {
+      case "raw" => raw
+      case "rle" =>
+        var uniform = true
+        var i = from + 1
+        while (uniform && i < end) { uniform = data(i) == data(from); i += 1 }
+        if (uniform && len > 0) (1, Array(data(from))) else raw
+      case m =>
+        val (seqs, lits) = findSequences(data, from, end)
+        if (seqs.isEmpty && m == "seq") return raw
+        val body = new java.io.ByteArrayOutputStream()
+        // literals sub-section
+        val wroteHuf = m == "huf" && lits.length >= 16 && {
+          val weights = hufBuildWeights(lits)
+          if (weights == null) false
+          else {
+            val (code, lenA, _) = hufCodes(weights)
+            // direct-form tree description
+            val nW = weights.length - 1 // last weight implicit
+            val desc = new java.io.ByteArrayOutputStream()
+            desc.write(127 + nW)
+            var i = 0
+            while (i < nW) {
+              val hi = weights(i)
+              val lo = if (i + 1 < nW) weights(i + 1) else 0
+              desc.write((hi << 4) | lo)
+              i += 2
+            }
+            val four = lits.length > 1023
+            val streams = if (!four) {
+              hufEncodeStream(lits, 0, lits.length, code, lenA)
+            } else {
+              val cs = (lits.length + 3) / 4
+              val parts = Array(
+                hufEncodeStream(lits, 0, cs, code, lenA),
+                hufEncodeStream(lits, cs, 2 * cs, code, lenA),
+                hufEncodeStream(lits, 2 * cs, 3 * cs, code, lenA),
+                hufEncodeStream(lits, 3 * cs, lits.length, code, lenA))
+              val jt = new java.io.ByteArrayOutputStream()
+              (0 until 3).foreach { k =>
+                jt.write(parts(k).length & 0xff); jt.write((parts(k).length >> 8) & 0xff)
+              }
+              parts.foreach(jt.write)
+              jt.toByteArray
+            }
+            val comp = desc.toByteArray ++ streams
+            if (!four && lits.length <= 1023 && comp.length <= 1023) {
+              val h = 2 | (0 << 2) | (lits.length << 4) | (comp.length << 14)
+              body.write(h & 0xff); body.write((h >> 8) & 0xff); body.write((h >> 16) & 0xff)
+              body.write(comp)
+              true
+            } else if (four && lits.length <= 16383 && comp.length <= 16383) {
+              val h = 2L | (2L << 2) | (lits.length.toLong << 4) | (comp.length.toLong << 18)
+              var k = 0
+              while (k < 4) { body.write(((h >> (8 * k)) & 0xff).toInt); k += 1 }
+              body.write(comp)
+              true
+            } else false
+          }
+        }
+        if (!wroteHuf) {
+          // raw literals
+          if (lits.length <= 31) body.write((lits.length << 3) | 0)
+          else if (lits.length <= 4095) {
+            body.write(((lits.length & 0xf) << 4) | 0x04)
+            body.write((lits.length >> 4) & 0xff)
+          } else {
+            body.write(((lits.length & 0xf) << 4) | 0x0c)
+            body.write((lits.length >> 4) & 0xff)
+            body.write((lits.length >> 12) & 0xff)
+          }
+          body.write(lits)
+        }
+        // sequences
+        if (seqs.isEmpty) body.write(0)
+        else {
+          val ns = seqs.length
+          if (ns < 128) body.write(ns)
+          else { body.write((ns >> 8) + 128); body.write(ns & 0xff) }
+          body.write(0) // all three: predefined
+          body.write(encodeSequences(seqs))
+        }
+        val payload = body.toByteArray
+        if (payload.length >= len || payload.length > BlockMax) raw else (2, payload)
+    }
+  }
+
+  /** Multi-frame fixture in the [[GzipShard.synthJsonlGz]] shape: one
+    * frame per member, rotating block strategies (raw, LZ+predefined
+    * FSE, LZ+Huffman literals) so every decode path carries traffic.
+    */
+  def synthJsonlZst(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until math.max(1, nMembers)).foreach { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      val mode = (m % 3) match { case 0 => "raw"; case 1 => "seq"; case _ => "huf" }
+      out.write(compressFrame(sb.toString.getBytes(UTF_8), mode))
+    }
+    out.toByteArray
+  }
+
+  /** `.jsonl.zst` shard → newline-joined `text` fields — the dispatch
+    * projection, tolerant of damaged trailing frames. Null when
+    * nothing decodes or no line carries a text member (the codec
+    * null-on-undecodable contract).
+    */
+  def jsonlZstText(b: Array[Byte]): String = {
+    if (!isZstd(b)) return null
+    val raw = decompressTolerant(b)
+    if (raw == null || raw.length == 0) return null
+    val texts = new String(raw, UTF_8).split("\n")
+      .iterator.map(GzipShard.textField).filter(_ != null).toSeq
+    if (texts.isEmpty) null else texts.mkString("\n")
+  }
+
+  /** Full decoded UTF-8 text of all frames (tolerant) — the
+    * `gunzip_text` analog for the schema-true `from_json` read path.
+    */
+  def unzstdText(b: Array[Byte]): String = {
+    if (!isZstd(b)) return null
+    val raw = decompressTolerant(b)
+    if (raw == null) null else new String(raw, UTF_8)
+  }
+}

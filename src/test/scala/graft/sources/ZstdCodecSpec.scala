@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RFC 8878 codec, verified BOTH ways against the real Zstandard on
+  * the Spark classpath (zstd-jni ships for shuffle compression):
+  *
+  *   1. frames built by the fixture encoder must round-trip through
+  *      zstd-jni (validity: a conformant decoder accepts our frames);
+  *   2. zstd-jni frames at several levels over several data shapes
+  *      must decode byte-exact here (coverage: real encoder output
+  *      exercises predefined + FSE-described + repeat sequence modes,
+  *      FSE-compressed Huffman weights, 1- and 4-stream literals,
+  *      treeless reuse, repeat offsets, cross-block matches).
+  *
+  * Plus mutation fuzz (no hang, no wrong silent success on damaged
+  * checksummed frames), skippable frames, multi-frame concatenation,
+  * and the jsonl shard surface.
+  */
+class ZstdCodecSpec extends AnyFunSuite {
+  import ZstdCodec._
+
+  private def realCompress(data: Array[Byte], level: Int): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, level)
+
+  private def realDecompress(frame: Array[Byte], hint: Int): Array[Byte] =
+    com.github.luben.zstd.Zstd.decompress(frame, math.max(hint, 1))
+
+  private def rng(seed: Long): java.util.Random = new java.util.Random(seed)
+
+  /** Data shapes chosen to force distinct encoder strategies. */
+  private def shapes: Seq[(String, Array[Byte])] = {
+    val r = rng(42)
+    val english = ("the quick brown fox jumps over the lazy dog; " * 400).getBytes("UTF-8")
+    val jsonl = (0 until 500).map(i =>
+      s"""{"id": $i, "text": "document $i body with shared prefix", "lang": "en"}""")
+      .mkString("\n").getBytes("UTF-8")
+    val random = { val a = new Array[Byte](4096); r.nextBytes(a); a }
+    val uniform = Array.fill[Byte](3000)('x')
+    val nearUniform = Array.tabulate[Byte](5000)(i => if (i % 97 == 0) 'y' else 'x')
+    val multiBlock = { // > 128 KiB forces multiple blocks + cross-block matches
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < 300 * 1024) { sb.append(s"line $i of a repetitive corpus shard\n"); i += 1 }
+      sb.toString.getBytes("UTF-8")
+    }
+    val tiny = "ab".getBytes("UTF-8")
+    val empty = Array.emptyByteArray
+    Seq("english" -> english, "jsonl" -> jsonl, "random" -> random, "uniform" -> uniform,
+      "nearUniform" -> nearUniform, "multiBlock" -> multiBlock, "tiny" -> tiny, "empty" -> empty)
+  }
+
+  test("oracle 1: fixture-encoder frames are accepted byte-exact by real zstd") {
+    for ((name, data) <- shapes; mode <- Seq("raw", "rle", "seq", "huf")) {
+      val frame = compressFrame(data, mode)
+      val back = try realDecompress(frame, data.length) catch {
+        case e: Exception => fail(s"shape=$name mode=$mode: real zstd rejected: ${e.getMessage}")
+      }
+      assert(back.toSeq === data.toSeq, s"shape=$name mode=$mode")
+      // and by our own decoder (checksum verified on both paths)
+      assert(decompress(frame).toSeq === data.toSeq, s"self shape=$name mode=$mode")
+    }
+  }
+
+  test("oracle 2: real-zstd frames at levels 1/3/9/19 decode byte-exact here") {
+    for ((name, data) <- shapes; level <- Seq(1, 3, 9, 19)) {
+      val frame = realCompress(data, level)
+      val got = try decompress(frame) catch {
+        case e: Exception => fail(s"shape=$name level=$level: ${e.getMessage}")
+      }
+      assert(got.toSeq === data.toSeq, s"shape=$name level=$level")
+    }
+  }
+
+  test("oracle 2b: random-length random-content sweep at mixed levels") {
+    val r = rng(7)
+    (0 until 40).foreach { i =>
+      val n = r.nextInt(20000)
+      val data = new Array[Byte](n)
+      // mix: half compressible (small alphabet), half random
+      if (i % 2 == 0) (0 until n).foreach(j => data(j) = ('a' + r.nextInt(4)).toByte)
+      else r.nextBytes(data)
+      val frame = realCompress(data, 1 + r.nextInt(19))
+      assert(decompress(frame).toSeq === data.toSeq, s"i=$i n=$n")
+    }
+  }
+
+  test("multi-frame concatenation and skippable frames") {
+    val a = compressFrame("first frame ".getBytes, "seq")
+    val skip = Array[Byte](0x5a, 0x2a, 0x4d, 0x18, 4, 0, 0, 0, 1, 2, 3, 4) // magic 0x184D2A5A, 4 bytes
+    val b = compressFrame("second frame".getBytes, "huf")
+    val all = a ++ skip ++ b
+    assert(new String(decompress(all), "UTF-8") === "first frame second frame")
+  }
+
+  test("damaged frames: loud decompress, tolerant prefix recovery, no hangs") {
+    val data = ("shard line alpha\n" * 200).getBytes("UTF-8")
+    val good = compressFrame(data, "huf")
+    val r = rng(11)
+    var loud = 0
+    (0 until 300).foreach { _ =>
+      val bad = good.clone()
+      val at = r.nextInt(bad.length)
+      bad(at) = (bad(at) ^ (1 << r.nextInt(8))).toByte
+      // a checksummed frame must never silently decode to WRONG content
+      try {
+        val out = decompress(bad)
+        assert(out.toSeq === data.toSeq, s"silent corruption at byte $at")
+      } catch { case _: Exception => loud += 1 }
+      decompressTolerant(bad) // must terminate without throwing
+    }
+    assert(loud > 200, s"only $loud/300 mutations detected — checksum not protective")
+    // truncations
+    (1 until good.length by 37).foreach { cut =>
+      try decompress(good.take(cut)) catch { case _: Exception => () }
+      decompressTolerant(good.take(cut))
+    }
+  }
+
+  test("tolerant decode keeps intact leading frames when the tail is damaged") {
+    val a = compressFrame("keep this ".getBytes, "seq")
+    val b = compressFrame("lose this".getBytes, "seq")
+    val cut = a ++ b.take(b.length - 5)
+    assert(new String(decompressTolerant(cut), "UTF-8").startsWith("keep this "))
+    assert(intercept[IllegalArgumentException](decompress(cut)).getMessage.contains("zstd"))
+  }
+
+  test("xxh64 matches zstd-jni's checksum acceptance (implicitly) and known vectors") {
+    // RFC/xxHash reference vectors (seed 0)
+    assert(xxh64(Array.emptyByteArray, 0, 0, 0L) === 0xEF46DB3751D8E999L)
+    assert(xxh64("a".getBytes("UTF-8"), 0, 1, 0L) === 0xD24EC4F1A98C6E5BL)
+    assert(xxh64("abc".getBytes("UTF-8"), 0, 3, 0L) === 0x44BC2CF5AD770999L)
+    val long = ("xxhash vector input 0123456789 " * 8).getBytes("UTF-8")
+    // cross-check against real zstd: flip the stored checksum and the frame must fail
+    val frame = compressFrame(long, "seq")
+    frame(frame.length - 1) = (frame(frame.length - 1) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException](decompress(frame)).getMessage.contains("checksum"))
+  }
+
+  test("zip-bomb guard: output cap is enforced loudly") {
+    val data = new Array[Byte](200000)
+    val frame = compressFrame(data, "rle")
+    val e = intercept[IllegalArgumentException](decompress(frame, maxOut = 1000))
+    assert(e.getMessage.contains("cap"))
+  }
+
+  test("dictionary frames are out of subset (loud)") {
+    // hand-build a single-segment header with Dictionary_ID_Flag = 1, id = 7
+    // (no window byte when single-segment: dict id directly follows the FHD)
+    val f = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 0x21, 7, 1, 0x09, 0, 0, 'x')
+    val e = intercept[IllegalArgumentException](decompress(f))
+    assert(e.getMessage.contains("dictionar"))
+  }
+
+  test("jsonl shard surface: synth, text extraction, null contract, routing") {
+    val z = synthJsonlZst(9L, 3, 2)
+    val text = new String(decompress(z), "UTF-8")
+    val lines = text.split("\n").filter(_.nonEmpty)
+    assert(lines.length === 6)
+    assert(lines.head.contains("\"id\": 9000"))
+    assert(lines.last.contains("\"id\": 9021"))
+    assert(jsonlZstText(synthJsonlZst(3L, 1, 2)) ===
+      "doc 3 m0 l0 say \"hi\"\tok\ndoc 3 m0 l1 say \"hi\"\tok")
+    // null contract: no text members → null (not "")
+    assert(jsonlZstText(compressFrame("{\"id\": 1}\n".getBytes, "raw")) === null)
+    assert(jsonlZstText("not zstd".getBytes) === null)
+    assert(unzstdText(z).contains("\"id\": 9010"))
+    // real-zstd shards route through the same surface
+    val real = realCompress("{\"text\": \"from real zstd\"}\n".getBytes, 3)
+    assert(jsonlZstText(real) === "from real zstd")
+  }
+}
