@@ -491,6 +491,79 @@ case class SynthJsonlGzExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_jsonl_gz"
 }
 
+/** `unzstd_text(bin)` → UTF-8 text of all concatenated zstd frames
+  * ([[graft.sources.ZstdCodec.unzstdText]], damage-tolerant); null for
+  * non-zstd bytes — the `gunzip_text` analog for `.zst` shards.
+  */
+case class UnzstdTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.ZstdCodec.unzstdText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("zs")
+      s"""
+         |String $r = graft.sources.ZstdCodec.unzstdText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnzstdTextExpr = copy(child = c)
+  override def prettyName: String = "unzstd_text"
+}
+
+/** `jsonl_zst_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.zst` shard ([[graft.sources.ZstdCodec.jsonlZstText]]) — the
+  * dispatch branch for zstd-era pretraining shards (Dolma,
+  * RedPajama-v2).
+  */
+case class JsonlZstTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.ZstdCodec.jsonlZstText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jz")
+      s"""
+         |String $r = graft.sources.ZstdCodec.jsonlZstText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlZstTextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_zst_text"
+}
+
+/** `synth_jsonl_zst(seed, n_members, lines_per)` — deterministic
+  * multi-frame `.jsonl.zst` fixture ([[graft.sources.ZstdCodec]]),
+  * rotating raw / LZ+FSE / Huffman-literal frame strategies.
+  */
+case class SynthJsonlZstExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.ZstdCodec.synthJsonlZst(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.ZstdCodec.synthJsonlZst($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlZstExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_zst"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -627,6 +700,13 @@ object CodeOps {
     GraftExpr.toColumn(JsonlGzTextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlGz(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlGzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unzstdText(bin: Column): Column =
+    GraftExpr.toColumn(UnzstdTextExpr(GraftExpr.toExpr(bin)))
+  def jsonlZstText(bin: Column): Column =
+    GraftExpr.toColumn(JsonlZstTextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlZst(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlZstExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
   def csvSniff(text: Column): Column =
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))

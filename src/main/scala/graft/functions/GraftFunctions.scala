@@ -128,6 +128,9 @@ object GraftFunctions {
     "gunzip_text" -> (a => CodeOps.gunzipText(a.head)),
     "jsonl_gz_text" -> (a => CodeOps.jsonlGzText(a.head)),
     "synth_jsonl_gz" -> (a => CodeOps.synthJsonlGz(a.head, a(1), a(2))),
+    "unzstd_text" -> (a => CodeOps.unzstdText(a.head)),
+    "jsonl_zst_text" -> (a => CodeOps.jsonlZstText(a.head)),
+    "synth_jsonl_zst" -> (a => CodeOps.synthJsonlZst(a.head, a(1), a(2))),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),

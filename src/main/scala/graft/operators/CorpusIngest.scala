@@ -34,6 +34,7 @@ object CorpusIngest {
         .when(format === "mediawiki",
           graft.functions.CodeOps.wikiDumpText(decode(payload, "UTF-8")))
         .when(format === "jsonl-gz", graft.functions.CodeOps.jsonlGzText(payload))
+        .when(format === "jsonl-zst", graft.functions.CodeOps.jsonlZstText(payload))
         .when(format === "html" || format === "text",
           graft.functions.Mojibake.fixMojibake(
             when(format === "html",

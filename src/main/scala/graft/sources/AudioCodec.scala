@@ -16,6 +16,15 @@ package graft.sources
   * is a ±amp square wave (RMS == amp exactly, no trigonometry), the
   * resampler uses exact rational positions (no floating-point drift),
   * and window RMS over a silence mask is 0-or-amp in closed form.
+  *
+  * Codec boundary: WAV (here) and FLAC ([[FlacCodec]]) cover the
+  * lossless speech-corpus formats; MP3 and OGG-Vorbis are
+  * absent-by-constraint — patent-era lossy DSP codecs with no pure-JDK
+  * decoder in a zero-egress build, the same class as the H.264/VP9
+  * video note in [[AviCodec]] and the xz note in [[GzipShard]]
+  * (zstd itself moved IN-subset in round 14 via [[ZstdCodec]]).
+  * Containers are still detected and labeled so a pipeline
+  * quarantines them rather than silently dropping.
   */
 object AudioCodec {
 

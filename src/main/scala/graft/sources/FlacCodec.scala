@@ -19,7 +19,11 @@ package graft.sources
   * and honored for block size; non-streaminfo rate codes accepted
   * only as the spec's direct forms). Decoded output reuses
   * [[AudioCodec.Pcm]], so every existing WAV analysis operator (RMS,
-  * VAD windows, resample) composes unchanged.
+  * VAD windows, resample) composes unchanged. A duration cap is also
+  * part of the subset: at most 2^26 total samples per stream (~25 min
+  * stereo at 44.1 kHz, ~70 min mono at 16 kHz) — the bound a per-row
+  * in-memory decode needs; longer recordings fail loudly, and a
+  * 100 TB pipeline should chunk them upstream at the shard grain.
   *
   * Scale shape: bytes → samples per row, no Spark state — rides inside
   * codegen like the WAV/image/PDF codecs.
@@ -182,7 +186,12 @@ object FlacCodec {
     require(si.bits == 16, s"FLAC: ${si.bits}-bit out of subset (16)")
     require(si.channels >= 1 && si.channels <= 2,
       s"FLAC: ${si.channels} channels out of subset (1-2)")
-    require(si.totalSamples <= (1 << 26), "FLAC: implausible sample count")
+    // Duration cap, part of the documented subset (see the header note):
+    // 2^26 total samples ≈ 25 min stereo at 44.1 kHz / ~70 min mono at
+    // 16 kHz — the per-row decode bound; longer recordings are loud,
+    // not silently nulled, so callers see the subset edge explicitly.
+    require(si.totalSamples <= (1 << 26),
+      s"FLAC: ${si.totalSamples} samples over the 2^26 per-row subset cap")
     val out = new Array[Short]((si.totalSamples * si.channels).toInt)
     var written = 0L
     val r = new BitReader(b)

@@ -11,9 +11,9 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
-  * tar, rtf, ole (legacy .doc/.xls/.msg — classified for quarantine,
-  * no extractor), mbox, jpeg, png, gif, tiff, avro, wav, flac, avi, html,
-  * mediawiki (dump-XML shards), xml, text, binary, empty.
+  * jsonl-zst, zstd, tar, rtf, ole (legacy .doc/.xls/.msg — classified for
+  * quarantine, no extractor), mbox, jpeg, png, gif, tiff, avro, wav, flac,
+  * avi, html, mediawiki (dump-XML shards), xml, text, binary, empty.
   */
 object FormatDetect {
 
@@ -47,6 +47,23 @@ object FormatDetect {
     printable.toDouble / probe >= 0.95
   }
 
+  /** JSON-object-per-line shard sniff over a decompressed prefix: the
+    * FIRST line must be a complete `{...}` object (start AND end), so
+    * a gzipped pretty-printed JSON document (first line just `{`) is
+    * NOT routed to the line-oriented jsonl extractor. When the prefix
+    * holds no newline (one long minified line), the object start alone
+    * decides — a single-object minified document IS one jsonl line.
+    */
+  private def looksJsonl(head: Array[Byte]): Boolean = {
+    if (head == null || head.isEmpty || head(0) != '{') return false
+    var nl = 0
+    while (nl < head.length && head(nl) != '\n') nl += 1
+    if (nl == head.length) return true // no full first line visible
+    var end = nl - 1
+    while (end > 0 && (head(end) == ' ' || head(end) == '\t' || head(end) == '\r')) end -= 1
+    head(end) == '}'
+  }
+
   def detect(b: Array[Byte]): String = {
     if (b == null) return null
     if (b.length == 0) return "empty"
@@ -65,16 +82,23 @@ object FormatDetect {
       val head = try {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(b), 512)
-        val buf = new Array[Byte](8)
-        val n = in.read(buf)
+        val buf = new Array[Byte](4096)
+        var at = 0
+        var n = in.read(buf, 0, buf.length)
+        while (n > 0 && at + n < buf.length) { at += n; n = in.read(buf, at, buf.length - at) }
+        if (n > 0) at += n
         in.close()
-        if (n > 0) java.util.Arrays.copyOf(buf, n) else Array.emptyByteArray
+        if (at > 0) java.util.Arrays.copyOf(buf, at) else Array.emptyByteArray
       } catch { case _: Exception => Array.emptyByteArray }
-      // JSON-object-per-line shards (the Pile/RedPajama form) open
-      // with '{' — refine so dispatch can route to the jsonl extractor
       return if (startsWith(head, "WARC/")) "warc-gz"
-      else if (head.nonEmpty && head(0) == '{') "jsonl-gz"
+      else if (looksJsonl(head)) "jsonl-gz"
       else "gzip"
+    }
+    if (ZstdCodec.isZstd(b)) {
+      // same refine for zstd-era shards (Dolma/RedPajama-v2 form);
+      // the tolerant prefix decode bounds the sniff cost
+      val head = ZstdCodec.decompressTolerant(b, maxOut = 4096)
+      return if (looksJsonl(head)) "jsonl-zst" else "zstd"
     }
     if (startsWith(b, "WARC/")) return "warc"
     if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)

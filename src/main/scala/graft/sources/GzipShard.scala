@@ -9,8 +9,10 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * concatenated gzip members). Reuses the WARC layer's
   * member-iterating `GZIPInputStream` discipline ([[WarcCodec]]);
   * the `text`-field convention is what public pretraining shards use.
-  * zstd/xz shard compression is absent-by-constraint (no pure-JDK
-  * decoder; zero-egress build), documented next to the video codecs.
+  * zstd shards (`.jsonl.zst`) take the same surface through the
+  * from-scratch [[ZstdCodec]]; xz remains absent-by-constraint (no
+  * pure-JDK decoder; zero-egress build), documented next to the video
+  * codecs.
   *
   * Scale shape: one shard = one row = one member-iterating
   * decompress — embarrassingly parallel across shards, no Spark
@@ -108,13 +110,17 @@ object GzipShard {
 
   /** `.jsonl.gz` shard → newline-joined `text` fields of its lines —
     * the one-projection dispatch branch (lines without a text member
-    * skip).
+    * skip). Null — not "" — when nothing decodes (first member
+    * damaged) or no line carries a text member, matching the codec
+    * null-on-undecodable contract so broken shards don't flow
+    * downstream as empty documents.
     */
   def jsonlGzText(b: Array[Byte]): String = {
     val raw = gunzipAll(b)
-    if (raw == null) return null
-    new String(raw, UTF_8).split("\n")
-      .iterator.map(textField).filter(_ != null).mkString("\n")
+    if (raw == null || raw.length == 0) return null
+    val texts = new String(raw, UTF_8).split("\n")
+      .iterator.map(textField).filter(_ != null).toSeq
+    if (texts.isEmpty) null else texts.mkString("\n")
   }
 
   /** Deterministic `.jsonl.gz` fixture: `nMembers` gzip members, each

@@ -133,15 +133,19 @@ object WikiCodec {
         atLineStart = false
         if (c == '{' && i + 1 < n && wt.charAt(i + 1) == '{') {
           // individual brace balance (not pair counting) so `{{{param}}}`
-          // and `{{{{nested}} deep}}` close where MediaWiki closes them
+          // and `{{{{nested}} deep}}` close where MediaWiki closes them.
+          // An UNTERMINATED `{{` (markup typo — common in real articles)
+          // must not swallow the rest of the page: drop just the marker
+          // and let the tail flow as prose.
           var balance = 2
-          i += 2
-          while (i < n && balance > 0) {
-            val ch = wt.charAt(i)
+          var j = i + 2
+          while (j < n && balance > 0) {
+            val ch = wt.charAt(j)
             if (ch == '{') balance += 1
             else if (ch == '}') balance -= 1
-            i += 1
+            j += 1
           }
+          i = if (balance == 0) j else i + 2
         } else if (c == '<' && wt.regionMatches(i, "<!--", 0, 4)) {
           val e = wt.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
@@ -173,7 +177,7 @@ object WikiCodec {
             else if (wt.charAt(j) == ']' && j + 1 < n && wt.charAt(j + 1) == ']') { depth -= 1; j += 2 }
             else j += 1
           }
-          if (depth > 0) { i = n; atLineStart = false } // unterminated: swallow
+          if (depth > 0) i += 2 // unterminated `[[`: drop the marker, tail flows as prose
           else {
           val content = wt.substring(i + 2, math.max(i + 2, math.min(j - 2, n)))
           i = j
@@ -357,7 +361,12 @@ object WikiCodec {
         val until = if (close < 0) xml.length else close
         val title = tagBody(xml, "title", open, until)
         val nsStr = tagBody(xml, "ns", open, until)
-        val idStr = tagBody(xml, "id", open, until)
+        // the page-level <id> precedes the first <revision>; bounding the
+        // search there keeps a missing page id from mis-reporting the
+        // revision's <id> as page_id
+        val revAt = xml.indexOf("<revision", open)
+        val idStr = tagBody(xml, "id", open,
+          if (revAt >= 0 && revAt < until) revAt else until)
         val text = tagBody(xml, "text", open, until)
         val ns = try { if (nsStr == null) 0 else nsStr.trim.toInt }
           catch { case _: NumberFormatException => 0 }

@@ -52,5 +52,21 @@ class GzipShardSpec extends AnyFunSuite {
   test("format routing: jsonl-gz vs gzip vs warc-gz") {
     assert(FormatDetect.detect(synthJsonlGz(1L, 1, 1)) === "jsonl-gz")
     assert(FormatDetect.detect(gzipMembers(Seq("plain prose".getBytes))) === "gzip")
+    // a gzipped PRETTY-PRINTED JSON document opens with '{' but its
+    // first line is not a complete object — it must stay "gzip", not
+    // route to the line-oriented jsonl extractor
+    val pretty = gzipMembers(Seq("{\n  \"text\": \"multi line doc\"\n}\n".getBytes("UTF-8")))
+    assert(FormatDetect.detect(pretty) === "gzip")
+    // a MINIFIED single-object doc is one jsonl line — still jsonl-gz
+    val minified = gzipMembers(Seq("{\"text\": \"one line\"}\n".getBytes("UTF-8")))
+    assert(FormatDetect.detect(minified) === "jsonl-gz")
+  }
+
+  test("null contract: undecodable or textless shards null, not empty") {
+    // valid gzip magic but a damaged first member → nothing decodes → null
+    val broken = synthJsonlGz(5L, 1, 1).take(6)
+    assert(jsonlGzText(broken) === null)
+    // decodes fine but no line has a text member → null
+    assert(jsonlGzText(gzipMembers(Seq("{\"id\": 1}\n{\"id\": 2}\n".getBytes))) === null)
   }
 }

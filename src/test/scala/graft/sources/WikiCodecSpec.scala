@@ -13,10 +13,12 @@ class WikiCodecSpec extends AnyFunSuite {
       assert(wikitextText(synthWikitext(seed)) === expectedWikiText(seed), s"seed $seed")
   }
 
-  test("templates: nesting, params, unterminated swallow to EOF") {
+  test("templates: nesting, params, unterminated keeps the tail as prose") {
     assert(wikitextText("a {{t|x={{inner|y}}}} b") === "a  b")
     assert(wikitextText("a {{{param|default}}} b") === "a  b")
-    assert(wikitextText("a {{never closed") === "a ")
+    // an unterminated {{ (markup typo, common in real articles) must
+    // not discard the remaining prose — only the marker drops
+    assert(wikitextText("a {{never closed") === "a never closed")
   }
 
   test("tables drop whole, nest, and eat the closer's line; inline braces survive") {
@@ -37,7 +39,8 @@ class WikiCodecSpec extends AnyFunSuite {
     // nested link's own markup is emitted raw (re-rendering nested
     // caption markup is out of subset, documented)
     assert(wikitextText("[[a|b [[c|d]] e]]") === "b [[c|d]] e")
-    assert(wikitextText("[[unterminated") === "")
+    // unterminated [[ drops the marker, tail flows as prose
+    assert(wikitextText("[[unterminated") === "unterminated")
   }
 
   test("external links and quote runs") {
@@ -103,6 +106,15 @@ class WikiCodecSpec extends AnyFunSuite {
     assert(!isWikiDump("<html><body>no</body></html>"))
     // unterminated <text> never closes → the page is malformed → skipped
     assert(dumpPages("<page><title>t</title><text>x").isEmpty)
+    // a page MISSING its page-level <id> must not report the
+    // revision's <id> as page_id (the search is bounded at <revision>)
+    val noPageId = "<mediawiki><page><title>NoId</title><ns>0</ns>" +
+      "<revision><id>999</id><text>body</text></revision></page></mediawiki>"
+    assert(dumpPages(noPageId).head.pageId === -1L)
+    // and with both present, the page-level id wins
+    val both = "<mediawiki><page><title>B</title><id>7</id>" +
+      "<revision><id>999</id><text>b</text></revision></page></mediawiki>"
+    assert(dumpPages(both).head.pageId === 7L)
   }
 
   test("sections: preamble, nesting, empty bodies, trailing blanks, no headings") {

@@ -169,4 +169,12 @@ class ZstdCodecSpec extends AnyFunSuite {
     val real = realCompress("{\"text\": \"from real zstd\"}\n".getBytes, 3)
     assert(jsonlZstText(real) === "from real zstd")
   }
+
+  test("format routing: jsonl-zst vs zstd; pretty-printed JSON stays zstd") {
+    assert(FormatDetect.detect(synthJsonlZst(1L, 1, 1)) === "jsonl-zst")
+    assert(FormatDetect.detect(compressFrame("plain prose here".getBytes, "seq")) === "zstd")
+    val pretty = compressFrame("{\n  \"text\": \"multi line\"\n}\n".getBytes, "raw")
+    assert(FormatDetect.detect(pretty) === "zstd")
+    assert(FormatDetect.detect(realCompress("{\"text\": \"x\"}\n".getBytes, 3)) === "jsonl-zst")
+  }
 }
