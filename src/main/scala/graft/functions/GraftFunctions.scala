@@ -131,6 +131,7 @@ object GraftFunctions {
     "unzstd_text" -> (a => CodeOps.unzstdText(a.head)),
     "jsonl_zst_text" -> (a => CodeOps.jsonlZstText(a.head)),
     "synth_jsonl_zst" -> (a => CodeOps.synthJsonlZst(a.head, a(1), a(2))),
+    "wet_text" -> (a => WarcOps.wetText(a.head)),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
     "secret_scan" -> (a => CodeOps.secretScan(a.head)),

@@ -146,10 +146,39 @@ case class SynthWarcGzBinExpr(child: Expression) extends UnaryExpression with Im
   override def prettyName: String = "synth_warc_gz_bin"
 }
 
+/** `wet_text(bin)` → newline-joined text of a WET extract segment's
+  * `conversion` records ([[graft.sources.WarcCodec.wetText]]) — the
+  * Common-Crawl WET front door as one codegen projection; null for
+  * non-WARC payloads and for segments with no conversion records
+  * (response-record WARCs route to the crawl HTML path instead).
+  */
+case class WetTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = WarcCodec.wetText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("wet")
+      s"""
+         |String $r = graft.sources.WarcCodec.wetText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): WetTextExpr = copy(child = c)
+  override def prettyName: String = "wet_text"
+}
+
 /** Column-level entry points. */
 object WarcOps {
   def warcRecords(bin: Column): Column =
     GraftExpr.toColumn(WarcRecordsExpr(GraftExpr.toExpr(bin)))
+  def wetText(bin: Column): Column =
+    GraftExpr.toColumn(WetTextExpr(GraftExpr.toExpr(bin)))
   def synthWarcGz(records: Column): Column =
     GraftExpr.toColumn(SynthWarcGzExpr(GraftExpr.toExpr(records)))
   def synthWarcGzBin(records: Column): Column =

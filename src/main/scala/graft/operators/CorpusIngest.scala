@@ -35,6 +35,11 @@ object CorpusIngest {
           graft.functions.CodeOps.wikiDumpText(decode(payload, "UTF-8")))
         .when(format === "jsonl-gz", graft.functions.CodeOps.jsonlGzText(payload))
         .when(format === "jsonl-zst", graft.functions.CodeOps.jsonlZstText(payload))
+        // WET extract segments: conversion-record text; a response-record
+        // WARC yields null here (its text needs the fetch/charset/HTML
+        // crawl stages, not a projection)
+        .when(format === "warc" || format === "warc-gz",
+          graft.functions.WarcOps.wetText(payload))
         .when(format === "html" || format === "text",
           graft.functions.Mojibake.fixMojibake(
             when(format === "html",

@@ -1010,25 +1010,41 @@ object DomainQueries {
       |WHERE i.i <= d.doc_id % 4""".stripMargin
 
   /** The mixed-format ingest capstone: one shard carrying PDF, DOCX,
-    * PPTX, EPUB, MediaWiki dump-XML, and `.jsonl.gz` payloads routes
-    * each row through `format_detect`, then DISPATCHES to the matching
-    * extractor — pdf_text / docx_text / pptx_text / epub_text /
-    * wiki_dump_text / jsonl_gz_text — into one unified text column
-    * feeding the token metrics. This is the corpus front door (detect
-    * → route → extract → measure) as a single gated flow; the oracle
-    * rebuilds each branch's text closed-form and applies identical
-    * metrics.
+    * PPTX, EPUB, MediaWiki dump-XML, `.jsonl.gz`, WET-extract
+    * `.warc.gz`, and `.jsonl.zst` payloads routes each row through
+    * `format_detect`, then DISPATCHES to the matching extractor —
+    * pdf_text / docx_text / pptx_text / epub_text / wiki_dump_text /
+    * jsonl_gz_text / wet_text / jsonl_zst_text — into one unified
+    * text column feeding the token metrics. This is the corpus front
+    * door (detect → route → extract → measure) as a single gated
+    * flow; the oracle rebuilds each branch's text closed-form and
+    * applies identical metrics.
     */
   val corpusDispatch: Q = (s, d) => {
     val seed = col("doc_id") * 79
-    val idx = pmod(col("doc_id"), lit(6))
+    val idx = pmod(col("doc_id"), lit(8))
+    val wetPayload = graft.functions.WarcOps.synthWarcGz(array(
+      struct(lit("warcinfo").as("rec_type"), lit("https://wet.example").as("url"),
+        lit("2026-02-01T00:00:00Z").as("date"),
+        lit("software: graft-wet/1.0").as("body")),
+      struct(lit("conversion").as("rec_type"),
+        concat(lit("https://wet.example/"), col("doc_id").cast("string"), lit("/0")).as("url"),
+        lit("2026-02-01T00:00:00Z").as("date"),
+        concat(lit("WET doc "), seed.cast("string"), lit(" rec 0 café text.")).as("body")),
+      struct(lit("conversion").as("rec_type"),
+        concat(lit("https://wet.example/"), col("doc_id").cast("string"), lit("/1")).as("url"),
+        lit("2026-02-01T00:00:00Z").as("date"),
+        concat(lit("WET doc "), seed.cast("string"), lit(" rec 1 café text.")).as("body"))))
     val payload = when(idx === 0, graft.functions.PdfOps.synthPdfText(seed, lit(2)))
       .when(idx === 1, graft.functions.OfficeOps.synthDocx(seed, lit(2)))
       .when(idx === 2, graft.functions.OfficeOps.synthPptx(seed, lit(2)))
       .when(idx === 3, graft.functions.OfficeOps.synthEpub(seed, lit(2)))
       .when(idx === 4, encode(
         graft.functions.CodeOps.synthWikiDump(seed, lit(2).cast("int")), "UTF-8"))
-      .otherwise(graft.functions.CodeOps.synthJsonlGz(seed,
+      .when(idx === 5, graft.functions.CodeOps.synthJsonlGz(seed,
+        lit(2).cast("int"), lit(2).cast("int")))
+      .when(idx === 6, wetPayload)
+      .otherwise(graft.functions.CodeOps.synthJsonlZst(seed,
         lit(2).cast("int"), lit(2).cast("int")))
     graft.operators.CorpusIngest.withDocMetrics(
       Tables.documents(s, d).select("doc_id")
@@ -1043,25 +1059,25 @@ object DomainQueries {
       |           ' line one (escaped)' || chr(10) ||
       |           'kerned words here' || chr(10) || 'café three' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 6 = 0),
+      |  WHERE d.doc_id % 8 = 0),
       |docxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Para ' || p.p || ' of doc ' || (d.doc_id * 79) ||
       |           ' — café & tab:' || chr(9) || 'end' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 6 = 1),
+      |  WHERE d.doc_id % 8 = 1),
       |pptxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Slide ' || p.p || ' of deck ' || (d.doc_id * 79) || chr(10) ||
       |           'bullet & point ' || (d.doc_id * 79) % 100 AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 6 = 2),
+      |  WHERE d.doc_id % 8 = 2),
       |epubp AS (
       |  SELECT d.doc_id, p.p,
       |         'Chapter ' || p.p || chr(10) || 'Book ' || (d.doc_id * 79) ||
       |           ' prose & café line ' || p.p || '.' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 6 = 3),
+      |  WHERE d.doc_id % 8 = 3),
       |wikip AS (
       |  SELECT d.doc_id, p.p,
       |         'Heading ' || (d.doc_id * 79 + p.p) || chr(10) ||
@@ -1075,22 +1091,35 @@ object DomainQueries {
       |         'kept ''''raw'''' ' || (d.doc_id * 79 + p.p) ||
       |           ' tail span text – done ' || (d.doc_id * 79 + p.p) % 11 || '.' || chr(10) AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 6 = 4),
+      |  WHERE d.doc_id % 8 = 4),
       |jsonlp AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 6 = 5),
+      |  WHERE d.doc_id % 8 = 5),
+      |wetp AS (
+      |  SELECT d.doc_id, p.p,
+      |         'WET doc ' || (d.doc_id * 79) || ' rec ' || p.p || ' café text.' AS pt
+      |  FROM documents d, generate_series(0, 1) p(p)
+      |  WHERE d.doc_id % 8 = 6),
+      |zstp AS (
+      |  SELECT d.doc_id, m.m * 2 + l.l AS p,
+      |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
+      |           ' say "hi"' || chr(9) || 'ok' AS pt
+      |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
+      |  WHERE d.doc_id % 8 = 7),
       |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp
       |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp
-      |         UNION ALL SELECT * FROM wikip UNION ALL SELECT * FROM jsonlp),
+      |         UNION ALL SELECT * FROM wikip UNION ALL SELECT * FROM jsonlp
+      |         UNION ALL SELECT * FROM wetp UNION ALL SELECT * FROM zstp),
       |j AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
       |      FROM allp GROUP BY doc_id)
       |SELECT doc_id,
-      |       CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+      |       CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
       |            WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub'
-      |            WHEN 4 THEN 'mediawiki' ELSE 'jsonl-gz' END AS format,
+      |            WHEN 4 THEN 'mediawiki' WHEN 5 THEN 'jsonl-gz'
+      |            WHEN 6 THEN 'warc-gz' ELSE 'jsonl-zst' END AS format,
       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
       |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
       |         AS INTEGER) AS n_re_tokens,
@@ -1506,6 +1535,47 @@ object DomainQueries {
       |       text AS text_out,
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents WHERE doc_id % 5 <> 0""".stripMargin
+
+  /** WET extract ingestion (the Common-Crawl text-extract form —
+    * same WARC framing, `conversion` records whose bodies are already
+    * plain text, fronted by a `warcinfo` record): documents group into
+    * per-source `.wet.gz` segments, parse back through
+    * `warc_records`, keep conversion payloads, and carry the
+    * segment-level `wet_text` one-shot extraction alongside — the
+    * record grain AND the dispatch projection under one hash. Oracle:
+    * identity on documents plus a windowed reconstruction of the
+    * joined segment text length.
+    */
+  val wetText: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), struct(
+        lit("conversion").as("rec_type"),
+        concat(lit("https://"), col("source"), lit("/doc/"), col("doc_id")).as("url"),
+        concat(lit("2026-02-0"), (col("doc_id") % 9 + 1).cast("string"),
+          lit("T00:00:00Z")).as("date"),
+        col("text").as("body")).as("rec"))
+      .groupBy("source").agg(sort_array(collect_list(struct(col("doc_id"), col("rec")))).as("rs"))
+      .select(col("source"), graft.functions.WarcOps.synthWarcGz(concat(
+        array(struct(lit("warcinfo").as("rec_type"),
+          concat(lit("https://"), col("source")).as("url"),
+          lit("2026-02-01T00:00:00Z").as("date"),
+          lit("software: graft-wet/1.0").as("body"))),
+        col("rs.rec"))).as("wet"))
+      .select(col("source"),
+        length(graft.functions.WarcOps.wetText(col("wet"))).cast("long").as("wet_len"),
+        explode(graft.functions.WarcOps.warcRecords(col("wet"))).as("r"))
+      .filter(col("r.rec_type") === "conversion")
+      .select(col("source"), col("wet_len"), col("r.url").as("url"),
+        col("r.date").as("date"), decode(col("r.body"), "UTF-8").as("text_out"),
+        length(col("r.body")).cast("long").as("n_bytes"))
+  val wetTextSql: String =
+    """SELECT source,
+      |       CAST(SUM(length(text) + 1) OVER (PARTITION BY source) - 1 AS BIGINT) AS wet_len,
+      |       'https://' || source || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |       '2026-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || 'T00:00:00Z' AS date,
+      |       text AS text_out,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |FROM documents""".stripMargin
 
   // ---------------------------------------------------------------- url fetch
   /** S7's URL fetch through the oracle gate: urls synthesized from
@@ -2471,6 +2541,7 @@ object DomainQueries {
     "q_avi_frames" -> aviFrames,
     "q_avi_transcode" -> aviTranscode,
     "q_warc_ingest" -> warcIngest,
+    "q_wet_text" -> wetText,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
     "q_zorder" -> zorder,
@@ -2558,6 +2629,7 @@ object DomainQueries {
     "q_avi_frames" -> aviFramesSql,
     "q_avi_transcode" -> aviTranscodeSql,
     "q_warc_ingest" -> warcIngestSql,
+    "q_wet_text" -> wetTextSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,
     "q_items_agg" -> itemsAggSql,

@@ -816,7 +816,64 @@ object ParityQueries {
       |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       |  AND l.l_shipdate < TIMESTAMP '1996-02-01'""".stripMargin
 
+  /** TPC-H Q1 — the canonical pure-scan aggregate (no join, no
+    * window): one pass over lineitem below the ship-date cutoff,
+    * grouped by the two flag columns, every money measure in the
+    * integer-exact discipline of Q10/Q12/Q14 (cents; cent×percent
+    * "micro" for the discounted price; cent×percent×percent for the
+    * charge) and the three averages as floor divisions both engines
+    * compute identically. Plan shape: scan with the shipdate filter
+    * PUSHED, partial hash agg map-side, one exchange on a 6-ish-row
+    * key space — the plan every engine comparison quotes.
+    */
+  val tpchQ1: Q = (s, d) => {
+    val cutoff = lit("1998-09-02").cast("timestamp_ntz")
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= cutoff)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_pct"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_pct"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_c")).as("sum_qty_c"),
+        sum(col("price_c")).as("sum_base_c"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct"))).as("sum_disc_micro"),
+        sum(col("price_c") * (lit(100L) - col("disc_pct")) *
+          (lit(100L) + col("tax_pct"))).as("sum_charge_pp"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty_c"), col("sum_base_c"), col("sum_disc_micro"), col("sum_charge_pp"),
+        (col("sum_qty_c") / col("count_order")).cast("long").as("avg_qty_c"),
+        (col("sum_base_c") / col("count_order")).cast("long").as("avg_price_c"),
+        col("count_order"))
+  }
+  val tpchQ1Sql: String =
+    """WITH t AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+      |         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+      |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'),
+      |g AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |         CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+      |         CAST(sum(price_c * (100 - disc_pct)) AS BIGINT) AS sum_disc_micro,
+      |         CAST(sum(price_c * (100 - disc_pct) * (100 + tax_pct)) AS BIGINT) AS sum_charge_pp,
+      |         CAST(count(*) AS BIGINT) AS count_order
+      |  FROM t GROUP BY 1, 2)
+      |SELECT l_returnflag, l_linestatus, sum_qty_c, sum_base_c, sum_disc_micro,
+      |       sum_charge_pp,
+      |       CAST(sum_qty_c // count_order AS BIGINT) AS avg_qty_c,
+      |       CAST(sum_base_c // count_order AS BIGINT) AS avg_price_c,
+      |       count_order
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q_tpch_q1" -> tpchQ1,
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q14" -> tpchQ14,
     "q_tpch_q3" -> tpchQ3,
@@ -853,6 +910,7 @@ object ParityQueries {
     "q_ts_anomaly" -> tsAnomaly)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q1" -> tpchQ1Sql,
     "q_tpch_q12" -> tpchQ12Sql,
     "q_tpch_q14" -> tpchQ14Sql,
     "q_tpch_q3" -> tpchQ3Sql,

@@ -173,6 +173,23 @@ object WarcCodec {
     Some((WarcRecord(recType, url, date, body), bodyStart + len.toInt))
   }
 
+  /** WET extraction: the text of every `conversion` record (the
+    * record type WET extract segments carry — same WARC framing, body
+    * already plain UTF-8 text), newline-joined in stream order.
+    * Common Crawl users start from WET at least as often as WARC, so
+    * this is a first-class dispatch branch, not a filter idiom. Null
+    * when the payload is not WARC or holds no conversion records
+    * (the codec null-on-undecodable contract) — a response-record
+    * segment routes to the crawl HTML path instead, never to "".
+    */
+  def wetText(b: Array[Byte]): String = {
+    val recs = parse(b)
+    if (recs == null) return null
+    val texts = recs.iterator.filter(_.recType == "conversion")
+      .map(r => new String(r.body, UTF_8)).toSeq
+    if (texts.isEmpty) null else texts.mkString("\n")
+  }
+
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(0, from)
     val last = hay.length - needle.length

@@ -457,20 +457,41 @@ object EventPipeline {
     * event/error counts and value totals across micro-batches — the
     * reference's per-item accounting (A2/A3) as managed, checkpointed
     * state instead of an external store. Use with OutputMode.Update.
+    *
+    * State is EVICTED by an ACTIVITY-HORIZON event-time timeout: once
+    * the watermark passes an item's last activity plus `horizon`, the
+    * counter emits one final snapshot and is removed — so state is
+    * bounded by horizon × active-item rate, not by the lifetime item
+    * cardinality (the `statefulDedup` treatment; a 100 TB-scale stream
+    * accumulates unbounded distinct items over months). An item
+    * reappearing past its horizon restarts from zero — callers needing
+    * lifetime totals aggregate the emitted snapshots downstream.
     */
-  def statefulItemCounters(events: Dataset[StreamEvent]): Dataset[ItemCounter] = {
+  def statefulItemCounters(events: Dataset[StreamEvent],
+                           horizon: String = "7 days"): Dataset[ItemCounter] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.item_id)
-      .mapGroupsWithState[ItemCounter, ItemCounter](GroupStateTimeout.NoTimeout) {
+    events.withWatermark("ts", horizon)
+      .groupByKey(_.item_id)
+      .mapGroupsWithState[ItemCounter, ItemCounter](GroupStateTimeout.EventTimeTimeout) {
         (id: Long, evs: Iterator[StreamEvent], state: GroupState[ItemCounter]) =>
-          val next = evs.foldLeft(state.getOption.getOrElse(ItemCounter(id, 0L, 0L, 0.0))) {
-            (acc, e) =>
-              ItemCounter(id, acc.n_events + 1,
-                acc.n_errors + (if (e.event_type == "error") 1 else 0),
-                acc.total_value + e.value)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last // final flush on eviction
+          } else {
+            var lastTs = Long.MinValue
+            val next = evs.foldLeft(state.getOption.getOrElse(ItemCounter(id, 0L, 0L, 0.0))) {
+              (acc, e) =>
+                if (e.ts.getTime > lastTs) lastTs = e.ts.getTime
+                ItemCounter(id, acc.n_events + 1,
+                  acc.n_errors + (if (e.event_type == "error") 1 else 0),
+                  acc.total_value + e.value)
+            }
+            state.update(next)
+            // horizon anchors at the item's LAST activity
+            if (lastTs != Long.MinValue) state.setTimeoutTimestamp(lastTs, horizon)
+            next
           }
-          state.update(next)
-          next
       }
   }
 
@@ -864,29 +885,50 @@ object EventPipeline {
     * time, possibly unlocking a different stage-k+1 event). Widen the
     * source's ordering guarantees — or replay in batch — where that
     * matters.
+    *
+    * State is EVICTED by a CONVERSION-DEADLINE event-time timeout:
+    * once the watermark passes a user's last funnel progress plus
+    * `deadline`, the funnel is abandoned and its state removed — so
+    * state is bounded by deadline × active-user rate instead of
+    * lifetime user cardinality (the `statefulDedup` treatment). A
+    * user reappearing after abandonment starts a fresh funnel, which
+    * is also the analytics semantics a conversion window wants.
     */
-  def streamingFunnel(events: Dataset[FunnelEvent], stages: Seq[String]): Dataset[FunnelProgress] = {
+  def streamingFunnel(events: Dataset[FunnelEvent], stages: Seq[String],
+                      deadline: String = "24 hours"): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", deadline)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelProgress](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var times = state.getOption.map(_.times_us).getOrElse(Seq.empty)
-          val before = times.length
-          // fold the batch in event-time order so one batch carrying a
-          // whole conversion advances all its stages
-          val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_type))
-          for (e <- sorted if times.length < stages.length) {
-            val k = times.length
-            val tUs = e.ts.getTime * 1000L
-            if (e.event_type == stages(k) && (k == 0 || tUs > times(k - 1)))
-              times = times :+ tUs
+          if (state.hasTimedOut) {
+            // conversion deadline passed with no further progress: abandon
+            state.remove()
+            Iterator.empty
+          } else {
+            var times = state.getOption.map(_.times_us).getOrElse(Seq.empty)
+            val before = times.length
+            // fold the batch in event-time order so one batch carrying a
+            // whole conversion advances all its stages
+            val sorted = evs.toArray.sortBy(e => (e.ts.getTime, e.event_type))
+            var lastSeenUs = if (times.nonEmpty) times.last else Long.MinValue
+            for (e <- sorted if times.length < stages.length) {
+              val k = times.length
+              val tUs = e.ts.getTime * 1000L
+              if (e.event_type == stages(k) && (k == 0 || tUs > times(k - 1))) {
+                times = times :+ tUs
+                lastSeenUs = tUs
+              }
+            }
+            if (times.length != before) {
+              state.update(FunnelState(times))
+              // deadline anchors at the LAST reached stage's event time
+              state.setTimeoutTimestamp(lastSeenUs / 1000L, deadline)
+              Iterator.single(FunnelProgress(uid, times.length, times))
+            } else Iterator.empty
           }
-          if (times.length != before) {
-            state.update(FunnelState(times))
-            Iterator.single(FunnelProgress(uid, times.length, times))
-          } else Iterator.empty
       }
   }
 

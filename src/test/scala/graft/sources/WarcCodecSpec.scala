@@ -93,4 +93,20 @@ class WarcCodecSpec extends SparkSpec {
     // record 2 is lost, records 1 and 3 survive
     assert(back.map(_.url).toSeq === Seq("https://a.example/1", "https://b.example/2"))
   }
+
+  test("wetText: conversion records only, stream order, null contract") {
+    val wet = WarcCodec.encodeGz(Seq(
+      WarcCodec.WarcRecord("warcinfo", "https://crawl.example", "2026-02-01T00:00:00Z",
+        "software: graft-wet/1.0".getBytes("UTF-8")),
+      WarcCodec.WarcRecord("conversion", "https://a.example/1", "2026-02-01T00:00:00Z",
+        "first extract café".getBytes("UTF-8")),
+      WarcCodec.WarcRecord("conversion", "https://b.example/2", "2026-02-01T00:00:00Z",
+        "second extract".getBytes("UTF-8"))))
+    assert(WarcCodec.wetText(wet) === "first extract café\nsecond extract")
+    // a response-record segment has no conversion text → null, not ""
+    val resp = WarcCodec.encodeGz(Seq(
+      WarcCodec.WarcRecord("response", "https://a.example/1", "d", "<html/>".getBytes)))
+    assert(WarcCodec.wetText(resp) === null)
+    assert(WarcCodec.wetText("not warc".getBytes) === null)
+  }
 }

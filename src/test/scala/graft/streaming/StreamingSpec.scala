@@ -481,6 +481,53 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); spark.catalog.dropTempView("funnel_out") }
   }
 
+  test("streamingFunnel abandons a funnel at the conversion deadline; reappearance restarts") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = EventPipeline.streamingFunnel(mem.toDS(), Seq("view", "click"), "10 minutes")
+      .writeStream.outputMode("update").format("memory").queryName("funnel_ttl").start()
+    try {
+      mem.addData(FunnelEvent(1, "view", ts(1))) // user 1 reaches stage 1 at 10:01
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(2, "view", ts(30))) // watermark → 10:20, past 10:11
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(2, "click", ts(31))) // drives the timeout batch: user 1 abandoned
+      q.processAllAvailable()
+      // if user 1's state had survived, this click would complete stage 2;
+      // abandoned, it matches nothing (a fresh funnel starts at "view")
+      mem.addData(FunnelEvent(1, "click", ts(25)))
+      q.processAllAvailable()
+      mem.addData(FunnelEvent(1, "view", ts(26))) // fresh funnel restarts at stage 1
+      q.processAllAvailable()
+      val u1 = spark.table("funnel_ttl").as[FunnelProgress]
+        .filter(_.user_id == 1L).collect().toSeq.sortBy(_.stage_times_us.head)
+      assert(u1.map(_.stage_reached) === Seq(1, 1)) // two stage-1 rows, never stage 2
+      assert(u1.map(_.stage_times_us.head) === Seq(ts(1).getTime * 1000L, ts(26).getTime * 1000L))
+    } finally { q.stop(); spark.catalog.dropTempView("funnel_ttl") }
+  }
+
+  test("statefulItemCounters evicts idle items at the activity horizon with a final flush") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventPipeline.statefulItemCounters(mem.toDF().as[StreamEvent], "10 minutes")
+      .writeStream.outputMode("update").format("memory").queryName("counters_ttl").start()
+    try {
+      mem.addData(Ev(1, 100, "upload", ts(1), 2.0), Ev(2, 100, "error", ts(2), 3.0))
+      q.processAllAvailable() // item 100: n=2, last activity 10:02
+      mem.addData(Ev(3, 200, "upload", ts(30), 5.0)) // watermark → 10:20, past 10:12
+      q.processAllAvailable()
+      mem.addData(Ev(4, 200, "upload", ts(31), 1.0)) // drives the timeout batch: 100 flushes + evicts
+      q.processAllAvailable()
+      mem.addData(Ev(5, 100, "upload", ts(25), 7.0)) // reappears past horizon: restarts from zero
+      q.processAllAvailable()
+      val rows = spark.table("counters_ttl")
+        .as[ItemCounter].collect().toSeq.filter(_.item_id == 100L)
+      // batch row (n=2), final eviction flush (n=2), fresh restart (n=1)
+      assert(rows.map(_.n_events).sorted === Seq(1L, 2L, 2L))
+      assert(rows.filter(_.n_events == 1L).head.total_value === 7.0)
+    } finally { q.stop(); spark.catalog.dropTempView("counters_ttl") }
+  }
+
   test("file-source replay of events.parquet matches the batch windowed aggregation") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventPipeline.readEventStream(spark, dir)
