@@ -8,15 +8,22 @@ import org.apache.spark.sql.functions._
   * driver state); this main adds the MEASURED data point the audits
   * can't — does wall-clock actually grow ~linearly with input rows?
   *
-  * It blows up `documents` and `embeddings` from the base SF dir by
-  * k ∈ SPARK_GRAFT_SCALE_KS (default 1,4,10 — 10× sf0.1 documents =
-  * the sf1 row count for the codec/dedup/ANN families), remapping
-  * doc_id/vec_id by copy offset so id-derived fixture content stays
-  * distribution-identical, copies the other tables untouched, then
-  * times the heaviest documents-driven queries at each k (min of
-  * SPARK_GRAFT_SCALE_RUNS, default 2) and reports per-query seconds,
-  * the t(kmax)/t(kmin) growth ratio against the kmax/kmin row ratio,
-  * and µs/row at the largest scale.
+  * Two modes:
+  *   - default: the ten heaviest documents-driven queries at
+  *     k ∈ SPARK_GRAFT_SCALE_KS (default 1,4,10; 10× sf0.1 documents =
+  *     the sf1 row count for the codec/dedup/ANN families), min of
+  *     SPARK_GRAFT_SCALE_RUNS (default 2) per point;
+  *   - SPARK_GRAFT_SCALE_FULL=1: the ENTIRE registry once per k
+  *     (default ks 1,4; runs default 1) — the sweep that catches a
+  *     superlinear query OUTSIDE the heavy-10.
+  *
+  * Every table is blown up k× with FK-CONSISTENT key remapping (each
+  * copy joins inside its own copy-space, so join selectivities match
+  * a genuinely larger SF): customer/supplier/part/orders/lineitem
+  * offset by their referenced key's base cardinality, events by
+  * event and user, documents/embeddings by doc/vec id — id-derived
+  * fixture content stays distribution-identical. The two tiny dims
+  * (region, nation) stay fixed, as dims do at scale.
   *
   * Output: a markdown table on stdout (pasted into PERF.md), the full
   * artifact at target/scale_bench.json, and ONE compact JSON line
@@ -32,38 +39,62 @@ object ScaleBench {
     "q_dsir_resample", "q_dup_clusters", "q_decontaminate",
     "q_dedup_minhash", "q_dedup_ngram", "q_ann_sq", "q_pretrain_corpus")
 
-  private def scaleTable(df: DataFrame, idCol: String, k: Int): DataFrame =
-    if (k <= 1) df
+  private def scaleTable(df: DataFrame, remaps: Seq[(String, Long)], k: Int): DataFrame =
+    if (k <= 1 || remaps.isEmpty) df
     else {
-      val n = df.agg(max(col(idCol))).head.getLong(0) + 1
-      df.withColumn("_copy", explode(lit((0 until k).toArray)))
-        .withColumn(idCol, col(idCol) + col("_copy") * n)
-        .drop("_copy")
+      val blown = df.withColumn("_copy", explode(lit((0 until k).toArray)))
+      remaps.foldLeft(blown) { case (acc, (c, unit)) =>
+        acc.withColumn(c, col(c) + col("_copy") * unit)
+      }.drop("_copy")
     }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", "1,4,10")
+    val full = sys.env.get("SPARK_GRAFT_SCALE_FULL").exists(v => v == "1" || v == "true")
+    val ks = sys.env.getOrElse("SPARK_GRAFT_SCALE_KS", if (full) "1,4" else "1,4,10")
       .split(",").map(_.trim.toInt).toSeq.sorted
-    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "2").toInt
-    val queryNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
-      .map(_.split(",").map(_.trim).toSeq).getOrElse(DefaultQueries)
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", if (full) "1" else "2").toInt
     val registry = SparkEntry.queries
+    val queryNames = sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(if (full) registry.keys.toSeq.sorted else DefaultQueries)
     queryNames.foreach(q => require(registry.contains(q), s"unknown query: $q"))
     val spark = GraftSession.local()
 
-    // ---- build scaled input dirs (idempotent per k) ----
-    val scaledIds = Map("documents" -> "doc_id", "embeddings" -> "vec_id")
+    // ---- FK-consistent remap spec: offset unit = referenced key's base cardinality
+    def unitOf(table: String, col0: String): Long =
+      spark.read.parquet(s"$base/$table.parquet").agg(max(col(col0))).head.getLong(0) + 1
+    val nCust = unitOf("customer", "c_custkey")
+    val nSupp = unitOf("supplier", "s_suppkey")
+    val nPart = unitOf("part", "p_partkey")
+    val nOrd = unitOf("orders", "o_orderkey")
+    val nEvt = unitOf("events", "event_id")
+    val nUser = unitOf("events", "user_id")
+    val nDoc = unitOf("documents", "doc_id")
+    val nVec = unitOf("embeddings", "vec_id")
+    val remaps: Map[String, Seq[(String, Long)]] = Map(
+      "customer" -> Seq("c_custkey" -> nCust),
+      "supplier" -> Seq("s_suppkey" -> nSupp),
+      "part" -> Seq("p_partkey" -> nPart),
+      "orders" -> Seq("o_orderkey" -> nOrd, "o_custkey" -> nCust),
+      "lineitem" -> Seq("l_orderkey" -> nOrd, "l_partkey" -> nPart, "l_suppkey" -> nSupp),
+      "events" -> Seq("event_id" -> nEvt, "user_id" -> nUser),
+      "documents" -> Seq("doc_id" -> nDoc),
+      "embeddings" -> Seq("vec_id" -> nVec))
+
+    // ---- build scaled input dirs (idempotent per k; full mode gets its
+    // own dirs because it remaps more tables than the default mode did)
+    val tag = if (full) "full" else "docs"
     val dirs: Map[Int, String] = ks.map { k =>
-      val dir = s"target/scale/x$k"
+      val dir = s"target/scale/$tag-x$k"
       val ok = java.nio.file.Paths.get(dir, "_OK")
       if (!java.nio.file.Files.exists(ok)) {
         Tables.names.foreach { t =>
           val df = spark.read.parquet(s"$base/$t.parquet")
-          val out = scaledIds.get(t) match {
-            case Some(id) => scaleTable(df, id, k)
-            case None => df
-          }
+          val out =
+            if (full) scaleTable(df, remaps.getOrElse(t, Seq.empty), k)
+            else scaleTable(df, remaps.getOrElse(t, Seq.empty).filter(r =>
+              t == "documents" || t == "embeddings"), k)
           out.write.mode("overwrite").parquet(s"$dir/$t.parquet")
         }
         java.nio.file.Files.createFile(ok)
@@ -116,10 +147,11 @@ object ScaleBench {
       ks.map(k => s""""x$k":${m(k)}""").mkString("{", ",", "}")
     val qJson = results.map { case (q, perK) => s""""$q":${jm(perK)}""" }.mkString("{", ",", "}")
     val rowsJson = ks.map(k => s""""x$k":${docRows(k)}""").mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_growth","base":"$base","ks":[${ks.mkString(",")}],""" +
+    val line = s"""{"metric":"scale_growth","base":"$base","full":$full,"ks":[${ks.mkString(",")}],""" +
       s""""doc_rows":$rowsJson,"runs":$runs,"queries":$qJson,""" +
       s""""cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}}"""
-    val out = java.nio.file.Paths.get("target/scale_bench.json")
+    val out = java.nio.file.Paths.get(
+      if (full) "target/scale_bench_full.json" else "target/scale_bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()

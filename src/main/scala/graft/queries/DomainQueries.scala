@@ -1555,15 +1555,24 @@ object DomainQueries {
           lit("T00:00:00Z")).as("date"),
         col("text").as("body")).as("rec"))
       .groupBy("source").agg(sort_array(collect_list(struct(col("doc_id"), col("rec")))).as("rs"))
-      .select(col("source"), graft.functions.WarcOps.synthWarcGz(concat(
+      // Every per-segment value below rides through a one-element
+      // explode (a Generate projections cannot collapse through — the
+      // jsonExtract treatment): without the barriers, CollapseProject
+      // inlines the build-segment + parse chain into the projection
+      // ABOVE the record explode and the whole segment re-parses once
+      // per OUTPUT row — measured 12.4 s → 0.4 s at sf0.1 and 13.7×
+      // → linear growth at ×4 (PERF.md round-14).
+      .select(col("source"), explode(array(graft.functions.WarcOps.synthWarcGz(concat(
         array(struct(lit("warcinfo").as("rec_type"),
           concat(lit("https://"), col("source")).as("url"),
           lit("2026-02-01T00:00:00Z").as("date"),
           lit("software: graft-wet/1.0").as("body"))),
-        col("rs.rec"))).as("wet"))
-      .select(col("source"),
+        col("rs.rec"))))).as("wet"))
+      .select(col("source"), explode(array(struct(
         length(graft.functions.WarcOps.wetText(col("wet"))).cast("long").as("wet_len"),
-        explode(graft.functions.WarcOps.warcRecords(col("wet"))).as("r"))
+        graft.functions.WarcOps.warcRecords(col("wet")).as("recs")))).as("seg"))
+      .select(col("source"), col("seg.wet_len").as("wet_len"),
+        explode(col("seg.recs")).as("r"))
       .filter(col("r.rec_type") === "conversion")
       .select(col("source"), col("wet_len"), col("r.url").as("url"),
         col("r.date").as("date"), decode(col("r.body"), "UTF-8").as("text_out"),

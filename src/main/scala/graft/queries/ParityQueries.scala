@@ -872,8 +872,49 @@ object ParityQueries {
       |       count_order
       |FROM g""".stripMargin
 
+  /** TPC-H Q19's plan shape over the synthetic schema (no
+    * p_container/l_shipmode columns here, so the three disjunct arms
+    * use brand × size-range × quantity-range): a fact⋈dim join whose
+    * predicate is an OR of per-arm conjunctions — the classic
+    * disjunctive-pushdown test. The join key conjunct is common to
+    * all arms, so Catalyst plans ONE join (broadcast on part) with the
+    * disjunction as a post-join filter, and the arm-level single-table
+    * conjuncts (brand/size on part, quantity on lineitem) are pushed
+    * below the join as an OR-derived prefilter on each side. Revenue
+    * in the Q14 integer-micro discipline.
+    */
+  val tpchQ19: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).select(col("l_partkey"), col("l_quantity"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("rev_micro"))
+    val p = broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"))
+    val arm1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .where(arm1 || arm2 || arm3)
+      .agg(sum(col("rev_micro")).as("revenue_micro"),
+        count(lit(1)).as("n_items"))
+  }
+  val tpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+      |         AS revenue_micro,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q19" -> tpchQ19,
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q14" -> tpchQ14,
     "q_tpch_q3" -> tpchQ3,
@@ -911,6 +952,7 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> tpchQ1Sql,
+    "q_tpch_q19" -> tpchQ19Sql,
     "q_tpch_q12" -> tpchQ12Sql,
     "q_tpch_q14" -> tpchQ14Sql,
     "q_tpch_q3" -> tpchQ3Sql,
