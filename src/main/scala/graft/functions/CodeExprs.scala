@@ -564,6 +564,77 @@ case class SynthJsonlZstExpr(first: Expression, second: Expression, third: Expre
   override def prettyName: String = "synth_jsonl_zst"
 }
 
+/** `unxz_text(bin)` → UTF-8 text of all concatenated XZ streams
+  * ([[graft.sources.XzCodec.unxzText]], damage-tolerant); null for
+  * non-xz bytes — the third member of the gunzip/unzstd family.
+  */
+case class UnxzTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.XzCodec.unxzText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("xz")
+      s"""
+         |String $r = graft.sources.XzCodec.unxzText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnxzTextExpr = copy(child = c)
+  override def prettyName: String = "unxz_text"
+}
+
+/** `jsonl_xz_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.xz` shard ([[graft.sources.XzCodec.jsonlXzText]]).
+  */
+case class JsonlXzTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.XzCodec.jsonlXzText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jx")
+      s"""
+         |String $r = graft.sources.XzCodec.jsonlXzText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlXzTextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_xz_text"
+}
+
+/** `synth_jsonl_xz(seed, n_members, lines_per)` — deterministic
+  * multi-stream `.jsonl.xz` fixture ([[graft.sources.XzCodec]]),
+  * rotating CRC32/CRC64/SHA-256 stream checks.
+  */
+case class SynthJsonlXzExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.XzCodec.synthJsonlXz(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.XzCodec.synthJsonlXz($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlXzExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_xz"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -707,6 +778,13 @@ object CodeOps {
     GraftExpr.toColumn(JsonlZstTextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlZst(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlZstExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unxzText(bin: Column): Column =
+    GraftExpr.toColumn(UnxzTextExpr(GraftExpr.toExpr(bin)))
+  def jsonlXzText(bin: Column): Column =
+    GraftExpr.toColumn(JsonlXzTextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlXz(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlXzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
   def csvSniff(text: Column): Column =
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))

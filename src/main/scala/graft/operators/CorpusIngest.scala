@@ -35,6 +35,7 @@ object CorpusIngest {
           graft.functions.CodeOps.wikiDumpText(decode(payload, "UTF-8")))
         .when(format === "jsonl-gz", graft.functions.CodeOps.jsonlGzText(payload))
         .when(format === "jsonl-zst", graft.functions.CodeOps.jsonlZstText(payload))
+        .when(format === "jsonl-xz", graft.functions.CodeOps.jsonlXzText(payload))
         // WET extract segments: conversion-record text; a response-record
         // WARC yields null here (its text needs the fetch/charset/HTML
         // crawl stages, not a projection)

@@ -21,10 +21,10 @@ package graft.sources
   * lossless speech-corpus formats; MP3 and OGG-Vorbis are
   * absent-by-constraint — patent-era lossy DSP codecs with no pure-JDK
   * decoder in a zero-egress build, the same class as the H.264/VP9
-  * video note in [[AviCodec]] and the xz note in [[GzipShard]]
-  * (zstd itself moved IN-subset in round 14 via [[ZstdCodec]]).
-  * Containers are still detected and labeled so a pipeline
-  * quarantines them rather than silently dropping.
+  * video note in [[AviCodec]]. (The compression walls fell in round
+  * 14: zstd via [[ZstdCodec]] and xz/LZMA via [[XzCodec]], both
+  * from-scratch.) Containers are still detected and labeled so a
+  * pipeline quarantines them rather than silently dropping.
   */
 object AudioCodec {
 

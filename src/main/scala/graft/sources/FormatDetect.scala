@@ -11,9 +11,10 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
-  * jsonl-zst, zstd, tar, rtf, ole (legacy .doc/.xls/.msg — classified for
-  * quarantine, no extractor), mbox, jpeg, png, gif, tiff, avro, wav, flac,
-  * avi, html, mediawiki (dump-XML shards), xml, text, binary, empty.
+  * jsonl-zst, zstd, jsonl-xz, xz, tar, rtf, ole (legacy .doc/.xls/.msg —
+  * classified for quarantine, no extractor), mbox, jpeg, png, gif, tiff,
+  * avro, wav, flac, avi, html, mediawiki (dump-XML shards), xml, text,
+  * binary, empty.
   */
 object FormatDetect {
 
@@ -99,6 +100,10 @@ object FormatDetect {
       // the tolerant prefix decode bounds the sniff cost
       val head = ZstdCodec.decompressTolerant(b, maxOut = 4096)
       return if (looksJsonl(head)) "jsonl-zst" else "zstd"
+    }
+    if (XzCodec.isXz(b)) {
+      val head = XzCodec.decompressTolerant(b, maxOut = 4096)
+      return if (looksJsonl(head)) "jsonl-xz" else "xz"
     }
     if (startsWith(b, "WARC/")) return "warc"
     if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)

@@ -9,10 +9,10 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * concatenated gzip members). Reuses the WARC layer's
   * member-iterating `GZIPInputStream` discipline ([[WarcCodec]]);
   * the `text`-field convention is what public pretraining shards use.
-  * zstd shards (`.jsonl.zst`) take the same surface through the
-  * from-scratch [[ZstdCodec]]; xz remains absent-by-constraint (no
-  * pure-JDK decoder; zero-egress build), documented next to the video
-  * codecs.
+  * zstd shards (`.jsonl.zst`) and xz shards (`.jsonl.xz`) take the
+  * same surface through the from-scratch [[ZstdCodec]] and
+  * [[XzCodec]] — all three compressed shard front doors share this
+  * file's text-field scanner and null contract.
   *
   * Scale shape: one shard = one row = one member-iterating
   * decompress — embarrassingly parallel across shards, no Spark

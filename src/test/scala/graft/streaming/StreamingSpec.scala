@@ -737,11 +737,12 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming corpus ingest equals batch dispatch+extract+quality on any slicing") {
     implicit val ctx = spark.sqlContext
-    import graft.sources.{GzipShard, OfficeCodec, PdfText, WikiCodec}
+    import graft.sources.{GzipShard, OfficeCodec, PdfText, WarcCodec, WikiCodec, XzCodec, ZstdCodec}
     // mixed shard: 2-page docs pass the 10-word floor, 1-page
     // docx/pptx fail it, garbage bytes extract to null and drop; the
-    // round-13 formats (MediaWiki dump, .jsonl.gz) ride the SAME
-    // dispatch, so the batch-equality proof covers them for free
+    // round-13 formats (MediaWiki dump, .jsonl.gz) and round-14
+    // formats (.jsonl.zst, WET extract) ride the SAME dispatch, so
+    // the batch-equality proof covers them for free
     val docs: Seq[(Long, Array[Byte])] = Seq(
       1L -> PdfText.composeTextFixture(11L, 2),
       2L -> OfficeCodec.composeDocx(22L, 2),
@@ -750,7 +751,14 @@ class StreamingSpec extends SparkSpec {
       5L -> Array[Byte](0, 1, 2, 3), // binary → null text → dropped
       6L -> OfficeCodec.composeDocx(66L, 1), // 9 words → quality-dropped
       7L -> WikiCodec.synthWikiDump(77L, 2).getBytes("UTF-8"),
-      8L -> GzipShard.synthJsonlGz(88L, 2, 3))
+      8L -> GzipShard.synthJsonlGz(88L, 2, 3),
+      9L -> ZstdCodec.synthJsonlZst(99L, 2, 3),
+      10L -> WarcCodec.encodeGz(Seq(
+        WarcCodec.WarcRecord("warcinfo", "https://w.example", "2026-02-01T00:00:00Z",
+          "software: graft-wet/1.0".getBytes("UTF-8")),
+        WarcCodec.WarcRecord("conversion", "https://w.example/a", "2026-02-01T00:00:00Z",
+          "wet extract body with eleven words of plain prose right here".getBytes("UTF-8")))),
+      11L -> XzCodec.synthJsonlXz(111L, 2, 3))
     val mem = MemoryStream[(Long, Array[Byte])]
     val out = java.nio.file.Files.createTempDirectory("corpusingest").toString
     val q = EventPipeline.startCorpusIngest(
@@ -777,10 +785,11 @@ class StreamingSpec extends SparkSpec {
           "doc_id")
         .as[(Long, String, String, Long)].collect().toSet
       assert(streamed === batch)
-      assert(streamed.map(_._1) === Set(1L, 2L, 4L, 7L, 8L))
+      assert(streamed.map(_._1) === Set(1L, 2L, 4L, 7L, 8L, 9L, 10L, 11L))
       assert(streamed.map(r => r._1 -> r._2).toMap ===
         Map(1L -> "pdf", 2L -> "docx", 4L -> "epub",
-          7L -> "mediawiki", 8L -> "jsonl-gz"))
+          7L -> "mediawiki", 8L -> "jsonl-gz",
+          9L -> "jsonl-zst", 10L -> "warc-gz", 11L -> "jsonl-xz"))
     } finally q.stop()
   }
 
