@@ -912,8 +912,106 @@ object ParityQueries {
       |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
       |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** TPC-H Q13's plan shape (customer order-count distribution): a
+    * LEFT OUTER fact join with a pushed right-side predicate (the
+    * synthetic schema has no o_comment, so the non-urgent-priority
+    * filter stands in), then TWO aggregation levels — per-customer
+    * count, then the histogram of counts. Customers with no surviving
+    * orders land in the c_count=0 bucket through the outer join, the
+    * part a naive inner-join rewrite silently loses.
+    */
+  val tpchQ13: Q = (s, d) => {
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+  val tpchQ13Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer c LEFT OUTER JOIN orders o
+      |        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |      GROUP BY c.c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q18 (large-volume orders): the HAVING-driven semi join —
+    * per-order quantity sums filtered by a threshold feed back as the
+    * keep-set for the customer⋈orders⋈lineitem detail aggregation.
+    * Quantity rides as exact integer cents; no LIMIT (the classic
+    * top-100 is tie-nondeterministic, and the gate hashes every row).
+    */
+  val tpchQ18: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"))
+    val big = l.groupBy("l_orderkey").agg(sum(col("qty_c")).as("sum_qty_c"))
+      .where(col("sum_qty_c") > 25000L)
+      .select(col("l_orderkey").as("big_orderkey"), col("sum_qty_c"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_orderdate",
+      "o_totalprice")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name")
+    big.join(o, col("big_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("totalprice_c"),
+        col("sum_qty_c"))
+  }
+  val tpchQ18Sql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000)
+      |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+      |       CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+      |       big.sum_qty_c
+      |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+      |         JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin
+
+  /** TPC-H Q22's plan shape (global sales opportunity): a scalar
+    * aggregate subquery (the positive-balance average, in exact
+    * integer cents with floor division so both engines agree at the
+    * boundary), an ANTI join against RECENT orders (the "no orders in
+    * N years" clause — without the date filter the synthetic data's
+    * dense order coverage leaves the result empty), and a final group
+    * on the country-code stand-in (c_nationkey — the synthetic schema
+    * has no c_phone).
+    */
+  val tpchQ22: Q = (s, d) => {
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("acctbal_c"))
+    val avgRow = c.where(col("acctbal_c") > 0L)
+      .agg((sum(col("acctbal_c")) / count(lit(1))).cast("long").as("avg_c"))
+    val rich = c.join(broadcast(avgRow)).where(col("acctbal_c") > col("avg_c"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    rich.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("acctbal_c")).as("totacctbal_c"))
+  }
+  val tpchQ22Sql: String =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+      |           FROM customer),
+      |a AS (SELECT CAST(sum(acctbal_c) // count(*) AS BIGINT) AS avg_c
+      |      FROM c WHERE acctbal_c > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+      |       CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+      |FROM c, a
+      |WHERE acctbal_c > avg_c
+      |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q13" -> tpchQ13,
+    "q_tpch_q18" -> tpchQ18,
+    "q_tpch_q22" -> tpchQ22,
     "q_tpch_q19" -> tpchQ19,
     "q_tpch_q12" -> tpchQ12,
     "q_tpch_q14" -> tpchQ14,
@@ -952,6 +1050,9 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> tpchQ1Sql,
+    "q_tpch_q13" -> tpchQ13Sql,
+    "q_tpch_q18" -> tpchQ18Sql,
+    "q_tpch_q22" -> tpchQ22Sql,
     "q_tpch_q19" -> tpchQ19Sql,
     "q_tpch_q12" -> tpchQ12Sql,
     "q_tpch_q14" -> tpchQ14Sql,

@@ -135,13 +135,17 @@ class PushdownSpec extends SparkSpec {
     //   - q_simhash_selectivity: each scheme's 1-row bucket-stats
     //     aggregate meets the single broadcast truth-count row (1×1
     //     scalar attach) — both sides aggregate outputs by construction.
+    //   - q_tpch_q22: the classic scalar-subquery attach — customers
+    //     meet the single broadcast positive-balance-average row (n×1,
+    //     the broadcast side is a 1-row aggregate by construction)
+    //     before the anti join on orders.
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
       "q_simhash_selectivity",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
       "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality",
-      "q_probe_auc", "q_heavy_hitters")
+      "q_probe_auc", "q_heavy_hitters", "q_tpch_q22")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
