@@ -319,8 +319,14 @@ object XzCodec {
           if (w.len - w.dictStart <= st.rep0) fail("LZMA: match reaches before dict start")
           if (w.len + len > target) fail("LZMA: match overruns chunk unpack size")
           w.ensure(len)
-          var k = 0
-          while (k < len) { w.buf(w.len) = w.buf(w.len - st.rep0 - 1); w.len += 1; k += 1 }
+          val dist = st.rep0 + 1
+          if (dist >= len) {
+            System.arraycopy(w.buf, w.len - dist, w.buf, w.len, len)
+            w.len += len
+          } else {
+            var k = 0
+            while (k < len) { w.buf(w.len) = w.buf(w.len - dist); w.len += 1; k += 1 }
+          }
         }
       }
     }

@@ -129,17 +129,29 @@ object ZstdCodec {
     private val lastByte = b(to - 1) & 0xff
     if (lastByte == 0) fail("backward bitstream has no sentinel bit")
     var pos: Int = (to - from) * 8 - 1 - (7 - highBit(lastByte))
+    // fast path: one aligned little-endian 64-bit gather instead of a
+    // per-bit loop (the Huffman peek dominates literal decode time)
+    private val byteLen = to - from
     def read(n: Int): Long = {
-      var v = 0L
-      var j = n - 1
-      while (j >= 0) {
-        val i = pos - n + j
-        val bit = if (i < 0) 0 else (b(from + (i >> 3)) >> (i & 7)) & 1
-        v = (v << 1) | bit
-        j -= 1
+      val lo = pos - n
+      pos = lo
+      if (lo >= 0 && ((lo >> 3) + 8) <= byteLen) {
+        var w = 0L
+        val base = from + (lo >> 3)
+        var k = 7
+        while (k >= 0) { w = (w << 8) | (b(base + k) & 0xffL); k -= 1 }
+        (w >>> (lo & 7)) & ((1L << n) - 1)
+      } else {
+        var v = 0L
+        var j = n - 1
+        while (j >= 0) {
+          val i = lo + j
+          val bit = if (i < 0) 0 else (b(from + (i >> 3)) >> (i & 7)) & 1
+          v = (v << 1) | bit
+          j -= 1
+        }
+        v
       }
-      pos -= n
-      v
     }
     def readInt(n: Int): Int = read(n).toInt
   }
@@ -771,11 +783,14 @@ object ZstdCodec {
       System.arraycopy(lits, litAt, out.buf, out.len, ll)
       litAt += ll; out.len += ll
       if (offset > out.len - frameStart) fail(s"match offset $offset reaches before frame start")
-      var k = 0
-      var src = out.len - offset
-      while (k < ml) { // overlapping copy must run byte-by-byte
-        out.buf(out.len + k) = out.buf(src + k)
-        k += 1
+      val src = out.len - offset
+      if (offset >= ml) System.arraycopy(out.buf, src, out.buf, out.len, ml)
+      else {
+        var k = 0
+        while (k < ml) { // overlapping copy must run byte-by-byte
+          out.buf(out.len + k) = out.buf(src + k)
+          k += 1
+        }
       }
       out.len += ml
       if (out.len - produced > BlockMax) fail("block regenerates over 128 KiB")

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dev probe (not a gate): decode MB/s of the from-scratch zstd/xz
+  * decoders vs the native/jar implementations on the same frames.
+  * Run explicitly: testOnly graft.sources.CodecThroughputProbe
+  */
+class CodecThroughputProbe extends AnyFunSuite {
+  private def mkData(n: Int): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (sb.length < n) { sb.append(s"""{"id": $i, "text": "document $i body with shared prefix and words", "lang": "en"}\n"""); i += 1 }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  private def time(reps: Int)(f: => Unit): Double = {
+    f // warmup
+    f
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < reps) { f; i += 1 }
+    (System.nanoTime() - t0) / 1e9 / reps
+  }
+
+  test("decode throughput: ours vs reference implementations") {
+    val data = mkData(1024 * 1024)
+    val mb = data.length / 1e6
+    val zframe = com.github.luben.zstd.Zstd.compress(data, 3)
+    val xframe = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(6))
+      out.write(data); out.finish(); out.close()
+      bos.toByteArray
+    }
+    val gz = GzipShard.gzipMembers(Seq(data))
+
+    val tZstdMine = time(3)(ZstdCodec.decompress(zframe))
+    val tZstdJni = time(3)(com.github.luben.zstd.Zstd.decompress(zframe, data.length))
+    val tZstdAir = time(3) { // aircompressor: the PURE-JAVA zstd on the classpath
+      val d = new io.airlift.compress.zstd.ZstdDecompressor()
+      val out = new Array[Byte](data.length)
+      d.decompress(zframe, 0, zframe.length, out, 0, out.length)
+    }
+    val tXzMine = time(3)(XzCodec.decompress(xframe))
+    val tXzJar = time(3) {
+      val in = new org.tukaani.xz.XZInputStream(new java.io.ByteArrayInputStream(xframe))
+      val buf = new Array[Byte](65536)
+      while (in.read(buf) > 0) {}
+      in.close()
+    }
+    val tGzip = time(3)(GzipShard.gunzipAll(gz))
+    println(f"[throughput] input ${mb}%.1f MB")
+    println(f"[throughput] zstd ours   ${mb / tZstdMine}%8.1f MB/s")
+    println(f"[throughput] zstd jni    ${mb / tZstdJni}%8.1f MB/s  (native)")
+    println(f"[throughput] zstd airlift${mb / tZstdAir}%8.1f MB/s  (pure-java)")
+    println(f"[throughput] xz   ours   ${mb / tXzMine}%8.1f MB/s")
+    println(f"[throughput] xz   jar    ${mb / tXzJar}%8.1f MB/s  (pure-java)")
+    println(f"[throughput] gzip jdk    ${mb / tGzip}%8.1f MB/s  (native zlib)")
+    assert(ZstdCodec.decompress(zframe).length === data.length)
+  }
+}
