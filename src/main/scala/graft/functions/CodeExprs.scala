@@ -33,6 +33,27 @@ object CodeExprs {
     StructField("code", StringType, nullable = false),
     StructField("comment_ppm", LongType, nullable = false)))
 
+  val SplitSchema: StructType = StructType(Seq(
+    StructField("off", LongType, nullable = false),
+    StructField("len", LongType, nullable = false)))
+
+  /** Boxed member-boundary walk for [[ShardSplitsExpr]]: dispatches on
+    * magic bytes; null when the payload has no member grain.
+    */
+  def shardSplitsArray(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import graft.sources.{GzipShard, XzCodec, ZstdCodec}
+    val pairs: Array[(Long, Long)] =
+      try {
+        if (GzipShard.isGzip(b)) GzipShard.memberOffsets(b)
+        else if (ZstdCodec.isZstd(b)) ZstdCodec.frameOffsets(b)
+        else if (XzCodec.isXz(b)) XzCodec.streamOffsets(b)
+        else null
+      } catch { case _: Exception => null } // damaged shard: no split plan
+    if (pairs == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      pairs.map { case (o, l) => new GenericInternalRow(Array[Any](o, l)): Any })
+  }
+
   def codeLangStr(path: UTF8String, content: UTF8String): UTF8String =
     UTF8String.fromString(CodeCodec.detectLang(
       if (path == null) null else path.toString,
@@ -635,6 +656,53 @@ case class SynthJsonlXzExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_jsonl_xz"
 }
 
+/** `synth_jsonl_zst_seekable(seed, n, lines)` — the `.jsonl.zst`
+  * fixture with a trailing SEEK TABLE (the public zstd seekable
+  * format), the random-access shard form corpus tooling ships.
+  */
+case class SynthJsonlZstSeekableExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.ZstdCodec.synthJsonlZstSeekable(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.ZstdCodec.synthJsonlZstSeekable($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlZstSeekableExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_zst_seekable"
+}
+
+/** `shard_splits(bin)` → array of (off, len) member boundaries of a
+  * compressed shard — gzip members (inflate-walked), zstd frames and
+  * xz streams (walked by DECLARED sizes, no decompression). The 100 TB
+  * planning primitive: each member decodes independently, so one big
+  * shard fans out to member-grain splits. Null for formats without
+  * member grain (single-stream payloads still yield one split).
+  */
+case class ShardSplitsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(CodeExprs.SplitSchema, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    CodeExprs.shardSplitsArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("splits")
+      s"""
+         |ArrayData $r = graft.functions.CodeExprs.shardSplitsArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ShardSplitsExpr = copy(child = c)
+  override def prettyName: String = "shard_splits"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -786,6 +854,11 @@ object CodeOps {
   def synthJsonlXz(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlXzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
+  def shardSplits(bin: Column): Column =
+    GraftExpr.toColumn(ShardSplitsExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlZstSeekable(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlZstSeekableExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(nMembers), GraftExpr.toExpr(linesPer)))
   def csvSniff(text: Column): Column =
     GraftExpr.toColumn(CsvSniffExpr(GraftExpr.toExpr(text)))
   def sentSplit(text: Column): Column =

@@ -45,6 +45,55 @@ object GzipShard {
     out.toByteArray
   }
 
+  /** (offset, length) of every gzip member — the shard SPLIT points.
+    * Gzip carries no size fields, so finding a member's end requires
+    * inflating it (output discarded): header parse per the RFC 1952
+    * field flags, raw-deflate walk with `Inflater(nowrap)`, 8-byte
+    * CRC/ISIZE trailer. O(bytes) once per shard at planning time;
+    * zstd/xz shards split cheaper ([[ZstdCodec.frameOffsets]],
+    * [[XzCodec.streamOffsets]] walk declared sizes without inflating).
+    * Loud on damage (a splitter must not silently mis-split).
+    */
+  def memberOffsets(b: Array[Byte]): Array[(Long, Long)] = {
+    require(isGzip(b), "not gzip")
+    val out = Vector.newBuilder[(Long, Long)]
+    var p = 0
+    while (p < b.length) {
+      val start = p
+      require(p + 10 <= b.length && (b(p) & 0xff) == 0x1f && (b(p + 1) & 0xff) == 0x8b,
+        s"gzip: bad member header at $p")
+      require((b(p + 2) & 0xff) == 8, "gzip: unknown compression method")
+      val flg = b(p + 3) & 0xff
+      p += 10
+      if ((flg & 4) != 0) { // FEXTRA
+        require(p + 2 <= b.length, "gzip: truncated FEXTRA")
+        p += 2 + (((b(p) & 0xff)) | ((b(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 8) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (p < b.length && b(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC
+      require(p <= b.length, "gzip: truncated member header")
+      val inf = new java.util.zip.Inflater(true)
+      try {
+        inf.setInput(b, p, b.length - p)
+        val sink = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(sink)
+          if (n == 0 && !inf.finished())
+            throw new IllegalArgumentException(s"gzip: truncated deflate stream at member $start")
+        }
+        p = b.length - inf.getRemaining
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"gzip: bad deflate data at member $start: ${e.getMessage}")
+      } finally inf.end()
+      p += 8 // CRC32 + ISIZE trailer
+      require(p <= b.length, s"gzip: truncated trailer at member $start")
+      out += ((start.toLong, (p - start).toLong))
+    }
+    out.result().toArray
+  }
+
   /** One gzip member per part, concatenated (close() per member —
     * finish() alone leaks the native Deflater, see WarcCodec).
     */

@@ -531,6 +531,85 @@ object XzCodec {
   @inline private def leLong(b: Array[Byte], at: Int): Long =
     (leInt(b, at).toLong & 0xFFFFFFFFL) | (leInt(b, at + 4).toLong << 32)
 
+  /** Length in bytes of the `.xz` stream starting at `at` WITHOUT
+    * decoding: block headers declare their size and LZMA2 chunk
+    * headers carry compressed sizes, so a stream walks in O(#chunks)
+    * — multi-stream shards split at stream grain for free.
+    */
+  def streamLength(b: Array[Byte], at: Int): Int = {
+    if (at + 12 > b.length) fail("truncated stream header")
+    if (!(0 until 6).forall(i => b(at + i) == Magic(i))) fail("bad magic")
+    val checkType = b(at + 7) & 0xff
+    val chkLen = checkSize(checkType)
+    var p = at + 12
+    var done = false
+    while (!done) {
+      if (p >= b.length) fail("ran out of data before index")
+      val hdrSizeByte = b(p) & 0xff
+      if (hdrSizeByte == 0) done = true
+      else {
+        val blockStart = p
+        val hdrSize = (hdrSizeByte + 1) * 4
+        p += hdrSize
+        // LZMA2 chunk walk by declared sizes only
+        var chunksDone = false
+        while (!chunksDone) {
+          if (p >= b.length) fail("LZMA2: missing end-of-chunks marker")
+          val control = b(p) & 0xff
+          p += 1
+          if (control == 0x00) chunksDone = true
+          else if (control == 0x01 || control == 0x02) {
+            if (p + 2 > b.length) fail("LZMA2: truncated size")
+            p += 2 + ((((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)) + 1)
+          } else if (control >= 0x80) {
+            if (p + 4 > b.length) fail("LZMA2: truncated sizes")
+            val comp = (((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)) + 1
+            val resetMode = (control >> 5) & 3
+            p += 4 + (if (resetMode >= 2) 1 else 0) + comp
+          } else fail(f"LZMA2: bad control byte 0x$control%02x")
+          if (p > b.length) fail("chunk overruns input")
+        }
+        while (((p - blockStart) & 3) != 0) p += 1 // block padding
+        p += chkLen
+        if (p > b.length) fail("truncated block check")
+      }
+    }
+    val indexStart = p
+    p += 1
+    val (nRec, p1) = readVli(b, p, b.length); p = p1
+    var i = 0L
+    while (i < nRec) {
+      val (_, pa) = readVli(b, p, b.length); p = pa
+      val (_, pb2) = readVli(b, p, b.length); p = pb2
+      i += 1
+    }
+    while (((p - indexStart) & 3) != 0) p += 1
+    p += 4 // index CRC
+    p += 12 // footer
+    if (p > b.length) fail("truncated stream tail")
+    p - at
+  }
+
+  /** (offset, length) of every stream in a multi-stream shard —
+    * computed without decoding; stream padding walked over.
+    */
+  def streamOffsets(b: Array[Byte]): Array[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var p = 0
+    while (p < b.length) {
+      if (b(p) == 0) {
+        if (p + 4 > b.length || b(p + 1) != 0 || b(p + 2) != 0 || b(p + 3) != 0)
+          fail("bad stream padding")
+        p += 4
+      } else {
+        val len = streamLength(b, p)
+        out += ((p.toLong, len.toLong))
+        p += len
+      }
+    }
+    out.result().toArray
+  }
+
   /** Decode all concatenated streams (with optional 4-byte-aligned
     * zero stream padding between them); loud on any damage.
     */

@@ -487,6 +487,134 @@ object ZstdCodec {
     var ml: FseTable = null
   }
 
+  /** Length in bytes of the frame starting at `at` WITHOUT decoding:
+    * block headers carry compressed sizes, so a frame walks in
+    * O(#blocks) — the property that makes multi-frame shards
+    * splittable at frame grain for free. Skippable frames supported.
+    */
+  def frameLength(b: Array[Byte], at: Int): Int = {
+    if (at + 4 > b.length) fail("truncated magic")
+    val magic = le32(b, at)
+    if ((magic & SkippableMagicMask) == SkippableMagic) {
+      if (at + 8 > b.length) fail("truncated skippable frame")
+      val sz = le32(b, at + 4).toLong & 0xffffffffL
+      val end = at + 8 + sz
+      if (end > b.length) fail("skippable frame overruns input")
+      return (end - at).toInt
+    }
+    if (magic != FrameMagic) fail(f"bad magic 0x$magic%08x")
+    var p = at + 4
+    val fhd = b(p) & 0xff; p += 1
+    if ((fhd & 0x08) != 0) fail("reserved frame-header bit set")
+    val fcsFlag = fhd >> 6
+    val singleSeg = (fhd & 0x20) != 0
+    val hasChecksum = (fhd & 0x04) != 0
+    val dictFlag = fhd & 3
+    if (!singleSeg) p += 1 // window descriptor
+    p += (dictFlag match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => 4 })
+    p += (fcsFlag match { case 0 => if (singleSeg) 1 else 0; case 1 => 2; case 2 => 4; case _ => 8 })
+    var last = false
+    while (!last) {
+      if (p + 3 > b.length) fail("truncated block header")
+      val hdr = le24(b, p); p += 3
+      last = (hdr & 1) != 0
+      val btype = (hdr >> 1) & 3
+      val bsize = hdr >> 3
+      btype match {
+        case 0 | 2 => p += bsize
+        case 1 => p += 1
+        case _ => fail("reserved block type")
+      }
+      if (p > b.length) fail("block overruns input")
+    }
+    if (hasChecksum) p += 4
+    if (p > b.length) fail("truncated content checksum")
+    p - at
+  }
+
+  /** (offset, length) of every frame in a multi-frame shard —
+    * computed WITHOUT decoding. Skippable frames (e.g. a seek table)
+    * are excluded from the result but walked over.
+    */
+  def frameOffsets(b: Array[Byte]): Array[(Long, Long)] = {
+    val out = Vector.newBuilder[(Long, Long)]
+    var p = 0
+    while (p < b.length) {
+      val len = frameLength(b, p)
+      if ((le32(b, p) & SkippableMagicMask) != SkippableMagic)
+        out += ((p.toLong, len.toLong))
+      p += len
+    }
+    out.result().toArray
+  }
+
+  // ------------------------------------------------------------------
+  // Zstandard seekable format (public spec: skippable frame 0x184D2A5E
+  // holding a seek table, footer magic 0x8F92EAB1)
+  // ------------------------------------------------------------------
+
+  private val SeekableMagic = 0x184D2A5E
+  private val SeekableFooterMagic = 0x8F92EAB1
+
+  /** Seek-table skippable frame for frames of the given
+    * (compressedSize, decompressedSize) — append after the data frames
+    * to make the shard random-access (the corpus-tooling convention).
+    */
+  def seekTableFrame(frames: Seq[(Int, Int)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def wLE32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+    wLE32(SeekableMagic)
+    wLE32(frames.length * 8 + 9) // entries + footer
+    frames.foreach { case (c, d) => wLE32(c); wLE32(d) }
+    wLE32(frames.length)
+    out.write(0) // descriptor: no per-frame checksums
+    wLE32(SeekableFooterMagic)
+    out.toByteArray
+  }
+
+  /** Parse the trailing seek table: (compressedOffset, decompressedOffset,
+    * compressedSize, decompressedSize) per frame. Null when the shard
+    * carries no seek table.
+    */
+  def readSeekTable(b: Array[Byte]): Array[(Long, Long, Int, Int)] = {
+    if (b == null || b.length < 17) return null
+    if (le32(b, b.length - 4) != SeekableFooterMagic) return null
+    val desc = b(b.length - 5) & 0xff
+    val withChk = (desc & 0x80) != 0
+    val n = le32(b, b.length - 9)
+    val entry = if (withChk) 12 else 8
+    val tableStart = b.length - 9 - n * entry
+    if (n < 0 || tableStart < 8) fail("seekable: bad frame count")
+    if (le32(b, tableStart - 8) != SeekableMagic) fail("seekable: bad skippable magic")
+    val out = new Array[(Long, Long, Int, Int)](n)
+    var cOff = 0L
+    var dOff = 0L
+    var i = 0
+    while (i < n) {
+      val c = le32(b, tableStart + i * entry)
+      val d = le32(b, tableStart + i * entry + 4)
+      out(i) = (cOff, dOff, c, d)
+      cOff += c; dOff += d
+      i += 1
+    }
+    out
+  }
+
+  /** [[synthJsonlZst]] with a trailing seek table — the random-access
+    * shard form.
+    */
+  def synthJsonlZstSeekable(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val body = synthJsonlZst(seed, nMembers, linesPer)
+    val frames = frameOffsets(body).map { case (off, len) =>
+      (len.toInt, decompress(java.util.Arrays.copyOfRange(body, off.toInt, (off + len).toInt)).length)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(body)
+    out.write(seekTableFrame(frames.toSeq))
+    out.toByteArray
+  }
+
   /** Decode all frames in `b`; loud on any damage. `maxOut` caps the
     * total decoded size (zip-bomb guard).
     */

@@ -62,6 +62,22 @@ class GzipShardSpec extends AnyFunSuite {
     assert(FormatDetect.detect(minified) === "jsonl-gz")
   }
 
+  test("member offsets: inflate walk finds exact boundaries; members decode alone") {
+    val shard = synthJsonlGz(4L, 3, 2)
+    val offs = memberOffsets(shard)
+    assert(offs.length === 3)
+    assert(offs.head._1 === 0L)
+    assert(offs.map(_._2).sum === shard.length)
+    offs.zipWithIndex.foreach { case ((o, l), m) =>
+      val part = new String(gunzipAll(
+        java.util.Arrays.copyOfRange(shard, o.toInt, (o + l).toInt)), "UTF-8")
+      assert(part.contains(s"\"id\": ${4000 + m * 10}"))
+      assert(!part.contains(s"\"id\": ${4000 + ((m + 1) % 3) * 10}"))
+    }
+    // headers with optional FNAME field also walk (RFC 1952 flags)
+    intercept[IllegalArgumentException](memberOffsets(shard.take(shard.length - 3)))
+  }
+
   test("null contract: undecodable or textless shards null, not empty") {
     // valid gzip magic but a damaged first member → nothing decodes → null
     val broken = synthJsonlGz(5L, 1, 1).take(6)

@@ -163,6 +163,27 @@ class XzCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
+  test("stream offsets walk declared sizes; streams decode independently") {
+    val shard = synthJsonlXz(7L, 3, 2)
+    val offs = streamOffsets(shard)
+    assert(offs.length === 3)
+    assert(offs.head._1 === 0L)
+    assert(offs.map(_._2).sum === shard.length)
+    offs.zipWithIndex.foreach { case ((o, l), m) =>
+      val part = new String(decompress(
+        java.util.Arrays.copyOfRange(shard, o.toInt, (o + l).toInt)), "UTF-8")
+      assert(part.contains(s"\"id\": ${7000 + m * 10}"))
+    }
+    // real-encoder streams walk too (multiple LZMA chunks inside)
+    val real = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.tukaani.xz.XZOutputStream(bos, new org.tukaani.xz.LZMA2Options(1))
+      out.write(("data " * 40000).getBytes); out.finish(); out.close()
+      bos.toByteArray
+    }
+    assert(streamOffsets(real).toSeq === Seq((0L, real.length.toLong)))
+  }
+
   test("format routing: jsonl-xz vs xz") {
     assert(FormatDetect.detect(synthJsonlXz(1L, 1, 1)) === "jsonl-xz")
     assert(FormatDetect.detect(buildXz("plain prose here".getBytes, 1)) === "xz")

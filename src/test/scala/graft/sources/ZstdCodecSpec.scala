@@ -170,6 +170,32 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(jsonlZstText(real) === "from real zstd")
   }
 
+  test("frame offsets walk declared sizes; seekable seek table round-trips") {
+    val shard = synthJsonlZst(5L, 3, 2)
+    val offs = frameOffsets(shard)
+    assert(offs.length === 3)
+    assert(offs.head._1 === 0L)
+    assert(offs.map(_._2).sum === shard.length)
+    // each frame decodes independently to its member's lines
+    offs.zipWithIndex.foreach { case ((o, l), m) =>
+      val part = new String(decompress(
+        java.util.Arrays.copyOfRange(shard, o.toInt, (o + l).toInt)), "UTF-8")
+      assert(part.contains(s"\"id\": ${5000 + m * 10}"))
+      assert(!part.contains(s"\"id\": ${5000 + ((m + 1) % 3) * 10}"))
+    }
+    // seekable form: table parses, skippable frame is not a split, and
+    // real zstd still accepts the whole shard (skippable frames are spec)
+    val seek = synthJsonlZstSeekable(5L, 3, 2)
+    val table = readSeekTable(seek)
+    assert(table.length === 3)
+    assert(table.map(_._3.toLong).sum === shard.length)
+    assert((table.map(_._4).sum) === decompress(shard).length)
+    assert(frameOffsets(seek).length === 3)
+    assert(com.github.luben.zstd.Zstd.decompress(seek, decompress(shard).length).toSeq
+      === decompress(shard).toSeq)
+    assert(readSeekTable(shard) === null) // no table → null, not garbage
+  }
+
   test("format routing: jsonl-zst vs zstd; pretty-printed JSON stays zstd") {
     assert(FormatDetect.detect(synthJsonlZst(1L, 1, 1)) === "jsonl-zst")
     assert(FormatDetect.detect(compressFrame("plain prose here".getBytes, "seq")) === "zstd")
