@@ -1007,8 +1007,101 @@ object ParityQueries {
       |                  AND o.o_orderdate >= TIMESTAMP '2001-01-01')
       |GROUP BY c_nationkey""".stripMargin
 
+  /** TPC-H Q7 (volume shipping between two nations): the classic
+    * double-dimension join — lineitem⋈orders⋈supplier⋈customer with
+    * TWO broadcast copies of nation under the symmetric country-pair
+    * disjunction, revenue by ship year in the integer-micro
+    * discipline. The plan wants both nation copies broadcast and the
+    * pair predicate applied post-join — the shape engine comparisons
+    * use to check self-join aliasing.
+    */
+  val tpchQ7: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val l = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select(col("l_orderkey"), col("l_suppkey"), year(col("l_shipdate")).as("l_year"),
+        (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("volume_micro"))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val n1 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume_micro")).as("revenue_micro"),
+        count(lit(1)).as("n_items"))
+  }
+  val tpchQ7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+      |         AS revenue_micro,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q17 (small-quantity-order revenue): the correlated
+    * per-part average subquery, DIVISION-FREE — the classic
+    * `l_quantity < 0.2 * avg(l_quantity per part)` becomes
+    * `5 · qty · n_part < sum_qty_part` in exact integers, so both
+    * engines agree at the boundary with no float threshold at all.
+    * Plan shape: a per-part aggregate re-joined to the fact on the
+    * part key (the decorrelated form every optimizer rewrites to).
+    */
+  val tpchQ17: Q = (s, d) => {
+    val l = Tables.lineitem(s, d).select(col("l_partkey"),
+      expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
+    val p = broadcast(Tables.part(s, d)
+      .where(col("p_brand") === "Brand#23").select("p_partkey"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_part"))
+      .withColumnRenamed("l_partkey", "a_partkey")
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("a_partkey"))
+      .where(col("qty_c") * 5L * col("n_part") < col("sum_qty_c"))
+      .agg(sum(col("price_c")).as("sum_price_c"), count(lit(1)).as("n_items"))
+  }
+  val tpchQ17Sql: String =
+    """WITH l AS (SELECT l_partkey,
+      |                  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+      |                  CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |           FROM lineitem),
+      |a AS (SELECT l_partkey AS a_partkey,
+      |             CAST(sum(qty_c) AS BIGINT) AS sum_qty_c,
+      |             CAST(count(*) AS BIGINT) AS n_part
+      |      FROM l GROUP BY 1)
+      |SELECT CAST(sum(l.price_c) AS BIGINT) AS sum_price_c,
+      |       CAST(count(*) AS BIGINT) AS n_items
+      |FROM l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#23'
+      |JOIN a ON l.l_partkey = a.a_partkey
+      |WHERE l.qty_c * 5 * a.n_part < a.sum_qty_c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q7" -> tpchQ7,
+    "q_tpch_q17" -> tpchQ17,
     "q_tpch_q13" -> tpchQ13,
     "q_tpch_q18" -> tpchQ18,
     "q_tpch_q22" -> tpchQ22,
@@ -1050,6 +1143,8 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> tpchQ1Sql,
+    "q_tpch_q7" -> tpchQ7Sql,
+    "q_tpch_q17" -> tpchQ17Sql,
     "q_tpch_q13" -> tpchQ13Sql,
     "q_tpch_q18" -> tpchQ18Sql,
     "q_tpch_q22" -> tpchQ22Sql,

@@ -74,8 +74,30 @@ class GzipShardSpec extends AnyFunSuite {
       assert(part.contains(s"\"id\": ${4000 + m * 10}"))
       assert(!part.contains(s"\"id\": ${4000 + ((m + 1) % 3) * 10}"))
     }
-    // headers with optional FNAME field also walk (RFC 1952 flags)
     intercept[IllegalArgumentException](memberOffsets(shard.take(shard.length - 3)))
+  }
+
+  test("member offsets walk RFC 1952 optional header fields (FNAME/FEXTRA/FCOMMENT)") {
+    // craft a member with FEXTRA + FNAME + FCOMMENT set: flg = 4|8|16
+    val plain = gzipMembers(Seq("payload one".getBytes("UTF-8")))
+    val deflatePart = java.util.Arrays.copyOfRange(plain, 10, plain.length)
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write(Array[Byte](0x1f, 0x8b.toByte, 8, (4 | 8 | 16).toByte, 0, 0, 0, 0, 0, 0))
+    hdr.write(Array[Byte](3, 0)) // FEXTRA: 3 bytes
+    hdr.write(Array[Byte](1, 2, 3))
+    hdr.write("shard.jsonl".getBytes("US-ASCII")); hdr.write(0) // FNAME
+    hdr.write("a comment".getBytes("US-ASCII")); hdr.write(0) // FCOMMENT
+    hdr.write(deflatePart)
+    val fancy = hdr.toByteArray
+    // sanity: the JDK accepts the crafted header
+    assert(new String(gunzipAll(fancy), "UTF-8") === "payload one")
+    val both = fancy ++ gzipMembers(Seq("payload two".getBytes("UTF-8")))
+    val offs = memberOffsets(both)
+    assert(offs.length === 2)
+    assert(offs(0) === ((0L, fancy.length.toLong)))
+    assert(new String(gunzipAll(
+      java.util.Arrays.copyOfRange(both, offs(1)._1.toInt,
+        (offs(1)._1 + offs(1)._2).toInt)), "UTF-8") === "payload two")
   }
 
   test("null contract: undecodable or textless shards null, not empty") {
