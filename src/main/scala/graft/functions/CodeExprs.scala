@@ -37,6 +37,20 @@ object CodeExprs {
     StructField("off", LongType, nullable = false),
     StructField("len", LongType, nullable = false)))
 
+  /** Seek-table random access for [[ZstSeekMemberExpr]]. */
+  def zstSeekMember(b: Array[Byte], k: Int): String = {
+    import graft.sources.ZstdCodec
+    try {
+      val table = ZstdCodec.readSeekTable(b)
+      if (table == null || k < 0 || k >= table.length) null
+      else {
+        val (cOff, _, cSize, _) = table(k)
+        new String(ZstdCodec.decompress(
+          java.util.Arrays.copyOfRange(b, cOff.toInt, cOff.toInt + cSize)), "UTF-8")
+      }
+    } catch { case _: Exception => null }
+  }
+
   /** Boxed member-boundary walk for [[ShardSplitsExpr]]: dispatches on
     * magic bytes; null when the payload has no member grain.
     */
@@ -703,6 +717,35 @@ case class ShardSplitsExpr(child: Expression) extends UnaryExpression with Impli
   override def prettyName: String = "shard_splits"
 }
 
+/** `zst_seek_member(bin, k)` → the decoded UTF-8 text of frame `k`
+  * ONLY, located through the shard's trailing seek table
+  * ([[graft.sources.ZstdCodec.readSeekTable]]) — true random access:
+  * no byte of any other frame is decompressed. Null when the shard
+  * has no seek table or `k` is out of range.
+  */
+case class ZstSeekMemberExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, k: Any): Any = {
+    val s = CodeExprs.zstSeekMember(b.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) => {
+      val r = ctx.freshName("seek")
+      s"""
+         |String $r = graft.functions.CodeExprs.zstSeekMember($b, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ZstSeekMemberExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "zst_seek_member"
+}
+
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
 case class LatexTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes = Seq(StringType)
@@ -856,6 +899,8 @@ object CodeOps {
       GraftExpr.toExpr(linesPer)))
   def shardSplits(bin: Column): Column =
     GraftExpr.toColumn(ShardSplitsExpr(GraftExpr.toExpr(bin)))
+  def zstSeekMember(bin: Column, k: Column): Column =
+    GraftExpr.toColumn(ZstSeekMemberExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(k)))
   def synthJsonlZstSeekable(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlZstSeekableExpr(GraftExpr.toExpr(seed),
       GraftExpr.toExpr(nMembers), GraftExpr.toExpr(linesPer)))

@@ -136,6 +136,7 @@ object GraftFunctions {
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),
     "shard_splits" -> (a => CodeOps.shardSplits(a.head)),
+    "zst_seek_member" -> (a => CodeOps.zstSeekMember(a.head, a(1))),
     "synth_jsonl_zst_seekable" -> (a => CodeOps.synthJsonlZstSeekable(a.head, a(1), a(2))),
     "csv_sniff" -> (a => CodeOps.csvSniff(a.head)),
     "sent_split" -> (a => CodeOps.sentSplit(a.head)),
