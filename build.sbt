@@ -16,6 +16,11 @@ run / fork := true
 // runMain otherwise lands between the artifact and the driver's
 // bounded tail capture (adjudicated: BENCH parsed=null every round).
 Global / showSuccess := false
+// …and sbt's logger otherwise re-logs the forked JVM's stdout with an
+// "[info] " prefix, which breaks the driver's line-level JSON.parse of
+// the bench summary (BENCH parsed=null, rounds 12-14). StdoutOutput
+// makes the forked process inherit stdout directly — no decoration.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[...] tests: the standalone Worker builds executor
 // commands in-JVM (WorkerCommandBuilder), which resolves the Scala
 // version from this env var when $SPARK_HOME has no build dirs.

@@ -96,9 +96,12 @@ object FormatDetect {
       else "gzip"
     }
     if (ZstdCodec.isZstd(b)) {
-      // same refine for zstd-era shards (Dolma/RedPajama-v2 form);
-      // the tolerant prefix decode bounds the sniff cost
-      val head = ZstdCodec.decompressTolerant(b, maxOut = 4096)
+      // same refine for zstd-era shards (Dolma/RedPajama-v2 form).
+      // decodePrefix, NOT decompressTolerant-with-small-cap: real
+      // shards declare a frame content size over any small cap, which
+      // made the tolerant path return 0 bytes and mislabel every
+      // >4 KiB-decoded .jsonl.zst shard as plain "zstd" (ADVICE r14).
+      val head = ZstdCodec.decodePrefix(b, 4096)
       return if (looksJsonl(head)) "jsonl-zst" else "zstd"
     }
     if (XzCodec.isXz(b)) {

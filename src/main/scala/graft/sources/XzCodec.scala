@@ -439,15 +439,20 @@ object XzCodec {
         val nFilters = (flags & 3) + 1
         if ((flags & 0x3c) != 0) fail("xz: reserved block flags set")
         var q = p + 2
+        // fields live BEFORE the 4-byte header CRC — a CRC-valid but
+        // malformed header (field placed at the header end) must fail
+        // loudly here, not index into the CRC/past the array (ADVICE r14)
+        val fieldEnd = p + hdrSize - 4
         var compSize = -1L
         var unpSize = -1L
-        if ((flags & 0x40) != 0) { val (v, n) = readVli(b, q, p + hdrSize); compSize = v; q = n }
-        if ((flags & 0x80) != 0) { val (v, n) = readVli(b, q, p + hdrSize); unpSize = v; q = n }
+        if ((flags & 0x40) != 0) { val (v, n) = readVli(b, q, fieldEnd); compSize = v; q = n }
+        if ((flags & 0x80) != 0) { val (v, n) = readVli(b, q, fieldEnd); unpSize = v; q = n }
         if (nFilters != 1) fail(s"xz: $nFilters-filter chains out of subset (single LZMA2 only)")
-        val (fid, n1) = readVli(b, q, p + hdrSize); q = n1
+        val (fid, n1) = readVli(b, q, fieldEnd); q = n1
         if (fid != 0x21) fail(f"xz: filter 0x$fid%x out of subset (LZMA2 only)")
-        val (propLen, n2) = readVli(b, q, p + hdrSize); q = n2
+        val (propLen, n2) = readVli(b, q, fieldEnd); q = n2
         if (propLen != 1) fail("xz: LZMA2 props must be one byte")
+        if (q >= fieldEnd) fail("xz: block header ends before LZMA2 props byte")
         val dictBits = b(q) & 0xff; q += 1
         val dictSize =
           if (dictBits == 40) 0xFFFFFFFFL

@@ -584,9 +584,18 @@ object ZstdCodec {
     val withChk = (desc & 0x80) != 0
     val n = le32(b, b.length - 9)
     val entry = if (withChk) 12 else 8
+    // Validate n BEFORE the n*entry multiply — a corrupt/adversarial
+    // footer count otherwise overflows Int and indexes out of bounds
+    // instead of hitting this codec's loud-failure contract (ADVICE r14).
+    if (n < 0 || n.toLong * entry > (b.length - 17).toLong)
+      fail("seekable: bad frame count")
     val tableStart = b.length - 9 - n * entry
-    if (n < 0 || tableStart < 8) fail("seekable: bad frame count")
+    if (tableStart < 8) fail("seekable: bad frame count")
     if (le32(b, tableStart - 8) != SeekableMagic) fail("seekable: bad skippable magic")
+    // cross-check the skippable frame's declared size against the count
+    val declared = le32(b, tableStart - 4).toLong & 0xffffffffL
+    if (declared != n.toLong * entry + 9)
+      fail(s"seekable: skippable size $declared != ${n.toLong * entry + 9}")
     val out = new Array[(Long, Long, Int, Int)](n)
     var cOff = 0L
     var dOff = 0L
@@ -639,7 +648,31 @@ object ZstdCodec {
     java.util.Arrays.copyOf(out.buf, out.len)
   }
 
-  private def decodeTopLevel(b: Array[Byte], at: Int, out: Out): Int = {
+  /** Decode only the first `want` decoded bytes (best effort) — the
+    * bounded sniff primitive. `decompressTolerant(b, maxOut = small)`
+    * is the WRONG sniff tool: real shards declare a Frame_Content_Size
+    * far over the small cap and the pre-check fails before decoding a
+    * single block, returning 0 bytes (ADVICE r14 — typical .jsonl.zst
+    * shards were mislabeled "zstd" and their text dropped). Here the
+    * FCS-vs-cap pre-check is deferred: blocks decode one at a time
+    * (each ≤ 128 KiB by spec) until `want` bytes exist or the input is
+    * damaged, and the prefix gathered so far is returned either way.
+    * Frame-level FCS/checksum validation is skipped when the walk
+    * stops early — this is a sniff, not the decode path.
+    */
+  def decodePrefix(b: Array[Byte], want: Int): Array[Byte] = {
+    if (b == null) return null
+    val cap = want + BlockMax // one whole block always fits past `want`
+    val out = new Out(new Array[Byte](math.min(1 << 16, cap)), 0, cap)
+    var p = 0
+    try {
+      while (p < b.length && out.len < want)
+        p = decodeTopLevel(b, p, out, prefixWant = want)
+    } catch { case _: Exception => () }
+    java.util.Arrays.copyOf(out.buf, math.min(out.len, want))
+  }
+
+  private def decodeTopLevel(b: Array[Byte], at: Int, out: Out, prefixWant: Int = -1): Int = {
     if (at + 4 > b.length) fail("truncated magic")
     val magic = le32(b, at)
     if ((magic & SkippableMagicMask) == SkippableMagic) {
@@ -649,11 +682,11 @@ object ZstdCodec {
       if (next > b.length) fail("skippable frame overruns input")
       next.toInt
     } else if (magic == FrameMagic) {
-      decodeFrame(b, at + 4, out)
+      decodeFrame(b, at + 4, out, prefixWant)
     } else fail(f"bad magic 0x$magic%08x")
   }
 
-  private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out): Int = {
+  private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out, prefixWant: Int = -1): Int = {
     var p = hdrAt
     if (p >= b.length) fail("truncated frame header")
     val fhd = b(p) & 0xff; p += 1
@@ -695,11 +728,15 @@ object ZstdCodec {
     }
     if (singleSeg) windowSize = math.max(0L, fcs)
     if (windowSize > MaxWindow) fail(s"window $windowSize over subset cap $MaxWindow")
-    if (fcs >= 0 && fcs > out.cap - out.len) fail("frame content size over output cap")
+    // In prefix (sniff) mode the declared content size may legally
+    // exceed the small output cap — the block loop below stops early.
+    if (prefixWant < 0 && fcs >= 0 && fcs > out.cap - out.len)
+      fail("frame content size over output cap")
     val frameStart = out.len
     val ctx = new FrameCtx
     var last = false
     while (!last) {
+      if (prefixWant >= 0 && out.len >= prefixWant) return p
       if (p + 3 > b.length) fail("truncated block header")
       val hdr = le24(b, p); p += 3
       last = (hdr & 1) != 0

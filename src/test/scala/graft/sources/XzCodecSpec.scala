@@ -143,6 +143,34 @@ class XzCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("filter") || e.getMessage.contains("subset"))
   }
 
+  test("CRC-valid but malformed block header fails loudly, not out-of-bounds (ADVICE r14)") {
+    // Hand-build a stream whose block header is CRC-valid but ends
+    // right after the propLen field — the LZMA2 props byte would land
+    // in the CRC (or past the array). Must surface as the codec's
+    // typed "xz: …" failure, never ArrayIndexOutOfBounds.
+    def le32(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >>> 24).toByte)
+    def crc(bytes: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32(); c.update(bytes); c.getValue.toInt
+    }
+    val magic = Array[Byte](0xFD.toByte, '7', 'z', 'X', 'Z', 0)
+    val streamFlags = Array[Byte](0, 1) // CRC32 check
+    val streamHeader = magic ++ streamFlags ++ le32(crc(streamFlags))
+    // block header: size byte 1 → 8 bytes total; flags 0; filter id
+    // 0x21; propLen 1 — and then the 4-byte CRC with NO props byte
+    val hdrBody = Array[Byte](1, 0, 0x21, 1)
+    val blockHeader = hdrBody ++ le32(crc(hdrBody))
+    val stream = streamHeader ++ blockHeader ++ Array.fill[Byte](16)(0)
+    val e = intercept[IllegalArgumentException](decompress(stream))
+    assert(e.getMessage.startsWith("xz:"), s"got: ${e.getMessage}")
+    assert(e.getMessage.contains("props byte"))
+    // a VLI running into the CRC region is equally loud and typed
+    val hdrBody2 = Array[Byte](1, 0, 0x21, 0x81.toByte) // propLen VLI never terminates
+    val blockHeader2 = hdrBody2 ++ le32(crc(hdrBody2))
+    val e2 = intercept[IllegalArgumentException](decompress(streamHeader ++ blockHeader2))
+    assert(e2.getMessage.startsWith("xz:"), s"got: ${e2.getMessage}")
+  }
+
   test("jsonl shard surface: synth, text extraction, null contract, zip-bomb cap") {
     val xz = synthJsonlXz(9L, 3, 2)
     // the fixture's three member streams carry three different check types

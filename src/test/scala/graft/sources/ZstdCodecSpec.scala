@@ -196,6 +196,52 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(readSeekTable(shard) === null) // no table → null, not garbage
   }
 
+  test("prefix sniff: real shards with FCS over the sniff cap still classify (ADVICE r14)") {
+    // zstd CLI / zstd-jni write Frame_Content_Size by default; a shard
+    // whose decoded size exceeds the 4 KiB sniff cap used to return 0
+    // bytes from decompressTolerant and be mislabeled plain "zstd".
+    val lines = (0 until 2000).map(i =>
+      s"""{"id": $i, "text": "real shard line $i with some body text"}""").mkString("\n") + "\n"
+    val data = lines.getBytes("UTF-8")
+    assert(data.length > 4096)
+    for (level <- Seq(1, 3, 9)) {
+      val shard = realCompress(data, level)
+      val head = decodePrefix(shard, 4096)
+      assert(head.length === 4096, s"level=$level")
+      assert(head.toSeq === data.take(4096).toSeq, s"level=$level")
+      assert(FormatDetect.detect(shard) === "jsonl-zst", s"level=$level")
+      assert(jsonlZstText(shard) != null, s"level=$level: dispatch must not drop text")
+    }
+    // prefix longer than the content: returns everything, no failure
+    val small = realCompress("{\"text\": \"tiny\"}\n".getBytes, 3)
+    assert(new String(decodePrefix(small, 4096), "UTF-8") === "{\"text\": \"tiny\"}\n")
+    // damaged input: best-effort prefix, never throws
+    val cut = realCompress(data, 3).take(50)
+    decodePrefix(cut, 4096)
+    assert(decodePrefix("not zstd at all".getBytes, 64).length === 0)
+  }
+
+  test("seek table: corrupt footer count fails loudly, not out-of-bounds (ADVICE r14)") {
+    val seek = synthJsonlZstSeekable(5L, 3, 2)
+    def withCount(n: Int): Array[Byte] = {
+      val bad = seek.clone()
+      val at = bad.length - 9 // LE32 frame count in the footer
+      bad(at) = (n & 0xff).toByte; bad(at + 1) = ((n >> 8) & 0xff).toByte
+      bad(at + 2) = ((n >> 16) & 0xff).toByte; bad(at + 3) = ((n >>> 24) & 0xff).toByte
+      bad
+    }
+    // counts that overflow n*entry or overrun the buffer: loud, typed
+    for (n <- Seq(0x20000000, Int.MaxValue, -1, 1 << 24, 1000)) {
+      val e = intercept[IllegalArgumentException](readSeekTable(withCount(n)))
+      assert(e.getMessage.contains("seekable"), s"n=$n")
+    }
+    // count that disagrees with the skippable frame's declared size
+    val e = intercept[IllegalArgumentException](readSeekTable(withCount(2)))
+    assert(e.getMessage.contains("seekable"), "size cross-check")
+    // the untouched table still parses
+    assert(readSeekTable(seek).length === 3)
+  }
+
   test("format routing: jsonl-zst vs zstd; pretty-printed JSON stays zstd") {
     assert(FormatDetect.detect(synthJsonlZst(1L, 1, 1)) === "jsonl-zst")
     assert(FormatDetect.detect(compressFrame("plain prose here".getBytes, "seq")) === "zstd")
