@@ -64,7 +64,11 @@ object Bench {
           graft.functions.SpeechOps.flacToWav(
             graft.functions.SpeechOps.synthFlac(lit(7L), lit(512), lit(8000), lit(3))).as("f"),
           graft.functions.SpeechOps.parseCues(
-            graft.functions.SpeechOps.synthSrt(lit(7L), lit(4))).as("cu"))
+            graft.functions.SpeechOps.synthSrt(lit(7L), lit(4))).as("cu"),
+          // bzip2 encode+decode (prefix-doubling BWT + Huffman): the
+          // r15 codec family gets the same cold-JIT treatment
+          graft.functions.CodeOps.unbzip2Text(
+            graft.functions.CodeOps.synthJsonlBz2(lit(7L), lit(1), lit(2))).as("bz"))
         .foreach((_: org.apache.spark.sql.Row) => ())
     } catch { case _: Exception => } // warmup must never fail the bench
   }

@@ -55,12 +55,13 @@ object CodeExprs {
     * magic bytes; null when the payload has no member grain.
     */
   def shardSplitsArray(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    import graft.sources.{GzipShard, XzCodec, ZstdCodec}
+    import graft.sources.{BzipCodec, GzipShard, XzCodec, ZstdCodec}
     val pairs: Array[(Long, Long)] =
       try {
         if (GzipShard.isGzip(b)) GzipShard.memberOffsets(b)
         else if (ZstdCodec.isZstd(b)) ZstdCodec.frameOffsets(b)
         else if (XzCodec.isXz(b)) XzCodec.streamOffsets(b)
+        else if (BzipCodec.isBzip2(b)) BzipCodec.streamOffsets(b)
         else null
       } catch { case _: Exception => null } // damaged shard: no split plan
     if (pairs == null) null
@@ -670,6 +671,98 @@ case class SynthJsonlXzExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_jsonl_xz"
 }
 
+/** `unbzip2_text(bin)` → UTF-8 text of all concatenated bzip2 streams
+  * ([[graft.sources.BzipCodec.unbzip2Text]], damage-tolerant); null
+  * for non-bz2 bytes — the fourth member of the gunzip/unzstd/unxz
+  * family, and the wiki-dump front door's decode step.
+  */
+case class Unbzip2TextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.BzipCodec.unbzip2Text(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("bz")
+      s"""
+         |String $r = graft.sources.BzipCodec.unbzip2Text($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Unbzip2TextExpr = copy(child = c)
+  override def prettyName: String = "unbzip2_text"
+}
+
+/** `jsonl_bz2_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.bz2` shard ([[graft.sources.BzipCodec.jsonlBz2Text]]).
+  */
+case class JsonlBz2TextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.BzipCodec.jsonlBz2Text(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jb")
+      s"""
+         |String $r = graft.sources.BzipCodec.jsonlBz2Text($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlBz2TextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_bz2_text"
+}
+
+/** `synth_jsonl_bz2(seed, n_members, lines_per)` — deterministic
+  * multistream `.jsonl.bz2` fixture ([[graft.sources.BzipCodec]]),
+  * one from-scratch-compressed stream per member, levels rotating.
+  */
+case class SynthJsonlBz2Expr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.BzipCodec.synthJsonlBz2(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.BzipCodec.synthJsonlBz2($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlBz2Expr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_bz2"
+}
+
+/** `synth_wiki_bz2(seed, n_pages)` — the
+  * `pages-articles-multistream.xml.bz2` fixture: the synthetic dump
+  * XML split at `<page>` boundaries, one bz2 stream per chunk, whose
+  * concatenated decode is exactly the uncompressed dump.
+  */
+case class SynthWikiBz2Expr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    graft.sources.BzipCodec.synthWikiBz2(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.BzipCodec.synthWikiBz2($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthWikiBz2Expr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_wiki_bz2"
+}
+
 /** `synth_jsonl_zst_seekable(seed, n, lines)` — the `.jsonl.zst`
   * fixture with a trailing SEEK TABLE (the public zstd seekable
   * format), the random-access shard form corpus tooling ships.
@@ -897,6 +990,15 @@ object CodeOps {
   def synthJsonlXz(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlXzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
+  def unbzip2Text(bin: Column): Column =
+    GraftExpr.toColumn(Unbzip2TextExpr(GraftExpr.toExpr(bin)))
+  def jsonlBz2Text(bin: Column): Column =
+    GraftExpr.toColumn(JsonlBz2TextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlBz2(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlBz2Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def synthWikiBz2(seed: Column, nPages: Column): Column =
+    GraftExpr.toColumn(SynthWikiBz2Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
   def shardSplits(bin: Column): Column =
     GraftExpr.toColumn(ShardSplitsExpr(GraftExpr.toExpr(bin)))
   def zstSeekMember(bin: Column, k: Column): Column =

@@ -135,6 +135,10 @@ object GraftFunctions {
     "unxz_text" -> (a => CodeOps.unxzText(a.head)),
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),
+    "unbzip2_text" -> (a => CodeOps.unbzip2Text(a.head)),
+    "jsonl_bz2_text" -> (a => CodeOps.jsonlBz2Text(a.head)),
+    "synth_jsonl_bz2" -> (a => CodeOps.synthJsonlBz2(a.head, a(1), a(2))),
+    "synth_wiki_bz2" -> (a => CodeOps.synthWikiBz2(a.head, a(1))),
     "shard_splits" -> (a => CodeOps.shardSplits(a.head)),
     "zst_seek_member" -> (a => CodeOps.zstSeekMember(a.head, a(1))),
     "synth_jsonl_zst_seekable" -> (a => CodeOps.synthJsonlZstSeekable(a.head, a(1), a(2))),

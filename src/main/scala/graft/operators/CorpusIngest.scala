@@ -36,6 +36,11 @@ object CorpusIngest {
         .when(format === "jsonl-gz", graft.functions.CodeOps.jsonlGzText(payload))
         .when(format === "jsonl-zst", graft.functions.CodeOps.jsonlZstText(payload))
         .when(format === "jsonl-xz", graft.functions.CodeOps.jsonlXzText(payload))
+        .when(format === "jsonl-bz2", graft.functions.CodeOps.jsonlBz2Text(payload))
+        // the multistream wiki dump: concatenated bz2 streams decode to
+        // ONE dump XML, then the same extractor as uncompressed 'mediawiki'
+        .when(format === "wiki-bz2",
+          graft.functions.CodeOps.wikiDumpText(graft.functions.CodeOps.unbzip2Text(payload)))
         // WET extract segments: conversion-record text; a response-record
         // WARC yields null here (its text needs the fetch/charset/HTML
         // crawl stages, not a projection)

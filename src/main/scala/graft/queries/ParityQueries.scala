@@ -1066,7 +1066,9 @@ object ParityQueries {
     * `5 · qty · n_part < sum_qty_part` in exact integers, so both
     * engines agree at the boundary with no float threshold at all.
     * Plan shape: a per-part aggregate re-joined to the fact on the
-    * part key (the decorrelated form every optimizer rewrites to).
+    * part key (the decorrelated form every optimizer rewrites to),
+    * with the Brand#23 broadcast semi-joined into the aggregate INPUT
+    * so only qualifying parts' lineitems shuffle (r15).
     */
   val tpchQ17: Q = (s, d) => {
     val l = Tables.lineitem(s, d).select(col("l_partkey"),
@@ -1074,11 +1076,16 @@ object ParityQueries {
       expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"))
     val p = broadcast(Tables.part(s, d)
       .where(col("p_brand") === "Brand#23").select("p_partkey"))
-    val perPart = l.groupBy("l_partkey")
+    // semi-join the Brand#23 broadcast BEFORE the per-part aggregate:
+    // the aggregate is per-part, so pre-filtering to qualifying parts
+    // computes identical sums while shuffling ~1/25 of lineitem on
+    // l_partkey instead of all of it (the r14 plan-audit nit — at
+    // 100× this exchange was doing 25× the needed work)
+    val lq = l.join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+    val perPart = lq.groupBy("l_partkey")
       .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n_part"))
       .withColumnRenamed("l_partkey", "a_partkey")
-    l.join(p, col("l_partkey") === col("p_partkey"))
-      .join(perPart, col("l_partkey") === col("a_partkey"))
+    lq.join(perPart, col("l_partkey") === col("a_partkey"))
       .where(col("qty_c") * 5L * col("n_part") < col("sum_qty_c"))
       .agg(sum(col("price_c")).as("sum_price_c"), count(lit(1)).as("n_items"))
   }
@@ -1098,8 +1105,157 @@ object ParityQueries {
       |JOIN a ON l.l_partkey = a.a_partkey
       |WHERE l.qty_c * 5 * a.n_part < a.sum_qty_c""".stripMargin
 
+  /** TPC-H Q21 (suppliers who kept orders waiting) — the hardest
+    * classic join shape in the suite: an EXISTS plus a NOT EXISTS,
+    * both self-joins on the fact table. Here decorrelated the way a
+    * 100 TB plan wants it: ONE pass over status-F lineitems computes
+    * per-order `countDistinct(supplier)` and
+    * `countDistinct(supplier WHERE late)`, and a late line qualifies
+    * iff the order has >1 supplier and EXACTLY one late one (itself) —
+    * two aggregates replacing two correlated sub-scans. The oracle SQL
+    * keeps the classic EXISTS/NOT-EXISTS form, so the gate proves the
+    * rewrite. The fixture has no commit/receipt dates; "late" = shipped
+    * more than 60 days after the order date (the q_tpch_q4 adaptation).
+    */
+  val tpchQ21: Q = (s, d) => {
+    val o = Tables.orders(s, d).where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val lo = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .select("l_orderkey", "l_suppkey", "late")
+    val ord = lo.groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      .where(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .select(col("l_orderkey").as("q_orderkey"))
+    val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+      .join(Tables.nation(s, d).where(col("n_name") === "NATION_3").select("n_nationkey"),
+        col("s_nationkey") === col("n_nationkey"), "left_semi"))
+    lo.where(col("late"))
+      .join(ord, col("l_orderkey") === col("q_orderkey"), "left_semi")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+  val tpchQ21Sql: String =
+    """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+      |WHERE datediff('day', o.o_orderdate, l1.l_shipdate) > 60
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND datediff('day', o.o_orderdate, l3.l_shipdate) > 60)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q8 (national market share), DIVISION-FREE: the classic
+    * `sum(case nation) / sum(volume)` ratio is reported as the exact
+    * integer (numerator, denominator) pair in micro-units — the same
+    * no-float-threshold discipline as Q17. Join shape: the full
+    * 8-table star — part-filtered lineitem ⋈ orders(date window) ⋈
+    * customer ⋈ nation ⋈ region(broadcast, filtered) on the demand
+    * side, supplier ⋈ nation(broadcast) on the supply side.
+    */
+  val tpchQ8: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1998-01-01").cast("timestamp_ntz")
+    val p = broadcast(Tables.part(s, d)
+      .where(col("p_type") === "PROMO").select("p_partkey"))
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"),
+      (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)"))).as("volume_micro"))
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val nCust = broadcast(Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "AMERICA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select(col("n_nationkey").as("cn_key")))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val nSupp = broadcast(Tables.nation(s, d)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    l.join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nCust, col("c_nationkey") === col("cn_key"), "left_semi")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(nSupp, col("s_nationkey") === col("sn_key"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === "NATION_3", col("volume_micro"))
+        .otherwise(0L)).as("nation_volume_micro"),
+        sum(col("volume_micro")).as("total_volume_micro"))
+  }
+  val tpchQ8Sql: String =
+    """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+      |       CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |                     THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                          * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+      |                     ELSE 0 END) AS BIGINT) AS nation_volume_micro,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+      |                * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+      |         AS total_volume_micro
+      |FROM lineitem l
+      |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+      |JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+      |JOIN nation n2 ON sp.s_nationkey = n2.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q15 (top supplier): the view-plus-scalar-max shape — a
+    * quarter's per-supplier revenue, then the supplier(s) achieving
+    * the global maximum. The max is ONE row broadcast into the
+    * revenue relation (the sanctioned 1-row-broadcast NLJ, same as
+    * Q22's average); revenue rides exact integer micro-units so a tie
+    * at the max is exact on both engines.
+    */
+  val tpchQ15: Q = (s, d) => {
+    val lo = lit("1996-01-01").cast("timestamp_ntz")
+    val hi = lit("1996-04-01").cast("timestamp_ntz")
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        (lit(100L) - expr("CAST(round(l_discount * 100) AS BIGINT)")))
+        .as("total_revenue_micro"))
+    val maxRev = rev.agg(max(col("total_revenue_micro")).as("max_rev"))
+    rev.join(broadcast(maxRev))
+      .where(col("total_revenue_micro") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue_micro"))
+  }
+  val tpchQ15Sql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+      |           AS total_revenue_micro
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey, s.s_name, r.total_revenue_micro
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+      |WHERE r.total_revenue_micro = (SELECT max(total_revenue_micro) FROM revenue)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q_tpch_q1" -> tpchQ1,
+    "q_tpch_q8" -> tpchQ8,
+    "q_tpch_q15" -> tpchQ15,
+    "q_tpch_q21" -> tpchQ21,
     "q_tpch_q7" -> tpchQ7,
     "q_tpch_q17" -> tpchQ17,
     "q_tpch_q13" -> tpchQ13,
@@ -1143,6 +1299,9 @@ object ParityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q1" -> tpchQ1Sql,
+    "q_tpch_q8" -> tpchQ8Sql,
+    "q_tpch_q15" -> tpchQ15Sql,
+    "q_tpch_q21" -> tpchQ21Sql,
     "q_tpch_q7" -> tpchQ7Sql,
     "q_tpch_q17" -> tpchQ17Sql,
     "q_tpch_q13" -> tpchQ13Sql,

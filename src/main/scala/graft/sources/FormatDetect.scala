@@ -108,6 +108,18 @@ object FormatDetect {
       val head = XzCodec.decompressTolerant(b, maxOut = 4096)
       return if (looksJsonl(head)) "jsonl-xz" else "xz"
     }
+    if (BzipCodec.isBzip2(b)) {
+      // the multistream wiki-dump form is bz2's dominant corpus use;
+      // sniff the decoded head for the dump root element, then the
+      // jsonl shard form; anything else is labeled for quarantine
+      val head = BzipCodec.decodePrefix(b, 4096)
+      if (looksJsonl(head)) return "jsonl-bz2"
+      val s = asciiPrefixLower(head, 256)
+      val t = s.dropWhile(c => c == ' ' || c == '\n' || c == '\r' || c == '\t')
+      return if (t.startsWith("<mediawiki") ||
+        (t.startsWith("<?xml") && s.contains("<mediawiki"))) "wiki-bz2"
+      else "bzip2"
+    }
     if (startsWith(b, "WARC/")) return "warc"
     if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
       return "jpeg"

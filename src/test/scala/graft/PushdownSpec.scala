@@ -66,6 +66,19 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(500))
   }
 
+  test("q_tpch_q17 semi-joins the brand broadcast BEFORE the per-part aggregate") {
+    // the r14 plan nit: the aggregate input must contain the part join
+    // so only qualifying parts' lineitems shuffle (1/25 of the fact) —
+    // in the optimized plan the HashAggregate's child subtree includes
+    // a broadcast join against part, not a bare lineitem scan
+    val plan = queries.ParityQueries.tpchQ17(spark, d)
+      .queryExecution.executedPlan.toString
+    // both branches (aggregate input AND probe) carry the semi join —
+    // two LeftSemi broadcast joins in the plan, zero sort-merge
+    assert(plan.split("LeftSemi").length - 1 >= 2, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("q_skew_join broadcasts the exploded dim (no sort-merge of the hot side)") {
     val plan = queries.DomainQueries.skewJoin(spark, d)
       .queryExecution.executedPlan.toString
