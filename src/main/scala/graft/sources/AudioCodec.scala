@@ -21,9 +21,14 @@ package graft.sources
   * lossless speech-corpus formats; MP3 and OGG-Vorbis are
   * absent-by-constraint — patent-era lossy DSP codecs with no pure-JDK
   * decoder in a zero-egress build, the same class as the H.264/VP9
-  * video note in [[AviCodec]]. (The compression walls fell in round
-  * 14: zstd via [[ZstdCodec]] and xz/LZMA via [[XzCodec]], both
-  * from-scratch.) Containers are still detected and labeled so a
+  * video note in [[AviCodec]]. (The compression walls fell in rounds
+  * 14-15: zstd via [[ZstdCodec]], xz/LZMA via [[XzCodec]], bzip2 via
+  * [[BzipCodec]], all from-scratch.) Brotli (RFC 7932) is a different
+  * class: the spec is OPEN and a from-scratch decoder is feasible —
+  * it is absent by PRIORITIZATION, not constraint; its corpus surface
+  * (WOFF2 fonts, HTTP transfer encoding) is small next to the
+  * gzip/zstd/xz/bz2 shard formats, so it sits behind them in the
+  * build order. Containers are still detected and labeled so a
   * pipeline quarantines them rather than silently dropping.
   */
 object AudioCodec {

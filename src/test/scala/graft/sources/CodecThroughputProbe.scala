@@ -50,7 +50,25 @@ class CodecThroughputProbe extends AnyFunSuite {
       in.close()
     }
     val tGzip = time(3)(GzipShard.gunzipAll(gz))
+    val bzframe = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorOutputStream(bos, 9)
+      out.write(data); out.close()
+      bos.toByteArray
+    }
+    val tBz2Mine = time(3)(BzipCodec.decompress(bzframe))
+    val tBz2Cc = time(3) {
+      val in = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+        new java.io.ByteArrayInputStream(bzframe), true)
+      val buf = new Array[Byte](65536)
+      while (in.read(buf) > 0) {}
+      in.close()
+    }
+    val tBz2Enc = time(3)(BzipCodec.compress(data, 9))
     println(f"[throughput] input ${mb}%.1f MB")
+    println(f"[throughput] bz2  ours   ${mb / tBz2Mine}%8.1f MB/s")
+    println(f"[throughput] bz2  cc     ${mb / tBz2Cc}%8.1f MB/s  (pure-java commons-compress)")
+    println(f"[throughput] bz2  encode ${mb / tBz2Enc}%8.1f MB/s  (ours, fixture writer)")
     println(f"[throughput] zstd ours   ${mb / tZstdMine}%8.1f MB/s")
     println(f"[throughput] zstd jni    ${mb / tZstdJni}%8.1f MB/s  (native)")
     println(f"[throughput] zstd airlift${mb / tZstdAir}%8.1f MB/s  (pure-java)")
