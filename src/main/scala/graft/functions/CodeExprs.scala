@@ -37,6 +37,26 @@ object CodeExprs {
     StructField("off", LongType, nullable = false),
     StructField("len", LongType, nullable = false)))
 
+  /** Block-grain random access for [[Bz2BlockTextExpr]]: scan for the
+    * k-th bzip2 block magic at BIT grain, decode that block standalone
+    * (its CRC verified). Null on out-of-range k or damage.
+    */
+  def bz2BlockText(b: Array[Byte], k: Int): String = {
+    import graft.sources.BzipCodec
+    try {
+      val offs = BzipCodec.blockOffsetsBits(b)
+      if (k < 0 || k >= offs.length) null
+      else new String(BzipCodec.decodeBlockAt(b, offs(k)), "UTF-8")
+    } catch { case _: Exception => null }
+  }
+
+  /** Boxed bit-offset array for [[Bz2BlockStartsExpr]]. */
+  def bz2BlockStartsArray(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData =
+    try {
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.sources.BzipCodec.blockOffsetsBits(b).map(x => x: Any))
+    } catch { case _: Exception => null }
+
   /** Seek-table random access for [[ZstSeekMemberExpr]]. */
   def zstSeekMember(b: Array[Byte], k: Int): String = {
     import graft.sources.ZstdCodec
@@ -785,6 +805,55 @@ case class SynthJsonlZstSeekableExpr(first: Expression, second: Expression, thir
   override def prettyName: String = "synth_jsonl_zst_seekable"
 }
 
+/** `synth_jsonl_zst_dict(seed, n_members, lines_per)` — the
+  * dictionary-compressed `.jsonl.zst` fixture: every member frame
+  * references the shared raw-content dictionary
+  * ([[graft.sources.ZstdCodec.jsonlDict]]) — the small-document-store
+  * shard form.
+  */
+case class SynthJsonlZstDictExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.ZstdCodec.synthJsonlZstDict(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.ZstdCodec.synthJsonlZstDict($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlZstDictExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_zst_dict"
+}
+
+/** `unzstd_dict_text(bin)` → UTF-8 text of a dictionary-compressed
+  * shard, every frame decoded with the shared raw-content dictionary
+  * as window prefix ([[graft.sources.ZstdCodec.decompressWithPrefix]]).
+  */
+case class UnzstdDictTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.ZstdCodec.unzstdDictText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("zd")
+      s"""
+         |String $r = graft.sources.ZstdCodec.unzstdDictText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnzstdDictTextExpr = copy(child = c)
+  override def prettyName: String = "unzstd_dict_text"
+}
+
 /** `shard_splits(bin)` → array of (off, len) member boundaries of a
   * compressed shard — gzip members (inflate-walked), zstd frames and
   * xz streams (walked by DECLARED sizes, no decompression). The 100 TB
@@ -837,6 +906,80 @@ case class ZstSeekMemberExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ZstSeekMemberExpr =
     copy(left = l, right = r)
   override def prettyName: String = "zst_seek_member"
+}
+
+/** `bz2_block_starts(bin)` → BIT offsets of every bzip2 block magic —
+  * the split plan for the single-stream form (one stream, many
+  * self-contained blocks at arbitrary bit positions; the Hadoop
+  * splittable-bz2 heuristic). Null for non-bz2/damaged payloads.
+  */
+case class Bz2BlockStartsExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    CodeExprs.bz2BlockStartsArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("bzs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.CodeExprs.bz2BlockStartsArray($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Bz2BlockStartsExpr = copy(child = c)
+  override def prettyName: String = "bz2_block_starts"
+}
+
+/** `bz2_block_text(bin, k)` → the k-th block of a single-stream bzip2
+  * payload decoded STANDALONE (block CRC verified) — random access
+  * without touching the preceding blocks.
+  */
+case class Bz2BlockTextExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any, k: Any): Any = {
+    val s = CodeExprs.bz2BlockText(b.asInstanceOf[Array[Byte]], k.asInstanceOf[Int])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, k) => {
+      val r = ctx.freshName("bzt")
+      s"""
+         |String $r = graft.functions.CodeExprs.bz2BlockText($b, $k);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Bz2BlockTextExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "bz2_block_text"
+}
+
+/** `synth_jsonl_bz2_blocked(seed, n_blocks, lines_per)` — the
+  * single-stream multi-BLOCK `.jsonl.bz2` fixture (one block per
+  * member inside one stream, the non-multistream dump shape).
+  */
+case class SynthJsonlBz2BlockedExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.BzipCodec.synthJsonlBz2Blocked(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.BzipCodec.synthJsonlBz2Blocked($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlBz2BlockedExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_bz2_blocked"
 }
 
 /** `latex_text(tex)` → plain text ([[graft.sources.MarkupCodec]]). */
@@ -999,6 +1142,18 @@ object CodeOps {
       GraftExpr.toExpr(linesPer)))
   def synthWikiBz2(seed: Column, nPages: Column): Column =
     GraftExpr.toColumn(SynthWikiBz2Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nPages)))
+  def synthJsonlZstDict(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlZstDictExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unzstdDictText(bin: Column): Column =
+    GraftExpr.toColumn(UnzstdDictTextExpr(GraftExpr.toExpr(bin)))
+  def bz2BlockStarts(bin: Column): Column =
+    GraftExpr.toColumn(Bz2BlockStartsExpr(GraftExpr.toExpr(bin)))
+  def bz2BlockText(bin: Column, k: Column): Column =
+    GraftExpr.toColumn(Bz2BlockTextExpr(GraftExpr.toExpr(bin), GraftExpr.toExpr(k)))
+  def synthJsonlBz2Blocked(seed: Column, nBlocks: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlBz2BlockedExpr(GraftExpr.toExpr(seed),
+      GraftExpr.toExpr(nBlocks), GraftExpr.toExpr(linesPer)))
   def shardSplits(bin: Column): Column =
     GraftExpr.toColumn(ShardSplitsExpr(GraftExpr.toExpr(bin)))
   def zstSeekMember(bin: Column, k: Column): Column =

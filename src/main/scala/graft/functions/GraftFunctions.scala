@@ -139,6 +139,11 @@ object GraftFunctions {
     "jsonl_bz2_text" -> (a => CodeOps.jsonlBz2Text(a.head)),
     "synth_jsonl_bz2" -> (a => CodeOps.synthJsonlBz2(a.head, a(1), a(2))),
     "synth_wiki_bz2" -> (a => CodeOps.synthWikiBz2(a.head, a(1))),
+    "synth_jsonl_zst_dict" -> (a => CodeOps.synthJsonlZstDict(a.head, a(1), a(2))),
+    "unzstd_dict_text" -> (a => CodeOps.unzstdDictText(a.head)),
+    "bz2_block_starts" -> (a => CodeOps.bz2BlockStarts(a.head)),
+    "bz2_block_text" -> (a => CodeOps.bz2BlockText(a.head, a(1))),
+    "synth_jsonl_bz2_blocked" -> (a => CodeOps.synthJsonlBz2Blocked(a.head, a(1), a(2))),
     "shard_splits" -> (a => CodeOps.shardSplits(a.head)),
     "zst_seek_member" -> (a => CodeOps.zstSeekMember(a.head, a(1))),
     "synth_jsonl_zst_seekable" -> (a => CodeOps.synthJsonlZstSeekable(a.head, a(1), a(2))),

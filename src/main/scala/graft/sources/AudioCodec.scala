@@ -27,8 +27,11 @@ package graft.sources
   * class: the spec is OPEN and a from-scratch decoder is feasible —
   * it is absent by PRIORITIZATION, not constraint; its corpus surface
   * (WOFF2 fonts, HTTP transfer encoding) is small next to the
-  * gzip/zstd/xz/bz2 shard formats, so it sits behind them in the
-  * build order. Containers are still detected and labeled so a
+  * gzip/zstd/xz/bz2 shard formats, and — unlike those four — NO brotli
+  * implementation ships on the Spark classpath (commons-compress's
+  * BrotliCompressorInputStream delegates to an absent org.brotli dec
+  * jar), so the dual-oracle discipline every from-scratch codec here
+  * rests on has nothing to verify against in this zero-egress build. Containers are still detected and labeled so a
   * pipeline quarantines them rather than silently dropping.
   */
 object AudioCodec {

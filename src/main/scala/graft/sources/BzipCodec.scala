@@ -450,6 +450,101 @@ object BzipCodec {
   }
 
   // ------------------------------------------------------------------
+  // Block-grain random access (the single-stream form)
+  // ------------------------------------------------------------------
+
+  /** BIT offsets of every block magic in the payload — the split plan
+    * for the form [[streamOffsets]] cannot help with: a plain
+    * single-stream `.xml.bz2` (the non-multistream Wikipedia dump, any
+    * `bzip2`-compressed file) is ONE stream of many blocks, and blocks
+    * are self-contained (each carries its own symbol map and Huffman
+    * tables) but start at arbitrary BIT positions. This is the same
+    * bit-level 48-bit-magic scan Hadoop's splittable bzip2 input
+    * format performs; a false positive is ~2^-48 per bit position and
+    * fails loudly at [[decodeBlockAt]], never silently.
+    *
+    * Rolling 48-bit window, one pass over the payload.
+    */
+  def blockOffsetsBits(b: Array[Byte]): Array[Long] = {
+    if (!isBzip2(b)) fail("not a bzip2 payload")
+    val magic = 0x314159265359L
+    val out = Vector.newBuilder[Long]
+    var w = 0L
+    val nBits = b.length.toLong << 3
+    var i = 0L
+    while (i < nBits) {
+      val bit = (b((i >>> 3).toInt) >> (7 - (i & 7).toInt)) & 1
+      w = ((w << 1) | bit) & 0xffffffffffffL
+      if (i >= 47 && w == magic) out += i - 47
+      i += 1
+    }
+    out.result().toArray
+  }
+
+  /** Decode ONE block standalone from its bit offset (as returned by
+    * [[blockOffsetsBits]]); the block CRC is verified — a scan false
+    * positive or a cross-block slice fails loudly. The stream header's
+    * level digit bounds the block size; `maxOut` caps the decoded
+    * bytes (RLE1 can expand past the BWT block size).
+    */
+  def decodeBlockAt(b: Array[Byte], bitOff: Long, maxOut: Int = 1 << 26): Array[Byte] = {
+    if (!isBzip2(b)) fail("not a bzip2 payload")
+    if (bitOff < 0 || (bitOff >>> 3) >= b.length) fail("block offset out of range")
+    val level = b(3) - '0'
+    val in = new BitIn(b)
+    in.bitPos = bitOff
+    val hi = in.bits(24); val lo = in.bits(24)
+    if (hi != BlockMagicHi || lo != BlockMagicLo) fail("no block magic at offset")
+    val out = new Out(new Array[Byte](1 << 14), 0, maxOut)
+    decodeBlock(in, out, level * 100000, -1)
+    java.util.Arrays.copyOf(out.buf, out.len)
+  }
+
+  /** Multi-BLOCK single-stream fixture: each chunk becomes its own
+    * block inside ONE stream (a block boundary is the encoder's
+    * choice, so this is a spec-valid stream any decoder accepts) —
+    * the shape [[blockOffsetsBits]]/[[decodeBlockAt]] plan and read.
+    */
+  def compressBlocked(chunks: Seq[Array[Byte]], level: Int = 1): Array[Byte] = {
+    require(level >= 1 && level <= 9, s"level $level")
+    val out = new BitOut
+    out.put('B', 8); out.put('Z', 8); out.put('h', 8); out.put('0' + level, 8)
+    var combined = 0
+    chunks.foreach { data =>
+      if (data.nonEmpty) {
+        require(data.length <= level * 100000 - 20, "chunk over block size")
+        val rle = new java.io.ByteArrayOutputStream()
+        val (_, crc) = rle1Into(data, 0, data.length, rle, 0xffffffff, Int.MaxValue)
+        val blockCrc = ~crc
+        combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
+        encodeBlock(out, rle.toByteArray, blockCrc)
+      }
+    }
+    out.put(EndMagicHi, 24); out.put(EndMagicLo, 24)
+    out.put(combined, 32)
+    out.finishByte()
+  }
+
+  /** Deterministic single-stream multi-BLOCK `.jsonl.bz2` fixture: the
+    * same closed-form lines as [[synthJsonlBz2]], but one BLOCK per
+    * member inside one stream — the non-multistream dump shape.
+    */
+  def synthJsonlBz2Blocked(seed: Long, nBlocks: Int, linesPer: Int): Array[Byte] = {
+    val chunks = (0 until math.max(1, nBlocks)).map { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      sb.toString.getBytes(UTF_8)
+    }
+    compressBlocked(chunks, 1)
+  }
+
+  // ------------------------------------------------------------------
   // Encoder (fixture writer — from scratch, oracled against
   // commons-compress in the spec)
   // ------------------------------------------------------------------
@@ -469,22 +564,8 @@ object BzipCodec {
     while (i < n) {
       // RLE1-encode one block's worth; CRC runs over the ORIGINAL bytes
       val rle = new java.io.ByteArrayOutputStream()
-      var crc = 0xffffffff
-      while (i < n && rle.size() < blockLimit - 5) {
-        val b0 = data(i)
-        var run = 1
-        while (run < 259 && i + run < n && data(i + run) == b0) run += 1
-        var c = 0
-        while (c < run) { crc = crcUpdate(crc, b0 & 0xff); c += 1 }
-        if (run >= 4) {
-          rle.write(b0); rle.write(b0); rle.write(b0); rle.write(b0)
-          rle.write(run - 4)
-        } else {
-          c = 0
-          while (c < run) { rle.write(b0); c += 1 }
-        }
-        i += run
-      }
+      val (next, crc) = rle1Into(data, i, n, rle, 0xffffffff, blockLimit)
+      i = next
       val blockCrc = ~crc
       combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
       encodeBlock(out, rle.toByteArray, blockCrc)
@@ -492,6 +573,33 @@ object BzipCodec {
     out.put(EndMagicHi, 24); out.put(EndMagicLo, 24)
     out.put(combined, 32)
     out.finishByte()
+  }
+
+  /** RLE1-encode `data[i0..n)` run group by run group into `rle`
+    * (stopping once `rle` reaches `sizeCap − 5`, so a whole group
+    * always fits); the running block CRC covers the ORIGINAL bytes.
+    * Returns (next input index, running CRC).
+    */
+  private def rle1Into(data: Array[Byte], i0: Int, n: Int,
+      rle: java.io.ByteArrayOutputStream, crc0: Int, sizeCap: Int): (Int, Int) = {
+    var i = i0
+    var crc = crc0
+    while (i < n && rle.size() < sizeCap - 5) {
+      val b0 = data(i)
+      var run = 1
+      while (run < 259 && i + run < n && data(i + run) == b0) run += 1
+      var c = 0
+      while (c < run) { crc = crcUpdate(crc, b0 & 0xff); c += 1 }
+      if (run >= 4) {
+        rle.write(b0); rle.write(b0); rle.write(b0); rle.write(b0)
+        rle.write(run - 4)
+      } else {
+        c = 0
+        while (c < run) { rle.write(b0); c += 1 }
+      }
+      i += run
+    }
+    (i, crc)
   }
 
   /** BWT via prefix doubling on rotations (O(n log² n), exact). */

@@ -610,6 +610,49 @@ object ZstdCodec {
     out
   }
 
+  /** The shared raw-content dictionary the dict-shard fixture uses:
+    * the common JSON skeleton of the corpus lines — what a trained
+    * dictionary captures for small-document stores (each member is too
+    * small to build its own entropy, so the shared structure lives in
+    * the dictionary and every frame references it).
+    */
+  val jsonlDict: Array[Byte] =
+    ("{\"id\": 1234567890, \"text\": \"doc 1234567890 m0 l0 say \\\"hi\\\"\\tok\", \"lang\": \"en\", \"score\": 42}\n" +
+      "{\"id\": 987654321, \"text\": \"doc 987654321 m1 l1 say \\\"hi\\\"\\tok\", \"lang\": \"fr\", \"score\": 7}\n")
+      .getBytes(UTF_8)
+
+  /** Deterministic multi-member `.jsonl.zst` fixture where every member
+    * frame is compressed against [[jsonlDict]] as a raw-content
+    * dictionary — the small-document-store shard form. Same closed-form
+    * line content as [[synthJsonlZst]]; decoding WITHOUT the dictionary
+    * fails loudly at the first cross-frame match.
+    */
+  def synthJsonlZstDict(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until math.max(1, nMembers)).foreach { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      out.write(compressFrame(sb.toString.getBytes(UTF_8), "seq", jsonlDict))
+    }
+    out.toByteArray
+  }
+
+  /** Decoded UTF-8 text of a dictionary-compressed shard — every frame
+    * decoded with [[jsonlDict]] as the window prefix; null for non-zstd
+    * bytes or when nothing decodes.
+    */
+  def unzstdDictText(b: Array[Byte]): String = {
+    if (!isZstd(b)) return null
+    val raw = try decompressWithPrefix(b, jsonlDict) catch { case _: Exception => null }
+    if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
+  }
+
   /** [[synthJsonlZst]] with a trailing seek table — the random-access
     * shard form.
     */
@@ -672,7 +715,33 @@ object ZstdCodec {
     java.util.Arrays.copyOf(out.buf, math.min(out.len, want))
   }
 
-  private def decodeTopLevel(b: Array[Byte], at: Int, out: Out, prefixWant: Int = -1): Int = {
+  /** Decode one frame with a RAW-CONTENT dictionary (RFC 8878 §5: a
+    * dictionary without the 0xEC30A437 magic is plain window-prefix
+    * content) — sequences may reach back into `prefix` exactly as real
+    * zstd's `ZSTD_decompress_usingDict` allows. Concatenated frames
+    * each restart with ONLY the prefix as history (frame independence,
+    * matching the spec). Structured dictionaries (entropy tables, a
+    * dictionary ID in the frame header) stay out of subset and fail
+    * loudly as before. `maxOut` caps total decoded bytes.
+    */
+  def decompressWithPrefix(b: Array[Byte], prefix: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    if (b == null) return null
+    val pre = if (prefix == null) Array.emptyByteArray else prefix
+    val res = new java.io.ByteArrayOutputStream()
+    var p = 0
+    var produced = 0
+    while (p < b.length) {
+      val cap = pre.length + math.max(0, maxOut - produced)
+      val out = new Out(java.util.Arrays.copyOf(pre, math.max(64, pre.length)), pre.length, cap)
+      p = decodeTopLevel(b, p, out, histMin = 0)
+      res.write(out.buf, pre.length, out.len - pre.length)
+      produced += out.len - pre.length
+    }
+    res.toByteArray
+  }
+
+  private def decodeTopLevel(b: Array[Byte], at: Int, out: Out, prefixWant: Int = -1,
+      histMin: Int = -1): Int = {
     if (at + 4 > b.length) fail("truncated magic")
     val magic = le32(b, at)
     if ((magic & SkippableMagicMask) == SkippableMagic) {
@@ -682,11 +751,12 @@ object ZstdCodec {
       if (next > b.length) fail("skippable frame overruns input")
       next.toInt
     } else if (magic == FrameMagic) {
-      decodeFrame(b, at + 4, out, prefixWant)
+      decodeFrame(b, at + 4, out, prefixWant, histMin)
     } else fail(f"bad magic 0x$magic%08x")
   }
 
-  private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out, prefixWant: Int = -1): Int = {
+  private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out, prefixWant: Int = -1,
+      histMin: Int = -1): Int = {
     var p = hdrAt
     if (p >= b.length) fail("truncated frame header")
     val fhd = b(p) & 0xff; p += 1
@@ -709,7 +779,10 @@ object ZstdCodec {
       var i = 0
       while (i < n) { id |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
       p += n
-      if (id != 0) fail("dictionaries are out of subset")
+      // a nonzero id means a STRUCTURED dictionary (entropy tables,
+      // 0xEC30A437 form) — out of subset; raw-content dictionaries
+      // carry no id and are served by decompressWithPrefix
+      if (id != 0) fail("structured dictionaries are out of subset")
     }
     var fcs = -1L
     val fcsBytes = fcsFlag match {
@@ -733,6 +806,9 @@ object ZstdCodec {
     if (prefixWant < 0 && fcs >= 0 && fcs > out.cap - out.len)
       fail("frame content size over output cap")
     val frameStart = out.len
+    // the window floor for match offsets: the frame start, or earlier
+    // when a raw-content dictionary prefix seeds the buffer
+    val histStart = if (histMin >= 0) histMin else frameStart
     val ctx = new FrameCtx
     var last = false
     while (!last) {
@@ -756,7 +832,7 @@ object ZstdCodec {
         case 2 =>
           if (bsize > BlockMax) fail("compressed block over 128 KiB")
           if (p + bsize > b.length) fail("compressed block overruns input")
-          decodeCompressedBlock(b, p, p + bsize, out, frameStart, ctx)
+          decodeCompressedBlock(b, p, p + bsize, out, histStart, ctx)
           p += bsize
         case _ => fail("reserved block type")
       }
@@ -773,7 +849,7 @@ object ZstdCodec {
   }
 
   private def decodeCompressedBlock(b: Array[Byte], from: Int, to: Int, out: Out,
-      frameStart: Int, ctx: FrameCtx): Unit = {
+      histStart: Int, ctx: FrameCtx): Unit = {
     // ---- literals section
     if (from >= to) fail("empty compressed block")
     val h0 = b(from) & 0xff
@@ -947,7 +1023,7 @@ object ZstdCodec {
       out.ensure(ll + ml)
       System.arraycopy(lits, litAt, out.buf, out.len, ll)
       litAt += ll; out.len += ll
-      if (offset > out.len - frameStart) fail(s"match offset $offset reaches before frame start")
+      if (offset > out.len - histStart) fail(s"match offset $offset reaches before window start")
       val src = out.len - offset
       if (offset >= ml) System.arraycopy(out.buf, src, out.buf, out.len, ml)
       else {
@@ -1041,11 +1117,16 @@ object ZstdCodec {
   /** Greedy hash-table LZ matcher over one block: 4-byte probes,
     * most-recent candidate, min match 4.
     */
-  private def findSequences(d: Array[Byte], from: Int, to: Int): (Vector[Seq3], Array[Byte]) = {
+  private def findSequences(d: Array[Byte], from: Int, to: Int,
+      histFrom: Int = -1): (Vector[Seq3], Array[Byte]) = {
+    val hist = if (histFrom >= 0) histFrom else from
     val tab = new Array[Int](1 << 15)
     java.util.Arrays.fill(tab, -1)
     @inline def hash(at: Int): Int =
       ((le32(d, at) * -1640531527) >>> 17) & 0x7fff
+    // seed the table over the dictionary prefix (emit nothing there)
+    var s = hist
+    while (s + 4 <= from) { tab(hash(s)) = s; s += 1 }
     val seqs = Vector.newBuilder[Seq3]
     val lits = new java.io.ByteArrayOutputStream()
     var i = from
@@ -1054,7 +1135,7 @@ object ZstdCodec {
       val h = hash(i)
       val cand = tab(h)
       tab(h) = i
-      if (cand >= from && cand < i && le32(d, cand) == le32(d, i)) {
+      if (cand >= hist && cand < i && le32(d, cand) == le32(d, i)) {
         var m = 4
         while (i + m < to && d(cand + m) == d(i + m)) m += 1
         seqs += Seq3(i - anchor, i - cand, m)
@@ -1190,10 +1271,23 @@ object ZstdCodec {
     *   - "huf": like "seq" with Huffman-coded literals (single stream
     *     up to 1023 literals, four streams above).
     */
-  def compressFrame(data: Array[Byte], mode: String): Array[Byte] = {
+  def compressFrame(data: Array[Byte], mode: String): Array[Byte] =
+    compressFrame(data, mode, Array.emptyByteArray)
+
+  /** As [[compressFrame]], with a RAW-CONTENT dictionary: matches may
+    * reference `prefix` (offsets reaching before the frame), exactly
+    * what `ZSTD_compress_usingDict` emits for a magic-less dictionary.
+    * The frame itself is unchanged — FCS and checksum cover only
+    * `data`; a decoder without the prefix fails loudly at the first
+    * dictionary match.
+    */
+  def compressFrame(data: Array[Byte], mode: String, prefix: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wLE(v: Long, n: Int): Unit = { var i = 0; while (i < n) { w8((v >> (8 * i)).toInt); i += 1 } }
+    val pre = if (prefix == null) Array.emptyByteArray else prefix
+    val d = if (pre.isEmpty) data else pre ++ data
+    val base = pre.length
     wLE(FrameMagic.toLong, 4)
     // single-segment; FCS field sized to content; checksum on
     val n = data.length
@@ -1204,12 +1298,12 @@ object ZstdCodec {
     w8((fcsFlag << 6) | 0x20 | 0x04)
     wLE(fcsStore, fcsBytes)
     val blockCap = 64 * 1024
-    var at = 0
+    var at = base
     if (n == 0) { wLE(1L, 3) } // one empty raw last block
-    while (at < n) {
-      val end = math.min(n, at + blockCap)
-      val isLast = end == n
-      val (btype, payload) = buildBlock(data, at, end, mode)
+    while (at < base + n) {
+      val end = math.min(base + n, at + blockCap)
+      val isLast = end == base + n
+      val (btype, payload) = buildBlock(d, at, end, mode, histFrom = if (pre.isEmpty) -1 else 0)
       // RLE block headers carry the REGENERATED size; raw/compressed the payload size
       val hdrSize = if (btype == 1) end - at else payload.length
       wLE((hdrSize.toLong << 3) | (btype.toLong << 1) | (if (isLast) 1L else 0L), 3)
@@ -1221,8 +1315,12 @@ object ZstdCodec {
     out.toByteArray
   }
 
-  /** Block payload for `data[from, end)`: (blockType, payloadBytes). */
-  private def buildBlock(data: Array[Byte], from: Int, end: Int, mode: String): (Int, Array[Byte]) = {
+  /** Block payload for `data[from, end)`: (blockType, payloadBytes).
+    * `histFrom` ≥ 0 lets match candidates reach back into a dictionary
+    * prefix occupying `data[histFrom, from)`.
+    */
+  private def buildBlock(data: Array[Byte], from: Int, end: Int, mode: String,
+      histFrom: Int = -1): (Int, Array[Byte]) = {
     val len = end - from
     def raw: (Int, Array[Byte]) = (0, java.util.Arrays.copyOfRange(data, from, end))
     mode match {
@@ -1233,7 +1331,7 @@ object ZstdCodec {
         while (uniform && i < end) { uniform = data(i) == data(from); i += 1 }
         if (uniform && len > 0) (1, Array(data(from))) else raw
       case m =>
-        val (seqs, lits) = findSequences(data, from, end)
+        val (seqs, lits) = findSequences(data, from, end, histFrom)
         if (seqs.isEmpty && m == "seq") return raw
         val body = new java.io.ByteArrayOutputStream()
         // literals sub-section

@@ -177,6 +177,45 @@ class BzipCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](streamOffsets("nope".getBytes))
   }
 
+  test("block-grain random access: bit-offset scan + standalone decode (single-stream form)") {
+    // fixture: one stream, one block per member
+    val shard = synthJsonlBz2Blocked(9L, 3, 2)
+    assert(realDecompress(shard).length > 0) // commons-compress accepts the blocked stream
+    val offs = blockOffsetsBits(shard)
+    assert(offs.length === 3)
+    assert(offs.head === 32L) // first block magic right after the 4-byte header
+    offs.zipWithIndex.foreach { case (o, m) =>
+      val part = new String(decodeBlockAt(shard, o), "UTF-8")
+      assert(part.contains(s"\"id\": ${9000 + m * 10}"), s"block $m")
+      assert(!part.contains(s"\"id\": ${9000 + ((m + 1) % 3) * 10}"), s"block $m isolation")
+    }
+    // the whole stream still decodes normally (combined CRC intact)
+    assert(new String(decompress(shard), "UTF-8").contains("\"id\": 9021"))
+    // REAL encoder output: >100 kB at level 1 forces multiple blocks;
+    // every block found at bit grain must decode standalone and the
+    // concatenation must equal the full decode
+    val big = {
+      val sb = new StringBuilder
+      var i = 0
+      while (sb.length < 300 * 1024) { sb.append(s"line $i of a repetitive corpus shard\n"); i += 1 }
+      sb.toString.getBytes("UTF-8")
+    }
+    val real = realCompress(big, 1)
+    val ro = blockOffsetsBits(real)
+    assert(ro.length >= 3, s"expected multiple blocks, got ${ro.length}")
+    val joined = ro.map(o => decodeBlockAt(real, o)).reduce(_ ++ _)
+    assert(joined.toSeq === big.toSeq)
+    // damage inside a block: standalone decode of THAT block is loud,
+    // the others still decode
+    val bad = real.clone()
+    bad(((ro(1) + 3000) / 8).toInt) = (bad(((ro(1) + 3000) / 8).toInt) ^ 0x10).toByte
+    intercept[IllegalArgumentException](decodeBlockAt(bad, ro(1)))
+    assert(decodeBlockAt(bad, ro(0)).length > 0)
+    // misaligned offset: loud, typed
+    intercept[IllegalArgumentException](decodeBlockAt(real, ro(0) + 1))
+    intercept[IllegalArgumentException](blockOffsetsBits("not bzip2".getBytes))
+  }
+
   test("jsonl shard surface: synth, text extraction, null contract") {
     val z = synthJsonlBz2(3L, 1, 2)
     assert(jsonlBz2Text(z) ===

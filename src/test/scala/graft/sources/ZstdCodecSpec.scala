@@ -144,7 +144,7 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cap"))
   }
 
-  test("dictionary frames are out of subset (loud)") {
+  test("structured dictionary frames (nonzero id) are out of subset (loud)") {
     // hand-build a single-segment header with Dictionary_ID_Flag = 1, id = 7
     // (no window byte when single-segment: dict id directly follows the FHD)
     val f = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte, 0x21, 7, 1, 0x09, 0, 0, 'x')
@@ -240,6 +240,49 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("seekable"), "size cross-check")
     // the untouched table still parses
     assert(readSeekTable(seek).length === 3)
+  }
+
+  test("raw-content dictionary frames: dual-oracled both ways; no dict = loud") {
+    val dict = jsonlDict
+    val data = ("{\"id\": 42, \"text\": \"doc 42 m0 l0 say \\\"hi\\\"\\tok\", \"lang\": \"en\", \"score\": 9}\n" * 20)
+      .getBytes("UTF-8")
+    // ours → real: our dict frames decode byte-exact via ZSTD_decompress_usingDict
+    val mine = compressFrame(data, "seq", dict)
+    assert(mine.length < compressFrame(data, "seq").length ||
+      mine.length < data.length, "dictionary should help compression here")
+    val dst = new Array[Byte](data.length + 64)
+    val n = com.github.luben.zstd.Zstd.decompressUsingDict(dst, 0, mine, 0, mine.length, dict)
+    assert(n === data.length.toLong, s"real zstd rejected our dict frame: $n")
+    assert(java.util.Arrays.copyOf(dst, n.toInt).toSeq === data.toSeq)
+    // and via our own prefix decode
+    assert(decompressWithPrefix(mine, dict).toSeq === data.toSeq)
+    // without the dictionary: loud, not silently wrong (the first
+    // cross-frame match offset reaches before the window)
+    val e = intercept[IllegalArgumentException](decompress(mine))
+    assert(e.getMessage.contains("window start"))
+    // real → ours: ZSTD_compress_usingDict output decodes here, all levels
+    val shapes2 = Seq(data,
+      ("{\"id\": 7, \"text\": \"doc 7 m2 l1 say \\\"hi\\\"\\tok\", \"lang\": \"fr\", \"score\": 3}\n" * 50).getBytes("UTF-8"))
+    for (src <- shapes2; level <- Seq(1, 3, 9, 19)) {
+      val bound = com.github.luben.zstd.Zstd.compressBound(src.length.toLong).toInt
+      val buf = new Array[Byte](bound)
+      val m = com.github.luben.zstd.Zstd.compressUsingDict(buf, 0, src, 0, dict, level)
+      assert(m > 0, s"level=$level: compressUsingDict failed: $m")
+      val frame = java.util.Arrays.copyOf(buf, m.toInt)
+      assert(decompressWithPrefix(frame, dict).toSeq === src.toSeq, s"level=$level")
+      // wrong dictionary must never silently decode to the right bytes
+      val wrong = new Array[Byte](dict.length) // zeros
+      val got = try decompressWithPrefix(frame, wrong) catch { case _: Exception => null }
+      assert(got == null || got.toSeq != src.toSeq, s"level=$level: wrong dict must not reproduce")
+    }
+    // the dict-shard fixture surface
+    assert(unzstdDictText(synthJsonlZstDict(3L, 2, 2)).contains("\"id\": 3010"))
+    assert(unzstdDictText("not zstd".getBytes) === null)
+    // multi-frame: each member decodes against the dict independently
+    val shard = synthJsonlZstDict(5L, 3, 2)
+    assert(frameOffsets(shard).length === 3)
+    val txt = new String(decompressWithPrefix(shard, dict), "UTF-8")
+    assert(txt.contains("\"id\": 5000") && txt.contains("\"id\": 5021"))
   }
 
   test("format routing: jsonl-zst vs zstd; pretty-printed JSON stays zstd") {
