@@ -1036,7 +1036,10 @@ class StreamingSpec extends SparkSpec {
       3L -> graft.sources.OfficeCodec.composePptx(103L, 2),
       4L -> "<html><head><title>T</title></head><body><p>hello web</p></body></html>".getBytes("UTF-8"),
       5L -> "plain cafÃ© text".getBytes("UTF-8"), // mojibake repair on the text path
-      6L -> Array[Byte](0, 1, 2, 3)) // binary: labeled, null metrics
+      6L -> Array[Byte](0, 1, 2, 3), // binary: labeled, null metrics
+      // the r15 bzip2 front doors route through the same dispatch
+      7L -> graft.sources.BzipCodec.synthJsonlBz2(107L, 1, 2),
+      8L -> graft.sources.BzipCodec.synthWikiBz2(108L, 2))
     val mem = MemoryStream[(Long, Array[Byte])]
     val stream = EventPipeline.streamingCorpus(
       mem.toDF().toDF("doc_id", "payload"))
@@ -1060,7 +1063,8 @@ class StreamingSpec extends SparkSpec {
       val byId = spark.table("corpus_ing").collect()
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(byId === Map(1L -> "pdf", 2L -> "docx", 3L -> "pptx",
-        4L -> "html", 5L -> "text", 6L -> "binary"))
+        4L -> "html", 5L -> "text", 6L -> "binary",
+        7L -> "jsonl-bz2", 8L -> "wiki-bz2"))
       // the repaired text path actually repaired: n_chars of doc 5
       val doc5 = spark.table("corpus_ing").collect().find(_.getLong(0) == 5L).get
       assert(doc5.getInt(4) === "plain café text".length)
