@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions.{col, sum, xxhash64}
   * 4.9 s cold vs 0.7 s warm). `cold_total` preserves the single-shot sum
   * for cross-round comparability.
   *
+  * The three recorded runs are INTERLEAVED ACROSS THE REGISTRY (pass 1
+  * of every query, then pass 2, then pass 3) rather than back-to-back
+  * per query: the r15 driver artifact breached its gate on a host
+  * contention burst, and with back-to-back runs one burst poisons a
+  * query's ALL THREE samples — interleaved, it poisons one PASS, and
+  * the min over passes recovers. `pass_totals` records each full pass's
+  * wall so a contended pass is directly visible in the artifact.
+  * Sub-second queries additionally get extra interleaved passes
+  * (default 2, `SPARK_GRAFT_BENCH_EXTRA_PASSES`): their single-run
+  * samples are the most burst-fragile relative to their magnitude, and
+  * two more passes over the sub-second subset cost ~2 min total.
+  *
   * Output contract, learned the hard way (the driver's stdout-tail
   * capture truncated the fat JSON line THREE rounds running): stdout
   * gets a COMPACT line — min-per-query only, no per-run arrays — as
@@ -102,9 +114,26 @@ object Bench {
     // Sorted-name order: queries run in a stable sequence across rounds,
     // so any residual first-touch cost stays on the same query instead
     // of reshuffling whenever the registry grows.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = Seq.fill(Runs)(once(fn))
-      name -> ((runs.map(_._1), runs.flatMap(_._2).headOption))
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = collection.mutable.Map[String, Vector[Double]]().withDefaultValue(Vector())
+    val firstErr = collection.mutable.Map[String, String]()
+    def runPass(subset: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Double = {
+      var passTotal = 0.0
+      subset.foreach { case (name, fn) =>
+        val (t, err) = once(fn)
+        samples(name) = samples(name) :+ t
+        err.foreach(e => if (!firstErr.contains(name)) firstErr(name) = e)
+        passTotal += t
+      }
+      passTotal
+    }
+    val passTotals = (1 to Runs).map(_ => runPass(names))
+    // Extra interleaved passes for the burst-fragile sub-second subset.
+    val extraPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_PASSES", "2").toInt
+    val subSecond = names.filter { case (n, _) => samples(n).min < 1.0 }
+    (1 to extraPasses).foreach(_ => runPass(subSecond))
+    val results = names.map { case (name, _) =>
+      name -> ((samples(name), firstErr.get(name)))
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     def esc(s: String): String = s.flatMap {
@@ -134,7 +163,8 @@ object Bench {
     // local[8] run and a local[32] run are not comparable numbers.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"queries_median":$meds,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions}"""
+    val passes = passTotals.map(ms).mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"pass_totals":$passes,"errors":$errs,"queries":$qs,"queries_median":$meds,"runs":$runs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions}"""
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out, fullLine.getBytes("UTF-8"))
@@ -145,7 +175,7 @@ object Bench {
     // driver's has kept the TAIL and cut the head mid-`queries` —
     // still holds total/ok/failed intact.
     val summary = s""""summary":{"value":$total,"median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok}}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"errors":$errs,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,$summary}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median_total":$medianTotal,"cold_total":$coldTotal,"ok":$ok,"failed":${results.size - ok},"pass_totals":$passes,"errors":$errs,"queries":$qs,"sf":"$sfDir","cpus":$cpus,"shuffle_partitions":$shufflePartitions,$summary}""")
     // Then ONE more, truly final line holding ONLY the ~150-byte summary:
     // the compact line above is ~6 KB at 247 queries and the driver's
     // bounded tail capture has cut its head mid-`queries` every round
