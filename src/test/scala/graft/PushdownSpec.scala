@@ -79,6 +79,36 @@ class PushdownSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(1500))
   }
 
+  test("q_tpch_q20 realizes the nested IN chain as semi joins with no fact sort-merge") {
+    // the nested supplier IN (partsupp IN (part) AND correlated
+    // lineitem sum) chain must plan as LEFT SEMI joins end to end —
+    // an inner-join realization would fan suppliers out by their
+    // qualifying pair count and a SortMergeJoin would shuffle the
+    // dimension-scale chain for no reason. The one inner join in the
+    // plan is the pair-grain aggregate attach (the decorrelated
+    // correlated-sum), which is pair-unique on both sides.
+    val plan = queries.ParityQueries.tpchQ20(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LeftSemi").length - 1 >= 3, plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
+  test("q_tpch_q2 pushes the part filter below the per-part min (decorrelated Q17-style)") {
+    // the min is per-part, so the STANDARD/size filter must restrict
+    // the aggregate's input (a LeftSemi against part inside the agg
+    // subtree), not just the output — at scale the difference is
+    // aggregating 1/20 of the offers. The ONE sort-merge join allowed
+    // is the min-attach (offers ⋈ per-part-min on the part key): both
+    // sides are derived relations whose static size estimate is
+    // inflated by the generator, a partkey-keyed shuffle is the right
+    // shape at scale anyway, and AQE demotes it to broadcast at
+    // runtime when the min side is small.
+    val plan = queries.ParityQueries.tpchQ2(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("LeftSemi").length - 1 >= 2, plan.take(1500))
+    assert(plan.split("SortMergeJoin").length - 1 <= 1, plan.take(1500))
+  }
+
   test("q_skew_join broadcasts the exploded dim (no sort-merge of the hot side)") {
     val plan = queries.DomainQueries.skewJoin(spark, d)
       .queryExecution.executedPlan.toString
@@ -152,13 +182,20 @@ class PushdownSpec extends SparkSpec {
     //     meet the single broadcast positive-balance-average row (n×1,
     //     the broadcast side is a 1-row aggregate by construction)
     //     before the anti join on orders.
+    //   - q_tpch_q2 / q_tpch_q9 / q_tpch_q11 / q_tpch_q16 / q_tpch_q20:
+    //     the derived partsupp relation (Tables.partsupp) attaches the
+    //     1-row supplier-count aggregate to the part-key projection
+    //     (n×1, the broadcast side is a count() by construction); Q11
+    //     additionally attaches its 1-row global total and part count
+    //     (the same scalar-subquery shape as q_tpch_q22's average).
     val nljAllowed = Set("q_fuzzy_keyword", "q_ann_topk", "q_ann_topk_agg",
       "q_simhash_selectivity",
       "q_rule_fallback", "q_structure_lot", "q_upload_plan", "q_pq_adc",
       "q_pq_rerank", "q_ann_sq", "q_ann_recall", "q_mix_temperature",
       "q_lm_quality", "q_lm_artifact", "q_lm_bigram", "q_ccnet_bucket",
       "q_weighted_sample", "q_curation_funnel", "q_mix_plan", "q_source_quality",
-      "q_probe_auc", "q_heavy_hitters", "q_tpch_q22")
+      "q_probe_auc", "q_heavy_hitters", "q_tpch_q22",
+      "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val plan = fn(spark, d).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
