@@ -433,25 +433,33 @@ object BzipCodec {
     * positive (~2^-80 per aligned offset) fails loudly at member
     * decode, never silently.
     */
+  /** The 10-byte byte-aligned stream-start signature (header + first
+    * block magic, or + end magic for an empty stream) — shared by the
+    * member-grain scan and [[decodeBlockAt]]'s governing-header lookup.
+    */
+  private def streamStartsAt(b: Array[Byte], p: Int): Boolean = {
+    val sig = StreamSigBlock
+    val end = StreamSigEnd
+    p + 10 <= b.length && b(p) == 'B' && b(p + 1) == 'Z' && b(p + 2) == 'h' &&
+      b(p + 3) >= '1' && b(p + 3) <= '9' && {
+        var i = 0
+        var okS = true; var okE = true
+        while (i < 6) {
+          if ((b(p + 4 + i) & 0xff) != sig(i)) okS = false
+          if ((b(p + 4 + i) & 0xff) != end(i)) okE = false
+          i += 1
+        }
+        okS || okE
+      }
+  }
+  private val StreamSigBlock = Array[Int](0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
+  private val StreamSigEnd = Array[Int](0x17, 0x72, 0x45, 0x38, 0x50, 0x90)
+
   def streamOffsets(b: Array[Byte]): Array[(Long, Long)] = {
     if (!isBzip2(b)) fail("not a bzip2 payload")
-    val sig = Array[Int](0x31, 0x41, 0x59, 0x26, 0x53, 0x59)
-    val end = Array[Int](0x17, 0x72, 0x45, 0x38, 0x50, 0x90)
-    def startsAt(p: Int): Boolean =
-      p + 10 <= b.length && b(p) == 'B' && b(p + 1) == 'Z' && b(p + 2) == 'h' &&
-        b(p + 3) >= '1' && b(p + 3) <= '9' && {
-          var i = 0
-          var okS = true; var okE = true
-          while (i < 6) {
-            if ((b(p + 4 + i) & 0xff) != sig(i)) okS = false
-            if ((b(p + 4 + i) & 0xff) != end(i)) okE = false
-            i += 1
-          }
-          okS || okE
-        }
     val starts = Vector.newBuilder[Int]
     var p = 0
-    while (p < b.length) { if (startsAt(p)) starts += p; p += 1 }
+    while (p < b.length) { if (streamStartsAt(b, p)) starts += p; p += 1 }
     val ss = starts.result()
     if (ss.isEmpty || ss.head != 0) fail("no stream start at offset 0")
     ss.zipWithIndex.map { case (off, i) =>
@@ -501,7 +509,23 @@ object BzipCodec {
   def decodeBlockAt(b: Array[Byte], bitOff: Long, maxOut: Int = 1 << 26): Array[Byte] = {
     if (!isBzip2(b)) fail("not a bzip2 payload")
     if (bitOff < 0 || (bitOff >>> 3) >= b.length) fail("block offset out of range")
-    val level = b(3) - '0'
+    // the GOVERNING stream's level digit, not the first stream's: on a
+    // multistream payload with mixed levels (the shape synthJsonlBz2
+    // itself produces, rotating 1/5/9) a later higher-level stream's
+    // blocks would spuriously overrun the first stream's smaller block
+    // bound (ADVICE r15). Backward byte scan to the nearest stream-start
+    // signature at or before the block's byte position — O(distance to
+    // the owning header), exact at the signature's ~2^-80 FP rate, and
+    // a false positive only risks a wrong bound, which the block-overrun
+    // guard still catches loudly.
+    var hp = math.min((bitOff >>> 3).toInt, b.length - 10)
+    var lvl = -1
+    while (hp >= 0 && lvl < 0) {
+      if (streamStartsAt(b, hp)) lvl = b(hp + 3) - '0'
+      hp -= 1
+    }
+    if (lvl < 0) fail("no stream header before block offset")
+    val level = lvl
     val in = new BitIn(b)
     in.bitPos = bitOff
     val hi = in.bits(24); val lo = in.bits(24)
@@ -523,9 +547,16 @@ object BzipCodec {
     var combined = 0
     chunks.foreach { data =>
       if (data.nonEmpty) {
-        require(data.length <= level * 100000 - 20, "chunk over block size")
+        // the cap applies to the RLE1 OUTPUT, not the raw chunk: RLE1
+        // can EXPAND by 25% (a run of exactly 4 emits 5 bytes), so a
+        // near-limit chunk of length-4 runs would otherwise emit a
+        // block over the format maximum that every decoder — including
+        // this repo's — rejects as "block overrun" (ADVICE r15)
         val rle = new java.io.ByteArrayOutputStream()
-        val (_, crc) = rle1Into(data, 0, data.length, rle, 0xffffffff, Int.MaxValue)
+        val (consumed, crc) =
+          rle1Into(data, 0, data.length, rle, 0xffffffff, level * 100000 - 20)
+        require(consumed == data.length,
+          s"chunk over block size after RLE1 ($consumed of ${data.length} bytes fit)")
         val blockCrc = ~crc
         combined = ((combined << 1) | (combined >>> 31)) ^ blockCrc
         encodeBlock(out, rle.toByteArray, blockCrc)

@@ -236,6 +236,40 @@ class BzipCodecSpec extends AnyFunSuite {
     assert(realDecompress(bz).toSeq === xml.getBytes("UTF-8").toSeq)
   }
 
+  test("compressBlocked caps the RLE1 OUTPUT, not the raw chunk (ADVICE r15)") {
+    // runs of exactly 4 expand 4 → 5 under RLE1, so a chunk under the
+    // raw block limit can still overflow the format's post-RLE1 block
+    // maximum — the writer must reject it, not emit a stream every
+    // conformant decoder (including this repo's) calls "block overrun"
+    def runs4(n: Int): Array[Byte] = {
+      val a = new Array[Byte](n)
+      var i = 0
+      while (i < n) { a(i) = ((i / 4) % 251).toByte; i += 1 }
+      a
+    }
+    // 99,000 raw (under the old raw-length guard of 99,980) → 123,750
+    // post-RLE1: loud, typed
+    intercept[IllegalArgumentException](compressBlocked(Seq(runs4(99000)), 1))
+    // 60,000 raw → 75,000 post-RLE1: fits; the real decoder accepts it
+    val ok = compressBlocked(Seq(runs4(60000)), 1)
+    assert(realDecompress(ok).toSeq === runs4(60000).toSeq)
+  }
+
+  test("block access on a mixed-level multistream uses the GOVERNING stream's bound (ADVICE r15)") {
+    // level-1 stream followed by a level-9 stream whose single block
+    // exceeds level 1's 100 kB block maximum: deriving the bound from
+    // the FIRST header (the old behavior) spuriously rejected every
+    // later-stream block as "block overrun"
+    val a = "alpha shard text\n".getBytes("UTF-8")
+    val big = new Array[Byte](150000)
+    new java.util.Random(42).nextBytes(big) // incompressible → one ~150 kB block
+    val payload = compress(a, 1) ++ compress(big, 9)
+    val offs = blockOffsetsBits(payload)
+    assert(offs.length >= 2)
+    val joined = offs.map(o => decodeBlockAt(payload, o)).reduce(_ ++ _)
+    assert(joined.toSeq === (a ++ big).toSeq)
+  }
+
   test("format routing: jsonl-bz2 vs wiki-bz2 vs quarantined bzip2") {
     assert(FormatDetect.detect(synthJsonlBz2(1L, 1, 1)) === "jsonl-bz2")
     assert(FormatDetect.detect(synthWikiBz2(1L, 2)) === "wiki-bz2")
