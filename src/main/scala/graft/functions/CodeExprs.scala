@@ -691,6 +691,79 @@ case class SynthJsonlXzExpr(first: Expression, second: Expression, third: Expres
   override def prettyName: String = "synth_jsonl_xz"
 }
 
+/** `unlz4_text(bin)` → UTF-8 text of all concatenated LZ4 frames
+  * ([[graft.sources.Lz4Codec.unlz4Text]], damage-tolerant); null for
+  * non-lz4 bytes — the fifth member of the gunzip/unzstd/unxz/unbzip2
+  * family.
+  */
+case class UnLz4TextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.Lz4Codec.unlz4Text(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("lz")
+      s"""
+         |String $r = graft.sources.Lz4Codec.unlz4Text($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnLz4TextExpr = copy(child = c)
+  override def prettyName: String = "unlz4_text"
+}
+
+/** `jsonl_lz4_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.lz4` shard ([[graft.sources.Lz4Codec.jsonlLz4Text]]).
+  */
+case class JsonlLz4TextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.Lz4Codec.jsonlLz4Text(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("jl")
+      s"""
+         |String $r = graft.sources.Lz4Codec.jsonlLz4Text($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlLz4TextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_lz4_text"
+}
+
+/** `synth_jsonl_lz4(seed, n_members, lines_per)` — deterministic
+  * multi-frame `.jsonl.lz4` fixture ([[graft.sources.Lz4Codec]]),
+  * rotating block max sizes and the optional content-size /
+  * content-checksum / block-checksum features across members.
+  */
+case class SynthJsonlLz4Expr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.Lz4Codec.synthJsonlLz4(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.Lz4Codec.synthJsonlLz4($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlLz4Expr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_lz4"
+}
+
 /** `unbzip2_text(bin)` → UTF-8 text of all concatenated bzip2 streams
   * ([[graft.sources.BzipCodec.unbzip2Text]], damage-tolerant); null
   * for non-bz2 bytes — the fourth member of the gunzip/unzstd/unxz
@@ -852,6 +925,54 @@ case class UnzstdDictTextExpr(child: Expression) extends UnaryExpression with Im
     })
   override protected def withNewChildInternal(c: Expression): UnzstdDictTextExpr = copy(child = c)
   override def prettyName: String = "unzstd_dict_text"
+}
+
+/** `synth_jsonl_zst_sdict(seed, n_members, lines_per)` — deterministic
+  * multi-frame shard whose members DECLARE the structured dictionary's
+  * id ([[graft.sources.ZstdCodec.synthJsonlZstSdict]]).
+  */
+case class SynthJsonlZstSdictExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.ZstdCodec.synthJsonlZstSdict(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.ZstdCodec.synthJsonlZstSdict($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlZstSdictExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_zst_sdict"
+}
+
+/** `unzstd_sdict_text(bin)` → UTF-8 text of a STRUCTURED-dictionary
+  * shard ([[graft.sources.ZstdCodec.unzstdSdictText]]): entropy
+  * tables + recent offsets + window content seeded from the parsed
+  * RFC 8878 §5 dictionary, frame dictionary ids enforced.
+  */
+case class UnzstdSdictTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.ZstdCodec.unzstdSdictText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("zs")
+      s"""
+         |String $r = graft.sources.ZstdCodec.unzstdSdictText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnzstdSdictTextExpr = copy(child = c)
+  override def prettyName: String = "unzstd_sdict_text"
 }
 
 /** `shard_splits(bin)` → array of (off, len) member boundaries of a
@@ -1133,6 +1254,13 @@ object CodeOps {
   def synthJsonlXz(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlXzExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
+  def unlz4Text(bin: Column): Column =
+    GraftExpr.toColumn(UnLz4TextExpr(GraftExpr.toExpr(bin)))
+  def jsonlLz4Text(bin: Column): Column =
+    GraftExpr.toColumn(JsonlLz4TextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlLz4Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
   def unbzip2Text(bin: Column): Column =
     GraftExpr.toColumn(Unbzip2TextExpr(GraftExpr.toExpr(bin)))
   def jsonlBz2Text(bin: Column): Column =
@@ -1147,6 +1275,11 @@ object CodeOps {
       GraftExpr.toExpr(linesPer)))
   def unzstdDictText(bin: Column): Column =
     GraftExpr.toColumn(UnzstdDictTextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlZstSdict(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlZstSdictExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unzstdSdictText(bin: Column): Column =
+    GraftExpr.toColumn(UnzstdSdictTextExpr(GraftExpr.toExpr(bin)))
   def bz2BlockStarts(bin: Column): Column =
     GraftExpr.toColumn(Bz2BlockStartsExpr(GraftExpr.toExpr(bin)))
   def bz2BlockText(bin: Column, k: Column): Column =

@@ -135,12 +135,17 @@ object GraftFunctions {
     "unxz_text" -> (a => CodeOps.unxzText(a.head)),
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),
+    "unlz4_text" -> (a => CodeOps.unlz4Text(a.head)),
+    "jsonl_lz4_text" -> (a => CodeOps.jsonlLz4Text(a.head)),
+    "synth_jsonl_lz4" -> (a => CodeOps.synthJsonlLz4(a.head, a(1), a(2))),
     "unbzip2_text" -> (a => CodeOps.unbzip2Text(a.head)),
     "jsonl_bz2_text" -> (a => CodeOps.jsonlBz2Text(a.head)),
     "synth_jsonl_bz2" -> (a => CodeOps.synthJsonlBz2(a.head, a(1), a(2))),
     "synth_wiki_bz2" -> (a => CodeOps.synthWikiBz2(a.head, a(1))),
     "synth_jsonl_zst_dict" -> (a => CodeOps.synthJsonlZstDict(a.head, a(1), a(2))),
     "unzstd_dict_text" -> (a => CodeOps.unzstdDictText(a.head)),
+    "synth_jsonl_zst_sdict" -> (a => CodeOps.synthJsonlZstSdict(a.head, a(1), a(2))),
+    "unzstd_sdict_text" -> (a => CodeOps.unzstdSdictText(a.head)),
     "bz2_block_starts" -> (a => CodeOps.bz2BlockStarts(a.head)),
     "bz2_block_text" -> (a => CodeOps.bz2BlockText(a.head, a(1))),
     "synth_jsonl_bz2_blocked" -> (a => CodeOps.synthJsonlBz2Blocked(a.head, a(1), a(2))),

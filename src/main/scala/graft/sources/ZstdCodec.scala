@@ -616,6 +616,171 @@ object ZstdCodec {
     * small to build its own entropy, so the shared structure lives in
     * the dictionary and every frame references it).
     */
+  // ------------------------------------------------------------------
+  // Structured dictionaries (RFC 8878 §5, the 0xEC30A437 form)
+  // ------------------------------------------------------------------
+
+  private val DictMagic = 0xEC30A437
+
+  /** True when `d` is a structured (`zstd --train`-style) dictionary:
+    * magic + id + entropy tables + repcodes + content. A magic-less
+    * buffer is a RAW-CONTENT dictionary (plain window prefix).
+    */
+  def isStructuredDict(d: Array[Byte]): Boolean =
+    d != null && d.length >= 8 && le32(d, 0) == DictMagic
+
+  /** Parsed structured dictionary: the entropy tables become a frame's
+    * initial repeat-mode state, the recent offsets replace the 1/4/8
+    * defaults, and the content seeds the window.
+    */
+  final class ZstdDict private[ZstdCodec] (
+      val id: Long,
+      private[ZstdCodec] val huf: HufTable,
+      private[ZstdCodec] val of: FseTable,
+      private[ZstdCodec] val ml: FseTable,
+      private[ZstdCodec] val ll: FseTable,
+      private[ZstdCodec] val rep0: Int,
+      private[ZstdCodec] val rep1: Int,
+      private[ZstdCodec] val rep2: Int,
+      val content: Array[Byte])
+
+  /** Parse the RFC 8878 §5 layout: magic, 4-byte id, entropy tables in
+    * the prescribed order (Huffman literals, FSE offsets, FSE match
+    * lengths, FSE literal lengths — each in the same serialized form as
+    * inside compressed blocks, so the block readers ARE the dictionary
+    * readers), three 4-byte recent offsets (each nonzero and ≤ content
+    * size, validated), then the content.
+    */
+  def parseDictionary(d: Array[Byte]): ZstdDict = {
+    if (!isStructuredDict(d)) fail("not a structured dictionary (0xEC30A437)")
+    val id = le32(d, 4).toLong & 0xffffffffL
+    val (huf, p1) = readHufDesc(d, 8, d.length)
+    val (ofT, p2) = readFseDesc(d, p1, d.length, 8, 31)
+    val (mlT, p3) = readFseDesc(d, p2, d.length, 9, 52)
+    val (llT, p4) = readFseDesc(d, p3, d.length, 9, 35)
+    if (p4 + 12 > d.length) fail("dictionary: truncated repcodes")
+    val r0 = le32(d, p4); val r1 = le32(d, p4 + 4); val r2 = le32(d, p4 + 8)
+    val content = java.util.Arrays.copyOfRange(d, p4 + 12, d.length)
+    Seq(r0, r1, r2).foreach { r =>
+      if (r <= 0 || r > content.length) fail(s"dictionary: repcode $r out of range")
+    }
+    new ZstdDict(id, huf, ofT, mlT, llT, r0, r1, r2, content)
+  }
+
+  /** Forward LSB-first bit writer — the write twin of [[FwdBits]],
+    * used by the FSE table-description writer.
+    */
+  private final class FwdWriter {
+    private var buf = new Array[Byte](64)
+    private var pos = 0
+    def append(v: Int, n: Int): Unit = {
+      var j = 0
+      while (j < n) {
+        val i = pos + j
+        if ((i >> 3) >= buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        if (((v >> j) & 1) != 0) buf(i >> 3) = (buf(i >> 3) | (1 << (i & 7))).toByte
+        j += 1
+      }
+      pos += n
+    }
+    def finish(): Array[Byte] = java.util.Arrays.copyOf(buf, (pos + 7) >> 3)
+  }
+
+  /** Serialize normalized counts in the FSE table-description format —
+    * the exact write twin of [[readFseDesc]]'s state machine (threshold
+    * halving, small-value one-bit saving, 2-bit zero-run codes), so a
+    * round trip through the reader reproduces `counts` bit-exactly.
+    */
+  private[sources] def writeFseDesc(counts: Array[Int], tableLog: Int): Array[Byte] = {
+    val w = new FwdWriter
+    w.append(tableLog - 5, 4)
+    val tableSize = 1 << tableLog
+    var remaining = tableSize + 1
+    var threshold = tableSize
+    var nbBits = tableLog + 1
+    var charnum = 0
+    var prev0 = false
+    while (remaining > 1) {
+      if (prev0) {
+        var run = 0
+        while (charnum + run < counts.length && counts(charnum + run) == 0) run += 1
+        while (run >= 3) { w.append(3, 2); run -= 3; charnum += 3 }
+        w.append(run, 2); charnum += run
+        prev0 = false
+      }
+      if (charnum >= counts.length) fail("fse write: counts do not sum to table size")
+      val count = counts(charnum)
+      val v = count + 1 // -1 ("less than one") → 0
+      val max = (2 * threshold - 1) - remaining
+      if (v < max) w.append(v, nbBits - 1)
+      else w.append(if (v >= threshold) v + max else v, nbBits)
+      remaining -= math.abs(count)
+      charnum += 1
+      prev0 = count == 0
+      while (remaining < threshold) { nbBits -= 1; threshold >>= 1 }
+    }
+    if (remaining != 1) fail("fse write: counts overflow the table")
+    w.finish()
+  }
+
+  /** Build a structured dictionary from scratch: Huffman literal
+    * weights derived from the content's byte histogram (direct 4-bit
+    * form), the RFC's PREDEFINED sequence distributions written as
+    * explicit FSE descriptions (valid initial repeat tables by
+    * construction), default recent offsets 1/4/8. The output must load
+    * in real zstd (`ZstdDictDecompress`) — pinned in ZstdCodecSpec.
+    */
+  def buildDictionary(id: Long, content: Array[Byte]): Array[Byte] = {
+    require(content.length >= 8, "dictionary content too small for default repcodes")
+    val weights = hufBuildWeights(content)
+    if (weights == null) fail("dictionary content unsuitable for a huffman table")
+    val out = new java.io.ByteArrayOutputStream()
+    def wLE32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    wLE32(DictMagic.toLong & 0xffffffffL)
+    wLE32(id)
+    // direct-form Huffman tree description (last weight implicit)
+    val nW = weights.length - 1
+    out.write(127 + nW)
+    var i = 0
+    while (i < nW) {
+      val hi = weights(i)
+      val lo = if (i + 1 < nW) weights(i + 1) else 0
+      out.write((hi << 4) | lo)
+      i += 2
+    }
+    out.write(writeFseDesc(OFDefault, 5))
+    out.write(writeFseDesc(MLDefault, 6))
+    out.write(writeFseDesc(LLDefault, 6))
+    wLE32(1L); wLE32(4L); wLE32(8L)
+    out.write(content)
+    out.toByteArray
+  }
+
+  /** Decode with a dictionary, structured or raw-content — the
+    * `ZSTD_decompress_usingDict` surface: a structured dictionary
+    * (0xEC30A437) seeds entropy tables + recent offsets + window
+    * content and its id is enforced against frames that declare one; a
+    * magic-less buffer is a raw-content prefix
+    * ([[decompressWithPrefix]]). Loud on any damage.
+    */
+  def decompressWithDictionary(b: Array[Byte], dictBytes: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] =
+    if (isStructuredDict(dictBytes)) {
+      val dict = parseDictionary(dictBytes)
+      withPrefixCore(b, dict.content, maxOut, tolerant = false, dict = dict)
+    } else decompressWithPrefix(b, dictBytes, maxOut)
+
+  /** Best-effort [[decompressWithDictionary]]: intact leading frames
+    * are kept (the sibling tolerant-surface contract).
+    */
+  def decompressWithDictionaryTolerant(b: Array[Byte], dictBytes: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] =
+    if (isStructuredDict(dictBytes)) {
+      val dict = parseDictionary(dictBytes)
+      withPrefixCore(b, dict.content, maxOut, tolerant = true, dict = dict)
+    } else decompressWithPrefixTolerant(b, dictBytes, maxOut)
+
   val jsonlDict: Array[Byte] =
     ("{\"id\": 1234567890, \"text\": \"doc 1234567890 m0 l0 say \\\"hi\\\"\\tok\", \"lang\": \"en\", \"score\": 42}\n" +
       "{\"id\": 987654321, \"text\": \"doc 987654321 m1 l1 say \\\"hi\\\"\\tok\", \"lang\": \"fr\", \"score\": 7}\n")
@@ -643,13 +808,55 @@ object ZstdCodec {
     out.toByteArray
   }
 
-  /** Decoded UTF-8 text of a dictionary-compressed shard — every frame
-    * decoded with [[jsonlDict]] as the window prefix; null for non-zstd
-    * bytes or when nothing decodes.
+  /** Decoded UTF-8 text of a dictionary-compressed shard — frames
+    * decoded with [[jsonlDict]] as the window prefix, keeping the
+    * intact LEADING frames when a later frame is damaged (the
+    * null/prefix contract of the sibling gunzip/unzstd/unxz/unbzip2
+    * surfaces); null for non-zstd bytes or when nothing decodes.
     */
   def unzstdDictText(b: Array[Byte]): String = {
     if (!isZstd(b)) return null
-    val raw = try decompressWithPrefix(b, jsonlDict) catch { case _: Exception => null }
+    val raw = decompressWithPrefixTolerant(b, jsonlDict)
+    if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
+  }
+
+  /** The STRUCTURED dictionary fixture (id 0x47524654, "GRFT"): the
+    * [[jsonlDict]] corpus as content plus real entropy tables — built
+    * from scratch by [[buildDictionary]], loadable by real zstd
+    * (ZstdCodecSpec pins `ZstdDictDecompress` acceptance).
+    */
+  lazy val structuredDict: Array[Byte] = buildDictionary(0x47524654L, jsonlDict)
+
+  /** [[synthJsonlZstDict]]'s structured twin: every member frame
+    * DECLARES the dictionary id, so decoding without [[structuredDict]]
+    * (or with the wrong dictionary) is loud at the frame header —
+    * stronger than the raw-content form, whose failure surfaces at the
+    * first cross-frame match.
+    */
+  def synthJsonlZstSdict(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until math.max(1, nMembers)).foreach { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      out.write(compressFrame(sb.toString.getBytes(UTF_8), "seq", jsonlDict, 0x47524654L))
+    }
+    out.toByteArray
+  }
+
+  /** Decoded UTF-8 text of a structured-dictionary shard — frames
+    * decoded via [[decompressWithDictionaryTolerant]] against
+    * [[structuredDict]], keeping intact leading frames; null for
+    * non-zstd bytes or when nothing decodes (wrong/absent dictionary).
+    */
+  def unzstdSdictText(b: Array[Byte]): String = {
+    if (!isZstd(b)) return null
+    val raw = decompressWithDictionaryTolerant(b, structuredDict)
     if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
   }
 
@@ -724,7 +931,22 @@ object ZstdCodec {
     * dictionary ID in the frame header) stay out of subset and fail
     * loudly as before. `maxOut` caps total decoded bytes.
     */
-  def decompressWithPrefix(b: Array[Byte], prefix: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+  def decompressWithPrefix(b: Array[Byte], prefix: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] =
+    withPrefixCore(b, prefix, maxOut, tolerant = false)
+
+  /** Best-effort [[decompressWithPrefix]]: FULLY-decoded leading frames
+    * are kept and the first damaged frame (and everything after it) is
+    * dropped — the same leading-prefix contract as the sibling
+    * gunzip/unzstd/unxz/unbzip2 tolerant text surfaces (ADVICE r15:
+    * the strict form nulled an entire shard over one damaged tail
+    * frame). A frame that fails mid-decode contributes nothing —
+    * per-frame results only land after the frame's checksum passes.
+    */
+  def decompressWithPrefixTolerant(b: Array[Byte], prefix: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] =
+    withPrefixCore(b, prefix, maxOut, tolerant = true)
+
+  private def withPrefixCore(b: Array[Byte], prefix: Array[Byte], maxOut: Int,
+      tolerant: Boolean, dict: ZstdDict = null): Array[Byte] = {
     if (b == null) return null
     val pre = if (prefix == null) Array.emptyByteArray else prefix
     val res = new java.io.ByteArrayOutputStream()
@@ -733,7 +955,11 @@ object ZstdCodec {
     while (p < b.length) {
       val cap = pre.length + math.max(0, maxOut - produced)
       val out = new Out(java.util.Arrays.copyOf(pre, math.max(64, pre.length)), pre.length, cap)
-      p = decodeTopLevel(b, p, out, histMin = 0)
+      try {
+        p = decodeTopLevel(b, p, out, histMin = 0, dict = dict)
+      } catch {
+        case e: Exception => if (tolerant) return res.toByteArray else throw e
+      }
       res.write(out.buf, pre.length, out.len - pre.length)
       produced += out.len - pre.length
     }
@@ -741,7 +967,7 @@ object ZstdCodec {
   }
 
   private def decodeTopLevel(b: Array[Byte], at: Int, out: Out, prefixWant: Int = -1,
-      histMin: Int = -1): Int = {
+      histMin: Int = -1, dict: ZstdDict = null): Int = {
     if (at + 4 > b.length) fail("truncated magic")
     val magic = le32(b, at)
     if ((magic & SkippableMagicMask) == SkippableMagic) {
@@ -751,12 +977,12 @@ object ZstdCodec {
       if (next > b.length) fail("skippable frame overruns input")
       next.toInt
     } else if (magic == FrameMagic) {
-      decodeFrame(b, at + 4, out, prefixWant, histMin)
+      decodeFrame(b, at + 4, out, prefixWant, histMin, dict)
     } else fail(f"bad magic 0x$magic%08x")
   }
 
   private def decodeFrame(b: Array[Byte], hdrAt: Int, out: Out, prefixWant: Int = -1,
-      histMin: Int = -1): Int = {
+      histMin: Int = -1, dict: ZstdDict = null): Int = {
     var p = hdrAt
     if (p >= b.length) fail("truncated frame header")
     val fhd = b(p) & 0xff; p += 1
@@ -779,10 +1005,17 @@ object ZstdCodec {
       var i = 0
       while (i < n) { id |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
       p += n
-      // a nonzero id means a STRUCTURED dictionary (entropy tables,
-      // 0xEC30A437 form) — out of subset; raw-content dictionaries
-      // carry no id and are served by decompressWithPrefix
-      if (id != 0) fail("structured dictionaries are out of subset")
+      // a nonzero id names a STRUCTURED dictionary (0xEC30A437 form):
+      // the caller must have supplied the MATCHING dictionary via
+      // decompressWithDictionary — decoding without it, or with the
+      // wrong one, is loud (r16; raw-content dictionaries carry no id
+      // and are served by decompressWithPrefix)
+      if (id != 0) {
+        if (dict == null)
+          fail(s"frame declares dictionary id $id but no dictionary was provided")
+        if (dict.id != id)
+          fail(s"dictionary id mismatch: frame wants $id, provided dictionary is ${dict.id}")
+      }
     }
     var fcs = -1L
     val fcsBytes = fcsFlag match {
@@ -810,6 +1043,14 @@ object ZstdCodec {
     // when a raw-content dictionary prefix seeds the buffer
     val histStart = if (histMin >= 0) histMin else frameStart
     val ctx = new FrameCtx
+    // a structured dictionary seeds the frame's repeat state: its
+    // entropy tables are the initial "repeat mode" tables and its
+    // recent offsets replace the 1/4/8 defaults (RFC 8878 §5) — the
+    // dictionary CONTENT is already in the window via the prefix path
+    if (dict != null) {
+      ctx.huf = dict.huf; ctx.of = dict.of; ctx.ml = dict.ml; ctx.ll = dict.ll
+      ctx.rep0 = dict.rep0; ctx.rep1 = dict.rep1; ctx.rep2 = dict.rep2
+    }
     var last = false
     while (!last) {
       if (prefixWant >= 0 && out.len >= prefixWant) return p
@@ -1281,7 +1522,16 @@ object ZstdCodec {
     * `data`; a decoder without the prefix fails loudly at the first
     * dictionary match.
     */
-  def compressFrame(data: Array[Byte], mode: String, prefix: Array[Byte]): Array[Byte] = {
+  def compressFrame(data: Array[Byte], mode: String, prefix: Array[Byte]): Array[Byte] =
+    compressFrame(data, mode, prefix, 0L)
+
+  /** As above, additionally DECLARING a dictionary id in the frame
+    * header (the `ZSTD_compress_usingDict` form for a structured
+    * dictionary): the emitted frame cannot be decoded without the
+    * matching dictionary — the id check is loud before the first
+    * block is touched.
+    */
+  def compressFrame(data: Array[Byte], mode: String, prefix: Array[Byte], dictId: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def wLE(v: Long, n: Int): Unit = { var i = 0; while (i < n) { w8((v >> (8 * i)).toInt); i += 1 } }
@@ -1295,7 +1545,8 @@ object ZstdCodec {
       if (n <= 255) (0, 1, n.toLong)
       else if (n - 256 <= 0xffff) (1, 2, (n - 256).toLong)
       else (2, 4, n.toLong)
-    w8((fcsFlag << 6) | 0x20 | 0x04)
+    w8((fcsFlag << 6) | 0x20 | 0x04 | (if (dictId != 0) 3 else 0))
+    if (dictId != 0) wLE(dictId, 4) // dict id sits between FHD and FCS
     wLE(fcsStore, fcsBytes)
     val blockCap = 64 * 1024
     var at = base

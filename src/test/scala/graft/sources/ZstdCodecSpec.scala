@@ -285,6 +285,97 @@ class ZstdCodecSpec extends AnyFunSuite {
     assert(txt.contains("\"id\": 5000") && txt.contains("\"id\": 5021"))
   }
 
+  test("structured dictionaries: from-scratch build loads in real zstd; frames dual-oracled (r16)") {
+    val dict = structuredDict
+    assert(isStructuredDict(dict))
+    // the from-scratch dictionary (real entropy tables written by our
+    // own FSE/Huffman serializers) must LOAD in real zstd
+    new com.github.luben.zstd.ZstdDictDecompress(dict).close()
+    assert(com.github.luben.zstd.Zstd.getDictIdFromDict(dict) === 0x47524654L)
+    // ours → real: id-declaring frames decode via ZSTD_decompress_usingDict
+    val data = ("{\"id\": 9, \"text\": \"doc 9 m0 l0 say \\\"hi\\\"\\tok\", \"lang\": \"en\", \"score\": 5}\n" * 10)
+      .getBytes("UTF-8")
+    val mine = compressFrame(data, "seq", jsonlDict, 0x47524654L)
+    assert(com.github.luben.zstd.Zstd.getDictIdFromFrame(mine) === 0x47524654L)
+    val dst = new Array[Byte](data.length + 64)
+    val n = com.github.luben.zstd.Zstd.decompressUsingDict(dst, 0, mine, 0, mine.length, dict)
+    assert(n === data.length.toLong, s"real zstd rejected our structured-dict frame: $n")
+    assert(java.util.Arrays.copyOf(dst, n.toInt).toSeq === data.toSeq)
+    // and via our own dictionary decode
+    assert(decompressWithDictionary(mine, dict).toSeq === data.toSeq)
+    // without the dictionary: loud AT THE FRAME HEADER; wrong id: loud
+    assert(intercept[IllegalArgumentException](decompress(mine))
+      .getMessage.contains("dictionary"))
+    val wrongId = buildDictionary(0x12345678L, jsonlDict)
+    assert(intercept[IllegalArgumentException](decompressWithDictionary(mine, wrongId))
+      .getMessage.contains("mismatch"))
+    // parse round trip: tables and repcodes land where the reader looks
+    val pd = parseDictionary(dict)
+    assert(pd.id === 0x47524654L)
+    assert(pd.content.toSeq === jsonlDict.toSeq)
+    // the shard fixture surface
+    val shard = synthJsonlZstSdict(5L, 3, 2)
+    assert(frameOffsets(shard).length === 3)
+    val txt = unzstdSdictText(shard)
+    assert(txt.contains("\"id\": 5000") && txt.contains("\"id\": 5021"))
+    assert(unzstdSdictText("not zstd".getBytes) === null)
+  }
+
+  test("real TRAINED dictionary: compressUsingDict frames decode byte-exact here (r16)") {
+    // train a REAL dictionary (zstd --train equivalent) over jsonl-ish
+    // samples, then decode real frames that repeat-reference its
+    // entropy tables — the strongest coverage direction: our FSE/
+    // Huffman loaders must interpret tables zstd's trainer produced
+    val samples: Array[Array[Byte]] = (0 until 500).map { i =>
+      val sb = new java.lang.StringBuilder()
+      (0 until 8).foreach { l =>
+        sb.append("{\"id\": ").append(i * 100 + l)
+          .append(", \"text\": \"doc ").append(i).append(" m").append(l % 3)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((i + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((i + l) % 100).append("}\n")
+      }
+      sb.toString.getBytes("UTF-8")
+    }.toArray
+    val buf = new Array[Byte](16 * 1024)
+    val sz = com.github.luben.zstd.Zstd.trainFromBuffer(samples, buf, false)
+    assert(sz > 0, s"zstd training failed: $sz")
+    val trained = java.util.Arrays.copyOf(buf, sz.toInt)
+    assert(isStructuredDict(trained))
+    val pd = parseDictionary(trained) // real trainer output parses
+    assert(pd.content.length > 0)
+    for (level <- Seq(1, 3, 9, 19)) {
+      val src = samples(7) ++ samples(123) ++ samples(321)
+      val bound = com.github.luben.zstd.Zstd.compressBound(src.length.toLong).toInt
+      val out = new Array[Byte](bound)
+      val m = com.github.luben.zstd.Zstd.compressUsingDict(out, 0, src, 0, trained, level)
+      assert(m > 0, s"level=$level: compressUsingDict failed: $m")
+      val frame = java.util.Arrays.copyOf(out, m.toInt)
+      assert(decompressWithDictionary(frame, trained).toSeq === src.toSeq, s"level=$level")
+      // the WRONG structured dictionary must never silently reproduce
+      val got = try decompressWithDictionary(frame, structuredDict)
+        catch { case _: Exception => null }
+      assert(got == null || got.toSeq != src.toSeq, s"level=$level: wrong dict must not reproduce")
+    }
+  }
+
+  test("dict shard: damaged tail keeps intact leading frames (ADVICE r15 null/prefix contract)") {
+    val shard = synthJsonlZstDict(7L, 3, 2)
+    val full = unzstdDictText(shard)
+    assert(full != null && full.contains(" m2 "))
+    assert(frameOffsets(shard).length === 3)
+    // truncate the LAST frame: the two intact leading frames survive,
+    // matching the gunzip/unzstd/unxz/unbzip2 tolerant text surfaces
+    val cut = java.util.Arrays.copyOf(shard, shard.length - 5)
+    val kept = unzstdDictText(cut)
+    assert(kept != null && full.startsWith(kept))
+    assert(kept.contains(" m1 ") && !kept.contains(" m2 "))
+    // the strict prefix decode of the same bytes stays loud
+    intercept[IllegalArgumentException](decompressWithPrefix(cut, jsonlDict))
+    // nothing decodes (first frame damaged) → null, as documented
+    assert(unzstdDictText(java.util.Arrays.copyOf(shard, 10)) === null)
+  }
+
   test("format routing: jsonl-zst vs zstd; pretty-printed JSON stays zstd") {
     assert(FormatDetect.detect(synthJsonlZst(1L, 1, 1)) === "jsonl-zst")
     assert(FormatDetect.detect(compressFrame("plain prose here".getBytes, "seq")) === "zstd")
