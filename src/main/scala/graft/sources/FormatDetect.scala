@@ -11,10 +11,11 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
-  * jsonl-zst, zstd, jsonl-xz, xz, tar, rtf, ole (legacy .doc/.xls/.msg —
-  * classified for quarantine, no extractor), mbox, jpeg, png, gif, tiff,
-  * avro, wav, flac, avi, html, mediawiki (dump-XML shards), xml, text,
-  * binary, empty.
+  * jsonl-zst, zstd, jsonl-xz, xz, jsonl-lz4, lz4, jsonl-bz2, wiki-bz2,
+  * bzip2, tar, rtf, ole (legacy .doc/.xls/.msg — classified for
+  * quarantine, no extractor), mbox, jpeg, png, gif, tiff, avro, wav,
+  * flac, avi, html, mediawiki (dump-XML shards), xml, text, binary,
+  * empty.
   */
 object FormatDetect {
 
@@ -107,6 +108,10 @@ object FormatDetect {
     if (XzCodec.isXz(b)) {
       val head = XzCodec.decompressTolerant(b, maxOut = 4096)
       return if (looksJsonl(head)) "jsonl-xz" else "xz"
+    }
+    if (Lz4Codec.isLz4(b)) {
+      val head = Lz4Codec.decodePrefix(b, 4096)
+      return if (looksJsonl(head)) "jsonl-lz4" else "lz4"
     }
     if (BzipCodec.isBzip2(b)) {
       // the multistream wiki-dump form is bz2's dominant corpus use;
