@@ -75,13 +75,15 @@ object CodeExprs {
     * magic bytes; null when the payload has no member grain.
     */
   def shardSplitsArray(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    import graft.sources.{BzipCodec, GzipShard, XzCodec, ZstdCodec}
+    import graft.sources.{BzipCodec, GzipShard, Lz4Codec, SnappyCodec, XzCodec, ZstdCodec}
     val pairs: Array[(Long, Long)] =
       try {
         if (GzipShard.isGzip(b)) GzipShard.memberOffsets(b)
         else if (ZstdCodec.isZstd(b)) ZstdCodec.frameOffsets(b)
         else if (XzCodec.isXz(b)) XzCodec.streamOffsets(b)
         else if (BzipCodec.isBzip2(b)) BzipCodec.streamOffsets(b)
+        else if (Lz4Codec.isLz4(b)) Lz4Codec.frameOffsets(b)
+        else if (SnappyCodec.isSnappyFramed(b)) SnappyCodec.memberOffsets(b)
         else null
       } catch { case _: Exception => null } // damaged shard: no split plan
     if (pairs == null) null
@@ -764,6 +766,78 @@ case class SynthJsonlLz4Expr(first: Expression, second: Expression, third: Expre
   override def prettyName: String = "synth_jsonl_lz4"
 }
 
+/** `unsnappy_text(bin)` → UTF-8 text of all concatenated snappy-framed
+  * streams ([[graft.sources.SnappyCodec.unsnappyText]],
+  * damage-tolerant); null for non-framed bytes — the sixth member of
+  * the gunzip/unzstd/unxz/unbzip2/unlz4 family.
+  */
+case class UnsnappyTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.SnappyCodec.unsnappyText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("sn")
+      s"""
+         |String $r = graft.sources.SnappyCodec.unsnappyText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnsnappyTextExpr = copy(child = c)
+  override def prettyName: String = "unsnappy_text"
+}
+
+/** `jsonl_snappy_text(bin)` → newline-joined `text` fields of a
+  * `.jsonl.sz` shard ([[graft.sources.SnappyCodec.jsonlSnappyText]]).
+  */
+case class JsonlSnappyTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.SnappyCodec.jsonlSnappyText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("js")
+      s"""
+         |String $r = graft.sources.SnappyCodec.jsonlSnappyText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlSnappyTextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_snappy_text"
+}
+
+/** `synth_jsonl_snappy(seed, n_members, lines_per)` — deterministic
+  * multi-stream `.jsonl.sz` fixture ([[graft.sources.SnappyCodec]]),
+  * padding chunks rotated in so the skip branch stays gated.
+  */
+case class SynthJsonlSnappyExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.SnappyCodec.synthJsonlSnappy(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.SnappyCodec.synthJsonlSnappy($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlSnappyExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_snappy"
+}
+
 /** `unbzip2_text(bin)` → UTF-8 text of all concatenated bzip2 streams
   * ([[graft.sources.BzipCodec.unbzip2Text]], damage-tolerant); null
   * for non-bz2 bytes — the fourth member of the gunzip/unzstd/unxz
@@ -1256,6 +1330,13 @@ object CodeOps {
       GraftExpr.toExpr(linesPer)))
   def unlz4Text(bin: Column): Column =
     GraftExpr.toColumn(UnLz4TextExpr(GraftExpr.toExpr(bin)))
+  def unsnappyText(bin: Column): Column =
+    GraftExpr.toColumn(UnsnappyTextExpr(GraftExpr.toExpr(bin)))
+  def jsonlSnappyText(bin: Column): Column =
+    GraftExpr.toColumn(JsonlSnappyTextExpr(GraftExpr.toExpr(bin)))
+  def synthJsonlSnappy(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlSnappyExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
   def jsonlLz4Text(bin: Column): Column =
     GraftExpr.toColumn(JsonlLz4TextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =

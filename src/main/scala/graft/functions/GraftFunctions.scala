@@ -136,6 +136,9 @@ object GraftFunctions {
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),
     "unlz4_text" -> (a => CodeOps.unlz4Text(a.head)),
+    "unsnappy_text" -> (a => CodeOps.unsnappyText(a.head)),
+    "jsonl_snappy_text" -> (a => CodeOps.jsonlSnappyText(a.head)),
+    "synth_jsonl_snappy" -> (a => CodeOps.synthJsonlSnappy(a.head, a(1), a(2))),
     "jsonl_lz4_text" -> (a => CodeOps.jsonlLz4Text(a.head)),
     "synth_jsonl_lz4" -> (a => CodeOps.synthJsonlLz4(a.head, a(1), a(2))),
     "unbzip2_text" -> (a => CodeOps.unbzip2Text(a.head)),

@@ -11,11 +11,11 @@ import java.nio.charset.StandardCharsets
   * bytes; total (any input maps to a label, null only for null).
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
-  * jsonl-zst, zstd, jsonl-xz, xz, jsonl-lz4, lz4, jsonl-bz2, wiki-bz2,
-  * bzip2, tar, rtf, ole (legacy .doc/.xls/.msg — classified for
-  * quarantine, no extractor), mbox, jpeg, png, gif, tiff, avro, wav,
-  * flac, avi, html, mediawiki (dump-XML shards), xml, text, binary,
-  * empty.
+  * jsonl-zst, zstd, jsonl-xz, xz, jsonl-lz4, lz4, jsonl-snappy, snappy,
+  * jsonl-bz2, wiki-bz2, bzip2, tar, rtf, ole (legacy .doc/.xls/.msg —
+  * classified for quarantine, no extractor), mbox, jpeg, png, gif,
+  * tiff, avro, wav, flac, avi, html, mediawiki (dump-XML shards), xml,
+  * text, binary, empty.
   */
 object FormatDetect {
 
@@ -112,6 +112,13 @@ object FormatDetect {
     if (Lz4Codec.isLz4(b)) {
       val head = Lz4Codec.decodePrefix(b, 4096)
       return if (looksJsonl(head)) "jsonl-lz4" else "lz4"
+    }
+    // framed snappy has a 10-byte magic; RAW snappy blocks carry no
+    // magic at all and are content-undetectable by design — only the
+    // framed form routes (the framing spec exists for exactly this)
+    if (SnappyCodec.isSnappyFramed(b)) {
+      val head = SnappyCodec.decodePrefix(b, 4096)
+      return if (looksJsonl(head)) "jsonl-snappy" else "snappy"
     }
     if (BzipCodec.isBzip2(b)) {
       // the multistream wiki-dump form is bz2's dominant corpus use;
