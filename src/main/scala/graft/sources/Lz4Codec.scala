@@ -316,11 +316,17 @@ object Lz4Codec {
         }
         if (out.len - outStart + matchLen > blockMax) fail("block decodes over max")
         out.ensure(matchLen)
-        // overlap-safe byte copy (offset < matchLen replicates)
         var src = out.len - offset
-        var i = 0
-        while (i < matchLen) {
-          out.buf(out.len + i) = out.buf(src); src += 1; i += 1
+        if (offset >= matchLen) {
+          // non-overlapping: one block copy (the hot path — most
+          // matches reference further back than their own length)
+          System.arraycopy(out.buf, src, out.buf, out.len, matchLen)
+        } else {
+          // overlapping: the replicating byte walk the format requires
+          var i = 0
+          while (i < matchLen) {
+            out.buf(out.len + i) = out.buf(src); src += 1; i += 1
+          }
         }
         out.len += matchLen
       }

@@ -66,15 +66,22 @@ object SnappyCodec {
     * on any malformation, including a length preamble that the decoded
     * bytes do not match. `maxOut` is the zip-bomb guard.
     */
-  def decodeRaw(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+  def decodeRaw(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] =
+    decodeRawAt(b, 0, if (b == null) 0 else b.length, maxOut)
+
+  /** [[decodeRaw]] over a slice — the framed walk's per-chunk entry,
+    * so chunk decode never copies the compressed bytes first.
+    */
+  def decodeRawAt(b: Array[Byte], from: Int, srcLen: Int, maxOut: Int = 1 << 28): Array[Byte] = {
     if (b == null) fail("null block")
-    var p = 0
+    var p = from
+    val end = from + srcLen
     // varint32 uncompressed length
     var declared = 0L
     var shift = 0
     var more = true
     while (more) {
-      if (p >= b.length) fail("truncated length preamble")
+      if (p >= end) fail("truncated length preamble")
       val by = b(p) & 0xff; p += 1
       declared |= (by & 0x7fL) << shift
       shift += 7
@@ -85,14 +92,14 @@ object SnappyCodec {
     val n = declared.toInt
     val out = new Array[Byte](n)
     var o = 0
-    while (p < b.length) {
+    while (p < end) {
       val tag = b(p) & 0xff; p += 1
       (tag & 3) match {
         case 0 => // literal
           var len = (tag >> 2) + 1
           if (len > 60) {
             val extra = len - 61 + 1 // 61..64 → 1..4 extra bytes
-            if (p + extra > b.length) fail("truncated literal length")
+            if (p + extra > end) fail("truncated literal length")
             var v = 0L
             var i = 0
             while (i < extra) { v |= (b(p + i) & 0xffL) << (8 * i); i += 1 }
@@ -100,7 +107,7 @@ object SnappyCodec {
             if (v + 1 > Int.MaxValue) fail("literal length overflow")
             len = (v + 1).toInt
           }
-          if (p + len > b.length) fail("literal overruns block")
+          if (p + len > end) fail("literal overruns block")
           if (o + len > n) fail("literal overruns declared size")
           System.arraycopy(b, p, out, o, len)
           p += len; o += len
@@ -108,15 +115,15 @@ object SnappyCodec {
           var len = 0
           var offset = 0
           if (c == 1) {
-            if (p >= b.length) fail("truncated copy-1")
+            if (p >= end) fail("truncated copy-1")
             len = ((tag >> 2) & 7) + 4
             offset = ((tag >> 5) << 8) | (b(p) & 0xff); p += 1
           } else if (c == 2) {
-            if (p + 2 > b.length) fail("truncated copy-2")
+            if (p + 2 > end) fail("truncated copy-2")
             len = (tag >> 2) + 1
             offset = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8); p += 2
           } else {
-            if (p + 4 > b.length) fail("truncated copy-4")
+            if (p + 4 > end) fail("truncated copy-4")
             len = (tag >> 2) + 1
             offset = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) |
               ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)
@@ -127,8 +134,14 @@ object SnappyCodec {
           if (offset > o) fail("copy reaches before block start")
           if (o + len > n) fail("copy overruns declared size")
           var src = o - offset
-          var i = 0
-          while (i < len) { out(o + i) = out(src); src += 1; i += 1 }
+          if (offset >= len) {
+            // non-overlapping: one block copy (the hot path)
+            System.arraycopy(out, src, out, o, len)
+          } else {
+            // overlapping: the replicating byte walk the format requires
+            var i = 0
+            while (i < len) { out(o + i) = out(src); src += 1; i += 1 }
+          }
           o += len
       }
     }
@@ -271,7 +284,7 @@ object SnappyCodec {
         t match {
           case 0x00 => // compressed data: masked CRC + raw snappy block
             if (len < 4) fail("compressed chunk under 4 bytes")
-            val dec = decodeRaw(java.util.Arrays.copyOfRange(b, p + 4, p + len), ChunkMax)
+            val dec = decodeRawAt(b, p + 4, len - 4, ChunkMax)
             if (dec.length > ChunkMax) fail("chunk over 65536 uncompressed bytes")
             if (maskedCrc(dec, 0, dec.length) !=
               ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8) | ((b(p + 2) & 0xff) << 16) | ((b(p + 3) & 0xff) << 24)))

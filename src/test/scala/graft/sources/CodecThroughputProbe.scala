@@ -65,7 +65,43 @@ class CodecThroughputProbe extends AnyFunSuite {
       in.close()
     }
     val tBz2Enc = time(3)(BzipCodec.compress(data, 9))
+    val lzframe = Lz4Codec.compressFrame(data)
+    val tLz4Mine = time(5)(Lz4Codec.decompress(lzframe))
+    val tLz4Jar = time(5) {
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(new java.io.ByteArrayInputStream(lzframe))
+      val buf = new Array[Byte](65536)
+      while (in.read(buf) > 0) {}
+      in.close()
+    }
+    val tLz4Enc = time(5)(Lz4Codec.compressFrame(data))
+    val snframe = SnappyCodec.compressFramed(data)
+    val tSnMine = time(5)(SnappyCodec.decompress(snframe))
+    val tSnJar = time(5) {
+      val in = new org.xerial.snappy.SnappyFramedInputStream(
+        new java.io.ByteArrayInputStream(snframe), true)
+      val buf = new Array[Byte](65536)
+      while (in.read(buf) > 0) {}
+      in.close()
+    }
+    val tSnEnc = time(5)(SnappyCodec.compressFramed(data))
+    // pure-JAVA peer at raw-block grain (airlift): the honest
+    // comparison — the framed jar numbers above are native-backed
+    val rawBlock = SnappyCodec.encodeRaw(data, 0, data.length)
+    val tSnRawMine = time(5)(SnappyCodec.decodeRaw(rawBlock))
+    val tSnRawAir = time(5) {
+      val d = new io.airlift.compress.snappy.SnappyDecompressor()
+      val out = new Array[Byte](data.length)
+      d.decompress(rawBlock, 0, rawBlock.length, out, 0, out.length)
+    }
     println(f"[throughput] input ${mb}%.1f MB")
+    println(f"[throughput] lz4  ours   ${mb / tLz4Mine}%8.1f MB/s")
+    println(f"[throughput] lz4  jar    ${mb / tLz4Jar}%8.1f MB/s  (lz4-java, JNI-or-java)")
+    println(f"[throughput] lz4  encode ${mb / tLz4Enc}%8.1f MB/s  (ours)")
+    println(f"[throughput] snap ours   ${mb / tSnMine}%8.1f MB/s")
+    println(f"[throughput] snap jar    ${mb / tSnJar}%8.1f MB/s  (snappy-java, native)")
+    println(f"[throughput] snap encode ${mb / tSnEnc}%8.1f MB/s  (ours)")
+    println(f"[throughput] snap raw ours ${mb / tSnRawMine}%6.1f MB/s")
+    println(f"[throughput] snap raw air  ${mb / tSnRawAir}%6.1f MB/s  (pure-java airlift)")
     println(f"[throughput] bz2  ours   ${mb / tBz2Mine}%8.1f MB/s")
     println(f"[throughput] bz2  cc     ${mb / tBz2Cc}%8.1f MB/s  (pure-java commons-compress)")
     println(f"[throughput] bz2  encode ${mb / tBz2Enc}%8.1f MB/s  (ours, fixture writer)")
