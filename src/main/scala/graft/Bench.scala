@@ -80,7 +80,16 @@ object Bench {
           // bzip2 encode+decode (prefix-doubling BWT + Huffman): the
           // r15 codec family gets the same cold-JIT treatment
           graft.functions.CodeOps.unbzip2Text(
-            graft.functions.CodeOps.synthJsonlBz2(lit(7L), lit(1), lit(2))).as("bz"))
+            graft.functions.CodeOps.synthJsonlBz2(lit(7L), lit(1), lit(2))).as("bz"),
+          // r16 codec families: lz4 frame, snappy framing, structured
+          // zstd dictionary — same rule (every codec family warm or
+          // its JIT lands on that family's alphabetically-first query)
+          graft.functions.CodeOps.unlz4Text(
+            graft.functions.CodeOps.synthJsonlLz4(lit(7L), lit(1), lit(2))).as("lz"),
+          graft.functions.CodeOps.unsnappyText(
+            graft.functions.CodeOps.synthJsonlSnappy(lit(7L), lit(1), lit(2))).as("sn"),
+          graft.functions.CodeOps.unzstdSdictText(
+            graft.functions.CodeOps.synthJsonlZstSdict(lit(7L), lit(1), lit(2))).as("sd"))
         .foreach((_: org.apache.spark.sql.Row) => ())
     } catch { case _: Exception => } // warmup must never fail the bench
   }
