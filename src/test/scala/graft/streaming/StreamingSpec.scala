@@ -1039,7 +1039,11 @@ class StreamingSpec extends SparkSpec {
       6L -> Array[Byte](0, 1, 2, 3), // binary: labeled, null metrics
       // the r15 bzip2 front doors route through the same dispatch
       7L -> graft.sources.BzipCodec.synthJsonlBz2(107L, 1, 2),
-      8L -> graft.sources.BzipCodec.synthWikiBz2(108L, 2))
+      8L -> graft.sources.BzipCodec.synthWikiBz2(108L, 2),
+      // the r16 lz4 / snappy front doors, same rule: batch and stream
+      // must route and extract identically from the same bytes
+      9L -> graft.sources.Lz4Codec.synthJsonlLz4(109L, 1, 2),
+      10L -> graft.sources.SnappyCodec.synthJsonlSnappy(110L, 1, 2))
     val mem = MemoryStream[(Long, Array[Byte])]
     val stream = EventPipeline.streamingCorpus(
       mem.toDF().toDF("doc_id", "payload"))
@@ -1064,7 +1068,8 @@ class StreamingSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(1)).toMap
       assert(byId === Map(1L -> "pdf", 2L -> "docx", 3L -> "pptx",
         4L -> "html", 5L -> "text", 6L -> "binary",
-        7L -> "jsonl-bz2", 8L -> "wiki-bz2"))
+        7L -> "jsonl-bz2", 8L -> "wiki-bz2",
+        9L -> "jsonl-lz4", 10L -> "jsonl-snappy"))
       // the repaired text path actually repaired: n_chars of doc 5
       val doc5 = spark.table("corpus_ing").collect().find(_.getLong(0) == 5L).get
       assert(doc5.getInt(4) === "plain café text".length)
