@@ -66,6 +66,20 @@ class PushdownSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(500))
   }
 
+  test("q_tpch_q9 keeps the fact side broadcast-joined: one shuffle shape at most") {
+    // lineitem semi-filters by the broadcast part family, pair-joins
+    // the broadcast derived partsupp, and broadcast-joins supplier and
+    // nation — the ONLY join that may shuffle the fact is the
+    // lineitem ⋈ orders equi-join (both fact-scale); nothing else in
+    // the plan is allowed to sort-merge, and the part filter must be
+    // a LeftSemi (no fan-out from the dimension).
+    val plan = queries.ParityQueries.tpchQ9(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(plan.split("SortMergeJoin").length - 1 <= 1, plan.take(1500))
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3, plan.take(1500))
+  }
+
   test("q_tpch_q17 semi-joins the brand broadcast BEFORE the per-part aggregate") {
     // the r14 plan nit: the aggregate input must contain the part join
     // so only qualifying parts' lineitems shuffle (1/25 of the fact) —
