@@ -218,15 +218,16 @@ object Lz4Codec {
         val stored = word & 0x7fffffff
         val uncompressed = (word & 0x80000000) != 0
         if (stored > blockMax) fail("block over declared max")
-        if (p + stored > b.length) fail("block overruns input")
+        if (p.toLong + stored > b.length) fail("block overruns input")
         if (uncompressed) {
           out.ensure(stored)
           System.arraycopy(b, p, out.buf, out.len, stored)
           out.len += stored
         } else {
           // window floor: independent blocks may not reach before their
-          // own start; linked blocks reach into the frame's history
-          val floor = if (indep) out.len else frameStart
+          // own start; linked blocks reach into the frame's history,
+          // capped at the spec's 64 KB max match distance
+          val floor = if (indep) out.len else math.max(frameStart, out.len - 65536)
           decodeBlock(b, p, stored, out, floor, blockMax)
         }
         p += stored
@@ -264,7 +265,9 @@ object Lz4Codec {
       if (word == 0) done = true
       else {
         val stored = word & 0x7fffffff
-        if (p + stored > b.length) fail("block overruns input")
+        // stored has no blockMax bound here — compare in Long so a
+        // 0x7fffffff field fails loud instead of wrapping negative
+        if (p.toLong + stored > b.length) fail("block overruns input")
         p += stored
         if (blockCk) p += 4
       }
@@ -351,8 +354,12 @@ object Lz4Codec {
       val magic = le32(b, p)
       if ((magic & SkippableMask) == SkippableMagic) {
         if (p + 8 > b.length) fail("truncated skippable frame")
-        p += 8 + le32(b, p + 4)
-        if (p > b.length || p < 0) fail("skippable frame overruns input")
+        // size field is unsigned; a signed read of 0xFFFFFFF8 would
+        // advance by zero/backwards and loop this walk forever
+        val sz = le32(b, p + 4).toLong & 0xffffffffL
+        val next = p + 8 + sz
+        if (next > b.length) fail("skippable frame overruns input")
+        p = next.toInt
       } else if (magic == FrameMagic) {
         var q = p + 4
         if (q + 2 > b.length) fail("truncated frame descriptor")

@@ -107,8 +107,10 @@ object SnappyCodec {
             if (v + 1 > Int.MaxValue) fail("literal length overflow")
             len = (v + 1).toInt
           }
-          if (p + len > end) fail("literal overruns block")
-          if (o + len > n) fail("literal overruns declared size")
+          // len can be up to Int.MaxValue — compare in Long so the
+          // guards fail loud instead of wrapping negative
+          if (p.toLong + len > end) fail("literal overruns block")
+          if (o.toLong + len > n) fail("literal overruns declared size")
           System.arraycopy(b, p, out, o, len)
           p += len; o += len
         case c =>

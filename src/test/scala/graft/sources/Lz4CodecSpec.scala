@@ -228,6 +228,35 @@ class Lz4CodecSpec extends AnyFunSuite {
     assert(head.toSeq === repetitive.take(4096).toSeq)
   }
 
+  test("crafted size fields fail loud in Int-overflow territory (no hangs, typed)") {
+    // skippable frame declaring unsigned size 0xFFFFFFF8 (-8 signed):
+    // a signed walk would advance by zero and loop forever
+    val skipHuge = Array[Byte](0x50, 0x2a.toByte, 0x4d.toByte, 0x18.toByte,
+      0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 1, 2, 3)
+    assert(intercept[IllegalArgumentException](frameOffsets(skipHuge))
+      .getMessage.contains("overruns"))
+    assert(intercept[IllegalArgumentException](decompress(skipHuge))
+      .getMessage.contains("overruns"))
+    // frame whose block declares stored size 0x7ffffff0: p + stored
+    // wraps negative in Int; the declared-size walk must stay typed
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(0x184D2204)
+    val desc = Array[Byte]((0x40 | 0x20).toByte, (4 << 4).toByte)
+    out.write(desc, 0, desc.length)
+    out.write((xxh32(desc, 0, desc.length, 0) >>> 8) & 0xff)
+    w32(0x7ffffff0) // compressed block, absurd stored size
+    out.write(Array[Byte](1, 2, 3), 0, 3)
+    val huge = out.toByteArray
+    assert(intercept[IllegalArgumentException](frameOffsets(huge))
+      .getMessage.contains("overruns"))
+    assert(intercept[IllegalArgumentException](decompress(huge))
+      .getMessage.nonEmpty)
+  }
+
   test("jsonl shard surface: synth, text extraction, null contract, routing") {
     val z = synthJsonlLz4(3L, 1, 2)
     assert(jsonlLz4Text(z) ===

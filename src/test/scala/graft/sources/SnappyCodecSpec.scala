@@ -66,6 +66,14 @@ class SnappyCodecSpec extends AnyFunSuite {
     // malformed raw blocks are loud, typed
     intercept[IllegalArgumentException](decodeRaw(Array[Byte](10, 0))) // declared 10, got 0
     intercept[IllegalArgumentException](decodeRaw(Array[Byte](4, (2 | (63 << 2)).toByte, 0, 0))) // copy before start
+    // extended literal length near Int.MaxValue: p+len and o+len wrap
+    // negative in Int — both guards must stay typed, not arraycopy-bomb
+    val hugeLit = Array[Byte](4, // declared size 4
+      (63 << 2).toByte, // literal tag, 4 extra length bytes
+      0xfe.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte, // len-1 = 0x7ffffffe
+      'a', 'b')
+    assert(intercept[IllegalArgumentException](decodeRaw(hugeLit))
+      .getMessage.contains("overruns"))
   }
 
   test("framing, oracle 1: our framed streams decode byte-exact in real snappy") {
