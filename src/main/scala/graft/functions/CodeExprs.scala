@@ -766,6 +766,78 @@ case class SynthJsonlLz4Expr(first: Expression, second: Expression, third: Expre
   override def prettyName: String = "synth_jsonl_lz4"
 }
 
+/** `synth_jsonl_lz4_legacy(seed, n_members, lines_per)` — fixture
+  * ALTERNATING legacy (`lz4 -l`, 0x184C2102) and modern frames, the
+  * mixed-writer shard shape ([[graft.sources.Lz4Codec.synthJsonlLz4Legacy]]).
+  */
+case class SynthJsonlLz4LegacyExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.Lz4Codec.synthJsonlLz4Legacy(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.Lz4Codec.synthJsonlLz4Legacy($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlLz4LegacyExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_lz4_legacy"
+}
+
+/** `synth_jsonl_lz4_dict(seed, n_members, lines_per)` — fixture whose
+  * member frames are compressed against the shared raw-content
+  * dictionary AND declare its DictID
+  * ([[graft.sources.Lz4Codec.synthJsonlLz4Dict]]); decoding without
+  * the dictionary (or with the wrong id) is loud at the frame header.
+  */
+case class SynthJsonlLz4DictExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.Lz4Codec.synthJsonlLz4Dict(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.Lz4Codec.synthJsonlLz4Dict($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlLz4DictExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_lz4_dict"
+}
+
+/** `unlz4_dict_text(bin)` → UTF-8 text of a dictionary-compressed lz4
+  * shard decoded against the shared dictionary with its id enforced
+  * ([[graft.sources.Lz4Codec.unlz4DictText]], damage-tolerant); null
+  * for non-lz4 bytes.
+  */
+case class UnLz4DictTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.Lz4Codec.unlz4DictText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("lzd")
+      s"""
+         |String $r = graft.sources.Lz4Codec.unlz4DictText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnLz4DictTextExpr = copy(child = c)
+  override def prettyName: String = "unlz4_dict_text"
+}
+
 /** `unsnappy_text(bin)` → UTF-8 text of all concatenated snappy-framed
   * streams ([[graft.sources.SnappyCodec.unsnappyText]],
   * damage-tolerant); null for non-framed bytes — the sixth member of
@@ -1342,6 +1414,14 @@ object CodeOps {
   def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlLz4Expr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
+  def synthJsonlLz4Legacy(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlLz4LegacyExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def synthJsonlLz4Dict(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlLz4DictExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unlz4DictText(bin: Column): Column =
+    GraftExpr.toColumn(UnLz4DictTextExpr(GraftExpr.toExpr(bin)))
   def unbzip2Text(bin: Column): Column =
     GraftExpr.toColumn(Unbzip2TextExpr(GraftExpr.toExpr(bin)))
   def jsonlBz2Text(bin: Column): Column =

@@ -141,6 +141,9 @@ object GraftFunctions {
     "synth_jsonl_snappy" -> (a => CodeOps.synthJsonlSnappy(a.head, a(1), a(2))),
     "jsonl_lz4_text" -> (a => CodeOps.jsonlLz4Text(a.head)),
     "synth_jsonl_lz4" -> (a => CodeOps.synthJsonlLz4(a.head, a(1), a(2))),
+    "synth_jsonl_lz4_legacy" -> (a => CodeOps.synthJsonlLz4Legacy(a.head, a(1), a(2))),
+    "synth_jsonl_lz4_dict" -> (a => CodeOps.synthJsonlLz4Dict(a.head, a(1), a(2))),
+    "unlz4_dict_text" -> (a => CodeOps.unlz4DictText(a.head)),
     "unbzip2_text" -> (a => CodeOps.unbzip2Text(a.head)),
     "jsonl_bz2_text" -> (a => CodeOps.jsonlBz2Text(a.head)),
     "synth_jsonl_bz2" -> (a => CodeOps.synthJsonlBz2(a.head, a(1), a(2))),

@@ -203,17 +203,19 @@ class Lz4CodecSpec extends AnyFunSuite {
     assert(frameOffsets(withSkip).length === 3)
   }
 
-  test("out-of-subset forms are loud and typed: legacy, dictionary, reserved bits") {
+  test("guarded forms are loud and typed: truncated legacy, dict-without-dict, reserved bits") {
+    // legacy magic followed by a truncated size word
     val legacy = Array[Byte](0x02, 0x21, 0x4c.toByte, 0x18.toByte, 1, 2, 3)
     assert(intercept[IllegalArgumentException](decompress(legacy)).getMessage.contains("legacy"))
-    // dict-flagged descriptor with a VALID header checksum
+    // dict-flagged descriptor with a VALID header checksum, decoded
+    // WITHOUT a dictionary — must name the decompressWithDict surface
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte](0x04, 0x22, 0x4d.toByte, 0x18.toByte), 0, 4)
     val desc = Array[Byte]((0x40 | 0x20 | 0x01).toByte, (4 << 4).toByte, 0x42, 0, 0, 0)
     out.write(desc, 0, desc.length)
     out.write((xxh32(desc, 0, desc.length, 0) >>> 8) & 0xff)
     val e = intercept[IllegalArgumentException](decompress(out.toByteArray))
-    assert(e.getMessage.contains("dictionary"))
+    assert(e.getMessage.contains("decompressWithDict"))
     // reserved FLG bit
     val bad = compressFrame("x".getBytes).clone()
     bad(4) = (bad(4) | 0x02).toByte
@@ -226,6 +228,139 @@ class Lz4CodecSpec extends AnyFunSuite {
     val head = decodePrefix(big, 4096)
     assert(head.length === 4096)
     assert(head.toSeq === repetitive.take(4096).toSeq)
+  }
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/lz4/$name")
+    require(in != null, s"missing test resource /lz4/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private val Lz4Cli = java.nio.file.Paths.get("/root/miniconda/bin/lz4")
+
+  /** Run the REAL lz4 CLI (stdin→stdout); cancels the test when the
+    * binary is absent — the pinned-resource cases above cover the
+    * same formats unconditionally.
+    */
+  private def cli(input: Array[Byte], args: String*): Array[Byte] = {
+    val pb = new ProcessBuilder((Lz4Cli.toString +: args :+ "-c"): _*)
+    pb.redirectErrorStream(false)
+    val proc = pb.start()
+    val writer = new Thread(() => { proc.getOutputStream.write(input); proc.getOutputStream.close() })
+    writer.start()
+    val out = proc.getInputStream.readAllBytes()
+    writer.join()
+    assert(proc.waitFor() === 0, s"lz4 ${args.mkString(" ")} failed")
+    out
+  }
+  test("legacy frames: pinned real `lz4 -l` output decodes byte-exact here") {
+    val expected = resource("legacy.jsonl")
+    val frame = resource("legacy.jsonl.lz4l")
+    assert((frame(0) & 0xff, frame(1) & 0xff) === (0x02, 0x21)) // 0x184C2102 LE
+    assert(decompress(frame).toSeq === expected.toSeq)
+    assert(isLz4(frame))
+    assert(frameOffsets(frame).toSeq === Seq((0L, frame.length.toLong)))
+    // truncation is loud; tolerant keeps nothing decodable or prefix
+    intercept[IllegalArgumentException](decompress(java.util.Arrays.copyOf(frame, frame.length - 3)))
+  }
+
+  test("legacy frames: multi-block walk, mixed legacy+modern shard, offsets") {
+    val data = ("legacy shard line with repeats repeats repeats\n" * 400).getBytes("UTF-8")
+    for (bs <- Seq(96, 1024, 8 << 20)) {
+      val frame = compressFrameLegacy(data, blockSize = bs)
+      assert(decompress(frame).toSeq === data.toSeq, s"bs=$bs")
+    }
+    val shard = synthJsonlLz4Legacy(9L, 5, 3)
+    val offs = frameOffsets(shard)
+    assert(offs.length === 5)
+    assert(offs.map(_._2).sum === shard.length.toLong)
+    val joined = offs.map { case (off, len) =>
+      decompress(java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt))
+    }.reduce(_ ++ _)
+    assert(joined.toSeq === decompress(shard).toSeq)
+    assert(jsonlLz4Text(shard).contains("doc 9 m0 l0"))
+    assert(FormatDetect.detect(shard) === "jsonl-lz4")
+    // crafted legacy block size over the 8 MiB compress bound is loud
+    val bad = Array[Byte](0x02, 0x21, 0x4c.toByte, 0x18.toByte,
+      0x00, 0x00, 0x90.toByte, 0x00, 1, 2, 3) // 9 MiB
+    assert(intercept[IllegalArgumentException](decompress(bad)).getMessage.contains("over bound"))
+  }
+
+  test("legacy frames, live CLI dual oracle: ours decode there, theirs decode here") {
+    assume(java.nio.file.Files.isExecutable(Lz4Cli), "real lz4 CLI not present")
+    val data = ("live oracle line alpha beta gamma\n" * 2000).getBytes("UTF-8")
+    // theirs → here
+    assert(decompress(cli(data, "-l", "-9")).toSeq === data.toSeq)
+    // ours (canonical 8 MiB blocks AND small multi-block form) → there
+    assert(cli(compressFrameLegacy(data), "-d").toSeq === data.toSeq)
+    assert(cli(compressFrameLegacy(data, blockSize = 512), "-d").toSeq === data.toSeq)
+    // mixed legacy+modern concatenation decodes there too
+    assert(cli(synthJsonlLz4Legacy(4L, 4, 3), "-d").length > 0)
+    // dict frames: ours decode there (CLI takes the dict as a file);
+    // the declared DictID must not trip the real decoder
+    val dictFile = java.nio.file.Files.createTempFile("lz4dict", ".bin")
+    try {
+      java.nio.file.Files.write(dictFile, jsonlDict)
+      val dictShard = synthJsonlLz4Dict(4L, 2, 3)
+      assert(cli(dictShard, "-d", "-D", dictFile.toString).toSeq ===
+        decompressWithDict(dictShard, jsonlDict, JsonlDictId).toSeq)
+    } finally java.nio.file.Files.deleteIfExists(dictFile)
+  }
+
+  test("dictionary frames: pinned real `lz4 -D` output decodes with the dict, loud without") {
+    // fixture content is compressible ONLY via the dictionary (the real
+    // CLI itself exits 66 decoding it without -D)
+    val expected = resource("dictdata.jsonl")
+    val dict = resource("dict.bin")
+    val frame = resource("dict.jsonl.lz4")
+    assert(decompressWithDict(frame, dict).toSeq === expected.toSeq)
+    // the CLI does not declare a DictID, so failure without the dict
+    // surfaces at the window floor (match reaching before the frame)
+    intercept[IllegalArgumentException](decompress(frame))
+    // wrong dict content → the frame's content checksum is loud
+    val wrong = dict.clone(); wrong(100) = (wrong(100) ^ 0x55).toByte
+    intercept[IllegalArgumentException](decompressWithDict(frame, wrong))
+  }
+
+  test("dictionary frames: declared-id enforcement, both dict semantics, own round-trip") {
+    val shard = synthJsonlLz4Dict(6L, 3, 3)
+    assert(new String(decompressWithDict(shard, jsonlDict, JsonlDictId), "UTF-8")
+      .contains("doc 6 m0 l0"))
+    assert(unlz4DictText(shard).contains("doc 6 m2 l2"))
+    // no dict at all → loud at the header, names the surface
+    assert(intercept[IllegalArgumentException](decompress(shard))
+      .getMessage.contains("decompressWithDict"))
+    // wrong expected id → loud at the header
+    assert(intercept[IllegalArgumentException](decompressWithDict(shard, jsonlDict, 0x1234L))
+      .getMessage.contains("wrong dictionary"))
+    // id-less caller (expectId = -1) still decodes
+    assert(decompressWithDict(shard, jsonlDict).length > 0)
+    // LINKED blocks + dict: hand-built frame whose first block matches
+    // into the dict and second block matches into block 1 across the
+    // linked boundary
+    val dict = "0123456789abcdef".getBytes("UTF-8")
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    w32(0x184D2204)
+    val desc = Array[Byte](0x40.toByte, (4 << 4).toByte) // B.Indep=0, no dict id declared
+    out.write(desc, 0, desc.length)
+    out.write((xxh32(desc, 0, desc.length, 0) >>> 8) & 0xff)
+    // block 1: ['X', match(offset 17, len 8)] — reaches 16 back into dict tail
+    val b1 = Array[Byte](0x14, 'X'.toByte, 17, 0, 0x10, 'Y'.toByte)
+    w32(b1.length); out.write(b1, 0, b1.length)
+    // block 2: ['Z', match(offset 10, len 6)] — reaches into block 1's output
+    val b2 = Array[Byte](0x12, 'Z'.toByte, 10, 0, 0x10, 'W'.toByte)
+    w32(b2.length); out.write(b2, 0, b2.length)
+    w32(0)
+    val linked = out.toByteArray
+    // block 1: offset 17 from position 1 lands at logical -16 = dict[0],
+    // so the 8-byte match reads "01234567" → "X01234567Y"; block 2's
+    // offset-10 match from position 11 reads buffer positions 1..6
+    // ("012345") across the linked-block boundary → "Z012345W"
+    assert(new String(decompressWithDict(linked, dict), "UTF-8") === "X01234567Y" + "Z012345W")
   }
 
   test("crafted size fields fail loud in Int-overflow territory (no hangs, typed)") {
