@@ -84,6 +84,7 @@ object CodeExprs {
         else if (BzipCodec.isBzip2(b)) BzipCodec.streamOffsets(b)
         else if (Lz4Codec.isLz4(b)) Lz4Codec.frameOffsets(b)
         else if (SnappyCodec.isSnappyFramed(b)) SnappyCodec.memberOffsets(b)
+        else if (SnappyCodec.isHadoopSnappy(b)) SnappyCodec.hadoopBlockOffsets(b)
         else null
       } catch { case _: Exception => null } // damaged shard: no split plan
     if (pairs == null) null
@@ -864,6 +865,55 @@ case class UnsnappyTextExpr(child: Expression) extends UnaryExpression with Impl
   override def prettyName: String = "unsnappy_text"
 }
 
+/** `synth_jsonl_snappy_hadoop(seed, n_members, lines_per)` — fixture
+  * in the magic-less Hadoop-snappy container (BE block/chunk lengths),
+  * rotating single- and multi-chunk blocks
+  * ([[graft.sources.SnappyCodec.synthJsonlSnappyHadoop]]).
+  */
+case class SynthJsonlSnappyHadoopExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, m: Any, l: Any): Any =
+    graft.sources.SnappyCodec.synthJsonlSnappyHadoop(seed.asInstanceOf[Long],
+      m.asInstanceOf[Int], l.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, m, l) =>
+      s"${ev.value} = graft.sources.SnappyCodec.synthJsonlSnappyHadoop($seed, $m, $l);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthJsonlSnappyHadoopExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_jsonl_snappy_hadoop"
+}
+
+/** `unsnappy_hadoop_text(bin)` → UTF-8 text of a Hadoop-snappy
+  * container ([[graft.sources.SnappyCodec.unsnappyHadoopText]],
+  * tolerant, block-grain prefix on damage); null when the geometry
+  * does not walk.
+  */
+case class UnsnappyHadoopTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.SnappyCodec.unsnappyHadoopText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("snh")
+      s"""
+         |String $r = graft.sources.SnappyCodec.unsnappyHadoopText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnsnappyHadoopTextExpr = copy(child = c)
+  override def prettyName: String = "unsnappy_hadoop_text"
+}
+
 /** `jsonl_snappy_text(bin)` → newline-joined `text` fields of a
   * `.jsonl.sz` shard ([[graft.sources.SnappyCodec.jsonlSnappyText]]).
   */
@@ -1409,6 +1459,11 @@ object CodeOps {
   def synthJsonlSnappy(seed: Column, nMembers: Column, linesPer: Column): Column =
     GraftExpr.toColumn(SynthJsonlSnappyExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
       GraftExpr.toExpr(linesPer)))
+  def synthJsonlSnappyHadoop(seed: Column, nMembers: Column, linesPer: Column): Column =
+    GraftExpr.toColumn(SynthJsonlSnappyHadoopExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nMembers),
+      GraftExpr.toExpr(linesPer)))
+  def unsnappyHadoopText(bin: Column): Column =
+    GraftExpr.toColumn(UnsnappyHadoopTextExpr(GraftExpr.toExpr(bin)))
   def jsonlLz4Text(bin: Column): Column =
     GraftExpr.toColumn(JsonlLz4TextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =

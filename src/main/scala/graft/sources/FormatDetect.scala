@@ -12,7 +12,9 @@ import java.nio.charset.StandardCharsets
   *
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
   * jsonl-zst, zstd, jsonl-xz, xz, jsonl-lz4, lz4, jsonl-snappy, snappy,
-  * jsonl-bz2, wiki-bz2, bzip2, tar, rtf, ole (legacy .doc/.xls/.msg —
+  * jsonl-snappy-hadoop, snappy-hadoop (the magic-less HDFS container,
+  * structurally detected last), jsonl-bz2, wiki-bz2, bzip2, tar, rtf,
+  * ole (legacy .doc/.xls/.msg —
   * classified for quarantine, no extractor), mbox, jpeg, png, gif,
   * tiff, avro, wav, flac, avi, html, mediawiki (dump-XML shards), xml,
   * text, binary, empty.
@@ -163,6 +165,13 @@ object FormatDetect {
         (trimmed.startsWith("<?xml") && head.contains("<mediawiki"))) return "mediawiki"
     if (trimmed.startsWith("<?xml")) return "xml"
     if (looksTextual(b)) return "text"
+    // Hadoop-snappy (HDFS .snappy exports) carries NO magic — only the
+    // exact container geometry identifies it, so this structural check
+    // runs LAST, after every magic-based and textual route has passed
+    if (SnappyCodec.isHadoopSnappy(b)) {
+      val head = SnappyCodec.decodeHadoopPrefix(b, 4096)
+      return if (looksJsonl(head)) "jsonl-snappy-hadoop" else "snappy-hadoop"
+    }
     "binary"
   }
 }

@@ -419,6 +419,231 @@ object SnappyCodec {
     if (texts.isEmpty) null else texts.mkString("\n")
   }
 
+  // ------------------------------------------------------------------
+  // Hadoop block format
+  // ------------------------------------------------------------------
+  /** The `.snappy` files Hadoop's SnappyCodec writes are NEITHER raw
+    * snappy NOR the framing format: `BlockCompressorStream` emits, per
+    * buffer-sized block, a 4-byte BE UNCOMPRESSED length followed by
+    * one or more [4-byte BE compressed length][raw snappy block]
+    * chunks until the block's content is complete. No magic, no
+    * checksums — the container is only STRUCTURALLY detectable:
+    * [[isHadoopSnappy]] walks the exact geometry (block lengths,
+    * chunk lengths, each chunk's declared varint preamble) without
+    * decoding, and only a byte-exact walk routes. HDFS exports hit
+    * this form before either spec'd one.
+    */
+  private val HadoopBlockMax = 64 << 20 // sanity cap; buffers are config-scaled in the wild
+
+  private def be32(b: Array[Byte], p: Int): Int =
+    ((b(p) & 0xff) << 24) | ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+
+  /** Raw snappy varint preamble at `p` — the chunk's DECLARED decoded
+    * size, read without decoding (the structural walk's grip).
+    */
+  private def rawDeclared(b: Array[Byte], p: Int, end: Int): Long = {
+    var declared = 0L
+    var shift = 0
+    var q = p
+    var more = true
+    while (more) {
+      if (q >= end) fail("truncated length preamble")
+      val by = b(q) & 0xff; q += 1
+      declared |= (by & 0x7fL) << shift
+      shift += 7
+      if (shift > 35) fail("length preamble over 5 bytes")
+      more = (by & 0x80) != 0
+    }
+    declared
+  }
+
+  /** Structural walk of the Hadoop container: calls `onChunk(blockIdx,
+    * chunkFrom, chunkLen, declared)` per chunk and returns the block
+    * count; loud on any geometry violation. Decodes nothing itself.
+    */
+  private def hadoopWalk(b: Array[Byte], onChunk: (Int, Int, Int, Int) => Int): Int = {
+    var p = 0
+    var blocks = 0
+    while (p < b.length) {
+      if (p + 4 > b.length) fail("hadoop: truncated block length")
+      val origLen = be32(b, p)
+      // origLen == 0 is REAL: BlockCompressorStream.finish() emits a
+      // trailing empty block (observed from Hadoop's own writer)
+      if (origLen < 0 || origLen > HadoopBlockMax) fail(s"hadoop: implausible block length $origLen")
+      p += 4
+      var rem = origLen
+      while (rem > 0) {
+        if (p + 4 > b.length) fail("hadoop: truncated chunk length")
+        val chunkLen = be32(b, p)
+        p += 4
+        if (chunkLen <= 0 || p.toLong + chunkLen > b.length) fail("hadoop: chunk overruns input")
+        val declared = rawDeclared(b, p, p + chunkLen)
+        if (declared <= 0 || declared > rem) fail(s"hadoop: chunk declares $declared of $rem remaining")
+        rem -= onChunk(blocks, p, chunkLen, declared.toInt)
+        p += chunkLen
+      }
+      blocks += 1
+    }
+    blocks
+  }
+
+  /** True iff the payload is a byte-exact Hadoop-snappy container (at
+    * least one block, every length field consistent to the last byte).
+    * A heuristic by necessity — the format has no magic — but the
+    * full-geometry walk leaves essentially no room for accidental
+    * matches on other formats.
+    */
+  def isHadoopSnappy(b: Array[Byte]): Boolean =
+    b != null && b.length >= 9 && {
+      // require actual content, not just empty blocks — a run of zero
+      // words would otherwise walk "exactly" and route garbage here
+      var content = 0L
+      try {
+        hadoopWalk(b, (_, _, _, declared) => { content += declared; declared })
+        content > 0
+      } catch { case _: Exception => false }
+    }
+
+  /** Decode a Hadoop-snappy container; loud on any damage. */
+  def decodeHadoop(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 2))
+    hadoopWalk(b, (_, from, len, declared) => {
+      val dec = decodeRawAt(b, from, len, maxOut)
+      if (dec.length != declared) fail("hadoop: chunk decode size mismatch") // unreachable: preamble IS declared
+      if (out.size() + dec.length > maxOut) fail(s"output over cap ($maxOut bytes)")
+      out.write(dec, 0, dec.length)
+      dec.length
+    })
+    out.toByteArray
+  }
+
+  /** Best-effort [[decodeHadoop]]: verified blocks before the first
+    * damage (the sibling tolerant-surface contract). Partial blocks
+    * are dropped block-grain.
+    */
+  def decodeHadoopTolerant(b: Array[Byte], maxOut: Int = 1 << 28): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.max(64, b.length * 2))
+    var goodBlocks = 0
+    var pending = new java.io.ByteArrayOutputStream()
+    try {
+      hadoopWalk(b, (blockIdx, from, len, _) => {
+        if (blockIdx > goodBlocks) { out.write(pending.toByteArray); pending = new java.io.ByteArrayOutputStream(); goodBlocks = blockIdx }
+        val dec = decodeRawAt(b, from, len, maxOut)
+        if (out.size() + pending.size() + dec.length > maxOut) fail(s"output over cap ($maxOut bytes)")
+        pending.write(dec, 0, dec.length)
+        dec.length
+      })
+      out.write(pending.toByteArray)
+    } catch { case _: Exception => () }
+    out.toByteArray
+  }
+
+  /** Byte offsets + lengths of the container's BLOCKS — the split
+    * grain of a Hadoop-snappy shard (each block decodes
+    * independently); declared lengths only, no decode.
+    */
+  def hadoopBlockOffsets(b: Array[Byte]): Array[(Long, Long)] = {
+    if (!isHadoopSnappy(b)) fail("not a hadoop-snappy payload")
+    val starts = Vector.newBuilder[Long]
+    var lastBlock = -1
+    var blockStart = 0L
+    hadoopWalk(b, (blockIdx, from, _, declared) => {
+      if (blockIdx != lastBlock) {
+        blockStart = from - 8L // before chunk length + block length words
+        starts += blockStart
+        lastBlock = blockIdx
+      }
+      declared
+    })
+    val s = starts.result() :+ b.length.toLong
+    s.sliding(2).map { case Seq(a, e) => (a, e - a) }.toArray
+  }
+
+  /** Fixture writer for the Hadoop container. `chunkSize < blockSize`
+    * produces the multi-chunk blocks `BlockCompressorStream` emits
+    * when its compressor buffer is smaller than the block buffer.
+    */
+  def encodeHadoop(data: Array[Byte], blockSize: Int = 1 << 18, chunkSize: Int = -1): Array[Byte] = {
+    require(blockSize > 0 && blockSize <= HadoopBlockMax, s"hadoop block size $blockSize")
+    val cs = if (chunkSize <= 0) blockSize else math.min(chunkSize, blockSize)
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    def wbe32(v: Int): Unit = {
+      out.write((v >> 24) & 0xff); out.write((v >> 16) & 0xff)
+      out.write((v >> 8) & 0xff); out.write(v & 0xff)
+    }
+    var p = 0
+    while (p < data.length) {
+      val n = math.min(blockSize, data.length - p)
+      wbe32(n)
+      var q = p
+      while (q < p + n) {
+        val c = math.min(cs, p + n - q)
+        val comp = encodeRaw(data, q, c)
+        wbe32(comp.length)
+        out.write(comp, 0, comp.length)
+        q += c
+      }
+      p += n
+    }
+    out.toByteArray
+  }
+
+  /** Multi-member Hadoop-snappy fixture (appended blocks; the format
+    * has no member concept, so members are just more blocks), rotating
+    * block and chunk sizes so single- and multi-chunk blocks both sit
+    * under the hash gate.
+    */
+  def synthJsonlSnappyHadoop(seed: Long, nMembers: Int, linesPer: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until math.max(1, nMembers)).foreach { m =>
+      val sb = new java.lang.StringBuilder()
+      (0 until math.max(1, linesPer)).foreach { l =>
+        sb.append("{\"id\": ").append(seed * 1000 + m * 10 + l)
+          .append(", \"text\": \"doc ").append(seed).append(" m").append(m)
+          .append(" l").append(l).append(" say \\\"hi\\\"\\tok\"")
+          .append(", \"lang\": \"").append(if ((m + l) % 2 == 0) "en" else "fr")
+          .append("\", \"score\": ").append((seed + m + l) % 100).append("}\n")
+      }
+      val data = sb.toString.getBytes(UTF_8)
+      out.write(
+        if (m % 2 == 0) encodeHadoop(data, blockSize = 1 << 18)
+        else encodeHadoop(data, blockSize = 1 << 18, chunkSize = 64))
+    }
+    out.toByteArray
+  }
+
+  /** Bounded sniff: first `want` decoded bytes of the Hadoop
+    * container, chunk-grain stop (the [[decodePrefix]] analog for the
+    * magic-less form).
+    */
+  def decodeHadoopPrefix(b: Array[Byte], want: Int): Array[Byte] = {
+    if (b == null) return null
+    val out = new java.io.ByteArrayOutputStream(math.min(want + 4096, 1 << 20))
+    try {
+      hadoopWalk(b, (_, from, len, declared) => {
+        if (out.size() < want) {
+          val dec = decodeRawAt(b, from, len, 1 << 26)
+          out.write(dec, 0, dec.length)
+          dec.length
+        } else declared // past `want`: walk structurally, decode nothing
+      })
+    } catch { case _: Exception => () }
+    val raw = out.toByteArray
+    if (raw.length <= want) raw else java.util.Arrays.copyOf(raw, want)
+  }
+
+  /** Decoded UTF-8 text of a Hadoop-snappy container (tolerant,
+    * block-grain prefix on damage); null when the geometry does not
+    * walk or nothing decodes.
+    */
+  def unsnappyHadoopText(b: Array[Byte]): String = {
+    if (!isHadoopSnappy(b)) return null
+    val raw = decodeHadoopTolerant(b)
+    if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
+  }
+
   /** Full decoded UTF-8 text of all framed streams (tolerant) — the
     * sixth member of the gunzip/unzstd/unxz/unbzip2/unlz4 family.
     */

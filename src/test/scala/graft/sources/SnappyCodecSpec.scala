@@ -145,6 +145,93 @@ class SnappyCodecSpec extends AnyFunSuite {
     assert(head.toSeq === repetitive.take(4096).toSeq)
   }
 
+  test("hadoop container, oracle 1: real SnappyHadoopCompatibleOutputStream output decodes here") {
+    for (data <- Seq(repetitive,
+           ("{\"id\": 1, \"text\": \"short\"}\n" * 60).getBytes("UTF-8"),
+           { val b = new Array[Byte](200000); rng(7).nextBytes(b); b });
+         blockSize <- Seq(1 << 12, 1 << 15, 1 << 18)) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new org.xerial.snappy.SnappyHadoopCompatibleOutputStream(bos, blockSize)
+      out.write(data)
+      out.close()
+      val real = bos.toByteArray
+      assert(isHadoopSnappy(real), s"blockSize=$blockSize")
+      assert(decodeHadoop(real).toSeq === data.toSeq, s"blockSize=$blockSize")
+    }
+  }
+
+  test("hadoop container, oracle 2: our containers decode byte-exact in Hadoop's SnappyCodec") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    val codec = new org.apache.hadoop.io.compress.SnappyCodec()
+    codec.setConf(conf)
+    def hadoopRead(b: Array[Byte]): Array[Byte] = {
+      val in = codec.createInputStream(new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+    for (data <- Seq(repetitive,
+           { val b = new Array[Byte](90000); rng(8).nextBytes(b); b });
+         chunk <- Seq(-1, 4096)) { // single- AND multi-chunk blocks
+      val mine = encodeHadoop(data, blockSize = 1 << 16, chunkSize = chunk)
+      assert(hadoopRead(mine).toSeq === data.toSeq, s"chunk=$chunk")
+      assert(decodeHadoop(mine).toSeq === data.toSeq)
+    }
+    // and the reverse sanity: Hadoop's own WRITER output decodes here
+    val bos = new java.io.ByteArrayOutputStream()
+    val hout = codec.createOutputStream(bos)
+    hout.write(repetitive)
+    hout.close()
+    assert(decodeHadoop(bos.toByteArray).toSeq === repetitive.toSeq)
+  }
+
+  test("hadoop container: structural detection is exact, no cross-format bleed") {
+    val shard = synthJsonlSnappyHadoop(5L, 4, 3)
+    assert(isHadoopSnappy(shard))
+    assert(FormatDetect.detect(shard) === "jsonl-snappy-hadoop")
+    assert(FormatDetect.detect(encodeHadoop("plain prose payload here".getBytes("UTF-8"))) === "snappy-hadoop")
+    // the OTHER snappy forms do not route as hadoop, and vice versa
+    assert(!isHadoopSnappy(compressFramed(repetitive)))
+    assert(!isHadoopSnappy(encodeRaw(repetitive, 0, repetitive.length)))
+    assert(!isSnappyFramed(shard))
+    // non-snappy payloads: text, gzip, zeros, truncated geometry
+    assert(!isHadoopSnappy("not a container at all, just text".getBytes("UTF-8")))
+    assert(!isHadoopSnappy(Array.fill[Byte](64)(0)))
+    assert(!isHadoopSnappy(java.util.Arrays.copyOf(shard, shard.length - 3)))
+    assert(!isHadoopSnappy(GzipShard.synthJsonlGz(1L, 1, 2)))
+  }
+
+  test("hadoop container: damage is loud or block-grain tolerant, offsets split exactly") {
+    val shard = synthJsonlSnappyHadoop(11L, 5, 4)
+    val full = decodeHadoop(shard)
+    // block-grain split plan joins back to the full decode
+    val offs = hadoopBlockOffsets(shard)
+    assert(offs.length >= 5) // one block per member at fixture sizes
+    assert(offs.map(_._2).sum === shard.length.toLong)
+    val joined = offs.map { case (off, len) =>
+      decodeHadoop(java.util.Arrays.copyOfRange(shard, off.toInt, (off + len).toInt))
+    }.reduce(_ ++ _)
+    assert(joined.toSeq === full.toSeq)
+    // truncation: strict loud, tolerant keeps whole leading blocks
+    val cut = java.util.Arrays.copyOf(shard, shard.length - 5)
+    intercept[IllegalArgumentException](decodeHadoop(cut))
+    val kept = decodeHadoopTolerant(cut)
+    assert(kept.length < full.length)
+    assert(kept.toSeq === full.take(kept.length).toSeq)
+    // corrupt block-length field: loud, typed
+    val bad = shard.clone()
+    bad(0) = 0x7f // block length becomes implausible
+    intercept[IllegalArgumentException](decodeHadoop(bad))
+    assert(!isHadoopSnappy(bad))
+    // sniff primitive
+    assert(decodeHadoopPrefix(shard, 64).toSeq === full.take(64).toSeq)
+    assert(unsnappyHadoopText(shard).contains("doc 11 m0 l0"))
+    assert(unsnappyHadoopText("nope".getBytes("UTF-8")) === null)
+  }
+
   test("jsonl shard surface: synth, text extraction, null contract, routing") {
     val z = synthJsonlSnappy(3L, 1, 2)
     assert(jsonlSnappyText(z) ===
