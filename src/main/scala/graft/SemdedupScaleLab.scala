@@ -52,13 +52,23 @@ object SemdedupScaleLab {
 
     val (t1, n1, p1, m1) = run(base, k0)
     val (tf, nf, pf, mf) = run(x10, k0)       // 10× rows, nlist pinned
-    val (tp, np, pp, mp) = run(x10, k0 * 10)  // 10× rows, nlist ∝ N
+    val (tp, np, pp, mp) = run(x10, k0 * 10)  // 10× rows, nlist ∝ N, pinned ratio
+    // the DEFAULT path users call: semDedupAuto derives nlist from the
+    // corpus itself (autoNlist = rows/250, r17) — measured so the lab
+    // describes the shipped default, not just the hand-scaled ratio
+    val (ta, na, pa, ma) = {
+      val emb = spark.read.parquet(s"$x10/embeddings.parquet")
+      val kAuto = graft.operators.Similarity.autoNlist(emb.count())
+      run(x10, kAuto) match { case (t, n, p, m) => (t, n, p, m) }
+    }
+    val kAuto = graft.operators.Similarity.autoNlist(na)
     def ms(t: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val line =
       s"""{"metric":"semdedup_nlist","x1":{"k":$k0,"rows":$n1,"pairs":$p1,"max_cluster":$m1,"sec":${ms(t1)}},""" +
         s""""x10_pinned":{"k":$k0,"rows":$nf,"pairs":$pf,"max_cluster":$mf,"sec":${ms(tf)}},""" +
         s""""x10_scaled":{"k":${k0 * 10},"rows":$np,"pairs":$pp,"max_cluster":$mp,"sec":${ms(tp)}},""" +
-        s""""growth_pinned":${ms(tf / t1)},"growth_scaled":${ms(tp / t1)},""" +
+        s""""x10_auto":{"k":$kAuto,"rows":$na,"pairs":$pa,"max_cluster":$ma,"sec":${ms(ta)}},""" +
+        s""""growth_pinned":${ms(tf / t1)},"growth_scaled":${ms(tp / t1)},"growth_auto":${ms(ta / t1)},""" +
         s""""pair_growth_pinned":${ms(pf.toDouble / p1)},"pair_growth_scaled":${ms(pp.toDouble / p1)},""" +
         s""""cpus":${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}}"""
     val out = java.nio.file.Paths.get("target/semdedup_scale.json")

@@ -208,6 +208,32 @@ object Similarity {
     * threshold), which needs no iteration: one anti-join of the corpus
     * against the dropped-id set.
     */
+  /** Cluster-count sizing for [[semDedupAuto]]: nlist ∝ N (rows/250,
+    * floored) keeps the expected within-cluster pair count LINEAR in
+    * the corpus — the deployment shape. SemdedupScaleLab measured the
+    * difference at ×10 rows: nlist pinned = 43× wall / 100× pairs;
+    * nlist ∝ N = 7.5× wall / 10.4× pairs (r16, min-of-3).
+    */
+  def autoNlist(rows: Long, rowsPerList: Int = 250, minList: Int = 8): Int =
+    math.max(minList, math.min(1 << 20, rows / math.max(1, rowsPerList)).toInt)
+
+  /** Deployment entry for [[semDedup]]: counts the corpus once,
+    * auto-sizes the cluster count via [[autoNlist]] (nlist ∝ N), and
+    * generates the deterministic hyperplane centroid set (in
+    * production the centroids would be a k-means artifact; any
+    * deterministic spread works for the coarse quantizer here). The
+    * explicit-centroids overload below stays for pinned/fixture use —
+    * the oracle fixtures pass their pin explicitly so the enumerable
+    * cluster set is unchanged.
+    */
+  def semDedupAuto(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   threshold: Double, rowsPerList: Int = 250): DataFrame = {
+    val nlist = autoNlist(df.count(), rowsPerList)
+    val centroids = (0 until nlist).map(i =>
+      (1 to dim).map(d => graft.functions.Hashing.hyperplane(100 + i, d)).toSeq)
+    semDedup(df, idCol, vecCol, dim, centroids, threshold)
+  }
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
     val e = withIvfList(df, vecCol, dim, centroids)

@@ -92,6 +92,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map(1L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("semDedupAuto sizes nlist to the corpus (nlist ∝ N) and dedups exact duplicates") {
+    // sizing law: rows/250 floored at the minimum, capped
+    assert(Similarity.autoNlist(0) === 8)
+    assert(Similarity.autoNlist(2000) === 8)
+    assert(Similarity.autoNlist(25000) === 100)
+    assert(Similarity.autoNlist(250L * (1 << 20) * 2) === (1 << 20))
+    assert(Similarity.autoNlist(25000, rowsPerList = 2500) === 10)
+    // deployment entry end-to-end: identical vectors collapse to the
+    // lowest id regardless of which auto cluster they land in
+    val data = (1L to 40L).map { i =>
+      val base = (i % 5).toInt
+      (i, Array.tabulate(4)(d => if (d == base % 4) 1.0f else 0.05f * base))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.semDedupAuto(data, "vec_id", "embedding", 4, 0.999)
+      .as[(Long, Int)].collect()
+    // 5 distinct vector values → exactly 5 survivors, each the lowest id of its value class
+    assert(out.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("LSH top-1 recall is perfect on clustered data (perturbation can't flip sign buckets)") {
     // corpus: 100 distinct ±1-valued vectors; queries: 8 of them nudged
     // by 0.1 — every dim keeps its sign, so query and base share the
