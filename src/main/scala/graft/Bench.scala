@@ -89,7 +89,11 @@ object Bench {
           graft.functions.CodeOps.unsnappyText(
             graft.functions.CodeOps.synthJsonlSnappy(lit(7L), lit(1), lit(2))).as("sn"),
           graft.functions.CodeOps.unzstdSdictText(
-            graft.functions.CodeOps.synthJsonlZstSdict(lit(7L), lit(1), lit(2))).as("sd"))
+            graft.functions.CodeOps.synthJsonlZstSdict(lit(7L), lit(1), lit(2))).as("sd"),
+          // r17 codec family: brotli decode (prefix codes, dictionary,
+          // transforms JIT) — same rule as every family above
+          graft.functions.WarcOps.unbrotliText(org.apache.spark.sql.functions.unbase64(
+            lit("GyIBgIxUtb/WEZOjk2lsb45x4HAjnv+2KA4eshTwaYh93mtgbZpqhpnZZRzH5wMA"))).as("br"))
         .foreach((_: org.apache.spark.sql.Row) => ())
     } catch { case _: Exception => } // warmup must never fail the bench
   }

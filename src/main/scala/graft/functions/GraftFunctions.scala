@@ -132,6 +132,9 @@ object GraftFunctions {
     "jsonl_zst_text" -> (a => CodeOps.jsonlZstText(a.head)),
     "synth_jsonl_zst" -> (a => CodeOps.synthJsonlZst(a.head, a(1), a(2))),
     "wet_text" -> (a => WarcOps.wetText(a.head)),
+    "http_payload_text" -> (a => WarcOps.httpPayloadText(a.head)),
+    "http_payload_encoding" -> (a => WarcOps.httpPayloadEncoding(a.head)),
+    "unbrotli_text" -> (a => WarcOps.unbrotliText(a.head)),
     "unxz_text" -> (a => CodeOps.unxzText(a.head)),
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),

@@ -173,6 +173,84 @@ case class WetTextExpr(child: Expression) extends UnaryExpression with ImplicitC
   override def prettyName: String = "wet_text"
 }
 
+/** `http_payload_text(bin)` → decoded UTF-8 text of an HTTP response
+  * body ([[graft.sources.WarcCodec.httpPayloadText]]): dispatches on
+  * `Content-Encoding` — `br` via the from-scratch RFC 7932 decoder,
+  * `gzip`, `identity` — null for non-HTTP bodies, unknown encodings
+  * and undecodable payloads.
+  */
+case class HttpPayloadTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = WarcCodec.httpPayloadText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("hpt")
+      s"""
+         |String $r = graft.sources.WarcCodec.httpPayloadText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): HttpPayloadTextExpr = copy(child = c)
+  override def prettyName: String = "http_payload_text"
+}
+
+/** `http_payload_encoding(bin)` → the response's `Content-Encoding`
+  * (lowercased, "identity" when absent); null for non-HTTP bodies.
+  */
+case class HttpPayloadEncodingExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = WarcCodec.httpPayloadEncoding(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("hpe")
+      s"""
+         |String $r = graft.sources.WarcCodec.httpPayloadEncoding($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): HttpPayloadEncodingExpr = copy(child = c)
+  override def prettyName: String = "http_payload_encoding"
+}
+
+/** `unbrotli_text(bin)` → decoded UTF-8 text of a bare brotli payload
+  * ([[graft.sources.BrotliCodec.unbrotliText]]); brotli has no magic,
+  * so routing is the caller's (`.br` suffix, Content-Encoding) — this
+  * is the suffix-routed surface, the WARC route goes through
+  * [[HttpPayloadTextExpr]].
+  */
+case class UnbrotliTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.BrotliCodec.unbrotliText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("brt")
+      s"""
+         |String $r = graft.sources.BrotliCodec.unbrotliText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): UnbrotliTextExpr = copy(child = c)
+  override def prettyName: String = "unbrotli_text"
+}
+
 /** Column-level entry points. */
 object WarcOps {
   def warcRecords(bin: Column): Column =
@@ -183,4 +261,10 @@ object WarcOps {
     GraftExpr.toColumn(SynthWarcGzExpr(GraftExpr.toExpr(records)))
   def synthWarcGzBin(records: Column): Column =
     GraftExpr.toColumn(SynthWarcGzBinExpr(GraftExpr.toExpr(records)))
+  def httpPayloadText(bin: Column): Column =
+    GraftExpr.toColumn(HttpPayloadTextExpr(GraftExpr.toExpr(bin)))
+  def httpPayloadEncoding(bin: Column): Column =
+    GraftExpr.toColumn(HttpPayloadEncodingExpr(GraftExpr.toExpr(bin)))
+  def unbrotliText(bin: Column): Column =
+    GraftExpr.toColumn(UnbrotliTextExpr(GraftExpr.toExpr(bin)))
 }

@@ -1594,6 +1594,61 @@ object DomainQueries {
       |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
       |FROM documents WHERE doc_id % 5 <> 0""".stripMargin
 
+  // ---------------------------------------------------------------- q_warc_br
+  /** Brotli-encoded crawl responses inside WARC framing — the
+    * `Content-Encoding: br` route, which is how a corpus engine
+    * actually meets brotli (the format has no magic; the header IS the
+    * routing). Response bodies are real HTTP messages; four of every
+    * five carry REAL brotli payloads (the reference C encoder's bytes,
+    * pinned as the literal battery below — the repo has no brotli
+    * encoder by design, so the battery is the deterministic fixture)
+    * and the fifth is an identity-encoded body built from the row's
+    * own text. Segments round-trip through `.warc.gz` framing, then
+    * `http_payload_text` dispatches on the header and decodes through
+    * the from-scratch RFC 7932 decoder, under the hash gate.
+    */
+  private val BrBattery: Array[Array[Byte]] = Array(
+    "GxwBAJwJNk6odze8BBHTaxcdOTpVJpdvbGmMASeI094EOnjISjzVTFL1NdhZvKIJAYOIs4vFj8MC",
+    "GygBcBwHbiw9m79OQVEp5ibXZWlsbxJEh84pB+y1ZZDnZRf1u8GRBxgnGiaUNB3+DGwfwWMZTAH5BS+jR7WuxNGMP4AB",
+    "GyUBsByHcSyxzs6OeA0iJncn6ch0uiyN7Y1TDthbASaW5smF5W5waFkQJxwW6HrZsq7jQzfP0F7XkQ+ZT4CP6O/z",
+    "GyIBgIxUtb/WEZOjk2lsb45x4HAjnv+2KA4eshTwaYh93mtgbZpqhpnZZRzH5wMA"
+  ).map(java.util.Base64.getDecoder.decode)
+  val warcBr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("text"))
+      .withColumn("idx", (col("doc_id") % 5).cast("int"))
+      .withColumn("http", concat(
+        encode(concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"),
+          when(col("idx") < 4, lit("Content-Encoding: br\r\n")).otherwise(lit("")),
+          lit("\r\n")), "UTF-8"),
+        when(col("idx") < 4, element_at(
+          array(BrBattery.toIndexedSeq.map(lit(_)): _*), col("idx") + 1))
+          .otherwise(encode(col("text"), "UTF-8"))))
+      .select(col("source"), struct(
+        lit("response").as("rec_type"),
+        concat(lit("https://"), col("source"), lit("/page/"), col("doc_id")).as("url"),
+        concat(lit("2026-03-0"), (col("doc_id") % 9 + 1).cast("string"),
+          lit("T00:00:00Z")).as("date"),
+        col("http").as("body")).as("rec"))
+      .groupBy("source").agg(collect_list(col("rec")).as("recs"))
+      .select(col("source"), graft.functions.WarcOps.synthWarcGzBin(col("recs")).as("warc"))
+      .select(col("source"),
+        explode(graft.functions.WarcOps.warcRecords(col("warc"))).as("r"))
+      .select(col("source"), col("r.url").as("url"),
+        graft.functions.WarcOps.httpPayloadEncoding(col("r.body")).as("enc"),
+        graft.functions.WarcOps.httpPayloadText(col("r.body")).as("text_out"))
+  val warcBrSql: String =
+    """SELECT source,
+      |       'https://' || source || '/page/' || CAST(doc_id AS VARCHAR) AS url,
+      |       CASE WHEN doc_id % 5 < 4 THEN 'br' ELSE 'identity' END AS enc,
+      |       CASE doc_id % 5
+      |         WHEN 0 THEN repeat('brotli battery zero: the committee of the government distributed photographs of the committee. ', 3)
+      |         WHEN 1 THEN repeat('brotli battery one: data processing at scale requires careful attention to the processing of data. ', 3)
+      |         WHEN 2 THEN repeat('brotli battery two: repeated phrases compress well because repeated phrases compress well indeed. ', 3)
+      |         WHEN 3 THEN repeat('brotli battery three: information about the development of the international information system. ', 3)
+      |         ELSE text END AS text_out
+      |FROM documents""".stripMargin
+
   /** WET extract ingestion (the Common-Crawl text-extract form —
     * same WARC framing, `conversion` records whose bodies are already
     * plain text, fronted by a `warcinfo` record): documents group into
@@ -2608,6 +2663,7 @@ object DomainQueries {
     "q_avi_frames" -> aviFrames,
     "q_avi_transcode" -> aviTranscode,
     "q_warc_ingest" -> warcIngest,
+    "q_warc_br" -> warcBr,
     "q_wet_text" -> wetText,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
@@ -2696,6 +2752,7 @@ object DomainQueries {
     "q_avi_frames" -> aviFramesSql,
     "q_avi_transcode" -> aviTranscodeSql,
     "q_warc_ingest" -> warcIngestSql,
+    "q_warc_br" -> warcBrSql,
     "q_wet_text" -> wetTextSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,

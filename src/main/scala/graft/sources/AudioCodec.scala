@@ -23,15 +23,11 @@ package graft.sources
   * decoder in a zero-egress build, the same class as the H.264/VP9
   * video note in [[AviCodec]]. (The compression walls fell in rounds
   * 14-15: zstd via [[ZstdCodec]], xz/LZMA via [[XzCodec]], bzip2 via
-  * [[BzipCodec]], all from-scratch.) Brotli (RFC 7932) is a different
-  * class: the spec is OPEN and a from-scratch decoder is feasible —
-  * it is absent by PRIORITIZATION, not constraint; its corpus surface
-  * (WOFF2 fonts, HTTP transfer encoding) is small next to the
-  * gzip/zstd/xz/bz2 shard formats, and — unlike those four — NO brotli
-  * implementation ships on the Spark classpath (commons-compress's
-  * BrotliCompressorInputStream delegates to an absent org.brotli dec
-  * jar), so the dual-oracle discipline every from-scratch codec here
-  * rests on has nothing to verify against in this zero-egress build. Containers are still detected and labeled so a
+  * [[BzipCodec]], all from-scratch; brotli DECODE fell in round 17 via
+  * [[BrotliCodec]] — no JVM oracle exists on this classpath, so its
+  * gate is pinned reference-encoder output rather than a live dual
+  * oracle, and the ENCODE side stays out of subset for exactly that
+  * oracle-gap reason.) Containers are still detected and labeled so a
   * pipeline quarantines them rather than silently dropping.
   */
 object AudioCodec {

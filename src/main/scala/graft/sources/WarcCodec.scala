@@ -190,6 +190,62 @@ object WarcCodec {
     if (texts.isEmpty) null else texts.mkString("\n")
   }
 
+  // ------------------------------------------------------------------
+  // HTTP response payloads (the body of a WARC `response` record)
+  // ------------------------------------------------------------------
+  /** Split an HTTP/1.x response into (status+headers, payload); None
+    * when the body is not an HTTP response at all (WET conversions,
+    * request records).
+    */
+  private def httpSplit(b: Array[Byte]): Option[(String, Array[Byte])] = {
+    if (b == null || b.length < 12 || b(0) != 'H' || b(1) != 'T' || b(2) != 'T' ||
+      b(3) != 'P' || b(4) != '/') return None
+    val sep = indexOf(b, "\r\n\r\n".getBytes(UTF_8), 0)
+    if (sep < 0) return None
+    Some((new String(b, 0, sep, UTF_8),
+      java.util.Arrays.copyOfRange(b, sep + 4, b.length)))
+  }
+
+  /** The response's `Content-Encoding` (lowercased; "identity" when
+    * the header is absent); null for non-HTTP bodies.
+    */
+  def httpPayloadEncoding(b: Array[Byte]): String =
+    httpSplit(b) match {
+      case None => null
+      case Some((head, _)) =>
+        head.split("\r\n").iterator.map(_.trim)
+          .find(_.toLowerCase.startsWith("content-encoding:"))
+          .map(_.substring("content-encoding:".length).trim.toLowerCase)
+          .getOrElse("identity")
+    }
+
+  /** Decoded UTF-8 text of an HTTP response payload, dispatching on
+    * `Content-Encoding` — `br` (the RFC 7932 decoder: crawl archives
+    * carry brotli at least as often as gzip now), `gzip`/`x-gzip`, and
+    * `identity`/absent. Null for non-HTTP bodies, unknown encodings
+    * (quarantine, never garbage), or payloads that fail to decode —
+    * the codec null-on-undecodable contract.
+    */
+  def httpPayloadText(b: Array[Byte]): String =
+    httpSplit(b) match {
+      case None => null
+      case Some((head, payload)) =>
+        val enc = head.split("\r\n").iterator.map(_.trim)
+          .find(_.toLowerCase.startsWith("content-encoding:"))
+          .map(_.substring("content-encoding:".length).trim.toLowerCase)
+          .getOrElse("identity")
+        val raw = enc match {
+          case "br" =>
+            try BrotliCodec.decompress(payload) catch { case _: Exception => null }
+          case "gzip" | "x-gzip" =>
+            val out = gunzipAll(payload)
+            if (out.length == 0 && payload.length > 0) null else out
+          case "identity" | "" => payload
+          case _ => null
+        }
+        if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
+    }
+
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(0, from)
     val last = hay.length - needle.length

@@ -109,4 +109,42 @@ class WarcCodecSpec extends SparkSpec {
     assert(WarcCodec.wetText(resp) === null)
     assert(WarcCodec.wetText("not warc".getBytes) === null)
   }
+
+  test("httpPayloadText: Content-Encoding dispatch — br, gzip, identity, unknown, non-http") {
+    def http(headers: String, payload: Array[Byte]): Array[Byte] = {
+      val head = s"HTTP/1.1 200 OK\r\n$headers\r\n".getBytes("UTF-8")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(head); out.write(payload); out.toByteArray
+    }
+    // br: REAL reference-encoder bytes (battery blob 3)
+    val br = java.util.Base64.getDecoder.decode(
+      "GyIBgIxUtb/WEZOjk2lsb45x4HAjnv+2KA4eshTwaYh93mtgbZpqhpnZZRzH5wMA")
+    val brBody = http("Content-Type: text/plain\r\nContent-Encoding: br\r\n", br)
+    assert(WarcCodec.httpPayloadEncoding(brBody) === "br")
+    assert(WarcCodec.httpPayloadText(brBody).startsWith(
+      "brotli battery three: information about the development"))
+    // gzip
+    val gzBos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(gzBos)
+    gz.write("gzip payload text".getBytes("UTF-8")); gz.close()
+    val gzBody = http("content-encoding: GZIP\r\n", gzBos.toByteArray) // case-insensitive
+    assert(WarcCodec.httpPayloadEncoding(gzBody) === "gzip")
+    assert(WarcCodec.httpPayloadText(gzBody) === "gzip payload text")
+    // identity (header absent)
+    val idBody = http("Content-Type: text/plain\r\n", "plain text".getBytes("UTF-8"))
+    assert(WarcCodec.httpPayloadEncoding(idBody) === "identity")
+    assert(WarcCodec.httpPayloadText(idBody) === "plain text")
+    // unknown encoding → quarantine null, never garbage
+    val zzBody = http("Content-Encoding: zstd\r\n", Array[Byte](1, 2, 3))
+    assert(WarcCodec.httpPayloadEncoding(zzBody) === "zstd")
+    assert(WarcCodec.httpPayloadText(zzBody) === null)
+    // damaged br payload → null (decode failure), not an exception
+    val broken = br.clone(); broken(10) = (broken(10) ^ 0x7f).toByte
+    val badBody = http("Content-Encoding: br\r\n", broken)
+    val r = WarcCodec.httpPayloadText(badBody)
+    assert(r == null || r.isInstanceOf[String]) // terminates; null or decoded
+    // non-HTTP body → null from both surfaces
+    assert(WarcCodec.httpPayloadText("just text, no status line".getBytes) === null)
+    assert(WarcCodec.httpPayloadEncoding("just text".getBytes) === null)
+  }
 }
