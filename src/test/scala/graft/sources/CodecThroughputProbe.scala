@@ -93,7 +93,17 @@ class CodecThroughputProbe extends AnyFunSuite {
       val out = new Array[Byte](data.length)
       d.decompress(rawBlock, 0, rawBlock.length, out, 0, out.length)
     }
+    // brotli: no JVM implementation exists on this classpath to race,
+    // so the number stands alone — the frame is pinned REAL encoder
+    // output (quality 9) over the same jsonl shape as `data`
+    val brFrame = {
+      val in = getClass.getResourceAsStream("/brotli/probe_1mb_q9.br")
+      try in.readAllBytes() finally in.close()
+    }
+    val brRawLen = BrotliCodec.decompress(brFrame).length
+    val tBrMine = time(5)(BrotliCodec.decompress(brFrame))
     println(f"[throughput] input ${mb}%.1f MB")
+    println(f"[throughput] br   ours   ${brRawLen / 1e6 / tBrMine}%8.1f MB/s  (decode; no JVM peer exists)")
     println(f"[throughput] lz4  ours   ${mb / tLz4Mine}%8.1f MB/s")
     println(f"[throughput] lz4  jar    ${mb / tLz4Jar}%8.1f MB/s  (lz4-java, JNI-or-java)")
     println(f"[throughput] lz4  encode ${mb / tLz4Enc}%8.1f MB/s  (ours)")
