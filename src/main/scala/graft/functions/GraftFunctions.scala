@@ -135,6 +135,7 @@ object GraftFunctions {
     "http_payload_text" -> (a => WarcOps.httpPayloadText(a.head)),
     "http_payload_encoding" -> (a => WarcOps.httpPayloadEncoding(a.head)),
     "unbrotli_text" -> (a => WarcOps.unbrotliText(a.head)),
+    "synth_http_response" -> (a => WarcOps.synthHttpResponse(a.head, a(1), a(2))),
     "unxz_text" -> (a => CodeOps.unxzText(a.head)),
     "jsonl_xz_text" -> (a => CodeOps.jsonlXzText(a.head)),
     "synth_jsonl_xz" -> (a => CodeOps.synthJsonlXz(a.head, a(1), a(2))),

@@ -251,6 +251,28 @@ case class UnbrotliTextExpr(child: Expression) extends UnaryExpression with Impl
   override def prettyName: String = "unbrotli_text"
 }
 
+/** `synth_http_response(text, enc, chunked)` — one HTTP/1.1 response
+  * with the body REALLY encoded (JDK gzip/zlib) and optionally really
+  * chunk-framed ([[graft.sources.WarcCodec.synthHttpResponse]]).
+  */
+case class SynthHttpResponseExpr(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(StringType, StringType, BooleanType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(t: Any, e: Any, c: Any): Any =
+    WarcCodec.synthHttpResponse(t.asInstanceOf[UTF8String].toString,
+      e.asInstanceOf[UTF8String].toString, c.asInstanceOf[Boolean])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, e, c) =>
+      s"${ev.value} = graft.sources.WarcCodec.synthHttpResponse($t.toString(), $e.toString(), $c);")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): SynthHttpResponseExpr =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "synth_http_response"
+}
+
 /** Column-level entry points. */
 object WarcOps {
   def warcRecords(bin: Column): Column =
@@ -267,4 +289,7 @@ object WarcOps {
     GraftExpr.toColumn(HttpPayloadEncodingExpr(GraftExpr.toExpr(bin)))
   def unbrotliText(bin: Column): Column =
     GraftExpr.toColumn(UnbrotliTextExpr(GraftExpr.toExpr(bin)))
+  def synthHttpResponse(text: Column, enc: Column, chunked: Column): Column =
+    GraftExpr.toColumn(SynthHttpResponseExpr(GraftExpr.toExpr(text),
+      GraftExpr.toExpr(enc), GraftExpr.toExpr(chunked)))
 }

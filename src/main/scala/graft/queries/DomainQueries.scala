@@ -1649,6 +1649,38 @@ object DomainQueries {
       |         ELSE text END AS text_out
       |FROM documents""".stripMargin
 
+  // ------------------------------------------------------------ q_http_dispatch
+  /** The HTTP wire-shape matrix a crawl archive actually stores:
+    * bodies cycle through gzip / deflate / identity content encodings,
+    * each with and without REAL `Transfer-Encoding: chunked` framing
+    * (multi-chunk, odd sizes, a chunk extension on the first chunk) —
+    * built by `synth_http_response` with the JDK's real gzip/zlib
+    * encoders, peeled back by `http_payload_text` (chunked first, then
+    * content-encoding, per HTTP semantics) under the hash gate. The
+    * br branch is gated separately in `q_warc_br` (brotli is
+    * decode-only here, so its bodies come from the pinned battery).
+    */
+  val httpDispatch: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("idx", (col("doc_id") % 6).cast("int"))
+      .withColumn("enc", element_at(
+        array(lit("identity"), lit("gzip"), lit("deflate"),
+          lit("identity"), lit("gzip"), lit("deflate")), col("idx") + 1))
+      .withColumn("chunked", col("idx") >= 3)
+      .withColumn("http", graft.functions.WarcOps.synthHttpResponse(
+        col("text"), col("enc"), col("chunked")))
+      .select(col("doc_id"),
+        graft.functions.WarcOps.httpPayloadEncoding(col("http")).as("enc"),
+        col("chunked"),
+        graft.functions.WarcOps.httpPayloadText(col("http")).as("text_out"))
+  val httpDispatchSql: String =
+    """SELECT doc_id,
+      |       CASE doc_id % 3 WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip' ELSE 'deflate' END AS enc,
+      |       doc_id % 6 >= 3 AS chunked,
+      |       text AS text_out
+      |FROM documents""".stripMargin
+
   /** WET extract ingestion (the Common-Crawl text-extract form —
     * same WARC framing, `conversion` records whose bodies are already
     * plain text, fronted by a `warcinfo` record): documents group into
@@ -2664,6 +2696,7 @@ object DomainQueries {
     "q_avi_transcode" -> aviTranscode,
     "q_warc_ingest" -> warcIngest,
     "q_warc_br" -> warcBr,
+    "q_http_dispatch" -> httpDispatch,
     "q_wet_text" -> wetText,
     "q_compress" -> compressQ,
     "q_url_fetch" -> urlFetch,
@@ -2753,6 +2786,7 @@ object DomainQueries {
     "q_avi_transcode" -> aviTranscodeSql,
     "q_warc_ingest" -> warcIngestSql,
     "q_warc_br" -> warcBrSql,
+    "q_http_dispatch" -> httpDispatchSql,
     "q_wet_text" -> wetTextSql,
     "q_compress" -> compressSql,
     "q_items_connector" -> itemsConnectorSql,

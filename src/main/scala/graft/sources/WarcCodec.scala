@@ -219,32 +219,160 @@ object WarcCodec {
           .getOrElse("identity")
     }
 
-  /** Decoded UTF-8 text of an HTTP response payload, dispatching on
+  /** De-chunk an HTTP/1.1 `Transfer-Encoding: chunked` body (hex size
+    * line + CRLF + chunk + CRLF, terminated by a 0-size chunk; trailer
+    * headers ignored). Null on malformed framing — crawl archives
+    * store bodies EXACTLY as they came off the wire, so chunked
+    * framing survives into WARC records and must peel before any
+    * content-encoding does.
+    */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var p = 0
+    while (true) {
+      // hex size line (chunk extensions after ';' ignored)
+      var q = p
+      var size = 0L
+      var digits = 0
+      var done = false
+      while (!done && q < b.length) {
+        val c = b(q) & 0xff
+        val d = if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (d >= 0 && digits < 16) { size = size * 16 + d; digits += 1; q += 1 }
+        else done = true
+      }
+      if (digits == 0) return null
+      // skip extension to CRLF
+      while (q < b.length && b(q) != '\r') q += 1
+      if (q + 1 >= b.length || b(q + 1) != '\n') return null
+      q += 2
+      if (size == 0) return out.toByteArray // trailers ignored
+      if (q + size > b.length) return null
+      out.write(b, q, size.toInt)
+      p = q + size.toInt
+      if (p + 2 > b.length || b(p) != '\r' || b(p + 1) != '\n') return null
+      p += 2
+    }
+    null // unreachable
+  }
+
+  /** zlib-wrapped OR raw deflate (real servers send both under
+    * `Content-Encoding: deflate`); null when neither form inflates.
+    */
+  private def inflateAny(b: Array[Byte]): Array[Byte] = {
+    def tryInflate(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      try {
+        inf.setInput(b)
+        val out = new ByteArrayOutputStream(math.max(64, b.length * 3))
+        val buf = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(buf)
+          if (n > 0) out.write(buf, 0, n)
+          else if (!inf.finished()) return null // stuck without input
+        }
+        if (inf.finished()) out.toByteArray else null
+      } catch { case _: Exception => null }
+      finally inf.end()
+    }
+    val zlib = tryInflate(nowrap = false)
+    if (zlib != null) zlib else tryInflate(nowrap = true)
+  }
+
+  /** Decoded UTF-8 text of an HTTP response payload: peels
+    * `Transfer-Encoding: chunked` framing first (bodies are archived
+    * as they came off the wire), then dispatches on
     * `Content-Encoding` — `br` (the RFC 7932 decoder: crawl archives
-    * carry brotli at least as often as gzip now), `gzip`/`x-gzip`, and
-    * `identity`/absent. Null for non-HTTP bodies, unknown encodings
-    * (quarantine, never garbage), or payloads that fail to decode —
-    * the codec null-on-undecodable contract.
+    * carry brotli at least as often as gzip now), `gzip`/`x-gzip`,
+    * `deflate` (zlib-wrapped or raw), and `identity`/absent. Null for
+    * non-HTTP bodies, unknown encodings (quarantine, never garbage),
+    * or payloads that fail to decode — the codec null-on-undecodable
+    * contract.
     */
   def httpPayloadText(b: Array[Byte]): String =
     httpSplit(b) match {
       case None => null
-      case Some((head, payload)) =>
-        val enc = head.split("\r\n").iterator.map(_.trim)
-          .find(_.toLowerCase.startsWith("content-encoding:"))
-          .map(_.substring("content-encoding:".length).trim.toLowerCase)
-          .getOrElse("identity")
-        val raw = enc match {
+      case Some((head, payload0)) =>
+        def header(name: String): Option[String] =
+          head.split("\r\n").iterator.map(_.trim)
+            .find(_.toLowerCase.startsWith(name + ":"))
+            .map(_.substring(name.length + 1).trim.toLowerCase)
+        val payload =
+          if (header("transfer-encoding").exists(_.contains("chunked"))) dechunk(payload0)
+          else payload0
+        if (payload == null) return null
+        val raw = header("content-encoding").getOrElse("identity") match {
           case "br" =>
             try BrotliCodec.decompress(payload) catch { case _: Exception => null }
           case "gzip" | "x-gzip" =>
             val out = gunzipAll(payload)
             if (out.length == 0 && payload.length > 0) null else out
+          case "deflate" => inflateAny(payload)
           case "identity" | "" => payload
           case _ => null
         }
         if (raw == null || raw.length == 0) null else new String(raw, UTF_8)
     }
+
+  /** Fixture writer: one HTTP/1.1 response with the body REALLY
+    * encoded (JDK gzip/zlib for gzip/deflate; brotli is decode-only
+    * here, so br bodies come from the pinned battery instead) and
+    * optionally really chunk-framed — the wire shapes
+    * [[httpPayloadText]] must peel.
+    */
+  def synthHttpResponse(text: String, enc: String, chunked: Boolean): Array[Byte] = {
+    val body0 = text.getBytes(UTF_8)
+    val encoded = enc match {
+      case "gzip" =>
+        val bos = new ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        gz.write(body0); gz.close()
+        bos.toByteArray
+      case "deflate" =>
+        val d = new java.util.zip.Deflater()
+        try {
+          d.setInput(body0); d.finish()
+          val bos = new ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+          bos.toByteArray
+        } finally d.end()
+      case _ => body0
+    }
+    val framed =
+      if (!chunked) encoded
+      else {
+        // multiple chunks (odd size so boundaries never align), with a
+        // chunk extension on the first to exercise that parser branch
+        val bos = new ByteArrayOutputStream(encoded.length + 64)
+        var p = 0
+        var first = true
+        while (p < encoded.length) {
+          val n = math.min(111, encoded.length - p)
+          val ext = if (first) ";graft=1" else ""
+          bos.write(f"$n%x$ext\r\n".getBytes(UTF_8))
+          bos.write(encoded, p, n)
+          bos.write("\r\n".getBytes(UTF_8))
+          p += n
+          first = false
+        }
+        bos.write("0\r\n\r\n".getBytes(UTF_8))
+        bos.toByteArray
+      }
+    val head = new StringBuilder()
+      .append("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n")
+    if (enc != "identity" && enc.nonEmpty) head.append("Content-Encoding: ").append(enc).append("\r\n")
+    if (chunked) head.append("Transfer-Encoding: chunked\r\n")
+    else head.append("Content-Length: ").append(framed.length).append("\r\n")
+    head.append("\r\n")
+    val out = new ByteArrayOutputStream()
+    out.write(head.toString.getBytes(UTF_8))
+    out.write(framed)
+    out.toByteArray
+  }
 
   private def indexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
     var i = math.max(0, from)

@@ -147,4 +147,32 @@ class WarcCodecSpec extends SparkSpec {
     assert(WarcCodec.httpPayloadText("just text, no status line".getBytes) === null)
     assert(WarcCodec.httpPayloadEncoding("just text".getBytes) === null)
   }
+
+  test("httpPayloadText: chunked framing peels before content-encoding; deflate both forms") {
+    val text = "wire shape payload " * 40
+    // the synth builds REAL chunked/gzip/deflate wire shapes; every
+    // matrix cell must round-trip
+    for (enc <- Seq("identity", "gzip", "deflate"); chunked <- Seq(false, true)) {
+      val http = WarcCodec.synthHttpResponse(text, enc, chunked)
+      assert(WarcCodec.httpPayloadText(http) === text, s"enc=$enc chunked=$chunked")
+      assert(WarcCodec.httpPayloadEncoding(http) === enc)
+    }
+    // RAW deflate (no zlib wrapper) — the other thing real servers send
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(text.getBytes("UTF-8")); d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    val rawDeflate = bos.toByteArray
+    val head = "HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n".getBytes("UTF-8")
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(head); body.write(rawDeflate)
+    assert(WarcCodec.httpPayloadText(body.toByteArray) === text)
+    // malformed chunked framing → null, not garbage or a hang
+    val badChunk = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nbody".getBytes("UTF-8")
+    assert(WarcCodec.httpPayloadText(badChunk) === null)
+    val shortChunk = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nff\r\ntiny\r\n0\r\n\r\n".getBytes("UTF-8")
+    assert(WarcCodec.httpPayloadText(shortChunk) === null)
+  }
 }
