@@ -888,6 +888,31 @@ case class SynthJsonlSnappyHadoopExpr(first: Expression, second: Expression, thi
   override def prettyName: String = "synth_jsonl_snappy_hadoop"
 }
 
+/** `jsonl_snappy_hadoop_text(bin)` → newline-joined `text` fields of a
+  * Hadoop-container `.snappy` shard
+  * ([[graft.sources.SnappyCodec.jsonlSnappyHadoopText]]).
+  */
+case class JsonlSnappyHadoopTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.SnappyCodec.jsonlSnappyHadoopText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("snhj")
+      s"""
+         |String $r = graft.sources.SnappyCodec.jsonlSnappyHadoopText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): JsonlSnappyHadoopTextExpr = copy(child = c)
+  override def prettyName: String = "jsonl_snappy_hadoop_text"
+}
+
 /** `unsnappy_hadoop_text(bin)` → UTF-8 text of a Hadoop-snappy
   * container ([[graft.sources.SnappyCodec.unsnappyHadoopText]],
   * tolerant, block-grain prefix on damage); null when the geometry
@@ -1464,6 +1489,8 @@ object CodeOps {
       GraftExpr.toExpr(linesPer)))
   def unsnappyHadoopText(bin: Column): Column =
     GraftExpr.toColumn(UnsnappyHadoopTextExpr(GraftExpr.toExpr(bin)))
+  def jsonlSnappyHadoopText(bin: Column): Column =
+    GraftExpr.toColumn(JsonlSnappyHadoopTextExpr(GraftExpr.toExpr(bin)))
   def jsonlLz4Text(bin: Column): Column =
     GraftExpr.toColumn(JsonlLz4TextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =

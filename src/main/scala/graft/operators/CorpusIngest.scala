@@ -38,6 +38,8 @@ object CorpusIngest {
         .when(format === "jsonl-xz", graft.functions.CodeOps.jsonlXzText(payload))
         .when(format === "jsonl-lz4", graft.functions.CodeOps.jsonlLz4Text(payload))
         .when(format === "jsonl-snappy", graft.functions.CodeOps.jsonlSnappyText(payload))
+        .when(format === "jsonl-snappy-hadoop",
+          graft.functions.CodeOps.jsonlSnappyHadoopText(payload))
         .when(format === "jsonl-bz2", graft.functions.CodeOps.jsonlBz2Text(payload))
         // the multistream wiki dump: concatenated bz2 streams decode to
         // ONE dump XML, then the same extractor as uncompressed 'mediawiki'

@@ -1012,13 +1012,14 @@ object DomainQueries {
   /** The mixed-format ingest capstone: one shard carrying PDF, DOCX,
     * PPTX, EPUB, MediaWiki dump-XML, `.jsonl.gz`, WET-extract
     * `.warc.gz`, `.jsonl.zst`, `.jsonl.xz`, `.jsonl.bz2`, multistream
-    * `.xml.bz2` wiki-dump, `.jsonl.lz4`, and snappy-framed `.jsonl.sz`
-    * payloads (13 formats)
+    * `.xml.bz2` wiki-dump, `.jsonl.lz4`, snappy-framed `.jsonl.sz`, and
+    * Hadoop-container `.snappy` payloads (14 formats)
     * routes each row through `format_detect`, then DISPATCHES to the
     * matching extractor — pdf_text / docx_text / pptx_text /
     * epub_text / wiki_dump_text / jsonl_gz_text / wet_text /
     * jsonl_zst_text / jsonl_xz_text / jsonl_bz2_text /
-    * unbzip2_text∘wiki_dump_text / jsonl_lz4_text / jsonl_snappy_text —
+    * unbzip2_text∘wiki_dump_text / jsonl_lz4_text / jsonl_snappy_text /
+    * jsonl_snappy_hadoop_text —
     * into one unified text column feeding the token
     * metrics. This is the corpus front
     * door (detect → route → extract → measure) as a single gated
@@ -1027,7 +1028,7 @@ object DomainQueries {
     */
   val corpusDispatch: Q = (s, d) => {
     val seed = col("doc_id") * 79
-    val idx = pmod(col("doc_id"), lit(13))
+    val idx = pmod(col("doc_id"), lit(14))
     val wetPayload = graft.functions.WarcOps.synthWarcGz(array(
       struct(lit("warcinfo").as("rec_type"), lit("https://wet.example").as("url"),
         lit("2026-02-01T00:00:00Z").as("date"),
@@ -1058,7 +1059,9 @@ object DomainQueries {
       .when(idx === 10, graft.functions.CodeOps.synthWikiBz2(seed, lit(2).cast("int")))
       .when(idx === 11, graft.functions.CodeOps.synthJsonlLz4(seed,
         lit(2).cast("int"), lit(2).cast("int")))
-      .otherwise(graft.functions.CodeOps.synthJsonlSnappy(seed,
+      .when(idx === 12, graft.functions.CodeOps.synthJsonlSnappy(seed,
+        lit(2).cast("int"), lit(2).cast("int")))
+      .otherwise(graft.functions.CodeOps.synthJsonlSnappyHadoop(seed,
         lit(2).cast("int"), lit(2).cast("int")))
     graft.operators.CorpusIngest.withDocMetrics(
       Tables.documents(s, d).select("doc_id")
@@ -1073,25 +1076,25 @@ object DomainQueries {
       |           ' line one (escaped)' || chr(10) ||
       |           'kerned words here' || chr(10) || 'café three' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 0),
+      |  WHERE d.doc_id % 14 = 0),
       |docxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Para ' || p.p || ' of doc ' || (d.doc_id * 79) ||
       |           ' — café & tab:' || chr(9) || 'end' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 1),
+      |  WHERE d.doc_id % 14 = 1),
       |pptxp AS (
       |  SELECT d.doc_id, p.p,
       |         'Slide ' || p.p || ' of deck ' || (d.doc_id * 79) || chr(10) ||
       |           'bullet & point ' || (d.doc_id * 79) % 100 AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 2),
+      |  WHERE d.doc_id % 14 = 2),
       |epubp AS (
       |  SELECT d.doc_id, p.p,
       |         'Chapter ' || p.p || chr(10) || 'Book ' || (d.doc_id * 79) ||
       |           ' prose & café line ' || p.p || '.' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 3),
+      |  WHERE d.doc_id % 14 = 3),
       |wikip AS (
       |  SELECT d.doc_id, p.p,
       |         'Heading ' || (d.doc_id * 79 + p.p) || chr(10) ||
@@ -1105,36 +1108,36 @@ object DomainQueries {
       |         'kept ''''raw'''' ' || (d.doc_id * 79 + p.p) ||
       |           ' tail span text – done ' || (d.doc_id * 79 + p.p) % 11 || '.' || chr(10) AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 4),
+      |  WHERE d.doc_id % 14 = 4),
       |jsonlp AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 5),
+      |  WHERE d.doc_id % 14 = 5),
       |wetp AS (
       |  SELECT d.doc_id, p.p,
       |         'WET doc ' || (d.doc_id * 79) || ' rec ' || p.p || ' café text.' AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 6),
+      |  WHERE d.doc_id % 14 = 6),
       |zstp AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 7),
+      |  WHERE d.doc_id % 14 = 7),
       |xzp AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 8),
+      |  WHERE d.doc_id % 14 = 8),
       |bz2p AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 9),
+      |  WHERE d.doc_id % 14 = 9),
       |wikibz2p AS (
       |  SELECT d.doc_id, p.p,
       |         'Heading ' || (d.doc_id * 79 + p.p) || chr(10) ||
@@ -1148,36 +1151,43 @@ object DomainQueries {
       |         'kept ''''raw'''' ' || (d.doc_id * 79 + p.p) ||
       |           ' tail span text – done ' || (d.doc_id * 79 + p.p) % 11 || '.' || chr(10) AS pt
       |  FROM documents d, generate_series(0, 1) p(p)
-      |  WHERE d.doc_id % 13 = 10),
+      |  WHERE d.doc_id % 14 = 10),
       |lz4p AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 11),
+      |  WHERE d.doc_id % 14 = 11),
       |snappyp AS (
       |  SELECT d.doc_id, m.m * 2 + l.l AS p,
       |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
       |           ' say "hi"' || chr(9) || 'ok' AS pt
       |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
-      |  WHERE d.doc_id % 13 = 12),
+      |  WHERE d.doc_id % 14 = 12),
+      |snaphp AS (
+      |  SELECT d.doc_id, m.m * 2 + l.l AS p,
+      |         'doc ' || (d.doc_id * 79) || ' m' || m.m || ' l' || l.l ||
+      |           ' say "hi"' || chr(9) || 'ok' AS pt
+      |  FROM documents d, generate_series(0, 1) m(m), generate_series(0, 1) l(l)
+      |  WHERE d.doc_id % 14 = 13),
       |allp AS (SELECT * FROM pdfp UNION ALL SELECT * FROM docxp
       |         UNION ALL SELECT * FROM pptxp UNION ALL SELECT * FROM epubp
       |         UNION ALL SELECT * FROM wikip UNION ALL SELECT * FROM jsonlp
       |         UNION ALL SELECT * FROM wetp UNION ALL SELECT * FROM zstp
       |         UNION ALL SELECT * FROM xzp UNION ALL SELECT * FROM bz2p
       |         UNION ALL SELECT * FROM wikibz2p UNION ALL SELECT * FROM lz4p
-      |         UNION ALL SELECT * FROM snappyp),
+      |         UNION ALL SELECT * FROM snappyp UNION ALL SELECT * FROM snaphp),
       |j AS (SELECT doc_id, string_agg(pt, chr(10) ORDER BY p) AS text
       |      FROM allp GROUP BY doc_id)
       |SELECT doc_id,
-      |       CASE doc_id % 13 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+      |       CASE doc_id % 14 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
       |            WHEN 2 THEN 'pptx' WHEN 3 THEN 'epub'
       |            WHEN 4 THEN 'mediawiki' WHEN 5 THEN 'jsonl-gz'
       |            WHEN 6 THEN 'warc-gz' WHEN 7 THEN 'jsonl-zst'
       |            WHEN 8 THEN 'jsonl-xz' WHEN 9 THEN 'jsonl-bz2'
       |            WHEN 10 THEN 'wiki-bz2' WHEN 11 THEN 'jsonl-lz4'
-      |            ELSE 'jsonl-snappy' END AS format,
+      |            WHEN 12 THEN 'jsonl-snappy'
+      |            ELSE 'jsonl-snappy-hadoop' END AS format,
       |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
       |       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
       |         AS INTEGER) AS n_re_tokens,

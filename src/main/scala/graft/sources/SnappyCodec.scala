@@ -634,6 +634,19 @@ object SnappyCodec {
     if (raw.length <= want) raw else java.util.Arrays.copyOf(raw, want)
   }
 
+  /** `.snappy` Hadoop-container shard → newline-joined `text` fields
+    * (tolerant; null when nothing decodes or no line carries a text
+    * member) — the [[jsonlSnappyText]] analog for the HDFS form.
+    */
+  def jsonlSnappyHadoopText(b: Array[Byte]): String = {
+    if (!isHadoopSnappy(b)) return null
+    val raw = decodeHadoopTolerant(b)
+    if (raw == null || raw.length == 0) return null
+    val texts = new String(raw, UTF_8).split("\n")
+      .iterator.map(GzipShard.textField).filter(_ != null).toSeq
+    if (texts.isEmpty) null else texts.mkString("\n")
+  }
+
   /** Decoded UTF-8 text of a Hadoop-snappy container (tolerant,
     * block-grain prefix on damage); null when the geometry does not
     * walk or nothing decodes.

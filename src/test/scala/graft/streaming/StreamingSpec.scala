@@ -1043,7 +1043,12 @@ class StreamingSpec extends SparkSpec {
       // the r16 lz4 / snappy front doors, same rule: batch and stream
       // must route and extract identically from the same bytes
       9L -> graft.sources.Lz4Codec.synthJsonlLz4(109L, 1, 2),
-      10L -> graft.sources.SnappyCodec.synthJsonlSnappy(110L, 1, 2))
+      10L -> graft.sources.SnappyCodec.synthJsonlSnappy(110L, 1, 2),
+      // the r17 forms, same rule: the legacy-lz4 mixed shard routes to
+      // the same jsonl-lz4 label, the magic-less Hadoop container to
+      // its structural route
+      11L -> graft.sources.Lz4Codec.synthJsonlLz4Legacy(111L, 2, 2),
+      12L -> graft.sources.SnappyCodec.synthJsonlSnappyHadoop(112L, 1, 2))
     val mem = MemoryStream[(Long, Array[Byte])]
     val stream = EventPipeline.streamingCorpus(
       mem.toDF().toDF("doc_id", "payload"))
@@ -1069,7 +1074,8 @@ class StreamingSpec extends SparkSpec {
       assert(byId === Map(1L -> "pdf", 2L -> "docx", 3L -> "pptx",
         4L -> "html", 5L -> "text", 6L -> "binary",
         7L -> "jsonl-bz2", 8L -> "wiki-bz2",
-        9L -> "jsonl-lz4", 10L -> "jsonl-snappy"))
+        9L -> "jsonl-lz4", 10L -> "jsonl-snappy",
+        11L -> "jsonl-lz4", 12L -> "jsonl-snappy-hadoop"))
       // the repaired text path actually repaired: n_chars of doc 5
       val doc5 = spark.table("corpus_ing").collect().find(_.getLong(0) == 5L).get
       assert(doc5.getInt(4) === "plain café text".length)
