@@ -256,6 +256,33 @@ object UrlOps {
     s"CASE WHEN ${sqlValid(e, s)} THEN ${sqlRawHost(s)} END"
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) — the `urlkey`
+    * of CDX/CDXJ crawl indexes: comma-joined REVERSED host labels +
+    * `)` + the lowercased path-and-query, with scheme/userinfo/port/
+    * `www.`/fragment dropped exactly as [[urlCanon]] drops them.
+    * SURT keys sort host-hierarchically (`com,example)/…` groups all
+    * subdomains of example.com), which is why crawl indexes key on
+    * them. Subset: query parameters keep wire order (full SURT's
+    * param sorting is out of subset — CC's own urlkeys vary here by
+    * indexer version anyway). Null when not a URL.
+    */
+  def surtKey(u: Column): Column = {
+    val s = stripFragment(u)
+    val path = regexp_extract(regexp_replace(restOf(s), "^[^/?]*", ""), "^([\\s\\S]*)", 1)
+    when(validUrl(u, s),
+      concat(array_join(reverse(split(rawHost(s), "\\.")), ","), lit(")"),
+        when(path === "", lit("/")).otherwise(lower(path))))
+  }
+
+  def surtSql(e: String): String = {
+    val s = sqlStrip(e)
+    val path = s"regexp_replace(${sqlRest(s)}, '^[^/?]*', '')"
+    s"""CASE WHEN ${sqlValid(e, s)} THEN (
+       |  SELECT array_to_string(list_reverse(string_split(h, '.')), ',') || ')' ||
+       |         CASE WHEN p = '' THEN '/' ELSE lower(p) END
+       |  FROM (SELECT ${sqlRawHost(s)} AS h, $path AS p)) END""".stripMargin
+  }
+
   def domainSql(e: String): String = {
     val s = sqlStrip(e)
     val host = sqlRawHost(s)

@@ -2746,6 +2746,87 @@ object PipelineQueries {
        |       ${graft.functions.UrlOps.domainSql("url")} AS domain
        |FROM u""".stripMargin
 
+  // ----------------------------------------------------------- q_cdx_index
+  /** CDXJ crawl-index parsing — the OTHER artifact every Common-Crawl
+    * user touches: before fetching a single WARC byte, jobs select
+    * records from the cdx-*.gz indexes (`SURT-urlkey timestamp
+    * {json}` lines). The query builds deterministic CDXJ lines (the
+    * urlkey via the new [[graft.functions.UrlOps.surtKey]], mirrored
+    * in the oracle by `surtSql` — the paired-SQL-generator discipline
+    * of the URL family) and parses them back with BUILT-INS only:
+    * first two space-delimited tokens, then `from_json` from the
+    * first `{` (the JSON blob itself contains spaces, so a naive
+    * split would shear it). Pure projection, no shuffle.
+    */
+  private def cdxUrl(docId: Column): Column =
+    concat(lit("https://sub"), pmod(docId, lit(3)).cast("string"),
+      lit(".crawl"), pmod(docId, lit(7)).cast("string"),
+      lit(".example.org/Path/"), docId.cast("string"),
+      when(pmod(docId, lit(4)) === 0, lit("?a=1&b=2")).otherwise(lit("")))
+  private val cdxUrlSql: String =
+    """'https://sub' || (doc_id % 3) || '.crawl' || (doc_id % 7) ||
+      |      '.example.org/Path/' || doc_id ||
+      |      CASE WHEN doc_id % 4 = 0 THEN '?a=1&b=2' ELSE '' END""".stripMargin
+  private def cdxLine(docId: Column): Column = {
+    val url = cdxUrl(docId)
+    concat(graft.functions.UrlOps.surtKey(url), lit(" "),
+      lit("2026010"), (pmod(docId, lit(9)) + 1).cast("string"), lit("000000 "),
+      lit("{\"url\": \""), url,
+      lit("\", \"mime\": \"text/html\", \"status\": \"200\", \"length\": \""),
+      (lit(100) + pmod(docId, lit(900))).cast("string"),
+      lit("\", \"offset\": \""), pmod(docId * 1024, lit(100000)).cast("string"),
+      lit("\", \"filename\": \"segment-"), pmod(docId, lit(20)).cast("string"),
+      lit(".warc.gz\"}"))
+  }
+  private def cdxParsed(s: SparkSession, d: String) =
+    Tables.documents(s, d)
+      .select(col("doc_id"), cdxLine(col("doc_id")).as("line"))
+      .select(col("doc_id"),
+        substring_index(col("line"), " ", 1).as("urlkey"),
+        element_at(split(col("line"), " "), 3 - 1).as("ts"),
+        from_json(col("line").substr(locate("{", col("line")), length(col("line"))),
+          lit("struct<url:string, mime:string, status:string, length:string, offset:string, filename:string>")).as("j"))
+      .select(col("doc_id"), col("urlkey"), col("ts"),
+        col("j.url").as("url"), col("j.mime").as("mime"),
+        col("j.status").cast("int").as("status"),
+        col("j.length").cast("long").as("n_bytes"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.filename").as("filename"))
+  private val cdxParsedSql: String =
+    s"""SELECT doc_id,
+       |       ${graft.functions.UrlOps.surtSql(s"($cdxUrlSql)")} AS urlkey,
+       |       '2026010' || (doc_id % 9 + 1) || '000000' AS ts,
+       |       ($cdxUrlSql) AS url,
+       |       'text/html' AS mime, 200 AS status,
+       |       CAST(100 + doc_id % 900 AS BIGINT) AS n_bytes,
+       |       CAST(doc_id * 1024 % 100000 AS BIGINT) AS offset,
+       |       'segment-' || (doc_id % 20) || '.warc.gz' AS filename
+       |FROM documents""".stripMargin
+  val cdxIndex: Q = (s, d) => cdxParsed(s, d)
+  val cdxIndexSql: String = cdxParsedSql
+
+  // ------------------------------------------------------- q_cdx_fetch_plan
+  /** The point of a CDX index: the FETCH PLAN — group selected records
+    * by segment file, so a WARC-range job knows how many records and
+    * bytes each segment contributes and where its earliest byte sits.
+    * One exchange keyed on filename (20 segments here; thousands at
+    * crawl scale — still the cheap side of fetching the WARCs).
+    */
+  val cdxFetchPlan: Q = (s, d) =>
+    cdxParsed(s, d)
+      .where(col("status") === 200 && col("mime") === "text/html")
+      .groupBy("filename")
+      .agg(count(lit(1)).as("n_records"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("offset")).as("first_offset"))
+  val cdxFetchPlanSql: String =
+    s"""WITH recs AS ($cdxParsedSql)
+       |SELECT filename, CAST(count(*) AS BIGINT) AS n_records,
+       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(min("offset") AS BIGINT) AS first_offset
+       |FROM recs WHERE status = 200 AND mime = 'text/html'
+       |GROUP BY 1""".stripMargin
+
   /** Canonical-URL dedup — the first stage of every crawl pipeline:
     * recrawls and share-link variants of one target collapse onto the
     * canonical form, oldest doc wins. Three noise variants of each
@@ -3404,6 +3485,8 @@ object PipelineQueries {
     "q_canonical_dedup" -> canonicalDedup,
     "q_robots_policy" -> robotsPolicy,
     "q_url_canon" -> urlCanon,
+    "q_cdx_index" -> cdxIndex,
+    "q_cdx_fetch_plan" -> cdxFetchPlan,
     "q_url_dedup" -> urlDedup,
     "q_url_blocklist" -> urlBlocklist,
     "q_url_psl" -> urlPsl,
@@ -3524,6 +3607,8 @@ object PipelineQueries {
     "q_canonical_dedup" -> canonicalDedupSql,
     "q_robots_policy" -> robotsPolicySql,
     "q_url_canon" -> urlCanonSql,
+    "q_cdx_index" -> cdxIndexSql,
+    "q_cdx_fetch_plan" -> cdxFetchPlanSql,
     "q_url_dedup" -> urlDedupSql,
     "q_url_blocklist" -> urlBlocklistSql,
     "q_url_psl" -> urlPslSql,

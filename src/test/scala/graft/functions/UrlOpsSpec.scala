@@ -21,6 +21,18 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("surtKey: CDX urlkey form — reversed host, dropped noise, lowercased path") {
+    val surt = (urls: Seq[(String, String)]) => check(UrlOps.surtKey _, urls)
+    surt(Seq(
+      "https://sub1.crawl2.example.org/Path/9" -> "org,example,crawl2,sub1)/path/9",
+      "https://Example.COM/A?B=c" -> "com,example)/a?b=c",
+      "HTTP://WWW.Example.com:80/" -> "com,example)/",
+      "https://example.com" -> "com,example)/",
+      "https://u:p@example.com:8443/x#frag" -> "com,example)/x",
+      "https://10.0.0.1/admin" -> "1,0,0,10)/admin",
+      "not a url" -> null))
+  }
+
   test("canonical form: case, www, default ports, fragments, trailing slashes") {
     canon(
       "https://Site.Com/doc/5" -> "https://site.com/doc/5",
