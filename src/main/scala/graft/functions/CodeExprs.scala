@@ -92,6 +92,16 @@ object CodeExprs {
       pairs.map { case (o, l) => new GenericInternalRow(Array[Any](o, l)): Any })
   }
 
+  /** Boxed header-only archive listing for [[SevenZipEntriesExpr]]. */
+  def sevenZipEntriesArray(b: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val es = try graft.sources.SevenZipCodec.entries(b)
+      catch { case _: Exception => null }
+    if (es == null) return null
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      es.map(e => new GenericInternalRow(Array[Any](
+        UTF8String.fromString(e.name), e.size, e.hasStream)): Any))
+  }
+
   def codeLangStr(path: UTF8String, content: UTF8String): UTF8String =
     UTF8String.fromString(CodeCodec.detectLang(
       if (path == null) null else path.toString,
@@ -888,6 +898,76 @@ case class SynthJsonlSnappyHadoopExpr(first: Expression, second: Expression, thi
   override def prettyName: String = "synth_jsonl_snappy_hadoop"
 }
 
+/** `synth_7z(seed, n_files)` — deterministic store-only 7z archive
+  * ([[graft.sources.SevenZipCodec.synthSevenZip]]), readable by the
+  * real implementation (SevenZipCodecSpec pins SevenZFile acceptance).
+  */
+case class SynthSevenZipExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes = Seq(LongType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def nullSafeEval(seed: Any, n: Any): Any =
+    graft.sources.SevenZipCodec.synthSevenZip(seed.asInstanceOf[Long], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (seed, n) =>
+      s"${ev.value} = graft.sources.SevenZipCodec.synthSevenZip($seed, $n);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SynthSevenZipExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "synth_7z"
+}
+
+/** `sevenzip_entries(bin)` → `array<struct<name, n_bytes, has_stream>>`
+  * from the archive HEADER only — no payload decompression
+  * ([[graft.sources.SevenZipCodec.entries]]); null for non-7z bytes.
+  */
+case class SevenZipEntriesExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("has_stream", BooleanType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any =
+    CodeExprs.sevenZipEntriesArray(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("sze")
+      s"""
+         |ArrayData $r = graft.functions.CodeExprs.sevenZipEntriesArray($b);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SevenZipEntriesExpr = copy(child = c)
+  override def prettyName: String = "sevenzip_entries"
+}
+
+/** `sevenzip_text(bin)` → newline-joined UTF-8 text of every streamed
+  * member ([[graft.sources.SevenZipCodec.sevenZipText]]); null for
+  * non-7z bytes or when nothing extracts.
+  */
+case class SevenZipTextExpr(child: Expression) extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(b: Any): Any = {
+    val s = graft.sources.SevenZipCodec.sevenZipText(b.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val r = ctx.freshName("szt")
+      s"""
+         |String $r = graft.sources.SevenZipCodec.sevenZipText($b);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($r); }
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SevenZipTextExpr = copy(child = c)
+  override def prettyName: String = "sevenzip_text"
+}
+
 /** `jsonl_snappy_hadoop_text(bin)` → newline-joined `text` fields of a
   * Hadoop-container `.snappy` shard
   * ([[graft.sources.SnappyCodec.jsonlSnappyHadoopText]]).
@@ -1491,6 +1571,12 @@ object CodeOps {
     GraftExpr.toColumn(UnsnappyHadoopTextExpr(GraftExpr.toExpr(bin)))
   def jsonlSnappyHadoopText(bin: Column): Column =
     GraftExpr.toColumn(JsonlSnappyHadoopTextExpr(GraftExpr.toExpr(bin)))
+  def synthSevenZip(seed: Column, nFiles: Column): Column =
+    GraftExpr.toColumn(SynthSevenZipExpr(GraftExpr.toExpr(seed), GraftExpr.toExpr(nFiles)))
+  def sevenZipEntries(bin: Column): Column =
+    GraftExpr.toColumn(SevenZipEntriesExpr(GraftExpr.toExpr(bin)))
+  def sevenZipText(bin: Column): Column =
+    GraftExpr.toColumn(SevenZipTextExpr(GraftExpr.toExpr(bin)))
   def jsonlLz4Text(bin: Column): Column =
     GraftExpr.toColumn(JsonlLz4TextExpr(GraftExpr.toExpr(bin)))
   def synthJsonlLz4(seed: Column, nMembers: Column, linesPer: Column): Column =

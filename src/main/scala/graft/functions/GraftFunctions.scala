@@ -146,6 +146,9 @@ object GraftFunctions {
     "synth_jsonl_snappy_hadoop" -> (a => CodeOps.synthJsonlSnappyHadoop(a.head, a(1), a(2))),
     "unsnappy_hadoop_text" -> (a => CodeOps.unsnappyHadoopText(a.head)),
     "jsonl_snappy_hadoop_text" -> (a => CodeOps.jsonlSnappyHadoopText(a.head)),
+    "synth_7z" -> (a => CodeOps.synthSevenZip(a.head, a(1))),
+    "sevenzip_entries" -> (a => CodeOps.sevenZipEntries(a.head)),
+    "sevenzip_text" -> (a => CodeOps.sevenZipText(a.head)),
     "jsonl_lz4_text" -> (a => CodeOps.jsonlLz4Text(a.head)),
     "synth_jsonl_lz4" -> (a => CodeOps.synthJsonlLz4(a.head, a(1), a(2))),
     "synth_jsonl_lz4_legacy" -> (a => CodeOps.synthJsonlLz4Legacy(a.head, a(1), a(2))),

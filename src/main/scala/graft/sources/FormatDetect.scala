@@ -13,8 +13,8 @@ import java.nio.charset.StandardCharsets
   * Labels: pdf, docx, xlsx, pptx, epub, zip, warc, warc-gz, jsonl-gz, gzip,
   * jsonl-zst, zstd, jsonl-xz, xz, jsonl-lz4, lz4, jsonl-snappy, snappy,
   * jsonl-snappy-hadoop, snappy-hadoop (the magic-less HDFS container,
-  * structurally detected last), jsonl-bz2, wiki-bz2, bzip2, tar, rtf,
-  * ole (legacy .doc/.xls/.msg —
+  * structurally detected last), jsonl-bz2, wiki-bz2, bzip2, 7z, tar,
+  * rtf, ole (legacy .doc/.xls/.msg —
   * classified for quarantine, no extractor), mbox, jpeg, png, gif,
   * tiff, avro, wav, flac, avi, html, mediawiki (dump-XML shards), xml,
   * text, binary, empty.
@@ -144,6 +144,7 @@ object FormatDetect {
     if (startsWith(b, "RIFF") && startsWith(b, "AVI ", 8)) return "avi"
     if (TiffCodec.isTiff(b)) return "tiff"
     if (AvroCodec.isAvro(b)) return "avro"
+    if (SevenZipCodec.isSevenZip(b)) return "7z"
     if (startsWith(b, "ustar", 257)) return "tar"
     if (startsWith(b, "{\\rtf")) return "rtf"
     if (b.length >= 4 && (b(0) & 0xff) == 0xd0 && (b(1) & 0xff) == 0xcf &&

@@ -159,7 +159,7 @@ object XzCodec {
   private def newProbs(n: Int): Array[Short] = Array.fill[Short](n)(1024)
 
   /** Length coder: choice + 8 low / 8 mid per posState + 256 high. */
-  private final class LenDec {
+  private[sources] final class LenDec {
     val choice: Array[Short] = newProbs(2)
     val low: Array[Short] = newProbs(16 * 8)
     val mid: Array[Short] = newProbs(16 * 8)
@@ -173,7 +173,7 @@ object XzCodec {
   /** LZMA probability model + state, reused across LZMA2 chunks until
     * a state reset.
     */
-  private final class LzmaState(var lc: Int, var lp: Int, var pb: Int) {
+  private[sources] final class LzmaState(var lc: Int, var lp: Int, var pb: Int) {
     var state = 0
     var rep0 = 0; var rep1 = 0; var rep2 = 0; var rep3 = 0
     var isMatch: Array[Short] = _
@@ -214,7 +214,7 @@ object XzCodec {
   /** Output window shared across chunks; `dictStart` marks the last
     * dictionary reset (matches must not reach before it).
     */
-  private final class OutWin(val cap: Int) {
+  private[sources] final class OutWin(val cap: Int) {
     var buf = new Array[Byte](4096)
     var len = 0
     var dictStart = 0
@@ -232,7 +232,25 @@ object XzCodec {
 
   /** Decode one LZMA chunk of exactly `unpackSize` output bytes. */
   private def lzmaChunk(b: Array[Byte], from: Int, to: Int, st: LzmaState,
+      w: OutWin, unpackSize: Int): Unit =
+    lzmaCore(b, from, to, st, w, unpackSize, strictEnd = true)
+
+  /** One continuous raw LZMA1 stream (the 7z 0x030101 coder): props
+    * external, output size known, NO end-of-stream marker expected —
+    * unlike XZ's chunked LZMA2, the range coder need not land on a
+    * clean flush and trailing pad bytes may remain.
+    */
+  private[sources] def lzmaRaw(b: Array[Byte], from: Int, to: Int, props: Int,
       w: OutWin, unpackSize: Int): Unit = {
+    val st = new LzmaState(0, 0, 0)
+    st.setProps(props)
+    st.reset()
+    w.dictStart = w.len
+    lzmaCore(b, from, to, st, w, unpackSize, strictEnd = false)
+  }
+
+  private def lzmaCore(b: Array[Byte], from: Int, to: Int, st: LzmaState,
+      w: OutWin, unpackSize: Int, strictEnd: Boolean): Unit = {
     val rc = new RangeDec(b, from, to)
     rc.init()
     val target = w.len + unpackSize
@@ -330,12 +348,14 @@ object XzCodec {
         }
       }
     }
-    if (rc.pos != to) fail(s"LZMA: chunk consumed ${rc.pos - from} of ${to - from} bytes")
-    if (!rc.finishedCleanly) fail("LZMA: range coder did not finish cleanly")
+    if (strictEnd) {
+      if (rc.pos != to) fail(s"LZMA: chunk consumed ${rc.pos - from} of ${to - from} bytes")
+      if (!rc.finishedCleanly) fail("LZMA: range coder did not finish cleanly")
+    } else if (rc.pos > to) fail("LZMA: raw stream overran its packed extent")
   }
 
   /** LZMA2 chunk sequence at `b[from, to)` → bytes appended to `w`. */
-  private def lzma2(b: Array[Byte], from: Int, to: Int, w: OutWin): Int = {
+  private[sources] def lzma2(b: Array[Byte], from: Int, to: Int, w: OutWin): Int = {
     var p = from
     var st: LzmaState = null
     var propsKnown = false
